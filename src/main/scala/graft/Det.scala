@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Determinism helpers implementing the oracle-parity contract
+  * (SURVEY.md §2.0) between Spark 4.1 and DuckDB 1.0.
+  *
+  * Additive aggregates over DOUBLE are partition-order dependent, so every
+  * sum/avg routes through exact DECIMAL arithmetic. The capture cast's
+  * scale must be >= the true decimal precision of the input value (raw
+  * money columns are 2dp; products of three 2dp factors are 6dp) so the
+  * cast never rounds — both engines then recover the identical decimal
+  * from the identical IEEE double, and the sum is exact and
+  * order-independent.
+  *
+  * Note: /root/reference is empty (SURVEY.md §0); rows cite SURVEY §2
+  * instead of reference file:line.
+  */
+object Det {
+  /** Exact-capture decimal cast (never rounds when scale >= true dp). */
+  def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(27, scale))
+
+  /** Order-independent exact sum; final cast is a precision relabel only
+    * (38 matches DuckDB's SUM(DECIMAL) output width — no rounding). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(dec(c, scale)).cast(DecimalType(38, scale))
+
+  /** avg = exact decimal sum → double → / count → round(4).
+    * DuckDB twin: ROUND(CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)/COUNT(*),4). */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(dec(c, scale)).cast(DoubleType) / count(lit(1)), 4)
+
+  /** DuckDB-side SQL fragments kept textually adjacent to their Spark
+    * twins so the two sides evolve together. */
+  object sql {
+    def dsum(e: String, scale: Int = 4): String =
+      s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DECIMAL(38,$scale))"
+    def davg(e: String, scale: Int = 4): String =
+      s"ROUND(CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT(*), 4)"
+  }
+}

@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.H — LLM-data-pipeline operators: dedup, similarity
+  * search, embeddings, text analysis, multimodal join.
+  *
+  * Scale design (100 TB):
+  * - `dedup_exact` is one hash aggregate — map-side combine, one shuffle.
+  * - `dedup_near_jaccard` is the exact quadratic variant, bounded by
+  *   contract to doc_id < 500; the scale path is MinHashLSH
+  *   (approxSimilarityJoin — shuffle on band buckets only), asserted for
+  *   recall against this exact query in DedupSpec.
+  * - `sim_cosine_topk` broadcasts the 1-row query side — the candidate scan
+  *   stays embarrassingly parallel, and TakeOrderedAndProject keeps only
+  *   k rows per partition. The brute-force fold is a tight while-loop UDF
+  *   over the float array (no boxing of per-element rows).
+  * - `emb_centroid`/`sim_knn_join` use exact decimal sums per dimension, so
+  *   partial aggregation is order-independent at any parallelism; the 10
+  *   centroids are broadcast for assignment.
+  */
+object LlmOps {
+
+  /** Index-ascending double fold — the §2.0.3 determinism shape: both
+    * engines accumulate in index order, final round(4) absorbs ulps. */
+  private def cosine(a: Seq[Float], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val cosFF = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b.map(_.toDouble)) }
+  private val cosFD = udf { (a: Seq[Float], b: Seq[Double]) => cosine(a, b) }
+
+  /** Word-level shingles (n consecutive words joined by space), distinct.
+    * 0-based Spark array subscripts. */
+  private def shingles(n: Int) = {
+    val terms = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
+    expr(s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $terms)))")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Tables(s, d, "events").groupBy("user_id", "event_type", "props")
+        .agg(min("event_id").as("event_id"))
+        .orderBy("event_id")),
+
+    "dedup_near_jaccard" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+      val sh = docs.select(col("doc_id"), explode(shingles(3)).as("g"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
+        .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
+        .withColumn("jac", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+        .where(col("jac") >= 0.4)
+        .select("a_id", "b_id", "jac").orderBy("a_id", "b_id")
+    }),
+
+    "sim_cosine_topk" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosFF(col("embedding"), col("q_emb")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    "emb_centroid" -> ((s, d) =>
+      centroids(Tables(s, d, "embeddings"), 4)
+        .orderBy("label", "pos")),
+
+    "sim_knn_join" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      // 1. exact per-dim decimal means, rounded — both engines agree bit-for-bit
+      val cent = centroids(e, 6)
+      // 2. pack to vectors (10 rows) and broadcast for assignment
+      val cvecs = cent.groupBy(col("label").as("c_label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mean))), x -> x.mean)").as("cvec"))
+      // 3. nearest centroid by cosine (desc), tiebreak smaller label
+      val scored = e.crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("label"), col("c_label"),
+                round(cosFD(col("embedding"), col("cvec")), 4).as("sim"))
+      val best = scored.groupBy("vec_id", "label")
+        .agg(max_by(col("c_label"), struct(col("sim"), -col("c_label"))).as("pred"))
+      best.groupBy("label")
+        .agg(count(lit(1)).as("n"), count(when(col("pred") === col("label"), 1)).as("n_agree"))
+        .orderBy("label")
+    }),
+
+    "text_tokens_top" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)),
+
+    "text_ngrams" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(split(col("text"), " ").as("w")).where(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(20)),
+
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+        .withColumn("idf", round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1, 4))
+        .withColumn("score", round(col("tf") * col("idf"), 4))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select("doc_id", "rk", "term", "score").orderBy("doc_id", "rk")
+    }),
+
+    "text_stats" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             Det.davg(col("n_chars")).as("avg_chars"),
+             sum(size(split(col("text"), " "))).as("total_tokens"))
+        .orderBy("lang", "source")),
+
+    "text_search" -> ((s, d) =>
+      Tables(s, d, "documents").where(col("text").contains("spark"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_hits"), min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source")),
+
+    "multimodal_join" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .join(Tables(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("label"),
+                col("n_chars"), size(col("embedding")).as("emb_dim"))
+        .orderBy("doc_id")),
+  )
+
+  /** Per-label, per-dimension exact decimal mean, rounded to `scale` dp. */
+  private def centroids(e: DataFrame, scale: Int): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(round(sum(Det.dec(col("v"), 12)).cast("double") / count(lit(1)), scale).as("mean"))
+
+  private def centroidSql(scale: Int): String =
+    // zip-unnest: DuckDB 1.0 can't lateral-join generate_series on a
+    // column, but multiple unnests in one SELECT zip positionally.
+    "SELECT label, CAST(pos AS INT) AS pos, " +
+      s"ROUND(CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*), $scale) AS mean " +
+      "FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, " +
+      "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) GROUP BY 1, 2"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT user_id, event_type, props, CAST(min(event_id) AS BIGINT) AS event_id " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY event_id"),
+    "dedup_near_jaccard" ->
+      ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g " +
+        "FROM docs), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a " +
+        "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.4 ORDER BY a_id, b_id"),
+    "sim_cosine_topk" ->
+      ("SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+        "CAST(q.embedding AS DOUBLE[])), 4) AS sim FROM embeddings e, " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    "emb_centroid" -> (centroidSql(4) + " ORDER BY label, pos"),
+    "sim_knn_join" ->
+      ("WITH cent AS (" + centroidSql(6) + "), " +
+        "cvecs AS (SELECT label AS c_label, list(mean ORDER BY pos) AS cvec FROM cent GROUP BY 1), " +
+        "scored AS (SELECT e.vec_id, e.label, c.c_label, " +
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 4) AS sim " +
+        "FROM embeddings e CROSS JOIN cvecs c), " +
+        "best AS (SELECT vec_id, label, c_label AS pred FROM scored " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) = 1) " +
+        "SELECT label, count(*) AS n, count(CASE WHEN pred = label THEN 1 END) AS n_agree " +
+        "FROM best GROUP BY 1 ORDER BY label"),
+    "text_tokens_top" ->
+      ("SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) " +
+        "AS token FROM documents) GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20"),
+    "text_ngrams" ->
+      ("SELECT bigram, count(*) AS cnt FROM (SELECT unnest(list_transform(" +
+        "generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS bigram " +
+        "FROM (SELECT string_split(text, ' ') AS w FROM documents) " +
+        "WHERE len(w) >= 2) GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20"),
+    "text_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), " +
+        "dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, term, tf, " +
+        "ROUND(tf * ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1, 4), 4) AS score " +
+        "FROM tf JOIN dfc USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, CAST(row_number() OVER w AS INT) AS rk, term, score FROM scored " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term) " +
+        "QUALIFY rk <= 5 ORDER BY doc_id, rk"),
+    "text_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        Det.sql.davg("n_chars") + " AS avg_chars, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens " +
+        "FROM documents GROUP BY 1, 2 ORDER BY lang, source"),
+    "text_search" ->
+      ("SELECT source, count(*) AS n_hits, CAST(min(doc_id) AS BIGINT) AS first_doc, " +
+        "CAST(max(doc_id) AS BIGINT) AS last_doc FROM documents " +
+        "WHERE text LIKE '%spark%' GROUP BY 1 ORDER BY source"),
+    "multimodal_join" ->
+      ("SELECT doc_id, lang, source, label, n_chars, CAST(len(embedding) AS INT) AS emb_dim " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.B–D — scans, joins, aggregations.
+  *
+  * Scale design notes (100 TB):
+  * - `scan_project_filter` relies on parquet predicate pushdown + column
+  *   pruning (asserted in PlanShapeSpec) — the scan reads 5 columns, not 11.
+  * - Dimension joins (region, nation, customer at TPC-H ratios) are
+  *   explicitly `broadcast()` — no shuffle of the fact side.
+  * - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
+  *   aggregations after the join reuse Catalyst's partial aggregation.
+  * - All additive aggregates use exact DECIMAL arithmetic (Det) — order-
+  *   independent, so partial/final aggregation at any parallelism is safe.
+  */
+object RelationalOps {
+
+  // ---- §2.B scans --------------------------------------------------------
+
+  private val scanQ: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  // ---- §2.C joins --------------------------------------------------------
+
+  private val joinQueries: Map[String, Q] = Map(
+    "join_broadcast" -> ((s, d) =>
+      Tables(s, d, "nation")
+        .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")),
+    "join_shuffle_hash" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .join(Tables(s, d, "customer").hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).orderBy("c_mktsegment")),
+    "join_sortmerge" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+    "join_left_outer" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+    "join_full_outer" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").where(col("l_orderkey") < 500).select("l_partkey")
+      Tables(s, d, "part").select("p_partkey")
+        .join(li, col("p_partkey") === col("l_partkey"), "full")
+        .agg(count(lit(1)).as("n_rows"),
+             count(when(col("l_partkey").isNull, 1)).as("n_part_only"),
+             count(when(col("p_partkey").isNull, 1)).as("n_line_only"))
+    }),
+    "join_semi" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "join_anti" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .join(Tables(s, d, "orders").where(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "join_cross" -> ((s, d) =>
+      Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")),
+    "join_theta" -> ((s, d) =>
+      Tables(s, d, "part")
+        .join(Tables(s, d, "lineitem"),
+              col("p_partkey") === col("l_partkey") && col("l_quantity") > col("p_size"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")),
+    "join_range" -> ((s, d) => {
+      // Same-user event pairs within 10 minutes. Equi key (user_id) keeps
+      // this a hash/merge join with a residual range predicate — never a
+      // BroadcastNestedLoopJoin. Bounded to user_id < 100 by contract.
+      val e = Tables(s, d, "events")
+      val a = e.where(col("user_id") < 100)
+        .select(col("event_id").as("a_id"), col("user_id").as("u"), col("ts").as("a_ts"))
+      val b = e.where(col("user_id") < 100)
+        .select(col("event_id").as("b_id"), col("user_id").as("u2"), col("ts").as("b_ts"))
+      a.join(b, col("u") === col("u2") && col("b_id") > col("a_id") &&
+               col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+    "join_asof" -> ((s, d) => {
+      // As-of join: for each purchase, the most recent prior same-user
+      // click. event_id is the seq (ts-monotone — FIXTURES.md), so "prior"
+      // = smaller event_id. Implemented as ONE window pass over the union
+      // of both event kinds — no self-join, no shuffle beyond the
+      // user_id partitioning.
+      val e = Tables(s, d, "events").where(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("click_id"))
+        .orderBy("p_id")
+    }),
+  )
+
+  private val joinOracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      ("SELECT n_nationkey, n_name, r_name FROM nation JOIN region " +
+        "ON n_regionkey = r_regionkey ORDER BY n_nationkey"),
+    "join_shuffle_hash" ->
+      ("SELECT c_mktsegment, count(*) AS n FROM orders JOIN customer " +
+        "ON o_custkey = c_custkey GROUP BY 1 ORDER BY c_mktsegment"),
+    "join_sortmerge" ->
+      ("SELECT o_orderpriority, " +
+        Det.sql.dsum("l_extendedprice * (1 - l_discount)") + " AS revenue, " +
+        "count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY o_orderpriority"),
+    "join_left_outer" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY c_custkey"),
+    "join_full_outer" ->
+      ("SELECT count(*) AS n_rows, " +
+        "count(CASE WHEN l_partkey IS NULL THEN 1 END) AS n_part_only, " +
+        "count(CASE WHEN p_partkey IS NULL THEN 1 END) AS n_line_only " +
+        "FROM (SELECT p_partkey FROM part) p FULL JOIN " +
+        "(SELECT l_partkey FROM lineitem WHERE l_orderkey < 500) l " +
+        "ON p_partkey = l_partkey"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') " +
+        "ORDER BY c_custkey"),
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_theta" ->
+      ("SELECT p_brand, count(*) AS n, " + Det.sql.dsum("l_quantity") + " AS sum_qty " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey AND l_quantity > p_size " +
+        "GROUP BY 1 ORDER BY p_brand"),
+    "join_range" ->
+      ("SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND b.event_id > a.event_id " +
+        "AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
+        "WHERE a.user_id < 100 AND b.user_id < 100 ORDER BY a_id, b_id"),
+    "join_asof" ->
+      ("SELECT p.event_id AS p_id, p.user_id, " +
+        "(SELECT max(c.event_id) FROM events c WHERE c.event_type = 'click' " +
+        "AND c.user_id = p.user_id AND c.event_id < p.event_id) AS click_id " +
+        "FROM events p WHERE p.event_type = 'purchase' ORDER BY p_id"),
+  )
+
+  // ---- §2.D aggregations -------------------------------------------------
+
+  private val aggQueries: Map[String, Q] = Map(
+    "agg_groupby_q1" -> q1,
+    "agg_distinct" -> ((s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(groupingSetsSql("lineitem_gs"))
+    }),
+    "agg_rollup" -> ((s, d) =>
+      Tables(s, d, "orders").rollup("o_orderstatus", "o_orderpriority")
+        .agg(Det.dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+    "agg_cube" -> ((s, d) =>
+      Tables(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
+        .agg(Det.dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+    "agg_having" -> ((s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_partkey")
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 800)
+        .orderBy("l_partkey")),
+    "agg_collect_sorted" -> ((s, d) =>
+      Tables(s, d, "customer").where(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
+        .orderBy("c_nationkey")),
+    "agg_stats_exact" -> ((s, d) => {
+      // Exact variance from decimal Σx, Σx² (stddev builtins are float-
+      // accumulation-order dependent — SURVEY §2.0.5).
+      val l = Tables(s, d, "lineitem")
+      val sx = sum(Det.dec(col("l_quantity"), 4)).cast("double")
+      val sxx = sum(Det.dec(col("l_quantity") * col("l_quantity"), 8)).cast("double")
+      val n = count(lit(1))
+      l.groupBy("l_returnflag")
+        .agg(n.as("n"), min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+             round((sxx - sx * sx / n) / (n - lit(1)), 4).as("var_qty"))
+        .orderBy("l_returnflag")
+    }),
+    "agg_udaf_argmax" -> ((s, d) => {
+      // marasa state-at-seq as a typed Aggregator UDAF (SURVEY §4.3).
+      val am = udaf(graft.expr.ArgMaxBySeq)
+      JournalOps.journal(s, d).groupBy("ns", "ukey")
+        .agg(am(col("seq"), col("payload")).as("payload"), max("seq").as("last_seq"))
+        .orderBy("ns", "ukey")
+    }),
+  )
+
+  private def q1: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+          .as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        Det.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql: String =
+    "SELECT l_returnflag, l_linestatus, " +
+      Det.sql.dsum("l_quantity") + " AS sum_qty, " +
+      Det.sql.dsum("l_extendedprice") + " AS sum_base_price, " +
+      Det.sql.dsum("l_extendedprice * (1 - l_discount)") + " AS sum_disc_price, " +
+      Det.sql.dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6) + " AS sum_charge, " +
+      Det.sql.davg("l_quantity") + " AS avg_qty, " +
+      Det.sql.davg("l_extendedprice") + " AS avg_price, " +
+      Det.sql.davg("l_discount") + " AS avg_disc, " +
+      "count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
+  private def groupingSetsSql(table: String): String =
+    "SELECT l_returnflag, l_linestatus, " +
+      Det.sql.dsum("l_quantity") + " AS sum_qty, count(*) AS n " +
+      s"FROM $table GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+      "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+
+  private val aggOracle: Map[String, String] = Map(
+    "agg_groupby_q1" -> q1Sql,
+    "agg_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "agg_grouping_sets" -> groupingSetsSql("lineitem"),
+    "agg_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, " + Det.sql.dsum("o_totalprice") +
+        " AS total, count(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, " + Det.sql.dsum("o_totalprice") +
+        " AS total, count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "agg_having" ->
+      ("SELECT l_partkey, " + Det.sql.dsum("l_quantity") + " AS sum_qty FROM lineitem " +
+        "GROUP BY 1 HAVING " + Det.sql.dsum("l_quantity") + " > 800 ORDER BY l_partkey"),
+    "agg_collect_sorted" ->
+      ("SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names " +
+        "FROM customer WHERE c_acctbal > 9000 GROUP BY 1 ORDER BY c_nationkey"),
+    "agg_stats_exact" ->
+      ("SELECT l_returnflag, count(*) AS n, min(l_quantity) AS min_qty, " +
+        "max(l_quantity) AS max_qty, ROUND((" +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,8))) AS DOUBLE) - " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) * " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / count(*)" +
+        ") / (count(*) - 1), 4) AS var_qty FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "agg_udaf_argmax" ->
+      ("SELECT event_type AS ns, user_id AS ukey, arg_max(props, event_id) AS payload, " +
+        "max(event_id) AS last_seq FROM events GROUP BY 1, 2 ORDER BY ns, ukey"),
+  )
+
+  // ---- assembled ---------------------------------------------------------
+
+  val queries: Map[String, Q] =
+    Map("scan_project_filter" -> scanQ) ++ joinQueries ++ aggQueries
+
+  val oracle: Map[String, String] = Map(
+    "scan_project_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 100"),
+  ) ++ joinOracle ++ aggOracle
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.E window functions + §2.F sort/limit/top-k/set ops.
+  *
+  * Scale design: window partitions are user/nation/brand-sized — the
+  * shuffle is on the partition key and each partition sorts locally.
+  * `topk_global` compiles to TakeOrderedAndProject (per-partition heap +
+  * driver merge of k rows — no global sort). Set ops shuffle once on the
+  * full row hash.
+  */
+object WindowSetOps {
+
+  val queries: Map[String, Q] = Map(
+    // ---- §2.E windows ----------------------------------------------------
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+                rank().over(w).as("rk"), dense_rank().over(w).as("drk"),
+                row_number().over(w).as("rn"))
+        .orderBy("c_nationkey", "rn")
+    }),
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+                lag("value", 1).over(w).as("prev_val"),
+                lead("value", 1).over(w).as("next_val"),
+                (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))).as("gap_sec"))
+        .orderBy("user_id", "event_id")
+    }),
+    "win_moving_rows" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+                sum(Det.dec(col("value"))).over(w).cast("decimal(38,4)").as("mov_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+    "win_cume_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                sum(Det.dec(col("o_totalprice"))).over(w).cast("decimal(38,4)").as("cume_spend"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+    "win_ntile_pct" -> ((s, d) => {
+      val w = Window.orderBy(col("p_retailprice"), col("p_partkey"))
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+                ntile(4).over(w).as("quartile"),
+                round(percent_rank().over(w), 4).as("pct_rank"),
+                round(cume_dist().over(w), 4).as("cume"))
+        .orderBy("p_partkey")
+    }),
+    "win_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables(s, d, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+                row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    }),
+
+    // ---- §2.F sort / top-k / set ops ------------------------------------
+    "sort_multi_null" -> ((s, d) =>
+      // No natural nulls in the fixtures — manufacture them with nullif so
+      // the explicit NULLS FIRST/LAST contract (§2.0.1) is exercised.
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+                col("c_acctbal"))
+        .orderBy(col("seg").asc_nulls_first, col("c_acctbal").desc, col("c_custkey"))),
+    "topk_global" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)),
+    "set_union_all" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(lit("cust").as("src"), col("c_custkey").as("key"),
+                col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+      val p = Tables(s, d, "supplier")
+        .select(lit("supp").as("src"), col("s_suppkey").as("key"),
+                col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+      c.unionByName(p).orderBy("src", "key")
+    }),
+    "set_union_distinct" -> ((s, d) =>
+      Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey")),
+    "set_intersect" -> ((s, d) =>
+      Tables(s, d, "part").select(col("p_partkey").as("partkey"))
+        .intersect(Tables(s, d, "lineitem").select(col("l_partkey").as("partkey")))
+        .orderBy("partkey")),
+    "set_except" -> ((s, d) =>
+      Tables(s, d, "part").select(col("p_partkey").as("partkey"))
+        .except(Tables(s, d, "lineitem").select(col("l_partkey").as("partkey")))
+        .orderBy("partkey")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      ("SELECT c_custkey, c_nationkey, c_acctbal, " +
+        "CAST(rank() OVER w AS INT) AS rk, CAST(dense_rank() OVER w AS INT) AS drk, " +
+        "CAST(row_number() OVER w AS INT) AS rn FROM customer " +
+        "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) " +
+        "ORDER BY c_nationkey, rn"),
+    "win_lag_lead" ->
+      ("SELECT user_id, event_id, value, lag(value, 1) OVER w AS prev_val, " +
+        "lead(value, 1) OVER w AS next_val, " +
+        "date_diff('second', lag(ts, 1) OVER w, ts) AS gap_sec FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, event_id"),
+    "win_moving_rows" ->
+      ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w " +
+        "AS DECIMAL(38,4)) AS mov_sum FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id"),
+    "win_cume_range" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DECIMAL(38,4)) AS cume_spend " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"),
+    "win_ntile_pct" ->
+      ("SELECT p_partkey, p_retailprice, CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "ROUND(percent_rank() OVER w, 4) AS pct_rank, ROUND(cume_dist() OVER w, 4) AS cume " +
+        "FROM part WINDOW w AS (ORDER BY p_retailprice, p_partkey) ORDER BY p_partkey"),
+    "win_topk_group" ->
+      ("SELECT p_brand, p_partkey, p_retailprice, CAST(row_number() OVER w AS INT) AS rn " +
+        "FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) " +
+        "QUALIFY rn <= 3 ORDER BY p_brand, rn"),
+    "sort_multi_null" ->
+      ("SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal FROM customer " +
+        "ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey"),
+    "topk_global" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "set_union_all" ->
+      ("SELECT 'cust' AS src, c_custkey AS key, c_name AS name, c_acctbal AS acctbal " +
+        "FROM customer UNION ALL SELECT 'supp', s_suppkey, s_name, s_acctbal FROM supplier " +
+        "ORDER BY src, key"),
+    "set_union_distinct" ->
+      ("SELECT CAST(nationkey AS INT) AS nationkey FROM " +
+        "(SELECT c_nationkey AS nationkey FROM customer UNION " +
+        "SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
+    "set_intersect" ->
+      ("SELECT p_partkey AS partkey FROM part INTERSECT " +
+        "SELECT l_partkey FROM lineitem ORDER BY partkey"),
+    "set_except" ->
+      ("SELECT p_partkey AS partkey FROM part EXCEPT " +
+        "SELECT l_partkey FROM lineitem ORDER BY partkey"),
+  )
+}
