@@ -1,0 +1,153 @@
+package graft.journal
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Native append-only journal store — marasa's design (append-only log,
+  * monotonic seqnos, namespaces, point-in-time reads, segment files,
+  * checkpoints; SURVEY.md §0.1/§1) transposed to a distributed setting:
+  *
+  *   store/
+  *     manifest.json                  -- atomically swapped (tmp + rename)
+  *     segments/epoch=K/part-….parquet   -- epoch = seq div epochSize
+  *     checkpoints/seq=S/part-….parquet  -- compacted (ns,ukey)→latest state
+  *
+  * No Delta/Iceberg jars exist offline (SURVEY §0.1), so the log layer is
+  * parquet segments + a JSON manifest. Readers see only data the manifest
+  * references at the moment they open it (snapshot isolation for a single
+  * writer — the same single-writer model as the reference).
+  *
+  * 100 TB design: `stateAt(seq)` reads ONE checkpoint (already compacted,
+  * ≤ |keys| rows) plus only the segments in (ckpt, seq] — epoch partition
+  * pruning keeps the tail replay O(epochSize), independent of total
+  * journal length, exactly marasa's checkpoint+tail-replay bound. The
+  * arg-max combine is a single partial-aggregated shuffle on (ns, ukey).
+  */
+class JournalStore private (val spark: SparkSession, val path: String,
+                            val epochSize: Long) {
+  import JournalStore._
+
+  private def segDir = s"$path/segments"
+  private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
+
+  def manifest: Manifest = readManifest(path).getOrElse(Manifest(epochSize, -1L, Nil))
+
+  /** Append a batch. `df` columns: (ns, ukey, ts, payload, val). Seqs are
+    * assigned `maxSeq+1 ..` in deterministic (ts, ns, ukey, payload) order;
+    * pass a `seq` column to keep caller-assigned seqs (must be dense and
+    * > maxSeq). Single-writer, like the reference. */
+  def append(df: DataFrame): Long = {
+    val m = manifest
+    val withSeq =
+      if (df.columns.contains("seq")) df
+      else {
+        val w = Window.orderBy("ts", "ns", "ukey", "payload")
+        df.withColumn("seq", row_number().over(w).cast("long") + m.maxSeq)
+      }
+    val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
+    out.write.partitionBy("epoch").mode("append").parquet(segDir)
+    val stats = out.groupBy("epoch")
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
+      .collect()
+    val newMax = math.max(m.maxSeq, stats.map(_.getAs[Long]("hi")).max)
+    writeManifest(path, m.copy(maxSeq = newMax))
+    newMax
+  }
+
+  /** Full journal scan in seq order (marasa history(ns=all)). */
+  def scan(): DataFrame =
+    spark.read.parquet(segDir)
+      .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
+
+  /** Per-key (or per-ns) history in seq order. */
+  def history(ns: String, ukey: Option[Long] = None): DataFrame = {
+    val base = spark.read.parquet(segDir).where(col("ns") === ns)
+    ukey.fold(base)(k => base.where(col("ukey") === k))
+      .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
+  }
+
+  /** Point-in-time state (marasa read(ns, seq)): newest checkpoint ≤ seq
+    * plus arg-max replay of only the tail segments — epoch partition
+    * pruning bounds the scan. */
+  def stateAt(seq: Long): DataFrame = {
+    val m = manifest
+    val ckpt = m.checkpoints.filter(_ <= seq).sorted.lastOption
+    val tail = spark.read.parquet(segDir)
+      .where(col("epoch") >= lit(ckpt.getOrElse(0L) / epochSize)) // partition prune
+      .where(col("seq") <= seq && col("seq") > ckpt.map(lit(_)).getOrElse(lit(-1L)))
+      .select("ns", "ukey", "seq", "payload")
+    val base: Option[DataFrame] = ckpt.map { c =>
+      spark.read.parquet(ckptDir(c))
+        .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
+    }
+    base.fold(tail)(_.unionByName(tail))
+      .groupBy("ns", "ukey")
+      .agg(max_by(col("payload"), col("seq")).as("payload"), max("seq").as("last_seq"))
+  }
+
+  /** Latest state (marasa read(ns)). */
+  def latest(): DataFrame = stateAt(manifest.maxSeq)
+
+  /** Materialize a checkpoint at `seq` — future stateAt(≥seq) replays only
+    * the segments after it (bounded-replay invariant, SURVEY §4.1). */
+  def checkpoint(seq: Long): Unit = {
+    stateAt(seq).write.mode("overwrite").parquet(ckptDir(seq))
+    val m = manifest
+    writeManifest(path, m.copy(checkpoints = (m.checkpoints :+ seq).distinct.sorted))
+  }
+
+  /** Per-epoch segment stats from the data (used by journal_write_segments). */
+  def segmentStats(): DataFrame =
+    spark.read.parquet(segDir)
+      .groupBy(col("epoch").cast("long").as("epoch")) // partition col is discovered as int
+      .agg(count(lit(1)).as("n_rows"), min("seq").as("min_seq"), max("seq").as("max_seq"))
+      .orderBy("epoch")
+}
+
+object JournalStore {
+  case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long])
+
+  def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore = {
+    Files.createDirectories(Paths.get(path))
+    writeManifest(path, Manifest(epochSize, -1L, Nil))
+    new JournalStore(spark, path, epochSize)
+  }
+
+  def open(spark: SparkSession, path: String): JournalStore = {
+    val m = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no journal store at $path"))
+    new JournalStore(spark, path, m.epochSize)
+  }
+
+  // -- manifest IO (driver-side; tiny JSON, atomic rename swap) ----------
+
+  private def manifestPath(path: String) = Paths.get(path, "manifest.json")
+
+  private[journal] def writeManifest(path: String, m: Manifest): Unit = {
+    val json =
+      s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
+        s""""checkpoints":[${m.checkpoints.mkString(",")}]}"""
+    val tmp = Paths.get(path, ".manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[journal] def readManifest(path: String): Option[Manifest] = {
+    val p = manifestPath(path)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      def num(k: String): Long =
+        s"""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      val ckpts = """checkpoints":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
+      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts))
+    }
+  }
+}

@@ -69,6 +69,16 @@ object JournalOps {
     }),
     "journal_asof_ts" -> ((s, d) =>
       stateAt(journal(s, d), col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))),
+    "journal_write_segments" -> ((s, d) => {
+      // Ingest the events journal into a native store (epoch-partitioned
+      // parquet segments + atomically-swapped manifest — graft.journal),
+      // then report per-segment stats. Stats are derivable from the
+      // input, so this side-effecting sink is still oracle-checkable.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_journal_").toString
+      val store = graft.journal.JournalStore.create(s, tmp, epochSize = 1000L)
+      store.append(journal(s, d))
+      store.segmentStats()
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,5 +101,9 @@ object JournalOps {
         "GROUP BY 1 ORDER BY ns"),
     "journal_asof_ts" ->
       stateSql("WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'"),
+    "journal_write_segments" ->
+      ("SELECT event_id // 1000 AS epoch, count(*) AS n_rows, " +
+        "CAST(min(event_id) AS BIGINT) AS min_seq, CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events GROUP BY 1 ORDER BY epoch"),
   )
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Det
+
+/** SURVEY.md §2.I — Structured Streaming transforms. Each is the SAME
+  * declarative expression as its batch twin in ops.StreamBatchOps (that's
+  * the point: one logical plan, two execution modes), plus the genuinely
+  * stateful ops that only exist in streaming.
+  *
+  * Scale design: state is bounded by watermarks (windows/dedup state
+  * evicted once the watermark passes), keyed state partitions on the
+  * grouping key across executors, and sinks go through foreachBatch so
+  * every micro-batch re-enters the optimized batch path.
+  */
+object StreamingOps {
+
+  /** Tumbling 1h window agg with a 10-minute watermark (late rows beyond
+    * the watermark are dropped — asserted in StreamingSpec). */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val_sum"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+              col("event_type"), col("n"), col("val_sum"))
+
+  /** Session windows (30-minute gap) per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+              col("sw.end").as("s_end"), col("n_events"))
+
+  /** Stateful streaming twin of dedup_exact: duplicates arriving within
+    * the watermark horizon are dropped exactly once. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "props")
+
+  /** Arbitrary stateful op: running per-user event count via
+    * flatMapGroupsWithState (SURVEY §2.I stream_stateful_counter). */
+  def runningCounts(events: Dataset[Ev]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }
+  }
+}
+
+/** Typed event row for streaming tests (mirrors the events fixture). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)

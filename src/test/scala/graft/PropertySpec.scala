@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2.3 — property-based invariants (scalacheck driven directly;
+  * no scalatest bridge available offline). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val recordsGen: Gen[List[(String, Long, String)]] =
+    Gen.listOfN(12, for {
+      ns <- Gen.oneOf("a", "b")
+      key <- Gen.choose(1L, 3L)
+      payload <- Gen.alphaStr.map(_.take(4))
+    } yield (ns, key, payload))
+
+  test("stateAt(seq) equals the left-fold of history up to seq (marasa invariant)") {
+    check(Prop.forAll(recordsGen, Gen.choose(0, 11)) { (recs, cut) =>
+      recs.isEmpty || {
+        val df = recs.zipWithIndex.map { case ((ns, k, p), i) =>
+          (i.toLong, ns, k, TestSpark.ts("2024-01-01 00:00:01"), p, 0.0)
+        }.toDF("seq", "ns", "ukey", "ts", "payload", "val")
+        val got = ops.JournalOps.stateAt(df, col("seq") <= cut.toLong)
+          .select("ns", "ukey", "payload").as[(String, Long, String)].collect().toSet
+        // reference model: fold deltas in seq order into a Map
+        val expect = recs.zipWithIndex.filter(_._2 <= cut)
+          .foldLeft(Map.empty[(String, Long), String]) {
+            case (m, ((ns, k, p), _)) => m.updated((ns, k), p)
+          }.map { case ((ns, k), p) => (ns, k, p) }.toSet
+        got == expect
+      }
+    })
+  }
+
+  test("stateAt is incrementally consistent: replaying (s, s'] onto stateAt(s) = stateAt(s')") {
+    check(Prop.forAll(recordsGen, Gen.choose(0, 11), Gen.choose(0, 11)) { (recs, a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      recs.isEmpty || {
+        val df = recs.zipWithIndex.map { case ((ns, k, p), i) =>
+          (i.toLong, ns, k, TestSpark.ts("2024-01-01 00:00:01"), p, 0.0)
+        }.toDF("seq", "ns", "ukey", "ts", "payload", "val")
+        // checkpoint-at-lo (state rows re-tagged with their last_seq)
+        // plus the raw tail (lo, hi] must reproduce stateAt(hi) exactly —
+        // the bounded-replay invariant JournalStore.stateAt relies on.
+        val base = ops.JournalOps.stateAt(df, col("seq") <= lo.toLong)
+          .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
+        val tail = df.where(col("seq") > lo.toLong && col("seq") <= hi.toLong)
+          .select("ns", "ukey", "seq", "payload")
+        val replayed = ops.JournalOps.stateAt(base.unionByName(tail), lit(true))
+          .select("ns", "ukey", "payload", "last_seq")
+          .as[(String, Long, String, Long)].collect().toSet
+        val direct = ops.JournalOps.stateAt(df, col("seq") <= hi.toLong)
+          .select("ns", "ukey", "payload", "last_seq")
+          .as[(String, Long, String, Long)].collect().toSet
+        replayed == direct
+      }
+    })
+  }
+
+  test("set ops agree with Scala set algebra") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
+      (xs, ys) =>
+        val a = xs.toDF("v")
+        val b = ys.toDF("v")
+        val inter = a.intersect(b).as[Int].collect().toSet
+        val exc = a.except(b).as[Int].collect().toSet
+        val uni = a.union(b).distinct.as[Int].collect().toSet
+        inter == (xs.toSet intersect ys.toSet) &&
+          exc == (xs.toSet diff ys.toSet) &&
+          uni == (xs.toSet union ys.toSet)
+    })
+  }
+}

@@ -1,0 +1,99 @@
+package graft.journal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.TestSpark.ts
+
+class JournalStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshPath =
+    java.nio.file.Files.createTempDirectory("graft_store_").toString + "/store"
+
+  private def sampleDf = Seq(
+    ("users", 1L, ts("2024-01-01 00:00:01"), """{"v":1}""", 1.0),
+    ("users", 2L, ts("2024-01-01 00:00:02"), """{"v":2}""", 2.0),
+    ("users", 1L, ts("2024-01-01 00:00:03"), """{"v":3}""", 3.0),
+    ("carts", 1L, ts("2024-01-01 00:00:04"), """{"c":1}""", 4.0),
+  ).toDF("ns", "ukey", "ts", "payload", "val")
+
+  test("append assigns dense monotonic seqs in deterministic order") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    val max = store.append(sampleDf)
+    assert(max === 3L)
+    val seqs = store.scan().select("seq").as[Long].collect()
+    assert(seqs.toSeq === Seq(0L, 1L, 2L, 3L))
+    // deterministic (ts, ns, ukey, payload) order → seq 0 is the earliest ts
+    val first = store.scan().orderBy("seq").first()
+    assert(first.getAs[java.sql.Timestamp]("ts") === ts("2024-01-01 00:00:01"))
+  }
+
+  test("roundtrip: scan returns exactly the appended records") {
+    val store = JournalStore.create(spark, freshPath)
+    store.append(sampleDf)
+    val back = store.scan().select("ns", "ukey", "ts", "payload", "val")
+    assert(back.count() === 4)
+    assert(back.except(sampleDf).count() === 0)
+    assert(sampleDf.except(back).count() === 0)
+  }
+
+  test("stateAt equals the left-fold of history (marasa invariant)") {
+    val store = JournalStore.create(spark, freshPath)
+    store.append(sampleDf)
+    // state at seq=2: users/1 → {"v":3} (seq 2), users/2 → {"v":2}
+    val st = store.stateAt(2L).orderBy("ns", "ukey")
+      .select("ns", "ukey", "payload", "last_seq").as[(String, Long, String, Long)].collect()
+    assert(st.toSeq === Seq(("users", 1L, """{"v":3}""", 2L), ("users", 2L, """{"v":2}""", 1L)))
+  }
+
+  test("checkpoint + tail replay == full recompute") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    store.checkpoint(1L)
+    val more = Seq(("users", 2L, ts("2024-01-01 00:00:05"), """{"v":9}""", 9.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(more)
+    val viaCkpt = store.stateAt(4L).orderBy("ns", "ukey").collect().toSeq
+    // recompute from raw scan, no checkpoint
+    val raw = graft.ops.JournalOps.stateAt(store.scan(), col("seq") <= 4L).collect().toSeq
+    assert(viaCkpt.map(_.toString).sorted === raw.map(_.toString).sorted)
+    assert(store.latest().where($"ns" === "users" && $"ukey" === 2L)
+      .select("payload").as[String].head() === """{"v":9}""")
+  }
+
+  test("manifest persists across close/reopen") {
+    val path = freshPath
+    val s1 = JournalStore.create(spark, path, epochSize = 2)
+    s1.append(sampleDf)
+    s1.checkpoint(1L)
+    val s2 = JournalStore.open(spark, path)
+    assert(s2.manifest.maxSeq === 3L)
+    assert(s2.manifest.checkpoints === Seq(1L))
+    assert(s2.epochSize === 2L)
+    assert(s2.stateAt(3L).count() === 3) // users/1, users/2, carts/1
+  }
+
+  test("caller-assigned seqs are preserved (journal_write_segments path)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    val withSeq = Seq(
+      (10L, "users", 1L, ts("2024-01-01 00:00:01"), """{"v":1}""", 1.0),
+      (11L, "users", 2L, ts("2024-01-01 00:00:02"), """{"v":2}""", 2.0),
+      (12L, "users", 1L, ts("2024-01-01 00:00:03"), """{"v":3}""", 3.0),
+      (13L, "carts", 1L, ts("2024-01-01 00:00:04"), """{"c":1}""", 4.0),
+    ).toDF("seq", "ns", "ukey", "ts", "payload", "val")
+    store.append(withSeq)
+    assert(store.manifest.maxSeq === 13L)
+    val stats = store.segmentStats().orderBy("epoch").collect()
+    assert(stats.map(_.getAs[Number]("epoch").longValue).toSeq === Seq(5L, 6L))
+  }
+
+  test("history filters by ns and key in seq order") {
+    val store = JournalStore.create(spark, freshPath)
+    store.append(sampleDf)
+    assert(store.history("users").count() === 3)
+    val h = store.history("users", Some(1L)).select("payload").as[String].collect()
+    assert(h.toSeq === Seq("""{"v":1}""", """{"v":3}"""))
+  }
+}

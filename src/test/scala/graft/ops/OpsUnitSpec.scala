@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.TestSpark.ts
+
+/** Hand-computed micro-fixtures per operator (SURVEY §5.2.2): the declared
+  * (spark, sfDir) queries run against a temp dir holding tiny parquet
+  * tables with expectations computed by hand. */
+class OpsUnitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val eventsDir = TestSpark.fixtureDir(
+    "events" -> Seq(
+      // (event_id, ts, user_id, event_type, value, props)
+      (0L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, """{"k": 1}"""),
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 2.0, """{"k": 2}"""),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "purchase", 3.0, """{"k": 3}"""),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "purchase", 4.0, """{"k": 4}"""),
+      (4L, ts("2024-01-01 10:20:00"), 2L, "purchase", 5.0, """{"k": 5}"""),
+      (5L, ts("2024-01-01 10:30:00"), 2L, "click", 6.0, """{"k": 1}"""),
+      (6L, ts("2024-01-01 10:40:00"), 2L, "click", 6.0, """{"k": 1}"""),
+      // exact duplicate of (user 2, click, {"k": 1}) payload-wise:
+      (7L, ts("2024-01-01 12:00:00"), 2L, "click", 6.0, """{"k": 1}"""),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+  test("journal_state_at_seq: latest payload per (ns,key) within bound") {
+    val out = JournalOps.queries("journal_state_at_seq")(spark, eventsDir)
+      .select("ns", "ukey", "payload", "last_seq")
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("click", 1L, """{"k": 2}""", 1L),
+      ("click", 2L, """{"k": 1}""", 7L),
+      ("purchase", 1L, """{"k": 4}""", 3L),
+      ("purchase", 2L, """{"k": 5}""", 4L)))
+  }
+
+  test("dedup_exact keeps min event_id per (user, type, props) group") {
+    val out = LlmOps.queries("dedup_exact")(spark, eventsDir)
+      .select("event_id").as[Long].collect().toSeq
+    // group (2,click,k1) has ids 5,6,7 → survivor 5
+    assert(out === Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("dedup_exact is idempotent") {
+    val once = LlmOps.queries("dedup_exact")(spark, eventsDir)
+    val dir2 = TestSpark.fixtureDir("events" ->
+      once.select("event_id").join(graft.Tables(spark, eventsDir, "events"), Seq("event_id"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val twice = LlmOps.queries("dedup_exact")(spark, dir2)
+    assert(twice.count() === once.count())
+  }
+
+  test("join_asof: most recent prior same-user click per purchase") {
+    val out = RelationalOps.queries("join_asof")(spark, eventsDir)
+      .select("p_id", "click_id").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // purchase 2 (u1): prior clicks 0,1 → 1; purchase 3 (u1) → 1;
+    // purchase 4 (u2): no prior click → null
+    assert(out === Seq((2L, 1L), (3L, 1L), (4L, -1L)))
+  }
+
+  test("stream_session_batch: 30-min-gap sessions, end = last_ts + gap") {
+    val out = StreamBatchOps.queries("stream_session_batch")(spark, eventsDir)
+      .select("user_id", "s_start", "s_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    assert(out === Seq(
+      // u1: 10:00,10:05,10:10 then gap>30min, then 11:30
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 3L),
+      (1L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L),
+      // u2: 10:20,10:30,10:40 then 12:00
+      (2L, ts("2024-01-01 10:20:00"), ts("2024-01-01 11:10:00"), 3L),
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 1L)))
+  }
+
+  test("win_moving_rows: 3-row moving sum per user") {
+    val out = WindowSetOps.queries("win_moving_rows")(spark, eventsDir)
+      .where($"user_id" === 1L).select("mov_sum")
+      .collect().map(_.getDecimal(0).doubleValue).toSeq
+    assert(out === Seq(1.0, 3.0, 6.0, 9.0)) // 1 | 1+2 | 1+2+3 | 2+3+4
+  }
+
+  test("sim_cosine_topk: hand-computed cosines, ordered desc") {
+    val dir = TestSpark.fixtureDir("embeddings" -> Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 1), (3L, Seq(1f, 1f), 1),
+    ).toDF("vec_id", "embedding", "label"))
+    val out = LlmOps.queries("sim_cosine_topk")(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 1.0), (3L, 0.7071), (2L, 0.0)))
+  }
+
+  test("dedup_near_jaccard: hand-computed shingle overlap") {
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      (0L, "a b c d e", "en", "s1", 9L),   // shingles: abc bcd cde
+      (1L, "a b c d x", "en", "s1", 9L),   // shingles: abc bcd cdx → ∩=2 ∪=4 j=0.5
+      (2L, "z z z z z", "en", "s1", 9L),   // zzz (distinct → 1)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmOps.queries("dedup_near_jaccard")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((0L, 1L, 0.5)))
+  }
+
+  test("emb_centroid: per-label per-dim mean") {
+    val dir = TestSpark.fixtureDir("embeddings" -> Seq(
+      (0L, Seq(1f, 3f), 0), (1L, Seq(3f, 5f), 0), (2L, Seq(10f, 20f), 1),
+    ).toDF("vec_id", "embedding", "label"))
+    val out = LlmOps.queries("emb_centroid")(spark, dir)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(out === Seq((0, 0, 2.0), (0, 1, 4.0), (1, 0, 10.0), (1, 1, 20.0)))
+  }
+}

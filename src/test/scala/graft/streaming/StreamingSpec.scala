@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.TestSpark.ts
+
+/** SURVEY §2.I test-surface rows: streaming runs on MemoryStream with
+  * processAllAvailable (never wall-clock sleeps — §7.3.5), asserting
+  * final state equals the batch twin / hand expectations. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, t: String, u: Long, k: String, v: Double) =
+    Ev(id, ts(t), u, k, v, s"""{"k": $id}""")
+
+  test("stream_tumbling_live: final windows equal the batch twin") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.tumbling(ms.toDF).writeStream
+      .format("memory").queryName("tumb").outputMode("append").start()
+    ms.addData(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:30:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 11:15:00", 2, "view", 3.0))
+    q.processAllAvailable()
+    // two sentinel batches: advance the watermark, then emit finalized windows
+    ms.addData(ev(8, "2024-01-02 00:00:00", 9, "zz", 0.0))
+    q.processAllAvailable()
+    ms.addData(ev(9, "2024-01-02 01:00:00", 9, "zz", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("tumb").where($"event_type" =!= "zz")
+      .select($"w_start", $"event_type", $"n", $"val_sum".cast("double"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 3.0)))
+    q.stop()
+  }
+
+  test("stream_watermark_late: rows older than the watermark are dropped") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.tumbling(ms.toDF).writeStream
+      .format("memory").queryName("late").outputMode("append").start()
+    ms.addData(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:10:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 11:30:00", 1, "click", 1.0)) // watermark → 11:20
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 10:15:00", 1, "click", 100.0)) // late: < 11:20
+    q.processAllAvailable()
+    ms.addData(ev(8, "2024-01-02 00:00:00", 9, "zz", 0.0))
+    q.processAllAvailable()
+    ms.addData(ev(9, "2024-01-02 01:00:00", 9, "zz", 0.0))
+    q.processAllAvailable()
+    val w10 = spark.table("late")
+      .where($"w_start" === ts("2024-01-01 10:00:00")).select("n").as[Long].collect()
+    assert(w10.toSeq === Seq(2L), "late row must not be counted")
+    q.stop()
+  }
+
+  test("stream_dedup_state: duplicates within watermark dropped exactly once") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(ms.toDF).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    ms.addData(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 10:01:00"), 1, "click", 9.0, """{"k": 0}"""))
+    q.processAllAvailable()
+    // same (user, type, props) again in a later batch, still within watermark
+    ms.addData(Ev(2, ts("2024-01-01 10:02:00"), 1, "click", 5.0, """{"k": 0}"""))
+    q.processAllAvailable()
+    // all three rows share (user=1, click, {"k": 0}) → exactly one survives
+    val rows = spark.table("dedup")
+    assert(rows.count() === 1)
+    assert(rows.select("value").as[Double].head() === 1.0) // first arrival wins
+    q.stop()
+  }
+
+  test("stream_stateful_counter: running per-user counts via flatMapGroupsWithState") {
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.runningCounts(ms.toDS()).toDF("user_id", "n").writeStream
+      .format("memory").queryName("counts").outputMode("update").start()
+    ms.addData(ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+               ev(1, "2024-01-01 10:01:00", 1, "click", 1.0),
+               ev(2, "2024-01-01 10:02:00", 2, "view", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 10:03:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    val finalCounts = spark.table("counts").groupBy("user_id")
+      .agg(max("n").as("n")).as[(Long, Long)].collect().toMap
+    assert(finalCounts === Map(1L -> 3L, 2L -> 1L))
+    q.stop()
+  }
+
+  test("stream_journal_ingest: foreachBatch append, state matches batch") {
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_store_").toString + "/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 2)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+      store.append(df.select(col("event_type").as("ns"), col("user_id").as("ukey"),
+        col("ts"), col("props").as("payload"), col("value").as("val")))
+      ()
+    }.start()
+    ms.addData(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:01:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:02:00", 2, "view", 3.0))
+    q.processAllAvailable()
+    val st = store.latest().orderBy("ns", "ukey")
+      .select("ns", "ukey", "payload").as[(String, Long, String)].collect().toSeq
+    assert(st === Seq(("click", 1L, """{"k": 1}"""), ("view", 2L, """{"k": 2}""")))
+    q.stop()
+  }
+}
