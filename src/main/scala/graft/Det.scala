@@ -27,17 +27,36 @@ object Det {
   def dsum(c: Column, scale: Int = 4): Column =
     sum(dec(c, scale)).cast(DecimalType(38, scale))
 
-  /** avg = exact decimal sum → double → / count → round(4).
-    * DuckDB twin: ROUND(CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)/COUNT(*),4). */
+  /** DuckDB-compatible double rounding. DuckDB's ROUND(x, s) computes
+    * round(x * 10^s) / 10^s in DOUBLE arithmetic — the multiply can tip a
+    * value across the .5 boundary (e.g. 0.90174999…e0 * 1e4 → the double
+    * 9017.5 → 0.9018), while Spark's round() applies HALF_UP to the exact
+    * binary value (→ 0.9017). Verified empirically over 200k randoms:
+    * ROUND(x, s) ≡ ROUND(x * 10^s) / 10^s in DuckDB with zero mismatches,
+    * and scale-0 round is half-away-from-zero in both engines. So every
+    * emitted rounded double uses THIS two-step form on BOTH sides. */
+  def r(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale)
+    round(c * lit(p)) / lit(p)
+  }
+
+  /** avg = exact decimal sum → double → / count → DuckDB-compatible
+    * round(4). */
   def davg(c: Column, scale: Int = 4): Column =
-    round(sum(dec(c, scale)).cast(DoubleType) / count(lit(1)), 4)
+    r(sum(dec(c, scale)).cast(DoubleType) / count(lit(1)), 4)
 
   /** DuckDB-side SQL fragments kept textually adjacent to their Spark
     * twins so the two sides evolve together. */
   object sql {
     def dsum(e: String, scale: Int = 4): String =
       s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DECIMAL(38,$scale))"
+    /** DuckDB twin of Det.r — the two-step form, spelled out so both
+      * engines share the exact double sequence. */
+    def r(e: String, scale: Int = 4): String = {
+      val p = s"${math.pow(10, scale).toLong}.0"
+      s"ROUND(($e) * $p) / $p"
+    }
     def davg(e: String, scale: Int = 4): String =
-      s"ROUND(CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT(*), 4)"
+      r(s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT(*)", 4)
   }
 }

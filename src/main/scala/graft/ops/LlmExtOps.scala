@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline extensions beyond SURVEY §2.H's core rows:
+  * near-dup by embedding cosine, SimHash banding, IVF-style ANN,
+  * language-ID, quality scoring, token counting, fingerprinting, and the
+  * multimodal binary-column plumbing.
+  *
+  * Scale design (100 TB):
+  * - `dedup_embedding` is the bounded exact variant (contract: vec_id <
+  *   500); the scale path is banded candidate generation (SimHash / LSH)
+  *   where the only shuffle key is the band bucket.
+  * - `dedup_simhash` shuffles (band_idx, band_val) — ~4 rows per doc —
+  *   then XOR+popcount on candidates only; never all-pairs.
+  * - `sim_ann_ivf` broadcasts the 10-centroid coarse quantizer; each
+  *   vector is scored against 10 centroids map-side, and the probe scan
+  *   touches only the probed clusters' partitions.
+  * - Text scoring ops are per-row projections — embarrassingly parallel,
+  *   whole-stage codegen'd (no UDFs in those paths).
+  */
+object LlmExtOps {
+
+  private val stopCond = "t = 'the' OR t = 'a'"
+
+  /** SimHash-64 of a token list: two murmur3-32 seeds concatenated.
+    * Deterministic across JVMs (scala.util.hashing.MurmurHash3). */
+  private val simhash64 = udf { (tokens: Seq[String]) =>
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      var i = 0
+      while (i < 32) {
+        acc(i) += (if (((h1 >>> i) & 1) == 1) 1 else -1)
+        acc(32 + i) += (if (((h2 >>> i) & 1) == 1) 1 else -1)
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Karp-Rabin rolling hash over the UTF-8 bytes (base 257, mod 2^61-1).
+    * The streaming-friendly fingerprint a shingling pipeline would use. */
+  private[ops] def rollingHash(s: String): Long = {
+    val mod = (1L << 61) - 1
+    var h = 0L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h = (mulMod(h, 257L, mod) + (b & 0xffL)) % mod
+    }
+    h
+  }
+  private def mulMod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValue()
+  private val rollingUdf = udf(rollingHash _)
+
+  /** STUB decoder for multimodal binary columns: the real image/audio
+    * decode libs are absent in this container, so features are a
+    * deterministic fake derived from the bytes (length + first/last byte
+    * + byte sum). The Spark-side plumbing — binary column, partition-wise
+    * batch iteration, typed output schema — is real (mapPartitions). */
+  private[ops] def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    (bytes.length, if (bytes.isEmpty) 0 else bytes(0) & 0xff, sum)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_embedding" -> ((s, d) => {
+      // exact cosine near-dup, bounded (the banded/LSH path carries scale)
+      val e = Tables(s, d, "embeddings").where(col("vec_id") < 500)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+                graft.Det.r(LlmOps.cosineFF2(col("a_emb"), col("b_emb")), 4).as("sim"))
+        .where(col("sim") >= 0.45)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      // 4×16-bit bands over a 64-bit simhash → candidates share a band;
+      // verify with XOR popcount ≤ 3. No oracle (murmur3 is engine-local).
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
+      val bands = docs.select(col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 3), k -> " +
+          "named_struct('band', k, 'v', (sig >> (k * 16)) & 65535))")).as("bv"))
+        .select(col("doc_id"), col("sig"), col("bv.band"), col("bv.v"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+                col("x.sig").as("a_sig"), col("y.sig").as("b_sig"))
+        .distinct()
+      cand.withColumn("hamming", expr("bit_count(a_sig ^ b_sig)"))
+        .where(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming").orderBy("a_id", "b_id")
+    }),
+
+    "sim_ann_ivf" -> ((s, d) => {
+      // IVF: 10-centroid coarse quantizer (broadcast), probe the query's
+      // top-2 clusters, exact top-10 within. Approximate by design → no
+      // oracle; determinism + subset-correctness asserted in AnnSpec.
+      val e = Tables(s, d, "embeddings")
+      val cvecs = LlmOps.centroidVecs(e, 6)
+      val assigned = e.crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("embedding"), col("c_label"),
+                graft.Det.r(LlmOps.cosineFD(col("embedding"), col("cvec")), 4).as("csim"))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_label"), struct(col("csim"), -col("c_label"))).as("cluster"),
+             max_by(col("embedding"), lit(0)).as("embedding"))
+      val q = assigned.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val probe = cvecs.crossJoin(broadcast(q))
+        .select(col("c_label"), graft.Det.r(LlmOps.cosineFD(col("q_emb"), col("cvec")), 4).as("qsim"))
+        .orderBy(col("qsim").desc, col("c_label")).limit(2)
+        .select(col("c_label").as("cluster"))
+      assigned.join(broadcast(probe), "cluster")
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+                graft.Det.r(LlmOps.cosineFF2(col("embedding"), col("q_emb")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    "text_langid" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .select(col("doc_id"), col("lang"),
+                graft.Det.r(expr(s"size(filter(w, t -> $stopCond))").cast("double") /
+                      greatest(size(col("w")), lit(1)), 4).as("stop_ratio"))
+        .withColumn("pred_lang",
+                    when(col("stop_ratio") >= 0.05, "en").otherwise("und"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("stop_ratio",
+          graft.Det.r(expr(s"size(filter(w, t -> $stopCond))").cast("double") /
+                greatest(col("n_tokens"), lit(1)), 4))
+        .withColumn("short_ratio",
+          graft.Det.r(expr("size(filter(w, t -> length(t) <= 2))").cast("double") /
+                greatest(col("n_tokens"), lit(1)), 4))
+        .withColumn("avg_token_len",
+          graft.Det.r(length(regexp_replace(col("text"), " ", "")).cast("double") /
+                greatest(col("n_tokens"), lit(1)), 4))
+        .withColumn("quality_score",
+          graft.Det.r(lit(0.5) * (lit(1) - col("short_ratio")) +
+                lit(0.3) * (lit(1) - col("stop_ratio")) +
+                lit(0.2) * least(col("n_tokens") / lit(100.0), lit(1.0)), 4))
+        .select("doc_id", "n_tokens", "stop_ratio", "short_ratio",
+                "avg_token_len", "quality_score")
+        .orderBy("doc_id")),
+
+    "text_token_count" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).as("ws_tokens"),
+                expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+                  .as("re_tokens"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint_rolling" -> ((s, d) =>
+      // Karp-Rabin fingerprint — engine-local (no SQL twin); determinism
+      // pinned by hand-computed values in LlmExtSpec.
+      Tables(s, d, "documents")
+        .select(col("doc_id"), rollingUdf(col("text")).as("fp_rolling"))
+        .orderBy("doc_id")),
+
+    "mm_binary_meta" -> ((s, d) =>
+      // multimodal columns: opaque binary payload + typed metadata. The
+      // fixture has no true image bytes, so the text IS the payload; the
+      // schema/partitioning/batch shape is what this row proves.
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+                encode(col("text"), "UTF-8").as("payload"),
+                col("lang"), col("source"), col("n_chars"))
+        .select(col("doc_id"), octet_length(col("payload")).as("byte_len"),
+                col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    "mm_decode_features" -> ((s, d) => {
+      // partition-wise "decode" over the binary column via mapPartitions —
+      // the batch shape a real image/audio decoder plugs into (STUB
+      // decoder, see decodeStub).
+      val s2 = s
+      import s2.implicits._
+      val bin = Tables(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions(_.map { case (id, bytes) =>
+        val (len, first, sum) = decodeStub(bytes)
+        (id, len, first, sum)
+      }).toDF("doc_id", "byte_len", "first_byte", "byte_sum")
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_embedding" ->
+      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        graft.Det.sql.r("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) + " AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 500 AND b.vec_id < 500 " +
+        "AND " + graft.Det.sql.r("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) + " >= 0.45 ORDER BY a_id, b_id"),
+    "text_langid" ->
+      ("SELECT doc_id, lang, stop_ratio, " +
+        "CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang FROM " +
+        "(SELECT doc_id, lang, " + graft.Det.sql.r("CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE) / greatest(len(string_split(lower(text), ' ')), 1)", 4) + " AS stop_ratio " +
+        "FROM documents) ORDER BY doc_id"),
+    "text_quality" ->
+      ("SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stop_ratio, short_ratio, " +
+        "avg_token_len, ROUND(0.5 * (1 - short_ratio) + 0.3 * (1 - stop_ratio) + " +
+        "0.2 * least(n_tokens / 100.0, 1.0), 4) AS quality_score FROM " +
+        "(SELECT doc_id, len(w) AS n_tokens, " +
+        graft.Det.sql.r("CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS stop_ratio, " +
+        graft.Det.sql.r("CAST(len(list_filter(w, t -> length(t) <= 2)) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS short_ratio, " +
+        graft.Det.sql.r("CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS avg_token_len " +
+        "FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)) " +
+        "ORDER BY doc_id"),
+    "text_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) " +
+        "AS re_tokens FROM documents ORDER BY doc_id"),
+    "mm_binary_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
+        "lang, source, n_chars FROM documents ORDER BY doc_id"),
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+  )
+}

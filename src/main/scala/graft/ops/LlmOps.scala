@@ -65,7 +65,7 @@ object LlmOps {
       inter
         .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
         .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
-        .withColumn("jac", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+        .withColumn("jac", Det.r(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
         .where(col("jac") >= 0.4)
         .select("a_id", "b_id", "jac").orderBy("a_id", "b_id")
     }),
@@ -74,7 +74,7 @@ object LlmOps {
       val e = Tables(s, d, "embeddings")
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosFF(col("embedding"), col("q_emb")), 4).as("sim"))
+        .select(col("vec_id"), Det.r(cosFF(col("embedding"), col("q_emb")), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
@@ -87,12 +87,11 @@ object LlmOps {
       // 1. exact per-dim decimal means, rounded — both engines agree bit-for-bit
       val cent = centroids(e, 6)
       // 2. pack to vectors (10 rows) and broadcast for assignment
-      val cvecs = cent.groupBy(col("label").as("c_label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, mean))), x -> x.mean)").as("cvec"))
+      val cvecs = centroidVecs(e, 6)
       // 3. nearest centroid by cosine (desc), tiebreak smaller label
       val scored = e.crossJoin(broadcast(cvecs))
         .select(col("vec_id"), col("label"), col("c_label"),
-                round(cosFD(col("embedding"), col("cvec")), 4).as("sim"))
+                Det.r(cosFD(col("embedding"), col("cvec")), 4).as("sim"))
       val best = scored.groupBy("vec_id", "label")
         .agg(max_by(col("c_label"), struct(col("sim"), -col("c_label"))).as("pred"))
       best.groupBy("label")
@@ -121,8 +120,8 @@ object LlmOps {
       val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
-        .withColumn("idf", round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1, 4))
-        .withColumn("score", round(col("tf") * col("idf"), 4))
+        .withColumn("idf", Det.r(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1, 4))
+        .withColumn("score", Det.r(col("tf") * col("idf"), 4))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
         .select("doc_id", "rk", "term", "score").orderBy("doc_id", "rk")
@@ -150,18 +149,32 @@ object LlmOps {
         .orderBy("doc_id")),
   )
 
+  /** Pack per-label centroids to (c_label, cvec) vectors — broadcastable
+    * coarse quantizer shared by sim_knn_join and the IVF ANN path. */
+  def centroidVecs(e: DataFrame, scale: Int): DataFrame =
+    centroids(e, scale).groupBy(col("label").as("c_label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mean))), x -> x.mean)").as("cvec"))
+
+  /** Cosine of a float-array column against a double-array column (both
+    * index-ascending folds — §2.0.3). */
+  def cosineFD: org.apache.spark.sql.expressions.UserDefinedFunction = cosFD
+
+  /** Cosine of two float-array columns. */
+  def cosineFF2: org.apache.spark.sql.expressions.UserDefinedFunction = cosFF
+
   /** Per-label, per-dimension exact decimal mean, rounded to `scale` dp. */
-  private def centroids(e: DataFrame, scale: Int): DataFrame =
+  def centroids(e: DataFrame, scale: Int): DataFrame =
     e.select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"), col("col").cast("double").as("v"))
       .groupBy("label", "pos")
-      .agg(round(sum(Det.dec(col("v"), 12)).cast("double") / count(lit(1)), scale).as("mean"))
+      .agg(Det.r(sum(Det.dec(col("v"), 12)).cast("double") / count(lit(1)), scale).as("mean"))
 
   private def centroidSql(scale: Int): String =
     // zip-unnest: DuckDB 1.0 can't lateral-join generate_series on a
     // column, but multiple unnests in one SELECT zip positionally.
     "SELECT label, CAST(pos AS INT) AS pos, " +
-      s"ROUND(CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*), $scale) AS mean " +
+      Det.sql.r("CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*)", scale) +
+      " AS mean " +
       "FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, " +
       "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) GROUP BY 1, 2"
 
@@ -178,12 +191,15 @@ object LlmOps {
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
         "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a " +
         "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac " +
+        "SELECT a_id, b_id, " + Det.sql.r("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 4) +
+        " AS jac " +
         "FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
-        "WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.4 ORDER BY a_id, b_id"),
+        "WHERE " + Det.sql.r("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 4) +
+        " >= 0.4 ORDER BY a_id, b_id"),
     "sim_cosine_topk" ->
-      ("SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-        "CAST(q.embedding AS DOUBLE[])), 4) AS sim FROM embeddings e, " +
+      ("SELECT e.vec_id, " +
+        Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+          "CAST(q.embedding AS DOUBLE[]))", 4) + " AS sim FROM embeddings e, " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
         "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
     "emb_centroid" -> (centroidSql(4) + " ORDER BY label, pos"),
@@ -191,8 +207,8 @@ object LlmOps {
       ("WITH cent AS (" + centroidSql(6) + "), " +
         "cvecs AS (SELECT label AS c_label, list(mean ORDER BY pos) AS cvec FROM cent GROUP BY 1), " +
         "scored AS (SELECT e.vec_id, e.label, c.c_label, " +
-        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 4) AS sim " +
-        "FROM embeddings e CROSS JOIN cvecs c), " +
+        Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)", 4) +
+        " AS sim FROM embeddings e CROSS JOIN cvecs c), " +
         "best AS (SELECT vec_id, label, c_label AS pred FROM scored " +
         "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) = 1) " +
         "SELECT label, count(*) AS n, count(CASE WHEN pred = label THEN 1 END) AS n_agree " +
@@ -211,8 +227,9 @@ object LlmOps {
         "dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
         "n AS (SELECT count(*) AS n_docs FROM documents), " +
         "scored AS (SELECT doc_id, term, tf, " +
-        "ROUND(tf * ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1, 4), 4) AS score " +
-        "FROM tf JOIN dfc USING (term) CROSS JOIN n) " +
+        Det.sql.r("tf * (" +
+          Det.sql.r("ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1", 4) + ")", 4) +
+        " AS score FROM tf JOIN dfc USING (term) CROSS JOIN n) " +
         "SELECT doc_id, CAST(row_number() OVER w AS INT) AS rk, term, score FROM scored " +
         "WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term) " +
         "QUALIFY rk <= 5 ORDER BY doc_id, rk"),

@@ -196,7 +196,7 @@ object RelationalOps {
       val n = count(lit(1))
       l.groupBy("l_returnflag")
         .agg(n.as("n"), min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
-             round((sxx - sx * sx / n) / (n - lit(1)), 4).as("var_qty"))
+             Det.r((sxx - sx * sx / n) / (n - lit(1)), 4).as("var_qty"))
         .orderBy("l_returnflag")
     }),
     "agg_udaf_argmax" -> ((s, d) => {
@@ -265,11 +265,12 @@ object RelationalOps {
         "FROM customer WHERE c_acctbal > 9000 GROUP BY 1 ORDER BY c_nationkey"),
     "agg_stats_exact" ->
       ("SELECT l_returnflag, count(*) AS n, min(l_quantity) AS min_qty, " +
-        "max(l_quantity) AS max_qty, ROUND((" +
-        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,8))) AS DOUBLE) - " +
+        "max(l_quantity) AS max_qty, " + Det.sql.r(
+        "(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,8))) AS DOUBLE) - " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) * " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / count(*)" +
-        ") / (count(*) - 1), 4) AS var_qty FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+        ") / (count(*) - 1)", 4) +
+        " AS var_qty FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
     "agg_udaf_argmax" ->
       ("SELECT event_type AS ns, user_id AS ukey, arg_max(props, event_id) AS payload, " +
         "max(event_id) AS last_seq FROM events GROUP BY 1, 2 ORDER BY ns, ukey"),

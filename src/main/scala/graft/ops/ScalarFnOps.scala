@@ -60,16 +60,16 @@ object ScalarFnOps {
                 floor(col("p_retailprice")).as("floor_p"),
                 ceil(col("p_retailprice")).as("ceil_p"),
                 pmod(col("p_partkey"), lit(7)).as("mod7"),
-                round(col("p_retailprice"), 1).as("round1"),
-                round(log(col("p_retailprice")), 4).as("ln_p"),
-                round(sqrt(col("p_retailprice")), 4).as("sqrt_p"))
+                graft.Det.r(col("p_retailprice"), 1).as("round1"),
+                graft.Det.r(log(col("p_retailprice")), 4).as("ln_p"),
+                graft.Det.r(sqrt(col("p_retailprice")), 4).as("sqrt_p"))
         .orderBy("p_partkey")),
     "fn_array" -> ((s, d) =>
       Tables(s, d, "embeddings")
         .select(col("vec_id"), size(col("embedding")).as("dim"),
                 posexplode(slice(col("embedding"), 1, 8)))
         .select(col("vec_id"), col("dim"), col("pos"),
-                round(col("col").cast("double"), 4).as("v"))
+                graft.Det.r(col("col").cast("double"), 4).as("v"))
         .orderBy("vec_id", "pos")),
     "fn_json" -> ((s, d) =>
       Tables(s, d, "events")
@@ -91,7 +91,7 @@ object ScalarFnOps {
         .orderBy("c_custkey")),
     "udf_scalar" -> ((s, d) =>
       Tables(s, d, "embeddings")
-        .select(col("vec_id"), round(l2norm(col("embedding")), 4).as("norm"))
+        .select(col("vec_id"), graft.Det.r(l2norm(col("embedding")), 4).as("norm"))
         .orderBy("vec_id")),
     "udtf_char_ngrams" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -119,12 +119,14 @@ object ScalarFnOps {
     "fn_math" ->
       ("SELECT p_partkey, CAST(abs(p_size - 25) AS INT) AS abs_sz, " +
         "floor(p_retailprice) AS floor_p, ceil(p_retailprice) AS ceil_p, " +
-        "CAST(p_partkey % 7 AS BIGINT) AS mod7, round(p_retailprice, 1) AS round1, " +
-        "round(ln(p_retailprice), 4) AS ln_p, round(sqrt(p_retailprice), 4) AS sqrt_p " +
+        "CAST(p_partkey % 7 AS BIGINT) AS mod7, " +
+        graft.Det.sql.r("p_retailprice", 1) + " AS round1, " +
+        graft.Det.sql.r("ln(p_retailprice)", 4) + " AS ln_p, " +
+        graft.Det.sql.r("sqrt(p_retailprice)", 4) + " AS sqrt_p " +
         "FROM part ORDER BY p_partkey"),
     "fn_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, CAST(g.i - 1 AS INT) AS pos, " +
-        "round(CAST(embedding[g.i] AS DOUBLE), 4) AS v " +
+        graft.Det.sql.r("CAST(embedding[g.i] AS DOUBLE)", 4) + " AS v " +
         "FROM embeddings, generate_series(1, 8) g(i) ORDER BY vec_id, pos"),
     "fn_json" ->
       ("SELECT event_type, count(*) AS n, " +
@@ -140,8 +142,9 @@ object ScalarFnOps {
         "CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec, " +
         "CAST(c_custkey AS VARCHAR) AS key_str FROM customer ORDER BY c_custkey"),
     "udf_scalar" ->
-      ("SELECT vec_id, round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
-        "CAST(embedding AS DOUBLE[]))), 4) AS norm FROM embeddings ORDER BY vec_id"),
+      ("SELECT vec_id, " +
+        graft.Det.sql.r("sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[])))", 4) + " AS norm FROM embeddings ORDER BY vec_id"),
     "udtf_char_ngrams" ->
       ("SELECT gram, count(*) AS cnt FROM (SELECT substring(text, i, 3) AS gram FROM " +
         "(SELECT text, unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i " +

@@ -53,8 +53,8 @@ object WindowSetOps {
       Tables(s, d, "part")
         .select(col("p_partkey"), col("p_retailprice"),
                 ntile(4).over(w).as("quartile"),
-                round(percent_rank().over(w), 4).as("pct_rank"),
-                round(cume_dist().over(w), 4).as("cume"))
+                Det.r(percent_rank().over(w), 4).as("pct_rank"),
+                Det.r(cume_dist().over(w), 4).as("cume"))
         .orderBy("p_partkey")
     }),
     "win_topk_group" -> ((s, d) => {
@@ -127,7 +127,8 @@ object WindowSetOps {
         "ORDER BY o_custkey, o_orderdate, o_orderkey"),
     "win_ntile_pct" ->
       ("SELECT p_partkey, p_retailprice, CAST(ntile(4) OVER w AS INT) AS quartile, " +
-        "ROUND(percent_rank() OVER w, 4) AS pct_rank, ROUND(cume_dist() OVER w, 4) AS cume " +
+        graft.Det.sql.r("percent_rank() OVER w", 4) + " AS pct_rank, " +
+        graft.Det.sql.r("cume_dist() OVER w", 4) + " AS cume " +
         "FROM part WINDOW w AS (ORDER BY p_retailprice, p_partkey) ORDER BY p_partkey"),
     "win_topk_group" ->
       ("SELECT p_brand, p_partkey, p_retailprice, CAST(row_number() OVER w AS INT) AS rn " +

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class LlmExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup_minhash_lsh: candidates recall the exact jaccard pairs (scale path)") {
+    val docs = Tables(spark, sf, "documents").where(col("doc_id") < 500)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+      .select("doc_id", "sh")
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true)
+    val feat = tf.transform(docs)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42)
+    val model = lsh.fit(feat)
+    val cand = model.approxSimilarityJoin(feat, feat, 0.6, "dist")
+      .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"))
+      .where(col("a_id") < col("b_id")).distinct()
+    val exact = LlmOps.queries("dedup_near_jaccard")(spark, sf).select("a_id", "b_id")
+    val nExact = exact.count()
+    val recalled = exact.join(cand, Seq("a_id", "b_id")).count()
+    assert(nExact > 0, "fixture should contain near-dup pairs")
+    assert(recalled.toDouble / nExact >= 0.9,
+      s"MinHashLSH recalled $recalled of $nExact exact pairs")
+  }
+
+  test("sim_ann_ivf is deterministic and returns exact cosines") {
+    val r1 = LlmExtOps.queries("sim_ann_ivf")(spark, sf).collect().toSeq
+    val r2 = LlmExtOps.queries("sim_ann_ivf")(spark, sf).collect().toSeq
+    assert(r1 === r2)
+    assert(r1.size === 10)
+    // sims must agree with the brute-force cosine for the same vec_ids
+    val brute = {
+      val e = Tables(spark, sf, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(LlmOps.cosineFF2(col("embedding"), col("q_emb")), 4).as("sim"))
+        .as[(Long, Double)].collect().toMap
+    }
+    r1.foreach { row =>
+      assert(brute(row.getLong(0)) === row.getDouble(1), s"wrong cosine for ${row.getLong(0)}")
+    }
+    // report recall vs global top-10 (approx op: informational floor only)
+    val global = LlmOps.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = r1.map(_.getLong(0)).count(global.contains).toDouble / 10
+    info(s"IVF recall@10 vs brute force: $recall")
+  }
+
+  test("agg_approx_distinct: HLL within 5% of exact (test-surface row)") {
+    val l = Tables(spark, sf, "lineitem")
+    val (approx, exact) = l
+      .agg(approx_count_distinct("l_partkey").as("a"), countDistinct("l_partkey").as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("rolling hash: hand-computed values, stable across calls") {
+    assert(LlmExtOps.rollingHash("") === 0L)
+    assert(LlmExtOps.rollingHash("a") === 97L)
+    assert(LlmExtOps.rollingHash("ab") === 97L * 257 + 98)
+    assert(LlmExtOps.rollingHash("ab") === LlmExtOps.rollingHash("ab"))
+  }
+
+  test("dedup_simhash: identical token streams collide at hamming 0") {
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      (0L, "spark makes big data small again today", "en", "s1", 38L),
+      (1L, "spark makes big data small again today", "en", "s1", 38L),
+      (2L, "completely unrelated text about cooking pasta nicely", "en", "s1", 52L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmExtOps.queries("dedup_simhash")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((0L, 1L, 0)))
+    assert(!out.exists(p => p._3 > 3))
+  }
+
+  test("mm_decode_features: stubbed decoder plumbing produces typed features") {
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      (0L, "ab", "en", "s1", 2L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmExtOps.queries("mm_decode_features")(spark, dir)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(out === Seq((0L, 2, 97, 195L))) // len=2, 'a'=97, 97+98=195
+  }
+
+  test("decodeStub is deterministic on raw bytes") {
+    assert(LlmExtOps.decodeStub("ab".getBytes("UTF-8")) === ((2, 97, 195L)))
+    assert(LlmExtOps.decodeStub(Array.emptyByteArray) === ((0, 0, 0L)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** SURVEY §2.B test-surface rows: CSV/JSON sources with explicit schema +
+  * inference, and the file-source streaming read. */
+class SourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("source_csv_json: schema'd and inferred reads agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id,name,score\n1,alpha,1.5\n2,beta,2.5\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.json"),
+      """{"id":1,"name":"alpha","score":1.5}""" + "\n" +
+        """{"id":2,"name":"beta","score":2.5}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val csvS = spark.read.schema(schema).option("header", "true").csv(s"$dir/t.csv")
+    val csvI = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/t.csv")
+    val jsonS = spark.read.schema(schema).json(s"$dir/t.json")
+    assert(csvS.as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+    assert(csvI.count() === 2 && csvI.schema("score").dataType === DoubleType)
+    assert(jsonS.select("id", "name", "score").as[(Long, String, Double)]
+      .collect().toSet === Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+  }
+
+  test("source_stream_files: file-source stream of events equals batch agg") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_").toString
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val agg = stream.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("filesrc").as[(String, Long)].collect().toMap
+    val want = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    q.stop()
+  }
+}
