@@ -72,12 +72,13 @@ object LlmExtOps {
   val queries: Map[String, Q] = Map(
     "dedup_embedding" -> ((s, d) => {
       // exact cosine near-dup, bounded (the banded/LSH path carries scale)
+      graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings").where(col("vec_id") < 500)
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-                graft.Det.r(LlmOps.cosineFF2(col("a_emb"), col("b_emb")), 4).as("sim"))
+                graft.Det.r(expr("cosine_sim(a_emb, b_emb)"), 4).as("sim"))
         .where(col("sim") >= 0.45)
         .orderBy("a_id", "b_id")
     }),

@@ -71,10 +71,13 @@ object LlmOps {
     }),
 
     "sim_cosine_topk" -> ((s, d) => {
+      // native codegen'd Catalyst expression (graft.expr.CosineSimilarity)
+      // — no UDF boxing on the scan side; TakeOrderedAndProject keeps k
+      graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings")
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), Det.r(cosFF(col("embedding"), col("q_emb")), 4).as("sim"))
+        .select(col("vec_id"), Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 

@@ -93,11 +93,15 @@ object ScalarFnOps {
       Tables(s, d, "embeddings")
         .select(col("vec_id"), graft.Det.r(l2norm(col("embedding")), 4).as("norm"))
         .orderBy("vec_id")),
-    "udtf_char_ngrams" -> ((s, d) =>
+    "udtf_char_ngrams" -> ((s, d) => {
+      // native Generator expression (graft.expr.CharNGrams) — the UDTF
+      // surface without explode(udf) row materialization
+      graft.expr.GraftFunctions.register(s)
       Tables(s, d, "documents")
-        .select(explode(charTrigrams(col("text"))).as("gram"))
+        .select(expr("char_ngrams(text, 3)"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("gram")).limit(20)),
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
