@@ -49,7 +49,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
         df.withColumn("seq", row_number().over(w).cast("long") + m.maxSeq)
       }
     val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
-    out.write.partitionBy("epoch").mode("append").parquet(segDir)
+    // co-locate each epoch in one writer task: one file per epoch instead
+    // of (#tasks × #epochs) small files — at scale, writer parallelism =
+    // number of epochs in the batch
+    out.repartition(col("epoch")).write.partitionBy("epoch").mode("append").parquet(segDir)
     val stats = out.groupBy("epoch")
       .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
       .collect()

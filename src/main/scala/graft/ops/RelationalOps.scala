@@ -199,6 +199,32 @@ object RelationalOps {
              Det.r((sxx - sx * sx / n) / (n - lit(1)), 4).as("var_qty"))
         .orderBy("l_returnflag")
     }),
+    "agg_pivot" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_orderpriority").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1))).na.fill(0L)
+        .orderBy("o_orderpriority")),
+    "agg_percentile" -> ((s, d) =>
+      // exact interpolated percentiles (not approx_percentile — sketches
+      // aren't oracle-matchable)
+      Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(Det.r(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+             Det.r(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+             Det.r(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")),
+    "agg_salted" -> ((s, d) => {
+      // Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a
+      // hot key spreads over 16 reducers, then combine partials. Decimal
+      // sums are exact → identical to the direct aggregation (the oracle
+      // is the UNSALTED query — salting must be invisible in the result).
+      val l = Tables(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      l.groupBy("l_returnflag", "salt")
+        .agg(sum(Det.dec(col("l_quantity"))).as("ps"), count(lit(1)).as("pc"))
+        .groupBy("l_returnflag")
+        .agg(sum("ps").cast("decimal(38,4)").as("sum_qty"), sum("pc").as("n"))
+        .orderBy("l_returnflag")
+    }),
     "agg_udaf_argmax" -> ((s, d) => {
       // marasa state-at-seq as a typed Aggregator UDAF (SURVEY §4.3).
       val am = udaf(graft.expr.ArgMaxBySeq)
@@ -274,6 +300,20 @@ object RelationalOps {
     "agg_udaf_argmax" ->
       ("SELECT event_type AS ns, user_id AS ukey, arg_max(props, event_id) AS payload, " +
         "max(event_id) AS last_seq FROM events GROUP BY 1, 2 ORDER BY ns, ukey"),
+    "agg_pivot" ->
+      ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS \"F\", " +
+        "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS \"O\", " +
+        "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS \"P\" " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
+    "agg_percentile" ->
+      ("SELECT l_returnflag, " +
+        Det.sql.r("quantile_cont(l_quantity, 0.25)", 4) + " AS p25, " +
+        Det.sql.r("quantile_cont(l_quantity, 0.5)", 4) + " AS p50, " +
+        Det.sql.r("quantile_cont(l_quantity, 0.75)", 4) + " AS p75 " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "agg_salted" ->
+      ("SELECT l_returnflag, " + Det.sql.dsum("l_quantity") + " AS sum_qty, " +
+        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
   )
 
   // ---- assembled ---------------------------------------------------------

@@ -66,6 +66,18 @@ object WindowSetOps {
         .orderBy("p_brand", "rn")
     }),
 
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+                first("c_custkey").over(w).as("richest"),
+                last("c_custkey").over(w).as("poorest"),
+                nth_value(col("c_custkey"), 2).over(w).as("second"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
     // ---- §2.F sort / top-k / set ops ------------------------------------
     "sort_multi_null" -> ((s, d) =>
       // No natural nulls in the fixtures — manufacture them with nullif so
@@ -134,6 +146,13 @@ object WindowSetOps {
       ("SELECT p_brand, p_partkey, p_retailprice, CAST(row_number() OVER w AS INT) AS rn " +
         "FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) " +
         "QUALIFY rn <= 3 ORDER BY p_brand, rn"),
+    "win_first_last" ->
+      ("SELECT c_custkey, c_nationkey, first_value(c_custkey) OVER w AS richest, " +
+        "last_value(c_custkey) OVER w AS poorest, " +
+        "nth_value(c_custkey, 2) OVER w AS second FROM customer " +
+        "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY c_nationkey, c_custkey"),
     "sort_multi_null" ->
       ("SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal FROM customer " +
         "ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey"),
