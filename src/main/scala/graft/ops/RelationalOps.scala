@@ -26,7 +26,10 @@ object RelationalOps {
              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
              col("l_discount").between(0.05, 0.07))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // order by every projected column so the limit boundary is
+      // deterministic (remaining ties are full-row duplicates)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
       .limit(100)
 
   // ---- §2.C joins --------------------------------------------------------
@@ -327,6 +330,7 @@ object RelationalOps {
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "AND l_discount BETWEEN 0.05 AND 0.07 " +
-        "ORDER BY l_orderkey, l_linenumber LIMIT 100"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate " +
+        "LIMIT 100"),
   ) ++ joinOracle ++ aggOracle
 }
