@@ -53,6 +53,34 @@ object StreamingOps {
           Iterator((user, n))
       }
   }
+
+  /** Same semantic on Spark 4's transformWithState API (typed ValueState,
+    * RocksDB state store) — the forward-looking arbitrary-state surface. */
+  def runningCountsTws(events: Dataset[Ev]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** StatefulProcessor twin of the flatMapGroupsWithState counter. */
+class RunningCountProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator((key, n))
+  }
 }
 
 /** Typed event row for streaming tests (mirrors the events fixture). */

@@ -96,6 +96,32 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_stateful_counter (transformWithState): same totals on RocksDB state") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.runningCountsTws(ms.toDS()).toDF("user_id", "n").writeStream
+        .format("memory").queryName("counts_tws").outputMode("update").start()
+      ms.addData(ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+                 ev(1, "2024-01-01 10:01:00", 1, "click", 1.0),
+                 ev(2, "2024-01-01 10:02:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:03:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val finalCounts = spark.table("counts_tws").groupBy("user_id")
+        .agg(max("n").as("n")).as[(Long, Long)].collect().toMap
+      assert(finalCounts === Map(1L -> 3L, 2L -> 1L))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream_journal_ingest: foreachBatch append, state matches batch") {
     val path = java.nio.file.Files.createTempDirectory("graft_stream_store_").toString + "/store"
     val store = graft.journal.JournalStore.create(spark, path, epochSize = 2)
