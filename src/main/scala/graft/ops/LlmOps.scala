@@ -87,9 +87,8 @@ object LlmOps {
 
     "sim_knn_join" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
-      // 1. exact per-dim decimal means, rounded — both engines agree bit-for-bit
-      val cent = centroids(e, 6)
-      // 2. pack to vectors (10 rows) and broadcast for assignment
+      // exact per-dim decimal means rounded (both engines agree
+      // bit-for-bit), packed to vectors (10 rows) and broadcast
       val cvecs = centroidVecs(e, 6)
       // 3. nearest centroid by cosine (desc), tiebreak smaller label
       val scored = e.crossJoin(broadcast(cvecs))
