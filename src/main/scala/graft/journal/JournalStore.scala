@@ -32,6 +32,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
   import JournalStore._
 
   private def segDir = s"$path/segments"
+
+  /** Read the segment tree. ns is a partition directory — force it back
+    * to string (partition type inference would make a numeric-looking
+    * namespace an int). */
+  private def readSegments(): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(segDir).withColumn("ns", col("ns").cast("string"))
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
 
   def manifest: Manifest = readManifest(path).getOrElse(Manifest(epochSize, -1L, Nil))
@@ -49,10 +55,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
         df.withColumn("seq", row_number().over(w).cast("long") + m.maxSeq)
       }
     val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
-    // co-locate each epoch in one writer task: one file per epoch instead
-    // of (#tasks × #epochs) small files — at scale, writer parallelism =
-    // number of epochs in the batch
-    out.repartition(col("epoch")).write.partitionBy("epoch").mode("append").parquet(segDir)
+    // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
+    // replay, ns pruning bounds per-namespace history reads (marasa's
+    // per-namespace segment files, as partition directories). Repartition
+    // by epoch first: one writer task per epoch instead of
+    // (#tasks × #epochs) small files.
+    out.repartition(col("epoch"))
+      .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
     val stats = out.groupBy("epoch")
       .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
       .collect()
@@ -63,12 +72,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   /** Full journal scan in seq order (marasa history(ns=all)). */
   def scan(): DataFrame =
-    spark.read.parquet(segDir)
+    readSegments()
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
 
   /** Per-key (or per-ns) history in seq order. */
   def history(ns: String, ukey: Option[Long] = None): DataFrame = {
-    val base = spark.read.parquet(segDir).where(col("ns") === ns)
+    val base = readSegments().where(col("ns") === ns)
     ukey.fold(base)(k => base.where(col("ukey") === k))
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
   }
@@ -79,7 +88,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
   def stateAt(seq: Long): DataFrame = {
     val m = manifest
     val ckpt = m.checkpoints.filter(_ <= seq).sorted.lastOption
-    val tail = spark.read.parquet(segDir)
+    val tail = readSegments()
       .where(col("epoch") >= lit(ckpt.getOrElse(0L) / epochSize)) // partition prune
       .where(col("seq") <= seq && col("seq") > ckpt.map(lit(_)).getOrElse(lit(-1L)))
       .select("ns", "ukey", "seq", "payload")
@@ -105,7 +114,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   /** Per-epoch segment stats from the data (used by journal_write_segments). */
   def segmentStats(): DataFrame =
-    spark.read.parquet(segDir)
+    readSegments()
       .groupBy(col("epoch").cast("long").as("epoch")) // partition col is discovered as int
       .agg(count(lit(1)).as("n_rows"), min("seq").as("min_seq"), max("seq").as("max_seq"))
       .orderBy("epoch")

@@ -96,4 +96,12 @@ class JournalStoreSpec extends AnyFunSuite {
     val h = store.history("users", Some(1L)).select("payload").as[String].collect()
     assert(h.toSeq === Seq("""{"v":1}""", """{"v":3}"""))
   }
+
+  test("history reads prune namespace partitions (directory-level)") {
+    val store = JournalStore.create(spark, freshPath)
+    store.append(sampleDf)
+    val p = store.history("users").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("ns"), p)
+  }
 }
