@@ -1,0 +1,53 @@
+package graft.journal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Reference-API fidelity: the semantics recalled in SURVEY §0.1 —
+  * one seqno per write, dict-merge state, point-in-time reads, per-key
+  * history, persistence across reopen. (Reference repo unavailable —
+  * SURVEY §0 — so these pin the recalled contract.) */
+class MarasaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshPath =
+    java.nio.file.Files.createTempDirectory("graft_marasa_").toString + "/store"
+
+  test("write returns monotonic seqnos; whole delta shares one seq") {
+    val m = Marasa.create(spark, freshPath)
+    val s0 = m.write("cfg", Map("a" -> "1", "b" -> "2"))
+    val s1 = m.write("cfg", Map("a" -> "3"))
+    assert(s0 === 0L && s1 === 1L)
+    assert(m.history("cfg", Some("a")) === Seq((0L, "a", "1"), (1L, "a", "3")))
+  }
+
+  test("read(ns) folds deltas; read(ns, seq) time-travels") {
+    val m = Marasa.create(spark, freshPath)
+    m.write("cfg", Map("a" -> "1", "b" -> "2"))
+    m.write("cfg", Map("a" -> "3", "c" -> "4"))
+    m.write("other", Map("x" -> "9"))
+    assert(m.read("cfg") === Map("a" -> "3", "b" -> "2", "c" -> "4"))
+    assert(m.read("cfg", Some(0L)) === Map("a" -> "1", "b" -> "2"))
+    assert(m.read("other") === Map("x" -> "9"))
+    assert(m.read("missing") === Map.empty)
+  }
+
+  test("namespaces are independent but share the global seq counter") {
+    val m = Marasa.create(spark, freshPath)
+    val s0 = m.write("n1", Map("k" -> "v"))
+    val s1 = m.write("n2", Map("k" -> "w"))
+    assert(Seq(s0, s1) === Seq(0L, 1L))
+    assert(m.namespaces() === Seq("n1", "n2"))
+    assert(m.read("n1") === Map("k" -> "v"))
+  }
+
+  test("store persists across close/reopen") {
+    val path = freshPath
+    val m1 = Marasa.create(spark, path)
+    m1.write("cfg", Map("a" -> "1"))
+    val m2 = Marasa.open(spark, path)
+    assert(m2.read("cfg") === Map("a" -> "1"))
+    assert(m2.write("cfg", Map("a" -> "2")) === 1L)
+    assert(m2.read("cfg") === Map("a" -> "2"))
+  }
+}
