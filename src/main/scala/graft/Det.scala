@@ -43,7 +43,7 @@ object Det {
   /** avg = exact decimal sum → double → / count → DuckDB-compatible
     * round(4). */
   def davg(c: Column, scale: Int = 4): Column =
-    r(sum(dec(c, scale)).cast(DoubleType) / count(lit(1)), 4)
+    r(sum(dec(c, scale)).cast(DoubleType) / count(lit(1)), scale)
 
   /** DuckDB-side SQL fragments kept textually adjacent to their Spark
     * twins so the two sides evolve together. */
@@ -57,6 +57,6 @@ object Det {
       s"ROUND(($e) * $p) / $p"
     }
     def davg(e: String, scale: Int = 4): String =
-      r(s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT(*)", 4)
+      r(s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT(*)", scale)
   }
 }

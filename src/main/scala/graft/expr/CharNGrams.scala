@@ -18,9 +18,10 @@ case class CharNGrams(child: Expression, nExpr: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (child.dataType != StringType || !nExpr.foldable ||
-        nExpr.dataType != IntegerType)
+        nExpr.dataType != IntegerType ||
+        nExpr.eval(null).asInstanceOf[Int] < 1)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "char_ngrams(str, n) expects (STRING, foldable INT)")
+        "char_ngrams(str, n) expects (STRING, foldable INT >= 1)")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 

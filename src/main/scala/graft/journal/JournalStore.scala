@@ -36,7 +36,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
   /** Read the segment tree. ns is a partition directory — force it back
     * to string (partition type inference would make a numeric-looking
     * namespace an int). */
-  private def readSegments(): org.apache.spark.sql.DataFrame =
+  private[journal] def readSegments(): org.apache.spark.sql.DataFrame =
     spark.read.parquet(segDir).withColumn("ns", col("ns").cast("string"))
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
 
@@ -55,6 +55,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         df.withColumn("seq", row_number().over(w).cast("long") + m.maxSeq)
       }
     val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
     // replay, ns pruning bounds per-namespace history reads (marasa's
     // per-namespace segment files, as partition directories). Repartition
@@ -62,10 +63,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // (#tasks × #epochs) small files.
     out.repartition(col("epoch"))
       .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
-    val stats = out.groupBy("epoch")
-      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
-      .collect()
-    val newMax = math.max(m.maxSeq, stats.map(_.getAs[Long]("hi")).max)
+    val hi = out.agg(max("seq")).collect().headOption.flatMap(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    out.unpersist()
+    val newMax = math.max(m.maxSeq, hi.getOrElse(m.maxSeq)) // empty batch = no-op
     writeManifest(path, m.copy(maxSeq = newMax))
     newMax
   }
@@ -89,7 +90,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val m = manifest
     val ckpt = m.checkpoints.filter(_ <= seq).sorted.lastOption
     val tail = readSegments()
-      .where(col("epoch") >= lit(ckpt.getOrElse(0L) / epochSize)) // partition prune
+      .where(col("epoch") >= lit(ckpt.getOrElse(0L) / epochSize) &&
+             col("epoch") <= lit(seq / epochSize)) // partition prune both ends
       .where(col("seq") <= seq && col("seq") > ckpt.map(lit(_)).getOrElse(lit(-1L)))
       .select("ns", "ukey", "seq", "payload")
     val base: Option[DataFrame] = ckpt.map { c =>

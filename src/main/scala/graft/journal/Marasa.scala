@@ -35,12 +35,14 @@ class Marasa(val store: JournalStore) {
     seq
   }
 
-  /** State as of `seq` (None = latest): key → value map. */
+  /** State as of `seq` (None = latest): key → value map. Prunes by ns
+    * directory and epoch upper bound; does not use checkpoints (they
+    * carry the analytics schema, not the facade's string keys). */
   def read(ns: String, seq: Option[Long] = None): Map[String, String] = {
     val bound = seq.getOrElse(store.manifest.maxSeq)
-    store.spark.read.parquet(s"${store.path}/segments")
-      .withColumn("ns", col("ns").cast("string"))
-      .where(col("ns") === ns && col("seq") <= bound)
+    store.readSegments()
+      .where(col("ns") === ns && col("seq") <= bound &&
+             col("epoch") <= lit(bound / store.epochSize))
       .groupBy("skey")
       .agg(max_by(col("payload"), col("seq")).as("payload"))
       .as[(String, String)].collect().toMap
@@ -48,9 +50,7 @@ class Marasa(val store: JournalStore) {
 
   /** Changes of one key (or the whole namespace) in seq order. */
   def history(ns: String, key: Option[String] = None): Seq[(Long, String, String)] = {
-    val base = store.spark.read.parquet(s"${store.path}/segments")
-      .withColumn("ns", col("ns").cast("string"))
-      .where(col("ns") === ns)
+    val base = store.readSegments().where(col("ns") === ns)
     key.fold(base)(k => base.where(col("skey") === k))
       .select(col("seq"), col("skey"), col("payload"))
       .orderBy("seq", "skey")
@@ -59,8 +59,7 @@ class Marasa(val store: JournalStore) {
 
   /** Namespace list, like iterating the reference's store directory. */
   def namespaces(): Seq[String] =
-    store.spark.read.parquet(s"${store.path}/segments")
-      .select(col("ns").cast("string")).distinct()
+    store.readSegments().select(col("ns")).distinct()
       .as[String].collect().toSeq.sorted
 }
 

@@ -22,13 +22,6 @@ object ScalarFnOps {
     math.sqrt(s)
   }
 
-  /** Character trigram generator — the UDTF surface (explode of a UDF;
-    * the Catalyst `Generator` expression variant is the P2 upgrade). */
-  private val charTrigrams = udf { (t: String) =>
-    if (t == null || t.length < 3) Seq.empty[String]
-    else (0 to t.length - 3).map(i => t.substring(i, i + 3))
-  }
-
   val queries: Map[String, Q] = Map(
     "fn_string" -> ((s, d) =>
       Tables(s, d, "customer")
