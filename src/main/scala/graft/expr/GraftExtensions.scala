@@ -3,8 +3,9 @@ package graft.expr
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** Registration for the native expressions — two paths:
+/** Registration for the native expressions and journal TVFs — two paths:
   *
   * 1. Cluster config (the 100 TB deployment shape):
   *    `spark.sql.extensions=graft.expr.GraftExtensions`
@@ -12,12 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    the declared queries so the driver's plain session works too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
+    GraftFunctions.tableEntries.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftFunctions {
   type FnEntry = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+  type TvfEntry = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
 
   val entries: Seq[FnEntry] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -28,8 +32,44 @@ object GraftFunctions {
       (es: Seq[Expression]) => CharNGrams(es(0), es(1))),
   )
 
-  def register(spark: SparkSession): Unit =
+  /** SQL table-valued functions over the journal store — time travel from
+    * plain SQL, e.g.
+    * `SELECT * FROM journal_state_at('/path/to/store', 5000)` or
+    * `SELECT * FROM journal_scan('/path/to/store')`. Arguments must be
+    * foldable literals (resolved at plan time, driver-side). */
+  val tableEntries: Seq[TvfEntry] = Seq(
+    (FunctionIdentifier("journal_state_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "journal_state_at"),
+      (es: Seq[Expression]) => {
+        val path = foldedString(es, 0, "journal_state_at")
+        val seq = foldedLong(es, 1, "journal_state_at")
+        graft.journal.JournalStore.open(SparkSession.active, path)
+          .stateAt(seq).queryExecution.logical
+      }),
+    (FunctionIdentifier("journal_scan"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "journal_scan"),
+      (es: Seq[Expression]) => {
+        val path = foldedString(es, 0, "journal_scan")
+        graft.journal.JournalStore.open(SparkSession.active, path)
+          .scan().queryExecution.logical
+      }),
+  )
+
+  private def foldedString(es: Seq[Expression], i: Int, fn: String): String = {
+    require(es.length > i && es(i).foldable, s"$fn: argument $i must be a literal")
+    es(i).eval(null).toString
+  }
+  private def foldedLong(es: Seq[Expression], i: Int, fn: String): Long = {
+    require(es.length > i && es(i).foldable, s"$fn: argument $i must be a literal")
+    es(i).eval(null).asInstanceOf[Number].longValue
+  }
+
+  def register(spark: SparkSession): Unit = {
     entries.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    tableEntries.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+  }
 }

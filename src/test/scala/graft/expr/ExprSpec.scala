@@ -40,6 +40,25 @@ class ExprSpec extends AnyFunSuite {
     assert(plan.contains("*("), "expected codegen stage: " + plan)
   }
 
+  test("journal TVFs: SQL time travel over a store") {
+    GraftFunctions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_tvf_").toString + "/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 2)
+    store.append(Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "v0", 0.0),
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:02"), "v1", 0.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:03"), "v2", 0.0),
+    ).toDF("ns", "ukey", "ts", "payload", "val"))
+    val atSeq0 = spark.sql(s"SELECT payload FROM journal_state_at('$path', 0) ORDER BY ukey")
+      .as[String].collect().toSeq
+    assert(atSeq0 === Seq("v0"))
+    val latest = spark.sql(
+      s"SELECT ukey, payload FROM journal_state_at('$path', 2) ORDER BY ukey")
+      .as[(Long, String)].collect().toSeq
+    assert(latest === Seq((1L, "v1"), (2L, "v2")))
+    assert(spark.sql(s"SELECT count(*) FROM journal_scan('$path')").head().getLong(0) === 3L)
+  }
+
   test("char_ngrams generator emits exactly the n-grams") {
     GraftFunctions.register(spark)
     val out = Seq("abcd").toDF("t")
