@@ -114,9 +114,10 @@ object LlmExtOps {
                 graft.Det.r(LlmOps.cosineFD(col("embedding"), col("cvec")), 4).as("csim"))
         .groupBy("vec_id")
         .agg(max_by(col("c_label"), struct(col("csim"), -col("c_label"))).as("cluster"),
-             max_by(col("embedding"), lit(0)).as("embedding"))
-      val q = assigned.where(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
+             first(col("embedding")).as("embedding"))
+      // query vector comes straight from the source — don't recompute the
+      // whole assignment pipeline just to read one row
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       val probe = cvecs.crossJoin(broadcast(q))
         .select(col("c_label"), graft.Det.r(LlmOps.cosineFD(col("q_emb"), col("cvec")), 4).as("qsim"))
         .orderBy(col("qsim").desc, col("c_label")).limit(2)
