@@ -47,6 +47,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * pass a `seq` column to keep caller-assigned seqs (must be dense and
     * > maxSeq). Single-writer, like the reference. */
   def append(df: DataFrame): Long = {
+    val required = Seq("ns", "ukey", "ts", "payload", "val")
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"journal append requires columns $required; missing: $missing")
     val m = manifest
     val withSeq =
       if (df.columns.contains("seq")) df

@@ -66,6 +66,15 @@ class LlmExtSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile within tolerance of exact (test-surface companion)") {
+    val l = Tables(spark, sf, "lineitem")
+    val (approx, exact) = l.agg(
+      expr("approx_percentile(l_quantity, 0.5, 1000)").as("a"),
+      expr("percentile(l_quantity, 0.5)").as("e"))
+      .as[(Double, Double)].head()
+    assert(math.abs(approx - exact) <= 2.0, s"approx=$approx exact=$exact")
+  }
+
   test("rolling hash: hand-computed values, stable across calls") {
     assert(LlmExtOps.rollingHash("") === 0L)
     assert(LlmExtOps.rollingHash("a") === 97L)

@@ -41,6 +41,28 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_sliding_live: sliding windows equal the batch twin expression") {
+    val ms = MemoryStream[Ev]
+    val sliding = ms.toDF.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+    val q = sliding.writeStream.format("memory").queryName("slide")
+      .outputMode("append").start()
+    ms.addData(ev(0, "2024-01-01 10:20:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(ev(8, "2024-01-02 00:00:00", 9, "zz", 0.0))
+    q.processAllAvailable()
+    ms.addData(ev(9, "2024-01-02 01:00:00", 9, "zz", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("slide").where($"event_type" === "click")
+      .select("w_start").as[java.sql.Timestamp].collect().toSet
+    // one event → exactly 4 sliding windows, starts at :30, :45, :00, :15
+    assert(got === Set(ts("2024-01-01 09:30:00"), ts("2024-01-01 09:45:00"),
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00")))
+    q.stop()
+  }
+
   test("stream_watermark_late: rows older than the watermark are dropped") {
     val ms = MemoryStream[Ev]
     val q = StreamingOps.tumbling(ms.toDF).writeStream
