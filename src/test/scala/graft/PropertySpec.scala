@@ -67,6 +67,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dedup_near_jaccard agrees with a Scala-set reference model") {
+    check(Prop.forAll(Gen.listOfN(6,
+      Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "s1", t.length.toLong)
+      }
+      val dir = TestSpark.fixtureDir("documents" ->
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = ops.LlmOps.queries("dedup_near_jaccard")(spark, dir)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // reference: distinct word-3-shingle sets, exact jaccard >= 0.4
+      def sh(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val expect = (for {
+        a <- docs; b <- docs if a._1 < b._1
+        sa = sh(a._2); sb = sh(b._2)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        // mirror the query's rounding before the threshold compare
+        if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.4
+      } yield (a._1, b._1)).toSet
+      got == expect
+    })
+  }
+
   test("set ops agree with Scala set algebra") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
       (xs, ys) =>
