@@ -161,6 +161,50 @@ object LlmExtOps {
                 "avg_token_len", "quality_score")
         .orderBy("doc_id")),
 
+    "text_normalize" -> ((s, d) =>
+      // canonicalization pass a dedup pipeline runs before fingerprinting:
+      // lowercase, strip non-alphanumerics, collapse whitespace
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+                trim(regexp_replace(regexp_replace(lower(col("text")),
+                  "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text")))
+        .orderBy("doc_id")),
+
+    "text_repetition" -> ((s, d) => {
+      // repetition signals: distinct-token ratio and top-token share
+      val terms = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      val counts = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+        .select(col("doc_id"),
+                graft.Det.r(col("n_distinct").cast("double") / col("n_tokens"), 4)
+                  .as("distinct_ratio"),
+                graft.Det.r(col("top_c").cast("double") / col("n_tokens"), 4)
+                  .as("top_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_length_hist" -> ((s, d) =>
+      // length-bucket histogram (100-char buckets) — the size profile a
+      // mixing/filtering stage reads
+      Tables(s, d, "documents")
+        .groupBy((col("n_chars") - col("n_chars") % 100).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo")),
+
+    "join_nullsafe" -> ((s, d) => {
+      // null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+      // match each other — the semantics dedup-on-nullable-columns needs
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val counts = c.groupBy("seg").agg(count(lit(1)).as("n"))
+      c.join(counts.withColumnRenamed("seg", "seg2"), col("seg") <=> col("seg2"))
+        .groupBy("seg").agg(count(lit(1)).as("n_rows"), max("n").as("seg_size"))
+        .orderBy(col("seg").asc_nulls_first)
+    }),
+
     "text_token_count" -> ((s, d) =>
       Tables(s, d, "documents")
         .select(col("doc_id"),
@@ -232,6 +276,31 @@ object LlmExtOps {
         graft.Det.sql.r("CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS avg_token_len " +
         "FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)) " +
         "ORDER BY doc_id"),
+    "text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text, " +
+        "CAST(length(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len " +
+        "FROM documents ORDER BY doc_id"),
+    "text_repetition" ->
+      ("WITH counts AS (SELECT doc_id, t, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) " +
+        "GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c FROM counts GROUP BY 1) " +
+        "SELECT doc_id, " +
+        graft.Det.sql.r("CAST(n_distinct AS DOUBLE) / n_tokens", 4) + " AS distinct_ratio, " +
+        graft.Det.sql.r("CAST(top_c AS DOUBLE) / n_tokens", 4) + " AS top_token_ratio " +
+        "FROM agg ORDER BY doc_id"),
+    "text_length_hist" ->
+      ("SELECT CAST(n_chars - n_chars % 100 AS BIGINT) AS bucket_lo, count(*) AS n_docs " +
+        "FROM documents GROUP BY 1 ORDER BY bucket_lo"),
+    "join_nullsafe" ->
+      ("SELECT seg, count(*) AS n_rows, CAST(max(n) AS BIGINT) AS seg_size FROM " +
+        "(SELECT c.seg, n.n FROM " +
+        "(SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer) c " +
+        "JOIN (SELECT nullif(c_mktsegment, 'BUILDING') AS seg2, count(*) AS n " +
+        "FROM customer GROUP BY 1) n ON c.seg IS NOT DISTINCT FROM n.seg2) " +
+        "GROUP BY 1 ORDER BY seg ASC NULLS FIRST"),
     "text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) " +
