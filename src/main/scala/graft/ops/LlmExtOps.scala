@@ -106,12 +106,13 @@ object LlmExtOps {
     "sim_ann_ivf" -> ((s, d) => {
       // IVF: 10-centroid coarse quantizer (broadcast), probe the query's
       // top-2 clusters, exact top-10 within. Approximate by design → no
-      // oracle; determinism + subset-correctness asserted in AnnSpec.
+      // oracle; determinism + subset-correctness asserted in LlmExtSpec.
+      graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings")
       val cvecs = LlmOps.centroidVecs(e, 6)
       val assigned = e.crossJoin(broadcast(cvecs))
         .select(col("vec_id"), col("embedding"), col("c_label"),
-                graft.Det.r(LlmOps.cosineFD(col("embedding"), col("cvec")), 4).as("csim"))
+                graft.Det.r(expr("cosine_sim(embedding, cvec)"), 4).as("csim"))
         .groupBy("vec_id")
         .agg(max_by(col("c_label"), struct(col("csim"), -col("c_label"))).as("cluster"),
              first(col("embedding")).as("embedding"))
@@ -119,7 +120,7 @@ object LlmExtOps {
       // whole assignment pipeline just to read one row
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       val probe = cvecs.crossJoin(broadcast(q))
-        .select(col("c_label"), graft.Det.r(LlmOps.cosineFD(col("q_emb"), col("cvec")), 4).as("qsim"))
+        .select(col("c_label"), graft.Det.r(expr("cosine_sim(q_emb, cvec)"), 4).as("qsim"))
         .orderBy(col("qsim").desc, col("c_label")).limit(2)
         .select(col("c_label").as("cluster"))
       assigned.join(broadcast(probe), "cluster")

@@ -86,6 +86,7 @@ object LlmOps {
         .orderBy("label", "pos")),
 
     "sim_knn_join" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings")
       // exact per-dim decimal means rounded (both engines agree
       // bit-for-bit), packed to vectors (10 rows) and broadcast
@@ -93,7 +94,7 @@ object LlmOps {
       // 3. nearest centroid by cosine (desc), tiebreak smaller label
       val scored = e.crossJoin(broadcast(cvecs))
         .select(col("vec_id"), col("label"), col("c_label"),
-                Det.r(cosFD(col("embedding"), col("cvec")), 4).as("sim"))
+                Det.r(expr("cosine_sim(embedding, cvec)"), 4).as("sim"))
       val best = scored.groupBy("vec_id", "label")
         .agg(max_by(col("c_label"), struct(col("sim"), -col("c_label"))).as("pred"))
       best.groupBy("label")
