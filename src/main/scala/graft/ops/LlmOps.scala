@@ -37,7 +37,6 @@ object LlmOps {
   }
 
   private val cosFF = udf { (a: Seq[Float], b: Seq[Float]) => cosine(a, b.map(_.toDouble)) }
-  private val cosFD = udf { (a: Seq[Float], b: Seq[Double]) => cosine(a, b) }
 
   /** Word-level shingles (n consecutive words joined by space), distinct.
     * 0-based Spark array subscripts. */
@@ -158,11 +157,9 @@ object LlmOps {
     centroids(e, scale).groupBy(col("label").as("c_label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, mean))), x -> x.mean)").as("cvec"))
 
-  /** Cosine of a float-array column against a double-array column (both
-    * index-ascending folds — §2.0.3). */
-  def cosineFD: org.apache.spark.sql.expressions.UserDefinedFunction = cosFD
-
-  /** Cosine of two float-array columns. */
+  /** Cosine of two float-array columns as a UDF — kept as the reference
+    * implementation the native expression is bit-compared against
+    * (ExprSpec); production paths use `cosine_sim`. */
   def cosineFF2: org.apache.spark.sql.expressions.UserDefinedFunction = cosFF
 
   /** Per-label, per-dimension exact decimal mean, rounded to `scale` dp. */
