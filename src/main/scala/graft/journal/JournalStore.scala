@@ -35,9 +35,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   /** Read the segment tree. ns is a partition directory — force it back
     * to string (partition type inference would make a numeric-looking
-    * namespace an int). */
-  private[journal] def readSegments(): org.apache.spark.sql.DataFrame =
-    spark.read.parquet(segDir).withColumn("ns", col("ns").cast("string"))
+    * namespace an int). A store with no appends yet reads as an empty
+    * frame with the canonical schema (superset incl. the facade's skey). */
+  private[journal] def readSegments(): org.apache.spark.sql.DataFrame = {
+    val hasFiles = Files.exists(Paths.get(segDir)) && {
+      val s = Files.walk(Paths.get(segDir))
+      try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (hasFiles)
+      spark.read.parquet(segDir).withColumn("ns", col("ns").cast("string"))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "seq BIGINT, ns STRING, ukey BIGINT, skey STRING, " +
+            "ts TIMESTAMP, payload STRING, val DOUBLE, epoch BIGINT"))
+  }
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
 
   def manifest: Manifest = readManifest(path).getOrElse(Manifest(epochSize, -1L, Nil))
