@@ -38,12 +38,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * namespace an int). A store with no appends yet reads as an empty
     * frame with the canonical schema (superset incl. the facade's skey). */
   private[journal] def readSegments(): org.apache.spark.sql.DataFrame = {
-    val hasFiles = Files.exists(Paths.get(segDir)) && {
-      val s = Files.walk(Paths.get(segDir))
-      try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
-    }
-    if (hasFiles)
-      spark.read.parquet(segDir).withColumn("ns", col("ns").cast("string"))
+    val files = manifest.files
+    if (files.nonEmpty)
+      spark.read.option("basePath", segDir)
+        .parquet(files.map(f => s"$segDir/$f"): _*)
+        .withColumn("ns", col("ns").cast("string"))
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -83,9 +82,55 @@ class JournalStore private (val spark: SparkSession, val path: String,
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
     out.unpersist()
     val newMax = math.max(m.maxSeq, hi.getOrElse(m.maxSeq)) // empty batch = no-op
-    writeManifest(path, m.copy(maxSeq = newMax))
+    // commit = manifest swap: the new data files become visible to
+    // readers only when the manifest that lists them lands
+    writeManifest(path, m.copy(maxSeq = newMax,
+      files = (m.files ++ (listSegmentFiles() diff m.files)).distinct))
     newMax
   }
+
+  /** All parquet files currently on disk under segments/, path-relative. */
+  private def listSegmentFiles(): Seq[String] = {
+    val root = Paths.get(segDir)
+    if (!Files.exists(root)) Nil
+    else {
+      val st = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toList.sorted
+      } finally st.close()
+    }
+  }
+
+  /** Compact every epoch <= upToEpoch into one file per (epoch, ns) and
+    * atomically swap the manifest to the compacted files; old files are
+    * removed by vacuum(). Readers opened before the swap keep reading the
+    * old file set (snapshot isolation), like marasa's segment rewrite. */
+  def compact(upToEpoch: Long): Unit = {
+    val m = manifest
+    val old = m.files.filter(f => epochOf(f).exists(_ <= upToEpoch))
+    if (old.isEmpty) return
+    val rows = spark.read.option("basePath", segDir)
+      .parquet(old.map(f => s"$segDir/$f"): _*)
+      .withColumn("ns", col("ns").cast("string"))
+    rows.repartition(col("epoch"))
+      .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
+    val newFiles = listSegmentFiles() diff (m.files)
+    writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles))
+  }
+
+  /** Delete segment files no longer referenced by the manifest. */
+  def vacuum(): Unit = {
+    val live = manifest.files.toSet
+    (listSegmentFiles().toSet -- live).foreach { f =>
+      Files.deleteIfExists(Paths.get(s"$segDir/$f"))
+    }
+  }
+
+  private def epochOf(relPath: String): Option[Long] =
+    """epoch=(\d+)""".r.findFirstMatchIn(relPath).map(_.group(1).toLong)
 
   /** Full journal scan in seq order (marasa history(ns=all)). */
   def scan(): DataFrame =
@@ -139,7 +184,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
 }
 
 object JournalStore {
-  case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long])
+  case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
+                      files: Seq[String] = Nil)
 
   def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore = {
     Files.createDirectories(Paths.get(path))
@@ -158,9 +204,11 @@ object JournalStore {
   private def manifestPath(path: String) = Paths.get(path, "manifest.json")
 
   private[journal] def writeManifest(path: String, m: Manifest): Unit = {
+    val files = m.files.map(f => "\"" + f + "\"").mkString(",")
     val json =
       s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
-        s""""checkpoints":[${m.checkpoints.mkString(",")}]}"""
+        s""""checkpoints":[${m.checkpoints.mkString(",")}],""" +
+        s""""files":[$files]}"""
     val tmp = Paths.get(path, ".manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
@@ -177,7 +225,11 @@ object JournalStore {
       val ckpts = """checkpoints":\[([^\]]*)\]""".r.findFirstMatchIn(s)
         .map(_.group(1)).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts))
+      val files = """files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+        .getOrElse(Nil)
+      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files))
     }
   }
 }

@@ -97,6 +97,39 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(h.toSeq === Seq("""{"v":1}""", """{"v":3}"""))
   }
 
+  test("compact folds old epochs into one file per (epoch, ns); vacuum removes orphans") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1)
+    store.append(sampleDf)                   // 4 epochs, one row each
+    store.append(Seq(("users", 3L, ts("2024-01-01 00:00:05"), "p", 5.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val before = store.scan().collect().map(_.toString).sorted.toSeq
+    val filesBefore = store.manifest.files.size
+    store.compact(upToEpoch = 4L)
+    store.vacuum()
+    assert(store.scan().collect().map(_.toString).sorted.toSeq === before)
+    assert(store.manifest.files.size <= filesBefore)
+    // nothing unreferenced remains on disk
+    val onDisk = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(store.path, "segments"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally st.close()
+    }
+    assert(onDisk === store.manifest.files.size)
+  }
+
+  test("snapshot isolation: files not referenced by the manifest are invisible") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    // drop a foreign parquet into the segment tree without a manifest commit
+    val rogue = Seq(("users", 99L, ts("2024-01-01 00:09:09"), "ROGUE", 9.0, 99L, 49L))
+      .toDF("ns", "ukey", "ts", "payload", "val", "seq", "epoch")
+    rogue.write.mode("append").parquet(store.path + "/segments/epoch=49/ns=users")
+    assert(store.scan().where($"payload" === "ROGUE").count() === 0)
+    assert(store.scan().count() === 4)
+  }
+
   test("history reads prune namespace partitions (directory-level)") {
     val store = JournalStore.create(spark, freshPath)
     store.append(sampleDf)
