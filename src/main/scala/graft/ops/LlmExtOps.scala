@@ -24,25 +24,20 @@ object LlmExtOps {
 
   private val stopCond = "t = 'the' OR t = 'a'"
 
-  /** SimHash-64 of a token list: two murmur3-32 seeds concatenated.
-    * Deterministic across JVMs (scala.util.hashing.MurmurHash3). */
-  private val simhash64 = udf { (tokens: Seq[String]) =>
-    val acc = new Array[Int](64)
-    tokens.foreach { t =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-      var i = 0
-      while (i < 32) {
-        acc(i) += (if (((h1 >>> i) & 1) == 1) 1 else -1)
-        acc(32 + i) += (if (((h2 >>> i) & 1) == 1) 1 else -1)
-        i += 1
-      }
-    }
-    var sig = 0L
-    var i = 0
-    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
-    sig
-  }
+  /** Declarative SimHash-64 — no UDF: xxhash64 (codegen'd) per token,
+    * explode the 64 bit positions, sum ±1 contributions per (doc, bit),
+    * reassemble the signature with shiftleft/sum. Every operator is a
+    * built-in expression, so the whole pipeline stays in whole-stage
+    * codegen and partial aggregation. */
+  private def simhashSignatures(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"),
+              explode(expr("sequence(0, 63)")).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("acc"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("acc") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"))
 
   /** Karp-Rabin rolling hash over the UTF-8 bytes (base 257, mod 2^61-1).
     * The streaming-friendly fingerprint a shingling pipeline would use. */
@@ -86,8 +81,7 @@ object LlmExtOps {
     "dedup_simhash" -> ((s, d) => {
       // 4×16-bit bands over a 64-bit simhash → candidates share a band;
       // verify with XOR popcount ≤ 3. No oracle (murmur3 is engine-local).
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
+      val docs = simhashSignatures(Tables(s, d, "documents"))
       val bands = docs.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 3), k -> " +
           "named_struct('band', k, 'v', (sig >> (k * 16)) & 65535))")).as("bv"))

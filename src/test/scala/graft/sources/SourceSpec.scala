@@ -32,6 +32,23 @@ class SourceSpec extends AnyFunSuite {
       .collect().toSet === Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
   }
 
+  test("orc and text sources roundtrip; csv/json sinks write readable output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)).toDF("id", "name", "score")
+    df.write.mode("overwrite").orc(s"$dir/t_orc")
+    assert(spark.read.orc(s"$dir/t_orc").as[(Long, String, Double)]
+      .collect().toSet === Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+    df.select(concat_ws(",", $"id", $"name").as("value"))
+      .write.mode("overwrite").text(s"$dir/t_txt")
+    assert(spark.read.text(s"$dir/t_txt").as[String].collect().toSet ===
+      Set("1,alpha", "2,beta"))
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/t_csv_out")
+    df.write.mode("overwrite").json(s"$dir/t_json_out")
+    assert(spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/t_csv_out").count() === 2)
+    assert(spark.read.json(s"$dir/t_json_out").count() === 2)
+  }
+
   test("source_stream_files: file-source stream of events equals batch agg") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_").toString
     val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
