@@ -41,6 +41,34 @@ class MarasaSpec extends AnyFunSuite {
     assert(m.read("n1") === Map("k" -> "v"))
   }
 
+  test("random write sequences match an in-memory dict model (incl. time travel)") {
+    val gen = org.scalacheck.Gen.listOfN(6, for {
+      ns <- org.scalacheck.Gen.oneOf("a", "b")
+      k <- org.scalacheck.Gen.oneOf("x", "y", "z")
+      v <- org.scalacheck.Gen.choose(0, 9)
+    } yield (ns, k, v.toString))
+    val prop = org.scalacheck.Prop.forAll(gen) { writes =>
+      val m = Marasa.create(spark, freshPath)
+      val model = scala.collection.mutable.Map.empty[(String, String), String]
+      val snapshots = writes.map { case (ns, k, v) =>
+        val seq = m.write(ns, Map(k -> v))
+        model((ns, k)) = v
+        (seq, model.toMap)
+      }
+      def dictOf(snap: Map[(String, String), String], ns: String) =
+        snap.collect { case ((n, k), v) if n == ns => k -> v }
+      val latestOk = Seq("a", "b").forall(ns => m.read(ns) == dictOf(model.toMap, ns))
+      // time travel: state at each recorded seq equals the model snapshot
+      val travelOk = snapshots.zipWithIndex.forall { case ((seq, snap), _) =>
+        Seq("a", "b").forall(ns => m.read(ns, Some(seq)) == dictOf(snap, ns))
+      }
+      latestOk && travelOk
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("store persists across close/reopen") {
     val path = freshPath
     val m1 = Marasa.create(spark, path)
