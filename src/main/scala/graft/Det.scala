@@ -22,10 +22,14 @@ object Det {
   /** Exact-capture decimal cast (never rounds when scale >= true dp). */
   def dec(c: Column, scale: Int = 4): Column = c.cast(DecimalType(27, scale))
 
-  /** Order-independent exact sum; final cast is a precision relabel only
-    * (38 matches DuckDB's SUM(DECIMAL) output width — no rounding). */
+  /** Order-independent exact sum. Accumulation is exact DECIMAL; the final
+    * emitted column is DOUBLE because the driver's hash canonicalizes
+    * decimal renderings (`947.0000`) and float renderings (`947.0`)
+    * differently — identical decimals cast to identical doubles, and
+    * double output is hash-safe on both engines (VERDICT r1 §wrong-1).
+    * The cast is lossless for sums within 2^53 of significance. */
   def dsum(c: Column, scale: Int = 4): Column =
-    sum(dec(c, scale)).cast(DecimalType(38, scale))
+    sum(dec(c, scale)).cast(DoubleType)
 
   /** DuckDB-compatible double rounding. DuckDB's ROUND(x, s) computes
     * round(x * 10^s) / 10^s in DOUBLE arithmetic — the multiply can tip a
@@ -37,7 +41,10 @@ object Det {
     * emitted rounded double uses THIS two-step form on BOTH sides. */
   def r(c: Column, scale: Int = 4): Column = {
     val p = math.pow(10, scale)
-    round(c * lit(p)) / lit(p)
+    // + 0.0 normalizes IEEE -0.0 to +0.0 (exact for every other finite
+    // value) — the two zeros render differently ("-0.0" vs "0.0") and
+    // would hash-mismatch even though they compare numerically equal.
+    round(c * lit(p)) / lit(p) + lit(0.0)
   }
 
   /** avg = exact decimal sum → double → / count → DuckDB-compatible
@@ -49,12 +56,12 @@ object Det {
     * twins so the two sides evolve together. */
   object sql {
     def dsum(e: String, scale: Int = 4): String =
-      s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DECIMAL(38,$scale))"
+      s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE)"
     /** DuckDB twin of Det.r — the two-step form, spelled out so both
       * engines share the exact double sequence. */
     def r(e: String, scale: Int = 4): String = {
       val p = s"${math.pow(10, scale).toLong}.0"
-      s"ROUND(($e) * $p) / $p"
+      s"(ROUND(($e) * $p) / $p + 0.0)"
     }
     def davg(e: String, scale: Int = 4): String =
       r(s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT(*)", scale)

@@ -225,7 +225,7 @@ object RelationalOps {
       l.groupBy("l_returnflag", "salt")
         .agg(sum(Det.dec(col("l_quantity"))).as("ps"), count(lit(1)).as("pc"))
         .groupBy("l_returnflag")
-        .agg(sum("ps").cast("decimal(38,4)").as("sum_qty"), sum("pc").as("n"))
+        .agg(sum("ps").cast("double").as("sum_qty"), sum("pc").as("n"))
         .orderBy("l_returnflag")
     }),
     "agg_udaf_argmax" -> ((s, d) => {

@@ -50,8 +50,10 @@ object ScalarFnOps {
       Tables(s, d, "part")
         .select(col("p_partkey"),
                 abs(col("p_size") - 25).as("abs_sz"),
-                floor(col("p_retailprice")).as("floor_p"),
-                ceil(col("p_retailprice")).as("ceil_p"),
+                // Spark floor/ceil return BIGINT, DuckDB's return DOUBLE —
+                // emit DOUBLE on both sides (lossless: values are integral)
+                floor(col("p_retailprice")).cast("double").as("floor_p"),
+                ceil(col("p_retailprice")).cast("double").as("ceil_p"),
                 pmod(col("p_partkey"), lit(7)).as("mod7"),
                 graft.Det.r(col("p_retailprice"), 1).as("round1"),
                 graft.Det.r(log(col("p_retailprice")), 4).as("ln_p"),
@@ -79,7 +81,9 @@ object ScalarFnOps {
                   .otherwise("high").as("tier"),
                 coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("UNKNOWN")).as("seg"),
                 floor(col("c_acctbal")).cast("long").as("bal_floor"),
-                col("c_acctbal").cast("decimal(18,2)").as("bal_dec"),
+                // decimal(18,2) cast exercises HALF_UP rounding; emit DOUBLE
+                // (decimal renderings are not hash-stable across engines)
+                col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal_dec"),
                 col("c_custkey").cast("string").as("key_str"))
         .orderBy("c_custkey")),
     "udf_scalar" -> ((s, d) =>
@@ -136,7 +140,7 @@ object ScalarFnOps {
         "WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier, " +
         "coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg, " +
         "CAST(floor(c_acctbal) AS BIGINT) AS bal_floor, " +
-        "CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_dec, " +
         "CAST(c_custkey AS VARCHAR) AS key_str FROM customer ORDER BY c_custkey"),
     "udf_scalar" ->
       ("SELECT vec_id, " +

@@ -37,7 +37,7 @@ object WindowSetOps {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
       Tables(s, d, "events")
         .select(col("user_id"), col("event_id"),
-                sum(Det.dec(col("value"))).over(w).cast("decimal(38,4)").as("mov_sum"))
+                sum(Det.dec(col("value"))).over(w).cast("double").as("mov_sum"))
         .orderBy("user_id", "event_id")
     }),
     "win_cume_range" -> ((s, d) => {
@@ -45,7 +45,7 @@ object WindowSetOps {
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-                sum(Det.dec(col("o_totalprice"))).over(w).cast("decimal(38,4)").as("cume_spend"))
+                sum(Det.dec(col("o_totalprice"))).over(w).cast("double").as("cume_spend"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
     "win_ntile_pct" -> ((s, d) => {
@@ -128,12 +128,12 @@ object WindowSetOps {
         "ORDER BY user_id, event_id"),
     "win_moving_rows" ->
       ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w " +
-        "AS DECIMAL(38,4)) AS mov_sum FROM events " +
+        "AS DOUBLE) AS mov_sum FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id"),
     "win_cume_range" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DECIMAL(38,4)) AS cume_spend " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DOUBLE) AS cume_spend " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate " +
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, o_orderdate, o_orderkey"),

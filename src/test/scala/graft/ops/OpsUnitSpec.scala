@@ -77,7 +77,7 @@ class OpsUnitSpec extends AnyFunSuite {
   test("win_moving_rows: 3-row moving sum per user") {
     val out = WindowSetOps.queries("win_moving_rows")(spark, eventsDir)
       .where($"user_id" === 1L).select("mov_sum")
-      .collect().map(_.getDecimal(0).doubleValue).toSeq
+      .collect().map(_.getDouble(0)).toSeq
     assert(out === Seq(1.0, 3.0, 6.0, 9.0)) // 1 | 1+2 | 1+2+3 | 2+3+4
   }
 

@@ -18,13 +18,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(x):
-    """Canonicalize a cell for exact comparison."""
+    """Canonicalize a cell for RENDER-SENSITIVE comparison (mirrors the
+    driver's hash, which canonicalizes by string rendering: Decimal
+    '947.0000' != float '947.0', int 900 != double 900.0). VERDICT r1
+    'What's wrong' §1: numeric equality here let 13 driver hash-fails
+    slip past the local gate."""
     if x is None:
         return None
+    if isinstance(x, bool):
+        return ("b", x)
     if isinstance(x, float):
-        return None if math.isnan(x) else x
+        return None if math.isnan(x) else ("f", repr(x))
+    if isinstance(x, int):
+        return ("i", str(x))
     if isinstance(x, decimal.Decimal):
-        return x  # Decimal == Decimal is numeric
+        return ("d", str(x))  # scale-sensitive: 947.0000 != 947.00
     if isinstance(x, (list, tuple)):
         return tuple(canon(v) for v in x)
     tn = type(x).__name__
@@ -37,6 +45,35 @@ def canon(x):
     if hasattr(x, "item"):  # numpy scalars
         return canon(x.item())
     return x
+
+
+def type_class(t):
+    """Collapse an arrow type to the class the driver's schema check
+    distinguishes: ints, floats, decimal(scale), bool, string, ts, date,
+    binary, list<inner>."""
+    import pyarrow as pa
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            f"{f.name}:{type_class(f.type)}" for f in t) + ">"
+    return str(t)
 
 
 def main():
@@ -56,13 +93,24 @@ def main():
             print(f"[MISS]  {k}: no spark output under {out}/{k}")
             fail += 1
             continue
-        sp = pq.read_table(files[0]).to_pandas()
+        sp_t = pq.read_table(files[0])
+        sp = sp_t.to_pandas()
         try:
             # arrow fetch preserves DECIMAL and DATE (df() would collapse
             # them to float64 / datetime64)
-            du = con.execute(oracle[k]).arrow().to_pandas()
+            du_t = con.execute(oracle[k]).arrow()
+            du = du_t.to_pandas()
         except Exception as e:
             print(f"[OERR]  {k}: {type(e).__name__}: {e}")
+            fail += 1
+            continue
+        sp_types = {f.name: type_class(f.type) for f in sp_t.schema}
+        du_types = {f.name: type_class(f.type) for f in du_t.schema}
+        if sp_types != du_types:
+            diff = {c: (sp_types.get(c), du_types.get(c))
+                    for c in set(sp_types) | set(du_types)
+                    if sp_types.get(c) != du_types.get(c)}
+            print(f"[TYPE]  {k}: {diff}")
             fail += 1
             continue
         sp, du = sp[sorted(sp.columns)], du[sorted(du.columns)]
