@@ -22,7 +22,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing so the JSON is the final stdout line
+    // (round-1 driver parse failed: the line was buried ahead of sbt's
+    // [success] trailer). Also persist to bench.json as a fallback.
     spark.stop()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    println(line)
+    System.out.flush()
   }
 }

@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Native append-only journal store — marasa's design (append-only log,
@@ -65,10 +64,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val m = manifest
     val withSeq =
       if (df.columns.contains("seq")) df
-      else {
-        val w = Window.orderBy("ts", "ns", "ukey", "payload")
-        df.withColumn("seq", row_number().over(w).cast("long") + m.maxSeq)
-      }
+      else assignSeqs(df, m.maxSeq)
     val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
@@ -86,7 +82,33 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
       files = (m.files ++ (listSegmentFiles() diff m.files)).distinct))
+    // Automatic checkpoint policy (marasa checkpoints periodically so
+    // reads are bounded by epoch size — SURVEY §0.1.5/§4.1): when this
+    // append completed an epoch, materialize state at the last finished
+    // epoch boundary. stateAt then replays ≤ 1 epoch of tail no matter
+    // how long the journal grows, with no manual maintenance call.
+    val lastCkpt = m.checkpoints.sorted.lastOption.getOrElse(-1L)
+    val boundary = (newMax / epochSize) * epochSize - 1
+    if (boundary > lastCkpt && newMax / epochSize > (lastCkpt max 0L) / epochSize)
+      checkpoint(boundary)
     newMax
+  }
+
+  /** Assign dense seqs `startSeq+1 ..` in total (ts, ns, ukey, payload)
+    * order WITHOUT a global window (a no-partition window moves the whole
+    * batch into one task — THE ingest bottleneck at scale). Instead:
+    * range-repartition on the order key + local sort = global order across
+    * partition index; then the classic two-pass offset scheme (pass 1
+    * counts rows per partition, pass 2 adds the per-partition offset via
+    * zipWithIndex). Every stage is fully parallel. */
+  private[journal] def assignSeqs(df: DataFrame, startSeq: Long): DataFrame = {
+    val key = Seq(col("ts"), col("ns"), col("ukey"), col("payload"))
+    val sorted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
+    val schema = sorted.schema.add("seq", org.apache.spark.sql.types.LongType, false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (startSeq + 1L + i))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** All parquet files currently on disk under segments/, path-relative. */
@@ -150,10 +172,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
   def stateAt(seq: Long): DataFrame = {
     val m = manifest
     val ckpt = m.checkpoints.filter(_ <= seq).sorted.lastOption
+    val c = ckpt.getOrElse(-1L)
     val tail = readSegments()
-      .where(col("epoch") >= lit(ckpt.getOrElse(0L) / epochSize) &&
-             col("epoch") <= lit(seq / epochSize)) // partition prune both ends
-      .where(col("seq") <= seq && col("seq") > ckpt.map(lit(_)).getOrElse(lit(-1L)))
+      // prune both ends; floor is (c+1)/epochSize: a checkpoint exactly at
+      // an epoch boundary (auto-checkpoint) skips that epoch entirely
+      .where(col("epoch") >= lit((c + 1) / epochSize) &&
+             col("epoch") <= lit(seq / epochSize))
+      .where(col("seq") <= seq && col("seq") > lit(c))
       .select("ns", "ukey", "seq", "payload")
     val base: Option[DataFrame] = ckpt.map { c =>
       spark.read.parquet(ckptDir(c))

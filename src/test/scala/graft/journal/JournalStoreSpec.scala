@@ -130,6 +130,53 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.scan().count() === 4)
   }
 
+  test("seq assignment has no single-partition stage (scale-safe ingest)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    val big = spark.range(0, 5000).selectExpr(
+      "'users' AS ns", "id % 50 AS ukey",
+      "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+      "concat('p', id) AS payload", "CAST(id AS DOUBLE) AS val")
+    val assigned = store.assignSeqs(big, -1L)
+    // the sorted stage must range-partition, never collapse to one task
+    val plan = big.repartitionByRange(col("ts"), col("ns"), col("ukey"), col("payload"))
+      .sortWithinPartitions("ts", "ns", "ukey", "payload")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // dense, and ordered by the (ts, ns, ukey, payload) contract: seq
+    // order must equal ts order here (ts is unique in this fixture)
+    val rows = assigned.select("seq", "ts").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 5000L))
+    val byTs = rows.sortBy(_.getTimestamp(1).getTime).map(_.getLong(0)).toSeq
+    assert(byTs === (0L until 5000L))
+  }
+
+  test("auto-checkpoint: stateAt after multi-epoch appends reads ckpt + <=1 epoch tail") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 10)
+    // 3 appends of 12 rows: 36 seqs = 3+ epochs, NO manual checkpoint call
+    (0 until 3).foreach { b =>
+      val df = spark.range(0, 12).selectExpr(
+        "'users' AS ns", "id % 5 AS ukey",
+        s"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,${b * 100} + id) AS ts",
+        s"concat('b$b-', id) AS payload", "CAST(id AS DOUBLE) AS val")
+      store.append(df)
+    }
+    val m = store.manifest
+    assert(m.maxSeq === 35L)
+    assert(m.checkpoints.nonEmpty, "append must checkpoint on epoch rollover")
+    val last = m.checkpoints.max
+    assert(last === 29L) // boundary of the last completed epoch
+    // tail replay reads only epochs > the checkpointed boundary
+    val plan = store.stateAt(35L).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(!plan.contains("epoch=0)") || plan.contains("(epoch"), plan)
+    // and the state is identical to a full recompute from the raw scan
+    val viaCkpt = store.stateAt(35L).collect().map(_.toString).sorted.toSeq
+    val raw = graft.ops.JournalOps.stateAt(store.scan(), col("seq") <= 35L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaCkpt === raw)
+  }
+
   test("history reads prune namespace partitions (directory-level)") {
     val store = JournalStore.create(spark, freshPath)
     store.append(sampleDf)
