@@ -98,22 +98,19 @@ object LlmExtOps {
     }),
 
     "sim_ann_ivf" -> ((s, d) => {
-      // IVF: 10-centroid coarse quantizer (broadcast), probe the query's
-      // top-2 clusters, exact top-10 within. Approximate by design → no
-      // oracle; determinism + subset-correctness asserted in LlmExtSpec.
+      // IVF: 10-centroid coarse quantizer packed into ONE broadcast row,
+      // per-row map-side cluster assignment (no shuffle of the vector
+      // side), probe the query's top-2 clusters, exact top-10 within.
+      // Deterministic end-to-end → full DuckDB oracle below; recall vs
+      // brute force additionally asserted in LlmExtSpec.
       graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings")
-      val cvecs = LlmOps.centroidVecs(e, 6)
-      val assigned = e.crossJoin(broadcast(cvecs))
-        .select(col("vec_id"), col("embedding"), col("c_label"),
-                graft.Det.r(expr("cosine_sim(embedding, cvec)"), 4).as("csim"))
-        .groupBy("vec_id")
-        .agg(max_by(col("c_label"), struct(col("csim"), -col("c_label"))).as("cluster"),
-             first(col("embedding")).as("embedding"))
+      val assigned = e.crossJoin(broadcast(LlmOps.centroidArray(e, 6)))
+        .select(col("vec_id"), col("embedding"), LlmOps.nearestCentroid.as("cluster"))
       // query vector comes straight from the source — don't recompute the
       // whole assignment pipeline just to read one row
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-      val probe = cvecs.crossJoin(broadcast(q))
+      val probe = LlmOps.centroidVecs(e, 6).crossJoin(broadcast(q))
         .select(col("c_label"), graft.Det.r(expr("cosine_sim(q_emb, cvec)"), 4).as("qsim"))
         .orderBy(col("qsim").desc, col("c_label")).limit(2)
         .select(col("c_label").as("cluster"))
@@ -121,7 +118,7 @@ object LlmExtOps {
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-                graft.Det.r(LlmOps.cosineFF2(col("embedding"), col("q_emb")), 4).as("sim"))
+                graft.Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
@@ -232,22 +229,42 @@ object LlmExtOps {
                 col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
 
-    "mm_decode_features" -> ((s, d) => {
-      // partition-wise "decode" over the binary column via mapPartitions —
-      // the batch shape a real image/audio decoder plugs into (STUB
-      // decoder, see decodeStub).
-      val s2 = s
-      import s2.implicits._
-      val bin = Tables(s, d, "documents")
+    "mm_decode_features" -> ((s, d) =>
+      // Declarative byte-feature extraction over the binary column —
+      // fully codegen'd and DuckDB-oracle-checked (the stub features are
+      // SQL-expressible: length / first byte / byte sum via hex pairs).
+      // The mapPartitions decoder-plumbing twin (decodeStub) is asserted
+      // equal to this query in LlmExtSpec — that's where a real
+      // image/audio decoder would plug in.
+      Tables(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      bin.mapPartitions(_.map { case (id, bytes) =>
-        val (len, first, sum) = decodeStub(bytes)
-        (id, len, first, sum)
-      }).toDF("doc_id", "byte_len", "first_byte", "byte_sum")
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"),
+                expr("octet_length(payload)").as("byte_len"),
+                expr("coalesce(CAST(conv(substring(hex(payload), 1, 2), 16, 10) AS INT), 0)")
+                  .as("first_byte"),
+                expr("CASE WHEN octet_length(payload) = 0 THEN 0L ELSE " +
+                  "aggregate(sequence(1, octet_length(payload)), 0L, (acc, i) -> " +
+                  "acc + CAST(conv(substring(hex(payload), 2*i - 1, 2), 16, 10) AS BIGINT)) END")
+                  .as("byte_sum"))
+        .orderBy("doc_id")),
   )
+
+  /** mapPartitions twin of mm_decode_features — the partition-wise batch
+    * shape a real image/audio decoder plugs into (STUB decoder, see
+    * decodeStub). Asserted equal to the declarative query in LlmExtSpec. */
+  def decodeFeaturesMapPartitions(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    val bin = Tables(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions(_.map { case (id, bytes) =>
+      val (len, first, sum) = decodeStub(bytes)
+      (id, len, first, sum)
+    }).toDF("doc_id", "byte_len", "first_byte", "byte_sum")
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_embedding" ->
@@ -305,5 +322,35 @@ object LlmExtOps {
         "lang, source, n_chars FROM documents ORDER BY doc_id"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "sim_ann_ivf" ->
+      // full IVF twin: same quantizer (exact decimal per-dim means), same
+      // round-4 cosine assignment with smaller-label tiebreak, same top-2
+      // probe, same exact re-scoring within the probed clusters
+      ("WITH cent AS (" + LlmOps.centroidSql(6) + "), " +
+        "cvecs AS (SELECT label AS c_label, list(mean ORDER BY pos) AS cvec " +
+        "FROM cent GROUP BY 1), " +
+        "scored AS (SELECT e.vec_id, c.c_label, " +
+        graft.Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)", 4) +
+        " AS csim FROM embeddings e CROSS JOIN cvecs c), " +
+        "assigned AS (SELECT vec_id, c_label AS cluster FROM scored " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) = 1), " +
+        "q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
+        "probe AS (SELECT c.c_label AS cluster FROM cvecs c, q ORDER BY " +
+        graft.Det.sql.r("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec)", 4) +
+        " DESC, c.c_label LIMIT 2) " +
+        "SELECT e.vec_id, " +
+        graft.Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+          "CAST(q.embedding AS DOUBLE[]))", 4) + " AS sim " +
+        "FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id " +
+        "JOIN probe p ON a.cluster = p.cluster CROSS JOIN q " +
+        "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    "mm_decode_features" ->
+      // fixture text is pure ASCII (verified: every doc matches
+      // ^[\x00-\x7F]*$), so per-char codepoints equal UTF-8 bytes
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
+        "coalesce(ascii(text[1]), 0) AS first_byte, " +
+        "CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '.'), " +
+        "c -> ascii(c))), 0) AS BIGINT) AS byte_sum " +
+        "FROM documents ORDER BY doc_id"),
   )
 }

@@ -60,6 +60,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  /** Full traversal including AQE query-stage wrappers (leaf nodes for
+    * plain TreeNode.collect). */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  private def assertMapSideCentroidAssign(q: String): Unit = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    // the quantizer join must stream the embeddings scan with NO exchange
+    // of any kind on the vector side (the argmax happens in the projection)
+    val ok = all.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.exists { j =>
+      val l = flatten(j.left)
+      l.exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) &&
+        !l.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    }
+    assert(ok, df.queryExecution.executedPlan.toString)
+  }
+
+  test("sim_knn_join assigns centroids map-side (no vector-side shuffle)") {
+    assertMapSideCentroidAssign("sim_knn_join")
+  }
+
+  test("sim_ann_ivf assigns centroids map-side (no vector-side shuffle)") {
+    assertMapSideCentroidAssign("sim_ann_ivf")
+  }
+
   test("journal stateAt after checkpoint prunes segment partitions") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_plan_").toString + "/store"

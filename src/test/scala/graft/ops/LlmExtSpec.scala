@@ -103,6 +103,14 @@ class LlmExtSpec extends AnyFunSuite {
     assert(out === Seq((0L, 2, 97, 195L))) // len=2, 'a'=97, 97+98=195
   }
 
+  test("mm_decode_features declarative query equals the mapPartitions decoder twin") {
+    val decl = LlmExtOps.queries("mm_decode_features")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val mp = LlmExtOps.decodeFeaturesMapPartitions(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(decl === mp)
+  }
+
   test("decodeStub is deterministic on raw bytes") {
     assert(LlmExtOps.decodeStub("ab".getBytes("UTF-8")) === ((2, 97, 195L)))
     assert(LlmExtOps.decodeStub(Array.emptyByteArray) === ((0, 0, 0L)))
