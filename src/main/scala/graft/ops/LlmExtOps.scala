@@ -24,20 +24,26 @@ object LlmExtOps {
 
   private val stopCond = "t = 'the' OR t = 'a'"
 
-  /** Declarative SimHash-64 — no UDF: xxhash64 (codegen'd) per token,
-    * explode the 64 bit positions, sum ±1 contributions per (doc, bit),
-    * reassemble the signature with shiftleft/sum. Every operator is a
-    * built-in expression, so the whole pipeline stays in whole-stage
-    * codegen and partial aggregation. */
-  private def simhashSignatures(docs: org.apache.spark.sql.DataFrame) =
-    docs
+  /** Declarative SimHash-64 — no UDF: xxhash64 (codegen'd) per token, then
+    * ONE hash aggregate per doc with 64 bit-count sums (map-side partial,
+    * single shuffle on doc_id). Bit b of the signature is set when more
+    * than half the token hashes have bit b set — identical to the
+    * classic ±1-accumulator formulation (acc_b = 2·ones_b − n > 0), but
+    * without the former 64-rows-per-token explode (a 64× intermediate
+    * blowup and an extra shuffle at scale — VERDICT r1 perf notes).
+    * Signature equality with the exploded formulation is pinned in
+    * LlmExtSpec. */
+  private[ops] def simhashSignatures(docs: org.apache.spark.sql.DataFrame) = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"),
-              explode(expr("sequence(0, 63)")).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("acc"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("acc") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(b => sum(expr(s"(h >> $b) & 1")).as(s"b$b"))
+    val sig = (0 until 64).map(b =>
+      when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
 
   /** Karp-Rabin rolling hash over the UTF-8 bytes (base 257, mod 2^61-1).
     * The streaming-friendly fingerprint a shingling pipeline would use. */
@@ -120,6 +126,43 @@ object LlmExtOps {
         .select(col("vec_id"),
                 graft.Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    "dedup_clusters" -> ((s, d) => {
+      // Dup-cluster resolution: the dedup ops emit PAIRS; a training-data
+      // pipeline needs one survivor per duplicate cluster. Connected
+      // components by iterative min-label propagation over the near-dup
+      // pair graph (O(diameter) joins, each shuffling only the tiny label
+      // table — the standard DataFrame CC shape; large-star/small-star is
+      // the same idea with better constants at extreme diameters).
+      // Survivor = the min doc_id of its cluster.
+      val pairs = LlmOps.queries("dedup_near_jaccard")(s, d).select("a_id", "b_id")
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = edges
+          .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+          .select(col("src").as("id"), col("lbl"))
+        val next = labels.select("id", "lbl").union(prop)
+          .groupBy("id").agg(min("lbl").as("lbl")).persist()
+        val changed = next
+          .join(labels.withColumnRenamed("lbl", "old"), "id")
+          .where(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+                (col("id") === col("lbl")).as("is_survivor"))
+        .orderBy("doc_id")
     }),
 
     "text_langid" -> ((s, d) =>
@@ -322,6 +365,18 @@ object LlmExtOps {
         "lang, source, n_chars FROM documents ORDER BY doc_id"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "dedup_clusters" ->
+      // transitive closure by recursive min-label reachability over the
+      // same near-dup pair graph; UNION (not UNION ALL) dedups rows so
+      // the recursion terminates
+      ("WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (" +
+        LlmOps.oracle("dedup_near_jaccard") + ") q), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
+        "SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster, " +
+        "(min(lbl) = id) AS is_survivor FROM reach GROUP BY id ORDER BY doc_id"),
     "sim_ann_ivf" ->
       // full IVF twin: same quantizer (exact decimal per-dim means), same
       // round-4 cosine assignment with smaller-label tiebreak, same top-2

@@ -103,6 +103,46 @@ class LlmExtSpec extends AnyFunSuite {
     assert(out === Seq((0L, 2, 97, 195L))) // len=2, 'a'=97, 97+98=195
   }
 
+  test("simhash signatures: 64-sum single-pass equals the exploded ±1 formulation") {
+    val docs = Tables(spark, sf, "documents")
+    val fast = LlmExtOps.simhashSignatures(docs)
+    // the r1 formulation: explode 64 bit rows per token, ±1 accumulate
+    val slow = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"),
+              explode(expr("sequence(0, 63)")).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("acc"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("acc") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"))
+    assert(fast.except(slow).count() === 0)
+    assert(slow.except(fast).count() === 0)
+    assert(fast.count() === docs.count())
+  }
+
+  test("dedup_clusters: min-id propagation finds connected components") {
+    // 0-1, 1-2 one cluster (via 'spark makes big data' 3-shingle overlap
+    // chain); 5-6 a second; 9 isolated (never appears)
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      (0L, "aa bb cc dd ee", "en", "s1", 14L),
+      (1L, "aa bb cc dd ff", "en", "s1", 14L),
+      (2L, "zz bb cc dd ff", "en", "s1", 14L),
+      (5L, "qq ww ee rr tt yy", "en", "s1", 17L),
+      (6L, "qq ww ee rr tt uu", "en", "s1", 17L),
+      (9L, "totally different words here now", "en", "s1", 32L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = LlmOps.queries("dedup_near_jaccard")(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)))
+    assert(pairs.contains((5L, 6L)))
+    val out = LlmExtOps.queries("dedup_clusters")(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.filter(_._2 == 0L).map(_._1).toSet === Set(0L, 1L, 2L))
+    assert(out.filter(_._2 == 5L).map(_._1).toSet === Set(5L, 6L))
+    assert(out.filter(_._3).map(_._1).toSet === Set(0L, 5L)) // one survivor per cluster
+    assert(!out.exists(_._1 == 9L)) // isolated docs are not in the pair graph
+  }
+
   test("mm_decode_features declarative query equals the mapPartitions decoder twin") {
     val decl = LlmExtOps.queries("mm_decode_features")(spark, sf)
       .collect().map(_.toString).toSeq
