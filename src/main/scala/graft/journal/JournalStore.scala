@@ -62,21 +62,24 @@ class JournalStore private (val spark: SparkSession, val path: String,
     require(missing.isEmpty,
       s"journal append requires columns $required; missing: $missing")
     val m = manifest
-    val withSeq =
-      if (df.columns.contains("seq")) df
-      else assignSeqs(df, m.maxSeq)
-    val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache only when we computed seqs (a shuffle+zipWithIndex worth
+    // keeping); a caller-seq batch is a cheap projection of its source —
+    // re-reading it for the max/checkpoint passes is cheaper than caching
+    val hasSeq = df.columns.contains("seq")
+    val withSeq = if (hasSeq) df else assignSeqs(df, m.maxSeq)
+    val out0 = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
+    val out = if (hasSeq) out0
+      else out0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
     // replay, ns pruning bounds per-namespace history reads (marasa's
     // per-namespace segment files, as partition directories). Repartition
-    // by epoch first: one writer task per epoch instead of
-    // (#tasks × #epochs) small files.
-    out.repartition(col("epoch"))
+    // on (epoch, ns): each output directory is written by exactly one
+    // task — one file per (epoch, ns) instead of (#tasks × #dirs) small
+    // files, and the writer tasks spread evenly across the cluster.
+    out.repartition(col("epoch"), col("ns"))
       .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
     val hi = out.agg(max("seq")).collect().headOption.flatMap(r =>
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    out.unpersist()
     val newMax = math.max(m.maxSeq, hi.getOrElse(m.maxSeq)) // empty batch = no-op
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
@@ -87,10 +90,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // append completed an epoch, materialize state at the last finished
     // epoch boundary. stateAt then replays ≤ 1 epoch of tail no matter
     // how long the journal grows, with no manual maintenance call.
+    // The state source unions the PRE-append segment files with the
+    // still-cached batch — re-reading what this append just wrote would
+    // double the ingest IO.
     val lastCkpt = m.checkpoints.sorted.lastOption.getOrElse(-1L)
     val boundary = (newMax / epochSize) * epochSize - 1
-    if (boundary > lastCkpt && newMax / epochSize > (lastCkpt max 0L) / epochSize)
-      checkpoint(boundary)
+    if (boundary > lastCkpt && newMax / epochSize > (lastCkpt max 0L) / epochSize) {
+      val cols = Seq("ns", "ukey", "seq", "payload", "epoch")
+      val priorRows =
+        if (m.files.nonEmpty)
+          spark.read.option("basePath", segDir)
+            .parquet(m.files.map(f => s"$segDir/$f"): _*)
+            .withColumn("ns", col("ns").cast("string"))
+            .selectExpr(cols: _*)
+        else out.selectExpr(cols: _*).limit(0)
+      val src = priorRows.unionByName(
+        out.withColumn("ns", col("ns").cast("string")).selectExpr(cols: _*))
+      writeCheckpoint(stateAtOver(src, m.checkpoints, boundary), boundary)
+    }
+    if (!hasSeq) out.unpersist()
     newMax
   }
 
@@ -137,7 +155,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val rows = spark.read.option("basePath", segDir)
       .parquet(old.map(f => s"$segDir/$f"): _*)
       .withColumn("ns", col("ns").cast("string"))
-    rows.repartition(col("epoch"))
+    rows.repartition(col("epoch"), col("ns"))
       .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
     val newFiles = listSegmentFiles() diff (m.files)
     writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles))
@@ -169,19 +187,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
   /** Point-in-time state (marasa read(ns, seq)): newest checkpoint ≤ seq
     * plus arg-max replay of only the tail segments — epoch partition
     * pruning bounds the scan. */
-  def stateAt(seq: Long): DataFrame = {
-    val m = manifest
-    val ckpt = m.checkpoints.filter(_ <= seq).sorted.lastOption
+  def stateAt(seq: Long): DataFrame =
+    stateAtOver(readSegments(), manifest.checkpoints, seq)
+
+  /** stateAt over an explicit row source (must carry ns, ukey, seq,
+    * payload, epoch) — lets append compute the auto-checkpoint from the
+    * cached batch instead of re-reading the files it just wrote. */
+  private def stateAtOver(rows: DataFrame, checkpoints: Seq[Long],
+                          seq: Long): DataFrame = {
+    val ckpt = checkpoints.filter(_ <= seq).sorted.lastOption
     val c = ckpt.getOrElse(-1L)
-    val tail = readSegments()
+    val tail = rows
       // prune both ends; floor is (c+1)/epochSize: a checkpoint exactly at
       // an epoch boundary (auto-checkpoint) skips that epoch entirely
       .where(col("epoch") >= lit((c + 1) / epochSize) &&
              col("epoch") <= lit(seq / epochSize))
       .where(col("seq") <= seq && col("seq") > lit(c))
       .select("ns", "ukey", "seq", "payload")
-    val base: Option[DataFrame] = ckpt.map { c =>
-      spark.read.parquet(ckptDir(c))
+    val base: Option[DataFrame] = ckpt.map { cp =>
+      spark.read.parquet(ckptDir(cp))
         .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
     }
     base.fold(tail)(_.unionByName(tail))
@@ -194,8 +218,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   /** Materialize a checkpoint at `seq` — future stateAt(≥seq) replays only
     * the segments after it (bounded-replay invariant, SURVEY §4.1). */
-  def checkpoint(seq: Long): Unit = {
-    stateAt(seq).write.mode("overwrite").parquet(ckptDir(seq))
+  def checkpoint(seq: Long): Unit = writeCheckpoint(stateAt(seq), seq)
+
+  private def writeCheckpoint(state: DataFrame, seq: Long): Unit = {
+    state.write.mode("overwrite").parquet(ckptDir(seq))
     val m = manifest
     writeManifest(path, m.copy(checkpoints = (m.checkpoints :+ seq).distinct.sorted))
   }

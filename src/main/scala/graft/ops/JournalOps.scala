@@ -74,8 +74,13 @@ object JournalOps {
       // parquet segments + atomically-swapped manifest — graft.journal),
       // then report per-segment stats. Stats are derivable from the
       // input, so this side-effecting sink is still oracle-checkable.
+      // epochSize 5000: epoch granularity is a replay/throughput tradeoff
+      // — 1000-seq epochs at sf0.1 meant 100 epoch dirs x 5 ns = 500 tiny
+      // files, pure filesystem overhead (the r1 bench's slowest query).
+      // Size epochs to the data: tail replay stays bounded, files stay
+      // worth opening.
       val tmp = java.nio.file.Files.createTempDirectory("graft_journal_").toString
-      val store = graft.journal.JournalStore.create(s, tmp, epochSize = 1000L)
+      val store = graft.journal.JournalStore.create(s, tmp, epochSize = 5000L)
       store.append(journal(s, d))
       store.segmentStats()
     }),
@@ -102,7 +107,7 @@ object JournalOps {
     "journal_asof_ts" ->
       stateSql("WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'"),
     "journal_write_segments" ->
-      ("SELECT event_id // 1000 AS epoch, count(*) AS n_rows, " +
+      ("SELECT event_id // 5000 AS epoch, count(*) AS n_rows, " +
         "CAST(min(event_id) AS BIGINT) AS min_seq, CAST(max(event_id) AS BIGINT) AS max_seq " +
         "FROM events GROUP BY 1 ORDER BY epoch"),
   )

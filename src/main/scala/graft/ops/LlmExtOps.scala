@@ -142,6 +142,10 @@ object LlmExtOps {
         .persist()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")).persist()
+      // convergence via the label-sum invariant: min-propagation only ever
+      // DECREASES labels, so the sum strictly decreases until fixpoint —
+      // one cheap scalar aggregate per iteration instead of a diff join
+      var prevSum = Long.MaxValue
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -150,12 +154,12 @@ object LlmExtOps {
           .select(col("src").as("id"), col("lbl"))
         val next = labels.select("id", "lbl").union(prop)
           .groupBy("id").agg(min("lbl").as("lbl")).persist()
-        val changed = next
-          .join(labels.withColumnRenamed("lbl", "old"), "id")
-          .where(col("lbl") =!= col("old")).count()
+        val sumRow = next.agg(sum("lbl")).collect()(0)
+        val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = s == prevSum
+        prevSum = s
         iter += 1
       }
       edges.unpersist()
