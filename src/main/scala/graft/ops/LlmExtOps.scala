@@ -128,6 +128,43 @@ object LlmExtOps {
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
+    "dedup_minhash" -> ((s, d) => {
+      // THE 100 TB dedup path, declared and oracle-checked (unlike the
+      // spark.ml MinHashLSH test row, whose seeded hashes have no SQL
+      // twin): 8 MinHash permutations from a PORTABLE hash — the first 15
+      // hex chars of md5("s<i>:"+shingle) as a BIGINT, computable
+      // identically in DuckDB — banded 8×1, candidates = pairs sharing
+      // any minhash, est = matching permutations / 8, keep est >= 0.5.
+      // Runs over the WHOLE corpus: the only shuffles are the signature
+      // aggregate (8 min-columns, map-side partials) and the band-bucket
+      // self-join — never all-pairs.
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+      val sh = docs.select(col("doc_id"), explode(LlmOps.shingles(3)).as("g"))
+      val mins = (0 until 8).map(h => min(
+        expr(s"CAST(conv(substring(md5(concat('s$h:', g)), 1, 15), 16, 10) AS BIGINT)"))
+        .as(s"m$h"))
+      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 8).map(h =>
+          struct(lit(h).as("band"), col(s"m$h").as("bv"))): _*)).as("x"))
+        .select(col("doc_id"), col("x.band"), col("x.bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val est = (0 until 8).map(h =>
+        when(col(s"sa.m$h") === col(s"sb.m$h"), 1).otherwise(0)).reduce(_ + _) / lit(8.0)
+      cand
+        .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("b_id") === col("sb.doc_id"))
+        .select(col("a_id"), col("b_id"), est.cast("double").as("est"))
+        .where(col("est") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
     "dedup_clusters" -> ((s, d) => {
       // Dup-cluster resolution: the dedup ops emit PAIRS; a training-data
       // pipeline needs one survivor per duplicate cluster. Connected
@@ -369,6 +406,27 @@ object LlmExtOps {
         "lang, source, n_chars FROM documents ORDER BY doc_id"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "dedup_minhash" -> {
+      val minCols = (0 until 8).map(h =>
+        s"min(CAST(('0x' || substr(md5('s$h:' || g), 1, 15)) AS BIGINT)) AS m$h")
+        .mkString(", ")
+      val bandRows = (0 until 8).map(h => s"SELECT doc_id, $h AS band, m$h AS bv FROM sigs")
+        .mkString(" UNION ALL ")
+      val estSql = (0 until 8).map(h =>
+        s"CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END").mkString("(", " + ", ") / 8.0")
+      "WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g " +
+        "FROM docs), " +
+        s"sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY 1), " +
+        s"bands AS ($bandRows), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        s"SELECT a_id, b_id, CAST($estSql AS DOUBLE) AS est " +
+        "FROM cand JOIN sigs sa ON sa.doc_id = a_id JOIN sigs sb ON sb.doc_id = b_id " +
+        s"WHERE $estSql >= 0.5 ORDER BY a_id, b_id"
+    },
     "dedup_clusters" ->
       // transitive closure by recursive min-label reachability over the
       // same near-dup pair graph; UNION (not UNION ALL) dedups rows so

@@ -103,6 +103,15 @@ class LlmExtSpec extends AnyFunSuite {
     assert(out === Seq((0L, 2, 97, 195L))) // len=2, 'a'=97, 97+98=195
   }
 
+  test("dedup_minhash: declared banded-minhash output recalls every exact jaccard pair") {
+    val exact = LlmOps.queries("dedup_near_jaccard")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val mh = LlmExtOps.queries("dedup_minhash")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+  }
+
   test("simhash signatures: 64-sum single-pass equals the exploded ±1 formulation") {
     val docs = Tables(spark, sf, "documents")
     val fast = LlmExtOps.simhashSignatures(docs)
