@@ -206,6 +206,24 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "sample_stratified" -> ((s, d) =>
+      // Deterministic stratified sampling + train/val split — what a
+      // training-data mix actually needs: reproducible across runs and
+      // engines (no RNG), per-source rates, pure projection (no shuffle,
+      // embarrassingly parallel at any scale). The sampling key is a
+      // portable hash: first 15 hex chars of md5(doc_id) as BIGINT % 100.
+      Tables(s, d, "documents")
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+        // keep 80% of web docs, 50% of every other source; an independent
+        // second hash assigns ~10% of the kept rows to the val split
+        .where(when(col("source") === "web", col("h") < 80).otherwise(col("h") < 50))
+        .withColumn("split",
+          when(expr("CAST(conv(substring(md5(concat('v:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10") === 0,
+               "val").otherwise("train"))
+        .select("doc_id", "source", "lang", "split")
+        .orderBy("doc_id")),
+
     "text_langid" -> ((s, d) =>
       Tables(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))
@@ -406,6 +424,14 @@ object LlmExtOps {
         "lang, source, n_chars FROM documents ORDER BY doc_id"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "sample_stratified" ->
+      ("SELECT doc_id, source, lang, CASE WHEN " +
+        "CAST(('0x' || substr(md5('v:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0 " +
+        "THEN 'val' ELSE 'train' END AS split FROM (" +
+        "SELECT doc_id, source, lang, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h " +
+        "FROM documents) WHERE (CASE WHEN source = 'web' THEN h < 80 ELSE h < 50 END) " +
+        "ORDER BY doc_id"),
     "dedup_minhash" -> {
       val minCols = (0 until 8).map(h =>
         s"min(CAST(('0x' || substr(md5('s$h:' || g), 1, 15)) AS BIGINT)) AS m$h")
