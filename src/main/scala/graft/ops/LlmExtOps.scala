@@ -165,46 +165,13 @@ object LlmExtOps {
         .orderBy("a_id", "b_id")
     }),
 
-    "dedup_clusters" -> ((s, d) => {
+    "dedup_clusters" -> ((s, d) =>
       // Dup-cluster resolution: the dedup ops emit PAIRS; a training-data
-      // pipeline needs one survivor per duplicate cluster. Connected
-      // components by iterative min-label propagation over the near-dup
-      // pair graph (O(diameter) joins, each shuffling only the tiny label
-      // table — the standard DataFrame CC shape; large-star/small-star is
-      // the same idea with better constants at extreme diameters).
-      // Survivor = the min doc_id of its cluster.
-      val pairs = LlmOps.queries("dedup_near_jaccard")(s, d).select("a_id", "b_id")
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .persist()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).persist()
-      // convergence via the label-sum invariant: min-propagation only ever
-      // DECREASES labels, so the sum strictly decreases until fixpoint —
-      // one cheap scalar aggregate per iteration instead of a diff join
-      var prevSum = Long.MaxValue
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val prop = edges
-          .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
-          .select(col("src").as("id"), col("lbl"))
-        val next = labels.select("id", "lbl").union(prop)
-          .groupBy("id").agg(min("lbl").as("lbl")).persist()
-        val sumRow = next.agg(sum("lbl")).collect()(0)
-        val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
-        labels.unpersist()
-        labels = next
-        converged = s == prevSum
-        prevSum = s
-        iter += 1
-      }
-      edges.unpersist()
-      labels
-        .select(col("id").as("doc_id"), col("lbl").as("cluster"),
-                (col("id") === col("lbl")).as("is_survivor"))
-        .orderBy("doc_id")
-    }),
+      // pipeline needs one survivor per duplicate cluster. Survivor = the
+      // min doc_id of its connected component.
+      connectedComponents(
+        LlmOps.queries("dedup_near_jaccard")(s, d).select("a_id", "b_id"))
+        .orderBy("doc_id")),
 
     "sample_stratified" -> ((s, d) =>
       // Deterministic stratified sampling + train/val split — what a
@@ -350,6 +317,45 @@ object LlmExtOps {
                   .as("byte_sum"))
         .orderBy("doc_id")),
   )
+
+  /** Connected components over an undirected pair list (a_id, b_id) by
+    * iterative min-label propagation (O(diameter) joins, each shuffling
+    * only the label table — the standard DataFrame CC shape;
+    * large-star/small-star is the same idea with better constants at
+    * extreme diameters). Convergence uses the label-sum invariant:
+    * min-propagation only ever DECREASES labels, so the sum strictly
+    * decreases until fixpoint — one cheap scalar aggregate per iteration
+    * instead of a diff join. Returns (doc_id, cluster, is_survivor);
+    * property-tested against a union-find model in PropertySpec. */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = pairs.toDF("a_id", "b_id")
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.toDF("a_id", "b_id").select(col("b_id"), col("a_id")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var prevSum = Long.MaxValue
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")).persist()
+      val sumRow = next.agg(sum("lbl")).collect()(0)
+      val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
+                  (col("id") === col("lbl")).as("is_survivor"))
+  }
 
   /** mapPartitions twin of mm_decode_features — the partition-wise batch
     * shape a real image/audio decoder plugs into (STUB decoder, see

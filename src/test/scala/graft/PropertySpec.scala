@@ -17,6 +17,37 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(15, for {
+      a <- Gen.choose(0L, 11L)
+      b <- Gen.choose(0L, 11L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+
+  test("connectedComponents equals a union-find model on random graphs") {
+    check(Prop.forAll(edgesGen) { edges =>
+      edges.isEmpty || {
+        val got = ops.LlmExtOps.connectedComponents(
+            edges.distinct.toDF("a_id", "b_id"))
+          .as[(Long, Long, Boolean)].collect().toSet
+        // reference model: driver-side union-find with min-root election
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = parent.keys.map { v =>
+          val root = find(v)
+          (v, root, v == root)
+        }.toSet
+        got == expect
+      }
+    })
+  }
+
   private val recordsGen: Gen[List[(String, Long, String)]] =
     Gen.listOfN(12, for {
       ns <- Gen.oneOf("a", "b")
