@@ -298,6 +298,48 @@ object LlmExtOps {
                 col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
 
+    "emb_quantize" -> ((s, d) =>
+      // int8 affine quantization per embedding (the compression step an
+      // ANN index applies before storage): q_i = round((x_i - lo) * 255 /
+      // (hi - lo)). Pure per-row projection over higher-order functions —
+      // codegen'd, shuffle-free. Emits the per-vector summary (qmin must
+      // be 0 and qmax 255 by construction unless the vector is constant);
+      // identical double arithmetic on both engines.
+      Tables(s, d, "embeddings")
+        .withColumn("lo", expr("CAST(array_min(embedding) AS DOUBLE)"))
+        .withColumn("hi", expr("CAST(array_max(embedding) AS DOUBLE)"))
+        .withColumn("qs", expr(
+          "transform(embedding, x -> CAST(round(CASE WHEN hi > lo THEN " +
+            "((CAST(x AS DOUBLE) - lo) * 255.0) / (hi - lo) ELSE 0.0 END) AS INT))"))
+        .select(col("vec_id"),
+                expr("CAST(array_min(qs) AS INT)").as("qmin"),
+                expr("CAST(array_max(qs) AS INT)").as("qmax"),
+                expr("CAST(aggregate(qs, 0L, (a, x) -> a + x) AS BIGINT)").as("qsum"),
+                graft.Det.r((col("hi") - col("lo")) / lit(255.0), 6).as("scale"))
+        .orderBy("vec_id")),
+
+    "mm_frame_sample" -> ((s, d) =>
+      // Frame sampling over a multimodal binary payload — the batch shape
+      // video/audio pipelines need: up to 4 deterministic stride-spaced
+      // frames per payload, each identified by (offset, length, content
+      // hash). A real frame decoder replaces the md5-of-slice; the
+      // schema, explode shape, and per-frame addressing are the real
+      // plumbing. Pure projection + generator — no shuffle at any scale.
+      Tables(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), expr("octet_length(payload)").as("n"), col("payload"))
+        .select(col("doc_id"), col("n"), col("payload"),
+                explode(expr("sequence(0, 3)")).as("frame_no"))
+        .withColumn("off", col("frame_no") * greatest(expr("n div 4"), lit(1)))
+        .where(col("off") < col("n"))
+        .withColumn("frame_len", least(lit(16), col("n") - col("off")))
+        .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
+                col("off").cast("int").as("off"),
+                col("frame_len").cast("int").as("frame_len"),
+                md5(lower(expr("substring(hex(payload), 2*off + 1, 2*frame_len)")))
+                  .as("frame_md5"))
+        .orderBy("doc_id", "frame_no")),
+
     "mm_decode_features" -> ((s, d) =>
       // Declarative byte-feature extraction over the binary column —
       // fully codegen'd and DuckDB-oracle-checked (the stub features are
@@ -493,6 +535,24 @@ object LlmExtOps {
         "FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id " +
         "JOIN probe p ON a.cluster = p.cluster CROSS JOIN q " +
         "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    "emb_quantize" ->
+      ("SELECT vec_id, CAST(list_min(qs) AS INT) AS qmin, " +
+        "CAST(list_max(qs) AS INT) AS qmax, CAST(list_sum(qs) AS BIGINT) AS qsum, " +
+        graft.Det.sql.r("(hi - lo) / 255.0", 6) + " AS scale FROM (" +
+        "SELECT vec_id, lo, hi, list_transform(de, x -> CAST(round(CASE WHEN hi > lo THEN " +
+        "((x - lo) * 255.0) / (hi - lo) ELSE 0.0 END) AS INT)) AS qs FROM (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de, " +
+        "CAST(list_min(embedding) AS DOUBLE) AS lo, " +
+        "CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings)) ORDER BY vec_id"),
+    "mm_frame_sample" ->
+      ("SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(off AS INT) AS off, " +
+        "CAST(least(16, n - off) AS INT) AS frame_len, " +
+        "md5(lower(substring(h, CAST(2*off + 1 AS INT), CAST(2*least(16, n - off) AS INT)))) " +
+        "AS frame_md5 FROM (" +
+        "SELECT doc_id, n, h, f, f * greatest(n // 4, 1) AS off FROM (" +
+        "SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h, " +
+        "unnest(generate_series(0, 3)) AS f FROM documents)) " +
+        "WHERE off < n ORDER BY doc_id, frame_no"),
     "mm_decode_features" ->
       // fixture text is pure ASCII (verified: every doc matches
       // ^[\x00-\x7F]*$), so per-char codepoints equal UTF-8 bytes
