@@ -222,6 +222,27 @@ object LlmExtOps {
                 "avg_token_len", "quality_score")
         .orderBy("doc_id")),
 
+    "text_pii_scrub" -> ((s, d) =>
+      // PII redaction — the compliance pass every training corpus runs:
+      // mask email addresses and long digit runs (phone/account numbers),
+      // report per-doc redaction counts. Declarative regexp pipeline,
+      // codegen'd, shuffle-free. Substance (actual emails/phones) is
+      // exercised by the LlmExtSpec fixture; the corpus-wide run is
+      // oracle-checked either way.
+      Tables(s, d, "documents")
+        .withColumn("scrubbed",
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "[0-9][0-9 ()+-]{6,}[0-9]", "<NUMBER>"))
+        .select(col("doc_id"),
+                expr("size(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0))")
+                  .as("n_emails"),
+                expr("size(regexp_extract_all(text, '[0-9][0-9 ()+-]{6,}[0-9]', 0))")
+                  .as("n_numbers"),
+                substring(col("scrubbed"), 1, 80).as("scrub_prefix"))
+        .orderBy("doc_id")),
+
     "text_normalize" -> ((s, d) =>
       // canonicalization pass a dedup pipeline runs before fingerprinting:
       // lowercase, strip non-alphanumerics, collapse whitespace
@@ -438,6 +459,14 @@ object LlmExtOps {
         graft.Det.sql.r("CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS avg_token_len " +
         "FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)) " +
         "ORDER BY doc_id"),
+    "text_pii_scrub" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '[0-9][0-9 ()+-]{6,}[0-9]')) AS INT) AS n_numbers, " +
+        "substring(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9][0-9 ()+-]{6,}[0-9]', '<NUMBER>', 'g'), 1, 80) AS scrub_prefix " +
+        "FROM documents ORDER BY doc_id"),
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
         "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text, " +

@@ -160,6 +160,20 @@ class LlmExtSpec extends AnyFunSuite {
     assert(decl === mp)
   }
 
+  test("text_pii_scrub masks emails and number runs, counts redactions") {
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      (0L, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now", "en", "s1", 62L),
+      (1L, "no pii here at all", "en", "s1", 18L),
+      (2L, "two mails a@b.io c@d.org and id 12345678", "en", "s1", 40L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmExtOps.queries("text_pii_scrub")(spark, dir)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out(0)._2 === 1 && out(0)._3 === 1)
+    assert(out(0)._4.contains("<EMAIL>") && out(0)._4.contains("<NUMBER>"))
+    assert(out(1) === ((1L, 0, 0, "no pii here at all")))
+    assert(out(2)._2 === 2 && out(2)._3 === 1)
+  }
+
   test("decodeStub is deterministic on raw bytes") {
     assert(LlmExtOps.decodeStub("ab".getBytes("UTF-8")) === ((2, 97, 195L)))
     assert(LlmExtOps.decodeStub(Array.emptyByteArray) === ((0, 0, 0L)))
