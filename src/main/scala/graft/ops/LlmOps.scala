@@ -161,8 +161,13 @@ object LlmOps {
     * groupBy(vec_id)'d, re-shuffling 10N rows carrying the embedding
     * arrays — VERDICT r1 perf §2.) */
   def centroidArray(e: DataFrame, scale: Int): DataFrame =
-    centroidVecs(e, scale)
-      .agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
+    centroidArrayOf(centroidVecs(e, scale))
+
+  /** Pack an existing (c_label, cvec) frame — lets callers that also need
+    * the per-centroid rows (e.g. the IVF probe) compute the quantizer
+    * aggregation once. */
+  def centroidArrayOf(cvecs: DataFrame): DataFrame =
+    cvecs.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
 
   /** Map-side nearest-centroid over a `cents` array column: round-4 cosine
     * desc, tie → smaller label — identical semantics to the former
@@ -170,7 +175,9 @@ object LlmOps {
     * row inside codegen with no shuffle at all. */
   def nearestCentroid: org.apache.spark.sql.Column = expr(
     "-(array_max(transform(cents, c -> named_struct(" +
-      "'sim', round(cosine_sim(embedding, c.cvec) * 10000.0) / 10000.0 + 0.0, " +
+      // Det.sql.r is valid Spark SQL too — one source of truth for the
+      // round-4 contract (incl. the -0.0 normalization) on all sides
+      s"'sim', ${Det.sql.r("cosine_sim(embedding, c.cvec)", 4)}, " +
       "'neg', -c.c_label))).neg)")
 
   /** Cosine of two float-array columns as a UDF — kept as the reference

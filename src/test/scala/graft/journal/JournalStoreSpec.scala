@@ -166,10 +166,13 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(m.checkpoints.nonEmpty, "append must checkpoint on epoch rollover")
     val last = m.checkpoints.max
     assert(last === 29L) // boundary of the last completed epoch
-    // tail replay reads only epochs > the checkpointed boundary
+    // tail replay reads only epochs > the checkpointed boundary: with
+    // ckpt at 29 and epochSize 10 the scan's partition filter floor must
+    // be epoch >= (29+1)/10 = 3 — assert the actual filter bound
     val plan = store.stateAt(35L).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
-    assert(!plan.contains("epoch=0)") || plan.contains("(epoch"), plan)
+    assert("epoch#\\d+L? >= 3".r.findFirstIn(plan).isDefined, plan)
+    assert("epoch#\\d+L? >= [012]\\b".r.findFirstIn(plan).isEmpty, plan)
     // and the state is identical to a full recompute from the raw scan
     val viaCkpt = store.stateAt(35L).collect().map(_.toString).sorted.toSeq
     val raw = graft.ops.JournalOps.stateAt(store.scan(), col("seq") <= 35L)

@@ -152,6 +152,18 @@ class LlmExtSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 9L)) // isolated docs are not in the pair graph
   }
 
+  test("connectedComponents runs to fixpoint on a path longer than any fixed cap") {
+    // path 0-1-2-...-24: min-label propagation advances one hop per
+    // iteration, so this needs 24 iterations — a hard 20-iteration cap
+    // (the original implementation) silently mislabels the far end
+    val path = (0L until 24L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = LlmExtOps.connectedComponents(path)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.size === 25)
+    assert(out.forall(_._2 == 0L), out.filter(_._2 != 0L).toString)
+    assert(out.count(_._3) === 1)
+  }
+
   test("mm_decode_features declarative query equals the mapPartitions decoder twin") {
     val decl = LlmExtOps.queries("mm_decode_features")(spark, sf)
       .collect().map(_.toString).toSeq
