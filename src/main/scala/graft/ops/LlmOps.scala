@@ -116,9 +116,15 @@ object LlmOps {
       val docs = Tables(s, d, "documents")
       val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // document frequency as a window over tf, not a separate aggregate
+      // + broadcast join: the old shape recomputed the tf pipeline for
+      // the df side (6 corpus scans, no ReusedExchange across the
+      // broadcast boundary) and would broadcast a vocabulary-sized table
+      // at 100 TB; the window is one shuffle on term, no broadcast
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
         .withColumn("idf", Det.r(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1, 4))
         .withColumn("score", Det.r(col("tf") * col("idf"), 4))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
