@@ -149,9 +149,16 @@ object LlmExtOps {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3)
       val sh = docs.select(col("doc_id"), explode(LlmOps.shingles(3)).as("g"))
-      val mins = (0 until 8).map(h => min(
-        expr(s"CAST(conv(substring(md5(concat('s$h:', g)), 1, 15), 16, 10) AS BIGINT)"))
-        .as(s"m$h"))
+      // each 32-hex-char md5 yields TWO independent 60-bit permutation
+      // values (chars 1-15 and 17-31) — 4 md5 evaluations per shingle
+      // instead of 8; at corpus scale the hash is the dominant map-side
+      // cost of signature building
+      val mins = (0 until 8).map { h =>
+        val pos = if (h % 2 == 0) 1 else 17
+        min(expr(
+          s"CAST(conv(substring(md5(concat('s${h / 2}:', g)), $pos, 15), 16, 10) AS BIGINT)"))
+          .as(s"m$h")
+      }
       // sigs is referenced three times (bands + both est sides); the
       // signature aggregation's shuffle is shared via ReusedExchange, so
       // no persist (and no session-cache leak) is needed
@@ -535,9 +542,10 @@ object LlmExtOps {
         "FROM documents) WHERE (CASE WHEN source = 'src0' THEN h < 80 ELSE h < 50 END) " +
         "ORDER BY doc_id"),
     "dedup_minhash" -> {
-      val minCols = (0 until 8).map(h =>
-        s"min(CAST(('0x' || substr(md5('s$h:' || g), 1, 15)) AS BIGINT)) AS m$h")
-        .mkString(", ")
+      val minCols = (0 until 8).map { h =>
+        val pos = if (h % 2 == 0) 1 else 17
+        s"min(CAST(('0x' || substr(md5('s${h / 2}:' || g), $pos, 15)) AS BIGINT)) AS m$h"
+      }.mkString(", ")
       val bandRows = (0 until 8).map(h => s"SELECT doc_id, $h AS band, m$h AS bv FROM sigs")
         .mkString(" UNION ALL ")
       val estSql = (0 until 8).map(h =>
