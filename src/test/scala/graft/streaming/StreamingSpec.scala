@@ -161,6 +161,11 @@ class StreamingSpec extends AnyFunSuite {
     val st = store.latest().orderBy("ns", "ukey")
       .select("ns", "ukey", "payload").as[(String, Long, String)].collect().toSeq
     assert(st === Seq(("click", 1L, """{"k": 1}"""), ("view", 2L, """{"k": 2}""")))
+    // the 3-row batch crossed the 2-seq epoch boundary, so streaming
+    // ingest gets the auto-checkpoint for free — a long-running stream's
+    // stateAt stays bounded with NO maintenance call anywhere
+    assert(store.manifest.checkpoints.nonEmpty,
+      s"append inside foreachBatch must auto-checkpoint: ${store.manifest}")
     q.stop()
   }
 }
