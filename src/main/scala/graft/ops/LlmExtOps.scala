@@ -358,6 +358,26 @@ object LlmExtOps {
                 graft.Det.r((col("hi") - col("lo")) / lit(255.0), 6).as("scale"))
         .orderBy("vec_id")),
 
+    "mm_resize_stub" -> ((s, d) =>
+      // Resize over a multimodal binary payload — the downsampling shape
+      // an image/audio pipeline runs: keep every 4th byte (a real decoder
+      // +resampler replaces the byte stride), emit the resized length and
+      // a content hash of the result. Declarative over the hex rendering
+      // so both engines verify the same bytes; pure projection.
+      Tables(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("n", expr("octet_length(payload)"))
+        .withColumn("h", lower(hex(col("payload"))))
+        .withColumn("rh", expr(
+          // Spark sequence(1, 0) yields [1, 0] (descending), not empty —
+          // guard the short-payload case explicitly
+          "CASE WHEN n div 4 < 1 THEN '' ELSE array_join(transform(" +
+            "sequence(1, n div 4), i -> substring(h, 8*i - 7, 2)), '') END"))
+        .select(col("doc_id"), col("n").cast("int").as("orig_len"),
+                expr("CAST(n div 4 AS INT)").as("resized_len"),
+                md5(col("rh")).as("resized_md5"))
+        .orderBy("doc_id")),
+
     "mm_frame_sample" -> ((s, d) =>
       // Frame sampling over a multimodal binary payload — the batch shape
       // video/audio pipelines need: up to 4 deterministic stride-spaced
@@ -606,6 +626,12 @@ object LlmExtOps {
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de, " +
         "CAST(list_min(embedding) AS DOUBLE) AS lo, " +
         "CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings)) ORDER BY vec_id"),
+    "mm_resize_stub" ->
+      ("SELECT doc_id, CAST(n AS INT) AS orig_len, CAST(n // 4 AS INT) AS resized_len, " +
+        "md5(array_to_string(list_transform(generate_series(1, n // 4), " +
+        "i -> substring(h, 8*i - 7, 2)), '')) AS resized_md5 FROM (" +
+        "SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h " +
+        "FROM documents) ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(off AS INT) AS off, " +
         "CAST(least(16, n - off) AS INT) AS frame_len, " +
