@@ -200,8 +200,8 @@ object LlmExtOps {
         .withColumn("h",
           expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
         // keep 80% of src0 docs, 50% of every other source (src0 is a
-        // real stratum in the fixture — FIXTURES.md lists src0..src19, so
-        // both branches are exercised and oracle-checked); an independent
+        // real stratum — verified present in all 3 SF fixtures, so both
+        // branches are exercised and oracle-checked); an independent
         // second hash assigns ~10% of the kept rows to the val split
         .where(when(col("source") === "src0", col("h") < 80).otherwise(col("h") < 50))
         .withColumn("split",
@@ -369,12 +369,14 @@ object LlmExtOps {
         .withColumn("n", expr("octet_length(payload)"))
         .withColumn("h", lower(hex(col("payload"))))
         .withColumn("rh", expr(
-          // Spark sequence(1, 0) yields [1, 0] (descending), not empty —
-          // guard the short-payload case explicitly
-          "CASE WHEN n div 4 < 1 THEN '' ELSE array_join(transform(" +
-            "sequence(1, n div 4), i -> substring(h, 8*i - 7, 2)), '') END"))
+          // ceil(n/4) samples: bytes 0,4,8,… including the final partial
+          // stride ("every 4th byte", matching mm_frame_sample's off < n
+          // convention). Spark sequence(1, 0) yields [1, 0] (descending),
+          // not empty — guard the empty-payload case explicitly.
+          "CASE WHEN n = 0 THEN '' ELSE array_join(transform(" +
+            "sequence(1, (n + 3) div 4), i -> substring(h, 8*i - 7, 2)), '') END"))
         .select(col("doc_id"), col("n").cast("int").as("orig_len"),
-                expr("CAST(n div 4 AS INT)").as("resized_len"),
+                expr("CAST((n + 3) div 4 AS INT)").as("resized_len"),
                 md5(col("rh")).as("resized_md5"))
         .orderBy("doc_id")),
 
@@ -450,13 +452,18 @@ object LlmExtOps {
       val prop = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("id"), col("lbl"))
-      // localCheckpoint (not persist): each iteration's plan references
-      // the previous labels TWICE, so without lineage truncation the
-      // logical plan doubles per iteration — exponential planning cost
-      // that OOMs past ~20 iterations. Truncating keeps the plan
-      // constant-size, exactly why GraphX checkpoints iterative graphs.
-      val next = labels.select("id", "lbl").union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+      // Each iteration's plan references the previous labels TWICE, so
+      // without lineage truncation the logical plan doubles per iteration
+      // — exponential planning cost that OOMs past ~20 iterations (the
+      // reason GraphX checkpoints iterative graphs). localCheckpoint
+      // every 8th iteration bounds the plan at ≤2^8 nodes over a leaf;
+      // the other iterations persist(), whose blocks the next
+      // iteration's unpersist() frees DETERMINISTICALLY (checkpoint
+      // blocks are only GC-freed, so we keep at most one per 8 rounds).
+      val nextBase = labels.select("id", "lbl").union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      val next = if (iter % 8 == 7) nextBase.localCheckpoint(true)
+                 else nextBase.persist()
       val sumRow = next.agg(sum("lbl")).collect()(0)
       val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
       labels.unpersist()
@@ -627,9 +634,11 @@ object LlmExtOps {
         "CAST(list_min(embedding) AS DOUBLE) AS lo, " +
         "CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings)) ORDER BY vec_id"),
     "mm_resize_stub" ->
-      ("SELECT doc_id, CAST(n AS INT) AS orig_len, CAST(n // 4 AS INT) AS resized_len, " +
-        "md5(array_to_string(list_transform(generate_series(1, n // 4), " +
-        "i -> substring(h, 8*i - 7, 2)), '')) AS resized_md5 FROM (" +
+      // coalesce: DuckDB's array_to_string([], '') is NULL, but the Spark
+      // side emits md5('') for an empty payload — align the engines
+      ("SELECT doc_id, CAST(n AS INT) AS orig_len, CAST((n + 3) // 4 AS INT) AS resized_len, " +
+        "md5(coalesce(array_to_string(list_transform(generate_series(1, (n + 3) // 4), " +
+        "i -> substring(h, 8*i - 7, 2)), ''), '')) AS resized_md5 FROM (" +
         "SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h " +
         "FROM documents) ORDER BY doc_id"),
     "mm_frame_sample" ->
