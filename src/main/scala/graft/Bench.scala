@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  private def r3(v: Double): String = {
+    val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    s.bigDecimal.toPlainString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,16 +25,35 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Stop Spark BEFORE printing so the JSON is the final stdout line
-    // (round-1 driver parse failed: the line was buried ahead of sbt's
-    // [success] trailer). Also persist to bench.json as a fallback.
+    // Full-precision record for humans / the judge.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing so the JSON is the final stdout line.
     spark.stop()
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
-    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fullLine + "\n")
+    // The driver only inspects the LAST ~2000 chars of sbt output
+    // (BENCH_r01/r02 both came back parsed:null because the 90-query
+    // full map overflowed that window). Print a compact line that is
+    // guaranteed to fit: slowest queries first, greedily filled to a
+    // hard character budget; the full map lives in bench.json.
+    val budget = 1600
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val tail = s"""},"n":${results.size},"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    entries.foreach { e =>
+      val sep = if (first) "" else ","
+      if (sb.length + sep.length + e.length + tail.length <= budget) {
+        sb.append(sep).append(e); first = false
+      }
+    }
+    sb.append(tail)
+    println(sb.toString)
     System.out.flush()
   }
 }

@@ -62,14 +62,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
     require(missing.isEmpty,
       s"journal append requires columns $required; missing: $missing")
     val m = manifest
-    // cache only when we computed seqs (a shuffle+zipWithIndex worth
-    // keeping); a caller-seq batch is a cheap projection of its source —
-    // re-reading it for the max/checkpoint passes is cheaper than caching
+    // The batch feeds up to three passes (segment write, max(seq) agg,
+    // and — on epoch rollover — the checkpoint union), so persist it
+    // unconditionally; without this a caller-seq batch re-scanned its
+    // source 3x on rollover appends. Released before return.
     val hasSeq = df.columns.contains("seq")
     val withSeq = if (hasSeq) df else assignSeqs(df, m.maxSeq)
-    val out0 = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
-    val out = if (hasSeq) out0
-      else out0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
     // replay, ns pruning bounds per-namespace history reads (marasa's
     // per-namespace segment files, as partition directories). Repartition
@@ -108,19 +108,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
         out.withColumn("ns", col("ns").cast("string")).selectExpr(cols: _*))
       writeCheckpoint(stateAtOver(src, m.checkpoints, boundary), boundary)
     }
-    if (!hasSeq) out.unpersist()
+    out.unpersist()
     newMax
   }
 
-  /** Assign dense seqs `startSeq+1 ..` in total (ts, ns, ukey, payload)
-    * order WITHOUT a global window (a no-partition window moves the whole
+  /** Assign dense seqs `startSeq+1 ..` in total (ts, ns, ukey, payload,
+    * <remaining columns>) order WITHOUT a global window (a no-partition window moves the whole
     * batch into one task — THE ingest bottleneck at scale). Instead:
     * range-repartition on the order key + local sort = global order across
     * partition index; then the classic two-pass offset scheme (pass 1
     * counts rows per partition, pass 2 adds the per-partition offset via
     * zipWithIndex). Every stage is fully parallel. */
   private[journal] def assignSeqs(df: DataFrame, startSeq: Long): DataFrame = {
-    val key = Seq(col("ts"), col("ns"), col("ukey"), col("payload"))
+    // Sort on ALL columns (primary order key first, then the remaining
+    // columns in name order) so the total order — and therefore the
+    // seq<->row association — is deterministic even for rows that tie on
+    // (ts, ns, ukey, payload) but differ elsewhere (e.g. `val`).
+    val primary = Seq("ts", "ns", "ukey", "payload")
+    val rest = df.columns.filterNot(primary.contains).sorted.toSeq
+    val key = (primary ++ rest).map(col)
     val sorted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
     val schema = sorted.schema.add("seq", org.apache.spark.sql.types.LongType, false)
     val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>

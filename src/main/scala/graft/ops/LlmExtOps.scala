@@ -474,8 +474,17 @@ object LlmExtOps {
     }
     edges.unpersist()
     require(converged, s"connectedComponents did not converge in $iter iterations")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
-                  (col("id") === col("lbl")).as("is_survivor"))
+    // Materialize the result eagerly, then release the last iteration's
+    // cache: returning a DataFrame that still depends on a persist()'d
+    // `labels` would leave its blocks pinned forever (no caller
+    // unpersists). Checkpoint blocks are released by the ContextCleaner
+    // once the returned DataFrame is GC'd, persist blocks are not.
+    val result = labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+              (col("id") === col("lbl")).as("is_survivor"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** mapPartitions twin of mm_decode_features — the partition-wise batch
@@ -652,11 +661,14 @@ object LlmExtOps {
         "WHERE off < n ORDER BY doc_id, frame_no"),
     "mm_decode_features" ->
       // fixture text is pure ASCII (verified: every doc matches
-      // ^[\x00-\x7F]*$), so per-char codepoints equal UTF-8 bytes
+      // ^[\x00-\x7F]*$), so per-char codepoints equal UTF-8 bytes.
+      // Decompose via range+ascii (newline-safe) rather than
+      // regexp_extract_all(text,'.'), whose '.' skips \n — an ASCII
+      // byte the guard above does NOT exclude.
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
         "coalesce(ascii(text[1]), 0) AS first_byte, " +
-        "CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '.'), " +
-        "c -> ascii(c))), 0) AS BIGINT) AS byte_sum " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), " +
+        "i -> ascii(text[i]))), 0) AS BIGINT) AS byte_sum " +
         "FROM documents ORDER BY doc_id"),
   )
 }
