@@ -24,41 +24,44 @@ object LlmExtOps {
 
   private val stopCond = "t = 'the' OR t = 'a'"
 
-  /** Declarative SimHash-64 — no UDF: xxhash64 (codegen'd) per token, then
-    * ONE hash aggregate per doc with 64 bit-count sums (map-side partial,
-    * single shuffle on doc_id). Bit b of the signature is set when more
-    * than half the token hashes have bit b set — identical to the
-    * classic ±1-accumulator formulation (acc_b = 2·ones_b − n > 0), but
-    * without the former 64-rows-per-token explode (a 64× intermediate
-    * blowup and an extra shuffle at scale — VERDICT r1 perf notes).
-    * Signature equality with the exploded formulation is pinned in
-    * LlmExtSpec. */
+  /** Declarative SimHash-60 — no UDF: a PORTABLE 60-bit token hash
+    * (first 15 hex chars of md5, the same cross-engine trick as
+    * dedup_minhash — DuckDB computes the identical value, so the full
+    * pipeline is oracle-checkable), then ONE hash aggregate per doc with
+    * 60 bit-count sums (map-side partial, single shuffle on doc_id).
+    * Bit b of the signature is set when more than half the token hashes
+    * have bit b set — identical to the classic ±1-accumulator
+    * formulation (acc_b = 2·ones_b − n > 0), but without the former
+    * 60-rows-per-token explode (a 60× intermediate blowup and an extra
+    * shuffle at scale — VERDICT r1 perf notes). Signature equality with
+    * the exploded formulation is pinned in LlmExtSpec. */
+  private[ops] val simhashBits = 60
   private[ops] def simhashSignatures(docs: org.apache.spark.sql.DataFrame) = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b => sum(expr(s"(h >> $b) & 1")).as(s"b$b"))
-    val sig = (0 until 64).map(b =>
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val bitSums = (0 until simhashBits).map(b => sum(expr(s"(h >> $b) & 1")).as(s"b$b"))
+    val sig = (0 until simhashBits).map(b =>
       when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)).reduce(_ + _)
     tok.groupBy("doc_id")
       .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
       .select(col("doc_id"), sig.as("sig"))
   }
 
-  /** Karp-Rabin rolling hash over the UTF-8 bytes (base 257, mod 2^61-1).
+  /** Karp-Rabin rolling hash over character code points (== bytes for
+    * ASCII text; base 257, mod p = 2^30-35, prime). The sub-2^30 modulus
+    * keeps every intermediate < 2^38, so the identical recurrence runs in
+    * plain 64-bit arithmetic in Spark SQL (`aggregate`), in DuckDB
+    * (`list_reduce` — the oracle twin), and in a streaming accumulator.
     * The streaming-friendly fingerprint a shingling pipeline would use. */
+  private[ops] val rollingMod = 1073741789L
   private[ops] def rollingHash(s: String): Long = {
-    val mod = (1L << 61) - 1
     var h = 0L
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
-      h = (mulMod(h, 257L, mod) + (b & 0xffL)) % mod
-    }
+    s.foreach { c => h = (h * 257L + c.toLong) % rollingMod }
     h
   }
-  private def mulMod(a: Long, b: Long, m: Long): Long =
-    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
-      .mod(java.math.BigInteger.valueOf(m)).longValue()
-  private val rollingUdf = udf(rollingHash _)
+  private[ops] val rollingUdf = udf(rollingHash _)
 
   /** STUB decoder for multimodal binary columns: the real image/audio
     * decode libs are absent in this container, so features are a
@@ -85,15 +88,19 @@ object LlmExtOps {
     }),
 
     "dedup_simhash" -> ((s, d) => {
-      // 4×16-bit bands over a 64-bit simhash → candidates share a band;
-      // verify with XOR popcount ≤ 3. No oracle (murmur3 is engine-local).
-      // no persist needed: the self-join's two sides share the signature
+      // 4×15-bit bands over the 60-bit portable simhash → candidates
+      // share a band; verify with XOR popcount ≤ 3. With ≤3 differing
+      // bits across 4 bands, pigeonhole guarantees at least one
+      // untouched band, so banding loses NOTHING vs all-pairs at this
+      // threshold — which is why the brute-force DuckDB oracle below is
+      // an exact twin while this plan stays O(docs·bands) shuffle.
+      // No persist needed: the self-join's two sides share the signature
       // aggregation's shuffle via ReusedExchange (verified in the plan),
-      // so nothing leaks into the session cache
+      // so nothing leaks into the session cache.
       val docs = simhashSignatures(Tables(s, d, "documents"))
       val bands = docs.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 3), k -> " +
-          "named_struct('band', k, 'v', (sig >> (k * 16)) & 65535))")).as("bv"))
+          "named_struct('band', k, 'v', (sig >> (k * 15)) & 32767))")).as("bv"))
         .select(col("doc_id"), col("sig"), col("bv.band"), col("bv.v"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
@@ -320,10 +327,15 @@ object LlmExtOps {
         .orderBy("doc_id")),
 
     "text_fingerprint_rolling" -> ((s, d) =>
-      // Karp-Rabin fingerprint — engine-local (no SQL twin); determinism
-      // pinned by hand-computed values in LlmExtSpec.
+      // Karp-Rabin fingerprint, fully declarative (codegen'd higher-order
+      // aggregate, no UDF) and DuckDB-oracle-checked; equality with the
+      // Scala accumulator (rollingHash) is pinned in LlmExtSpec.
       Tables(s, d, "documents")
-        .select(col("doc_id"), rollingUdf(col("text")).as("fp_rolling"))
+        .select(col("doc_id"),
+          expr("CASE WHEN char_length(text) = 0 THEN 0L ELSE " +
+            "aggregate(sequence(1, char_length(text)), 0L, (acc, i) -> " +
+            s"(acc * 257 + ascii(substring(text, i, 1))) % $rollingMod) END")
+            .as("fp_rolling"))
         .orderBy("doc_id")),
 
     "mm_binary_meta" -> ((s, d) =>
@@ -505,6 +517,27 @@ object LlmExtOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_simhash" ->
+      // Brute-force all-pairs twin: exact at hamming<=3 with 4 bands
+      // (pigeonhole — see the query comment). Token hash is the portable
+      // 60-bit md5 prefix, identical in both engines.
+      ("WITH tok AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        "bits AS (SELECT doc_id, b, sum((h >> b) & 1) AS ones, count(*) AS n " +
+        "FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS b) GROUP BY doc_id, b), " +
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN 2 * ones > n " +
+        "THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig " +
+        "FROM bits GROUP BY doc_id) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a_id, b_id"),
+    "text_fingerprint_rolling" ->
+      ("SELECT doc_id, CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))), " +
+        "(acc, c) -> (acc * 257 + c) % 1073741789) END AS fp_rolling " +
+        "FROM documents ORDER BY doc_id"),
     "dedup_embedding" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         graft.Det.sql.r("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) + " AS sim " +

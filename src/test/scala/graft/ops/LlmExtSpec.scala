@@ -112,14 +112,15 @@ class LlmExtSpec extends AnyFunSuite {
     assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
   }
 
-  test("simhash signatures: 64-sum single-pass equals the exploded ±1 formulation") {
+  test("simhash signatures: 60-sum single-pass equals the exploded ±1 formulation") {
     val docs = Tables(spark, sf, "documents")
     val fast = LlmExtOps.simhashSignatures(docs)
-    // the r1 formulation: explode 64 bit rows per token, ±1 accumulate
+    // the r1 formulation: explode 60 bit rows per token, ±1 accumulate
     val slow = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"),
-              explode(expr("sequence(0, 63)")).as("bit"))
+      .select(col("doc_id"),
+              expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"),
+              explode(expr("sequence(0, 59)")).as("bit"))
       .groupBy("doc_id", "bit")
       .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("acc"))
       .groupBy("doc_id")
@@ -127,6 +128,16 @@ class LlmExtSpec extends AnyFunSuite {
     assert(fast.except(slow).count() === 0)
     assert(slow.except(fast).count() === 0)
     assert(fast.count() === docs.count())
+  }
+
+  test("text_fingerprint_rolling: declarative query equals the Scala accumulator") {
+    val out = LlmExtOps.queries("text_fingerprint_rolling")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val expect = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> LlmExtOps.rollingHash(t) }.toMap
+    assert(out === expect)
+    assert(out.nonEmpty)
   }
 
   test("dedup_clusters: min-id propagation finds connected components") {
