@@ -62,14 +62,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     require(missing.isEmpty,
       s"journal append requires columns $required; missing: $missing")
     val m = manifest
-    // The batch feeds up to three passes (segment write, max(seq) agg,
-    // and — on epoch rollover — the checkpoint union), so persist it
-    // unconditionally; without this a caller-seq batch re-scanned its
-    // source 3x on rollover appends. Released before return.
+    // The batch feeds up to three passes (segment write, stats agg, and —
+    // on epoch rollover — the checkpoint union). Persist only when we
+    // computed seqs (shuffle+zipWithIndex lineage is worth keeping); a
+    // caller-seq batch is a cheap projection of its parquet source, and
+    // the MEASURED tradeoff (sf0.1, 600k rows) is ~1.7 s to populate the
+    // columnar cache vs ~0.6 s total for the two extra re-scans — the
+    // extra scans win, and we accept them explicitly here.
     val hasSeq = df.columns.contains("seq")
     val withSeq = if (hasSeq) df else assignSeqs(df, m.maxSeq)
-    val out = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out0 = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
+    val out = if (hasSeq) out0
+      else out0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
     // replay, ns pruning bounds per-namespace history reads (marasa's
     // per-namespace segment files, as partition directories). Repartition
@@ -78,13 +82,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // files, and the writer tasks spread evenly across the cluster.
     out.repartition(col("epoch"), col("ns"))
       .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
-    val hi = out.agg(max("seq")).collect().headOption.flatMap(r =>
-      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // One stats pass over the cached batch yields the per-epoch manifest
+    // stats (rows/min/max — the Delta-style metadata that lets
+    // segmentStats() and seq-range pruning skip the segment tree
+    // entirely) AND the new high-water mark; no separate max(seq) job.
+    val batchStats = out.groupBy("epoch")
+      .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"))
+      .collect().map(r => EpochStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hi = if (batchStats.isEmpty) None else Some(batchStats.map(_.maxSeq).max)
     val newMax = math.max(m.maxSeq, hi.getOrElse(m.maxSeq)) // empty batch = no-op
+    val mergedStats = (m.stats ++ batchStats).groupBy(_.epoch).map { case (e, ss) =>
+      EpochStat(e, ss.map(_.rows).sum, ss.map(_.minSeq).min, ss.map(_.maxSeq).max)
+    }.toSeq.sortBy(_.epoch)
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
-      files = (m.files ++ (listSegmentFiles() diff m.files)).distinct))
+      files = (m.files ++ (listSegmentFiles() diff m.files)).distinct,
+      stats = mergedStats))
     // Automatic checkpoint policy (marasa checkpoints periodically so
     // reads are bounded by epoch size — SURVEY §0.1.5/§4.1): when this
     // append completed an epoch, materialize state at the last finished
@@ -108,7 +122,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         out.withColumn("ns", col("ns").cast("string")).selectExpr(cols: _*))
       writeCheckpoint(stateAtOver(src, m.checkpoints, boundary), boundary)
     }
-    out.unpersist()
+    if (!hasSeq) out.unpersist()
     newMax
   }
 
@@ -232,8 +246,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
     writeManifest(path, m.copy(checkpoints = (m.checkpoints :+ seq).distinct.sorted))
   }
 
-  /** Per-epoch segment stats from the data (used by journal_write_segments). */
-  def segmentStats(): DataFrame =
+  /** Per-epoch segment stats straight from the manifest (no segment-tree
+    * read — the metadata-only path; used by journal_write_segments).
+    * Equality with the data-derived computation is pinned in
+    * JournalStoreSpec. */
+  def segmentStats(): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    manifest.stats.sortBy(_.epoch)
+      .map(st => (st.epoch, st.rows, st.minSeq, st.maxSeq))
+      .toDF("epoch", "n_rows", "min_seq", "max_seq")
+      .orderBy("epoch")
+  }
+
+  /** The same stats recomputed from the segment data — the audit path. */
+  def segmentStatsFromData(): DataFrame =
     readSegments()
       .groupBy(col("epoch").cast("long").as("epoch")) // partition col is discovered as int
       .agg(count(lit(1)).as("n_rows"), min("seq").as("min_seq"), max("seq").as("max_seq"))
@@ -241,8 +268,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
 }
 
 object JournalStore {
+  /** Per-epoch data statistics, maintained in the manifest at append time
+    * (the Delta/Iceberg file-stats idea): segment stats never require
+    * re-reading the segment tree, and seq-range reads can prune epochs
+    * from metadata alone. Survives compaction (stats describe the DATA in
+    * an epoch, not its file layout). */
+  case class EpochStat(epoch: Long, rows: Long, minSeq: Long, maxSeq: Long)
+
   case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
-                      files: Seq[String] = Nil)
+                      files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil)
 
   def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore = {
     Files.createDirectories(Paths.get(path))
@@ -262,10 +296,14 @@ object JournalStore {
 
   private[journal] def writeManifest(path: String, m: Manifest): Unit = {
     val files = m.files.map(f => "\"" + f + "\"").mkString(",")
+    // stats as a flat numeric list in groups of 4 (epoch, rows, min, max)
+    // so the same bracket-free regex parser below can read it back
+    val stats = m.stats.sortBy(_.epoch)
+      .flatMap(st => Seq(st.epoch, st.rows, st.minSeq, st.maxSeq)).mkString(",")
     val json =
       s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
         s""""checkpoints":[${m.checkpoints.mkString(",")}],""" +
-        s""""files":[$files]}"""
+        s""""files":[$files],"stats":[$stats]}"""
     val tmp = Paths.get(path, ".manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
@@ -286,7 +324,12 @@ object JournalStore {
         .map(_.group(1)).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
         .getOrElse(Nil)
-      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files))
+      val stats = """stats":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim.toLong).grouped(4)
+          .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq)
+        .getOrElse(Nil)
+      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats))
     }
   }
 }

@@ -49,6 +49,30 @@ object LlmExtOps {
       .select(col("doc_id"), sig.as("sig"))
   }
 
+  /** Random-hyperplane LSH bucket (sim_ann_lsh): 6 planes × 64 dims of
+    * integer weights from an LCG of the flat index — w(j,d) =
+    * ((1103515245*(j*64+d) + 12345) mod 2^31) mod 2001 − 1000 — so Spark
+    * and DuckDB derive the SAME matrix from the same arithmetic, no
+    * literals shipped. Projections accumulate doubles in strict index
+    * order in both engines (sequential fold), so the sign — and hence
+    * the bucket — is bit-identical. */
+  private[ops] val lshPlanes = 6
+  private def lshWeight(flatIdx: String) =
+    s"CAST((CAST(1103515245 AS BIGINT) * ($flatIdx) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)"
+  private[ops] val lshBucketSqlSpark: String =
+    (0 until lshPlanes).map { j =>
+      val dot = "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, d) -> " +
+        s"acc + CAST(element_at(embedding, d + 1) AS DOUBLE) * ${lshWeight(s"${j * 64} + d")})"
+      s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS INT)")
+  private[ops] val lshBucketSqlDuck: String =
+    (0 until lshPlanes).map { j =>
+      val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(0, 64), d -> CAST(embedding[d + 1] AS DOUBLE) * " +
+        s"${lshWeight(s"${j * 64} + d")})), (acc, x) -> acc + x)"
+      s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS INT)")
+
   /** Karp-Rabin rolling hash over character code points (== bytes for
     * ASCII text; base 257, mod p = 2^30-35, prime). The sub-2^30 modulus
     * keeps every intermediate < 2^38, so the identical recurrence runs in
@@ -138,6 +162,29 @@ object LlmExtOps {
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
+                graft.Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      // The second ANN scale path (SURVEY §2.H: "IVF or LSH-bucketed"):
+      // random-hyperplane LSH. Each vector gets a bucket from the signs
+      // of 6 integer-hyperplane projections; candidates = same bucket as
+      // the query, exact cosine top-10 within. The hyperplane matrix is
+      // an LCG of the flat index (j*64+d) — a pure integer formula both
+      // engines evaluate identically, so the whole pipeline is
+      // oracle-checked with no literals shipped across. Bucketing is
+      // map-side (one scan, no shuffle of the vector side; the 1-row
+      // query is broadcast); at 100 TB you'd raise the plane count so
+      // bucket occupancy stays bounded (bits ~ log2(corpus/target)).
+      graft.expr.GraftFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val withB = e.withColumn("bucket", expr(lshBucketSqlSpark))
+      val q = withB.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      withB.join(broadcast(q), col("bucket") === col("q_bucket"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("bucket"),
                 graft.Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
@@ -464,17 +511,33 @@ object LlmExtOps {
       val prop = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("id"), col("lbl"))
-      // Each iteration's plan references the previous labels TWICE, so
-      // without lineage truncation the logical plan doubles per iteration
-      // — exponential planning cost that OOMs past ~20 iterations (the
+      // Pointer doubling AFTER the first rounds: also chase one label
+      // indirection per round (id -> lbl -> lbl(lbl)). Labels only ever
+      // decrease and lbl(x) <= x, so folding lbl(lbl) into the min is
+      // safe and the fixpoint is unchanged — but label distance-to-root
+      // then doubles per round, so total rounds are O(log diameter).
+      // Near-dup clusters are almost always shallow (diameter 2-4), so
+      // the first rounds skip the extra self-join entirely — doubling
+      // only pays once a graph is genuinely deep (the pathological
+      // chain case), where it turns diameter-many driver-synchronized
+      // rounds into a handful.
+      val chase =
+        if (iter < 3) labels.select("id", "lbl").limit(0)
+        else labels.select(col("lbl").as("jk"), col("id"))
+          .join(labels.select(col("id").as("jk"), col("lbl")), "jk")
+          .select(col("id"), col("lbl"))
+      // Each iteration's plan references the previous labels FOUR times
+      // (identity + edge-prop + both sides of the chase join), so without
+      // lineage truncation the logical plan grows 4x per iteration —
+      // analyzer cost alone explodes past a handful of rounds (the
       // reason GraphX checkpoints iterative graphs). localCheckpoint
-      // every 8th iteration bounds the plan at ≤2^8 nodes over a leaf;
-      // the other iterations persist(), whose blocks the next
-      // iteration's unpersist() frees DETERMINISTICALLY (checkpoint
-      // blocks are only GC-freed, so we keep at most one per 8 rounds).
-      val nextBase = labels.select("id", "lbl").union(prop)
+      // every 3rd iteration bounds the plan at <=4^3 leaf copies; the
+      // other iterations persist(), whose blocks the next iteration's
+      // unpersist() frees DETERMINISTICALLY (checkpoint blocks are only
+      // GC-freed, so we keep at most one per 3 rounds).
+      val nextBase = labels.select("id", "lbl").union(prop).union(chase)
         .groupBy("id").agg(min("lbl").as("lbl"))
-      val next = if (iter % 8 == 7) nextBase.localCheckpoint(true)
+      val next = if (iter % 3 == 2) nextBase.localCheckpoint(true)
                  else nextBase.persist()
       val sumRow = next.agg(sum("lbl")).collect()(0)
       val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty graph
@@ -532,6 +595,15 @@ object LlmExtOps {
         "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a_id, b_id"),
+    "sim_ann_lsh" ->
+      ("WITH b AS (SELECT vec_id, embedding, " + lshBucketSqlDuck + " AS bucket " +
+        "FROM embeddings), q AS (SELECT embedding AS q_emb, bucket AS q_bucket " +
+        "FROM b WHERE vec_id = 0) " +
+        "SELECT b.vec_id, b.bucket, " +
+        graft.Det.sql.r("list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
+          "CAST(q.q_emb AS DOUBLE[]))", 4) + " AS sim " +
+        "FROM b CROSS JOIN q WHERE b.bucket = q.q_bucket AND b.vec_id <> 0 " +
+        "ORDER BY sim DESC, b.vec_id LIMIT 10"),
     "text_fingerprint_rolling" ->
       ("SELECT doc_id, CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE " +
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -89,6 +89,16 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[Number]("epoch").longValue).toSeq === Seq(5L, 6L))
   }
 
+  test("manifest epoch stats equal the data-derived stats across appends") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    store.append(sampleDf) // second batch lands in later epochs
+    val fromManifest = store.segmentStats().collect().map(_.toSeq).toSeq
+    val fromData = store.segmentStatsFromData().collect().map(_.toSeq).toSeq
+    assert(fromManifest === fromData)
+    assert(fromManifest.nonEmpty)
+  }
+
   test("history filters by ns and key in seq order") {
     val store = JournalStore.create(spark, freshPath)
     store.append(sampleDf)

@@ -130,6 +130,19 @@ class LlmExtSpec extends AnyFunSuite {
     assert(fast.count() === docs.count())
   }
 
+  test("sim_ann_lsh: bucketed candidates carry exact cosine sims in rank order") {
+    val out = LlmExtOps.queries("sim_ann_lsh")(spark, sf)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 10)
+    assert(out.map(_._3) === out.map(_._3).sorted.reverse) // descending sim
+    assert(out.map(_._2).distinct.size === 1) // all from the query's bucket
+    // sims are the EXACT cosine values (LSH only prunes candidates)
+    val brute = LlmOps.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    out.foreach { case (id, _, sim) =>
+      brute.get(id).foreach(b => assert(b === sim)) }
+  }
+
   test("text_fingerprint_rolling: declarative query equals the Scala accumulator") {
     val out = LlmExtOps.queries("text_fingerprint_rolling")(spark, sf)
       .as[(Long, Long)].collect().toMap
