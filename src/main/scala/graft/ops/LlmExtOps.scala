@@ -49,6 +49,22 @@ object LlmExtOps {
       .select(col("doc_id"), sig.as("sig"))
   }
 
+  /** MinHash permutation h over shingle term `g` — the portable 60-bit
+    * md5-prefix hash shared with the DuckDB oracle; each digest yields
+    * two independent permutation values (chars 1-15 / 17-31). */
+  private[graft] def minhashHashSql(h: Int, g: String): String = {
+    val pos = if (h % 2 == 0) 1 else 17
+    s"CAST(conv(substring(md5(concat('s${h / 2}:', $g)), $pos, 15), 16, 10) AS BIGINT)"
+  }
+
+  /** Whole 8-permutation signature of a shingle ARRAY column, computed
+    * per row with no explode/shuffle — the map-side shape the streaming
+    * dedup path needs (StreamingOps.dedupMinhashStream). */
+  private[graft] def minhashSigExpr(shCol: String): org.apache.spark.sql.Column =
+    expr((0 until 8)
+      .map(h => s"array_min(transform($shCol, g -> ${minhashHashSql(h, "g")}))")
+      .mkString("concat_ws('|', ", ", ", ")"))
+
   /** Random-hyperplane LSH bucket (sim_ann_lsh): 6 planes × 64 dims of
     * integer weights from an LCG of the flat index — w(j,d) =
     * ((1103515245*(j*64+d) + 12345) mod 2^31) mod 2001 − 1000 — so Spark
@@ -207,12 +223,7 @@ object LlmExtOps {
       // values (chars 1-15 and 17-31) — 4 md5 evaluations per shingle
       // instead of 8; at corpus scale the hash is the dominant map-side
       // cost of signature building
-      val mins = (0 until 8).map { h =>
-        val pos = if (h % 2 == 0) 1 else 17
-        min(expr(
-          s"CAST(conv(substring(md5(concat('s${h / 2}:', g)), $pos, 15), 16, 10) AS BIGINT)"))
-          .as(s"m$h")
-      }
+      val mins = (0 until 8).map(h => min(expr(minhashHashSql(h, "g"))).as(s"m$h"))
       // sigs is referenced three times (bands + both est sides); the
       // signature aggregation's shuffle is shared via ReusedExchange, so
       // no persist (and no session-cache leak) is needed

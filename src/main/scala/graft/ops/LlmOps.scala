@@ -40,7 +40,7 @@ object LlmOps {
 
   /** Word-level shingles (n consecutive words joined by space), distinct.
     * 0-based Spark array subscripts. */
-  private[ops] def shingles(n: Int) = {
+  private[graft] def shingles(n: Int) = {
     val terms = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
     expr(s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $terms)))")
   }

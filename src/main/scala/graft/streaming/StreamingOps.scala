@@ -40,6 +40,25 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "props")
 
+  /** Streaming twin of dedup_minhash at the document level
+    * (stream_dedup_minhash): the 8-permutation MinHash signature is
+    * computed ENTIRELY map-side — an array fold over the row's own
+    * 3-shingles, no explode and no shuffle — then
+    * dropDuplicatesWithinWatermark on the signature suppresses any
+    * later arrival whose shingle set collides on all 8 permutations
+    * within the watermark horizon. State is one row per distinct
+    * signature, evicted by the watermark — bounded no matter how long
+    * the stream runs. Input schema: (doc_id, text, ts). */
+  def dedupMinhashStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= 3)
+      .withColumn("sh", graft.ops.LlmOps.shingles(3))
+      .withColumn("sig", graft.ops.LlmExtOps.minhashSigExpr("sh"))
+      .drop("w", "sh")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sig")
+
   /** Arbitrary stateful op: running per-user event count via
     * flatMapGroupsWithState (SURVEY §2.I stream_stateful_counter). */
   def runningCounts(events: Dataset[Ev]): Dataset[(Long, Long)] = {

@@ -102,6 +102,24 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_dedup_minhash: signature-colliding docs dropped across micro-batches") {
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.dedupMinhashStream(
+        ms.toDF.toDF("doc_id", "text", "ts")).writeStream
+      .format("memory").queryName("mhdedup").outputMode("append").start()
+    ms.addData((0L, "spark makes big data small again", ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // identical shingle set in a later batch -> identical signature -> dropped;
+    // a different doc survives
+    ms.addData(
+      (1L, "spark makes big data small again", ts("2024-01-01 10:01:00")),
+      (2L, "totally different words entirely here", ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    val got = spark.table("mhdedup").select("doc_id").as[Long].collect().toSet
+    assert(got === Set(0L, 2L))
+    q.stop()
+  }
+
   test("stream_stateful_counter: running per-user counts via flatMapGroupsWithState") {
     val ms = MemoryStream[Ev]
     val q = StreamingOps.runningCounts(ms.toDS()).toDF("user_id", "n").writeStream
