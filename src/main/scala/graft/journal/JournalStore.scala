@@ -197,6 +197,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
     readSegments()
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
 
+  /** Unordered scan that KEEPS the epoch partition column — the relation
+    * surface for the `journal` data source, where pushed seq bounds are
+    * translated to epoch-directory bounds (partition pruning). */
+  def scanUnordered(): DataFrame =
+    readSegments().select("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
+
+  /** Point-in-time state by wall-clock timestamp (marasa time travel by
+    * ts). No checkpoint shortcut — checkpoints are seq-keyed — but the
+    * arg-max replay is still one partially-aggregated shuffle. */
+  def stateAtTs(t: java.sql.Timestamp): DataFrame =
+    readSegments().where(col("ts") <= lit(t))
+      .groupBy("ns", "ukey")
+      .agg(max_by(col("payload"), col("seq")).as("payload"),
+           max("seq").as("last_seq"))
+
   /** Per-key (or per-ns) history in seq order. */
   def history(ns: String, ukey: Option[Long] = None): DataFrame = {
     val base = readSegments().where(col("ns") === ns)

@@ -66,4 +66,37 @@ class SourceSpec extends AnyFunSuite {
     assert(got === want)
     q.stop()
   }
+
+  test("journal format: scan, filters, asOfSeq and asOfTs reads") {
+    import graft.journal.JournalStore
+    import graft.TestSpark.ts
+    val path = java.nio.file.Files.createTempDirectory("graft_jsrc_")
+      .toString + "/store"
+    val store = JournalStore.create(spark, path, epochSize = 2)
+    store.append(Seq(
+      ("users", 1L, ts("2024-01-01 00:00:01"), """{"v":1}""", 1.0),
+      ("users", 2L, ts("2024-01-01 00:00:02"), """{"v":2}""", 2.0),
+      ("users", 1L, ts("2024-01-01 00:00:03"), """{"v":3}""", 3.0),
+      ("carts", 1L, ts("2024-01-01 00:00:04"), """{"c":1}""", 4.0),
+    ).toDF("ns", "ukey", "ts", "payload", "val"))
+
+    val scan = spark.read.format("journal").load(path)
+    assert(scan.count() === 4)
+    // seqs are assigned 0..3 in ts order; row filter + seq->epoch pruning
+    assert(scan.where(col("seq") <= 1L).count() === 2)
+    assert(scan.where(col("ns") === "carts").select("payload")
+      .as[String].head() === """{"c":1}""")
+    // column pruning path
+    assert(scan.select("ukey").distinct().count() === 2)
+
+    // asOfSeq=1 covers seqs 0,1 -> users/1 state is the seq-0 payload
+    val state = spark.read.format("journal").option("asOfSeq", "1").load(path)
+    assert(state.where(col("ns") === "users" && col("ukey") === 1L)
+      .select("payload").as[String].head() === """{"v":1}""")
+    val latest = spark.read.format("journal")
+      .option("asOfTs", "2024-01-01 00:00:03").load(path)
+    assert(latest.where(col("ns") === "users" && col("ukey") === 1L)
+      .select("payload").as[String].head() === """{"v":3}""")
+    assert(latest.where(col("ns") === "carts").count() === 0)
+  }
 }
