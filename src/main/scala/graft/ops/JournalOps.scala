@@ -69,6 +69,21 @@ object JournalOps {
     }),
     "journal_asof_ts" -> ((s, d) =>
       stateAt(journal(s, d), col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))),
+    "journal_source_state" -> ((s, d) => {
+      // End-to-end through the `journal` DATA SOURCE (graft.sources
+      // .JournalSource): ingest a bounded slice into a native store, then
+      // read point-in-time state back via
+      // spark.read.format("journal").option("asOfSeq", ...) — checkpoint
+      // + epoch-pruned tail replay underneath. Oracle = the same arg_max
+      // the direct journal_state_at_seq path uses (the slice bound 10000
+      // is above the 5000 as-of, so it drops nothing).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsrc_").toString
+      val store = graft.journal.JournalStore.create(s, tmp, epochSize = 5000L)
+      store.append(journal(s, d).where(col("seq") < 10000))
+      s.read.format("journal").option("asOfSeq", "5000").load(tmp)
+        .select(col("ns"), col("ukey"), col("payload"), col("last_seq"))
+        .orderBy("ns", "ukey")
+    }),
     "journal_write_segments" -> ((s, d) => {
       // Ingest the events journal into a native store (epoch-partitioned
       // parquet segments + atomically-swapped manifest — graft.journal),
@@ -89,6 +104,7 @@ object JournalOps {
   val oracle: Map[String, String] = Map(
     "journal_scan" -> s"SELECT * FROM ($journalSql) ORDER BY seq",
     "journal_state_at_seq" -> stateSql("WHERE event_id <= 5000"),
+    "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
     "journal_latest" -> stateSql(""),
     "journal_key_history" ->
       ("SELECT event_id AS seq, event_type AS ns, ts, props AS payload, " +
