@@ -75,11 +75,12 @@ object JournalOps {
       // read point-in-time state back via
       // spark.read.format("journal").option("asOfSeq", ...) — checkpoint
       // + epoch-pruned tail replay underneath. Oracle = the same arg_max
-      // the direct journal_state_at_seq path uses (the slice bound 10000
-      // is above the 5000 as-of, so it drops nothing).
+      // the direct journal_state_at_seq path uses (the slice bound 6000
+      // is above the 5000 as-of, so it drops nothing, while still
+      // crossing an epoch boundary so the auto-checkpoint path runs).
       val tmp = java.nio.file.Files.createTempDirectory("graft_jsrc_").toString
       val store = graft.journal.JournalStore.create(s, tmp, epochSize = 5000L)
-      store.append(journal(s, d).where(col("seq") < 10000))
+      store.append(journal(s, d).where(col("seq") < 6000))
       s.read.format("journal").option("asOfSeq", "5000").load(tmp)
         .select(col("ns"), col("ukey"), col("payload"), col("last_seq"))
         .orderBy("ns", "ukey")

@@ -28,7 +28,8 @@ object LlmExtOps {
     * (first 15 hex chars of md5, the same cross-engine trick as
     * dedup_minhash — DuckDB computes the identical value, so the full
     * pipeline is oracle-checkable), then ONE hash aggregate per doc with
-    * 60 bit-count sums (map-side partial, single shuffle on doc_id).
+    * the 60 bit counts packed into 20 lane-summed longs (map-side
+    * partial, single shuffle on doc_id).
     * Bit b of the signature is set when more than half the token hashes
     * have bit b set — identical to the classic ±1-accumulator
     * formulation (acc_b = 2·ones_b − n > 0), but without the former
@@ -41,20 +42,38 @@ object LlmExtOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val bitSums = (0 until simhashBits).map(b => sum(expr(s"(h >> $b) & 1")).as(s"b$b"))
-    val sig = (0 until simhashBits).map(b =>
-      when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    // SWAR lane packing: 3 bit-counters of 20 bits per 64-bit sum →
+    // 20 aggregate buffers instead of 60 (≈3× less codegen to compile —
+    // the one-shot compile of the wide agg dominated the cold run).
+    // Lane width 20 bits is safe to 2^20-1 tokens per doc; bit b lives in
+    // sum (b mod 20) at shift 20*(b div 20). Signatures are bit-identical
+    // to the naive 60-sum formulation (pinned in LlmExtSpec).
+    val lanesPerSum = 3
+    val nSums = simhashBits / lanesPerSum
+    val bitSums = (0 until nSums).map { k =>
+      val terms = (0 until lanesPerSum)
+        .map(l => s"(((h >> ${k + nSums * l}) & 1) << ${20 * l})")
+      sum(expr(terms.mkString(" + "))).as(s"s$k")
+    }
+    val sig = (0 until simhashBits).map { b =>
+      val ones = expr(s"(s${b % nSums} >> ${20 * (b / nSums)}) & 1048575")
+      when(ones * 2 > col("n"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
     tok.groupBy("doc_id")
       .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
       .select(col("doc_id"), sig.as("sig"))
   }
 
-  /** MinHash permutation h over shingle term `g` — the portable 60-bit
-    * md5-prefix hash shared with the DuckDB oracle; each digest yields
-    * two independent permutation values (chars 1-15 / 17-31). */
+  /** MinHash permutation h over shingle term `g` — a portable md5-slice
+    * hash shared with the DuckDB oracle; each 32-hex-char digest yields
+    * FOUR independent 32-bit permutation values (8 hex chars each), so 8
+    * permutations cost 2 md5 evaluations per shingle (md5 is the
+    * dominant map-side cost of signature building at corpus scale).
+    * 32-bit values keep min-collision odds ~2^-32 per shingle pair —
+    * negligible for the min-of-per-doc-shingles use. */
   private[graft] def minhashHashSql(h: Int, g: String): String = {
-    val pos = if (h % 2 == 0) 1 else 17
-    s"CAST(conv(substring(md5(concat('s${h / 2}:', $g)), $pos, 15), 16, 10) AS BIGINT)"
+    val pos = 1 + 8 * (h % 4)
+    s"CAST(conv(substring(md5(concat('s${h / 4}:', $g)), $pos, 8), 16, 10) AS BIGINT)"
   }
 
   /** Whole 8-permutation signature of a shingle ARRAY column, computed
@@ -219,10 +238,8 @@ object LlmExtOps {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3)
       val sh = docs.select(col("doc_id"), explode(LlmOps.shingles(3)).as("g"))
-      // each 32-hex-char md5 yields TWO independent 60-bit permutation
-      // values (chars 1-15 and 17-31) — 4 md5 evaluations per shingle
-      // instead of 8; at corpus scale the hash is the dominant map-side
-      // cost of signature building
+      // 8 permutations from 2 md5 digests per shingle — see
+      // minhashHashSql (4×32-bit slices per digest)
       val mins = (0 until 8).map(h => min(expr(minhashHashSql(h, "g"))).as(s"m$h"))
       // sigs is referenced three times (bands + both est sides); the
       // signature aggregation's shuffle is shared via ReusedExchange, so
@@ -337,20 +354,31 @@ object LlmExtOps {
         .withColumn("norm_len", length(col("norm_text")))
         .orderBy("doc_id")),
 
-    "text_repetition" -> ((s, d) => {
-      // repetition signals: distinct-token ratio and top-token share
-      val terms = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-      val counts = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-      counts.groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+    "text_repetition" -> ((s, d) =>
+      // repetition signals: distinct-token ratio and top-token share.
+      // Per-document metrics need NO shuffle: the top-token count is a
+      // single codegen'd fold over the row's own sorted tokens (longest
+      // equal-run), distinct/total are array ops — the whole query is one
+      // map-side pass over the scan (previous shape exploded to token
+      // rows and shuffled twice).
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"),
+                size(col("w")).cast("long").as("n_tokens"),
+                size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+                expr("aggregate(array_sort(w), " +
+                  "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'top', 0L), " +
+                  "(acc, t) -> named_struct(" +
+                  "'prev', t, " +
+                  "'run', IF(acc.prev <=> t, acc.run + 1, 1L), " +
+                  "'top', greatest(acc.top, IF(acc.prev <=> t, acc.run + 1, 1L))), " +
+                  "acc -> acc.top)").as("top_c"))
         .select(col("doc_id"),
                 graft.Det.r(col("n_distinct").cast("double") / col("n_tokens"), 4)
                   .as("distinct_ratio"),
                 graft.Det.r(col("top_c").cast("double") / col("n_tokens"), 4)
                   .as("top_token_ratio"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "text_length_hist" -> ((s, d) =>
       // length-bucket histogram (100-char buckets) — the size profile a
@@ -695,8 +723,8 @@ object LlmExtOps {
         "ORDER BY doc_id"),
     "dedup_minhash" -> {
       val minCols = (0 until 8).map { h =>
-        val pos = if (h % 2 == 0) 1 else 17
-        s"min(CAST(('0x' || substr(md5('s${h / 2}:' || g), $pos, 15)) AS BIGINT)) AS m$h"
+        val pos = 1 + 8 * (h % 4)
+        s"min(CAST(('0x' || substr(md5('s${h / 4}:' || g), $pos, 8)) AS BIGINT)) AS m$h"
       }.mkString(", ")
       val bandRows = (0 until 8).map(h => s"SELECT doc_id, $h AS band, m$h AS bv FROM sigs")
         .mkString(" UNION ALL ")
