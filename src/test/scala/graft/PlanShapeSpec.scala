@@ -112,4 +112,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters"), p)
     assert(p.contains("epoch"), p)
   }
+
+  test("text_repetition is a single map-side pass (no mid-query shuffle)") {
+    val p = plan("text_repetition")
+    // the only exchange allowed is the final presentation orderBy;
+    // no Exchange may appear below the Sort (i.e. no agg/join shuffle)
+    val belowSort = p.substring(p.indexOf("Sort"))
+    assert(!belowSort.contains("hashpartitioning"),
+      s"per-doc metrics must not shuffle:\n$p")
+  }
+
+  test("sim_ann_lsh buckets map-side and broadcasts the query row") {
+    val p = plan("sim_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_minhash reuses the signature aggregation across the self-join") {
+    val df = SparkEntry.queries("dedup_minhash")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "both band sides should share one signature shuffle")
+  }
 }
