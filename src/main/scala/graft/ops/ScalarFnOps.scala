@@ -86,6 +86,25 @@ object ScalarFnOps {
                 col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal_dec"),
                 col("c_custkey").cast("string").as("key_str"))
         .orderBy("c_custkey")),
+    "fn_map_struct" -> ((s, d) =>
+      // map + struct construction/access (§2.G complex-type surface):
+      // build per-row MAP and STRUCT, extract fields, enumerate keys.
+      // DuckDB's m['k'] yields a 1-element list (extracted with [1] in
+      // the twin); keys are sorted on both sides so key order is never
+      // engine-defined.
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+                map_from_arrays(array(lit("s"), lit("p")),
+                                array(col("o_orderstatus"), col("o_orderpriority"))).as("m"),
+                struct(col("o_custkey").as("k"), col("o_totalprice").as("tp")).as("st"))
+        .select(col("o_orderkey"),
+                expr("m['s']").as("status"),
+                expr("m['p']").as("prio"),
+                size(col("m")).as("n_keys"),
+                array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+                col("st.k").as("custkey"),
+                col("st.tp").cast("double").as("totalprice"))
+        .orderBy("o_orderkey", "custkey")),
     "udf_scalar" -> ((s, d) =>
       Tables(s, d, "embeddings")
         .select(col("vec_id"), graft.Det.r(l2norm(col("embedding")), 4).as("norm"))
@@ -142,6 +161,14 @@ object ScalarFnOps {
         "CAST(floor(c_acctbal) AS BIGINT) AS bal_floor, " +
         "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_dec, " +
         "CAST(c_custkey AS VARCHAR) AS key_str FROM customer ORDER BY c_custkey"),
+    "fn_map_struct" ->
+      ("SELECT o_orderkey, m['s'][1] AS status, m['p'][1] AS prio, " +
+        "CAST(cardinality(m) AS INT) AS n_keys, " +
+        "array_to_string(list_sort(map_keys(m)), ',') AS keys, " +
+        "st.k AS custkey, CAST(st.tp AS DOUBLE) AS totalprice FROM (" +
+        "SELECT o_orderkey, MAP {'s': o_orderstatus, 'p': o_orderpriority} AS m, " +
+        "struct_pack(k := o_custkey, tp := o_totalprice) AS st FROM orders) " +
+        "ORDER BY o_orderkey, custkey"),
     "udf_scalar" ->
       ("SELECT vec_id, " +
         graft.Det.sql.r("sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
