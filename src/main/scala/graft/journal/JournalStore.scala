@@ -80,6 +80,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // on (epoch, ns): each output directory is written by exactly one
     // task — one file per (epoch, ns) instead of (#tasks × #dirs) small
     // files, and the writer tasks spread evenly across the cluster.
+    // Snapshot the on-disk file set BEFORE writing: the manifest must
+    // gain exactly the files THIS append creates. Sweeping in "any file
+    // not yet in the manifest" would resurrect files that compact()
+    // dropped from the manifest but vacuum() hasn't deleted yet
+    // (duplicated rows + stats desync).
+    val preExisting = listSegmentFiles()
     out.repartition(col("epoch"), col("ns"))
       .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
     // One stats pass over the cached batch yields the per-epoch manifest
@@ -97,7 +103,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
-      files = (m.files ++ (listSegmentFiles() diff m.files)).distinct,
+      files = (m.files ++ (listSegmentFiles() diff preExisting)).distinct,
       stats = mergedStats))
     // Automatic checkpoint policy (marasa checkpoints periodically so
     // reads are bounded by epoch size — SURVEY §0.1.5/§4.1): when this

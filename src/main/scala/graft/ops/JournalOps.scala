@@ -78,7 +78,11 @@ object JournalOps {
       // the direct journal_state_at_seq path uses (the slice bound 6000
       // is above the 5000 as-of, so it drops nothing, while still
       // crossing an epoch boundary so the auto-checkpoint path runs).
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsrc_").toString
+      // fixed per-dataset location, wiped before each build — repeated
+      // Verify/Bench invocations must not accumulate orphaned stores
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jsrc_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val store = graft.journal.JournalStore.create(s, tmp, epochSize = 5000L)
       store.append(journal(s, d).where(col("seq") < 6000))
       s.read.format("journal").option("asOfSeq", "5000").load(tmp)
@@ -95,7 +99,9 @@ object JournalOps {
       // files, pure filesystem overhead (the r1 bench's slowest query).
       // Size epochs to the data: tail replay stays bounded, files stay
       // worth opening.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_journal_").toString
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_journal_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val store = graft.journal.JournalStore.create(s, tmp, epochSize = 5000L)
       store.append(journal(s, d))
       store.segmentStats()

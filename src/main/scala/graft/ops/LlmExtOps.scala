@@ -59,9 +59,14 @@ object LlmExtOps {
       val ones = expr(s"(s${b % nSums} >> ${20 * (b / nSums)}) & 1048575")
       when(ones * 2 > col("n"), lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
+    // enforce the lane bound: a doc with >= 2^20 tokens would carry into
+    // the adjacent counter and silently corrupt the signature — fail loud
+    // instead (assert_true returns NULL on success, throws otherwise)
+    val guard = expr(
+      "assert_true(n < 1048576, 'simhash: doc exceeds 2^20 tokens (SWAR lane bound)')")
     tok.groupBy("doc_id")
       .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
-      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), when(guard.isNull, sig).as("sig"))
   }
 
   /** MinHash permutation h over shingle term `g` — a portable md5-slice
@@ -120,7 +125,6 @@ object LlmExtOps {
     s.foreach { c => h = (h * 257L + c.toLong) % rollingMod }
     h
   }
-  private[ops] val rollingUdf = udf(rollingHash _)
 
   /** STUB decoder for multimodal binary columns: the real image/audio
     * decode libs are absent in this container, so features are a

@@ -40,14 +40,16 @@ class JournalSource extends RelationProvider with DataSourceRegister {
     val ns = parameters.get("ns")
     val epochSize = store.epochSize
 
-    // state mode (point-in-time read) vs scan mode (raw log)
-    val base = (asOfSeq, asOfTs) match {
+    // state mode (point-in-time read) vs scan mode (raw log); the ns
+    // option filters BOTH modes. asOfTs accepts ISO-8601 'T' or the
+    // JDBC space-separated form.
+    val base0 = (asOfSeq, asOfTs) match {
       case (Some(s), _) => store.stateAt(s)
-      case (None, Some(t)) => store.stateAtTs(java.sql.Timestamp.valueOf(t))
-      case _ =>
-        val d = store.scanUnordered()
-        ns.fold(d)(n => d.where(col("ns") === n))
+      case (None, Some(t)) =>
+        store.stateAtTs(java.sql.Timestamp.valueOf(t.replace('T', ' ')))
+      case _ => store.scanUnordered()
     }
+    val base = ns.fold(base0)(n => base0.where(col("ns") === n))
     val isScan = asOfSeq.isEmpty && asOfTs.isEmpty
 
     new BaseRelation with PrunedFilteredScan {

@@ -52,9 +52,15 @@ object StreamingOps {
   def dedupMinhashStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
-      .where(size(col("w")) >= 3)
-      .withColumn("sh", graft.ops.LlmOps.shingles(3))
-      .withColumn("sig", graft.ops.LlmExtOps.minhashSigExpr("sh"))
+      .withColumn("sh",
+        when(size(col("w")) >= 3, graft.ops.LlmOps.shingles(3))
+          .otherwise(typedLit(Seq.empty[String])))
+      // docs too short to form a 3-shingle are NOT dropped: they fall
+      // back to an exact-text signature (prefixed so it can't collide
+      // with a minhash signature), i.e. exact dedup for short docs
+      .withColumn("sig",
+        when(size(col("sh")) > 0, graft.ops.LlmExtOps.minhashSigExpr("sh"))
+          .otherwise(concat(lit("raw:"), col("text"))))
       .drop("w", "sh")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("sig")

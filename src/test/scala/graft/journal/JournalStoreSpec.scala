@@ -89,6 +89,18 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[Number]("epoch").longValue).toSeq === Seq(5L, 6L))
   }
 
+  test("append after compact (before vacuum) does not resurrect compacted-away files") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    store.compact(Long.MaxValue) // manifest now points at compacted files; old files still on disk
+    store.append(sampleDf)
+    // manifest files must be exactly: compacted set + this append's files
+    val fromManifest = store.segmentStats().collect().map(_.toSeq).toSeq
+    val fromData = store.segmentStatsFromData().collect().map(_.toSeq).toSeq
+    assert(fromManifest === fromData) // no double-counted rows
+    assert(store.scan().count() === 8)
+  }
+
   test("manifest epoch stats equal the data-derived stats across appends") {
     val store = JournalStore.create(spark, freshPath, epochSize = 2)
     store.append(sampleDf)

@@ -98,5 +98,10 @@ class SourceSpec extends AnyFunSuite {
     assert(latest.where(col("ns") === "users" && col("ukey") === 1L)
       .select("payload").as[String].head() === """{"v":3}""")
     assert(latest.where(col("ns") === "carts").count() === 0)
+    // ns filters state mode too, and asOfTs accepts the ISO 'T' form
+    val nsState = spark.read.format("journal")
+      .option("asOfTs", "2024-01-01T00:00:04").option("ns", "carts").load(path)
+    assert(nsState.select("ns").distinct().as[String].collect().toSeq === Seq("carts"))
+    assert(nsState.count() === 1)
   }
 }

@@ -113,10 +113,15 @@ class StreamingSpec extends AnyFunSuite {
     // a different doc survives
     ms.addData(
       (1L, "spark makes big data small again", ts("2024-01-01 10:01:00")),
-      (2L, "totally different words entirely here", ts("2024-01-01 10:02:00")))
+      (2L, "totally different words entirely here", ts("2024-01-01 10:02:00")),
+      // short docs (< 3 tokens) pass through on the exact-text fallback
+      // signature: first survives, repeat is dropped
+      (3L, "hi there", ts("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    ms.addData((4L, "hi there", ts("2024-01-01 10:04:00")))
     q.processAllAvailable()
     val got = spark.table("mhdedup").select("doc_id").as[Long].collect().toSet
-    assert(got === Set(0L, 2L))
+    assert(got === Set(0L, 2L, 3L))
     q.stop()
   }
 
