@@ -539,8 +539,12 @@ object LlmExtOps {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.toDF("a_id", "b_id").select(col("b_id"), col("a_id")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+    // initial label = min(id, min neighbor): the first propagation round
+    // fused into initialization (one groupBy on the already-partitioned
+    // edge list instead of distinct + a full join round)
+    var labels = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl")).persist()
     var prevSum = Long.MaxValue
     var converged = false
     var iter = 0
