@@ -69,6 +69,41 @@ object JournalOps {
     }),
     "journal_asof_ts" -> ((s, d) =>
       stateAt(journal(s, d), col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))),
+    "events_funnel" -> ((s, d) => {
+      // Ordered-funnel analytics over the journal — ClickHouse
+      // windowFunnel semantics (EXISTENTIAL): a user reaches stage k iff
+      // events of types view < click < purchase exist in (ts, event_id)
+      // order with the whole chain within 24h of the anchoring view.
+      // Computed as a per-user DP fold over the sorted event list: a1 =
+      // latest view time, a2 = latest view anchor completed by a click
+      // in-window (the latest anchor dominates any earlier one, so one
+      // value suffices), done = some purchase within window of a2.
+      // ONE shuffle (groupBy user); the fold is a codegen'd higher-order
+      // aggregate; collect_list is bounded by per-user activity — the
+      // same contract as any sessionization. The DuckDB twin states the
+      // existential form directly as ordered EXISTS joins (DuckDB 1.0's
+      // list_reduce is batch-sensitive — unusable as an oracle).
+      val W = 86400000000L // 24h in micros
+      Tables(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+                col("event_id").as("eid"), col("event_type").as("et"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("tus"), col("eid"), col("et"))))
+          .as("evs"))
+        .select(expr(
+          s"""aggregate(evs,
+             |named_struct('a1', CAST(-1 AS BIGINT), 'a2', CAST(-1 AS BIGINT), 'done', false),
+             |(acc, e) -> named_struct(
+             |  'a1', IF(e.et = 'view', e.tus, acc.a1),
+             |  'a2', IF(e.et = 'click' AND acc.a1 >= 0 AND e.tus - acc.a1 <= ${W}L,
+             |            acc.a1, acc.a2),
+             |  'done', acc.done OR (e.et = 'purchase' AND acc.a2 >= 0
+             |            AND e.tus - acc.a2 <= ${W}L)),
+             |acc -> IF(acc.done, 3, IF(acc.a2 >= 0, 2, IF(acc.a1 >= 0, 1, 0))))"""
+            .stripMargin).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    }),
     "journal_source_state" -> ((s, d) => {
       // End-to-end through the `journal` DATA SOURCE (graft.sources
       // .JournalSource): ingest a bounded slice into a native store, then
@@ -112,6 +147,29 @@ object JournalOps {
     "journal_scan" -> s"SELECT * FROM ($journalSql) ORDER BY seq",
     "journal_state_at_seq" -> stateSql("WHERE event_id <= 5000"),
     "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
+    "events_funnel" -> {
+      val W = 86400000000L
+      // existential form: ordered (ts, event_id) chains within the 24h
+      // window of the anchoring view — no lambdas (DuckDB 1.0
+      // list_reduce is batch-sensitive)
+      def lt(a: String, b: String) =
+        s"($a.ts < $b.ts OR ($a.ts = $b.ts AND $a.event_id < $b.event_id))"
+      "WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "s1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'), " +
+        "s2 AS (SELECT DISTINCT v.user_id FROM events v JOIN events c " +
+        "ON c.user_id = v.user_id AND v.event_type = 'view' AND c.event_type = 'click' " +
+        s"AND ${lt("v", "c")} AND epoch_us(c.ts) - epoch_us(v.ts) <= $W), " +
+        "s3 AS (SELECT DISTINCT v.user_id FROM events v JOIN events c " +
+        "ON c.user_id = v.user_id AND v.event_type = 'view' AND c.event_type = 'click' " +
+        s"AND ${lt("v", "c")} JOIN events p ON p.user_id = v.user_id " +
+        s"AND p.event_type = 'purchase' AND ${lt("c", "p")} " +
+        s"AND epoch_us(p.ts) - epoch_us(v.ts) <= $W), " +
+        "st AS (SELECT u.user_id, CASE " +
+        "WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3 " +
+        "WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2 " +
+        "WHEN u.user_id IN (SELECT user_id FROM s1) THEN 1 ELSE 0 END AS stage FROM u) " +
+        "SELECT stage, count(*) AS n_users FROM st GROUP BY 1 ORDER BY stage"
+    },
     "journal_latest" -> stateSql(""),
     "journal_key_history" ->
       ("SELECT event_id AS seq, event_type AS ns, ts, props AS payload, " +
