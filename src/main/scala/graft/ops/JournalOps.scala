@@ -104,6 +104,23 @@ object JournalOps {
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     }),
+    "events_retention" -> ((s, d) => {
+      // Weekly cohort retention over the journal: cohort = ISO week of a
+      // user's first activity; count users active again k weeks later.
+      // Both aggregations shuffle on user_id (co-partitioned — Catalyst
+      // reuses the exchange), the final rollup is tiny. Week offsets are
+      // exact day-diffs div 7 (both sides Monday-truncated), immune to
+      // engine week-diff boundary conventions.
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      ev.join(cohort, "user_id")
+        .select(col("cohort"),
+                expr("CAST(datediff(wk, cohort) div 7 AS INT)").as("week_offset"))
+        .groupBy("cohort", "week_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "week_offset")
+    }),
     "journal_source_state" -> ((s, d) => {
       // End-to-end through the `journal` DATA SOURCE (graft.sources
       // .JournalSource): ingest a bounded slice into a native store, then
@@ -147,6 +164,12 @@ object JournalOps {
     "journal_scan" -> s"SELECT * FROM ($journalSql) ORDER BY seq",
     "journal_state_at_seq" -> stateSql("WHERE event_id <= 5000"),
     "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
+    "events_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk " +
+        "FROM events), f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1) " +
+        "SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset, " +
+        "count(*) AS n_users FROM a JOIN f USING (user_id) " +
+        "GROUP BY 1, 2 ORDER BY cohort, week_offset"),
     "events_funnel" -> {
       val W = 86400000000L
       // existential form: ordered (ts, event_id) chains within the 24h
