@@ -36,6 +36,32 @@ class OpsUnitSpec extends AnyFunSuite {
       ("purchase", 2L, """{"k": 5}""", 4L)))
   }
 
+  test("events_funnel: existential chains honor order and the 24h window") {
+    val dir = TestSpark.fixtureDir("events" -> Seq(
+      // u1: view -> click -> purchase, all within 24h  => stage 3
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0, "{}"),
+      // u2: purchase arrives 25h after the anchoring view => stage 2
+      (3L, ts("2024-01-02 10:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-02 11:00:00"), 2L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-03 11:30:00"), 2L, "purchase", 0.0, "{}"),
+      // u3: click BEFORE any view => stage 1 (order matters)
+      (6L, ts("2024-01-04 10:00:00"), 3L, "click", 0.0, "{}"),
+      (7L, ts("2024-01-04 11:00:00"), 3L, "view", 0.0, "{}"),
+      // u4: no view at all => stage 0
+      (8L, ts("2024-01-05 10:00:00"), 4L, "purchase", 0.0, "{}"),
+      // u5: LATER view re-anchors so the purchase fits its window => 3
+      (9L, ts("2024-01-06 00:00:00"), 5L, "view", 0.0, "{}"),
+      (10L, ts("2024-01-07 06:00:00"), 5L, "view", 0.0, "{}"),
+      (11L, ts("2024-01-07 07:00:00"), 5L, "click", 0.0, "{}"),
+      (12L, ts("2024-01-08 00:00:00"), 5L, "purchase", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = JournalOps.queries("events_funnel")(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(out === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L))
+  }
+
   test("dedup_exact keeps min event_id per (user, type, props) group") {
     val out = LlmOps.queries("dedup_exact")(spark, eventsDir)
       .select("event_id").as[Long].collect().toSeq
