@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver JSON-parses the final stdout line; sbt's default
+// LoggedOutput wraps forked stdout as "[info] {...}", which breaks that
+// parse. Pass forked output through raw instead.
+run / outputStrategy := Some(StdoutOutput)
 // The bench driver captures only the final ~2000 chars of sbt output;
 // suppress the "[success] Total time ..." trailer so Bench's JSON line
 // stays inside that window.

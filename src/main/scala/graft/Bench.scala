@@ -20,17 +20,23 @@ object Bench {
     // isn't charged session startup (protocol: BASELINE.md)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => failed += name; false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Failures are flagged twice: negative per-query time AND the
+      // "errors" array, so a throwing query can't hide as a fast pass.
+      name -> (if (ok) dt else -dt)
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.map(math.abs).sum
+    val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision record for humans / the judge.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line.
     spark.stop()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fullLine + "\n")
@@ -42,7 +48,7 @@ object Bench {
     val budget = 1600
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-    val tail = s"""},"n":${results.size},"sf":"$sfDir"}"""
+    val tail = s"""},"n":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
