@@ -181,9 +181,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val rows = spark.read.option("basePath", segDir)
       .parquet(old.map(f => s"$segDir/$f"): _*)
       .withColumn("ns", col("ns").cast("string"))
+    // Snapshot the on-disk file set BEFORE the compaction write — the
+    // same invariant append() holds: the manifest gains exactly the files
+    // THIS compaction wrote. Diffing against m.files instead would sweep
+    // in files a PREVIOUS compact() dropped from the manifest but
+    // vacuum() hasn't deleted yet (resurrected rows on double-compact).
+    val preExisting = listSegmentFiles()
     rows.repartition(col("epoch"), col("ns"))
       .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
-    val newFiles = listSegmentFiles() diff (m.files)
+    val newFiles = listSegmentFiles() diff preExisting
     writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles))
   }
 
