@@ -101,6 +101,22 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.scan().count() === 8)
   }
 
+  test("double compact (before vacuum) does not resurrect previously-compacted files") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1)
+    store.append(sampleDf) // 4 epochs, one row each
+    val before = store.scan().collect().map(_.toString).sorted.toSeq
+    store.compact(Long.MaxValue)
+    // second compact while the FIRST compaction's victims are still on
+    // disk — the manifest diff must be taken against the on-disk snapshot,
+    // not m.files, or those victims get swept back in (duplicated rows)
+    store.compact(Long.MaxValue)
+    assert(store.scan().count() === 4)
+    assert(store.scan().collect().map(_.toString).sorted.toSeq === before)
+    val fromManifest = store.segmentStats().collect().map(_.toSeq).toSeq
+    val fromData = store.segmentStatsFromData().collect().map(_.toSeq).toSeq
+    assert(fromManifest === fromData)
+  }
+
   test("manifest epoch stats equal the data-derived stats across appends") {
     val store = JournalStore.create(spark, freshPath, epochSize = 2)
     store.append(sampleDf)
