@@ -10,6 +10,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // BASELINE.md protocol: 1 warm-up pass + N timed passes, report the
+    // per-query MEDIAN — single runs on this box drift up to ~2× and are
+    // not judgeable (BASELINE.md "Measurement protocol").
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,8 +24,9 @@ object Bench {
     // isn't charged session startup (protocol: BASELINE.md)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def runSuite(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => failed += name; false }
@@ -30,13 +35,42 @@ object Bench {
       // "errors" array, so a throwing query can't hide as a fast pass.
       name -> (if (ok) dt else -dt)
     }
-    val total = results.values.map(math.abs).sum
+    // Cached-block footprint before each pass: if queries leak cached
+    // RDD/relation blocks, later passes run under memory pressure — this
+    // makes cross-query/cross-run interference observable (it was only
+    // inferable when text_tokens_top drifted 0.33→2.67 s over rounds).
+    def storageBytes: Long = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+
+    val storagePerRun = scala.collection.mutable.ArrayBuffer.empty[Long]
+    storagePerRun += storageBytes
+    runSuite() // warm-up pass (codegen caches, parquet footers, JIT)
+    val runs = (1 to timedRuns).map { _ =>
+      storagePerRun += storageBytes
+      runSuite()
+    }
+    // Per-query median across timed passes; a query that failed in ANY
+    // pass keeps a negative time so it can't hide as a fast pass.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val results: Map[String, Double] = SparkEntry.queries.keys.map { name =>
+      val xs = runs.map(_(name))
+      val m = median(xs.map(math.abs))
+      name -> (if (xs.exists(_ < 0)) -m else m)
+    }.toMap
+    val totals = runs.map(r => r.values.map(math.abs).sum)
+    val total = median(totals)
     val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Full-precision record for humans / the judge.
+    // Full-precision record for humans / the judge: median map, the
+    // per-run totals, and the storage footprint observed before each run.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val totalsJson = totals.map(r3).mkString("[", ",", "]")
+    val storageJson = storagePerRun.map(_.toString).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s""""runs":$timedRuns,"run_totals":$totalsJson,"storage_bytes_before_run":$storageJson,""" +
+        s""""errors":$errJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line.
     spark.stop()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fullLine + "\n")
@@ -48,7 +82,8 @@ object Bench {
     val budget = 1600
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-    val tail = s"""},"n":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val tail = s"""},"n":${results.size},"runs":$timedRuns,"run_totals":$totalsJson,""" +
+      s""""errors":$errJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
