@@ -56,12 +56,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * assigned `maxSeq+1 ..` in deterministic (ts, ns, ukey, payload) order;
     * pass a `seq` column to keep caller-assigned seqs (must be dense and
     * > maxSeq). Single-writer, like the reference. */
-  def append(df: DataFrame): Long = {
+  def append(df: DataFrame): Long = append(df, None)
+
+  /** Append with a streaming micro-batch id: a batch at or below the
+    * manifest's high-water `lastBatchId` is a replay after recovery and
+    * is skipped — exactly-once ingest for the `journal` streaming sink.
+    * The id rides the SAME manifest swap that makes the data visible, so
+    * there is no window where data committed but the id didn't. */
+  def append(df: DataFrame, streamBatchId: Option[Long]): Long = {
+    val m0 = manifest
+    if (streamBatchId.exists(_ <= m0.lastBatchId)) return m0.maxSeq
     val required = Seq("ns", "ukey", "ts", "payload", "val")
     val missing = required.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"journal append requires columns $required; missing: $missing")
-    val m = manifest
+    val m = m0
     // The batch feeds up to three passes (segment write, stats agg, and —
     // on epoch rollover — the checkpoint union). Persist only when we
     // computed seqs (shuffle+zipWithIndex lineage is worth keeping); a
@@ -104,7 +113,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
       files = (m.files ++ (listSegmentFiles() diff preExisting)).distinct,
-      stats = mergedStats))
+      stats = mergedStats,
+      lastBatchId = streamBatchId.getOrElse(m.lastBatchId)))
     // Automatic checkpoint policy (marasa checkpoints periodically so
     // reads are bounded by epoch size — SURVEY §0.1.5/§4.1): when this
     // append completed an epoch, materialize state at the last finished
@@ -303,7 +313,13 @@ object JournalStore {
   case class EpochStat(epoch: Long, rows: Long, minSeq: Long, maxSeq: Long)
 
   case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
-                      files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil)
+                      files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil,
+                      lastBatchId: Long = -1L)
+
+  /** Whether a journal store exists at `path` (a committed manifest is
+    * the store's existence marker — data files without one are invisible
+    * by the snapshot-isolation rule). */
+  def exists(path: String): Boolean = Files.exists(manifestPath(path))
 
   def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore = {
     Files.createDirectories(Paths.get(path))
@@ -329,6 +345,7 @@ object JournalStore {
       .flatMap(st => Seq(st.epoch, st.rows, st.minSeq, st.maxSeq)).mkString(",")
     val json =
       s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
+        s""""lastBatchId":${m.lastBatchId},""" +
         s""""checkpoints":[${m.checkpoints.mkString(",")}],""" +
         s""""files":[$files],"stats":[$stats]}"""
     val tmp = Paths.get(path, ".manifest.json.tmp")
@@ -356,7 +373,12 @@ object JournalStore {
         .map(_.split(",").map(_.trim.toLong).grouped(4)
           .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq)
         .getOrElse(Nil)
-      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats))
+      // lastBatchId must default to -1 (not num()'s 0) when absent: a
+      // pre-upgrade manifest with no field must not swallow batch 0.
+      val lastBatch = """lastBatchId":(-?\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats,
+        lastBatch))
     }
   }
 }

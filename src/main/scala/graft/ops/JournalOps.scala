@@ -141,6 +141,22 @@ object JournalOps {
         .select(col("ns"), col("ukey"), col("payload"), col("last_seq"))
         .orderBy("ns", "ukey")
     }),
+    "journal_sink_state" -> ((s, d) => {
+      // Same end-to-end shape as journal_source_state, but the ingest goes
+      // through the public WRITER API — df.write.format("journal") — so the
+      // DSv1 CreatableRelationProvider path (open-or-create + append +
+      // manifest swap) sits inside the correctness gate, not just unit
+      // tests. Caller seqs (= event_id) ride through, so the oracle is the
+      // same arg_max-by-event_id state query.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jsink_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "5000").save(tmp)
+      s.read.format("journal").option("asOfSeq", "5000").load(tmp)
+        .select(col("ns"), col("ukey"), col("payload"), col("last_seq"))
+        .orderBy("ns", "ukey")
+    }),
     "journal_write_segments" -> ((s, d) => {
       // Ingest the events journal into a native store (epoch-partitioned
       // parquet segments + atomically-swapped manifest — graft.journal),
@@ -164,6 +180,7 @@ object JournalOps {
     "journal_scan" -> s"SELECT * FROM ($journalSql) ORDER BY seq",
     "journal_state_at_seq" -> stateSql("WHERE event_id <= 5000"),
     "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
+    "journal_sink_state" -> stateSql("WHERE event_id <= 5000"),
     "events_retention" ->
       ("WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk " +
         "FROM events), f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1) " +

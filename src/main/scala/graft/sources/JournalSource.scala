@@ -1,9 +1,12 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.StreamBatchBridge
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.journal.JournalStore
@@ -26,9 +29,75 @@ import graft.journal.JournalStore
   * Column pruning is forwarded so the parquet scan reads only requested
   * columns. Filters are ALSO left in the plan (Spark re-applies what DSv1
   * sources don't declare handled), so pruning here is pure IO savings,
-  * never a correctness dependency. */
-class JournalSource extends RelationProvider with DataSourceRegister {
+  * never a correctness dependency.
+  *
+  * The source is also a sink — batch and streaming:
+  *
+  *   df.write.format("journal").mode("append").save(p)   // batch append
+  *   df.writeStream.format("journal")
+  *     .option("checkpointLocation", c).start(p)          // exactly-once
+  *
+  * Batch write: `Append` opens-or-creates (option `epochSize` sizes a
+  * new store) and delegates to `JournalStore.append` — seq assignment,
+  * epoch/ns layout, manifest swap, auto-checkpoint all apply unchanged.
+  * A journal is an append-only log, so `Overwrite` is rejected rather
+  * than silently truncating history.
+  *
+  * Streaming sink: each micro-batch appends with its batch id riding the
+  * manifest swap ([[JournalStore.append(df:org\.apache\.spark\.sql\.DataFrame,streamBatchId:Option[Long])*]]);
+  * after a crash, Spark replays the last uncommitted batch and the store
+  * skips ids at or below its high-water mark — exactly-once ingest with
+  * no dedup pass. Append and Update modes are both meaningful: the
+  * journal keys state by (ns, ukey), so an update-mode stream lands each
+  * revision as a new journal version, exactly the log's semantics. */
+class JournalSource extends RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "journal"
+
+  private def openOrCreate(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           parameters: Map[String, String]): JournalStore =
+    if (JournalStore.exists(path)) JournalStore.open(spark, path)
+    else JournalStore.create(spark, path,
+      parameters.get("epochSize").map(_.toLong).getOrElse(1000L))
+
+  /** `df.write.format("journal")` — batch append. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("journal sink requires a path"))
+    val exists = JournalStore.exists(path)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(s"journal store already exists at $path")
+      case SaveMode.Ignore if exists => () // no-op by contract
+      case SaveMode.Overwrite =>
+        throw new UnsupportedOperationException(
+          "journal is an append-only log; Overwrite would truncate history " +
+            "(use mode(\"append\"), or compact()/vacuum() for space)")
+      case _ => openOrCreate(ctx.sparkSession, path, parameters).append(data)
+    }
+    createRelation(ctx, parameters) // readable relation over what landed
+  }
+
+  /** `df.writeStream.format("journal")` — exactly-once micro-batch sink. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("journal sink requires a path"))
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // re-root the micro-batch plan as a batch DF (the incremental
+        // plan only executes inside the stream) — see StreamBatchBridge
+        val batch = StreamBatchBridge.asBatchDF(data)
+        openOrCreate(data.sparkSession, path, parameters)
+          .append(batch, Some(batchId))
+      }
+      override def toString: String = s"JournalSink[$path]"
+    }
+  }
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

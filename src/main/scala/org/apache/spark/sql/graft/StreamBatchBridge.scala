@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** The one Spark-internal call the `journal` streaming sink needs.
+  *
+  * The DataFrame handed to `Sink.addBatch` carries the micro-batch's
+  * incremental plan, which only executes inside the streaming query —
+  * feeding it to a normal batch write throws "streaming sources must be
+  * executed with writeStream.start()". The established fix (what Spark's
+  * own `ForeachBatchSink` does) is to re-root the executed micro-batch
+  * RDD under a fresh non-streaming `LogicalRDD`. Both `Dataset.ofRows`
+  * and `LogicalRDD.fromDataset` are `private[sql]`, hence this shim
+  * lives under `org.apache.spark.sql`.
+  */
+object StreamBatchBridge {
+  def asBatchDF(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[ClassicDataset[Row]]
+    ClassicDataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+}

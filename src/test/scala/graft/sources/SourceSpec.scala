@@ -104,4 +104,36 @@ class SourceSpec extends AnyFunSuite {
     assert(nsState.select("ns").distinct().as[String].collect().toSeq === Seq("carts"))
     assert(nsState.count() === 1)
   }
+
+  test("journal sink: write.format roundtrip; append-only save modes") {
+    import graft.TestSpark.ts
+    val path = java.nio.file.Files.createTempDirectory("graft_jsink_")
+      .toString + "/store"
+    val batch1 = Seq(
+      ("users", 1L, ts("2024-01-01 00:00:01"), """{"v":1}""", 1.0),
+      ("users", 2L, ts("2024-01-01 00:00:02"), """{"v":2}""", 2.0),
+    ).toDF("ns", "ukey", "ts", "payload", "val")
+    // default mode is ErrorIfExists; no store yet -> creates one
+    batch1.write.format("journal").option("epochSize", "2").save(path)
+    val back = spark.read.format("journal").load(path)
+      .select("ns", "ukey", "ts", "payload", "val")
+      .as[(String, Long, java.sql.Timestamp, String, Double)].collect().toSet
+    assert(back === batch1.as[(String, Long, java.sql.Timestamp, String, Double)]
+      .collect().toSet)
+    // append accumulates into the SAME store (epochSize comes from its
+    // manifest now, not the writer option)
+    Seq(("carts", 1L, ts("2024-01-01 00:00:03"), """{"c":1}""", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(path)
+    assert(spark.read.format("journal").load(path).count() === 3)
+    // append-only log: Overwrite refused, ErrorIfExists errors, Ignore no-ops
+    intercept[UnsupportedOperationException] {
+      batch1.write.format("journal").mode("overwrite").save(path)
+    }
+    intercept[IllegalArgumentException] {
+      batch1.write.format("journal").mode("errorifexists").save(path)
+    }
+    batch1.write.format("journal").mode("ignore").save(path)
+    assert(spark.read.format("journal").load(path).count() === 3)
+  }
 }

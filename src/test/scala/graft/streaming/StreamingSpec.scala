@@ -191,4 +191,46 @@ class StreamingSpec extends AnyFunSuite {
       s"append inside foreachBatch must auto-checkpoint: ${store.manifest}")
     q.stop()
   }
+
+  test("stream_journal_sink: writeStream.format(journal) is exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsink_stream_").toString
+    val path = s"$dir/store"
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF
+      .select(col("event_type").as("ns"), col("user_id").as("ukey"),
+        col("ts"), col("props").as("payload"), col("value").as("val"))
+      .writeStream.format("journal")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("epochSize", "2")
+      .start(path)
+    ms.addData(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:01:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:02:00", 2, "view", 3.0))
+    q.processAllAvailable()
+    ms.addData(ev(3, "2024-01-01 10:03:00", 3, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val store = graft.journal.JournalStore.open(spark, path)
+    assert(store.scan().count() === 4)
+    // the batch id high-water mark rode the manifest swap and PERSISTED
+    // (a fresh open sees it — survives a driver restart)
+    assert(store.manifest.lastBatchId === 1L)
+    val st = store.latest().orderBy("ns", "ukey")
+      .select("ns", "ukey", "payload").as[(String, Long, String)].collect().toSeq
+    assert(st === Seq(("click", 1L, """{"k": 1}"""),
+      ("view", 2L, """{"k": 2}"""), ("view", 3L, """{"k": 3}""")))
+
+    // crash-recovery replay: re-delivering an already-committed batch id
+    // must be a no-op (this is what Spark does with the last batch after
+    // a checkpointed restart) — while a NEW id appends normally
+    val replay = Seq(("view", 9L, ts("2024-01-01 10:09:00"), "{}", 9.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    val maxBefore = store.manifest.maxSeq
+    assert(store.append(replay, Some(1L)) === maxBefore)
+    assert(store.scan().count() === 4, "replayed batch must not duplicate rows")
+    assert(store.append(replay, Some(2L)) === maxBefore + 1)
+    assert(store.scan().count() === 5)
+    assert(store.manifest.lastBatchId === 2L)
+  }
 }
