@@ -30,6 +30,9 @@ object GraftFunctions {
     (FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
       (es: Seq[Expression]) => CharNGrams(es(0), es(1))),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash60"),
+      (es: Seq[Expression]) => SimhashSig(es(0))),
   )
 
   /** SQL table-valued functions over the journal store — time travel from
