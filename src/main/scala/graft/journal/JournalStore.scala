@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * arg-max combine is a single partial-aggregated shuffle on (ns, ukey).
   */
 class JournalStore private (val spark: SparkSession, val path: String,
-                            val epochSize: Long) {
+                            val epochSize: Long,
+                            pinnedVersion: Option[Long] = None) {
   import JournalStore._
 
   private def segDir = s"$path/segments"
@@ -50,7 +51,36 @@ class JournalStore private (val spark: SparkSession, val path: String,
   }
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
 
-  def manifest: Manifest = readManifest(path).getOrElse(Manifest(epochSize, -1L, Nil))
+  def manifest: Manifest = pinnedVersion match {
+    case Some(v) => readManifestVersion(path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"journal store at $path retains no manifest version $v"))
+    case None => readManifest(path).getOrElse(Manifest(epochSize, -1L, Nil))
+  }
+
+  /** A read-only view of this store frozen at manifest version `v` —
+    * every read (scan, stateAt, history, segmentStats) resolves against
+    * that committed snapshot's file set and checkpoints, regardless of
+    * appends/compactions that landed later (marasa's read-at-version,
+    * Delta-style). Versions are retained for the last
+    * [[JournalStore.RetainedVersions]] commits; vacuum() keeps every file
+    * any retained version references, so a pinned reader stays valid
+    * across compact()+vacuum(). Writes through a pinned view are refused.
+    */
+  def openAt(version: Long): JournalStore = {
+    require(readManifestVersion(path, version).isDefined,
+      s"journal store at $path retains no manifest version $version " +
+        s"(current: ${manifest.version}, retained: last $RetainedVersions)")
+    new JournalStore(spark, path, epochSize, Some(version))
+  }
+
+  /** Committed manifest versions still retained on disk, ascending. */
+  def versions(): Seq[Long] = listVersionFiles(path).map(_._1)
+
+  private def requireWritable(): Unit =
+    require(pinnedVersion.isEmpty,
+      "this is a read-only view pinned at manifest version " +
+        s"${pinnedVersion.get}; open the store without a version to write")
 
   /** Append a batch. `df` columns: (ns, ukey, ts, payload, val). Seqs are
     * assigned `maxSeq+1 ..` in deterministic (ts, ns, ukey, payload) order;
@@ -64,6 +94,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * The id rides the SAME manifest swap that makes the data visible, so
     * there is no window where data committed but the id didn't. */
   def append(df: DataFrame, streamBatchId: Option[Long]): Long = {
+    requireWritable()
     val m0 = manifest
     if (streamBatchId.exists(_ <= m0.lastBatchId)) return m0.maxSeq
     val required = Seq("ns", "ukey", "ts", "payload", "val")
@@ -185,6 +216,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * removed by vacuum(). Readers opened before the swap keep reading the
     * old file set (snapshot isolation), like marasa's segment rewrite. */
   def compact(upToEpoch: Long): Unit = {
+    requireWritable()
     val m = manifest
     val old = m.files.filter(f => epochOf(f).exists(_ <= upToEpoch))
     if (old.isEmpty) return
@@ -203,9 +235,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
     writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles))
   }
 
-  /** Delete segment files no longer referenced by the manifest. */
-  def vacuum(): Unit = {
-    val live = manifest.files.toSet
+  /** Delete segment files referenced by NO retained manifest version.
+    * By default the last [[JournalStore.RetainedVersions]] committed
+    * manifests keep their files, so an openAt() reader pinned to any
+    * retained version stays valid across compact()+vacuum(). Pass
+    * `retain = 0` (current manifest only) to reclaim space aggressively;
+    * version manifests whose files are reclaimed are deleted too —
+    * openAt() never hands out a reader over missing data. */
+  def vacuum(retain: Int = RetainedVersions): Unit = {
+    requireWritable()
+    val keepVersions = listVersionFiles(path).takeRight(retain)
+    val dropVersions = listVersionFiles(path).dropRight(retain)
+      // never invalidate the version the CURRENT manifest points at
+      .filterNot(_._1 == manifest.version)
+    dropVersions.foreach { case (_, p) => Files.deleteIfExists(p) }
+    val live = (manifest.files ++ keepVersions.flatMap { case (v, _) =>
+      readManifestVersion(path, v).map(_.files).getOrElse(Nil)
+    }).toSet
     (listSegmentFiles().toSet -- live).foreach { f =>
       Files.deleteIfExists(Paths.get(s"$segDir/$f"))
     }
@@ -275,7 +321,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   /** Materialize a checkpoint at `seq` — future stateAt(≥seq) replays only
     * the segments after it (bounded-replay invariant, SURVEY §4.1). */
-  def checkpoint(seq: Long): Unit = writeCheckpoint(stateAt(seq), seq)
+  def checkpoint(seq: Long): Unit = {
+    requireWritable()
+    writeCheckpoint(stateAt(seq), seq)
+  }
 
   private def writeCheckpoint(state: DataFrame, seq: Long): Unit = {
     state.write.mode("overwrite").parquet(ckptDir(seq))
@@ -314,7 +363,14 @@ object JournalStore {
 
   case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
                       files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil,
-                      lastBatchId: Long = -1L)
+                      lastBatchId: Long = -1L, version: Long = 0L)
+
+  /** How many committed manifest versions stay readable via openAt().
+    * Bounds metadata growth to N tiny JSON files regardless of journal
+    * length; vacuum() keeps any segment file a retained version still
+    * references, so the storage bound is N × the churn between commits,
+    * not N full copies. */
+  val RetainedVersions = 10
 
   /** Whether a journal store exists at `path` (a committed manifest is
     * the store's existence marker — data files without one are invisible
@@ -336,8 +392,33 @@ object JournalStore {
   // -- manifest IO (driver-side; tiny JSON, atomic rename swap) ----------
 
   private def manifestPath(path: String) = Paths.get(path, "manifest.json")
+  private def versionPath(path: String, v: Long) =
+    Paths.get(path, s"manifest.json.v$v")
 
-  private[journal] def writeManifest(path: String, m: Manifest): Unit = {
+  /** Retained (version, file) pairs on disk, version-ascending. */
+  private def listVersionFiles(path: String): Seq[(Long, java.nio.file.Path)] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Nil
+    else {
+      val st = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.flatMap { p =>
+          """^manifest\.json\.v(\d+)$""".r
+            .findFirstMatchIn(p.getFileName.toString)
+            .map(m => (m.group(1).toLong, p))
+        }.toList.sortBy(_._1)
+      } finally st.close()
+    }
+  }
+
+  /** Commit `m` as the next version: the version file lands first, then
+    * the atomic rename of manifest.json publishes it (a crash in between
+    * leaves an orphan version file, never a manifest pointing at a
+    * missing version). Versions beyond the retention window are pruned
+    * here — the only place versions are created or destroyed. */
+  private[journal] def writeManifest(path: String, m0: Manifest): Unit = {
+    val m = m0.copy(version = m0.version + 1)
     val files = m.files.map(f => "\"" + f + "\"").mkString(",")
     // stats as a flat numeric list in groups of 4 (epoch, rows, min, max)
     // so the same bracket-free regex parser below can read it back
@@ -345,40 +426,52 @@ object JournalStore {
       .flatMap(st => Seq(st.epoch, st.rows, st.minSeq, st.maxSeq)).mkString(",")
     val json =
       s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
-        s""""lastBatchId":${m.lastBatchId},""" +
+        s""""lastBatchId":${m.lastBatchId},"version":${m.version},""" +
         s""""checkpoints":[${m.checkpoints.mkString(",")}],""" +
         s""""files":[$files],"stats":[$stats]}"""
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    Files.write(versionPath(path, m.version), bytes)
     val tmp = Paths.get(path, ".manifest.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    listVersionFiles(path).dropRight(RetainedVersions)
+      .foreach { case (_, p) => Files.deleteIfExists(p) }
+  }
+
+  private[journal] def readManifestVersion(path: String, v: Long): Option[Manifest] = {
+    val p = versionPath(path, v)
+    if (Files.exists(p)) parseManifest(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else None
   }
 
   private[journal] def readManifest(path: String): Option[Manifest] = {
     val p = manifestPath(path)
     if (!Files.exists(p)) None
-    else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      def num(k: String): Long =
-        s"""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      val ckpts = """checkpoints":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-      val files = """files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-        .getOrElse(Nil)
-      val stats = """stats":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").map(_.trim.toLong).grouped(4)
-          .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq)
-        .getOrElse(Nil)
-      // lastBatchId must default to -1 (not num()'s 0) when absent: a
-      // pre-upgrade manifest with no field must not swallow batch 0.
-      val lastBatch = """lastBatchId":(-?\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toLong).getOrElse(-1L)
-      Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats,
-        lastBatch))
-    }
+    else parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private def parseManifest(s: String): Option[Manifest] = {
+    def num(k: String): Long =
+      s"""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    val ckpts = """checkpoints":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
+    val files = """files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(Nil)
+    val stats = """stats":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.toLong).grouped(4)
+        .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq)
+      .getOrElse(Nil)
+    // lastBatchId must default to -1 (not num()'s 0) when absent: a
+    // pre-upgrade manifest with no field must not swallow batch 0.
+    val lastBatch = """lastBatchId":(-?\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats,
+      lastBatch, num("version")))
   }
 }

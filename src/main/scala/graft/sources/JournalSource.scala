@@ -18,6 +18,7 @@ import graft.journal.JournalStore
   *   spark.read.format("journal").load("/path/to/store")          // scan
   *   spark.read.format("journal").option("asOfSeq", 5000).load(p) // state
   *   spark.read.format("journal").option("asOfTs", t).load(p)     // ″ by ts
+  *   spark.read.format("journal").option("asOfVersion", 7).load(p) // ″ by manifest version
   *
   * Built on the stable DataSource V1 relation API (`RelationProvider` +
   * `PrunedFilteredScan`): the store already yields optimized DataFrames
@@ -103,7 +104,12 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("journal source requires a path"))
-    val store = JournalStore.open(ctx.sparkSession, path)
+    // asOfVersion pins the read to a retained MANIFEST version (metadata
+    // time travel — the pre-compaction file set), orthogonal to
+    // asOfSeq/asOfTs which time-travel the DATA under one manifest
+    val store0 = JournalStore.open(ctx.sparkSession, path)
+    val store = parameters.get("asOfVersion").map(_.toLong)
+      .fold(store0)(store0.openAt)
     val asOfSeq = parameters.get("asOfSeq").map(_.toLong)
     val asOfTs = parameters.get("asOfTs")
     val ns = parameters.get("ns")

@@ -117,6 +117,49 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(fromManifest === fromData)
   }
 
+  test("openAt: versioned reader sees the pre-compact snapshot across compact+vacuum") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1)
+    store.append(sampleDf) // 4 epochs, one row each
+    val vPre = store.manifest.version
+    val preFiles = store.manifest.files
+    val preRows = store.scan().collect().map(_.toString).sorted.toSeq
+    store.compact(upToEpoch = 4L) // swaps the manifest to the rewritten files
+    assert(store.manifest.files !== preFiles)
+    // a reader pinned before the compaction sees the OLD file set and data
+    val pinned = store.openAt(vPre)
+    assert(pinned.manifest.files === preFiles)
+    assert(pinned.scan().collect().map(_.toString).sorted.toSeq === preRows)
+    // default vacuum honors retention: the pinned version's files survive
+    store.vacuum()
+    assert(pinned.scan().collect().map(_.toString).sorted.toSeq === preRows)
+    // pinned views are read-only
+    intercept[IllegalArgumentException] { pinned.append(sampleDf) }
+    intercept[IllegalArgumentException] { pinned.compact(Long.MaxValue) }
+    // the data source exposes the same pin
+    assert(spark.read.format("journal").option("asOfVersion", vPre.toString)
+      .load(store.path).count() === 4)
+    // aggressive vacuum(0) reclaims the old files AND their version
+    // manifests, so openAt can never hand out a reader over missing data
+    store.vacuum(retain = 0)
+    intercept[IllegalArgumentException] { store.openAt(vPre) }
+    assert(store.scan().collect().map(_.toString).sorted.toSeq === preRows)
+  }
+
+  test("manifest version retention window prunes old version files") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    (1 to JournalStore.RetainedVersions + 3).foreach { _ =>
+      store.append(Seq(("ns", 1L, ts("2024-01-01 00:00:01"), "p", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    val vs = store.versions()
+    assert(vs.size === JournalStore.RetainedVersions)
+    assert(vs === (vs.min to vs.max)) // contiguous window
+    assert(vs.max === store.manifest.version)
+    // every retained version opens; one past the window does not
+    vs.foreach(v => store.openAt(v))
+    intercept[IllegalArgumentException] { store.openAt(vs.min - 1) }
+  }
+
   test("manifest epoch stats equal the data-derived stats across appends") {
     val store = JournalStore.create(spark, freshPath, epochSize = 2)
     store.append(sampleDf)
@@ -143,7 +186,9 @@ class JournalStoreSpec extends AnyFunSuite {
     val before = store.scan().collect().map(_.toString).sorted.toSeq
     val filesBefore = store.manifest.files.size
     store.compact(upToEpoch = 4L)
-    store.vacuum()
+    // retain = 0: reclaim everything but the current manifest's files
+    // (the default keeps files for the openAt() retention window)
+    store.vacuum(retain = 0)
     assert(store.scan().collect().map(_.toString).sorted.toSeq === before)
     assert(store.manifest.files.size <= filesBefore)
     // nothing unreferenced remains on disk
