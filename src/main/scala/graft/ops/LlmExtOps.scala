@@ -76,27 +76,41 @@ object LlmExtOps {
       .map(h => s"array_min(transform($shCol, g -> ${minhashHashSql(h, "g")}))")
       .mkString("concat_ws('|', ", ", ", ")"))
 
-  /** Random-hyperplane LSH bucket (sim_ann_lsh): 6 planes × 64 dims of
-    * integer weights from an LCG of the flat index — w(j,d) =
-    * ((1103515245*(j*64+d) + 12345) mod 2^31) mod 2001 − 1000 — so Spark
-    * and DuckDB derive the SAME matrix from the same arithmetic, no
-    * literals shipped. Projections accumulate doubles in strict index
-    * order in both engines (sequential fold), so the sign — and hence
-    * the bucket — is bit-identical. */
-  private[ops] val lshPlanes = 6
+  /** Random-hyperplane LSH (sim_ann_lsh): K independent tables of
+    * `lshPlanes` planes each, 64 dims of integer weights from an LCG of
+    * the flat index — w(t,j,d) = ((1103515245*((t*P+j)*64+d) + 12345)
+    * mod 2^31) mod 2001 − 1000 — so Spark and DuckDB derive the SAME
+    * matrices from the same arithmetic, no literals shipped. Projections
+    * accumulate doubles in strict index order in both engines
+    * (sequential fold), so the signs — and hence the buckets — are
+    * bit-identical. Recall comes from two standard levers (the fixture's
+    * embeddings are near-random, cosine ~0.3 for true top-10, so a
+    * single bucket recalls almost nothing): K independent tables
+    * (candidates = union of the per-table buckets) and MULTI-PROBE (Lv
+    * et al., VLDB'07) — probe every bucket within hamming distance
+    * `lshProbeHamming` of the query's bucket, i.e. also buckets whose
+    * few closest-to-the-boundary planes disagree. 8 planes × 4 tables ×
+    * radius 3 measures recall 1.0 (sf0.001) / 0.9 (sf0.01) vs the exact
+    * top-10 (asserted in LlmExtSpec). On clustered real-world
+    * embeddings the same structure prunes far harder; the probe-bucket
+    * list stays a tiny broadcast (93 buckets × K tables) at any corpus
+    * size. */
+  private[ops] val lshPlanes = 8
+  private[ops] val lshTables = 4
+  private[ops] val lshProbeHamming = 3
   private def lshWeight(flatIdx: String) =
     s"CAST((CAST(1103515245 AS BIGINT) * ($flatIdx) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)"
-  private[ops] val lshBucketSqlSpark: String =
+  private[ops] def lshBucketSqlSpark(t: Int): String =
     (0 until lshPlanes).map { j =>
       val dot = "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, d) -> " +
-        s"acc + CAST(element_at(embedding, d + 1) AS DOUBLE) * ${lshWeight(s"${j * 64} + d")})"
+        s"acc + CAST(element_at(embedding, d + 1) AS DOUBLE) * ${lshWeight(s"${(t * lshPlanes + j) * 64} + d")})"
       s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS INT)")
-  private[ops] val lshBucketSqlDuck: String =
+  private[ops] def lshBucketSqlDuck(t: Int): String =
     (0 until lshPlanes).map { j =>
       val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         "list_transform(range(0, 64), d -> CAST(embedding[d + 1] AS DOUBLE) * " +
-        s"${lshWeight(s"${j * 64} + d")})), (acc, x) -> acc + x)"
+        s"${lshWeight(s"${(t * lshPlanes + j) * 64} + d")})), (acc, x) -> acc + x)"
       s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS INT)")
 
@@ -194,24 +208,41 @@ object LlmExtOps {
 
     "sim_ann_lsh" -> ((s, d) => {
       // The second ANN scale path (SURVEY §2.H: "IVF or LSH-bucketed"):
-      // random-hyperplane LSH. Each vector gets a bucket from the signs
-      // of 6 integer-hyperplane projections; candidates = same bucket as
-      // the query, exact cosine top-10 within. The hyperplane matrix is
-      // an LCG of the flat index (j*64+d) — a pure integer formula both
-      // engines evaluate identically, so the whole pipeline is
-      // oracle-checked with no literals shipped across. Bucketing is
-      // map-side (one scan, no shuffle of the vector side; the 1-row
-      // query is broadcast); at 100 TB you'd raise the plane count so
-      // bucket occupancy stays bounded (bits ~ log2(corpus/target)).
+      // multi-table multi-probe random-hyperplane LSH (see the constants'
+      // scaladoc). Shape: every vector gets K=4 bucket ids map-side (one
+      // scan, no shuffle of the vector side), explodes to (table, bucket)
+      // rows — a map-side generator; the query side explodes to its
+      // probe-bucket list (every bucket within hamming lshProbeHamming of
+      // its own bucket, per table) and is BROADCAST, so candidates come
+      // from an equi BroadcastHashJoin on (table, bucket) — the join
+      // never shuffles the corpus. A candidate recalled by several
+      // tables appears once per table; the tiny candidate groupBy dedups
+      // and reports how many tables recalled it. Sims are EXACT cosines
+      // (LSH only prunes candidates).
       graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings")
-      val withB = e.withColumn("bucket", expr(lshBucketSqlSpark))
-      val q = withB.where(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-      withB.join(broadcast(q), col("bucket") === col("q_bucket"))
+      val bCols = (0 until lshTables).map(t => expr(lshBucketSqlSpark(t)).as(s"b$t"))
+      val withB = e.select(col("vec_id") +: col("embedding") +: bCols: _*)
+      val tagged = withB.select(col("vec_id"), col("embedding"),
+          explode(array((0 until lshTables).map(t =>
+            struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+                col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      val qTables = withB.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"),
+          explode(array((0 until lshTables).map(t =>
+            struct(lit(t).as("q_tbl"), col(s"b$t").as("qb"))): _*)).as("tb"))
+        .select(col("q_emb"), col("tb.q_tbl").as("q_tbl"), col("tb.qb").as("qb"))
+      val qProbes = qTables.select(col("q_emb"), col("q_tbl"),
+        explode(expr(s"filter(sequence(0, ${(1 << lshPlanes) - 1}), " +
+          s"b -> bit_count(b ^ qb) <= $lshProbeHamming)")).as("probe"))
+      tagged.join(broadcast(qProbes),
+          col("tbl") === col("q_tbl") && col("bucket") === col("probe"))
         .where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("bucket"),
+        .select(col("vec_id"),
                 graft.Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).cast("int").as("n_tables"), max("sim").as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
@@ -629,15 +660,31 @@ object LlmExtOps {
         "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a_id, b_id"),
-    "sim_ann_lsh" ->
-      ("WITH b AS (SELECT vec_id, embedding, " + lshBucketSqlDuck + " AS bucket " +
-        "FROM embeddings), q AS (SELECT embedding AS q_emb, bucket AS q_bucket " +
-        "FROM b WHERE vec_id = 0) " +
-        "SELECT b.vec_id, b.bucket, " +
-        graft.Det.sql.r("list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
-          "CAST(q.q_emb AS DOUBLE[]))", 4) + " AS sim " +
-        "FROM b CROSS JOIN q WHERE b.bucket = q.q_bucket AND b.vec_id <> 0 " +
-        "ORDER BY sim DESC, b.vec_id LIMIT 10"),
+    "sim_ann_lsh" -> {
+      // Exact twin of the multi-table multi-probe pipeline: same LCG
+      // hyperplanes, same probe radius, same candidate union + dedup.
+      val bCols = (0 until lshTables)
+        .map(t => lshBucketSqlDuck(t) + s" AS b$t").mkString(", ")
+      val taggedRows = (0 until lshTables).map(t =>
+        s"SELECT vec_id, embedding, $t AS tbl, b$t AS bucket FROM b")
+        .mkString(" UNION ALL ")
+      val probeRows = (0 until lshTables).map(t =>
+        s"SELECT q_emb, $t AS tbl, unnest(list_filter(range(0, ${1 << lshPlanes}), " +
+          s"x -> bit_count(xor(x, CAST(b$t AS BIGINT))) <= $lshProbeHamming)) AS probe FROM q")
+        .mkString(" UNION ALL ")
+      s"WITH b AS (SELECT vec_id, embedding, $bCols FROM embeddings), " +
+        s"tagged AS ($taggedRows), " +
+        "q AS (SELECT embedding AS q_emb, " +
+        (0 until lshTables).map(t => s"b$t").mkString(", ") + " FROM b WHERE vec_id = 0), " +
+        s"probes AS ($probeRows), " +
+        "cand AS (SELECT tg.vec_id, " +
+        graft.Det.sql.r("list_cosine_similarity(CAST(tg.embedding AS DOUBLE[]), " +
+          "CAST(p.q_emb AS DOUBLE[]))", 4) + " AS sim " +
+        "FROM tagged tg JOIN probes p ON tg.tbl = p.tbl AND tg.bucket = p.probe " +
+        "WHERE tg.vec_id <> 0) " +
+        "SELECT vec_id, CAST(count(*) AS INT) AS n_tables, max(sim) AS sim " +
+        "FROM cand GROUP BY 1 ORDER BY sim DESC, vec_id LIMIT 10"
+    },
     "text_fingerprint_rolling" ->
       ("SELECT doc_id, CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE " +
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +

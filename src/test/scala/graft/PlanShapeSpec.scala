@@ -122,7 +122,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-doc metrics must not shuffle:\n$p")
   }
 
-  test("sim_ann_lsh buckets map-side and broadcasts the query row") {
+  test("sim_ann_lsh buckets map-side and broadcasts the probe buckets") {
+    // candidates must come from an equi BroadcastHashJoin on
+    // (table, bucket) — the corpus side is never shuffled for the join
     val p = plan("sim_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)

@@ -130,17 +130,24 @@ class LlmExtSpec extends AnyFunSuite {
     assert(fast.count() === docs.count())
   }
 
-  test("sim_ann_lsh: bucketed candidates carry exact cosine sims in rank order") {
+  test("sim_ann_lsh: multi-table multi-probe recall >= 0.9 vs exact top-10") {
     val out = LlmExtOps.queries("sim_ann_lsh")(spark, sf)
       .as[(Long, Int, Double)].collect().toSeq
     assert(out.nonEmpty && out.size <= 10)
     assert(out.map(_._3) === out.map(_._3).sorted.reverse) // descending sim
-    assert(out.map(_._2).distinct.size === 1) // all from the query's bucket
+    // every candidate is recalled by between 1 and K tables
+    assert(out.map(_._2).forall(n => n >= 1 && n <= LlmExtOps.lshTables))
     // sims are the EXACT cosine values (LSH only prunes candidates)
     val brute = LlmOps.queries("sim_cosine_topk")(spark, sf)
-      .as[(Long, Double)].collect().toMap
+      .as[(Long, Double)].collect().toSeq
+    val bruteMap = brute.toMap
     out.foreach { case (id, _, sim) =>
-      brute.get(id).foreach(b => assert(b === sim)) }
+      bruteMap.get(id).foreach(b => assert(b === sim)) }
+    // the ANN output must recover >= 90% of the exact top-10 — the
+    // K-table union + multi-probe levers exist exactly for this
+    val exactIds = brute.map(_._1).toSet
+    val recall = out.map(_._1).count(exactIds.contains).toDouble / exactIds.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (got ${out.map(_._1)})")
   }
 
   test("text_fingerprint_rolling: declarative query equals the Scala accumulator") {
