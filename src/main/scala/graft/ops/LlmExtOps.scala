@@ -542,21 +542,63 @@ object LlmExtOps {
         .orderBy("doc_id")),
   )
 
-  /** Connected components over an undirected pair list (a_id, b_id) by
-    * iterative min-label propagation (O(diameter) joins, each shuffling
-    * only the label table — the standard DataFrame CC shape;
-    * large-star/small-star is the same idea with better constants at
-    * extreme diameters). Convergence uses the label-sum invariant:
-    * min-propagation only ever DECREASES labels, so the sum strictly
-    * decreases until fixpoint — one cheap scalar aggregate per iteration
-    * instead of a diff join. Returns (doc_id, cluster, is_survivor);
-    * property-tested against a union-find model in PropertySpec. */
-  def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
+  /** One large-star contraction round (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SOCC'14) over a SYMMETRIC edge
+    * list: per node u with m = min(u ∪ Γ(u)), rewire every
+    * strictly-larger neighbor v > u to m. Preserves connectivity exactly
+    * (every emitted edge stays inside u's component; every node of a
+    * ≥2-node component survives as some emission's endpoint) and HALVES
+    * chain diameter per round. The paper's companion small-star op
+    * (point every smaller neighbor at m) is deliberately not run as a
+    * pre-round here: the label loop's seed — labels = min(id, min
+    * neighbor) — performs exactly small-star's work in its first
+    * aggregation, so alternating pre-rounds would duplicate what the
+    * chase already does and never cut total rounds (measured: alternation
+    * ties the doubling chase on a 256-chain; large-only pre-rounds beat
+    * it). Cost per round: one groupBy (the per-node min) + one join +
+    * the resymmetrizing distinct — all keyed shuffles of the edge list
+    * only, no label table. */
+  private def largeStarRound(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val edges = pairs.toDF("a_id", "b_id")
+    val m = edges.groupBy("src").agg(least(col("src"), min(col("dst"))).as("m"))
+    val emitted = edges.join(m, "src").where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val dir = emitted.where(col("src") =!= col("dst"))
+    dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Connected components over an undirected pair list (a_id, b_id):
+    * `starRounds` large-star contraction rounds (better constants on
+    * deep/skewed graphs — each round multiplicatively shrinks chain
+    * diameter before any label table exists), then
+    * iterative min-label propagation with pointer doubling to fixpoint.
+    * Convergence uses the label-sum invariant: min-propagation only ever
+    * DECREASES labels, so the sum strictly decreases until fixpoint — one
+    * cheap scalar aggregate per iteration instead of a diff join. Returns
+    * (doc_id, cluster, is_survivor); property-tested against a union-find
+    * model in PropertySpec; the star pre-rounds' round-count win on deep
+    * chains is asserted in LlmExtSpec. */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    connectedComponentsWithRounds(pairs, starRounds = 2)._1
+
+  /** As connectedComponents, exposing the star-round knob and the total
+    * number of driver-synchronized rounds (star + label) for tests. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: org.apache.spark.sql.DataFrame, starRounds: Int)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    var rounds = 0
+    var edges = pairs.toDF("a_id", "b_id")
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.toDF("a_id", "b_id").select(col("b_id"), col("a_id")))
       .persist()
+    for (_ <- 0 until starRounds) {
+      val next = largeStarRound(edges).persist()
+      next.count() // materialize before releasing the parent's blocks
+      edges.unpersist()
+      edges = next
+      rounds += 1
+    }
     // initial label = min(id, min neighbor): the first propagation round
     // fused into initialization (one groupBy on the already-partitioned
     // edge list instead of distinct + a full join round)
@@ -582,12 +624,16 @@ object LlmExtOps {
       // safe and the fixpoint is unchanged — but label distance-to-root
       // then doubles per round, so total rounds are O(log diameter).
       // Near-dup clusters are almost always shallow (diameter 2-4), so
-      // the first rounds skip the extra self-join entirely — doubling
-      // only pays once a graph is genuinely deep (the pathological
-      // chain case), where it turns diameter-many driver-synchronized
-      // rounds into a handful.
+      // with no star pre-rounds the first rounds skip the extra
+      // self-join entirely — doubling only pays once a graph is
+      // genuinely deep (the pathological chain case), where it turns
+      // diameter-many driver-synchronized rounds into a handful. When
+      // star pre-rounds DID run, they already played the cheap warm-up
+      // role (shallow graphs are stars by now), so any remaining depth
+      // is worth chasing from the first label round.
+      val chaseDelay = if (starRounds > 0) 0 else 3
       val chase =
-        if (iter < 3) labels.select("id", "lbl").limit(0)
+        if (iter < chaseDelay) labels.select("id", "lbl").limit(0)
         else labels.select(col("lbl").as("jk"), col("id"))
           .join(labels.select(col("id").as("jk"), col("lbl")), "jk")
           .select(col("id"), col("lbl"))
@@ -624,7 +670,7 @@ object LlmExtOps {
               (col("id") === col("lbl")).as("is_survivor"))
       .localCheckpoint(true)
     labels.unpersist()
-    result
+    (result, rounds + iter)
   }
 
   /** mapPartitions twin of mm_decode_features — the partition-wise batch

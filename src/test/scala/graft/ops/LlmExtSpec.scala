@@ -160,6 +160,20 @@ class LlmExtSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("connectedComponents: star pre-rounds cut total rounds on a deep chain") {
+    // 256-node chain — the pathological diameter case for label
+    // propagation. Large-star rounds contract the chain
+    // multiplicatively BEFORE the label loop, so the total number of
+    // driver-synchronized rounds drops; labels must be identical.
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (r0, n0) = LlmExtOps.connectedComponentsWithRounds(chain, starRounds = 0)
+    val (r2, n2) = LlmExtOps.connectedComponentsWithRounds(chain, starRounds = 2)
+    val expect = (0L to 255L).map(i => (i, 0L, i == 0L)).toSet
+    assert(r0.as[(Long, Long, Boolean)].collect().toSet === expect)
+    assert(r2.as[(Long, Long, Boolean)].collect().toSet === expect)
+    assert(n2 < n0, s"star pre-rounds should cut total rounds: $n2 vs $n0")
+  }
+
   test("dedup_clusters: min-id propagation finds connected components") {
     // 0-1, 1-2 one cluster (via 'spark makes big data' 3-shingle overlap
     // chain); 5-6 a second; 9 isolated (never appears)
