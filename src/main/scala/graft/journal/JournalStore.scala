@@ -37,8 +37,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * to string (partition type inference would make a numeric-looking
     * namespace an int). A store with no appends yet reads as an empty
     * frame with the canonical schema (superset incl. the facade's skey). */
-  private[journal] def readSegments(): org.apache.spark.sql.DataFrame = {
-    val files = manifest.files
+  private[journal] def readSegments(): org.apache.spark.sql.DataFrame =
+    readSegmentsOver(manifest.files)
+
+  private def readSegmentsOver(files: Seq[String]): org.apache.spark.sql.DataFrame =
     if (files.nonEmpty)
       spark.read.option("basePath", segDir)
         .parquet(files.map(f => s"$segDir/$f"): _*)
@@ -48,7 +50,41 @@ class JournalStore private (val spark: SparkSession, val path: String,
         org.apache.spark.sql.types.StructType.fromDDL(
           "seq BIGINT, ns STRING, ukey BIGINT, skey STRING, " +
             "ts TIMESTAMP, payload STRING, val DOUBLE, epoch BIGINT"))
+
+  /** Manifest files that can contain rows of `ns` (when given) and/or
+    * `ukey` (when given) — the metadata data-skipping path. A file is
+    * dropped when its ns partition directory names another namespace, or
+    * when the manifest's (epoch, ns) key range excludes the probed ukey.
+    * Pruning is conservative: a namespace whose directory rendering
+    * isn't the literal value (partition-path escaping) or a file with no
+    * key stats (pre-upgrade store) is always kept — the row-level
+    * filters downstream keep correctness either way. */
+  private def filesForKey(nsOpt: Option[String],
+                          ukey: Option[Long]): Seq[String] = {
+    val m = manifest
+    val nsRe = """ns=([^/]+)""".r
+    val kmap = m.kstats.map(k => (k.epoch, k.ns) -> k).toMap
+    m.files.filter { f =>
+      val dirNs = nsRe.findFirstMatchIn(f).map(_.group(1))
+      // only prune on directory values that round-trip literally
+      val safe = dirNs.exists(_.matches("[A-Za-z0-9_.\\-]+"))
+      val nsKeep = nsOpt.forall(n => !safe || dirNs.contains(n))
+      val keyKeep = (ukey, epochOf(f)) match {
+        case (Some(k), Some(e)) if safe =>
+          kmap.get((e, dirNs.get)).forall(s => s.minKey <= k && k <= s.maxKey)
+        case _ => true
+      }
+      nsKeep && keyKeep
+    }
   }
+
+  /** scanUnordered over only the files that can contain (ns, ukey) —
+    * what the `journal` source uses when an ns/ukey equality filter is
+    * pushed down. */
+  private[graft] def scanUnorderedPruned(ns: Option[String],
+                                         ukey: Option[Long]): DataFrame =
+    readSegmentsOver(filesForKey(ns, ukey))
+      .select("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
 
   def manifest: Manifest = pinnedVersion match {
@@ -128,23 +164,41 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val preExisting = listSegmentFiles()
     out.repartition(col("epoch"), col("ns"))
       .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
-    // One stats pass over the cached batch yields the per-epoch manifest
-    // stats (rows/min/max — the Delta-style metadata that lets
-    // segmentStats() and seq-range pruning skip the segment tree
-    // entirely) AND the new high-water mark; no separate max(seq) job.
-    val batchStats = out.groupBy("epoch")
-      .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"))
-      .collect().map(r => EpochStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // One stats pass over the cached batch, at (epoch, ns) grain, yields
+    // BOTH manifest stat families (the Delta-style metadata that lets
+    // segmentStats() / seq-range pruning / key-targeted reads skip the
+    // segment tree entirely) AND the new high-water mark; no separate
+    // max(seq) job. Epoch stats are the driver-side rollup of the same
+    // rows.
+    val perNs = out.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
+      .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"),
+           min("ukey").as("kmn"), max("ukey").as("kmx"))
+      .collect()
+    val batchStats = perNs.groupBy(_.getLong(0)).map { case (e, rs) =>
+      EpochStat(e, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).min,
+        rs.map(_.getLong(4)).max)
+    }.toSeq
+    // all-null ukeys in an (epoch, ns) → empty range (minKey > maxKey):
+    // prunes every equality probe, which is exact (NULL never equals)
+    val batchK = perNs.map(r => KeyStat(r.getLong(0), r.getString(1),
+      if (r.isNullAt(5)) 1L else r.getLong(5),
+      if (r.isNullAt(6)) 0L else r.getLong(6))).toSeq
     val hi = if (batchStats.isEmpty) None else Some(batchStats.map(_.maxSeq).max)
     val newMax = math.max(m.maxSeq, hi.getOrElse(m.maxSeq)) // empty batch = no-op
     val mergedStats = (m.stats ++ batchStats).groupBy(_.epoch).map { case (e, ss) =>
       EpochStat(e, ss.map(_.rows).sum, ss.map(_.minSeq).min, ss.map(_.maxSeq).max)
     }.toSeq.sortBy(_.epoch)
+    val mergedK = (m.kstats ++ batchK).groupBy(k => (k.epoch, k.ns))
+      .map { case ((e, n), ks) =>
+        val nonEmpty = ks.filter(k => k.minKey <= k.maxKey)
+        if (nonEmpty.isEmpty) KeyStat(e, n, 1L, 0L)
+        else KeyStat(e, n, nonEmpty.map(_.minKey).min, nonEmpty.map(_.maxKey).max)
+      }.toSeq.sortBy(k => (k.epoch, k.ns))
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
       files = (m.files ++ (listSegmentFiles() diff preExisting)).distinct,
-      stats = mergedStats,
+      stats = mergedStats, kstats = mergedK,
       lastBatchId = streamBatchId.getOrElse(m.lastBatchId)))
     // Automatic checkpoint policy (marasa checkpoints periodically so
     // reads are bounded by epoch size — SURVEY §0.1.5/§4.1): when this
@@ -214,8 +268,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
   /** Compact every epoch <= upToEpoch into one file per (epoch, ns) and
     * atomically swap the manifest to the compacted files; old files are
     * removed by vacuum(). Readers opened before the swap keep reading the
-    * old file set (snapshot isolation), like marasa's segment rewrite. */
-  def compact(upToEpoch: Long): Unit = {
+    * old file set (snapshot isolation), like marasa's segment rewrite.
+    *
+    * `clusterByKey` additionally sorts each rewritten file by (ukey, seq)
+    * — append order interleaves keys, so a key-targeted read of an
+    * unclustered file decodes every row group; clustering makes parquet's
+    * per-row-group ukey min/max stats selective, so a pushed `ukey =`
+    * predicate skips row groups INSIDE the files the manifest key stats
+    * couldn't drop. Manifest stats (epoch + key ranges) describe data,
+    * not layout, and are unchanged. */
+  def compact(upToEpoch: Long, clusterByKey: Boolean = false): Unit = {
     requireWritable()
     val m = manifest
     val old = m.files.filter(f => epochOf(f).exists(_ <= upToEpoch))
@@ -229,8 +291,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // in files a PREVIOUS compact() dropped from the manifest but
     // vacuum() hasn't deleted yet (resurrected rows on double-compact).
     val preExisting = listSegmentFiles()
-    rows.repartition(col("epoch"), col("ns"))
-      .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
+    val partitioned = rows.repartition(col("epoch"), col("ns"))
+    val laidOut =
+      if (clusterByKey)
+        // (epoch, ns) lead the sort so the dynamic-partition writer
+        // streams one open file at a time; (ukey, seq) cluster within
+        partitioned.sortWithinPartitions(col("epoch"), col("ns"),
+          col("ukey"), col("seq"))
+      else partitioned
+    laidOut.write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
     val newFiles = listSegmentFiles() diff preExisting
     writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles))
   }
@@ -280,9 +349,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .agg(max_by(col("payload"), col("seq")).as("payload"),
            max("seq").as("last_seq"))
 
-  /** Per-key (or per-ns) history in seq order. */
+  /** Per-key (or per-ns) history in seq order. Key-targeted reads prune
+    * segment files by the manifest's (epoch, ns) key ranges before the
+    * scan is planned — at 100 TB a key that appears in a handful of
+    * epochs reads a handful of files, not the namespace's whole history
+    * (the row filters still apply, so pruning is never load-bearing for
+    * correctness). */
   def history(ns: String, ukey: Option[Long] = None): DataFrame = {
-    val base = readSegments().where(col("ns") === ns)
+    val base = readSegmentsOver(filesForKey(Some(ns), ukey))
+      .where(col("ns") === ns)
     ukey.fold(base)(k => base.where(col("ukey") === k))
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
   }
@@ -361,9 +436,22 @@ object JournalStore {
     * an epoch, not its file layout). */
   case class EpochStat(epoch: Long, rows: Long, minSeq: Long, maxSeq: Long)
 
+  /** Per-(epoch, namespace) ukey range, maintained at append time — the
+    * file-level data-skipping stats (Delta/Iceberg column stats, scoped
+    * to the one column journal point-reads filter on). A key-targeted
+    * read (`history(ns, key)`, or a pushed `ukey =` filter through the
+    * `journal` source) drops every segment file whose (epoch, ns) range
+    * excludes the key BEFORE the scan is planned — metadata-only IO
+    * pruning that partition directories can't express. An empty range
+    * (all ukeys null) is encoded minKey > maxKey and prunes every
+    * equality probe. Like EpochStat, key stats describe the DATA in an
+    * (epoch, ns), not its file layout, so they survive compaction. */
+  case class KeyStat(epoch: Long, ns: String, minKey: Long, maxKey: Long)
+
   case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
                       files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil,
-                      lastBatchId: Long = -1L, version: Long = 0L)
+                      lastBatchId: Long = -1L, version: Long = 0L,
+                      kstats: Seq[KeyStat] = Nil)
 
   /** How many committed manifest versions stay readable via openAt().
     * Bounds metadata growth to N tiny JSON files regardless of journal
@@ -424,11 +512,17 @@ object JournalStore {
     // so the same bracket-free regex parser below can read it back
     val stats = m.stats.sortBy(_.epoch)
       .flatMap(st => Seq(st.epoch, st.rows, st.minSeq, st.maxSeq)).mkString(",")
+    // key stats as "epoch:minKey:maxKey:<url-encoded ns>" strings — the
+    // encoding keeps ',' / '"' / ':' out of the ns so the flat parser
+    // below stays a split
+    val kstats = m.kstats.sortBy(k => (k.epoch, k.ns))
+      .map(k => "\"" + s"${k.epoch}:${k.minKey}:${k.maxKey}:" +
+        java.net.URLEncoder.encode(k.ns, "UTF-8") + "\"").mkString(",")
     val json =
       s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
         s""""lastBatchId":${m.lastBatchId},"version":${m.version},""" +
         s""""checkpoints":[${m.checkpoints.mkString(",")}],""" +
-        s""""files":[$files],"stats":[$stats]}"""
+        s""""files":[$files],"stats":[$stats],"kstats":[$kstats]}"""
     val bytes = json.getBytes(StandardCharsets.UTF_8)
     Files.write(versionPath(path, m.version), bytes)
     val tmp = Paths.get(path, ".manifest.json.tmp")
@@ -467,11 +561,18 @@ object JournalStore {
       .map(_.split(",").map(_.trim.toLong).grouped(4)
         .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq)
       .getOrElse(Nil)
+    val kstats = """kstats":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map { entry =>
+        val parts = entry.trim.stripPrefix("\"").stripSuffix("\"").split(":", 4)
+        KeyStat(parts(0).toLong, java.net.URLDecoder.decode(parts(3), "UTF-8"),
+          parts(1).toLong, parts(2).toLong)
+      }).getOrElse(Nil)
     // lastBatchId must default to -1 (not num()'s 0) when absent: a
     // pre-upgrade manifest with no field must not swallow batch 0.
     val lastBatch = """lastBatchId":(-?\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).getOrElse(-1L)
     Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats,
-      lastBatch, num("version")))
+      lastBatch, num("version"), kstats))
   }
 }

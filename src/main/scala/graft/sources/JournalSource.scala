@@ -133,7 +133,20 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
 
       override def buildScan(requiredColumns: Array[String],
                              filters: Array[Filter]): RDD[Row] = {
-        var d = base
+        // a pushed `ukey =` (scan mode) rebuilds the base over the
+        // manifest's key-stat-pruned file list — file-level data
+        // skipping the partition directories can't express; the row
+        // filters below still apply, so pruning is IO-only
+        val keyEq = if (isScan) filters.collectFirst {
+          case EqualTo("ukey", v: Long) => v } else None
+        val nsEq = filters.collectFirst {
+          case EqualTo("ns", v: String) => v }.orElse(ns)
+        var d = keyEq match {
+          case Some(_) =>
+            val pruned = store.scanUnorderedPruned(nsEq, keyEq)
+            nsEq.fold(pruned)(n => pruned.where(col("ns") === n))
+          case None => base
+        }
         if (isScan) filters.foreach {
           // seq bounds → epoch partition-dir bounds (the IO pruner) +
           // the row-level bound itself

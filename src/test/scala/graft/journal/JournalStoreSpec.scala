@@ -263,6 +263,77 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(viaCkpt === raw)
   }
 
+  private def twoEpochStore(epochSize: Long = 4): JournalStore = {
+    val store = JournalStore.create(spark, freshPath, epochSize)
+    def batch(keys: Seq[Long], tsBase: Int) = keys.zipWithIndex.map { case (k, i) =>
+      ("users", k, ts(f"2024-01-01 00:00:${tsBase + i}%02d"), s"p$k", 1.0)
+    }.toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(Seq(3L, 1L, 2L, 0L), 1))    // seqs 0-3 → epoch 0, keys 0-3
+    store.append(batch(Seq(13L, 11L, 12L, 10L), 11)) // seqs 4-7 → epoch 1, keys 10-13
+    store
+  }
+
+  test("manifest key stats prune segment files for key-targeted reads") {
+    val store = twoEpochStore()
+    val m = store.manifest
+    assert(m.kstats.exists(k =>
+      k.epoch == 0 && k.ns == "users" && k.minKey == 0 && k.maxKey == 3))
+    assert(m.kstats.exists(k =>
+      k.epoch == 1 && k.ns == "users" && k.minKey == 10 && k.maxKey == 13))
+    val full = store.history("users")
+    val pruned = store.history("users", Some(12L))
+    // the epoch whose key range excludes 12 is dropped BEFORE scan planning
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"${pruned.inputFiles.toSeq} vs ${full.inputFiles.toSeq}")
+    assert(pruned.collect().map(_.toString).toSeq ===
+      full.where($"ukey" === 12L).collect().map(_.toString).toSeq)
+    // a key outside every epoch's range reads no files at all
+    assert(store.history("users", Some(99L)).inputFiles.isEmpty)
+    assert(store.history("users", Some(99L)).count() === 0)
+    // stats round-trip the manifest swap (reopen reads the same ranges)
+    assert(JournalStore.open(spark, store.path).manifest.kstats === m.kstats)
+  }
+
+  test("key stats survive compaction; clustered compact sorts files by key") {
+    val store = twoEpochStore()
+    store.compact(Long.MaxValue, clusterByKey = true)
+    // stats describe data, not layout — pruning still works post-compact
+    val full = store.history("users")
+    val pruned = store.history("users", Some(2L))
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.select("payload").as[String].collect().toSeq === Seq("p2"))
+    // the rewritten epoch-0 file is (ukey, seq)-sorted: append order was
+    // keys (3,1,2,0); clustering makes parquet row-group stats selective
+    val e0 = store.manifest.files.filter(f => f.contains("epoch=0"))
+    assert(e0.size === 1)
+    val keys = spark.read.parquet(store.path + "/segments/" + e0.head)
+      .select("ukey").as[Long].collect().toSeq
+    assert(keys === keys.sorted, s"clustered file not key-sorted: $keys")
+  }
+
+  test("all-null ukeys get an empty key range that prunes equality probes") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 4)
+    store.append(spark.range(1).selectExpr("'nullns' AS ns",
+      "CAST(NULL AS BIGINT) AS ukey", "timestamp'2024-01-01 00:00:09' AS ts",
+      "'pn' AS payload", "CAST(1.0 AS DOUBLE) AS val"))
+    val k = store.manifest.kstats.find(_.ns == "nullns")
+    assert(k.exists(s => s.minKey > s.maxKey)) // empty range sentinel
+    // equality probe reads nothing (NULL never equals); full-ns read intact
+    assert(store.history("nullns", Some(5L)).inputFiles.isEmpty)
+    assert(store.history("nullns").count() === 1)
+  }
+
+  test("journal source file-prunes on pushed ukey equality") {
+    val store = twoEpochStore()
+    assert(store.scanUnorderedPruned(Some("users"), Some(12L))
+      .inputFiles.length === 1)
+    // end-to-end through the data source: pushed (ns, ukey) filters
+    // route through the pruned scan and stay correct
+    val out = spark.read.format("journal").load(store.path)
+      .where($"ns" === "users" && $"ukey" === 12L)
+    assert(out.select("payload").as[String].collect().toSeq === Seq("p12"))
+  }
+
   test("history reads prune namespace partitions (directory-level)") {
     val store = JournalStore.create(spark, freshPath)
     store.append(sampleDf)
