@@ -69,6 +69,33 @@ object LlmOps {
         .select("a_id", "b_id", "jac").orderBy("a_id", "b_id")
     }),
 
+    "dedup_containment" -> ((s, d) => {
+      // Asymmetric near-dup: containment C(A in B) = |shingles(A) ∩
+      // shingles(B)| / |shingles(A)|. Catches sub-document duplication —
+      // quotes, mirrors, boilerplate-wrapped copies — that symmetric
+      // Jaccard under-scores when document sizes differ (a 50-shingle doc
+      // fully inside a 1000-shingle doc has jaccard ~0.05 but containment
+      // 1.0). Same bounded exact contract as dedup_near_jaccard; at scale
+      // the same banded-minhash candidates feed this scorer.
+      val docs = Tables(s, d, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+      val sh = docs.select(col("doc_id"), explode(shingles(3)).as("g"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
+        .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
+        .select(col("a_id"), col("b_id"),
+                Det.r(col("i").cast("double") / col("na"), 4).as("cont_a_in_b"),
+                Det.r(col("i").cast("double") / col("nb"), 4).as("cont_b_in_a"))
+        .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
     "sim_cosine_topk" -> ((s, d) => {
       // native codegen'd Catalyst expression (graft.expr.CosineSimilarity)
       // — no UDF boxing on the scan side; TakeOrderedAndProject keeps k
@@ -225,6 +252,21 @@ object LlmOps {
         "FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE " + Det.sql.r("CAST(i AS DOUBLE) / (sa.n + sb.n - i)", 4) +
         " >= 0.4 ORDER BY a_id, b_id"),
+    "dedup_containment" ->
+      ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g " +
+        "FROM docs), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a " +
+        "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, " + Det.sql.r("CAST(i AS DOUBLE) / sa.n", 4) +
+        " AS cont_a_in_b, " + Det.sql.r("CAST(i AS DOUBLE) / sb.n", 4) +
+        " AS cont_b_in_a " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE greatest(" + Det.sql.r("CAST(i AS DOUBLE) / sa.n", 4) + ", " +
+        Det.sql.r("CAST(i AS DOUBLE) / sb.n", 4) + ") >= 0.5 ORDER BY a_id, b_id"),
     "sim_cosine_topk" ->
       ("SELECT e.vec_id, " +
         Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +

@@ -130,6 +130,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("runtime bloom filter prunes the fact scan under a selective dim filter") {
+    // The 100 TB shuffle-join lever beyond broadcast: when the dim side
+    // of a shuffle join carries a selective filter, Catalyst's
+    // InjectRuntimeFilter builds a bloom filter from the dim keys and
+    // applies might_contain on the fact scan — fact rows that can't join
+    // die before the exchange. Thresholds here only widen eligibility so
+    // the rule fires at test scale; the plan shape is what's asserted.
+    val sets = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = sets.map { case (k, _) => k -> spark.conf.getOption(k) }
+    sets.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, sf, "lineitem")
+      val ord = Tables(spark, sf, "orders")
+        .where(org.apache.spark.sql.functions.col("o_totalprice") > 500000)
+      val j = li.join(ord,
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("dedup_minhash reuses the signature aggregation across the self-join") {
     val df = SparkEntry.queries("dedup_minhash")(spark, sf)
     df.collect()

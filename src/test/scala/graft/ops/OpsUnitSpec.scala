@@ -128,6 +128,23 @@ class OpsUnitSpec extends AnyFunSuite {
     assert(out === Seq((0L, 1L, 0.5)))
   }
 
+  test("dedup_containment: small doc inside big doc scores 1.0 where jaccard is low") {
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      // doc 0's shingles {abc, bcd, cde} are ALL inside doc 1's 12
+      // shingles → containment(0 in 1) = 1.0, jaccard only 3/12 = 0.25
+      (0L, "a b c d e", "en", "s1", 9L),
+      (1L, "a b c d e f g h i j k l m n", "en", "s1", 27L),
+      (2L, "z z z z z", "en", "s1", 9L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmOps.queries("dedup_containment")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((0L, 1L, 1.0, 0.25)))
+    // the same pair is invisible to the jaccard query at its threshold
+    val jac = LlmOps.queries("dedup_near_jaccard")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(!jac.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
   test("emb_centroid: per-label per-dim mean") {
     val dir = TestSpark.fixtureDir("embeddings" -> Seq(
       (0L, Seq(1f, 3f), 0), (1L, Seq(3f, 5f), 0), (2L, Seq(10f, 20f), 1),
