@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.StreamBatchBridge
 import org.apache.spark.sql.sources._
@@ -52,8 +53,15 @@ import graft.journal.JournalStore
   * journal keys state by (ns, ukey), so an update-mode stream lands each
   * revision as a new journal version, exactly the log's semantics. */
 class JournalSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "journal"
+
+  /** Schema of the streaming tail (the log's row surface; epoch is a
+    * storage detail). Static so `readStream` can resolve before the
+    * store has any data. */
+  private val streamSchema = StructType.fromDDL(
+    "seq BIGINT, ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE")
 
   private def openOrCreate(spark: org.apache.spark.sql.SparkSession,
                            path: String,
@@ -97,6 +105,60 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
           .append(batch, Some(batchId))
       }
       override def toString: String = s"JournalSink[$path]"
+    }
+  }
+
+  /** `spark.readStream.format("journal")` — tail the log. The journal's
+    * seq high-water mark IS the streaming offset: each micro-batch reads
+    * exactly the records in (lastSeq, maxSeq], with the seq range turned
+    * into epoch partition-directory bounds (bounded IO per batch no
+    * matter how long the journal grows — marasa's tail-replay invariant
+    * as a stream). Segments are immutable and the manifest swap is
+    * atomic, so a batch is reproducible for replay after recovery:
+    * together with the checkpointed offset log this gives exactly-once
+    * delivery into any downstream sink. Writing the same store with the
+    * `journal` streaming sink and tailing it with this source makes the
+    * store a durable exactly-once queue. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(streamSchema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("journal source requires a path"))
+    new Source {
+      override def schema: StructType = streamSchema
+
+      private def store: Option[JournalStore] =
+        if (JournalStore.exists(path))
+          Some(JournalStore.open(ctx.sparkSession, path)) else None
+
+      private def seqOf(o: Offset): Long = o match {
+        case l: LongOffset => l.offset
+        case other => other.json.trim.toLong // SerializedOffset after restart
+      }
+
+      override def getOffset: Option[Offset] =
+        store.map(_.manifest.maxSeq).filter(_ >= 0L).map(LongOffset(_))
+
+      override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+        val s = store.getOrElse(throw new IllegalStateException(
+          s"journal store at $path vanished mid-stream"))
+        val lo = start.map(seqOf).getOrElse(-1L)
+        val hi = seqOf(end)
+        val rows = s.scanUnordered()
+          .where(col("epoch") >= (lo + 1) / s.epochSize &&
+                 col("epoch") <= hi / s.epochSize)
+          .where(col("seq") > lo && col("seq") <= hi)
+          .select("seq", "ns", "ukey", "ts", "payload", "val")
+        StreamBatchBridge.asStreamingDF(rows)
+      }
+
+      override def stop(): Unit = ()
+      override def toString: String = s"JournalStreamSource[$path]"
     }
   }
 

@@ -21,4 +21,16 @@ object StreamBatchBridge {
     ClassicDataset.ofRows(ds.sparkSession,
       LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
   }
+
+  /** The mirror move for a DSv1 streaming SOURCE: `Source.getBatch` must
+    * hand MicroBatchExecution a STREAMING DataFrame (it asserts
+    * isStreaming), but the journal's per-batch plan is an ordinary batch
+    * scan of immutable segment files — re-root its executed RDD under a
+    * streaming `LogicalRDD`, exactly what Spark's own FileStreamSource
+    * does via internalCreateDataFrame(isStreaming = true). */
+  def asStreamingDF(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[ClassicDataset[Row]]
+    ClassicDataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = true))
+  }
 }
