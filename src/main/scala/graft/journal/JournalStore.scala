@@ -182,7 +182,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // prunes every equality probe, which is exact (NULL never equals)
     val batchK = perNs.map(r => KeyStat(r.getLong(0), r.getString(1),
       if (r.isNullAt(5)) 1L else r.getLong(5),
-      if (r.isNullAt(6)) 0L else r.getLong(6))).toSeq
+      if (r.isNullAt(6)) 0L else r.getLong(6), r.getLong(2))).toSeq
     val hi = if (batchStats.isEmpty) None else Some(batchStats.map(_.maxSeq).max)
     val newMax = math.max(m.maxSeq, hi.getOrElse(m.maxSeq)) // empty batch = no-op
     val mergedStats = (m.stats ++ batchStats).groupBy(_.epoch).map { case (e, ss) =>
@@ -190,9 +190,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }.toSeq.sortBy(_.epoch)
     val mergedK = (m.kstats ++ batchK).groupBy(k => (k.epoch, k.ns))
       .map { case ((e, n), ks) =>
+        val rows = ks.map(_.rows).sum
         val nonEmpty = ks.filter(k => k.minKey <= k.maxKey)
-        if (nonEmpty.isEmpty) KeyStat(e, n, 1L, 0L)
-        else KeyStat(e, n, nonEmpty.map(_.minKey).min, nonEmpty.map(_.maxKey).max)
+        if (nonEmpty.isEmpty) KeyStat(e, n, 1L, 0L, rows)
+        else KeyStat(e, n, nonEmpty.map(_.minKey).min,
+          nonEmpty.map(_.maxKey).max, rows)
       }.toSeq.sortBy(k => (k.epoch, k.ns))
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
@@ -420,6 +422,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .orderBy("epoch")
   }
 
+  /** Per-namespace (rows, epochs touched) straight from the manifest —
+    * the count-from-metadata path: no segment file is opened, so a
+    * 100 TB log answers namespace counts in a manifest parse. Equality
+    * with the data-derived counts is pinned in JournalStoreSpec and the
+    * journal_ns_counts oracle. */
+  def nsStats(): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    manifest.kstats.groupBy(_.ns).toSeq
+      .map { case (n, ks) => (n, ks.map(_.rows).sum, ks.size.toLong) }
+      .sortBy(_._1)
+      .toDF("ns", "n_rows", "n_epochs")
+  }
+
   /** The same stats recomputed from the segment data — the audit path. */
   def segmentStatsFromData(): DataFrame =
     readSegments()
@@ -445,8 +461,11 @@ object JournalStore {
     * pruning that partition directories can't express. An empty range
     * (all ukeys null) is encoded minKey > maxKey and prunes every
     * equality probe. Like EpochStat, key stats describe the DATA in an
-    * (epoch, ns), not its file layout, so they survive compaction. */
-  case class KeyStat(epoch: Long, ns: String, minKey: Long, maxKey: Long)
+    * (epoch, ns), not its file layout, so they survive compaction. The
+    * per-(epoch, ns) row count rides along, making per-namespace counts
+    * a manifest parse (nsStats()) instead of a scan. */
+  case class KeyStat(epoch: Long, ns: String, minKey: Long, maxKey: Long,
+                     rows: Long = 0L)
 
   case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
                       files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil,
@@ -512,11 +531,11 @@ object JournalStore {
     // so the same bracket-free regex parser below can read it back
     val stats = m.stats.sortBy(_.epoch)
       .flatMap(st => Seq(st.epoch, st.rows, st.minSeq, st.maxSeq)).mkString(",")
-    // key stats as "epoch:minKey:maxKey:<url-encoded ns>" strings — the
-    // encoding keeps ',' / '"' / ':' out of the ns so the flat parser
-    // below stays a split
+    // key stats as "epoch:minKey:maxKey:rows:<url-encoded ns>" strings —
+    // the encoding keeps ',' / '"' / ':' out of the ns so the flat
+    // parser below stays a split
     val kstats = m.kstats.sortBy(k => (k.epoch, k.ns))
-      .map(k => "\"" + s"${k.epoch}:${k.minKey}:${k.maxKey}:" +
+      .map(k => "\"" + s"${k.epoch}:${k.minKey}:${k.maxKey}:${k.rows}:" +
         java.net.URLEncoder.encode(k.ns, "UTF-8") + "\"").mkString(",")
     val json =
       s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
@@ -564,9 +583,9 @@ object JournalStore {
     val kstats = """kstats":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map { entry =>
-        val parts = entry.trim.stripPrefix("\"").stripSuffix("\"").split(":", 4)
-        KeyStat(parts(0).toLong, java.net.URLDecoder.decode(parts(3), "UTF-8"),
-          parts(1).toLong, parts(2).toLong)
+        val parts = entry.trim.stripPrefix("\"").stripSuffix("\"").split(":", 5)
+        KeyStat(parts(0).toLong, java.net.URLDecoder.decode(parts(4), "UTF-8"),
+          parts(1).toLong, parts(2).toLong, parts(3).toLong)
       }).getOrElse(Nil)
     // lastBatchId must default to -1 (not num()'s 0) when absent: a
     // pre-upgrade manifest with no field must not swallow batch 0.

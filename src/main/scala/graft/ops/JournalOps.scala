@@ -174,6 +174,22 @@ object JournalOps {
       store.append(journal(s, d))
       store.segmentStats()
     }),
+    "journal_ns_counts" -> ((s, d) => {
+      // Count-from-metadata: per-namespace row counts + epochs touched,
+      // answered from the manifest's (epoch, ns) stats with ZERO segment
+      // files opened (the Delta-style "count(*) from stats" shortcut —
+      // on a 100 TB log this is a driver-side manifest parse). The
+      // bounded ingest (seq < 2000, epochSize 500 → 4 epochs) is the
+      // cost; the oracle recomputes the same numbers from raw events,
+      // so the stats maintenance itself sits inside the correctness
+      // gate.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jns_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val store = graft.journal.JournalStore.create(s, tmp, epochSize = 500L)
+      store.append(journal(s, d).where(col("seq") < 2000))
+      store.nsStats().orderBy("ns")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -231,5 +247,9 @@ object JournalOps {
       ("SELECT event_id // 5000 AS epoch, count(*) AS n_rows, " +
         "CAST(min(event_id) AS BIGINT) AS min_seq, CAST(max(event_id) AS BIGINT) AS max_seq " +
         "FROM events GROUP BY 1 ORDER BY epoch"),
+    "journal_ns_counts" ->
+      ("SELECT event_type AS ns, count(*) AS n_rows, " +
+        "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
+        "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
   )
 }

@@ -170,6 +170,23 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(fromManifest.nonEmpty)
   }
 
+  test("nsStats: count-from-metadata equals data-derived counts, reads no files") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    store.append(sampleDf) // second batch spreads across later epochs
+    val fromMeta = store.nsStats().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fromData = store.scan().groupBy("ns").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fromMeta === fromData)
+    assert(fromMeta.nonEmpty)
+    assert(store.nsStats().inputFiles.isEmpty, "must not open segment files")
+    // counts survive compaction (stats describe data, not layout)
+    store.compact(Long.MaxValue)
+    assert(store.nsStats().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap === fromData)
+  }
+
   test("history filters by ns and key in seq order") {
     val store = JournalStore.create(spark, freshPath)
     store.append(sampleDf)
