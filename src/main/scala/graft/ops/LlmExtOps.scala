@@ -580,23 +580,43 @@ object LlmExtOps {
     * chains is asserted in LlmExtSpec. */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    connectedComponentsWithRounds(pairs, starRounds = 2)._1
+    connectedComponentsWithRounds(pairs, starRounds = -1)._1
+
+  /** Below this edge count, auto mode skips star pre-rounds: each star
+    * round costs ~3 driver-synchronized shuffles, which only pays for
+    * itself when contraction removes real shuffle volume or depth; a
+    * small graph's chase converges in a handful of cheap label rounds. */
+  private[graft] val StarAutoEdges = 1000000L
 
   /** As connectedComponents, exposing the star-round knob and the total
-    * number of driver-synchronized rounds (star + label) for tests. */
+    * number of driver-synchronized rounds (star + label) for tests.
+    * starRounds < 0 = auto (star-contract only graphs with ≥
+    * [[StarAutoEdges]] edges). */
   private[graft] def connectedComponentsWithRounds(
       pairs: org.apache.spark.sql.DataFrame, starRounds: Int)
       : (org.apache.spark.sql.DataFrame, Int) = {
     var rounds = 0
+    // Eager localCheckpoint, not persist: the symmetrized edge set embeds
+    // the CALLER's pair plan (for dedup_clusters, the whole shingle
+    // self-join), and every star round and label iteration references the
+    // edge set again — star rounds 4 times each (min agg, join probe,
+    // both union sides), so un-truncated lineage grows 4^rounds copies of
+    // the pair plan and ANALYSIS cost alone dwarfs execution (measured:
+    // 50+ s on a 2-node sf0.1 graph with plain persist, ~2 s
+    // checkpointed). The pair pipeline runs exactly once, here.
     var edges = pairs.toDF("a_id", "b_id")
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.toDF("a_id", "b_id").select(col("b_id"), col("a_id")))
-      .persist()
-    for (_ <- 0 until starRounds) {
-      val next = largeStarRound(edges).persist()
-      next.count() // materialize before releasing the parent's blocks
-      edges.unpersist()
-      edges = next
+      .localCheckpoint(true)
+    // auto mode decides off the materialized edge count (a near-free job
+    // over the checkpointed blocks)
+    val effStarRounds =
+      if (starRounds >= 0) starRounds
+      else if (edges.count() >= StarAutoEdges) 2 else 0
+    for (_ <- 0 until effStarRounds) {
+      // eager: each round materializes before the next plans over it, so
+      // every star-round plan is 3 shuffles over a checkpointed leaf
+      edges = largeStarRound(edges).localCheckpoint(true)
       rounds += 1
     }
     // initial label = min(id, min neighbor): the first propagation round
@@ -631,7 +651,7 @@ object LlmExtOps {
       // star pre-rounds DID run, they already played the cheap warm-up
       // role (shallow graphs are stars by now), so any remaining depth
       // is worth chasing from the first label round.
-      val chaseDelay = if (starRounds > 0) 0 else 3
+      val chaseDelay = if (effStarRounds > 0) 0 else 3
       val chase =
         if (iter < chaseDelay) labels.select("id", "lbl").limit(0)
         else labels.select(col("lbl").as("jk"), col("id"))
@@ -658,7 +678,8 @@ object LlmExtOps {
       prevSum = s
       iter += 1
     }
-    edges.unpersist()
+    // (edges is localCheckpoint'd — its blocks are released by the
+    // ContextCleaner once unreachable, like the loop's own checkpoints)
     require(converged, s"connectedComponents did not converge in $iter iterations")
     // Materialize the result eagerly, then release the last iteration's
     // cache: returning a DataFrame that still depends on a persist()'d
