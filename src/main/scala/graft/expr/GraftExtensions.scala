@@ -33,6 +33,11 @@ object GraftFunctions {
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash60"),
       (es: Seq[Expression]) => SimhashSig(es(0))),
+    (FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (es: Seq[Expression]) => LshBuckets(es(0),
+        es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].intValue)),
   )
 
   /** SQL table-valued functions over the journal store — time travel from

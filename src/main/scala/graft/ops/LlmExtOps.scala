@@ -221,7 +221,13 @@ object LlmExtOps {
       // (LSH only prunes candidates).
       graft.expr.GraftFunctions.register(s)
       val e = Tables(s, d, "embeddings")
-      val bCols = (0 until lshTables).map(t => expr(lshBucketSqlSpark(t)).as(s"b$t"))
+      // native codegen'd kernel (graft.expr.LshBuckets): all K×planes
+      // projections in one tight loop — the SQL aggregate() formulation
+      // (kept as lshBucketSqlSpark for the LlmExtSpec bit-equality pin
+      // and the DuckDB oracle) is interpreted per-lambda and measured
+      // ~2 s slower at sf0.1
+      val bks = expr(s"lsh_buckets(embedding, $lshTables, $lshPlanes)")
+      val bCols = (0 until lshTables).map(t => bks.getItem(t).as(s"b$t"))
       val withB = e.select(col("vec_id") +: col("embedding") +: bCols: _*)
       val tagged = withB.select(col("vec_id"), col("embedding"),
           explode(array((0 until lshTables).map(t =>

@@ -130,6 +130,20 @@ class LlmExtSpec extends AnyFunSuite {
     assert(fast.count() === docs.count())
   }
 
+  test("lsh_buckets native expression equals the SQL aggregate formulation") {
+    graft.expr.GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val native = e.select(col("vec_id"),
+        expr(s"lsh_buckets(embedding, ${LlmExtOps.lshTables}, ${LlmExtOps.lshPlanes})").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val sqlForm = e.select(col("vec_id"),
+        array((0 until LlmExtOps.lshTables)
+          .map(t => expr(LlmExtOps.lshBucketSqlSpark(t))): _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(native === sqlForm)
+    assert(native.nonEmpty)
+  }
+
   test("sim_ann_lsh: multi-table multi-probe recall >= 0.9 vs exact top-10") {
     val out = LlmExtOps.queries("sim_ann_lsh")(spark, sf)
       .as[(Long, Int, Double)].collect().toSeq
