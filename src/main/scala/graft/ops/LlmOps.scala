@@ -96,6 +96,32 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     }),
 
+    "text_unigram_logprob" -> ((s, d) => {
+      // Perplexity-proxy quality score (the LM-surprise filter training
+      // pipelines run before the real model): per-doc mean negative log
+      // probability under the corpus's own unigram distribution. High
+      // avg_nll = rare-token-heavy (gibberish, boilerplate hashes); low =
+      // repetitive filler. Two shuffles — the token-count aggregation and
+      // the token join (corpus-frequency joins skew on stopwords; at
+      // 100 TB broadcast the counts when the vocab fits, else salt the
+      // hot tokens). Determinism: each token's -ln(p) is rounded to 6
+      // places and summed as DECIMAL (order-independent, §2.0.2-3); the
+      // final mean rounds to 4.
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      val counts = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum("c").as("tot"))
+      toks.join(counts, "t")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          expr("CAST(round(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6) " +
+            "AS DECIMAL(18,6))").as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             expr("round(CAST(sum(nll) AS DOUBLE) / count(1), 4)").as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     "sim_cosine_topk" -> ((s, d) => {
       // native codegen'd Catalyst expression (graft.expr.CosineSimilarity)
       // — no UDF boxing on the scan side; TakeOrderedAndProject keeps k
@@ -267,6 +293,16 @@ object LlmOps {
         "FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE greatest(" + Det.sql.r("CAST(i AS DOUBLE) / sa.n", 4) + ", " +
         Det.sql.r("CAST(i AS DOUBLE) / sb.n", 4) + ") >= 0.5 ORDER BY a_id, b_id"),
+    "text_unigram_logprob" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t " +
+        "FROM documents), " +
+        "counts AS (SELECT t, count(*) AS c FROM toks GROUP BY 1), " +
+        "tot AS (SELECT sum(c) AS tot FROM counts) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(CAST(sum(CAST(round(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6) " +
+        "AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_nll " +
+        "FROM toks JOIN counts USING (t) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "sim_cosine_topk" ->
       ("SELECT e.vec_id, " +
         Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
