@@ -300,6 +300,22 @@ object LlmExtOps {
         LlmOps.queries("dedup_near_jaccard")(s, d).select("a_id", "b_id"))
         .orderBy("doc_id")),
 
+    "dedup_corpus" -> ((s, d) => {
+      // The dedup pipeline's OUTPUT: every never-paired doc plus exactly
+      // one survivor per duplicate cluster — the deduplicated corpus a
+      // training run actually consumes. An anti-join against the
+      // non-survivors keeps the corpus scan embarrassingly parallel (the
+      // pair graph, and hence the non-survivor list, is tiny relative to
+      // the corpus at any scale — broadcast anti-join).
+      val losers = connectedComponents(
+          LlmOps.queries("dedup_near_jaccard")(s, d).select("a_id", "b_id"))
+        .where(!col("is_survivor")).select("doc_id")
+      Tables(s, d, "documents")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "sample_stratified" -> ((s, d) =>
       // Deterministic stratified sampling + train/val split — what a
       // training-data mix actually needs: reproducible across runs and
@@ -717,6 +733,20 @@ object LlmExtOps {
       .orderBy("doc_id")
   }
 
+  /** Transitive closure by recursive min-label reachability over the
+    * near-dup pair graph; UNION (not UNION ALL) dedups rows so the
+    * recursion terminates. Shared by the dedup_clusters oracle and the
+    * dedup_corpus anti-join oracle. */
+  private def clustersSql: String =
+    "WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (" +
+      LlmOps.oracle("dedup_near_jaccard") + ") q), " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+      "UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach(id, lbl) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
+      "SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster, " +
+      "(min(lbl) = id) AS is_survivor FROM reach GROUP BY id ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
     "dedup_simhash" ->
       // Brute-force all-pairs twin: exact at hamming<=3 with 4 bands
@@ -858,18 +888,11 @@ object LlmExtOps {
         "FROM cand JOIN sigs sa ON sa.doc_id = a_id JOIN sigs sb ON sb.doc_id = b_id " +
         s"WHERE $estSql >= 0.5 ORDER BY a_id, b_id"
     },
-    "dedup_clusters" ->
-      // transitive closure by recursive min-label reachability over the
-      // same near-dup pair graph; UNION (not UNION ALL) dedups rows so
-      // the recursion terminates
-      ("WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (" +
-        LlmOps.oracle("dedup_near_jaccard") + ") q), " +
-        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
-        "UNION ALL SELECT b_id, a_id FROM pairs), " +
-        "reach(id, lbl) AS (SELECT src, src FROM edges " +
-        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
-        "SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster, " +
-        "(min(lbl) = id) AS is_survivor FROM reach GROUP BY id ORDER BY doc_id"),
+    "dedup_clusters" -> clustersSql,
+    "dedup_corpus" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM (" + clustersSql +
+        ") WHERE NOT is_survivor) ORDER BY doc_id"),
     "sim_ann_ivf" ->
       // full IVF twin: same quantizer (exact decimal per-dim means), same
       // round-4 cosine assignment with smaller-label tiebreak, same top-2

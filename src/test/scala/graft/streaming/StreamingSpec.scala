@@ -288,4 +288,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.map(x => (x._2, x._3)).sorted.toSeq ===
       Seq((0L, "p0"), (1L, "p1"), (2L, "p2")))
   }
+
+  test("stream_journal_pipeline: log -> windowless agg -> log, exactly-once both ends") {
+    // The materialized-view-over-log shape: tail one journal, maintain a
+    // running per-(ns, ukey) count, land every revision in a SECOND
+    // journal through the exactly-once sink. The destination's latest()
+    // is the view; its history is the view's full change log — marasa
+    // semantics end to end with no glue code.
+    val dir = java.nio.file.Files.createTempDirectory("graft_jpipe_").toString
+    val src = s"$dir/src"
+    val dst = s"$dir/dst"
+    val store = graft.journal.JournalStore.create(spark, src, epochSize = 2)
+    def row(ns: String, k: Long, t: String) =
+      Seq((ns, k, ts(t), "p", 1.0)).toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(row("click", 1L, "2024-01-01 10:00:00")
+      .union(row("click", 1L, "2024-01-01 10:01:00"))
+      .union(row("view", 2L, "2024-01-01 10:02:00")))
+    val q = spark.readStream.format("journal").load(src)
+      .groupBy("ns", "ukey")
+      .agg(count(lit(1)).as("n"), max("ts").as("mts"))
+      .select(col("ns"), col("ukey"), col("mts").as("ts"),
+              concat(lit("n="), col("n")).as("payload"),
+              col("n").cast("double").as("val"))
+      .writeStream.format("journal").outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("epochSize", "2")
+      .start(dst)
+    q.processAllAvailable()
+    store.append(row("click", 1L, "2024-01-01 10:03:00"))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.journal.JournalStore.open(spark, dst)
+    // the view's final state equals the batch aggregate over the source
+    val st = out.latest().orderBy("ns", "ukey")
+      .select("ns", "ukey", "payload").as[(String, Long, String)].collect().toSeq
+    assert(st === Seq(("click", 1L, "n=3"), ("view", 2L, "n=1")))
+    // and the destination's history holds the view's change log: the
+    // click counter was revised (n=2 in batch 0, n=3 in batch 1)
+    val hist = out.history("click", Some(1L))
+      .select("payload").as[String].collect().toSeq
+    assert(hist === Seq("n=2", "n=3"))
+  }
 }
