@@ -289,6 +289,33 @@ class StreamingSpec extends AnyFunSuite {
       Seq((0L, "p0"), (1L, "p1"), (2L, "p2")))
   }
 
+  test("stream_journal_source: tail survives compaction+vacuum of the source") {
+    // Compaction rewrites segment files and vacuum deletes the originals
+    // while the tail is live — offsets are SEQ-based and every read goes
+    // through the manifest snapshot, so the stream neither loses nor
+    // duplicates records across the rewrite.
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsrc_cmp_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 1)
+    def row(k: Long, t: String, p: String) =
+      Seq(("ns", k, ts(t), p, 1.0)).toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(row(1L, "2024-01-01 10:00:00", "p0")
+      .union(row(2L, "2024-01-01 10:01:00", "p1"))
+      .union(row(3L, "2024-01-01 10:02:00", "p2")))
+    val q = spark.readStream.format("journal").load(path)
+      .writeStream.format("memory").queryName("jcmp").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    store.compact(Long.MaxValue, clusterByKey = true)
+    store.vacuum(retain = 0)
+    store.append(row(4L, "2024-01-01 10:03:00", "p3"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("jcmp").select("seq", "payload")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((0L, "p0"), (1L, "p1"), (2L, "p2"), (3L, "p3")))
+  }
+
   test("stream_journal_pipeline: log -> windowless agg -> log, exactly-once both ends") {
     // The materialized-view-over-log shape: tail one journal, maintain a
     // running per-(ns, ukey) count, land every revision in a SECOND
