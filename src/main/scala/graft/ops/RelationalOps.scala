@@ -185,6 +185,16 @@ object RelationalOps {
         .agg(Det.dsum(col("l_quantity")).as("sum_qty"))
         .where(col("sum_qty") > 800)
         .orderBy("l_partkey")),
+    "agg_filtered" -> ((s, d) =>
+      // FILTER'd (conditional) aggregates: differently-predicated
+      // aggregates in ONE pass over the fact table — the pivot-free
+      // shape that avoids N scans for N conditions
+      Tables(s, d, "orders").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_all"),
+             count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+             sum(when(col("o_orderstatus") === "O",
+               Det.dec(col("o_totalprice")))).cast("double").as("open_total"))
+        .orderBy("o_orderpriority")),
     "agg_collect_sorted" -> ((s, d) =>
       Tables(s, d, "customer").where(col("c_acctbal") > 9000)
         .groupBy("c_nationkey")
@@ -289,6 +299,12 @@ object RelationalOps {
     "agg_having" ->
       ("SELECT l_partkey, " + Det.sql.dsum("l_quantity") + " AS sum_qty FROM lineitem " +
         "GROUP BY 1 HAVING " + Det.sql.dsum("l_quantity") + " > 800 ORDER BY l_partkey"),
+    "agg_filtered" ->
+      ("SELECT o_orderpriority, count(*) AS n_all, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) " +
+        "FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
     "agg_collect_sorted" ->
       ("SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names " +
         "FROM customer WHERE c_acctbal > 9000 GROUP BY 1 ORDER BY c_nationkey"),

@@ -40,6 +40,20 @@ object WindowSetOps {
                 sum(Det.dec(col("value"))).over(w).cast("double").as("mov_sum"))
         .orderBy("user_id", "event_id")
     }),
+    "win_moving_time" -> ((s, d) => {
+      // Time-based RANGE frame: per-user trailing-1-hour event count and
+      // decimal sum at every event — the windowed-feature shape feature
+      // pipelines compute. RANGE over epoch SECONDS (not rows), so
+      // same-second peers share a frame identically in both engines.
+      val w = Window.partitionBy("user_id").orderBy(col("sec"))
+        .rangeBetween(-3600L, 0L)
+      Tables(s, d, "events")
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("event_id"),
+                count(lit(1)).over(w).as("n_1h"),
+                sum(Det.dec(col("value"))).over(w).cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    }),
     "win_cume_range" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -131,6 +145,13 @@ object WindowSetOps {
         "AS DOUBLE) AS mov_sum FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id"),
+    "win_moving_time" ->
+      ("SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w AS DOUBLE) AS sum_1h " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY CAST(epoch(ts) AS BIGINT) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "win_cume_range" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DOUBLE) AS cume_spend " +
