@@ -61,6 +61,18 @@ object GraftFunctions {
         graft.journal.JournalStore.open(SparkSession.active, path)
           .scan().queryExecution.logical
       }),
+    (FunctionIdentifier("journal_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "journal_history"),
+      (es: Seq[Expression]) => {
+        // journal_history('/path', ns [, ukey]) — per-ns (or per-key)
+        // history from SQL; the key form rides the manifest key-stats
+        // file pruning
+        val path = foldedString(es, 0, "journal_history")
+        val ns = foldedString(es, 1, "journal_history")
+        val key = if (es.length > 2) Some(foldedLong(es, 2, "journal_history")) else None
+        graft.journal.JournalStore.open(SparkSession.active, path)
+          .history(ns, key).queryExecution.logical
+      }),
   )
 
   private def foldedString(es: Seq[Expression], i: Int, fn: String): String = {

@@ -110,9 +110,38 @@ object RelationalOps {
         .select(col("event_id").as("p_id"), col("user_id"), col("click_id"))
         .orderBy("p_id")
     }),
+    "join_salted" -> ((s, d) => {
+      // Salted-replication skew join: a hot probe key pins one reducer in
+      // a shuffle join; salting spreads the fact side over S sub-keys and
+      // replicates the dim side S times, so a hot key's rows land on S
+      // reducers. Result-identical to the plain join — the oracle IS the
+      // unsalted query, salting must be invisible. AQE's runtime skew
+      // split (SkewJoinSpec) is the automatic variant; this is the
+      // explicit pattern for when stats hide the skew or the join is
+      // already materialized pre-AQE. shuffle_hash hint keeps the join
+      // shuffled (a broadcast would make salting moot).
+      val S = 8
+      val fact = Tables(s, d, "orders")
+        .withColumn("fsalt", pmod(col("o_orderkey"), lit(S)))
+      val dim = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        .hint("shuffle_hash")
+      fact.join(dim,
+          col("o_custkey") === col("c_custkey") && col("fsalt") === col("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             sum(Det.dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   private val joinOracle: Map[String, String] = Map(
+    "join_salted" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY c_mktsegment"),
     "join_broadcast" ->
       ("SELECT n_nationkey, n_name, r_name FROM nation JOIN region " +
         "ON n_regionkey = r_regionkey ORDER BY n_nationkey"),

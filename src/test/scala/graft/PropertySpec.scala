@@ -123,6 +123,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("key-stat file pruning never changes history(ns, key) results") {
+    // the data-skipping invariant: for ANY key — present in one epoch,
+    // both, or neither — the manifest-stats-pruned read equals the full
+    // scan filtered row-for-row (pruning is IO-only, never semantic)
+    val keysGen = Gen.listOfN(6, Gen.choose(0L, 30L))
+    val fewTrials = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(fewTrials, Prop.forAll(keysGen, keysGen) { (ks1, ks2) =>
+      ks1.isEmpty || ks2.isEmpty || {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_kprop_").toString + "/s"
+        val store = journal.JournalStore.create(spark, path,
+          epochSize = ks1.size.toLong)
+        def batch(keys: List[Long], base: Int) = keys.zipWithIndex.map {
+          case (k, i) =>
+            ("ns", k, TestSpark.ts(
+              f"2024-01-01 00:${(base + i) / 60}%02d:${(base + i) % 60}%02d"),
+              s"p$k-$i", 1.0)
+        }.toDF("ns", "ukey", "ts", "payload", "val")
+        store.append(batch(ks1, 0))
+        store.append(batch(ks2, 100))
+        val probes = (ks1 ++ ks2).distinct.take(3) :+ 99L
+        probes.forall { k =>
+          val pruned = store.history("ns", Some(k))
+            .collect().map(_.toString).sorted.toSeq
+          val full = store.scan()
+            .where(col("ns") === "ns" && col("ukey") === k)
+            .orderBy("seq").collect().map(_.toString).sorted.toSeq
+          pruned == full
+        }
+      }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("set ops agree with Scala set algebra") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
       (xs, ys) =>

@@ -57,6 +57,13 @@ class ExprSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(latest === Seq((1L, "v1"), (2L, "v2")))
     assert(spark.sql(s"SELECT count(*) FROM journal_scan('$path')").head().getLong(0) === 3L)
+    // per-key history from SQL (the 3-arg form rides key-stat pruning)
+    val hist = spark.sql(
+      s"SELECT seq, payload FROM journal_history('$path', 'users', 1) ORDER BY seq")
+      .as[(Long, String)].collect().toSeq
+    assert(hist === Seq((0L, "v0"), (1L, "v1")))
+    assert(spark.sql(s"SELECT count(*) FROM journal_history('$path', 'users')")
+      .head().getLong(0) === 3L)
   }
 
   test("char_ngrams generator emits exactly the n-grams") {
