@@ -174,6 +174,33 @@ object JournalOps {
       store.append(journal(s, d))
       store.segmentStats()
     }),
+    "journal_diff" -> ((s, d) => {
+      // CDC between two points in time: which keys changed in
+      // (S1, S2], with old and new payloads — the downstream-sync
+      // primitive an append-only log enables (no deletes by
+      // construction). Both states are one (ns, ukey)-keyed aggregate,
+      // the diff join is co-partitioned on the same key, and the new
+      // side is pre-filtered to keys that actually gained a version
+      // (last_seq > S1), so the join's left side is the CHANGE set, not
+      // the whole keyspace.
+      val j = journal(s, d)
+      def st(bound: Long) = j.where(col("seq") <= bound)
+        .groupBy("ns", "ukey")
+        .agg(max_by(col("payload"), col("seq")).as("payload"),
+             max("seq").as("last_seq"))
+      val newSt = st(8000)
+        .select(col("ns"), col("ukey"),
+                col("payload").as("new_payload"), col("last_seq"))
+        .where(col("last_seq") > 5000)
+      val oldSt = st(5000)
+        .select(col("ns"), col("ukey"), col("payload").as("old_payload"))
+      newSt.join(oldSt, Seq("ns", "ukey"), "left")
+        .select(col("ns"), col("ukey"),
+                when(col("old_payload").isNull, "insert")
+                  .otherwise("update").as("change"),
+                col("old_payload"), col("new_payload"), col("last_seq"))
+        .orderBy("ns", "ukey")
+    }),
     "journal_ns_counts" -> ((s, d) => {
       // Count-from-metadata: per-namespace row counts + epochs touched,
       // answered from the manifest's (epoch, ns) stats with ZERO segment
@@ -251,5 +278,17 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
         "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
+    "journal_diff" ->
+      ("WITH s2 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS new_payload, max(event_id) AS last_seq " +
+        "FROM events WHERE event_id <= 8000 GROUP BY 1, 2), " +
+        "s1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS old_payload " +
+        "FROM events WHERE event_id <= 5000 GROUP BY 1, 2) " +
+        "SELECT s2.ns, s2.ukey, " +
+        "CASE WHEN s1.old_payload IS NULL THEN 'insert' ELSE 'update' END AS change, " +
+        "s1.old_payload, s2.new_payload, s2.last_seq " +
+        "FROM s2 LEFT JOIN s1 ON s2.ns = s1.ns AND s2.ukey = s1.ukey " +
+        "WHERE s2.last_seq > 5000 ORDER BY s2.ns, s2.ukey"),
   )
 }
