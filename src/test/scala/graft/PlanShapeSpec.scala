@@ -130,6 +130,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("journal_diff joins the two states without an extra exchange") {
+    // both state aggregates hash-partition on (ns, ukey); the diff join
+    // must reuse that partitioning — exactly 2 hash exchanges (one per
+    // aggregate), none for the join itself
+    val df = SparkEntry.queries("journal_diff")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 2, s"expected 2 hash exchanges, plan:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact scan under a selective dim filter") {
     // The 100 TB shuffle-join lever beyond broadcast: when the dim side
     // of a shuffle join carries a selective filter, Catalyst's
