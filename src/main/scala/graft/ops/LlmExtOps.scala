@@ -56,25 +56,33 @@ object LlmExtOps {
     docs.select(col("doc_id"), expr("simhash60(text)").as("sig"))
   }
 
-  /** MinHash permutation h over shingle term `g` — a portable md5-slice
-    * hash shared with the DuckDB oracle; each 32-hex-char digest yields
-    * FOUR independent 32-bit permutation values (8 hex chars each), so 8
-    * permutations cost 2 md5 evaluations per shingle (md5 is the
-    * dominant map-side cost of signature building at corpus scale).
-    * 32-bit values keep min-collision odds ~2^-32 per shingle pair —
-    * negligible for the min-of-per-doc-shingles use. */
-  private[graft] def minhashHashSql(h: Int, g: String): String = {
-    val pos = 1 + 8 * (h % 4)
-    s"CAST(conv(substring(md5(concat('s${h / 4}:', $g)), $pos, 8), 16, 10) AS BIGINT)"
-  }
+  /** MinHash permutations over shingle term `g` — the Broder two-hash
+    * construction on a portable md5 slice, shared with the DuckDB
+    * oracle: ONE digest per shingle yields h1 (hex chars 1-8) and h2
+    * (hex chars 9-16), and permutation i is (h1 + i·h2) mod 2^32 — md5
+    * is the dominant map-side cost of signature building at corpus
+    * scale, and this construction needs exactly one evaluation per
+    * shingle for any permutation count. 32-bit values keep
+    * min-collision odds ~2^-32 per shingle pair — negligible for the
+    * min-of-per-doc-shingles use. */
+  private[graft] val minhashDigSql = "md5(concat('s:', g))"
+  private[graft] def minhashPermSql(h: Int, dig: String): String =
+    s"(CAST(conv(substring($dig, 1, 8), 16, 10) AS BIGINT) + " +
+      s"$h * CAST(conv(substring($dig, 9, 8), 16, 10) AS BIGINT)) % 4294967296"
 
   /** Whole 8-permutation signature of a shingle ARRAY column, computed
     * per row with no explode/shuffle — the map-side shape the streaming
-    * dedup path needs (StreamingOps.dedupMinhashStream). */
-  private[graft] def minhashSigExpr(shCol: String): org.apache.spark.sql.Column =
-    expr((0 until 8)
-      .map(h => s"array_min(transform($shCol, g -> ${minhashHashSql(h, "g")}))")
-      .mkString("concat_ws('|', ", ", ", ")"))
+    * dedup path needs (StreamingOps.dedupMinhashStream). Digests are
+    * materialized once, then each permutation is integer arithmetic. */
+  private[graft] def minhashSigExpr(shCol: String): org.apache.spark.sql.Column = {
+    // transform-over-singleton binds the digest array ONCE (SQL has no
+    // let; without this each of the 8 array_min legs would re-digest)
+    val digs = s"transform($shCol, g -> $minhashDigSql)"
+    val sig = (0 until 8)
+      .map(h => s"array_min(transform(ds, dig -> ${minhashPermSql(h, "dig")}))")
+      .mkString("concat_ws('|', ", ", ", ")")
+    expr(s"transform(array($digs), ds -> $sig)[0]")
+  }
 
   /** Random-hyperplane LSH (sim_ann_lsh): K independent tables of
     * `lshPlanes` planes each, 64 dims of integer weights from an LCG of
@@ -265,10 +273,11 @@ object LlmExtOps {
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3)
+      // ONE md5 digest per shingle; all 8 permutations are integer
+      // arithmetic over its two 32-bit halves (Broder h1 + i·h2)
       val sh = docs.select(col("doc_id"), explode(LlmOps.shingles(3)).as("g"))
-      // 8 permutations from 2 md5 digests per shingle — see
-      // minhashHashSql (4×32-bit slices per digest)
-      val mins = (0 until 8).map(h => min(expr(minhashHashSql(h, "g"))).as(s"m$h"))
+        .select(col("doc_id"), expr(minhashDigSql).as("dig"))
+      val mins = (0 until 8).map(h => min(expr(minhashPermSql(h, "dig"))).as(s"m$h"))
       // sigs is referenced three times (bands + both est sides); the
       // signature aggregation's shuffle is shared via ReusedExchange, so
       // no persist (and no session-cache leak) is needed
@@ -867,9 +876,11 @@ object LlmExtOps {
         "FROM documents) WHERE (CASE WHEN source = 'src0' THEN h < 80 ELSE h < 50 END) " +
         "ORDER BY doc_id"),
     "dedup_minhash" -> {
+      // same Broder construction as the Spark side: one digest per
+      // shingle, permutation i = (h1 + i*h2) mod 2^32
       val minCols = (0 until 8).map { h =>
-        val pos = 1 + 8 * (h % 4)
-        s"min(CAST(('0x' || substr(md5('s${h / 4}:' || g), $pos, 8)) AS BIGINT)) AS m$h"
+        s"min((CAST(('0x' || substr(dig, 1, 8)) AS BIGINT) + " +
+          s"$h * CAST(('0x' || substr(dig, 9, 8)) AS BIGINT)) % 4294967296) AS m$h"
       }.mkString(", ")
       val bandRows = (0 until 8).map(h => s"SELECT doc_id, $h AS band, m$h AS bv FROM sigs")
         .mkString(" UNION ALL ")
@@ -877,9 +888,10 @@ object LlmExtOps {
         s"CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END").mkString("(", " + ", ") / 8.0")
       "WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 3), " +
-        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "sh AS (SELECT doc_id, md5('s:' || g) AS dig FROM (" +
+        "SELECT doc_id, unnest(list_distinct(list_transform(" +
         "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g " +
-        "FROM docs), " +
+        "FROM docs)), " +
         s"sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY 1), " +
         s"bands AS ($bandRows), " +
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
