@@ -41,11 +41,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
     readSegmentsOver(manifest.files)
 
   private def readSegmentsOver(files: Seq[String]): org.apache.spark.sql.DataFrame =
-    if (files.nonEmpty)
-      spark.read.option("basePath", segDir)
-        .parquet(files.map(f => s"$segDir/$f"): _*)
+    if (files.nonEmpty) {
+      // plan against the manifest-pinned schema when the store has one:
+      // deterministic under schema evolution (footer sampling picks an
+      // arbitrary file's column set) and no per-file schema inference
+      val ddl = manifest.schemaDdl
+      val reader = spark.read.option("basePath", segDir)
+      val withSchema =
+        if (ddl.nonEmpty)
+          reader.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        else reader
+      withSchema.parquet(files.map(f => s"$segDir/$f"): _*)
         .withColumn("ns", col("ns").cast("string"))
-    else
+    } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "seq BIGINT, ns STRING, ukey BIGINT, skey STRING, " +
@@ -196,12 +204,28 @@ class JournalStore private (val spark: SparkSession, val path: String,
         else KeyStat(e, n, nonEmpty.map(_.minKey).min,
           nonEmpty.map(_.maxKey).max, rows)
       }.toSeq.sortBy(k => (k.epoch, k.ns))
+    // Schema evolution: record the union of the prior schema and this
+    // batch's columns (new columns append; existing keep their type;
+    // everything nullable since other files may lack it). ns is pinned
+    // STRING and epoch LONG — their read-back types as partition dirs.
+    val prevSchema =
+      if (m.schemaDdl.isEmpty) new org.apache.spark.sql.types.StructType()
+      else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val batchSchema = out.schema.map {
+      case f if f.name == "ns" =>
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      case f => f
+    }
+    val mergedSchema = org.apache.spark.sql.types.StructType(
+      (prevSchema ++ batchSchema.filterNot(f =>
+        prevSchema.fieldNames.contains(f.name))).map(_.copy(nullable = true)))
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
       files = (m.files ++ (listSegmentFiles() diff preExisting)).distinct,
       stats = mergedStats, kstats = mergedK,
-      lastBatchId = streamBatchId.getOrElse(m.lastBatchId)))
+      lastBatchId = streamBatchId.getOrElse(m.lastBatchId),
+      schemaDdl = mergedSchema.toDDL))
     // Automatic checkpoint policy (marasa checkpoints periodically so
     // reads are bounded by epoch size — SURVEY §0.1.5/§4.1): when this
     // append completed an epoch, materialize state at the last finished
@@ -284,8 +308,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val m = manifest
     val old = m.files.filter(f => epochOf(f).exists(_ <= upToEpoch))
     if (old.isEmpty) return
-    val rows = spark.read.option("basePath", segDir)
-      .parquet(old.map(f => s"$segDir/$f"): _*)
+    // read through the pinned schema: a footer-sampled read of
+    // mixed-schema victims could DROP evolved columns from the rewrite
+    val reader0 = spark.read.option("basePath", segDir)
+    val reader = if (m.schemaDdl.nonEmpty)
+      reader0.schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    else reader0
+    val rows = reader.parquet(old.map(f => s"$segDir/$f"): _*)
       .withColumn("ns", col("ns").cast("string"))
     // Snapshot the on-disk file set BEFORE the compaction write — the
     // same invariant append() holds: the manifest gains exactly the files
@@ -467,10 +496,19 @@ object JournalStore {
   case class KeyStat(epoch: Long, ns: String, minKey: Long, maxKey: Long,
                      rows: Long = 0L)
 
+  /** `schemaDdl`: the store's row schema (data + partition columns) as
+    * Spark DDL, evolved at append time by appending any new columns
+    * (Delta-style schema-on-manifest). Readers plan against THIS schema
+    * instead of sampling parquet footers — deterministic when appends
+    * carried different column sets (footer sampling picks an arbitrary
+    * file's schema), null-filling absent columns per ordinary parquet
+    * semantics, and skipping schema inference entirely (a real planning
+    * cost once the manifest lists thousands of files). Empty = pre-
+    * upgrade store → readers fall back to inference. */
   case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
                       files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil,
                       lastBatchId: Long = -1L, version: Long = 0L,
-                      kstats: Seq[KeyStat] = Nil)
+                      kstats: Seq[KeyStat] = Nil, schemaDdl: String = "")
 
   /** How many committed manifest versions stay readable via openAt().
     * Bounds metadata growth to N tiny JSON files regardless of journal
@@ -537,9 +575,13 @@ object JournalStore {
     val kstats = m.kstats.sortBy(k => (k.epoch, k.ns))
       .map(k => "\"" + s"${k.epoch}:${k.minKey}:${k.maxKey}:${k.rows}:" +
         java.net.URLEncoder.encode(k.ns, "UTF-8") + "\"").mkString(",")
+    // schema DDL is URL-encoded so quotes/commas in type strings can't
+    // break the flat regex parser
+    val schemaEnc = java.net.URLEncoder.encode(m.schemaDdl, "UTF-8")
     val json =
       s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
         s""""lastBatchId":${m.lastBatchId},"version":${m.version},""" +
+        s""""schemaDdl":"$schemaEnc",""" +
         s""""checkpoints":[${m.checkpoints.mkString(",")}],""" +
         s""""files":[$files],"stats":[$stats],"kstats":[$kstats]}"""
     val bytes = json.getBytes(StandardCharsets.UTF_8)
@@ -591,7 +633,9 @@ object JournalStore {
     // pre-upgrade manifest with no field must not swallow batch 0.
     val lastBatch = """lastBatchId":(-?\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).getOrElse(-1L)
+    val schemaDdl = """schemaDdl":"([^"]*)"""".r.findFirstMatchIn(s)
+      .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8")).getOrElse("")
     Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats,
-      lastBatch, num("version"), kstats))
+      lastBatch, num("version"), kstats, schemaDdl))
   }
 }

@@ -170,6 +170,31 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(fromManifest.nonEmpty)
   }
 
+  test("schema evolution: new append columns merge into the manifest schema") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    val extra = Seq(("users", 9L, ts("2024-01-01 00:00:09"), "p9", 9.0, "T"))
+      .toDF("ns", "ukey", "ts", "payload", "val", "tag")
+    store.append(extra)
+    // the manifest carries the union schema; readers plan against it —
+    // deterministic under mixed-schema files (footer sampling isn't) —
+    // and pre-evolution rows read the new column as null
+    assert(store.manifest.schemaDdl.contains("tag"))
+    val seg = store.readSegments()
+    assert(seg.schema.fieldNames.contains("tag"))
+    assert(seg.where($"ukey" === 9L).select("tag").as[String].collect().toSeq === Seq("T"))
+    assert(seg.where($"tag".isNull).count() === 4)
+    // evolution survives compaction: the rewrite reads through the
+    // pinned schema, so it cannot drop evolved columns
+    store.compact(Long.MaxValue)
+    val after = store.readSegments()
+    assert(after.where($"tag" === "T").count() === 1)
+    assert(after.where($"tag".isNull).count() === 4)
+    // and persists across close/reopen
+    assert(JournalStore.open(spark, store.path).readSegments()
+      .schema.fieldNames.contains("tag"))
+  }
+
   test("nsStats: count-from-metadata equals data-derived counts, reads no files") {
     val store = JournalStore.create(spark, freshPath, epochSize = 2)
     store.append(sampleDf)
