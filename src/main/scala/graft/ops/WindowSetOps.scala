@@ -125,6 +125,28 @@ object WindowSetOps {
       Tables(s, d, "part").select(col("p_partkey").as("partkey"))
         .except(Tables(s, d, "lineitem").select(col("l_partkey").as("partkey")))
         .orderBy("partkey")),
+    "set_intersect_all" -> ((s, d) =>
+      // BAG semantics (multiset): duplicates survive with multiplicity
+      // min(left, right) — the other half of the set-op contract. Rows
+      // that tie are identical, so ordering by value is total for the
+      // hash compare. Disjoint order ranges + the parity filter make
+      // both multiplicity directions non-trivial at every SF.
+      Tables(s, d, "lineitem").where(col("l_orderkey") < 200)
+        .select(col("l_partkey").as("partkey"))
+        .intersectAll(Tables(s, d, "lineitem")
+          .where(col("l_partkey") % 2 === 0 &&
+                 col("l_orderkey") >= 200 && col("l_orderkey") < 500)
+          .select(col("l_partkey").as("partkey")))
+        .orderBy("partkey")),
+    "set_except_all" -> ((s, d) =>
+      // multiplicity max(left − right, 0)
+      Tables(s, d, "lineitem").where(col("l_orderkey") < 200)
+        .select(col("l_partkey").as("partkey"))
+        .exceptAll(Tables(s, d, "lineitem")
+          .where(col("l_partkey") % 2 === 0 &&
+                 col("l_orderkey") >= 200 && col("l_orderkey") < 500)
+          .select(col("l_partkey").as("partkey")))
+        .orderBy("partkey")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,5 +216,15 @@ object WindowSetOps {
     "set_except" ->
       ("SELECT p_partkey AS partkey FROM part EXCEPT " +
         "SELECT l_partkey FROM lineitem ORDER BY partkey"),
+    "set_intersect_all" ->
+      ("SELECT l_partkey AS partkey FROM lineitem WHERE l_orderkey < 200 " +
+        "INTERSECT ALL SELECT l_partkey FROM lineitem " +
+        "WHERE l_partkey % 2 = 0 AND l_orderkey >= 200 AND l_orderkey < 500 " +
+        "ORDER BY partkey"),
+    "set_except_all" ->
+      ("SELECT l_partkey AS partkey FROM lineitem WHERE l_orderkey < 200 " +
+        "EXCEPT ALL SELECT l_partkey FROM lineitem " +
+        "WHERE l_partkey % 2 = 0 AND l_orderkey >= 200 AND l_orderkey < 500 " +
+        "ORDER BY partkey"),
   )
 }
