@@ -168,10 +168,13 @@ object WindowSetOps {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id"),
     "win_moving_time" ->
+      // floor, not a bare BIGINT cast: Spark's unix_timestamp truncates
+      // fractional seconds while DuckDB's double->int cast rounds —
+      // diverges on any sub-second timestamp (caught at sf0.1)
       ("SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
         "CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w AS DOUBLE) AS sum_1h " +
         "FROM events WINDOW w AS (PARTITION BY user_id " +
-        "ORDER BY CAST(epoch(ts) AS BIGINT) " +
+        "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
         "ORDER BY user_id, event_id"),
     "win_cume_range" ->
