@@ -3,6 +3,8 @@ package graft.journal
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,27 +64,43 @@ class JournalStore private (val spark: SparkSession, val path: String,
   /** Manifest files that can contain rows of `ns` (when given) and/or
     * `ukey` (when given) — the metadata data-skipping path. A file is
     * dropped when its ns partition directory names another namespace, or
-    * when the manifest's (epoch, ns) key range excludes the probed ukey.
-    * Pruning is conservative: a namespace whose directory rendering
-    * isn't the literal value (partition-path escaping) or a file with no
-    * key stats (pre-upgrade store) is always kept — the row-level
-    * filters downstream keep correctness either way. */
+    * when ITS OWN per-file key range (manifest fstats) excludes the
+    * probed ukey. Stats are per FILE, never merged across batches: a
+    * merged (epoch, ns) range covers only the batches that recorded
+    * stats, so on a store with pre-stats files it would silently drop
+    * files whose rows the range doesn't describe — a false-negative
+    * prune that row filters cannot recover. A file with no stats entry
+    * is always kept, so pruning is exact-or-conservative by
+    * construction; namespaces whose directory rendering isn't the
+    * literal value (partition-path escaping) are likewise never
+    * ns-pruned. */
   private def filesForKey(nsOpt: Option[String],
                           ukey: Option[Long]): Seq[String] = {
     val m = manifest
     val nsRe = """ns=([^/]+)""".r
-    val kmap = m.kstats.map(k => (k.epoch, k.ns) -> k).toMap
+    val fmap = m.fstats.map(s => s.file -> s).toMap
     m.files.filter { f =>
       val dirNs = nsRe.findFirstMatchIn(f).map(_.group(1))
       // only prune on directory values that round-trip literally
       val safe = dirNs.exists(_.matches("[A-Za-z0-9_.\\-]+"))
       val nsKeep = nsOpt.forall(n => !safe || dirNs.contains(n))
-      val keyKeep = (ukey, epochOf(f)) match {
-        case (Some(k), Some(e)) if safe =>
-          kmap.get((e, dirNs.get)).forall(s => s.minKey <= k && k <= s.maxKey)
-        case _ => true
+      val keyKeep = ukey match {
+        case Some(k) => fmap.get(f).forall(s => s.minKey <= k && k <= s.maxKey)
+        case None => true
       }
       nsKeep && keyKeep
+    }
+  }
+
+  /** Manifest files that can contain a row with ts <= tMicros — the
+    * per-file ts range bounds stateAtTs the way seq/epoch bounds bound
+    * stateAt. A file with no stats is kept (conservative); an
+    * all-null-ts file (tsMin > tsMax sentinel) contributes nothing to a
+    * ts-bounded read and is dropped exactly. */
+  private def filesForTs(tMicros: Long): Seq[String] = {
+    val fmap = manifest.fstats.map(s => s.file -> s).toMap
+    manifest.files.filter { f =>
+      fmap.get(f).forall(s => s.tsMin <= s.tsMax && s.tsMin <= tMicros)
     }
   }
 
@@ -145,6 +163,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val missing = required.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"journal append requires columns $required; missing: $missing")
+    // Fail fast on incompatible column-type changes: the batch's parquet
+    // files are written with the batch's physical types, so accepting a
+    // conflicting type here would defer the failure to an arbitrary later
+    // read through the pinned manifest schema (or silently coerce).
+    // Schema evolution ADDS columns; it never retypes one.
+    if (m0.schemaDdl.nonEmpty) {
+      val prev = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+        .map(f => f.name -> f.dataType).toMap
+      df.schema.filterNot(_.name == "ns").foreach { f =>
+        prev.get(f.name).foreach { want =>
+          require(f.dataType == want,
+            s"journal append: column '${f.name}' has type ${f.dataType.sql} " +
+              s"but the store schema pins ${want.sql}; cast the batch " +
+              "explicitly (schema evolution adds columns, never retypes)")
+        }
+      }
+    }
     val m = m0
     // The batch feeds up to three passes (segment write, stats agg, and —
     // on epoch rollover — the checkpoint union). Persist only when we
@@ -180,7 +215,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // rows.
     val perNs = out.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
       .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"),
-           min("ukey").as("kmn"), max("ukey").as("kmx"))
+           min("ukey").as("kmn"), max("ukey").as("kmx"),
+           min(unix_micros(col("ts").cast("timestamp"))).as("tmn"),
+           max(unix_micros(col("ts").cast("timestamp"))).as("tmx"))
       .collect()
     val batchStats = perNs.groupBy(_.getLong(0)).map { case (e, rs) =>
       EpochStat(e, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).min,
@@ -219,11 +256,34 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val mergedSchema = org.apache.spark.sql.types.StructType(
       (prevSchema ++ batchSchema.filterNot(f =>
         prevSchema.fieldNames.contains(f.name))).map(_.copy(nullable = true)))
+    // Per-file stats (the Delta/Iceberg file-stats idea at file grain):
+    // the (epoch, ns) repartition writes exactly one file per directory
+    // per append, so the batch's (epoch, ns)-grain aggregate IS that new
+    // file's stats. Stats stay per-file forever — see filesForKey for
+    // why merging across batches would be a correctness bug. A directory
+    // that unexpectedly gained several files, or an escaped ns whose
+    // directory name doesn't round-trip, records no stats: unpruned,
+    // never wrong.
+    val newFiles = listSegmentFiles() diff preExisting
+    val nsRe = """ns=([^/]+)""".r
+    val statRow = perNs.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val batchF = newFiles
+      .groupBy(f => (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1))))
+      .toSeq.collect {
+        case ((Some(e), Some(n)), Seq(f))
+            if n.matches("[A-Za-z0-9_.\\-]+") && statRow.contains((e, n)) =>
+          val r = statRow((e, n))
+          FileStat(f, r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) 1L else r.getLong(5),
+            if (r.isNullAt(6)) 0L else r.getLong(6),
+            if (r.isNullAt(7)) 1L else r.getLong(7),
+            if (r.isNullAt(8)) 0L else r.getLong(8))
+      }
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
-      files = (m.files ++ (listSegmentFiles() diff preExisting)).distinct,
-      stats = mergedStats, kstats = mergedK,
+      files = (m.files ++ newFiles).distinct,
+      stats = mergedStats, kstats = mergedK, fstats = m.fstats ++ batchF,
       lastBatchId = streamBatchId.getOrElse(m.lastBatchId),
       schemaDdl = mergedSchema.toDDL))
     // Automatic checkpoint policy (marasa checkpoints periodically so
@@ -332,7 +392,33 @@ class JournalStore private (val spark: SparkSession, val path: String,
       else partitioned
     laidOut.write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
     val newFiles = listSegmentFiles() diff preExisting
-    writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles))
+    // Derive each rewritten file's stats by merging its victims' per-file
+    // stats: compaction rewrites whole (epoch, ns) directories into one
+    // file, so the per-(epoch, ns) merge describes exactly the rows in
+    // the new file. Only when EVERY victim in the group carried stats —
+    // otherwise the group may contain pre-stats rows the merge doesn't
+    // cover and the new file records none (conservative, never wrong).
+    val nsRe = """ns=([^/]+)""".r
+    def dirOf(f: String) = (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1)))
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    val victims = old.groupBy(dirOf)
+    val derived = newFiles.flatMap { nf =>
+      victims.get(dirOf(nf)) match {
+        case Some(vs) if vs.nonEmpty && vs.forall(fmap.contains) =>
+          val ss = vs.map(fmap)
+          val keyed = ss.filter(s => s.minKey <= s.maxKey)
+          val tsed = ss.filter(s => s.tsMin <= s.tsMax)
+          Some(FileStat(nf, ss.map(_.rows).sum,
+            ss.map(_.minSeq).min, ss.map(_.maxSeq).max,
+            if (keyed.isEmpty) 1L else keyed.map(_.minKey).min,
+            if (keyed.isEmpty) 0L else keyed.map(_.maxKey).max,
+            if (tsed.isEmpty) 1L else tsed.map(_.tsMin).min,
+            if (tsed.isEmpty) 0L else tsed.map(_.tsMax).max))
+        case _ => None
+      }
+    }
+    writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles,
+      fstats = m.fstats.filterNot(s => old.contains(s.file)) ++ derived))
   }
 
   /** Delete segment files referenced by NO retained manifest version.
@@ -349,11 +435,30 @@ class JournalStore private (val spark: SparkSession, val path: String,
       // never invalidate the version the CURRENT manifest points at
       .filterNot(_._1 == manifest.version)
     dropVersions.foreach { case (_, p) => Files.deleteIfExists(p) }
-    val live = (manifest.files ++ keepVersions.flatMap { case (v, _) =>
-      readManifestVersion(path, v).map(_.files).getOrElse(Nil)
-    }).toSet
+    val retained = keepVersions.flatMap { case (v, _) =>
+      readManifestVersion(path, v) }
+    val live = (manifest.files ++ retained.flatMap(_.files)).toSet
     (listSegmentFiles().toSet -- live).foreach { f =>
       Files.deleteIfExists(Paths.get(s"$segDir/$f"))
+    }
+    // Checkpoints referenced by NO retained manifest are dead weight:
+    // auto-checkpointing creates one per epoch rollover and the manifest
+    // list is trimmed to the newest RetainedCheckpoints, so without this
+    // a long-lived store accumulates one full-state snapshot per epoch
+    // forever — only the newest at-or-below checkpoint is ever read.
+    val liveCkpts = (manifest.checkpoints ++ retained.flatMap(_.checkpoints)).toSet
+    val ckRoot = Paths.get(s"$path/checkpoints")
+    if (Files.exists(ckRoot)) {
+      val st = Files.list(ckRoot)
+      val dirs = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toList
+      } finally st.close()
+      dirs.foreach { p =>
+        """^seq=(\d+)$""".r.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toLong).filterNot(liveCkpts.contains)
+          .foreach(_ => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      }
     }
   }
 
@@ -372,13 +477,38 @@ class JournalStore private (val spark: SparkSession, val path: String,
     readSegments().select("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
 
   /** Point-in-time state by wall-clock timestamp (marasa time travel by
-    * ts). No checkpoint shortcut — checkpoints are seq-keyed — but the
-    * arg-max replay is still one partially-aggregated shuffle. */
-  def stateAtTs(t: java.sql.Timestamp): DataFrame =
-    readSegments().where(col("ts") <= lit(t))
+    * ts). Checkpoints are seq-keyed, but seqs are assigned in ts order,
+    * so a checkpoint C still stands in for the whole prefix whenever the
+    * per-file stats certify that EVERY row at or below C has ts <= t
+    * (then the ts filter is a no-op below C): the read becomes one
+    * checkpoint + a bounded tail, the same shape as stateAt. The
+    * certificate needs stats on every file holding rows <= C — a store
+    * with pre-stats files falls back to the full (still ts-file-pruned)
+    * replay. Independently, files whose minimum ts exceeds t are dropped
+    * from the scan entirely, so neither path is unbounded over future
+    * epochs. */
+  def stateAtTs(t: java.sql.Timestamp): DataFrame = {
+    val tMicros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val m = manifest
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    val ckpt = m.checkpoints.sorted.reverse.find { c =>
+      m.files.forall { f =>
+        fmap.get(f).exists(s => s.minSeq > c || s.tsMax <= tMicros)
+      }
+    }
+    val base = ckpt.map { c =>
+      spark.read.parquet(ckptDir(c))
+        .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
+    }
+    val pruned = readSegmentsOver(filesForTs(tMicros))
+    val tail = ckpt.fold(pruned) { c =>
+      pruned.where(col("epoch") >= lit((c + 1) / epochSize) && col("seq") > c)
+    }.where(col("ts") <= lit(t)).select("ns", "ukey", "seq", "payload")
+    base.fold(tail)(_.unionByName(tail))
       .groupBy("ns", "ukey")
       .agg(max_by(col("payload"), col("seq")).as("payload"),
            max("seq").as("last_seq"))
+  }
 
   /** Per-key (or per-ns) history in seq order. Key-targeted reads prune
     * segment files by the manifest's (epoch, ns) key ranges before the
@@ -435,7 +565,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
   private def writeCheckpoint(state: DataFrame, seq: Long): Unit = {
     state.write.mode("overwrite").parquet(ckptDir(seq))
     val m = manifest
-    writeManifest(path, m.copy(checkpoints = (m.checkpoints :+ seq).distinct.sorted))
+    // Retain only the newest checkpoints: stateAt reads the newest one
+    // at or below its bound, so older ones serve only deep time travel —
+    // which falls back to a longer replay rather than leaking one
+    // full-state snapshot per epoch forever. Directories are reclaimed
+    // by vacuum() (a retained manifest version may still reference one).
+    writeManifest(path, m.copy(checkpoints =
+      (m.checkpoints :+ seq).distinct.sorted.takeRight(RetainedCheckpoints)))
   }
 
   /** Per-epoch segment stats straight from the manifest (no segment-tree
@@ -496,6 +632,19 @@ object JournalStore {
   case class KeyStat(epoch: Long, ns: String, minKey: Long, maxKey: Long,
                      rows: Long = 0L)
 
+  /** Per-FILE data statistics (rows, seq range, ukey range, ts range in
+    * epoch micros) — the Delta/Iceberg add-file stats. File grain is
+    * load-bearing for correctness of pruning, not just precision: stats
+    * describe exactly one immutable file, so a file with no entry (pre-
+    * stats store, escaped ns directory) is simply never pruned, and no
+    * merged range can ever claim to cover rows it doesn't (the
+    * false-negative class a batch-merged (epoch, ns) range has). Empty
+    * ranges (all-null column) are encoded min > max and prune every
+    * probe, which is exact — NULL never satisfies the pushed
+    * predicates. */
+  case class FileStat(file: String, rows: Long, minSeq: Long, maxSeq: Long,
+                      minKey: Long, maxKey: Long, tsMin: Long, tsMax: Long)
+
   /** `schemaDdl`: the store's row schema (data + partition columns) as
     * Spark DDL, evolved at append time by appending any new columns
     * (Delta-style schema-on-manifest). Readers plan against THIS schema
@@ -508,7 +657,8 @@ object JournalStore {
   case class Manifest(epochSize: Long, maxSeq: Long, checkpoints: Seq[Long],
                       files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil,
                       lastBatchId: Long = -1L, version: Long = 0L,
-                      kstats: Seq[KeyStat] = Nil, schemaDdl: String = "")
+                      kstats: Seq[KeyStat] = Nil, schemaDdl: String = "",
+                      fstats: Seq[FileStat] = Nil)
 
   /** How many committed manifest versions stay readable via openAt().
     * Bounds metadata growth to N tiny JSON files regardless of journal
@@ -517,6 +667,14 @@ object JournalStore {
     * not N full copies. */
   val RetainedVersions = 10
 
+  /** How many checkpoints the manifest keeps. stateAt reads only the
+    * newest checkpoint at or below its bound, so retention trades deep
+    * time-travel replay length for storage: auto-checkpointing would
+    * otherwise accumulate one full-state snapshot per epoch forever.
+    * Trimmed entries' directories are deleted by vacuum() once no
+    * retained manifest version references them. */
+  val RetainedCheckpoints = 8
+
   /** Whether a journal store exists at `path` (a committed manifest is
     * the store's existence marker — data files without one are invisible
     * by the snapshot-isolation rule). */
@@ -524,7 +682,9 @@ object JournalStore {
 
   def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore = {
     Files.createDirectories(Paths.get(path))
-    writeManifest(path, Manifest(epochSize, -1L, Nil))
+    // cas = false: create() is an explicit reset — the one operation
+    // allowed to replace a manifest regardless of its current version
+    writeManifest(path, Manifest(epochSize, -1L, Nil), cas = false)
     new JournalStore(spark, path, epochSize)
   }
 
@@ -557,34 +717,67 @@ object JournalStore {
     }
   }
 
+  /** Driver-side JSON codec for the manifest. jackson (on Spark's
+    * classpath) replaces the earlier flat-regex parser: proper escaping
+    * means a hostile namespace or filename can never silently mis-parse.
+    * ns and schema stay URL-encoded INSIDE their strings, so the on-disk
+    * format is unchanged and pre-jackson manifests read back as-is. */
+  private val mapper = new ObjectMapper()
+
   /** Commit `m` as the next version: the version file lands first, then
     * the atomic rename of manifest.json publishes it (a crash in between
     * leaves an orphan version file, never a manifest pointing at a
     * missing version). Versions beyond the retention window are pruned
-    * here — the only place versions are created or destroyed. */
-  private[journal] def writeManifest(path: String, m0: Manifest): Unit = {
+    * here — the only place versions are created or destroyed.
+    *
+    * `cas = true` enforces the single-writer assumption LOUDLY: the
+    * commit is only valid against the manifest version the operation
+    * snapshotted. If a concurrent writer advanced the version in
+    * between, this writer's merged file list/stats are stale — renaming
+    * them over the other commit would silently drop its files — so the
+    * commit throws instead (marasa is single-writer; two writers is an
+    * operational error this makes visible at the store layer). */
+  private[journal] def writeManifest(path: String, m0: Manifest,
+                                     cas: Boolean = true): Unit = {
+    if (cas) {
+      val cur = readManifest(path).map(_.version).getOrElse(0L)
+      if (cur != m0.version) throw new java.util.ConcurrentModificationException(
+        s"journal store at $path: manifest advanced to version $cur while " +
+          s"this operation was working against version ${m0.version} " +
+          "(concurrent writer detected; the store is single-writer)")
+    }
     val m = m0.copy(version = m0.version + 1)
-    val files = m.files.map(f => "\"" + f + "\"").mkString(",")
-    // stats as a flat numeric list in groups of 4 (epoch, rows, min, max)
-    // so the same bracket-free regex parser below can read it back
-    val stats = m.stats.sortBy(_.epoch)
-      .flatMap(st => Seq(st.epoch, st.rows, st.minSeq, st.maxSeq)).mkString(",")
-    // key stats as "epoch:minKey:maxKey:rows:<url-encoded ns>" strings —
-    // the encoding keeps ',' / '"' / ':' out of the ns so the flat
-    // parser below stays a split
-    val kstats = m.kstats.sortBy(k => (k.epoch, k.ns))
-      .map(k => "\"" + s"${k.epoch}:${k.minKey}:${k.maxKey}:${k.rows}:" +
-        java.net.URLEncoder.encode(k.ns, "UTF-8") + "\"").mkString(",")
-    // schema DDL is URL-encoded so quotes/commas in type strings can't
-    // break the flat regex parser
-    val schemaEnc = java.net.URLEncoder.encode(m.schemaDdl, "UTF-8")
-    val json =
-      s"""{"epochSize":${m.epochSize},"maxSeq":${m.maxSeq},""" +
-        s""""lastBatchId":${m.lastBatchId},"version":${m.version},""" +
-        s""""schemaDdl":"$schemaEnc",""" +
-        s""""checkpoints":[${m.checkpoints.mkString(",")}],""" +
-        s""""files":[$files],"stats":[$stats],"kstats":[$kstats]}"""
-    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    val root = mapper.createObjectNode()
+    root.put("epochSize", m.epochSize)
+    root.put("maxSeq", m.maxSeq)
+    root.put("lastBatchId", m.lastBatchId)
+    root.put("version", m.version)
+    root.put("schemaDdl", java.net.URLEncoder.encode(m.schemaDdl, "UTF-8"))
+    val ck = root.putArray("checkpoints")
+    m.checkpoints.foreach(c => ck.add(c))
+    val fs = root.putArray("files")
+    m.files.foreach(f => fs.add(f))
+    // epoch stats as a flat numeric list in groups of 4 (epoch, rows,
+    // min, max) and key stats as "epoch:minKey:maxKey:rows:<enc ns>"
+    // strings — the pre-jackson layout, kept verbatim
+    val st = root.putArray("stats")
+    m.stats.sortBy(_.epoch).foreach { s =>
+      st.add(s.epoch); st.add(s.rows); st.add(s.minSeq); st.add(s.maxSeq)
+    }
+    val ks = root.putArray("kstats")
+    m.kstats.sortBy(k => (k.epoch, k.ns)).foreach { k =>
+      ks.add(s"${k.epoch}:${k.minKey}:${k.maxKey}:${k.rows}:" +
+        java.net.URLEncoder.encode(k.ns, "UTF-8"))
+    }
+    val fst = root.putArray("fstats")
+    m.fstats.sortBy(_.file).foreach { s =>
+      val o = fst.addObject()
+      o.put("f", s.file); o.put("rows", s.rows)
+      o.put("minSeq", s.minSeq); o.put("maxSeq", s.maxSeq)
+      o.put("minKey", s.minKey); o.put("maxKey", s.maxKey)
+      o.put("tsMin", s.tsMin); o.put("tsMax", s.tsMax)
+    }
+    val bytes = mapper.writeValueAsBytes(root)
     Files.write(versionPath(path, m.version), bytes)
     val tmp = Paths.get(path, ".manifest.json.tmp")
     Files.write(tmp, bytes)
@@ -608,34 +801,32 @@ object JournalStore {
   }
 
   private def parseManifest(s: String): Option[Manifest] = {
-    def num(k: String): Long =
-      s"""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-    val ckpts = """checkpoints":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-    val files = """files":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-      .getOrElse(Nil)
-    val stats = """stats":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").map(_.trim.toLong).grouped(4)
-        .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq)
-      .getOrElse(Nil)
-    val kstats = """kstats":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map { entry =>
-        val parts = entry.trim.stripPrefix("\"").stripSuffix("\"").split(":", 5)
-        KeyStat(parts(0).toLong, java.net.URLDecoder.decode(parts(4), "UTF-8"),
-          parts(1).toLong, parts(2).toLong, parts(3).toLong)
-      }).getOrElse(Nil)
-    // lastBatchId must default to -1 (not num()'s 0) when absent: a
-    // pre-upgrade manifest with no field must not swallow batch 0.
-    val lastBatch = """lastBatchId":(-?\d+)""".r.findFirstMatchIn(s)
-      .map(_.group(1).toLong).getOrElse(-1L)
-    val schemaDdl = """schemaDdl":"([^"]*)"""".r.findFirstMatchIn(s)
-      .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8")).getOrElse("")
-    Some(Manifest(num("epochSize"), num("maxSeq"), ckpts, files, stats,
-      lastBatch, num("version"), kstats, schemaDdl))
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(s)
+    // lastBatchId must default to -1 (not 0) when absent: a pre-upgrade
+    // manifest with no field must not swallow batch 0.
+    def num(k: String, dflt: Long = 0L): Long =
+      if (n.hasNonNull(k)) n.get(k).asLong(dflt) else dflt
+    def arr(k: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      if (n.hasNonNull(k)) n.get(k).elements().asScala.toSeq else Nil
+    val stats = arr("stats").map(_.asLong).grouped(4)
+      .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq
+    val kstats = arr("kstats").map { e =>
+      val parts = e.asText.split(":", 5)
+      KeyStat(parts(0).toLong, java.net.URLDecoder.decode(parts(4), "UTF-8"),
+        parts(1).toLong, parts(2).toLong, parts(3).toLong)
+    }
+    val fstats = arr("fstats").map { o =>
+      FileStat(o.get("f").asText, o.get("rows").asLong, o.get("minSeq").asLong,
+        o.get("maxSeq").asLong, o.get("minKey").asLong, o.get("maxKey").asLong,
+        o.get("tsMin").asLong, o.get("tsMax").asLong)
+    }
+    val schemaDdl =
+      if (n.hasNonNull("schemaDdl"))
+        java.net.URLDecoder.decode(n.get("schemaDdl").asText, "UTF-8")
+      else ""
+    Some(Manifest(num("epochSize"), num("maxSeq"),
+      arr("checkpoints").map(_.asLong), arr("files").map(_.asText), stats,
+      num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats))
   }
 }

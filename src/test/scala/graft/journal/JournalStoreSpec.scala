@@ -376,6 +376,123 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(out.select("payload").as[String].collect().toSeq === Seq("p12"))
   }
 
+  test("per-file stats never prune pre-stats files (no false-negative skip)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    def batch(keys: Seq[Long], tsBase: Int) = keys.zipWithIndex.map { case (k, i) =>
+      ("users", k, ts(f"2024-01-01 00:00:${tsBase + i}%02d"), s"p$k", 1.0)
+    }.toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(Seq(0L, 1L, 2L, 3L), 1))
+    // simulate a pre-stats store: strip the stats the first append
+    // recorded, as if its files predated the per-file-stats upgrade
+    JournalStore.writeManifest(store.path, store.manifest.copy(fstats = Nil))
+    store.append(batch(Seq(10L, 11L, 12L, 13L), 11)) // same (epoch, ns)
+    // the probed key lives ONLY in the stats-less first file — a merged
+    // (epoch, ns) range would cover just 10..13 and drop it silently
+    val h = store.history("users", Some(2L))
+    assert(h.count() === 1)
+    assert(h.select("payload").as[String].head() === "p2")
+    // pruning still engages for the file that does carry stats: a miss
+    // key reads only the stats-less file, never the covered one
+    assert(store.history("users", Some(99L)).inputFiles.length === 1)
+  }
+
+  test("stateAtTs: ts-range file pruning + checkpoint shortcut when certified") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 4)
+    def batch(minute: Int) = (0 until 4).map { i =>
+      ("users", (i % 3).toLong, ts(f"2024-01-01 00:0$minute:$i%02d"),
+        s"p$minute-$i", 1.0)
+    }.toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(1)) // epoch 0, minute 1
+    store.append(batch(2)) // epoch 1, minute 2 (auto-ckpt at seq 3)
+    store.append(batch(3)) // epoch 2, minute 3 (auto-ckpt at seq 7)
+    assert(store.manifest.checkpoints === Seq(3L, 7L))
+    val t = ts("2024-01-01 00:02:59")
+    val st = store.stateAtTs(t)
+    // the epoch whose every ts exceeds the probe is not even scanned
+    val segFiles = st.inputFiles.filter(_.contains("/segments/"))
+    assert(segFiles.length === 2, segFiles.toSeq)
+    assert(!segFiles.exists(_.contains("epoch=2")), segFiles.toSeq)
+    // and the result equals the brute-force fold over the raw scan
+    val brute = store.scan().where($"ts" <= t)
+      .groupBy("ns", "ukey")
+      .agg(max_by(col("payload"), col("seq")).as("payload"),
+           max("seq").as("last_seq"))
+    assert(st.collect().map(_.toString).sorted.toSeq ===
+      brute.collect().map(_.toString).sorted.toSeq)
+    // a probe before all data answers empty without error
+    assert(store.stateAtTs(ts("2024-01-01 00:00:30")).count() === 0)
+  }
+
+  test("checkpoint retention: manifest keeps newest K; vacuum reclaims dirs") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1)
+    (0 until JournalStore.RetainedCheckpoints + 4).foreach { i =>
+      store.append(Seq(("users", (i % 3).toLong,
+        ts(f"2024-01-01 00:00:$i%02d"), s"p$i", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    val m = store.manifest
+    assert(m.checkpoints.size <= JournalStore.RetainedCheckpoints)
+    assert(m.checkpoints === m.checkpoints.sorted)
+    store.vacuum(retain = 0)
+    val onDisk = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(store.path, "checkpoints"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .collect { case s if s.startsWith("seq=") => s.stripPrefix("seq=").toLong }
+          .toSet
+      } finally st.close()
+    }
+    assert(onDisk === m.checkpoints.toSet, "vacuum must reclaim trimmed checkpoint dirs")
+    // deep time travel below the retained window still answers correctly
+    // (longer replay instead of a missing-checkpoint failure)
+    val viaStore = store.stateAt(2L).collect().map(_.toString).sorted.toSeq
+    val raw = graft.ops.JournalOps.stateAt(store.scan(), col("seq") <= 2L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStore === raw)
+  }
+
+  test("single-writer CAS: a stale commit fails loudly instead of dropping files") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 10)
+    store.append(sampleDf)
+    val stale = store.manifest      // writer A snapshots here...
+    store.append(sampleDf)          // ...writer B commits first
+    intercept[java.util.ConcurrentModificationException] {
+      JournalStore.writeManifest(store.path, stale.copy(maxSeq = 99L))
+    }
+    // the committed state is writer B's, untouched by the failed commit
+    assert(store.manifest.maxSeq === 7L)
+    assert(store.scan().count() === 8)
+  }
+
+  test("hostile namespace (comma, quote, colon, space) round-trips the manifest") {
+    // non-ASCII would also round-trip the MANIFEST fine, but this box's
+    // filesystem encoding (ASCII file.encoding) can't create such a
+    // partition directory at all, so the fixture sticks to the chars
+    // that attack the JSON format itself
+    val store = JournalStore.create(spark, freshPath, epochSize = 10)
+    val ns = """a,b:"c" {d}"""
+    store.append(Seq((ns, 1L, ts("2024-01-01 00:00:01"), "p", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val reopened = JournalStore.open(spark, store.path)
+    assert(reopened.manifest.kstats.map(_.ns) === Seq(ns))
+    assert(store.scan().select("ns").as[String].head() === ns)
+    assert(store.history(ns).count() === 1)
+    assert(store.latest().where($"ns" === ns).count() === 1)
+  }
+
+  test("append fails fast on a conflicting column type (no deferred read error)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 10)
+    store.append(sampleDf)
+    val bad = Seq(("users", 9L, ts("2024-01-01 00:00:09"), "p9", "oops"))
+      .toDF("ns", "ukey", "ts", "payload", "val") // val STRING vs pinned DOUBLE
+    intercept[IllegalArgumentException] { store.append(bad) }
+    // the refused batch left no trace — validation precedes any write
+    assert(store.scan().count() === 4)
+    assert(JournalStore.open(spark, store.path).manifest.maxSeq === 3L)
+  }
+
   test("history reads prune namespace partitions (directory-level)") {
     val store = JournalStore.create(spark, freshPath)
     store.append(sampleDf)
