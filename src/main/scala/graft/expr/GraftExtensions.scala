@@ -35,9 +35,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimhashSig(es(0))),
     (FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      // tables/planes shape the per-row kernel, so they must be plan-time
+      // literals — guard like the TVFs do instead of letting a non-
+      // foldable argument die in an opaque NPE inside eval(null)
       (es: Seq[Expression]) => LshBuckets(es(0),
-        es(1).eval().asInstanceOf[Number].intValue,
-        es(2).eval().asInstanceOf[Number].intValue)),
+        foldedLong(es, 1, "lsh_buckets").toInt,
+        foldedLong(es, 2, "lsh_buckets").toInt)),
   )
 
   /** SQL table-valued functions over the journal store — time travel from
@@ -77,11 +80,15 @@ object GraftFunctions {
 
   private def foldedString(es: Seq[Expression], i: Int, fn: String): String = {
     require(es.length > i && es(i).foldable, s"$fn: argument $i must be a literal")
-    es(i).eval(null).toString
+    val v = es(i).eval(null)
+    require(v != null, s"$fn: argument $i must not be NULL")
+    v.toString
   }
   private def foldedLong(es: Seq[Expression], i: Int, fn: String): Long = {
     require(es.length > i && es(i).foldable, s"$fn: argument $i must be a literal")
-    es(i).eval(null).asInstanceOf[Number].longValue
+    val v = es(i).eval(null)
+    require(v != null, s"$fn: argument $i must not be NULL")
+    v.asInstanceOf[Number].longValue
   }
 
   def register(spark: SparkSession): Unit = {

@@ -1,7 +1,9 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
@@ -38,17 +40,42 @@ case class LshBuckets(child: Expression, tables: Int, planes: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 
-  override protected def nullSafeEval(input: Any): Any =
-    LshBuckets.compute(input.asInstanceOf[ArrayData], tables, planes)
+  // A NULL embedding follows the SAME poisoned-fold semantics as a short
+  // or null-holed one (the SQL twin's CASE WHEN NULL > 0 … ELSE 0 chain
+  // yields bucket 0 everywhere): all-zero buckets, never NULL. Default
+  // UnaryExpression null propagation would instead return NULL and
+  // silently drop the row from the ANN candidate stream in the native
+  // path only — breaking the "exactly the declarative formulation"
+  // contract on null inputs.
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.LshBuckets.compute($c, $tables, $planes)")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) LshBuckets.zeroBuckets(tables)
+    else LshBuckets.compute(v.asInstanceOf[ArrayData], tables, planes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val block = code"""
+      |${c.code}
+      |$javaType ${ev.value} = ${c.isNull}
+      |  ? (org.apache.spark.sql.catalyst.util.ArrayData) graft.expr.LshBuckets.zeroBuckets($tables)
+      |  : (org.apache.spark.sql.catalyst.util.ArrayData) graft.expr.LshBuckets.compute(${c.value}, $tables, $planes);
+      |""".stripMargin
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
 }
 
 object LshBuckets {
+  /** Poisoned result — one zero bucket per table (Java-callable). */
+  def zeroBuckets(tables: Int): GenericArrayData =
+    new GenericArrayData(new Array[Int](tables))
+
   /** Java-callable kernel (codegen emits a single static call). */
   def compute(emb: ArrayData, tables: Int, planes: Int): GenericArrayData = {
     val out = new Array[Int](tables)

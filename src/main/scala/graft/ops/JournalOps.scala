@@ -157,6 +157,24 @@ object JournalOps {
         .select(col("ns"), col("ukey"), col("payload"), col("last_seq"))
         .orderBy("ns", "ukey")
     }),
+    "journal_format_scan" -> ((s, d) => {
+      // Scan-mode read through the `journal` DSv2 TableProvider
+      // (sources/JournalV2.scala): the raw log planned as a columnar
+      // parquet BatchScan — vectorized reader + whole-stage codegen —
+      // with the pushed seq range translated into epoch
+      // partition-directory bounds. The V1 row-bridge path this
+      // replaces is what made journal reads the slowest non-write
+      // queries in the r6 bench. Store build rides the same caller-seq
+      // write path journal_sink_state exercises.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jfmt_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 4000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      s.read.format("journal").load(tmp)
+        .where(col("seq") >= 1000 && col("seq") < 3000)
+        .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
+    }),
     "journal_write_segments" -> ((s, d) => {
       // Ingest the events journal into a native store (epoch-partitioned
       // parquet segments + atomically-swapped manifest — graft.journal),
@@ -259,6 +277,8 @@ object JournalOps {
         "value AS val FROM events WHERE user_id = 42 ORDER BY seq"),
     "journal_seq_range" ->
       s"SELECT * FROM ($journalSql) WHERE seq >= 1000 AND seq < 2000 ORDER BY seq",
+    "journal_format_scan" ->
+      s"SELECT * FROM ($journalSql) WHERE seq >= 1000 AND seq < 3000 ORDER BY seq",
     "journal_namespaces" ->
       ("SELECT event_type AS ns, count(*) AS n, " +
         "CAST(min(event_id) AS BIGINT) AS min_seq, CAST(max(event_id) AS BIGINT) AS max_seq " +

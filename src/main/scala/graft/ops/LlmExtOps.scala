@@ -325,6 +325,50 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "dedup_corpus_minhash" -> ((s, d) => {
+      // The UNBOUNDED-corpus dedup pipeline end to end — what
+      // dedup_corpus (bounded exact scorer, doc_id < 500 contract)
+      // delegates to at scale: banded-minhash candidates (never
+      // all-pairs) → exact jaccard verification of the CANDIDATE pairs
+      // only (per-pair array intersection, O(|A|+|B|) each) → connected
+      // components over the verified edges → broadcast anti-join of the
+      // non-survivors. Every stage's cost is bounded by the candidate
+      // set, never the pair space; the signature/band construction is
+      // the shared Broder md5 arithmetic the DuckDB oracle recomputes
+      // verbatim, so the whole 100 TB path sits inside the hash gate.
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+      val sh = docs.select(col("doc_id"), explode(LlmOps.shingles(3)).as("g"))
+        .select(col("doc_id"), expr(minhashDigSql).as("dig"))
+      val mins = (0 until 8).map(h => min(expr(minhashPermSql(h, "dig"))).as(s"m$h"))
+      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 8).map(h =>
+          struct(lit(h).as("band"), col(s"m$h").as("bv"))): _*)).as("x"))
+        .select(col("doc_id"), col("x.band"), col("x.bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val shArr = docs.select(col("doc_id"), LlmOps.shingles(3).as("gs"))
+      val verified = cand
+        .join(shArr.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
+        .join(shArr.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
+        .withColumn("i", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("jac", graft.Det.r(
+          col("i") / (size(col("ga")) + size(col("gb")) - col("i")), 4))
+        .where(col("jac") >= 0.4)
+        .select("a_id", "b_id")
+      val losers = connectedComponents(verified)
+        .where(!col("is_survivor")).select("doc_id")
+      Tables(s, d, "documents")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "sample_stratified" -> ((s, d) =>
       // Deterministic stratified sampling + train/val split — what a
       // training-data mix actually needs: reproducible across runs and
@@ -905,6 +949,40 @@ object LlmExtOps {
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM (" + clustersSql +
         ") WHERE NOT is_survivor) ORDER BY doc_id"),
+    "dedup_corpus_minhash" -> {
+      // same Broder minhash candidates as dedup_minhash, then exact
+      // jaccard on the candidate pairs only, recursive min-label CC,
+      // and the survivor anti-join — the full scale pipeline's twin
+      val minCols = (0 until 8).map { h =>
+        s"min((CAST(('0x' || substr(dig, 1, 8)) AS BIGINT) + " +
+          s"$h * CAST(('0x' || substr(dig, 9, 8)) AS BIGINT)) % 4294967296) AS m$h"
+      }.mkString(", ")
+      val bandRows = (0 until 8).map(h => s"SELECT doc_id, $h AS band, m$h AS bv FROM sigs")
+        .mkString(" UNION ALL ")
+      val inter = "len(list_intersect(sa.gs, sb.gs))"
+      val jac = graft.Det.sql.r(
+        s"CAST($inter AS DOUBLE) / (len(sa.gs) + len(sb.gs) - $inter)", 4)
+      "WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "sharr AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs " +
+        "FROM docs), " +
+        "sh AS (SELECT doc_id, md5('s:' || g) AS dig FROM " +
+        "(SELECT doc_id, unnest(gs) AS g FROM sharr)), " +
+        s"sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY 1), " +
+        s"bands AS ($bandRows), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id), " +
+        s"ver AS (SELECT a_id, b_id FROM (SELECT c.a_id, c.b_id, $jac AS jac " +
+        "FROM cand c JOIN sharr sa ON sa.doc_id = c.a_id " +
+        "JOIN sharr sb ON sb.doc_id = c.b_id) WHERE jac >= 0.4), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM ver " +
+        "UNION ALL SELECT b_id, a_id FROM ver), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id NOT IN " +
+        "(SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id) ORDER BY doc_id"
+    },
     "sim_ann_ivf" ->
       // full IVF twin: same quantizer (exact decimal per-dim means), same
       // round-4 cosine assignment with smaller-label tiebreak, same top-2

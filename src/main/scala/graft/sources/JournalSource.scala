@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -9,6 +11,7 @@ import org.apache.spark.sql.graft.StreamBatchBridge
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.journal.JournalStore
 
@@ -53,8 +56,25 @@ import graft.journal.JournalStore
   * journal keys state by (ns, ukey), so an update-mode stream lands each
   * revision as a new journal version, exactly the log's semantics. */
 class JournalSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister
+    with TableProvider {
   override def shortName(): String = "journal"
+
+  // --- DSv2 TableProvider: scan-mode batch reads plan as a columnar
+  // BatchScan (see JournalV2). Every other mode returns a
+  // capability-less table, which makes Spark fall back to the V1
+  // relation (state mode), sink (batch + streaming writes) and source
+  // (streaming tail) implemented below — one short name, each path on
+  // the API that plans it best. ---
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JournalV2.tableFor(options).map(_.schema()).getOrElse(streamSchema)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    JournalV2.tableFor(opts).getOrElse(
+      new JournalStubTable(schema, Option(opts.get("path")).getOrElse("<none>")))
+  }
 
   /** Schema of the streaming tail (the log's row surface; epoch is a
     * storage detail). Static so `readStream` can resolve before the
@@ -129,8 +149,27 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
                             parameters: Map[String, String]): Source = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("journal source requires a path"))
+    // Admission control: without a cap, the first micro-batch after a
+    // long consumer outage is the ENTIRE backlog (one batch = whole
+    // (lastSeq, maxSeq] span) — a scale-killer on a busy log. With
+    // maxSeqsPerTrigger=N each trigger advances the offset by at most N
+    // seqs; the backlog drains over several bounded batches (the
+    // FileStreamSource maxFilesPerTrigger idiom). Exactly-once
+    // semantics are untouched: offsets remain plain seq watermarks and
+    // a recovered batch replays the same span.
+    val maxSeqsPerTrigger = parameters.get("maxSeqsPerTrigger").map(_.toLong)
+    maxSeqsPerTrigger.foreach(n => require(n > 0,
+      s"maxSeqsPerTrigger must be positive, got $n"))
     new Source {
       override def schema: StructType = streamSchema
+
+      // High-water mark of seqs already handed out this run. Recovery
+      // calls getBatch (with the checkpointed range) before the first
+      // getOffset — the V1 source contract the Kafka source's rate
+      // limit rests on too — so after a restart the cap throttles from
+      // the checkpointed offset, never from scratch (which would emit a
+      // backward offset and redeliver).
+      private var delivered = -1L
 
       private def store: Option[JournalStore] =
         if (JournalStore.exists(path))
@@ -142,13 +181,18 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
       }
 
       override def getOffset: Option[Offset] =
-        store.map(_.manifest.maxSeq).filter(_ >= 0L).map(LongOffset(_))
+        store.map(_.manifest.maxSeq).filter(_ >= 0L).map { avail =>
+          val t = maxSeqsPerTrigger.fold(avail)(cap => avail.min(delivered + cap))
+          delivered = delivered.max(t)
+          LongOffset(t)
+        }
 
       override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
         val s = store.getOrElse(throw new IllegalStateException(
           s"journal store at $path vanished mid-stream"))
         val lo = start.map(seqOf).getOrElse(-1L)
         val hi = seqOf(end)
+        delivered = delivered.max(hi)
         val rows = s.scanUnordered()
           .where(col("epoch") >= (lo + 1) / s.epochSize &&
                  col("epoch") <= hi / s.epochSize)

@@ -113,6 +113,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("epoch"), p)
   }
 
+  test("journal scan-mode read is a columnar BatchScan with epoch/file pruning") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_plan_").toString + "/store"
+    val store = journal.JournalStore.create(spark, path, epochSize = 2)
+    store.append(Seq( // seqs 0..5 → epochs 0..2; keys split across epochs
+      ("a", 1L, TestSpark.ts("2024-01-01 00:00:01"), "p0", 0.0),
+      ("a", 2L, TestSpark.ts("2024-01-01 00:00:02"), "p1", 0.0),
+      ("a", 1L, TestSpark.ts("2024-01-01 00:00:03"), "p2", 0.0),
+      ("a", 2L, TestSpark.ts("2024-01-01 00:00:04"), "p3", 0.0),
+      ("a", 11L, TestSpark.ts("2024-01-01 00:00:05"), "p4", 0.0),
+      ("a", 12L, TestSpark.ts("2024-01-01 00:00:06"), "p5", 0.0),
+    ).toDF("ns", "ukey", "ts", "payload", "val"))
+    val scan = spark.read.format("journal").load(path)
+    // the DSv2 path: vectorized parquet BatchScan, no RDD[Row] bridge
+    val p = scan.where($"seq" >= 4).queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+    assert(!p.contains("ExistingRDD"), p)
+    assert(p.contains("PushedFilters") && p.contains("seq"), p)
+    def nFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .toBatch.planInputPartitions().foldLeft(0)((n, ip) =>
+              n + ip.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+                .files.length)
+      }.foldLeft(0)(_ + _)
+    val all = nFiles(scan)
+    assert(all === 3, s"expected 3 epoch files, planned $all")
+    // pushed seq bound → epoch partition-DIRECTORY pruning (seq div
+    // epochSize is store arithmetic Spark can't derive on its own)
+    assert(nFiles(scan.where($"seq" >= 4)) === 1)
+    assert(nFiles(scan.where($"seq" < 2)) === 1)
+    // pushed ukey equality → per-file stats pruning below directory level
+    assert(nFiles(scan.where($"ukey" === 12L)) === 1)
+    // and the pruned reads stay correct
+    assert(scan.where($"seq" >= 4).select("payload").as[String].collect().sorted
+      === Array("p4", "p5"))
+    assert(scan.where($"ukey" === 12L).select("payload").as[String].head() === "p5")
+  }
+
   test("text_repetition is a single map-side pass (no mid-query shuffle)") {
     val p = plan("text_repetition")
     // the only exchange allowed is the final presentation orderBy;

@@ -144,6 +144,25 @@ class LlmExtSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("lsh_buckets: NULL embedding poisons to all-zero buckets; args must be literals") {
+    graft.expr.GraftFunctions.register(spark)
+    val df = Seq((1L, Some(Array.fill(64)(0.5f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), expr("lsh_buckets(embedding, 4, 15)").as("b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1).toSeq)).toMap
+    // same poisoned-fold semantics as the SQL twin (CASE WHEN NULL > 0 →
+    // ELSE 0): the row keeps bucket 0 everywhere instead of vanishing
+    assert(out(2L) === Seq(0, 0, 0, 0))
+    assert(out(1L) !== null)
+    // non-literal tables/planes → clean analysis-time error, not an NPE
+    val err = intercept[Exception] {
+      df.select(expr("lsh_buckets(embedding, vec_id, 15)")).collect()
+    }
+    assert(err.getMessage.contains("lsh_buckets"), err.getMessage)
+  }
+
   test("sim_ann_lsh: multi-table multi-probe recall >= 0.9 vs exact top-10") {
     val out = LlmExtOps.queries("sim_ann_lsh")(spark, sf)
       .as[(Long, Int, Double)].collect().toSeq

@@ -289,6 +289,40 @@ class StreamingSpec extends AnyFunSuite {
       Seq((0L, "p0"), (1L, "p1"), (2L, "p2")))
   }
 
+  test("stream_journal_source: maxSeqsPerTrigger drains a backlog in bounded batches") {
+    // Without the cap the first micro-batch after an outage is the whole
+    // backlog; with it, each trigger advances the offset by at most N
+    // seqs and the backlog drains across several bounded batches —
+    // exactly-once throughout (no gap, no redelivery, restart included).
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsrc_cap_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 2)
+    def rows(ks: Range) = ks.map(k =>
+      ("ns", k.toLong, ts(f"2024-01-01 10:00:$k%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(rows(0 until 10)) // 10-seq backlog before the stream exists
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def start() = spark.readStream.format("journal")
+      .option("maxSeqsPerTrigger", "3").load(path)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val seqs = df.select("seq").as[Long].collect().toSeq.sorted
+        if (seqs.nonEmpty) batches.synchronized { batches += seqs }
+        ()
+      }.start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(batches.size >= 4, s"10 seqs at cap 3 need >=4 batches: $batches")
+    assert(batches.forall(_.size <= 3), s"a batch exceeded the cap: $batches")
+    assert(batches.flatten.sorted.toSeq === (0L until 10L), s"$batches")
+    // checkpointed restart over new data: cap still bounds each batch and
+    // nothing below the committed offset is redelivered
+    batches.clear()
+    store.append(rows(10 until 17)) // seqs 10..16
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(batches.forall(_.size <= 3), s"$batches")
+    assert(batches.flatten.sorted.toSeq === (10L until 17L), s"$batches")
+  }
+
   test("stream_journal_source: tail survives compaction+vacuum of the source") {
     // Compaction rewrites segment files and vacuum deletes the originals
     // while the tail is live — offsets are SEQ-based and every read goes
