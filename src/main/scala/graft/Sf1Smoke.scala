@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-shot ~10x scale smoke (VERDICT r6 item 8): no sf1 fixture exists,
+  * so synthesize one from sf0.1 — events replicated with shifted
+  * event_ids; documents replicated with per-replica token salting, which
+  * preserves each replica's internal near-dup structure exactly (every
+  * token of every doc in replica i gets the same suffix, so jaccard
+  * within a replica is unchanged) while sharing no shingles ACROSS
+  * replicas — dup pairs, minhash candidates and CC components all scale
+  * linearly, the way a 10x corpus does, instead of quadratically the
+  * way naive replication would. Embeddings pass through unscaled (the
+  * ANN queries are probe-bounded; their scale axis is covered by the
+  * corpus queries). Prints per-query seconds for the scale-sensitive
+  * subset; compare against the sf0.1 bench medians for super-linearity.
+  */
+object Sf1Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-sf1-smoke").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", "16g")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_sf1"
+    val reps = 10
+
+    val ev = Tables(spark, src, "events")
+    val evMax = ev.agg(max("event_id")).head.getLong(0) + 1
+    val evBig = (0 until reps).map { i =>
+      ev.select((col("event_id") + lit(i * evMax)).as("event_id"),
+        col("event_type"), col("user_id"), col("ts"), col("props"), col("value"))
+    }.reduce(_ unionByName _)
+    evBig.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docBig = (0 until reps).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat_ws(" ",
+           expr(s"transform(split(text, ' '), t -> concat(t, '_r$i'))"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docBig.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings: pass-through copy so Tables() resolves if touched
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[sf1] events=${spark.read.parquet(s"$out/events.parquet").count()} " +
+      s"docs=${spark.read.parquet(s"$out/documents.parquet").count()}")
+
+    val names = Seq("journal_scan", "journal_write_segments", "journal_format_scan",
+      "journal_latest", "journal_diff", "events_funnel", "stream_session_batch",
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
+      "text_tokens_top", "text_tfidf", "text_repetition", "sample_stratified")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val cnt = SparkEntry.queries(n)(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[sf1] $n%-24s ${sec}%8.2f s  rows=$cnt")
+    }
+    spark.stop()
+  }
+}

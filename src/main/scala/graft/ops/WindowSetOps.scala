@@ -63,12 +63,35 @@ object WindowSetOps {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
     "win_ntile_pct" -> ((s, d) => {
-      val w = Window.orderBy(col("p_retailprice"), col("p_partkey"))
-      Tables(s, d, "part")
+      // ntile/percent_rank/cume_dist over a TOTAL order. The direct
+      // Window.orderBy(...) form plans a single-partition WindowExec —
+      // the whole table through one task, THE scale anti-pattern. The
+      // ordering key (p_retailprice, p_partkey) is unique, so global
+      // rank == global row_number, computable fully in parallel with the
+      // same two-pass scheme as journal ingest's seq assignment:
+      // range-partition on the key, sort within partitions, add
+      // per-partition offsets (zipWithIndex's count pass). ntile/pct/
+      // cume are then pure per-row arithmetic over (rn, n) — exactly the
+      // window semantics incl. ntile's big-buckets-first split — with n
+      // broadcast as a 1-row scalar (no driver collect).
+      val parts = Tables(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
+      val sorted = parts
+        .repartitionByRange(col("p_retailprice"), col("p_partkey"))
+        .sortWithinPartitions("p_retailprice", "p_partkey")
+      val schema = sorted.schema.add("rn", org.apache.spark.sql.types.LongType, false)
+      val ranked = s.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }, schema)
+      ranked.crossJoin(broadcast(parts.agg(count(lit(1)).as("n"))))
         .select(col("p_partkey"), col("p_retailprice"),
-                ntile(4).over(w).as("quartile"),
-                Det.r(percent_rank().over(w), 4).as("pct_rank"),
-                Det.r(cume_dist().over(w), 4).as("cume"))
+          // ntile(4): first n%4 buckets hold n div 4 + 1 rows, the rest
+          // n div 4 (guard keeps the small-bucket branch off when n < 4)
+          expr("CAST(IF(rn <= (n % 4) * (n div 4 + 1), " +
+               "(rn - 1) div (n div 4 + 1), " +
+               "n % 4 + (rn - 1 - (n % 4) * (n div 4 + 1)) div greatest(n div 4, 1)" +
+               ") + 1 AS INT)").as("quartile"),
+          Det.r((col("rn") - 1).cast("double") / (col("n") - 1), 4).as("pct_rank"),
+          Det.r(col("rn").cast("double") / col("n"), 4).as("cume"))
         .orderBy("p_partkey")
     }),
     "win_topk_group" -> ((s, d) => {
