@@ -64,6 +64,18 @@ object GraftFunctions {
         graft.journal.JournalStore.open(SparkSession.active, path)
           .scan().queryExecution.logical
       }),
+    (FunctionIdentifier("journal_state_at_ts"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "journal_state_at_ts"),
+      (es: Seq[Expression]) => {
+        // journal_state_at_ts('/path', '2024-01-15 00:00:00') — time
+        // travel by wall clock from SQL (ISO 'T' or JDBC space form);
+        // rides the per-file ts stats + certified-checkpoint shortcut
+        val path = foldedString(es, 0, "journal_state_at_ts")
+        val t = foldedString(es, 1, "journal_state_at_ts")
+        graft.journal.JournalStore.open(SparkSession.active, path)
+          .stateAtTs(java.sql.Timestamp.valueOf(t.replace('T', ' ')))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("journal_history"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "journal_history"),
       (es: Seq[Expression]) => {

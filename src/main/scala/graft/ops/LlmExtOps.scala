@@ -504,6 +504,30 @@ object LlmExtOps {
                   .as("re_tokens"))
         .orderBy("doc_id")),
 
+    "text_pack_sequences" -> ((s, d) => {
+      // Sequence packing — group documents into ~2048-token pretraining
+      // rows. Deterministic document-contiguous greedy fill per source:
+      // pack_id = (tokens before this doc) div 2048 over the
+      // (source, doc_id) order; pack_offset = the doc's start inside its
+      // pack. The running sum partitions by source, so the window is the
+      // SCALABLE partitioned kind (one shuffle on source, parallel
+      // across sources — never the single-task global cumsum); packing
+      // across a 100 TB corpus shards the same way its sources do.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+                size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("source"), col("n_tok").cast("int").as("n_tok"),
+                expr("CAST((cum - n_tok) div 2048 AS BIGINT)").as("pack_id"),
+                expr("CAST(cum - n_tok - ((cum - n_tok) div 2048) * 2048 AS INT)")
+                  .as("pack_offset"))
+        .orderBy("source", "doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       Tables(s, d, "documents")
         .select(col("doc_id"), md5(lower(col("text"))).as("fp_md5"))
@@ -906,6 +930,14 @@ object LlmExtOps {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) " +
         "AS re_tokens FROM documents ORDER BY doc_id"),
+    "text_pack_sequences" ->
+      ("SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, " +
+        "CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id, " +
+        "CAST(cum - n_tok - ((cum - n_tok) // 2048) * 2048 AS INT) AS pack_offset " +
+        "FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok, " +
+        "sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM documents) " +
+        "ORDER BY source, doc_id"),
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
         "lang, source, n_chars FROM documents ORDER BY doc_id"),

@@ -64,6 +64,14 @@ class ExprSpec extends AnyFunSuite {
     assert(hist === Seq((0L, "v0"), (1L, "v1")))
     assert(spark.sql(s"SELECT count(*) FROM journal_history('$path', 'users')")
       .head().getLong(0) === 3L)
+    // time travel by wall clock (both timestamp forms), pruned via the
+    // per-file ts stats underneath
+    val atTs = spark.sql("SELECT ukey, payload FROM " +
+      s"journal_state_at_ts('$path', '2024-01-01 00:00:02') ORDER BY ukey")
+      .as[(Long, String)].collect().toSeq
+    assert(atTs === Seq((1L, "v1")))
+    assert(spark.sql("SELECT count(*) FROM " +
+      s"journal_state_at_ts('$path', '2024-01-01T00:00:03')").head().getLong(0) === 2L)
   }
 
   test("char_ngrams generator emits exactly the n-grams") {
