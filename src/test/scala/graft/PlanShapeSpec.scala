@@ -153,6 +153,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.where($"ukey" === 12L).select("payload").as[String].head() === "p5")
   }
 
+  test("win_ntile_pct plans no single-partition window stage") {
+    // the global-order ranking runs as range-partition + per-partition
+    // offsets — there must be NO WindowExec (a total-order window
+    // collapses to one task) and no SinglePartition exchange
+    val df = SparkEntry.queries("win_ntile_pct")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    // (the one-row scalar count agg legitimately exchanges to a single
+    // partition — that's 32 partial counts, not the data path)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("text_pack_sequences windows partition by source (no global cumsum)") {
+    val df = SparkEntry.queries("text_pack_sequences")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert("hashpartitioning\\(source".r.findFirstIn(p).isDefined, p)
+  }
+
   test("text_repetition is a single map-side pass (no mid-query shuffle)") {
     val p = plan("text_repetition")
     // the only exchange allowed is the final presentation orderBy;
