@@ -105,6 +105,28 @@ class SourceSpec extends AnyFunSuite {
     assert(nsState.count() === 1)
   }
 
+  test("journal format: schema evolution is visible through the DSv2 scan") {
+    import graft.TestSpark.ts
+    val path = java.nio.file.Files.createTempDirectory("graft_jevo_")
+      .toString + "/store"
+    Seq(("users", 1L, ts("2024-01-01 00:00:01"), "p0", 1.0),
+        ("users", 2L, ts("2024-01-01 00:00:02"), "p1", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").option("epochSize", "10").save(path)
+    Seq(("users", 3L, ts("2024-01-01 00:00:03"), "p2", 3.0, "T"))
+      .toDF("ns", "ukey", "ts", "payload", "val", "tag")
+      .write.format("journal").mode("append").save(path)
+    val scan = spark.read.format("journal").load(path)
+    // the evolved column resolves from the manifest-pinned schema; rows
+    // from pre-evolution files read it as null — all through the
+    // columnar V2 path
+    assert(scan.columns.contains("tag"))
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+    assert(scan.where(col("tag") === "T").count() === 1)
+    assert(scan.where(col("tag").isNull).count() === 2)
+  }
+
   test("journal sink: write.format roundtrip; append-only save modes") {
     import graft.TestSpark.ts
     val path = java.nio.file.Files.createTempDirectory("graft_jsink_")
