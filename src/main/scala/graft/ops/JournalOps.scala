@@ -121,6 +121,26 @@ object JournalOps {
         .groupBy("cohort", "week_offset").agg(count(lit(1)).as("n_users"))
         .orderBy("cohort", "week_offset")
     }),
+    "events_attribution" -> ((s, d) => {
+      // Click→view attribution within a 5-minute lookback — the batch
+      // twin of the streaming interval join
+      // (streaming/StreamingOps.attributeClicks). The join keys on
+      // user_id (one shuffle, both sides co-partitioned) and the time
+      // condition bounds the per-user merge range by the interval, so
+      // neither side ever buffers more than 5 minutes of a user's
+      // history — the same state bound the streaming form gets from its
+      // watermark.
+      val e = Tables(s, d, "events")
+      val imp = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("i_ts"), col("event_id").as("i_id"))
+      val clk = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      clk.join(imp, "user_id")
+        .where(col("i_ts") <= col("c_ts") &&
+               col("i_ts") >= col("c_ts") - expr("INTERVAL 5 MINUTES"))
+        .select(col("c_id"), col("user_id"), col("c_ts"), col("i_id"), col("i_ts"))
+        .orderBy("c_id", "i_id")
+    }),
     "journal_source_state" -> ((s, d) => {
       // End-to-end through the `journal` DATA SOURCE (graft.sources
       // .JournalSource): ingest a bounded slice into a native store, then
@@ -272,6 +292,14 @@ object JournalOps {
         "SELECT stage, count(*) AS n_users FROM st GROUP BY 1 ORDER BY stage"
     },
     "journal_latest" -> stateSql(""),
+    "events_attribution" ->
+      ("SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts, " +
+        "i.event_id AS i_id, i.ts AS i_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'view') i " +
+        "ON c.user_id = i.user_id AND i.ts <= c.ts " +
+        "AND i.ts >= c.ts - INTERVAL 5 MINUTE " +
+        "ORDER BY c_id, i_id"),
     "journal_key_history" ->
       ("SELECT event_id AS seq, event_type AS ns, ts, props AS payload, " +
         "value AS val FROM events WHERE user_id = 42 ORDER BY seq"),

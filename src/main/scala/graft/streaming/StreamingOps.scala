@@ -65,6 +65,28 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("sig")
 
+  /** Stream-stream interval join — click→impression attribution, the
+    * canonical two-stream training-data primitive: each click joins the
+    * same user's impressions that happened in the 5 minutes before it.
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Spark's stream-stream join can evict
+    * buffered state once the watermark passes — state stays bounded by
+    * (watermark + interval), partitioned on user_id across executors,
+    * no matter how long the streams run. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.select(col("user_id").as("i_user"),
+      col("ts").as("i_ts"), col("props").as("i_props"))
+      .withWatermark("i_ts", "10 minutes")
+    val clk = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    clk.join(imp,
+      expr("c_user = i_user AND i_ts <= c_ts AND " +
+        "i_ts >= c_ts - INTERVAL 5 MINUTES"))
+      .select(col("c_id"), col("c_user").as("user_id"),
+              col("c_ts"), col("i_ts"), col("i_props"))
+  }
+
   /** Arbitrary stateful op: running per-user event count via
     * flatMapGroupsWithState (SURVEY §2.I stream_stateful_counter). */
   def runningCounts(events: Dataset[Ev]): Dataset[(Long, Long)] = {

@@ -234,6 +234,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.manifest.lastBatchId === 2L)
   }
 
+  test("stream_interval_join: clicks attribute to in-window impressions, state bounded") {
+    val imps = MemoryStream[Ev]
+    val clks = MemoryStream[Ev]
+    val q = StreamingOps.attributeClicks(imps.toDF, clks.toDF)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    imps.addData(
+      ev(10, "2024-01-01 10:00:00", 1, "imp", 0.0),
+      ev(11, "2024-01-01 10:02:00", 1, "imp", 0.0),
+      ev(12, "2024-01-01 10:00:00", 2, "imp", 0.0))
+    clks.addData(
+      ev(20, "2024-01-01 10:04:00", 1, "click", 0.0),  // joins imps 10 & 11
+      ev(21, "2024-01-01 10:06:00", 2, "click", 0.0),  // imp is 6 min old
+      ev(22, "2024-01-01 10:03:00", 3, "click", 0.0))  // user never saw one
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    imps.addData(ev(18, "2024-01-01 12:00:00", 9, "imp", 0.0))
+    clks.addData(ev(28, "2024-01-01 12:00:00", 9, "click", 0.0))
+    q.processAllAvailable()
+    imps.addData(ev(19, "2024-01-01 13:00:00", 9, "imp", 0.0))
+    clks.addData(ev(29, "2024-01-01 13:00:00", 9, "click", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("attr").where($"user_id" <= 3)
+      .select($"c_id", $"i_ts").as[(Long, java.sql.Timestamp)].collect().toSet
+    // click 20 matches both of user 1's impressions inside its 5-minute
+    // lookback; click 21's only impression is 6 minutes old; click 22's
+    // user never saw one — inner interval join drops both
+    assert(got === Set(
+      (20L, ts("2024-01-01 10:00:00")),
+      (20L, ts("2024-01-01 10:02:00"))))
+    // the batch twin over the same rows agrees (same declarative join)
+    val impB = Seq(ev(10, "2024-01-01 10:00:00", 1, "imp", 0.0),
+      ev(11, "2024-01-01 10:02:00", 1, "imp", 0.0),
+      ev(12, "2024-01-01 10:00:00", 2, "imp", 0.0)).toDF
+    val clkB = Seq(ev(20, "2024-01-01 10:04:00", 1, "click", 0.0),
+      ev(21, "2024-01-01 10:06:00", 2, "click", 0.0),
+      ev(22, "2024-01-01 10:03:00", 3, "click", 0.0)).toDF
+    val batch = StreamingOps.attributeClicks(impB, clkB)
+      .select($"c_id", $"i_ts").as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(batch === got)
+    q.stop()
+  }
+
   test("stream_journal_source: readStream tails the log by seq offset") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsrc_").toString
     val path = s"$dir/store"
