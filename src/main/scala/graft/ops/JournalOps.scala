@@ -121,6 +121,28 @@ object JournalOps {
         .groupBy("cohort", "week_offset").agg(count(lit(1)).as("n_users"))
         .orderBy("cohort", "week_offset")
     }),
+    "events_resample" -> ((s, d) => {
+      // Time-series gap filling (resample to 1-minute buckets over one
+      // day): the calendar spine comes from the data's own min/max via
+      // sequence() + explode off a 1-row scalar aggregate (broadcast —
+      // no driver collect), left-joined with the per-minute counts so
+      // silent minutes surface as zero rows. At scale the heavy side is
+      // the pre-aggregated counts (one shuffle on the bucket); the
+      // spine is generated, never scanned.
+      val e = Tables(s, d, "events").where(
+        col("event_type") === "purchase" &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+      val buckets = e.groupBy(date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      val spine = e.agg(date_trunc("minute", min("ts")).as("lo"),
+                        date_trunc("minute", max("ts")).as("hi"))
+        .where(col("lo").isNotNull)
+        .select(explode(expr("sequence(lo, hi, interval 1 minute)")).as("m"))
+      spine.join(buckets, Seq("m"), "left")
+        .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("m")
+    }),
     "events_attribution" -> ((s, d) => {
       // Click→view attribution within a 5-minute lookback — the batch
       // twin of the streaming interval join
@@ -292,6 +314,16 @@ object JournalOps {
         "SELECT stage, count(*) AS n_users FROM st GROUP BY 1 ORDER BY stage"
     },
     "journal_latest" -> stateSql(""),
+    "events_resample" ->
+      ("WITH e AS (SELECT * FROM events WHERE event_type = 'purchase' " +
+        "AND ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-11 00:00:00'), " +
+        "b AS (SELECT date_trunc('minute', ts) AS m, count(*) AS n FROM e GROUP BY 1), " +
+        "spine AS (SELECT unnest(generate_series(" +
+        "(SELECT date_trunc('minute', min(ts)) FROM e), " +
+        "(SELECT date_trunc('minute', max(ts)) FROM e), INTERVAL 1 MINUTE)) AS m) " +
+        "SELECT spine.m, COALESCE(b.n, 0) AS n FROM spine LEFT JOIN b USING (m) " +
+        "WHERE spine.m IS NOT NULL ORDER BY m"),
     "events_attribution" ->
       ("SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts, " +
         "i.event_id AS i_id, i.ts AS i_ts " +
