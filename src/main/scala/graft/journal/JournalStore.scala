@@ -97,9 +97,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * stateAt. A file with no stats is kept (conservative); an
     * all-null-ts file (tsMin > tsMax sentinel) contributes nothing to a
     * ts-bounded read and is dropped exactly. */
-  private def filesForTs(tMicros: Long): Seq[String] = {
-    val fmap = manifest.fstats.map(s => s.file -> s).toMap
-    manifest.files.filter { f =>
+  /** Callers pass their own manifest snapshot so the certificate, the
+    * file list and the stats all describe the same committed state (a
+    * fresh `manifest` read here could tear against a concurrent
+    * compact+vacuum). */
+  private def filesForTs(m: Manifest, tMicros: Long): Seq[String] = {
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    m.files.filter { f =>
       fmap.get(f).forall(s => s.tsMin <= s.tsMax && s.tsMin <= tMicros)
     }
   }
@@ -217,7 +221,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"),
            min("ukey").as("kmn"), max("ukey").as("kmx"),
            min(unix_micros(col("ts").cast("timestamp"))).as("tmn"),
-           max(unix_micros(col("ts").cast("timestamp"))).as("tmx"))
+           max(unix_micros(col("ts").cast("timestamp"))).as("tmx"),
+           sum(when(col("ts").cast("timestamp").isNull, 1L).otherwise(0L)).as("tnull"))
       .collect()
     val batchStats = perNs.groupBy(_.getLong(0)).map { case (e, rs) =>
       EpochStat(e, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).min,
@@ -277,7 +282,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
             if (r.isNullAt(5)) 1L else r.getLong(5),
             if (r.isNullAt(6)) 0L else r.getLong(6),
             if (r.isNullAt(7)) 1L else r.getLong(7),
-            if (r.isNullAt(8)) 0L else r.getLong(8))
+            if (r.isNullAt(8)) 0L else r.getLong(8),
+            r.getLong(9))
       }
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
@@ -413,7 +419,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
             if (keyed.isEmpty) 1L else keyed.map(_.minKey).min,
             if (keyed.isEmpty) 0L else keyed.map(_.maxKey).max,
             if (tsed.isEmpty) 1L else tsed.map(_.tsMin).min,
-            if (tsed.isEmpty) 0L else tsed.map(_.tsMax).max))
+            if (tsed.isEmpty) 0L else tsed.map(_.tsMax).max,
+            // unknown (< 0) in any victim poisons the merge to unknown
+            if (ss.exists(_.nullTs < 0L)) -1L else ss.map(_.nullTs).sum))
         case _ => None
       }
     }
@@ -472,9 +480,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   /** Unordered scan that KEEPS the epoch partition column — the relation
     * surface for the `journal` data source, where pushed seq bounds are
-    * translated to epoch-directory bounds (partition pruning). */
-  def scanUnordered(): DataFrame =
-    readSegments().select("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
+    * translated to epoch-directory bounds (partition pruning). Column
+    * order is canonical journal columns, then evolved extras, then
+    * epoch — IDENTICAL to the DSv2 table's schema, so a read that falls
+    * back to the V1 relation (state mode, ns option) sees the same
+    * surface, evolved columns included. */
+  def scanUnordered(): DataFrame = {
+    val seg = readSegments()
+    val canonical = Seq("seq", "ns", "ukey", "ts", "payload", "val")
+    val names = seg.schema.fieldNames.toSeq
+    val head = canonical.filter(names.contains)
+    val rest = names.filterNot(n => canonical.contains(n) || n == "epoch")
+    seg.select((head ++ rest :+ "epoch").map(col): _*)
+  }
 
   /** Point-in-time state by wall-clock timestamp (marasa time travel by
     * ts). Checkpoints are seq-keyed, but seqs are assigned in ts order,
@@ -491,16 +509,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val tMicros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val m = manifest
     val fmap = m.fstats.map(s => s.file -> s).toMap
+    // A file certifies checkpoint C when it either holds no rows at or
+    // below C, or every one of its rows passes the ts filter — which
+    // needs tsMax <= t AND zero null-ts rows: tsMax aggregates only
+    // non-null ts, but `ts <= t` EXCLUDES null-ts rows while the
+    // seq-keyed checkpoint would include them. nullTs < 0 means the
+    // stats predate null tracking — unknown, so never certify.
     val ckpt = m.checkpoints.sorted.reverse.find { c =>
       m.files.forall { f =>
-        fmap.get(f).exists(s => s.minSeq > c || s.tsMax <= tMicros)
+        fmap.get(f).exists(s =>
+          s.minSeq > c || (s.tsMax <= tMicros && s.nullTs == 0L))
       }
     }
     val base = ckpt.map { c =>
       spark.read.parquet(ckptDir(c))
         .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
     }
-    val pruned = readSegmentsOver(filesForTs(tMicros))
+    val pruned = readSegmentsOver(filesForTs(m, tMicros))
     val tail = ckpt.fold(pruned) { c =>
       pruned.where(col("epoch") >= lit((c + 1) / epochSize) && col("seq") > c)
     }.where(col("ts") <= lit(t)).select("ns", "ukey", "seq", "payload")
@@ -570,8 +595,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // which falls back to a longer replay rather than leaking one
     // full-state snapshot per epoch forever. Directories are reclaimed
     // by vacuum() (a retained manifest version may still reference one).
+    // the just-written checkpoint is always kept even when it is older
+    // than the retained window (an explicit deep checkpoint(seq) call
+    // must not be a silent no-op after paying the state write)
     writeManifest(path, m.copy(checkpoints =
-      (m.checkpoints :+ seq).distinct.sorted.takeRight(RetainedCheckpoints)))
+      ((m.checkpoints :+ seq).distinct.sorted.takeRight(RetainedCheckpoints)
+        :+ seq).distinct.sorted))
   }
 
   /** Per-epoch segment stats straight from the manifest (no segment-tree
@@ -643,7 +672,8 @@ object JournalStore {
     * probe, which is exact — NULL never satisfies the pushed
     * predicates. */
   case class FileStat(file: String, rows: Long, minSeq: Long, maxSeq: Long,
-                      minKey: Long, maxKey: Long, tsMin: Long, tsMax: Long)
+                      minKey: Long, maxKey: Long, tsMin: Long, tsMax: Long,
+                      nullTs: Long = 0L)
 
   /** `schemaDdl`: the store's row schema (data + partition columns) as
     * Spark DDL, evolved at append time by appending any new columns
@@ -776,9 +806,15 @@ object JournalStore {
       o.put("minSeq", s.minSeq); o.put("maxSeq", s.maxSeq)
       o.put("minKey", s.minKey); o.put("maxKey", s.maxKey)
       o.put("tsMin", s.tsMin); o.put("tsMax", s.tsMax)
+      o.put("nullTs", s.nullTs)
     }
     val bytes = mapper.writeValueAsBytes(root)
-    Files.write(versionPath(path, m.version), bytes)
+    // both files land via tmp + atomic rename: a crash mid-write strands
+    // only a .tmp, never a truncated manifest or version file
+    val vtmp = Paths.get(path, s".manifest.json.v${m.version}.tmp")
+    Files.write(vtmp, bytes)
+    Files.move(vtmp, versionPath(path, m.version), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     val tmp = Paths.get(path, ".manifest.json.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
@@ -800,7 +836,7 @@ object JournalStore {
     else parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
-  private def parseManifest(s: String): Option[Manifest] = {
+  private def parseManifest(s: String): Option[Manifest] = try {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(s)
     // lastBatchId must default to -1 (not 0) when absent: a pre-upgrade
@@ -819,7 +855,10 @@ object JournalStore {
     val fstats = arr("fstats").map { o =>
       FileStat(o.get("f").asText, o.get("rows").asLong, o.get("minSeq").asLong,
         o.get("maxSeq").asLong, o.get("minKey").asLong, o.get("maxKey").asLong,
-        o.get("tsMin").asLong, o.get("tsMax").asLong)
+        o.get("tsMin").asLong, o.get("tsMax").asLong,
+        // absent (pre-null-tracking stats) = unknown, never 0: a 0 here
+        // would falsely certify the stateAtTs checkpoint shortcut
+        if (o.hasNonNull("nullTs")) o.get("nullTs").asLong else -1L)
     }
     val schemaDdl =
       if (n.hasNonNull("schemaDdl"))
@@ -828,5 +867,11 @@ object JournalStore {
     Some(Manifest(num("epochSize"), num("maxSeq"),
       arr("checkpoints").map(_.asLong), arr("files").map(_.asText), stats,
       num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats))
+  } catch {
+    // unparseable bytes (e.g. a file damaged outside our atomic-rename
+    // protocol) read as "no manifest here" — callers produce their own
+    // targeted errors — rather than an unhandled jackson throw that
+    // would wedge vacuum()/openAt() permanently
+    case _: Exception => None
   }
 }

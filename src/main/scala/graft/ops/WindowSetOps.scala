@@ -90,7 +90,10 @@ object WindowSetOps {
                "(rn - 1) div (n div 4 + 1), " +
                "n % 4 + (rn - 1 - (n % 4) * (n div 4 + 1)) div greatest(n div 4, 1)" +
                ") + 1 AS INT)").as("quartile"),
-          Det.r((col("rn") - 1).cast("double") / (col("n") - 1), 4).as("pct_rank"),
+          // n = 1 would divide 0/0 → NULL; percent_rank is defined 0.0
+          // for a single-row frame in both engines
+          Det.r(coalesce((col("rn") - 1).cast("double") / (col("n") - 1),
+            lit(0.0)), 4).as("pct_rank"),
           Det.r(col("rn").cast("double") / col("n"), 4).as("cume"))
         .orderBy("p_partkey")
     }),

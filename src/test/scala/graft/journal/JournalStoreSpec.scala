@@ -423,6 +423,70 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.stateAtTs(ts("2024-01-01 00:00:30")).count() === 0)
   }
 
+  test("stateAtTs excludes null-ts rows even via the checkpoint shortcut") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 4)
+    // a null-ts row rides along in epoch 0; seqs are assigned with null
+    // ts sorting first, auto-checkpoint lands at the epoch boundary
+    val rows = spark.sql(
+      "SELECT * FROM VALUES " +
+        "('users', 9L, CAST(NULL AS TIMESTAMP), 'ghost', 0.0D), " +
+        "('users', 1L, TIMESTAMP'2024-01-01 00:01:00', 'p1', 1.0D), " +
+        "('users', 2L, TIMESTAMP'2024-01-01 00:02:00', 'p2', 1.0D), " +
+        "('users', 3L, TIMESTAMP'2024-01-01 00:03:00', 'p3', 1.0D) " +
+        "AS t(ns, ukey, ts, payload, val)")
+    store.append(rows)
+    store.append(spark.sql(
+      "SELECT * FROM VALUES " +
+        "('users', 4L, TIMESTAMP'2024-01-01 00:04:00', 'p4', 1.0D), " +
+        "('users', 5L, TIMESTAMP'2024-01-01 00:05:00', 'p5', 1.0D), " +
+        "('users', 6L, TIMESTAMP'2024-01-01 00:06:00', 'p6', 1.0D), " +
+        "('users', 7L, TIMESTAMP'2024-01-01 00:07:00', 'p7', 1.0D) " +
+        "AS t(ns, ukey, ts, payload, val)"))
+    assert(store.manifest.checkpoints.nonEmpty)
+    val t = ts("2024-01-01 00:05:30")
+    val st = store.stateAtTs(t)
+    // ts <= t excludes the null-ts row; the seq-keyed checkpoint holds
+    // it, so the certificate must refuse any checkpoint covering that
+    // file (nullTs > 0) and replay instead
+    assert(st.where($"ukey" === 9L).count() === 0, "null-ts row leaked via checkpoint")
+    val brute = store.scan().where($"ts" <= t)
+      .groupBy("ns", "ukey")
+      .agg(max_by(col("payload"), col("seq")).as("payload"),
+           max("seq").as("last_seq"))
+    assert(st.collect().map(_.toString).sorted.toSeq ===
+      brute.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("explicit checkpoint older than the retained window is kept, not dropped") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1)
+    (0 until JournalStore.RetainedCheckpoints + 4).foreach { i =>
+      store.append(Seq(("users", (i % 3).toLong,
+        ts(f"2024-01-01 00:00:$i%02d"), s"p$i", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    assert(!store.manifest.checkpoints.contains(2L)) // trimmed out by retention
+    store.checkpoint(2L) // explicit deep checkpoint below the window
+    assert(store.manifest.checkpoints.contains(2L),
+      "an explicit checkpoint call must not be a silent no-op")
+    val viaCkpt = store.stateAt(2L).collect().map(_.toString).sorted.toSeq
+    val raw = graft.ops.JournalOps.stateAt(store.scan(), col("seq") <= 2L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaCkpt === raw)
+  }
+
+  test("a truncated version file reads as absent, not a parser crash") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 10)
+    store.append(sampleDf)
+    val v = store.manifest.version
+    // simulate a file damaged outside the atomic-rename protocol
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store.path, s"manifest.json.v$v"),
+      """{"epochSize":10,"maxSeq":""".getBytes)
+    intercept[IllegalArgumentException] { store.openAt(v) } // clean error
+    store.vacuum() // must not throw on the unreadable version
+    assert(store.scan().count() === 4)
+  }
+
   test("checkpoint retention: manifest keeps newest K; vacuum reclaims dirs") {
     val store = JournalStore.create(spark, freshPath, epochSize = 1)
     (0 until JournalStore.RetainedCheckpoints + 4).foreach { i =>

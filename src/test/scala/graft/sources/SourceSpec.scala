@@ -125,6 +125,11 @@ class SourceSpec extends AnyFunSuite {
     assert(p.contains("BatchScan"), p)
     assert(scan.where(col("tag") === "T").count() === 1)
     assert(scan.where(col("tag").isNull).count() === 2)
+    // the V1 fallback surface (ns option) exposes the SAME evolved
+    // schema — a read must not lose columns by switching paths
+    val v1 = spark.read.format("journal").option("ns", "users").load(path)
+    assert(v1.columns.toSeq === scan.columns.toSeq)
+    assert(v1.where(col("tag") === "T").count() === 1)
   }
 
   test("journal sink: write.format roundtrip; append-only save modes") {
