@@ -157,6 +157,47 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("stateAtTs equals the brute-force ts-filtered fold for any probe") {
+    // fuzzes the checkpoint-certificate + ts-file-pruning machinery:
+    // random batch sizes (auto-checkpoints land at varying boundaries),
+    // occasional NULL ts rows (must never ride a checkpoint into the
+    // result), probes before/inside/after the data's ts range
+    val batchGen = Gen.listOfN(2, Gen.listOfN(5, for {
+      key <- Gen.choose(1L, 4L)
+      nullTs <- Gen.frequency(4 -> false, 1 -> true)
+    } yield (key, nullTs)))
+    val fewTrials = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(fewTrials,
+      Prop.forAll(batchGen, Gen.choose(-1, 11)) { (batches, probeMin) =>
+        batches.flatten.isEmpty || {
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_tsprop_").toString + "/s"
+          val store = journal.JournalStore.create(spark, path, epochSize = 3)
+          var minute = 0
+          batches.foreach { b =>
+            val rows = b.map { case (k, nul) =>
+              minute += 1
+              val t = if (nul) "CAST(NULL AS TIMESTAMP)"
+                      else f"TIMESTAMP'2024-01-01 00:$minute%02d:00'"
+              s"('ns', ${k}L, $t, 'p$minute', 1.0D)"
+            }.mkString(", ")
+            store.append(spark.sql(
+              s"SELECT * FROM VALUES $rows AS t(ns, ukey, ts, payload, val)"))
+          }
+          val t = TestSpark.ts(f"2024-01-01 00:${probeMin.max(0)}%02d:30")
+          val got = store.stateAtTs(t)
+            .collect().map(_.toString).sorted.toSeq
+          val brute = store.scan().where(col("ts") <= t)
+            .groupBy("ns", "ukey")
+            .agg(max_by(col("payload"), col("seq")).as("payload"),
+                 max("seq").as("last_seq"))
+            .collect().map(_.toString).sorted.toSeq
+          got == brute
+        }
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("set ops agree with Scala set algebra") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
       (xs, ys) =>
