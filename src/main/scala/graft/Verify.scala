@@ -8,10 +8,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
 
   /** Write every declared query's result (one parquet dir per key) and
-    * the oracle SQL map. Returns the failed query names. */
-  def dump(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
+    * the oracle SQL map. Returns the failed query names. `only` (dev
+    * use) restricts to a subset of query keys. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           only: Set[String] = Set.empty): Seq[String] = {
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    val failed = SparkEntry.queries.toSeq
+      .filter(kv => only.isEmpty || only.contains(kv._1))
+      .flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -42,7 +46,10 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args.toSeq match {
+      case Seq(s, o, rest @ _*) => (s, o, rest.toSet)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [queryKey ...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,7 +58,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dump(spark, sfDir, outDir)
+    dump(spark, sfDir, outDir, only)
     spark.stop()
   }
 }

@@ -39,15 +39,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * to string (partition type inference would make a numeric-looking
     * namespace an int). A store with no appends yet reads as an empty
     * frame with the canonical schema (superset incl. the facade's skey). */
-  private[journal] def readSegments(): org.apache.spark.sql.DataFrame =
-    readSegmentsOver(manifest.files)
+  private[journal] def readSegments(): org.apache.spark.sql.DataFrame = {
+    val m = manifest
+    readSegmentsOver(m.files, m.schemaDdl)
+  }
 
-  private def readSegmentsOver(files: Seq[String]): org.apache.spark.sql.DataFrame =
+  /** The schema DDL rides in from the SAME manifest snapshot that
+    * produced `files`: re-reading `manifest` here for the schema could
+    * tear against a concurrent compact+vacuum (file list from commit N,
+    * schema from commit N+1), partially defeating the snapshot the
+    * callers took on purpose. */
+  private def readSegmentsOver(files: Seq[String],
+                               ddl: String): org.apache.spark.sql.DataFrame =
     if (files.nonEmpty) {
       // plan against the manifest-pinned schema when the store has one:
       // deterministic under schema evolution (footer sampling picks an
       // arbitrary file's column set) and no per-file schema inference
-      val ddl = manifest.schemaDdl
       val reader = spark.read.option("basePath", segDir)
       val withSchema =
         if (ddl.nonEmpty)
@@ -74,9 +81,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * construction; namespaces whose directory rendering isn't the
     * literal value (partition-path escaping) are likewise never
     * ns-pruned. */
-  private def filesForKey(nsOpt: Option[String],
+  private def filesForKey(m: Manifest, nsOpt: Option[String],
                           ukey: Option[Long]): Seq[String] = {
-    val m = manifest
     val nsRe = """ns=([^/]+)""".r
     val fmap = m.fstats.map(s => s.file -> s).toMap
     m.files.filter { f =>
@@ -110,11 +116,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   /** scanUnordered over only the files that can contain (ns, ukey) —
     * what the `journal` source uses when an ns/ukey equality filter is
-    * pushed down. */
+    * pushed down. Projects the SAME surface as scanUnordered (canonical,
+    * then evolved extras, then epoch): the V1 relation's schema comes
+    * from scanUnordered, so a pruned swap-in that dropped evolved
+    * columns would make buildScan's select of a pushed-down read fail
+    * (or silently narrow) on any schema-evolved store. */
   private[graft] def scanUnorderedPruned(ns: Option[String],
-                                         ukey: Option[Long]): DataFrame =
-    readSegmentsOver(filesForKey(ns, ukey))
-      .select("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
+                                         ukey: Option[Long]): DataFrame = {
+    val m = manifest
+    canonicalSurface(readSegmentsOver(filesForKey(m, ns, ukey), m.schemaDdl))
+  }
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
 
   def manifest: Manifest = pinnedVersion match {
@@ -438,14 +449,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * openAt() never hands out a reader over missing data. */
   def vacuum(retain: Int = RetainedVersions): Unit = {
     requireWritable()
+    // ONE manifest snapshot up front: fails fast on a corrupt manifest
+    // BEFORE any deletion, and the live-file/checkpoint computations
+    // below can't tear against a concurrent commit
+    val cur = manifest
     val keepVersions = listVersionFiles(path).takeRight(retain)
     val dropVersions = listVersionFiles(path).dropRight(retain)
       // never invalidate the version the CURRENT manifest points at
-      .filterNot(_._1 == manifest.version)
+      .filterNot(_._1 == cur.version)
     dropVersions.foreach { case (_, p) => Files.deleteIfExists(p) }
     val retained = keepVersions.flatMap { case (v, _) =>
       readManifestVersion(path, v) }
-    val live = (manifest.files ++ retained.flatMap(_.files)).toSet
+    val live = (cur.files ++ retained.flatMap(_.files)).toSet
     (listSegmentFiles().toSet -- live).foreach { f =>
       Files.deleteIfExists(Paths.get(s"$segDir/$f"))
     }
@@ -454,7 +469,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // list is trimmed to the newest RetainedCheckpoints, so without this
     // a long-lived store accumulates one full-state snapshot per epoch
     // forever — only the newest at-or-below checkpoint is ever read.
-    val liveCkpts = (manifest.checkpoints ++ retained.flatMap(_.checkpoints)).toSet
+    val liveCkpts = (cur.checkpoints ++ retained.flatMap(_.checkpoints)).toSet
     val ckRoot = Paths.get(s"$path/checkpoints")
     if (Files.exists(ckRoot)) {
       val st = Files.list(ckRoot)
@@ -485,8 +500,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * epoch — IDENTICAL to the DSv2 table's schema, so a read that falls
     * back to the V1 relation (state mode, ns option) sees the same
     * surface, evolved columns included. */
-  def scanUnordered(): DataFrame = {
-    val seg = readSegments()
+  def scanUnordered(): DataFrame = canonicalSurface(readSegments())
+
+  /** Canonical journal columns, then evolved extras, then epoch — the
+    * one column-ordering rule for every relation surface (full and
+    * pruned scans must agree or a pushed-filter read would change the
+    * visible schema). */
+  private def canonicalSurface(seg: DataFrame): DataFrame = {
     val canonical = Seq("seq", "ns", "ukey", "ts", "payload", "val")
     val names = seg.schema.fieldNames.toSeq
     val head = canonical.filter(names.contains)
@@ -525,7 +545,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       spark.read.parquet(ckptDir(c))
         .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
     }
-    val pruned = readSegmentsOver(filesForTs(m, tMicros))
+    val pruned = readSegmentsOver(filesForTs(m, tMicros), m.schemaDdl)
     val tail = ckpt.fold(pruned) { c =>
       pruned.where(col("epoch") >= lit((c + 1) / epochSize) && col("seq") > c)
     }.where(col("ts") <= lit(t)).select("ns", "ukey", "seq", "payload")
@@ -542,7 +562,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * (the row filters still apply, so pruning is never load-bearing for
     * correctness). */
   def history(ns: String, ukey: Option[Long] = None): DataFrame = {
-    val base = readSegmentsOver(filesForKey(Some(ns), ukey))
+    val m = manifest
+    val base = readSegmentsOver(filesForKey(m, Some(ns), ukey), m.schemaDdl)
       .where(col("ns") === ns)
     ukey.fold(base)(k => base.where(col("ukey") === k))
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
@@ -809,12 +830,37 @@ object JournalStore {
       o.put("nullTs", s.nullTs)
     }
     val bytes = mapper.writeValueAsBytes(root)
-    // both files land via tmp + atomic rename: a crash mid-write strands
-    // only a .tmp, never a truncated manifest or version file
-    val vtmp = Paths.get(path, s".manifest.json.v${m.version}.tmp")
-    Files.write(vtmp, bytes)
-    Files.move(vtmp, versionPath(path, m.version), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    if (cas) {
+      // The version file is the commit ARBITER, not just a record: the
+      // read-version check above is check-then-act, so two writers that
+      // both snapshotted version N both pass it. CREATE_NEW (O_EXCL)
+      // makes exactly one land manifest.json.v(N+1); the loser throws
+      // here, BEFORE it can overwrite the winner's manifest.json with a
+      // file list missing the winner's segments. (A rename can't be the
+      // arbiter: POSIX rename(2) silently replaces, so ATOMIC_MOVE
+      // without REPLACE_EXISTING is not fail-if-exists on Linux.) A
+      // crash mid-write strands a truncated version file, which reads
+      // as absent (parseManifest tolerance) and was never published —
+      // manifest.json still points at the previous version.
+      try Files.write(versionPath(path, m.version), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"journal store at $path: another writer committed version " +
+            s"${m.version} concurrently (lost the commit race; the store " +
+            "is single-writer)")
+      }
+    } else {
+      // create()/reset replaces unconditionally, and destroys retained
+      // versions of the PRE-reset store — they describe data the reset
+      // abandons, and a stale v(N+1) would block the new store's first
+      // commit at the arbiter above.
+      listVersionFiles(path).foreach { case (_, p) => Files.deleteIfExists(p) }
+      val vtmp = Paths.get(path, s".manifest.json.v${m.version}.tmp")
+      Files.write(vtmp, bytes)
+      Files.move(vtmp, versionPath(path, m.version),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     val tmp = Paths.get(path, ".manifest.json.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
@@ -830,10 +876,25 @@ object JournalStore {
     else None
   }
 
+  /** None = no manifest file (no store / not created yet). A manifest
+    * that EXISTS but does not parse throws instead: every caller's
+    * None-fallback treats None as "empty store", and reading external
+    * corruption as empty would escalate silently — append() restarts
+    * versions from 0, vacuum() computes live files from the empty file
+    * list and deletes every segment. Version files (readManifestVersion)
+    * stay None-tolerant: an unreadable RETAINED version only shrinks the
+    * openAt window, it never redefines current state. */
   private[journal] def readManifest(path: String): Option[Manifest] = {
     val p = manifestPath(path)
     if (!Files.exists(p)) None
-    else parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else {
+      val bytes = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      Some(parseManifest(bytes).getOrElse(throw new IllegalStateException(
+        s"journal store at $path: manifest.json exists but is unparseable " +
+          "(corrupted outside the atomic-rename protocol); refusing to " +
+          "treat it as an empty store — restore a retained " +
+          "manifest.json.vN or recreate the store explicitly")))
+    }
   }
 
   private def parseManifest(s: String): Option[Manifest] = try {

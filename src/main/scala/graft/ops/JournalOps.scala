@@ -234,6 +234,33 @@ object JournalOps {
       store.append(journal(s, d))
       store.segmentStats()
     }),
+    "journal_catalog_sql" -> ((s, d) => {
+      // SQL addressability end-to-end (sources/JournalCatalog.scala): a
+      // journal store named in a Spark TableCatalog, populated by SQL
+      // INSERT (the V2 commit framework handing the batch to the store's
+      // global-sort append + manifest CAS), queried by SQL SELECT (the
+      // same columnar V2 BatchScan as the path API, seq bounds becoming
+      // epoch-directory pruning). Caller seqs (= event_id) ride the
+      // INSERT so the oracle is a plain aggregate over events. The
+      // catalog name is keyed by the dataset dir: Spark caches catalog
+      // instances by name, so each dataset gets its own root.
+      val tag = Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jcat_root_$tag").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val cat = s"jcat_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ev (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2000')")
+      journal(s, d).where(col("seq") < 6000)
+        .createOrReplaceTempView(s"jcat_src_$tag")
+      s.sql(s"INSERT INTO $cat.ev SELECT ns, ukey, ts, payload, val, seq " +
+        s"FROM jcat_src_$tag")
+      s.sql(s"SELECT ns, count(*) AS n_rows, sum(ukey) AS sum_ukey, " +
+        s"max(seq) AS max_seq FROM $cat.ev WHERE seq >= 1000 " +
+        "GROUP BY ns ORDER BY ns")
+    }),
     "journal_diff" -> ((s, d) => {
       // CDC between two points in time: which keys changed in
       // (S1, S2], with old and new payloads — the downstream-sync
@@ -358,6 +385,12 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
         "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
+    "journal_catalog_sql" ->
+      ("SELECT event_type AS ns, count(*) AS n_rows, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id >= 1000 AND event_id < 6000 " +
+        "GROUP BY 1 ORDER BY ns"),
     "journal_diff" ->
       ("WITH s2 AS (SELECT event_type AS ns, user_id AS ukey, " +
         "arg_max(props, event_id) AS new_payload, max(event_id) AS last_seq " +

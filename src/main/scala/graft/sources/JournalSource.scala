@@ -4,8 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.StreamBatchBridge
 import org.apache.spark.sql.sources._
@@ -24,23 +23,27 @@ import graft.journal.JournalStore
   *   spark.read.format("journal").option("asOfTs", t).load(p)     // ″ by ts
   *   spark.read.format("journal").option("asOfVersion", 7).load(p) // ″ by manifest version
   *
-  * Built on the stable DataSource V1 relation API (`RelationProvider` +
-  * `PrunedFilteredScan`): the store already yields optimized DataFrames
-  * (manifest-scoped file lists, checkpoint + bounded tail replay), so the
-  * relation only needs to translate pushed filters — notably turning a
-  * pushed `seq` bound into an `epoch` partition-directory bound, which is
-  * what actually prunes IO at 100 TB (epoch dirs are partition columns;
-  * `seq = epoch·epochSize + k` is arithmetic Spark can't derive itself).
-  * Column pruning is forwarded so the parquet scan reads only requested
-  * columns. Filters are ALSO left in the plan (Spark re-applies what DSv1
-  * sources don't declare handled), so pruning here is pure IO savings,
-  * never a correctness dependency.
+  * API split, each path on the machinery that plans it best:
   *
-  * The source is also a sink — batch and streaming:
-  *
-  *   df.write.format("journal").mode("append").save(p)   // batch append
-  *   df.writeStream.format("journal")
-  *     .option("checkpointLocation", c).start(p)          // exactly-once
+  *  - SCAN-mode batch reads and ALL streaming reads are DataSource V2
+  *    (JournalV2.scala / JournalStream.scala): columnar parquet
+  *    BatchScan with epoch/file pruning; a true MicroBatchStream with
+  *    admission control for `readStream`.
+  *  - STATE-mode reads (asOfSeq/asOfTs) are computed plans (checkpoint
+  *    + bounded tail replay + arg-max combine), not file scans — they
+  *    stay on the V1 relation below, which already yields ordinary
+  *    vectorized DataFrames.
+  *  - Catalog writes (INSERT INTO journal.t, saveAsTable) ride the V2
+  *    commit framework via the table's V1Write (JournalV2.scala).
+  *  - Path-based `df.write.format("journal").save(p)` keeps the V1
+  *    CreatableRelationProvider: it is the only writer API that can
+  *    honor ErrorIfExists/Ignore semantics (V2 save() rejects them).
+  *  - The STREAMING sink stays a V1 `Sink` deliberately: an exactly-once
+  *    journal append is a whole-batch operation — one deterministic
+  *    global seq sort, one manifest-CAS commit carrying the batch id —
+  *    which the per-task StreamingWrite contract cannot express without
+  *    staging every row twice (the same reason Delta Lake's OSS
+  *    connector ships a V1 streaming sink).
   *
   * Batch write: `Append` opens-or-creates (option `epochSize` sizes a
   * new store) and delegates to `JournalStore.append` — seq assignment,
@@ -56,32 +59,44 @@ import graft.journal.JournalStore
   * journal keys state by (ns, ukey), so an update-mode stream lands each
   * revision as a new journal version, exactly the log's semantics. */
 class JournalSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister
-    with TableProvider {
+    with StreamSinkProvider with DataSourceRegister with TableProvider {
   override def shortName(): String = "journal"
 
-  // --- DSv2 TableProvider: scan-mode batch reads plan as a columnar
-  // BatchScan (see JournalV2). Every other mode returns a
-  // capability-less table, which makes Spark fall back to the V1
-  // relation (state mode), sink (batch + streaming writes) and source
-  // (streaming tail) implemented below — one short name, each path on
-  // the API that plans it best. ---
+  /** Schema used by the capability-less stub (state mode / missing
+    * path): the log's canonical row surface. */
+  private val streamSchema = StructType.fromDDL(
+    "seq BIGINT, ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE")
+
+  // Spark resolves a V2 table by calling inferSchema(options) then
+  // getTable(schema, ..., properties) with the SAME options on the SAME
+  // provider instance (one instance per resolution). Building the table
+  // twice would open the store and read the manifest twice — and worse,
+  // the two snapshots could straddle a concurrent commit, giving
+  // getTable a different manifest than the schema came from. Cache the
+  // one table per options-rendering.
+  @volatile private var cachedTable: (String, Option[JournalTable]) = null
+  private def tableCached(options: CaseInsensitiveStringMap): Option[JournalTable] = {
+    import scala.jdk.CollectionConverters._
+    val key = options.asCaseSensitiveMap.asScala.toSeq.sorted.mkString("&")
+    val c = cachedTable
+    if (c != null && c._1 == key) c._2
+    else {
+      val t = JournalV2.tableFor(options)
+      cachedTable = (key, t)
+      t
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    JournalV2.tableFor(options).map(_.schema()).getOrElse(streamSchema)
+    tableCached(options).map(_.schema()).getOrElse(streamSchema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    JournalV2.tableFor(opts).getOrElse(
+    tableCached(opts).getOrElse(
       new JournalStubTable(schema, Option(opts.get("path")).getOrElse("<none>")))
   }
-
-  /** Schema of the streaming tail (the log's row surface; epoch is a
-    * storage detail). Static so `readStream` can resolve before the
-    * store has any data. */
-  private val streamSchema = StructType.fromDDL(
-    "seq BIGINT, ns STRING, ukey BIGINT, ts TIMESTAMP, " +
-      "payload STRING, val DOUBLE")
 
   private def openOrCreate(spark: org.apache.spark.sql.SparkSession,
                            path: String,
@@ -110,7 +125,8 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
     createRelation(ctx, parameters) // readable relation over what landed
   }
 
-  /** `df.writeStream.format("journal")` — exactly-once micro-batch sink. */
+  /** `df.writeStream.format("journal")` — exactly-once micro-batch sink
+    * (V1 by design — see the class doc). */
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
@@ -125,84 +141,6 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
           .append(batch, Some(batchId))
       }
       override def toString: String = s"JournalSink[$path]"
-    }
-  }
-
-  /** `spark.readStream.format("journal")` — tail the log. The journal's
-    * seq high-water mark IS the streaming offset: each micro-batch reads
-    * exactly the records in (lastSeq, maxSeq], with the seq range turned
-    * into epoch partition-directory bounds (bounded IO per batch no
-    * matter how long the journal grows — marasa's tail-replay invariant
-    * as a stream). Segments are immutable and the manifest swap is
-    * atomic, so a batch is reproducible for replay after recovery:
-    * together with the checkpointed offset log this gives exactly-once
-    * delivery into any downstream sink. Writing the same store with the
-    * `journal` streaming sink and tailing it with this source makes the
-    * store a durable exactly-once queue. */
-  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(streamSchema))
-
-  override def createSource(ctx: SQLContext, metadataPath: String,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("journal source requires a path"))
-    // Admission control: without a cap, the first micro-batch after a
-    // long consumer outage is the ENTIRE backlog (one batch = whole
-    // (lastSeq, maxSeq] span) — a scale-killer on a busy log. With
-    // maxSeqsPerTrigger=N each trigger advances the offset by at most N
-    // seqs; the backlog drains over several bounded batches (the
-    // FileStreamSource maxFilesPerTrigger idiom). Exactly-once
-    // semantics are untouched: offsets remain plain seq watermarks and
-    // a recovered batch replays the same span.
-    val maxSeqsPerTrigger = parameters.get("maxSeqsPerTrigger").map(_.toLong)
-    maxSeqsPerTrigger.foreach(n => require(n > 0,
-      s"maxSeqsPerTrigger must be positive, got $n"))
-    new Source {
-      override def schema: StructType = streamSchema
-
-      // High-water mark of seqs already handed out this run. Recovery
-      // calls getBatch (with the checkpointed range) before the first
-      // getOffset — the V1 source contract the Kafka source's rate
-      // limit rests on too — so after a restart the cap throttles from
-      // the checkpointed offset, never from scratch (which would emit a
-      // backward offset and redeliver).
-      private var delivered = -1L
-
-      private def store: Option[JournalStore] =
-        if (JournalStore.exists(path))
-          Some(JournalStore.open(ctx.sparkSession, path)) else None
-
-      private def seqOf(o: Offset): Long = o match {
-        case l: LongOffset => l.offset
-        case other => other.json.trim.toLong // SerializedOffset after restart
-      }
-
-      override def getOffset: Option[Offset] =
-        store.map(_.manifest.maxSeq).filter(_ >= 0L).map { avail =>
-          val t = maxSeqsPerTrigger.fold(avail)(cap => avail.min(delivered + cap))
-          delivered = delivered.max(t)
-          LongOffset(t)
-        }
-
-      override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-        val s = store.getOrElse(throw new IllegalStateException(
-          s"journal store at $path vanished mid-stream"))
-        val lo = start.map(seqOf).getOrElse(-1L)
-        val hi = seqOf(end)
-        delivered = delivered.max(hi)
-        val rows = s.scanUnordered()
-          .where(col("epoch") >= (lo + 1) / s.epochSize &&
-                 col("epoch") <= hi / s.epochSize)
-          .where(col("seq") > lo && col("seq") <= hi)
-          .select("seq", "ns", "ukey", "ts", "payload", "val")
-        StreamBatchBridge.asStreamingDF(rows)
-      }
-
-      override def stop(): Unit = ()
-      override def toString: String = s"JournalStreamSource[$path]"
     }
   }
 

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetPartitionReaderFactory, ParquetScan}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.journal.JournalStore
+
+/** V2 micro-batch streaming source for the `journal` format — tail the
+  * log by seq offset (`spark.readStream.format("journal").load(path)`).
+  *
+  * The journal's seq high-water mark IS the streaming offset: each
+  * micro-batch reads exactly the records in (lastSeq, maxSeq], planned
+  * as one input partition per segment FILE that can hold rows of the
+  * range — epoch directory bounds first (`epoch = seq div epochSize`),
+  * then the manifest's per-file seq ranges (bounded IO per batch no
+  * matter how long the journal grows — marasa's tail-replay invariant
+  * as a stream). Segments are immutable and the manifest swap is
+  * atomic, so a batch is reproducible for replay after recovery:
+  * together with the checkpointed offset log this gives exactly-once
+  * delivery into any downstream sink.
+  *
+  * Admission control (`maxSeqsPerTrigger=N`, the FileStreamSource
+  * maxFilesPerTrigger idiom): each trigger advances the offset by at
+  * most N seqs, so the first batch after a consumer outage is never the
+  * whole backlog. V2's `latestOffset(start, limit)` receives the start
+  * offset directly — stateless, where the V1 Source had to track a
+  * `delivered` high-water mark across the recovery call order.
+  *
+  * Executor-side reading delegates to Spark's own
+  * `ParquetPartitionReaderFactory` (the machinery behind every DSv2
+  * parquet scan — timestamp encodings, schema clipping, null-filling of
+  * evolved columns all inherited); a thin wrapper applies the
+  * (lo, hi] seq filter row-level (parquet pushdown skips row groups,
+  * never individual rows) and reorders columns to the table surface.
+  * This replaces the V1 `Source.getBatch` DataFrame bridge, which
+  * re-planned a full scan per batch and crossed an `RDD[Row]`
+  * conversion. */
+private[sources] class JournalMicroBatchStream(
+    spark: SparkSession, storePath: String, tableSchema: StructType,
+    maxSeqsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  maxSeqsPerTrigger.foreach(n => require(n > 0,
+    s"maxSeqsPerTrigger must be positive, got $n"))
+
+  /** The store is re-opened per call: a stream must see commits that
+    * land while it runs (the batch-table snapshot rule is exactly
+    * wrong here). It may not exist yet — a stream can start before the
+    * producer's first commit and picks the store up when it appears. */
+  private def storeOpt: Option[JournalStore] =
+    if (JournalStore.exists(storePath)) Some(JournalStore.open(spark, storePath))
+    else None
+
+  private def seqOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def initialOffset(): Offset = LongOffset(-1L)
+  override def deserializeOffset(json: String): Offset = LongOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSeqsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "journal stream is admission-controlled; latestOffset(start, limit) applies")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = seqOf(start)
+    storeOpt.map(_.manifest.maxSeq).filter(_ >= 0L) match {
+      case None => null // no store / no data yet → no batch
+      case Some(avail) =>
+        LongOffset(maxSeqsPerTrigger.fold(avail)(cap => avail.min(lo + cap)).max(lo))
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = seqOf(start)
+    val hi = seqOf(end)
+    if (hi <= lo) return Array.empty
+    val store = storeOpt.getOrElse(throw new IllegalStateException(
+      s"journal store at $storePath vanished mid-stream"))
+    val m = store.manifest
+    val epochSize = store.epochSize
+    val loEpoch = (lo + 1) / epochSize
+    val hiEpoch = hi / epochSize
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    val epochRe = """epoch=(\d+)""".r
+    val nsRe = """ns=([^/]+)""".r
+    val segDir = s"$storePath/segments"
+    // one partition per overlapping file: epoch directory bounds, then
+    // the per-file seq range (a file with no stats is kept — the row
+    // filter in the reader makes pruning exact-or-conservative)
+    m.files.filter { f =>
+      epochRe.findFirstMatchIn(f).map(_.group(1).toLong)
+        .forall(e => e >= loEpoch && e <= hiEpoch) &&
+        fmap.get(f).forall(s => s.maxSeq > lo && s.minSeq <= hi)
+    }.zipWithIndex.map { case (f, i) =>
+      val epoch = epochRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(0L)
+      val ns = nsRe.findFirstMatchIn(f).map(_.group(1))
+        .map(ExternalCatalogUtils.unescapePathName).orNull
+      val abs = s"$segDir/$f"
+      val pv = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(ns), epoch))
+      JournalStreamPartition(
+        FilePartition(i, Array(PartitionedFile(pv,
+          SparkPath.fromPathString(abs), 0L,
+          java.nio.file.Files.size(java.nio.file.Paths.get(abs))))),
+        lo, hi)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // read the canonical+extras data columns of the TABLE schema (fixed
+    // at stream start — output schema stability); ns/epoch come from the
+    // partition directory values appended by the parquet reader.
+    // The factory is built BY a throwaway ParquetScan rather than by
+    // hand: createReaderFactory is where Spark installs the parquet
+    // read-support class, requested-schema json, timezone/int96 rebase
+    // settings etc. on the broadcast hadoop conf — replicating that key
+    // list here would silently drift across Spark versions.
+    val readDataSchema = StructType(
+      tableSchema.filterNot(f => f.name == "ns" || f.name == "epoch"))
+    val partitionSchema = StructType.fromDDL("ns STRING, epoch BIGINT")
+    val ps = ParquetScan(spark, spark.sessionState.newHadoopConf(),
+      JournalV2.fileIndex(spark, s"$storePath/segments", Nil, tableSchema),
+      readDataSchema, readDataSchema, partitionSchema,
+      Array.empty[org.apache.spark.sql.sources.Filter],
+      CaseInsensitiveStringMap.empty())
+    new JournalStreamReaderFactory(
+      ps.createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory],
+      StructType(readDataSchema ++ partitionSchema), tableSchema)
+  }
+
+  override def toString: String = s"JournalMicroBatchStream[$storePath]"
+}
+
+/** One segment file plus the batch's (lo, hi] seq bounds. */
+private[sources] case class JournalStreamPartition(
+    files: FilePartition, lo: Long, hi: Long) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Wraps the stock parquet row reader with the (lo, hi] seq filter and a
+  * projection from reader order (data columns, then partition columns)
+  * to the table surface (canonical, extras, epoch). Both are built on
+  * the EXECUTOR inside createReader — codegen'd UnsafeProjection, no
+  * driver state. */
+private[sources] class JournalStreamReaderFactory(
+    parquet: ParquetPartitionReaderFactory, srcSchema: StructType,
+    tableSchema: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val jp = partition.asInstanceOf[JournalStreamPartition]
+    val inner = parquet.createReader(jp.files)
+    val seqIdx = srcSchema.fieldIndex("seq")
+    val proj = UnsafeProjection.create(tableSchema.map(f =>
+      BoundReference(srcSchema.fieldIndex(f.name), f.dataType, nullable = true)))
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          val s = r.getLong(seqIdx)
+          if (s > jp.lo && s <= jp.hi) { current = proj(r); return true }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -3,31 +3,29 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, LessThan => CLt, LessThanOrEqual => CLte, Literal}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.journal.JournalStore
 
-/** DataSource V2 surface of the `journal` format — the SCAN-mode read
-  * path (`spark.read.format("journal").load(path)`, the raw log as a
-  * table). The V1 `PrunedFilteredScan` relation ended in
-  * `DataFrame.rdd`: every scan paid an InternalRow→Row conversion and
-  * forfeited the vectorized parquet reader plus the whole-stage codegen
-  * above it — the single hottest path at 100 TB, where every analytical
-  * read starts from a log scan. Here the table delegates straight to
-  * Spark's own `ParquetScanBuilder`/`ParquetScan` over an
-  * `InMemoryFileIndex` built from the MANIFEST's file list (snapshot
-  * isolation: files outside the manifest stay invisible), so a journal
-  * scan plans exactly like a first-class parquet table — columnar
-  * batches, filter/column pushdown, epoch/ns partition pruning — with
-  * two journal-specific additions:
+/** DataSource V2 surface of the `journal` format.
+  *
+  * READ (batch, scan mode): the table delegates straight to Spark's own
+  * `ParquetScanBuilder`/`ParquetScan` over an `InMemoryFileIndex` built
+  * from the MANIFEST's file list (snapshot isolation: files outside the
+  * manifest stay invisible), so a journal scan plans exactly like a
+  * first-class parquet table — columnar batches, filter/column pushdown,
+  * epoch/ns partition pruning — with two journal-specific additions:
   *
   *  - pushed `seq` bounds are translated to `epoch` partition-directory
   *    bounds (`epoch = seq div epochSize` is store arithmetic Catalyst
@@ -36,11 +34,34 @@ import graft.journal.JournalStore
   *    per-file key ranges (the same data-skipping stats the store API
   *    uses), below directory granularity.
   *
-  * State-mode reads (asOfSeq/asOfTs — aggregations, not scans) and all
-  * writes stay on the V1 paths: the provider hands back a
-  * capability-less table and Spark falls through to the V1
-  * relation/sink, which already plan their heavy lifting (checkpoint +
-  * bounded tail replay) as ordinary vectorized DataFrames. */
+  * READ (streaming): the table declares MICRO_BATCH_READ and its scan
+  * yields a [[JournalMicroBatchStream]] — the V2 streaming contract
+  * (admission control, per-file input partitions, vectorized-adjacent
+  * parquet readers), replacing the V1 `Source` whose getBatch ended in
+  * an `RDD[Row]` bridge. See JournalStream.scala.
+  *
+  * WRITE: the table declares V1_BATCH_WRITE — the V2 commit framework
+  * (`AppendData` → `AppendDataExecV1`) executing through an
+  * `InsertableRelation` whose insert() is `JournalStore.append`, i.e.
+  * the same global seq assignment + manifest-CAS commit every other
+  * write path uses. A journal append is a whole-batch operation (seqs
+  * are assigned by ONE deterministic global sort and committed by ONE
+  * manifest swap), which the per-task `BatchWrite`/`DataWriter` contract
+  * cannot express without staging every row twice — the same reason
+  * Delta Lake's OSS connector writes through V1Write. Deliberately NOT
+  * BATCH_WRITE: path-based `df.write.save(path)` keeps the V1
+  * CreatableRelationProvider, which is the only API that can honor
+  * ErrorIfExists/Ignore semantics (the V2 path rejects those modes
+  * outright); catalog-addressed writes (INSERT INTO journal.t,
+  * saveAsTable) ride this V2 write. ACCEPTS_ANY_SCHEMA because the
+  * table's schema carries system columns (seq, epoch) the engine
+  * assigns — appends are by-NAME (ns, ukey, ts, payload, val, evolved
+  * extras), validated loudly inside append().
+  *
+  * State-mode reads (asOfSeq/asOfTs — aggregations, not scans) stay on
+  * the V1 relation: they are computed plans (checkpoint + bounded tail
+  * replay + arg-max combine), not file scans, and already plan as
+  * ordinary vectorized DataFrames. */
 private[sources] object JournalV2 {
 
   /** File index over the manifest's (possibly pruned) relative file
@@ -53,31 +74,43 @@ private[sources] object JournalV2 {
       Map("basePath" -> segDir), Some(fullSchema),
       FileStatusCache.getOrCreate(spark), None, None)
 
-  /** Read-only V2 table when scan mode applies: store exists, has files,
-    * and no state-mode/ns option is present (asOfVersion pins the
-    * manifest snapshot and is honored here). None → caller returns a
-    * capability-less stub and Spark falls back to the V1 relation. */
+  /** V2 table unless a state-mode/ns option forces the V1 relation
+    * (None → caller returns a capability-less stub and Spark falls back).
+    * The store may not exist yet: the table still carries the streaming
+    * and write capabilities (a stream can start before the producer's
+    * first commit; a catalog INSERT can create the store), while batch
+    * read falls back to the V1 relation's targeted "no journal store"
+    * error. */
   def tableFor(options: CaseInsensitiveStringMap): Option[JournalTable] = {
     val path = Option(options.get("path"))
-    if (path.isEmpty || !JournalStore.exists(path.get) ||
-        options.containsKey("asOfSeq") || options.containsKey("asOfTs") ||
-        options.containsKey("ns")) None
+    if (path.isEmpty || options.containsKey("asOfSeq") ||
+        options.containsKey("asOfTs") || options.containsKey("ns")) None
     else {
       val spark = SparkSession.active
-      val s0 = JournalStore.open(spark, path.get)
-      val store = Option(options.get("asOfVersion")).map(_.toLong)
-        .fold(s0)(s0.openAt)
-      if (store.manifest.files.isEmpty) None
-      else Some(new JournalTable(spark, path.get, store))
+      val pinned = Option(options.get("asOfVersion")).map(_.toLong)
+      val store =
+        if (JournalStore.exists(path.get)) {
+          val s0 = JournalStore.open(spark, path.get)
+          Some(pinned.fold(s0)(s0.openAt))
+        } else None
+      Some(new JournalTable(spark, path.get, store, pinned.isDefined,
+        Option(options.get("epochSize")).map(_.toLong),
+        Option(options.get("maxSeqsPerTrigger")).map(_.toLong)))
     }
   }
 }
 
 private[sources] class JournalTable(spark: SparkSession, storePath: String,
-                                    store: JournalStore)
-    extends Table with SupportsRead {
+                                    store: Option[JournalStore],
+                                    pinned: Boolean,
+                                    writeEpochSize: Option[Long] = None,
+                                    maxSeqsPerTrigger: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
   private val segDir = s"$storePath/segments"
-  private val m = store.manifest // one snapshot for the table's lifetime
+  // one snapshot for the table's lifetime; a store that does not exist
+  // yet reads as the empty manifest (batch read falls back to V1 anyway)
+  private val m = store.map(_.manifest)
+    .getOrElse(JournalStore.Manifest(1000L, -1L, Nil))
 
   private val manifestSchema: StructType =
     if (m.schemaDdl.nonEmpty) StructType.fromDDL(m.schemaDdl)
@@ -104,26 +137,88 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
 
   override def name(): String = s"journal:$storePath"
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.noneOf(classOf[TableCapability])
+    // an EXISTING store is batch-readable even with zero committed
+    // files (a catalog SELECT from a freshly-created table has no V1
+    // fallback — it must plan as an empty scan, not an analysis error);
+    // a MISSING store keeps no capability so the path API falls back to
+    // the V1 relation's targeted "no journal store" error
+    if (store.isDefined)
+      caps.add(TableCapability.BATCH_READ)
+    if (!pinned) {
+      // streaming a version-pinned snapshot is contradictory (a stream
+      // tails LIVE commits); writes through a pinned view are refused
+      caps.add(TableCapability.MICRO_BATCH_READ)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    }
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JournalScanBuilder(spark,
-      JournalV2.fileIndex(spark, segDir, m.files, tableSchema),
-      tableSchema, dataSchema, options, store.epochSize, m.files,
-      m.fstats.map(s => s.file -> s).toMap, segDir)
+    if (m.files.isEmpty)
+      // zero committed files: the parquet machinery has nothing to
+      // infer a partition schema from (readSchema would silently drop
+      // ns/epoch), so serve a dedicated zero-partition scan that still
+      // reports the full table surface — and still answers
+      // toMicroBatchStream, since a stream may start before the
+      // producer's first commit
+      new ScanBuilder {
+        override def build(): Scan =
+          new EmptyJournalScan(spark, tableSchema, storePath, maxSeqsPerTrigger)
+      }
+    else
+      new JournalScanBuilder(spark,
+        JournalV2.fileIndex(spark, segDir, m.files, tableSchema),
+        tableSchema, dataSchema, options,
+        store.map(_.epochSize).getOrElse(1000L), m.files,
+        m.fstats.map(s => s.file -> s).toMap, segDir,
+        storePath, maxSeqsPerTrigger)
+
+  /** V2 write = the V2 commit framework executing the store's own
+    * whole-batch append (global seq sort + stats + manifest CAS +
+    * auto-checkpoint). Overwrite is refused — a journal is an
+    * append-only log. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      "this is a read-only view pinned at a manifest version; " +
+        "write through the unpinned table")
+    val epochSz = Option(info.options.get("epochSize")).map(_.toLong)
+      .orElse(writeEpochSize)
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "journal is an append-only log; Overwrite would truncate " +
+                  "history (use append, or compact()/vacuum() for space)")
+              val s =
+                if (JournalStore.exists(storePath))
+                  JournalStore.open(data.sparkSession, storePath)
+                else JournalStore.create(data.sparkSession, storePath,
+                  epochSz.getOrElse(1000L))
+              s.append(data)
+            }
+          }
+      }
+    }
+  }
 }
 
 /** `ParquetScanBuilder` with the two journal extensions (seq→epoch
   * partition bounds; ukey→per-file-stats pruning). Everything else —
   * column pruning, parquet predicate pushdown, partition pruning on
-  * direct epoch/ns filters, vectorized reading — is inherited. */
+  * direct epoch/ns filters, vectorized reading — is inherited. build()
+  * wraps the parquet scan so the SAME scan serves batch (delegated
+  * verbatim) and streaming (toMicroBatchStream). */
 private[sources] class JournalScanBuilder(
     spark: SparkSession, fileIndex: PartitioningAwareFileIndex,
     fullSchema: StructType, dataSchema: StructType,
     options: CaseInsensitiveStringMap, epochSize: Long,
     relFiles: Seq[String], fstats: Map[String, JournalStore.FileStat],
-    segDir: String)
+    segDir: String, storePath: String, maxSeqsPerTrigger: Option[Long])
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options) {
 
   /** Pushed seq bounds arrive as data filters (seq is a file column);
@@ -184,7 +279,7 @@ private[sources] class JournalScanBuilder(
       case sources.EqualTo("ukey", v: java.lang.Long) => v.longValue
       case sources.EqualTo("ukey", v: Int) => v.toLong
     }
-    keyEq match {
+    val parquet = keyEq match {
       case Some(k) =>
         val pruned = relFiles.filter(f =>
           fstats.get(f).forall(s => s.minKey <= k && k <= s.maxKey))
@@ -194,13 +289,59 @@ private[sources] class JournalScanBuilder(
         else scan
       case None => scan
     }
+    new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger)
   }
 }
 
-/** Capability-less table: returned whenever V2 scan mode does not apply
-  * (missing/empty store, state-mode options, writes). Spark sees no
-  * BATCH_READ/WRITE capability and falls back to the V1
-  * relation/sink/source paths on the same provider class. */
+/** The journal's V2 `Scan`: a stock `ParquetScan` (columnar batches,
+  * pruning, stats — batch reads inherit everything verbatim) that ALSO
+  * answers `toMicroBatchStream`, so the same table serves `readStream`
+  * by tailing the live store by seq offset. Subclass rather than
+  * wrapper because `ParquetScanBuilder.build()` narrows its return
+  * type to `ParquetScan`. */
+private[sources] class JournalParquetScan(base: ParquetScan,
+                                          tableSchema: StructType,
+                                          storePath: String,
+                                          maxSeqsPerTrigger: Option[Long])
+    extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
+      base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+      base.pushedFilters, base.options, base.pushedAggregate,
+      base.partitionFilters, base.dataFilters) {
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JournalMicroBatchStream(base.sparkSession, storePath, tableSchema,
+      maxSeqsPerTrigger)
+}
+
+/** Batch+streaming scan of a store with no committed files: zero input
+  * partitions under the full table schema (the empty frame a catalog
+  * SELECT from a freshly-created table must produce), and the same live
+  * MicroBatchStream every other scan yields (the stream tails commits
+  * as they land — the empty snapshot only describes NOW). */
+private[sources] class EmptyJournalScan(
+    spark: SparkSession, tableSchema: StructType, storePath: String,
+    maxSeqsPerTrigger: Option[Long]) extends Scan with Batch {
+  override def readSchema(): StructType = tableSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array.empty
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    EmptyJournalReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JournalMicroBatchStream(spark, storePath, tableSchema, maxSeqsPerTrigger)
+  override def description(): String = s"EmptyJournalScan[$storePath]"
+}
+
+/** Never invoked (the empty scan plans zero partitions) but the factory
+  * handle must exist and serialize. */
+private[sources] object EmptyJournalReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+    throw new IllegalStateException("empty journal scan has no partitions")
+}
+
+/** Capability-less table: returned whenever the V2 table does not apply
+  * (state-mode options — asOfSeq/asOfTs/ns). Spark sees no capability
+  * and falls back to the V1 relation path on the same provider class. */
 private[sources] class JournalStubTable(s: StructType, path: String) extends Table {
   override def name(): String = s"journal:$path"
   override def schema(): StructType = s

@@ -153,6 +153,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.where($"ukey" === 12L).select("payload").as[String].head() === "p5")
   }
 
+  test("journal readStream resolves to the V2 MicroBatchStream, not a V1 Source") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_plan_").toString + "/store"
+    val store = journal.JournalStore.create(spark, path, epochSize = 2)
+    store.append(Seq(("a", 1L, TestSpark.ts("2024-01-01 00:00:01"), "p0", 0.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val df = spark.readStream.format("journal").load(path)
+    // V2 resolution: the logical plan is StreamingRelationV2 over the
+    // journal table (a V1 fallback would plan StreamingRelation over a
+    // DataSource). The stream itself (admission control, per-file
+    // partitions, offset restart) is exercised end-to-end in
+    // streaming/StreamingSpec.
+    val cls = df.queryExecution.analyzed.getClass.getSimpleName
+    assert(cls === "StreamingRelationV2", cls)
+    // and the streamed surface matches the batch table surface
+    assert(df.schema.fieldNames.toSeq ===
+      spark.read.format("journal").load(path).schema.fieldNames.toSeq)
+  }
+
   test("win_ntile_pct plans no single-partition window stage") {
     // the global-order ranking runs as range-partition + per-partition
     // offsets — there must be NO WindowExec (a total-order window

@@ -530,6 +530,50 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.scan().count() === 8)
   }
 
+  test("version-file arbiter: both writers passing the CAS check → one loses loudly") {
+    // The read-version check is check-then-act: two writers that both
+    // snapshot version N both pass it. The version file is the real
+    // arbiter — exactly one lands manifest.json.v(N+1); the loser throws
+    // BEFORE overwriting the winner's manifest.
+    val store = JournalStore.create(spark, freshPath, epochSize = 10)
+    store.append(sampleDf)
+    val m = store.manifest
+    // simulate the winner: its v(N+1) is on disk but manifest.json isn't
+    // swapped yet (the loser's stale-version check still passes)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(store.path, "manifest.json"),
+      java.nio.file.Paths.get(store.path, s"manifest.json.v${m.version + 1}"))
+    intercept[java.util.ConcurrentModificationException] {
+      store.append(sampleDf)
+    }
+    // the arbitrated manifest is untouched by the losing commit
+    assert(store.manifest.version === m.version)
+    assert(store.scan().count() === 4)
+  }
+
+  test("corrupt current manifest is a loud error, never an empty store") {
+    // parseManifest's None-tolerance exists for RETAINED version files
+    // (an unreadable one only shrinks the openAt window). The CURRENT
+    // manifest must never silently read as empty: append would restart
+    // versions from 0 and vacuum would delete every segment file.
+    val store = JournalStore.create(spark, freshPath, epochSize = 10)
+    store.append(sampleDf)
+    val mPath = java.nio.file.Paths.get(store.path, "manifest.json")
+    val good = java.nio.file.Files.readAllBytes(mPath)
+    java.nio.file.Files.write(mPath, "{definitely not json".getBytes)
+    val e = intercept[IllegalStateException] { store.manifest }
+    assert(e.getMessage.contains("unparseable"))
+    intercept[IllegalStateException] { store.append(sampleDf) }
+    intercept[IllegalStateException] { store.vacuum() }
+    intercept[IllegalStateException] { JournalStore.open(spark, store.path) }
+    // every segment file survived the corrupted interlude; restoring the
+    // manifest (here: the bytes, in production: a retained version file)
+    // restores the store exactly
+    java.nio.file.Files.write(mPath, good)
+    assert(store.scan().count() === 4)
+    assert(store.manifest.maxSeq === 3L)
+  }
+
   test("hostile namespace (comma, quote, colon, space) round-trips the manifest") {
     // non-ASCII would also round-trip the MANIFEST fine, but this box's
     // filesystem encoding (ASCII file.encoding) can't create such a

@@ -130,6 +130,14 @@ class SourceSpec extends AnyFunSuite {
     val v1 = spark.read.format("journal").option("ns", "users").load(path)
     assert(v1.columns.toSeq === scan.columns.toSeq)
     assert(v1.where(col("tag") === "T").count() === 1)
+    // and the KEY-PRUNED V1 path (ns option + pushed ukey equality swaps
+    // in scanUnorderedPruned) must keep the evolved surface too: a
+    // narrower pruned projection would make the select of the evolved
+    // column fail or silently change the scan's columns
+    val pruned = v1.where(col("ukey") === 3L).select("ukey", "tag", "payload")
+    assert(pruned.as[(Long, String, String)].collect().toSeq === Seq((3L, "T", "p2")))
+    assert(v1.where(col("ukey") === 1L).select("tag").as[String]
+      .collect().toSeq === Seq(null))
   }
 
   test("journal sink: write.format roundtrip; append-only save modes") {
