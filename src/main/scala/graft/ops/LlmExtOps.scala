@@ -336,10 +336,26 @@ object LlmExtOps {
       // set, never the pair space; the signature/band construction is
       // the shared Broder md5 arithmetic the DuckDB oracle recomputes
       // verbatim, so the whole 100 TB path sits inside the hash gate.
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
-      val sh = docs.select(col("doc_id"), explode(LlmOps.shingles(3)).as("g"))
+      // ONE scan+tokenize of the corpus, materialized (localCheckpoint
+      // to executor-local storage) and reused FOUR ways: signatures,
+      // both sides of the verification join, and the final anti-join.
+      // Without it Catalyst rebuilds the scan+split+shingle subtree per
+      // use — 3 corpus scans and 2 tokenize passes, real money at
+      // 100 TB where a single linear materialization (spread across
+      // executors' local disks) is far cheaper than re-reading and
+      // re-shingling the corpus. Short docs (< 3 words, where the
+      // 3-shingle window is undefined) carry an EMPTY shingle array so
+      // they stay in the frame for the final anti-join output while
+      // contributing no signatures (explode drops empty arrays) —
+      // identical semantics to the previous size-filter.
+      val shArr = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          when(size(col("w")) >= 3, LlmOps.shingles(3))
+            .otherwise(array().cast("array<string>")).as("gs"))
+        .localCheckpoint()
+      val sh = shArr.select(col("doc_id"), explode(col("gs")).as("g"))
         .select(col("doc_id"), expr(minhashDigSql).as("dig"))
       val mins = (0 until 8).map(h => min(expr(minhashPermSql(h, "dig"))).as(s"m$h"))
       val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -352,7 +368,6 @@ object LlmExtOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      val shArr = docs.select(col("doc_id"), LlmOps.shingles(3).as("gs"))
       val verified = cand
         .join(shArr.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
         .join(shArr.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
@@ -363,8 +378,7 @@ object LlmExtOps {
         .select("a_id", "b_id")
       val losers = connectedComponents(verified)
         .where(!col("is_survivor")).select("doc_id")
-      Tables(s, d, "documents")
-        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      shArr.join(broadcast(losers), Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),

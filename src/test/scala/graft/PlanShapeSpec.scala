@@ -251,6 +251,19 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("dedup_corpus_minhash scans+tokenizes the corpus exactly once") {
+    // the shingle-array frame is localCheckpoint'd at build time and
+    // reused by signatures, verification (both sides) and the final
+    // anti-join: the query's own executed plan must contain NO parquet
+    // scan of documents — every consumer reads the one materialized RDD
+    val df = SparkEntry.queries("dedup_corpus_minhash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      "corpus subtree must be shared, not re-scanned:\n" + p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+  }
+
   test("dedup_minhash reuses the signature aggregation across the self-join") {
     val df = SparkEntry.queries("dedup_minhash")(spark, sf)
     df.collect()
