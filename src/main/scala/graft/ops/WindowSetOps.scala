@@ -75,14 +75,43 @@ object WindowSetOps {
       // window semantics incl. ntile's big-buckets-first split — with n
       // broadcast as a 1-row scalar (no driver collect).
       val parts = Tables(s, d, "part").select(col("p_partkey"), col("p_retailprice"))
-      val sorted = parts
-        .repartitionByRange(col("p_retailprice"), col("p_partkey"))
+      // Fully DF-native rank, no RDD hop (the zipWithIndex bridge this
+      // replaces dropped codegen and paid Row ser/deser): after the
+      // range-partition + in-partition sort, monotonically_increasing_id
+      // is evaluated in row order, so its low 33 bits ARE the 0-based
+      // row index within the physical partition. Per-partition counts
+      // are a tiny agg; their prefix sums (and the global n) are array
+      // arithmetic on the one collected count row (window-free — the
+      // plan guard forbids WindowExec outright) broadcast-joined back on
+      // spark_partition_id: one data shuffle total, everything on the
+      // data path codegen'd.
+      val bucketed = parts.repartitionByRange(col("p_retailprice"), col("p_partkey"))
+      val sorted = bucketed
         .sortWithinPartitions("p_retailprice", "p_partkey")
-      val schema = sorted.schema.add("rn", org.apache.spark.sql.types.LongType, false)
-      val ranked = s.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }, schema)
-      ranked.crossJoin(broadcast(parts.agg(count(lit(1)).as("n"))))
+        .select(col("p_partkey"), col("p_retailprice"),
+          spark_partition_id().as("pid"),
+          monotonically_increasing_id().bitwiseAND((1L << 33) - 1).as("li"))
+      // counts come off the UNSORTED bucketed frame (count per partition
+      // is order-invariant; hanging it under the sorted projection would
+      // re-sort the whole table just to count it) — the range exchange
+      // is shared via ReusedExchange, the sort runs once, on the data
+      // path only. The ≤#partitions count rows collapse to ONE row,
+      // where prefix sums and the global total are array arithmetic
+      // (interpreted HOF lambdas on ~32 elements — nothing at scale, and
+      // it spares the separate count(*) scan of the table).
+      val counts = bucketed.select(spark_partition_id().as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val offsets = counts
+        .agg(sort_array(collect_list(struct(col("pid"), col("cnt")))).as("pc"))
+        .select(
+          expr("transform(pc, (x, i) -> named_struct('pid', x.pid, " +
+            "'off', aggregate(slice(pc, 1, i), 0L, (acc, y) -> acc + y.cnt)))").as("po"),
+          expr("aggregate(pc, 0L, (acc, y) -> acc + y.cnt)").as("n"))
+        .select(explode(col("po")).as("o"), col("n"))
+        .select(col("o.pid").as("pid"), col("o.off").as("off"), col("n"))
+      val ranked = sorted.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("off") + col("li") + 1L)
+      ranked
         .select(col("p_partkey"), col("p_retailprice"),
           // ntile(4): first n%4 buckets hold n div 4 + 1 rows, the rest
           // n div 4 (guard keeps the small-bucket branch off when n < 4)

@@ -183,6 +183,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // (the one-row scalar count agg legitimately exchanges to a single
     // partition — that's 32 partial counts, not the data path)
     assert(p.contains("rangepartitioning"), p)
+    // and the rank is DF-native: no RDD bridge (the zipWithIndex hop
+    // dropped codegen and paid Row ser/deser on the whole table)
+    assert(!p.contains("ExistingRDD"), p)
   }
 
   test("text_pack_sequences windows partition by source (no global cumsum)") {
