@@ -35,6 +35,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   private def segDir = s"$path/segments"
 
+  /** Append-time auto-compaction policy: when > 0, any (epoch, ns)
+    * directory that exceeds this many live files after an append is
+    * compacted (clustered by key) in the same call — a high-frequency
+    * streaming sink writes one file per directory per micro-batch, so
+    * without a policy the segment tree fragments until someone calls
+    * compact() by hand. 0 (the default) disables: batch callers with a
+    * few large appends never pay a rewrite they don't need. Runtime
+    * policy, not persisted state — each writer chooses its own. */
+  private var autoCompactFiles: Int = 0
+  def withAutoCompact(maxFilesPerDir: Int): this.type = {
+    require(maxFilesPerDir >= 0,
+      s"autoCompactFiles must be >= 0, got $maxFilesPerDir")
+    autoCompactFiles = maxFilesPerDir
+    this
+  }
+
   /** Read the segment tree. ns is a partition directory — force it back
     * to string (partition type inference would make a numeric-looking
     * namespace an int). A store with no appends yet reads as an empty
@@ -327,6 +343,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
       writeCheckpoint(stateAtOver(src, m.checkpoints, boundary), boundary)
     }
     if (!hasSeq) out.unpersist()
+    // Auto-compaction: rewrite only the directories this policy finds
+    // over-fragmented (strictly more live files than the threshold),
+    // clustered by key so the rewrite is also the read-optimized layout.
+    // Runs AFTER the commit — the appended data is already visible and
+    // durable; a crash mid-compaction loses only the rewrite. Old files
+    // leave the manifest here and disk at the next vacuum().
+    if (autoCompactFiles > 0) {
+      val m2 = manifest
+      val nsRe = """ns=([^/]+)""".r
+      def dirOf(f: String) = (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1)))
+      val victims = m2.files.groupBy(dirOf).collect {
+        case ((Some(_), Some(_)), fs) if fs.size > autoCompactFiles => fs
+      }.flatten.toSeq
+      if (victims.nonEmpty) compactFiles(victims, clusterByKey = true)
+    }
     newMax
   }
 
@@ -380,10 +411,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * predicate skips row groups INSIDE the files the manifest key stats
     * couldn't drop. Manifest stats (epoch + key ranges) describe data,
     * not layout, and are unchanged. */
-  def compact(upToEpoch: Long, clusterByKey: Boolean = false): Unit = {
+  def compact(upToEpoch: Long, clusterByKey: Boolean = false): Unit =
+    compactFiles(
+      manifest.files.filter(f => epochOf(f).exists(_ <= upToEpoch)),
+      clusterByKey)
+
+  /** Compact an arbitrary victim set (whole (epoch, ns) directories at a
+    * time — callers pass every live file of each directory they target)
+    * into one file per directory. Backs both the epoch-bounded public
+    * compact() and the append-time auto-compaction policy. */
+  private def compactFiles(victimFiles: Seq[String],
+                           clusterByKey: Boolean): Unit = {
     requireWritable()
     val m = manifest
-    val old = m.files.filter(f => epochOf(f).exists(_ <= upToEpoch))
+    val old = victimFiles.filter(m.files.contains)
     if (old.isEmpty) return
     // read through the pinned schema: a footer-sampled read of
     // mixed-schema victims could DROP evolved columns from the rewrite

@@ -100,10 +100,17 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
 
   private def openOrCreate(spark: org.apache.spark.sql.SparkSession,
                            path: String,
-                           parameters: Map[String, String]): JournalStore =
-    if (JournalStore.exists(path)) JournalStore.open(spark, path)
-    else JournalStore.create(spark, path,
-      parameters.get("epochSize").map(_.toLong).getOrElse(1000L))
+                           parameters: Map[String, String]): JournalStore = {
+    val s =
+      if (JournalStore.exists(path)) JournalStore.open(spark, path)
+      else JournalStore.create(spark, path,
+        parameters.get("epochSize").map(_.toLong).getOrElse(1000L))
+    // autoCompactFiles=N: every (epoch, ns) directory exceeding N live
+    // files after a commit is compacted in-line (0 disables). Defaulted
+    // ON for the STREAMING sink only (createSink passes a default) —
+    // batch appends are few and large and shouldn't pay rewrites.
+    parameters.get("autoCompactFiles").map(_.toInt).fold(s)(s.withAutoCompact)
+  }
 
   /** `df.write.format("journal")` — batch append. */
   override def createRelation(ctx: SQLContext, mode: SaveMode,
@@ -132,12 +139,19 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
                           outputMode: OutputMode): Sink = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("journal sink requires a path"))
+    // the streaming sink writes one file per (epoch, ns) per micro-batch
+    // — auto-compaction defaults ON here (threshold 16) so a long-running
+    // stream can't fragment the segment tree; option("autoCompactFiles",
+    // "0") opts out, any other value overrides the threshold
+    val sinkParams =
+      if (parameters.contains("autoCompactFiles")) parameters
+      else parameters + ("autoCompactFiles" -> "16")
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // re-root the micro-batch plan as a batch DF (the incremental
         // plan only executes inside the stream) — see StreamBatchBridge
         val batch = StreamBatchBridge.asBatchDF(data)
-        openOrCreate(data.sparkSession, path, parameters)
+        openOrCreate(data.sparkSession, path, sinkParams)
           .append(batch, Some(batchId))
       }
       override def toString: String = s"JournalSink[$path]"

@@ -186,6 +186,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         "write through the unpinned table")
     val epochSz = Option(info.options.get("epochSize")).map(_.toLong)
       .orElse(writeEpochSize)
+    val autoCompact = Option(info.options.get("autoCompactFiles")).map(_.toInt)
     new WriteBuilder {
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -199,6 +200,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                   JournalStore.open(data.sparkSession, storePath)
                 else JournalStore.create(data.sparkSession, storePath,
                   epochSz.getOrElse(1000L))
+              autoCompact.foreach(s.withAutoCompact)
               s.append(data)
             }
           }

@@ -608,4 +608,44 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters"), p)
     assert(p.contains("ns"), p)
   }
+
+  test("auto-compaction bounds per-directory live files; state identical to uncompacted twin") {
+    // streaming-style ingest: 20 tiny appends into the same epoch range.
+    // The policy store must end with ≤ threshold live files per
+    // (epoch, ns) directory; a twin without the policy must hold the
+    // SAME rows and state — compaction is layout, never data.
+    val threshold = 4
+    def batch(i: Int) = Seq(
+      ("users", (i % 3).toLong, ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        s"""{"b":$i}""", i.toDouble),
+      ("carts", (i % 2).toLong, ts(f"2024-01-02 00:${i / 60}%02d:${i % 60}%02d"),
+        s"""{"c":$i}""", i.toDouble),
+    ).toDF("ns", "ukey", "ts", "payload", "val")
+    val auto = JournalStore.create(spark, freshPath, epochSize = 10)
+      .withAutoCompact(threshold)
+    val plain = JournalStore.create(spark, freshPath, epochSize = 10)
+    (0 until 20).foreach { i => auto.append(batch(i)); plain.append(batch(i)) }
+    // live-file bound, per directory, from the committed manifest
+    val nsRe = """ns=([^/]+)""".r
+    val perDir = JournalStore.open(spark, auto.path).manifest.files
+      .groupBy(f => (f.takeWhile(_ != '/'), nsRe.findFirstMatchIn(f).map(_.group(1))))
+    assert(perDir.nonEmpty)
+    perDir.foreach { case (dir, fs) =>
+      assert(fs.size <= threshold, s"$dir has ${fs.size} live files")
+    }
+    // without the policy the same ingest fragments past the threshold
+    assert(JournalStore.open(spark, plain.path).manifest.files
+      .groupBy(f => (f.takeWhile(_ != '/'), nsRe.findFirstMatchIn(f).map(_.group(1))))
+      .exists(_._2.size > threshold))
+    // identical data and identical state
+    def rows(s: JournalStore) =
+      s.scan().select("seq", "ns", "ukey", "ts", "payload", "val")
+        .orderBy("seq").collect().map(_.toString).toSeq
+    assert(rows(auto) === rows(plain))
+    def state(s: JournalStore) =
+      s.stateAt(35L).orderBy("ns", "ukey").collect().map(_.toString).toSeq
+    assert(state(auto) === state(plain))
+    // key-targeted pruning still works over the merged per-file stats
+    assert(auto.latest().where($"ns" === "users" && $"ukey" === 1L).count() === 1)
+  }
 }

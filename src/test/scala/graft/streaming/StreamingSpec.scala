@@ -234,6 +234,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.manifest.lastBatchId === 2L)
   }
 
+  test("stream_journal_sink: auto-compaction keeps per-dir files bounded over 20 micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsink_ac_").toString
+    val path = s"$dir/store"
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF
+      .select(col("event_type").as("ns"), col("user_id").as("ukey"),
+        col("ts"), col("props").as("payload"), col("value").as("val"))
+      .writeStream.format("journal")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("epochSize", "1000") // all 20 batches land in epoch 0
+      .option("autoCompactFiles", "3")
+      .start(path)
+    (0 until 20).foreach { i =>
+      ms.addData(ev(i.toLong, f"2024-01-01 10:00:${i}%02d", (i % 3).toLong, "click", i.toDouble))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val store = graft.journal.JournalStore.open(spark, path)
+    // one file per micro-batch would be 20 in epoch=0/ns=click without
+    // the policy; the manifest's live view must stay within threshold
+    val perDir = store.manifest.files.groupBy(_.split('/').init.mkString("/"))
+    assert(perDir.nonEmpty)
+    perDir.foreach { case (d, fs) =>
+      assert(fs.size <= 3, s"$d has ${fs.size} live files") }
+    // and every row is present exactly once, state intact
+    assert(store.scan().count() === 20)
+    assert(store.latest().count() === 3)
+    assert(store.latest().where($"ukey" === 1L).select("payload")
+      .as[String].head() === """{"k": 19}""")
+  }
+
   test("stream_interval_join: clicks attribute to in-window impressions, state bounded") {
     val imps = MemoryStream[Ev]
     val clks = MemoryStream[Ev]
