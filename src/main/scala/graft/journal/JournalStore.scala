@@ -487,23 +487,45 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * retained version stays valid across compact()+vacuum(). Pass
     * `retain = 0` (current manifest only) to reclaim space aggressively;
     * version manifests whose files are reclaimed are deleted too —
-    * openAt() never hands out a reader over missing data. */
-  def vacuum(retain: Int = RetainedVersions): Unit = {
+    * openAt() never hands out a reader over missing data.
+    *
+    * `graceMs` is the age-based grace window (Delta's
+    * deletedFileRetentionDuration idea): vacuum destroys NOTHING younger
+    * than this — not version manifests past the count window, not
+    * segment files, not checkpoint snapshots — so an in-flight reader
+    * that planned its file list just before a compact (or holds a
+    * version the count window has since rotated out) cannot race the
+    * physical deletion. Ages come from filesystem mtimes: a version
+    * manifest's mtime IS its commit time; a segment file's mtime is its
+    * write time (an upper bound on how recently any retained manifest
+    * could have dropped it, conservative in the streaming/auto-compact
+    * case where files churn young). Pass `graceMs = 0` for the
+    * immediate-reclaim behavior (tests, decommissioning). */
+  def vacuum(retain: Int = RetainedVersions,
+             graceMs: Long = DefaultVacuumGraceMs): Unit = {
     requireWritable()
     // ONE manifest snapshot up front: fails fast on a corrupt manifest
     // BEFORE any deletion, and the live-file/checkpoint computations
     // below can't tear against a concurrent commit
     val cur = manifest
-    val keepVersions = listVersionFiles(path).takeRight(retain)
-    val dropVersions = listVersionFiles(path).dropRight(retain)
+    val now = System.currentTimeMillis()
+    def aged(p: java.nio.file.Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis >= graceMs
+      catch { case _: java.io.IOException => false } // vanished → leave it
+    val all = listVersionFiles(path)
+    // versions survive by COUNT (the openAt window) or by AGE (grace)
+    val keepVersions = all.takeRight(retain) ++
+      all.dropRight(retain).filterNot { case (_, p) => aged(p) }
+    val dropVersions = all.dropRight(retain)
       // never invalidate the version the CURRENT manifest points at
-      .filterNot(_._1 == cur.version)
+      .filter { case (v, p) => v != cur.version && aged(p) }
     dropVersions.foreach { case (_, p) => Files.deleteIfExists(p) }
     val retained = keepVersions.flatMap { case (v, _) =>
       readManifestVersion(path, v) }
     val live = (cur.files ++ retained.flatMap(_.files)).toSet
     (listSegmentFiles().toSet -- live).foreach { f =>
-      Files.deleteIfExists(Paths.get(s"$segDir/$f"))
+      val p = Paths.get(s"$segDir/$f")
+      if (aged(p)) Files.deleteIfExists(p)
     }
     // Checkpoints referenced by NO retained manifest are dead weight:
     // auto-checkpointing creates one per epoch rollover and the manifest
@@ -521,6 +543,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       dirs.foreach { p =>
         """^seq=(\d+)$""".r.findFirstMatchIn(p.getFileName.toString)
           .map(_.group(1).toLong).filterNot(liveCkpts.contains)
+          .filter(_ => aged(p))
           .foreach(_ => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
       }
     }
@@ -758,6 +781,13 @@ object JournalStore {
     * references, so the storage bound is N × the churn between commits,
     * not N full copies. */
   val RetainedVersions = 10
+
+  /** Default vacuum() age grace: nothing younger than this is physically
+    * deleted, whatever the version-count window says. 30 minutes bounds
+    * the exposure of an in-flight reader whose plan predates a
+    * concurrent compact (Delta ships 7 days for the same knob; a journal
+    * store's scans are minutes, not days). */
+  val DefaultVacuumGraceMs: Long = 30L * 60L * 1000L
 
   /** How many checkpoints the manifest keeps. stateAt reads only the
     * newest checkpoint at or below its bound, so retention trades deep

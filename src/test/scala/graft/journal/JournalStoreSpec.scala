@@ -140,7 +140,7 @@ class JournalStoreSpec extends AnyFunSuite {
       .load(store.path).count() === 4)
     // aggressive vacuum(0) reclaims the old files AND their version
     // manifests, so openAt can never hand out a reader over missing data
-    store.vacuum(retain = 0)
+    store.vacuum(retain = 0, graceMs = 0L)
     intercept[IllegalArgumentException] { store.openAt(vPre) }
     assert(store.scan().collect().map(_.toString).sorted.toSeq === preRows)
   }
@@ -230,7 +230,7 @@ class JournalStoreSpec extends AnyFunSuite {
     store.compact(upToEpoch = 4L)
     // retain = 0: reclaim everything but the current manifest's files
     // (the default keeps files for the openAt() retention window)
-    store.vacuum(retain = 0)
+    store.vacuum(retain = 0, graceMs = 0L)
     assert(store.scan().collect().map(_.toString).sorted.toSeq === before)
     assert(store.manifest.files.size <= filesBefore)
     // nothing unreferenced remains on disk
@@ -497,7 +497,7 @@ class JournalStoreSpec extends AnyFunSuite {
     val m = store.manifest
     assert(m.checkpoints.size <= JournalStore.RetainedCheckpoints)
     assert(m.checkpoints === m.checkpoints.sorted)
-    store.vacuum(retain = 0)
+    store.vacuum(retain = 0, graceMs = 0L)
     val onDisk = {
       val st = java.nio.file.Files.list(
         java.nio.file.Paths.get(store.path, "checkpoints"))
@@ -607,6 +607,32 @@ class JournalStoreSpec extends AnyFunSuite {
     val p = store.history("users").queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters"), p)
     assert(p.contains("ns"), p)
+  }
+
+  test("age-based vacuum grace: files dropped by a fresh compact survive a default-grace vacuum") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1)
+    store.append(sampleDf) // 4 epochs, one row each
+    val vPre = store.manifest.version
+    val pinned = store.openAt(vPre)
+    val preRows = pinned.scan().collect().map(_.toString).sorted.toSeq
+    store.compact(upToEpoch = 4L) // drops the pre-compact files from the live manifest
+    // retain = 0 — the COUNT window protects nothing — yet the default
+    // grace must: everything here is seconds old, so the pre-compact
+    // version manifest and its segment files all stay, and the reader
+    // pinned before the compact is still fully readable
+    store.vacuum(retain = 0)
+    assert(pinned.scan().collect().map(_.toString).sorted.toSeq === preRows)
+    assert(store.openAt(vPre).scan().count() === 4) // version file kept too
+    // aging past the grace is what actually reclaims: simulate by mtime
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val old = FileTime.fromMillis(System.currentTimeMillis()
+      - JournalStore.DefaultVacuumGraceMs - 60000L)
+    JF.walk(JP.get(store.path)).forEach { p =>
+      if (!JF.isDirectory(p)) JF.setLastModifiedTime(p, old) }
+    store.vacuum(retain = 0)
+    intercept[IllegalArgumentException] { store.openAt(vPre) }
+    assert(store.scan().collect().map(_.toString).sorted.toSeq === preRows)
   }
 
   test("auto-compaction bounds per-directory live files; state identical to uncompacted twin") {

@@ -414,7 +414,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.processAllAvailable()
     store.compact(Long.MaxValue, clusterByKey = true)
-    store.vacuum(retain = 0)
+    store.vacuum(retain = 0, graceMs = 0L)
     store.append(row(4L, "2024-01-01 10:03:00", "p3"))
     q.processAllAvailable()
     q.stop()
