@@ -50,20 +50,78 @@ object StreamingOps {
     * signature, evicted by the watermark — bounded no matter how long
     * the stream runs. Input schema: (doc_id, text, ts). */
   def dedupMinhashStream(docs: DataFrame): DataFrame =
+    withMinhashSig(docs)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sig")
+
+  /** Map-side MinHash signature column for (doc_id, text, ts) rows —
+    * shared by the watermark-state dedup above and the journal-indexed
+    * durable dedup below. Docs too short to form a 3-shingle are NOT
+    * dropped: they fall back to an exact-text signature (prefixed so it
+    * can't collide with a minhash signature), i.e. exact dedup for
+    * short docs. */
+  private def withMinhashSig(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("sh",
         when(size(col("w")) >= 3, graft.ops.LlmOps.shingles(3))
           .otherwise(typedLit(Seq.empty[String])))
-      // docs too short to form a 3-shingle are NOT dropped: they fall
-      // back to an exact-text signature (prefixed so it can't collide
-      // with a minhash signature), i.e. exact dedup for short docs
       .withColumn("sig",
         when(size(col("sh")) > 0, graft.ops.LlmExtOps.minhashSigExpr("sh"))
           .otherwise(concat(lit("raw:"), col("text"))))
       .drop("w", "sh")
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("sig")
+
+  /** DURABLE streaming dedup: [[dedupMinhashStream]]'s state lives in
+    * the query's state store and is evicted at the watermark — a
+    * duplicate arriving beyond the horizon (or into a different query
+    * incarnation whose checkpoint was discarded) passes. This variant
+    * indexes every emitted signature in a JOURNAL store, so suppression
+    * is permanent: any later arrival of a seen signature — hours later,
+    * after a checkpointed restart, from a rebuilt query — is dropped.
+    *
+    * foreachBatch shape (the Spark idiom for stream+static-index):
+    * per micro-batch, (1) first-arrival dedup WITHIN the batch (keyed
+    * window on sig — parallel, no global state), (2) anti-join against
+    * the index's signatures (a columnar journal scan; at 100 TB the
+    * index store's (epoch, ns) layout plus auto-compaction keep this a
+    * bounded parquet join, shuffled on sig), (3) emit survivors, (4)
+    * append the new signatures to the index carrying the micro-batch id
+    * — the journal's exactly-once ingest contract.
+    *
+    * `emit` MUST be batch-id idempotent (e.g. a journal-sink append with
+    * the same id): on replay-after-crash the index may already contain
+    * the batch's signatures, so survivors recompute as empty and only
+    * the sink's own id high-water mark guarantees the original emission
+    * survived. This is the same contract Spark's own foreachBatch
+    * documentation demands of sinks. */
+  def durableDedupBatch(indexPath: String,
+                        emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import org.apache.spark.sql.expressions.Window
+      val s = batch.sparkSession
+      val sigged = withMinhashSig(batch)
+      val first = sigged
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("sig").orderBy("ts", "doc_id")))
+        .where(col("rn") === 1).drop("rn")
+      val store =
+        if (graft.journal.JournalStore.exists(indexPath))
+          graft.journal.JournalStore.open(s, indexPath)
+        else graft.journal.JournalStore.create(s, indexPath, epochSize = 100000L)
+      val seen = store.scanUnordered().select(col("payload").as("sig"))
+      val fresh = first.join(seen, Seq("sig"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        emit(fresh.drop("sig"), batchId)
+        // ukey = 64-bit hash for the store's key pruning; the full
+        // signature rides payload (the anti-join compares exactly, so a
+        // hash collision costs nothing)
+        store.withAutoCompact(16).append(
+          fresh.select(lit("sig").as("ns"), xxhash64(col("sig")).as("ukey"),
+            col("ts"), col("sig").as("payload"), lit(0.0).as("val")),
+          Some(batchId))
+      } finally fresh.unpersist()
+    }
 
   /** Stream-stream interval join — click→impression attribution, the
     * canonical two-stream training-data primitive: each click joins the
