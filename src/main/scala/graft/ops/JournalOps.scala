@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -74,33 +75,36 @@ object JournalOps {
       // windowFunnel semantics (EXISTENTIAL): a user reaches stage k iff
       // events of types view < click < purchase exist in (ts, event_id)
       // order with the whole chain within 24h of the anchoring view.
-      // Computed as a per-user DP fold over the sorted event list: a1 =
-      // latest view time, a2 = latest view anchor completed by a click
-      // in-window (the latest anchor dominates any earlier one, so one
-      // value suffices), done = some purchase within window of a2.
-      // ONE shuffle (groupBy user); the fold is a codegen'd higher-order
-      // aggregate; collect_list is bounded by per-user activity — the
-      // same contract as any sessionization. The DuckDB twin states the
-      // existential form directly as ordered EXISTS joins (DuckDB 1.0's
-      // list_reduce is batch-sensitive — unusable as an oracle).
+      // Computed with RUNNING windows, O(1) memory per user — skew-safe
+      // against a bot user with millions of events (the earlier
+      // collect_list fold buffered each user's whole event list in one
+      // aggregation buffer): per row, `pv` = latest STRICTLY-preceding
+      // view time (growing frame, incremental max); a click whose pv is
+      // in-window carries it as its anchor `cv`; `cvw` = latest anchor
+      // among strictly-preceding clicks; a purchase within W of cvw
+      // completes the chain (latest-anchor domination makes running
+      // maxes exact: if ANY qualifying chain exists, the latest one
+      // qualifies too). ONE shuffle + sort; both window passes share the
+      // (user_id; tus, eid) sort order — no second exchange. The DuckDB
+      // twin states the existential form directly as ordered EXISTS
+      // joins (DuckDB 1.0's list_reduce is batch-sensitive — unusable
+      // as an oracle).
       val W = 86400000000L // 24h in micros
+      val w = Window.partitionBy("user_id").orderBy("tus", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
       Tables(s, d, "events")
         .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
                 col("event_id").as("eid"), col("event_type").as("et"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("tus"), col("eid"), col("et"))))
-          .as("evs"))
-        .select(expr(
-          s"""aggregate(evs,
-             |named_struct('a1', CAST(-1 AS BIGINT), 'a2', CAST(-1 AS BIGINT), 'done', false),
-             |(acc, e) -> named_struct(
-             |  'a1', IF(e.et = 'view', e.tus, acc.a1),
-             |  'a2', IF(e.et = 'click' AND acc.a1 >= 0 AND e.tus - acc.a1 <= ${W}L,
-             |            acc.a1, acc.a2),
-             |  'done', acc.done OR (e.et = 'purchase' AND acc.a2 >= 0
-             |            AND e.tus - acc.a2 <= ${W}L)),
-             |acc -> IF(acc.done, 3, IF(acc.a2 >= 0, 2, IF(acc.a1 >= 0, 1, 0))))"""
-            .stripMargin).as("stage"))
+        .withColumn("pv", max(when(col("et") === "view", col("tus"))).over(w))
+        .withColumn("cv", when(col("et") === "click" && col("pv").isNotNull &&
+          col("tus") - col("pv") <= W, col("pv")))
+        .withColumn("cvw", max(col("cv")).over(w))
+        .groupBy("user_id").agg(
+          max(when(col("et") === "view", 1).otherwise(0)).as("r1"),
+          max(when(col("cv").isNotNull, 1).otherwise(0)).as("r2"),
+          max(when(col("et") === "purchase" && col("cvw").isNotNull &&
+            col("tus") - col("cvw") <= W, 1).otherwise(0)).as("r3"))
+        .select(expr("IF(r3 = 1, 3, IF(r2 = 1, 2, IF(r1 = 1, 1, 0)))").as("stage"))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     }),

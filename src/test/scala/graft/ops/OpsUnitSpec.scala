@@ -62,6 +62,46 @@ class OpsUnitSpec extends AnyFunSuite {
     assert(out === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L))
   }
 
+  test("events_funnel: 100k-event hot user runs in constant memory, matches the reference fold") {
+    // the skew case the running-window form exists for: ONE user owns
+    // 100k events (bot traffic); the per-row windows never buffer the
+    // user's event list. A driver-side DP fold over the sorted events is
+    // the semantics reference (identical to the original aggregate
+    // lambda), checked over the hot user plus randomized small users.
+    val rnd = new scala.util.Random(42)
+    val types = Array("view", "click", "purchase", "other")
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC, millis
+    val hot = (0 until 100000).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 1000L), 1L,
+        types(rnd.nextInt(4)), 0.0, "{}")
+    }
+    val sprinkle = (0 until 200).map { i =>
+      (200000L + i, new java.sql.Timestamp(base + rnd.nextInt(2000000) * 1000L),
+        2L + rnd.nextInt(4), types(rnd.nextInt(4)), 0.0, "{}")
+    }
+    val rows = hot ++ sprinkle
+    val dir = TestSpark.fixtureDir("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = JournalOps.queries("events_funnel")(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    val W = 86400000000L
+    val ref = rows.groupBy(_._3).map { case (_, evs) =>
+      var a1 = -1L; var a2 = -1L; var done = false
+      evs.sortBy(e => (e._2.getTime, e._1)).foreach { e =>
+        val tus = e._2.getTime * 1000L
+        e._4 match {
+          case "view" => a1 = tus
+          case "click" => if (a1 >= 0 && tus - a1 <= W) a2 = a1
+          case "purchase" => if (a2 >= 0 && tus - a2 <= W) done = true
+          case _ => ()
+        }
+      }
+      if (done) 3 else if (a2 >= 0) 2 else if (a1 >= 0) 1 else 0
+    }
+    val expected = ref.groupBy(identity).map { case (st, xs) => st -> xs.size.toLong }
+    assert(got === expected)
+  }
+
   test("dedup_exact keeps min event_id per (user, type, props) group") {
     val out = LlmOps.queries("dedup_exact")(spark, eventsDir)
       .select("event_id").as[Long].collect().toSeq
