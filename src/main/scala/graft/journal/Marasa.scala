@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   * share a seq; stateAt's arg-max groups per key, so the shared seq is
   * harmless).
   *
-  * Driver-side convenience returns Scala maps (the reference is an
-  * embedded single-process store; small-state reads are its use case).
-  * For analytics-scale access use the underlying JournalStore DataFrames.
+  * TWO access tiers, choose by state size:
+  *
+  *  - `readDF`/`historyDF`/`namespacesDF` return DataFrames — the
+  *    distributed plans, safe at any scale. Use these for analytics.
+  *  - `read`/`history`/`namespaces` collect to driver-side Scala
+  *    collections, mirroring the reference's embedded dict API (its
+  *    actual use case: small KV state). They are BOUNDED-USE: each
+  *    throws past [[Marasa.MaxCollectedRows]] rows instead of silently
+  *    OOMing the driver on a namespace that grew analytics-sized —
+  *    the error names the DataFrame variant to switch to.
   */
 class Marasa(val store: JournalStore) {
   private val spark: SparkSession = store.spark
@@ -35,35 +42,74 @@ class Marasa(val store: JournalStore) {
     seq
   }
 
-  /** State as of `seq` (None = latest): key → value map. Prunes by ns
+  /** State as of `seq` (None = latest) as a DataFrame (skey, payload) —
+    * the distributed plan, safe at any namespace size. Prunes by ns
     * directory and epoch upper bound; does not use checkpoints (they
     * carry the analytics schema, not the facade's string keys). */
-  def read(ns: String, seq: Option[Long] = None): Map[String, String] = {
+  def readDF(ns: String, seq: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val bound = seq.getOrElse(store.manifest.maxSeq)
     store.readSegments()
       .where(col("ns") === ns && col("seq") <= bound &&
              col("epoch") <= lit(bound / store.epochSize))
       .groupBy("skey")
       .agg(max_by(col("payload"), col("seq")).as("payload"))
-      .as[(String, String)].collect().toMap
   }
 
-  /** Changes of one key (or the whole namespace) in seq order. */
-  def history(ns: String, key: Option[String] = None): Seq[(Long, String, String)] = {
+  /** Changes of one key (or the whole namespace) in seq order, as a
+    * DataFrame (seq, skey, payload) — safe at any scale. */
+  def historyDF(ns: String, key: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val base = store.readSegments().where(col("ns") === ns)
     key.fold(base)(k => base.where(col("skey") === k))
       .select(col("seq"), col("skey"), col("payload"))
       .orderBy("seq", "skey")
-      .as[(Long, String, String)].collect().toSeq
   }
 
-  /** Namespace list, like iterating the reference's store directory. */
-  def namespaces(): Seq[String] =
+  /** Distinct namespaces as a DataFrame — safe at any scale. */
+  def namespacesDF(): org.apache.spark.sql.DataFrame =
     store.readSegments().select(col("ns")).distinct()
-      .as[String].collect().toSeq.sorted
+
+  /** Collect guard for the embedded-dict convenience tier: loud error
+    * instead of a silent driver OOM. */
+  protected def collectCap: Int = Marasa.MaxCollectedRows
+
+  private def bounded[T](rows: Array[T], what: String, alt: String): Seq[T] = {
+    require(rows.length <= collectCap,
+      s"$what exceeds the driver-collect cap of $collectCap rows; " +
+        "this convenience API mirrors the reference's embedded " +
+        s"small-state dict — use $alt for analytics-scale access")
+    rows.toSeq
+  }
+
+  /** State as of `seq` (None = latest): key → value map. BOUNDED-USE
+    * driver convenience — throws past [[Marasa.MaxCollectedRows]];
+    * use [[readDF]] beyond that. */
+  def read(ns: String, seq: Option[Long] = None): Map[String, String] =
+    bounded(readDF(ns, seq).as[(String, String)]
+        .take(collectCap + 1),
+      s"read($ns)", "readDF").toMap
+
+  /** Changes of one key (or the whole namespace) in seq order.
+    * BOUNDED-USE driver convenience — throws past
+    * [[Marasa.MaxCollectedRows]]; use [[historyDF]] beyond that. */
+  def history(ns: String, key: Option[String] = None): Seq[(Long, String, String)] =
+    bounded(historyDF(ns, key).as[(Long, String, String)]
+        .take(collectCap + 1),
+      s"history($ns, $key)", "historyDF")
+
+  /** Namespace list, like iterating the reference's store directory.
+    * BOUNDED-USE driver convenience (namespace cardinality is small by
+    * design, but the guard still applies). */
+  def namespaces(): Seq[String] =
+    bounded(namespacesDF().as[String].take(collectCap + 1),
+      "namespaces()", "namespacesDF").sorted
 }
 
 object Marasa {
+  /** Hard cap on rows any embedded-dict convenience method collects to
+    * the driver. ~1M small KV rows ≈ tens of MB — generous for the
+    * facade's use case, far below driver-OOM territory. */
+  val MaxCollectedRows: Int = 1000000
+
   def create(spark: SparkSession, path: String, epochSize: Long = 1000L): Marasa =
     new Marasa(JournalStore.create(spark, path, epochSize))
   def open(spark: SparkSession, path: String): Marasa =

@@ -78,4 +78,32 @@ class MarasaSpec extends AnyFunSuite {
     assert(m2.write("cfg", Map("a" -> "2")) === 1L)
     assert(m2.read("cfg") === Map("a" -> "2"))
   }
+
+  test("DataFrame tier equals the collecting tier (readDF/historyDF/namespacesDF)") {
+    val m = Marasa.create(spark, freshPath)
+    m.write("cfg", Map("a" -> "1", "b" -> "2"))
+    m.write("cfg", Map("a" -> "3"))
+    m.write("other", Map("x" -> "9"))
+    import spark.implicits._
+    assert(m.readDF("cfg").as[(String, String)].collect().toMap === m.read("cfg"))
+    assert(m.readDF("cfg", Some(0L)).as[(String, String)].collect().toMap
+      === m.read("cfg", Some(0L)))
+    assert(m.historyDF("cfg", Some("a")).as[(Long, String, String)]
+      .collect().toSeq === m.history("cfg", Some("a")))
+    assert(m.namespacesDF().as[String].collect().sorted.toSeq === m.namespaces())
+  }
+
+  test("collecting tier throws loudly past the cap, names the DF alternative") {
+    // shrink the cap to make the guard testable without 1M rows
+    val m = new Marasa(graft.journal.JournalStore.create(spark, freshPath, 1000L)) {
+      override protected def collectCap: Int = 2
+    }
+    m.write("cfg", Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    val e = intercept[IllegalArgumentException] { m.read("cfg") }
+    assert(e.getMessage.contains("readDF"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] { m.history("cfg") }
+    assert(e2.getMessage.contains("historyDF"), e2.getMessage)
+    // the DF tier still serves the same data unbounded
+    assert(m.readDF("cfg").count() === 3)
+  }
 }
