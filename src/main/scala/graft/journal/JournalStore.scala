@@ -362,12 +362,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
   }
 
   /** Assign dense seqs `startSeq+1 ..` in total (ts, ns, ukey, payload,
-    * <remaining columns>) order WITHOUT a global window (a no-partition window moves the whole
-    * batch into one task — THE ingest bottleneck at scale). Instead:
-    * range-repartition on the order key + local sort = global order across
-    * partition index; then the classic two-pass offset scheme (pass 1
-    * counts rows per partition, pass 2 adds the per-partition offset via
-    * zipWithIndex). Every stage is fully parallel. */
+    * <remaining columns>) order WITHOUT a global window (a no-partition
+    * window moves the whole batch into one task — THE ingest bottleneck
+    * at scale) and WITHOUT an RDD hop (the zipWithIndex bridge this
+    * replaces dropped codegen, paid Row ser/deser, and recomputed the
+    * sort for its count pass): range-repartition on the order key +
+    * local sort = global order across partition index;
+    * monotonically_increasing_id's low 33 bits are the 0-based row index
+    * within the physical partition (evaluated in row order above the
+    * sort); per-partition counts come off the UNSORTED side of the
+    * reused range exchange (counting is order-invariant, so the sort
+    * runs once); their prefix sums are array arithmetic on the one
+    * collected count row, broadcast-joined back on the partition id.
+    * Every stage is fully parallel and codegen'd. */
   private[journal] def assignSeqs(df: DataFrame, startSeq: Long): DataFrame = {
     // Sort on ALL columns (primary order key first, then the remaining
     // columns in name order) so the total order — and therefore the
@@ -376,12 +383,32 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val primary = Seq("ts", "ns", "ukey", "payload")
     val rest = df.columns.filterNot(primary.contains).sorted.toSeq
     val key = (primary ++ rest).map(col)
-    val sorted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
-    val schema = sorted.schema.add("seq", org.apache.spark.sql.types.LongType, false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (startSeq + 1L + i))
-    }
-    spark.createDataFrame(rdd, schema)
+    // EXPLICIT partition count: a count-less repartitionByRange is
+    // REPARTITION_BY_COL, which AQE may coalesce PER READER — measured
+    // under a persisted plan, the data branch read the exchange raw
+    // while the counts branch read it coalesced, so the partition ids
+    // disagreed and the offset join dropped rows. REPARTITION_BY_NUM is
+    // never coalesced: both branches see identical partitioning.
+    val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val bucketed = df.repartitionByRange(nParts, key: _*)
+    val sorted = bucketed.sortWithinPartitions(key: _*)
+      .withColumn("__graft_pid", spark_partition_id())
+      .withColumn("__graft_li",
+        monotonically_increasing_id().bitwiseAND((1L << 33) - 1))
+    val counts = bucketed.select(spark_partition_id().as("__graft_pid"))
+      .groupBy("__graft_pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts
+      .agg(sort_array(collect_list(struct(col("__graft_pid"), col("cnt"))))
+        .as("pc"))
+      .select(explode(expr(
+        "transform(pc, (x, i) -> named_struct('__graft_pid', x.__graft_pid, " +
+          "'off', aggregate(slice(pc, 1, i), 0L, (acc, y) -> acc + y.cnt)))"))
+        .as("o"))
+      .select(col("o.__graft_pid").as("__graft_pid"), col("o.off").as("__graft_off"))
+    sorted.join(broadcast(offsets), "__graft_pid")
+      .withColumn("seq",
+        lit(startSeq + 1L) + col("__graft_off") + col("__graft_li"))
+      .drop("__graft_pid", "__graft_li", "__graft_off")
   }
 
   /** All parquet files currently on disk under segments/, path-relative. */

@@ -85,7 +85,14 @@ object WindowSetOps {
       // plan guard forbids WindowExec outright) broadcast-joined back on
       // spark_partition_id: one data shuffle total, everything on the
       // data path codegen'd.
-      val bucketed = parts.repartitionByRange(col("p_retailprice"), col("p_partkey"))
+      // explicit partition count: REPARTITION_BY_NUM is never
+      // AQE-coalesced, so the data branch and the counts branch are
+      // guaranteed the same partition ids (a count-less range
+      // repartition may be coalesced per reader — under a cached plan
+      // the two branches were measured to disagree, dropping rows)
+      val nP = math.max(1, s.sessionState.conf.numShufflePartitions)
+      val bucketed = parts.repartitionByRange(nP,
+        col("p_retailprice"), col("p_partkey"))
       val sorted = bucketed
         .sortWithinPartitions("p_retailprice", "p_partkey")
         .select(col("p_partkey"), col("p_retailprice"),
