@@ -383,6 +383,33 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "text_decontaminate" -> ((s, d) => {
+      // Benchmark decontamination — the training-data op every serious
+      // LLM pipeline runs before training: flag training documents that
+      // share word n-grams with the evaluation set (fixture contract:
+      // doc_id < 50 IS the eval set; 4-grams — discriminative on the
+      // fixture where 3-grams flag nearly everything and 5-grams almost
+      // nothing). 100 TB shape: eval sets are SMALL by definition
+      // (benchmarks, not corpora), so their distinct n-gram set
+      // BROADCASTS; the training side is a map-side LEFT SEMI hash join
+      // — the corpus never shuffles on the n-gram, only the matched
+      // (contaminated) grams reach the per-doc count aggregation, which
+      // is bounded by contamination volume, not corpus size.
+      val docs = Tables(s, d, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(LlmOps.shingles(4)).as("g"))
+      val evalG = grams(docs.where(col("doc_id") < 50)).select("g").distinct()
+      grams(docs.where(col("doc_id") >= 50))
+        .join(broadcast(evalG), Seq("g"), "left_semi")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     "sample_stratified" -> ((s, d) =>
       // Deterministic stratified sampling + train/val split — what a
       // training-data mix actually needs: reproducible across runs and
@@ -957,6 +984,17 @@ object LlmExtOps {
         "lang, source, n_chars FROM documents ORDER BY doc_id"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "text_decontaminate" ->
+      ("WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, len(w) - 3), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g " +
+        "FROM wt WHERE len(w) >= 4), " +
+        "ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 50), " +
+        "tr AS (SELECT doc_id, g FROM g WHERE doc_id >= 50) " +
+        "SELECT t.doc_id, d.source, CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared " +
+        "FROM tr t JOIN ev USING (g) JOIN documents d ON d.doc_id = t.doc_id " +
+        "GROUP BY 1, 2 ORDER BY t.doc_id"),
     "sample_stratified" ->
       ("SELECT doc_id, source, lang, CASE WHEN " +
         "CAST(('0x' || substr(md5('v:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0 " +

@@ -267,6 +267,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
   }
 
+  test("text_decontaminate broadcasts the eval n-gram set (corpus never shuffles on grams)") {
+    val df = SparkEntry.queries("text_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval grams must broadcast into a map-side semi join:\n" + p)
+  }
+
   test("dedup_minhash reuses the signature aggregation across the self-join") {
     val df = SparkEntry.queries("dedup_minhash")(spark, sf)
     df.collect()

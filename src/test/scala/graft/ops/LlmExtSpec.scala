@@ -94,6 +94,24 @@ class LlmExtSpec extends AnyFunSuite {
     assert(!out.exists(p => p._3 > 3))
   }
 
+  test("text_decontaminate: training docs sharing eval 4-grams are flagged with counts") {
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      // eval set (doc_id < 50): 4-grams of doc 1 = {a b c d, b c d e}
+      (1L, "a b c d e", "en", "s1", 9L),
+      // shares exactly "a b c d" -> n_shared 1
+      (100L, "x a b c d y", "en", "s1", 11L),
+      // shares both eval grams -> n_shared 2
+      (101L, "a b c d e f", "en", "s1", 11L),
+      // shares none -> absent from the output
+      (102L, "p q r s t u", "en", "s1", 11L),
+      // too short for a 4-gram -> absent
+      (103L, "a b c", "en", "s1", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmExtOps.queries("text_decontaminate")(spark, dir)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((100L, 1L), (101L, 2L)))
+  }
+
   test("mm_decode_features: stubbed decoder plumbing produces typed features") {
     val dir = TestSpark.fixtureDir("documents" -> Seq(
       (0L, "ab", "en", "s1", 2L),
