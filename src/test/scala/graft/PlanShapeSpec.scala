@@ -188,6 +188,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ExistingRDD"), p)
   }
 
+  test("win_ntile_pct survives plan caching (AQE per-reader coalescing regression)") {
+    // a cached plan disables AQE coalescing on the output branch but
+    // not on other readers of a reused exchange — with a count-less
+    // range repartition the partition ids diverged between the data and
+    // counts branches and the offset join silently dropped rows. The
+    // explicit-partition-count fix must keep every row under persist.
+    val df = SparkEntry.queries("win_ntile_pct")(spark, sf).persist()
+    try assert(df.count() ===
+      graft.Tables(spark, sf, "part").count())
+    finally df.unpersist()
+  }
+
   test("text_pack_sequences windows partition by source (no global cumsum)") {
     val df = SparkEntry.queries("text_pack_sequences")(spark, sf)
     df.collect()
