@@ -33,6 +33,9 @@ object GraftFunctions {
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash60"),
       (es: Seq[Expression]) => SimhashSig(es(0))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinhashSig(es(0))),
     (FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       // tables/planes shape the per-row kernel, so they must be plan-time

@@ -65,24 +65,17 @@ object LlmExtOps {
     * shingle for any permutation count. 32-bit values keep
     * min-collision odds ~2^-32 per shingle pair — negligible for the
     * min-of-per-doc-shingles use. */
-  private[graft] val minhashDigSql = "md5(concat('s:', g))"
-  private[graft] def minhashPermSql(h: Int, dig: String): String =
-    s"(CAST(conv(substring($dig, 1, 8), 16, 10) AS BIGINT) + " +
-      s"$h * CAST(conv(substring($dig, 9, 8), 16, 10) AS BIGINT)) % 4294967296"
-
-  /** Whole 8-permutation signature of a shingle ARRAY column, computed
-    * per row with no explode/shuffle — the map-side shape the streaming
-    * dedup path needs (StreamingOps.dedupMinhashStream). Digests are
-    * materialized once, then each permutation is integer arithmetic. */
-  private[graft] def minhashSigExpr(shCol: String): org.apache.spark.sql.Column = {
-    // transform-over-singleton binds the digest array ONCE (SQL has no
-    // let; without this each of the 8 array_min legs would re-digest)
-    val digs = s"transform($shCol, g -> $minhashDigSql)"
-    val sig = (0 until 8)
-      .map(h => s"array_min(transform(ds, dig -> ${minhashPermSql(h, "dig")}))")
-      .mkString("concat_ws('|', ", ", ", ")")
-    expr(s"transform(array($digs), ds -> $sig)[0]")
-  }
+  /** Whole 8-permutation signature of a shingle ARRAY column as a
+    * '|'-joined string, computed per row with no explode/shuffle — the
+    * map-side shape the streaming dedup path needs
+    * (StreamingOps.dedupMinhashStream). Since round 8 this rides the
+    * native codegen'd kernel (expr/MinhashSig.scala) instead of
+    * interpreted higher-order lambdas; the produced string is
+    * IDENTICAL (same Broder integers, same join), so checkpointed
+    * dedup state written by the old form still matches. Caller must
+    * have run GraftFunctions.register. */
+  private[graft] def minhashSigExpr(shCol: String): org.apache.spark.sql.Column =
+    expr(s"array_join(transform(minhash_sig($shCol), x -> CAST(x AS STRING)), '|')")
 
   /** Random-hyperplane LSH (sim_ann_lsh): K independent tables of
     * `lshPlanes` planes each, 64 dims of integer weights from an LCG of
@@ -270,18 +263,21 @@ object LlmExtOps {
       // Runs over the WHOLE corpus: the only shuffles are the signature
       // aggregate (8 min-columns, map-side partials) and the band-bucket
       // self-join — never all-pairs.
+      graft.expr.GraftFunctions.register(s)
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3)
-      // ONE md5 digest per shingle; all 8 permutations are integer
-      // arithmetic over its two 32-bit halves (Broder h1 + i·h2)
-      val sh = docs.select(col("doc_id"), explode(LlmOps.shingles(3)).as("g"))
-        .select(col("doc_id"), expr(minhashDigSql).as("dig"))
-      val mins = (0 until 8).map(h => min(expr(minhashPermSql(h, "dig"))).as(s"m$h"))
-      // sigs is referenced three times (bands + both est sides); the
-      // signature aggregation's shuffle is shared via ReusedExchange, so
-      // no persist (and no session-cache leak) is needed
-      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      // whole signature MAP-SIDE via the native codegen'd kernel
+      // (expr/MinhashSig.scala — one md5 + 8 compare-swaps per shingle;
+      // same Broder h1 + i·h2 values the oracle recomputes): no
+      // (doc, shingle) explode, no signature shuffle at all — the only
+      // shuffle left in the whole query is the band-bucket self-join
+      val sigs = docs
+        .select(col("doc_id"), expr("minhash_sig(" +
+          "array_distinct(transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))").as("ms"))
+        .select(col("doc_id") +:
+          (0 until 8).map(h => col("ms").getItem(h).as(s"m$h")): _*)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 8).map(h =>
           struct(lit(h).as("band"), col(s"m$h").as("bv"))): _*)).as("x"))
@@ -355,10 +351,16 @@ object LlmExtOps {
           when(size(col("w")) >= 3, LlmOps.shingles(3))
             .otherwise(array().cast("array<string>")).as("gs"))
         .localCheckpoint()
-      val sh = shArr.select(col("doc_id"), explode(col("gs")).as("g"))
-        .select(col("doc_id"), expr(minhashDigSql).as("dig"))
-      val mins = (0 until 8).map(h => min(expr(minhashPermSql(h, "dig"))).as(s"m$h"))
-      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      graft.expr.GraftFunctions.register(s)
+      // whole signature MAP-SIDE off the checkpointed shingle arrays via
+      // the native codegen'd kernel (expr/MinhashSig.scala) — no
+      // (doc, shingle) explode, no signature shuffle; empty arrays
+      // (short docs) are filtered exactly as the aggregate form dropped
+      // zero-row groups
+      val sigs = shArr.where(size(col("gs")) > 0)
+        .select(col("doc_id"), expr("minhash_sig(gs)").as("ms"))
+        .select(col("doc_id") +:
+          (0 until 8).map(h => col("ms").getItem(h).as(s"m$h")): _*)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 8).map(h =>
           struct(lit(h).as("band"), col(s"m$h").as("bv"))): _*)).as("x"))

@@ -60,7 +60,8 @@ object StreamingOps {
     * dropped: they fall back to an exact-text signature (prefixed so it
     * can't collide with a minhash signature), i.e. exact dedup for
     * short docs. */
-  private def withMinhashSig(docs: DataFrame): DataFrame =
+  private def withMinhashSig(docs: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("sh",
@@ -70,6 +71,7 @@ object StreamingOps {
         when(size(col("sh")) > 0, graft.ops.LlmExtOps.minhashSigExpr("sh"))
           .otherwise(concat(lit("raw:"), col("text"))))
       .drop("w", "sh")
+  }
 
   /** DURABLE streaming dedup: [[dedupMinhashStream]]'s state lives in
     * the query's state store and is evicted at the watermark — a
