@@ -16,14 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    JournalOps.queries ++ RelationalOps.queries ++ WindowSetOps.queries ++
-      ScalarFnOps.queries ++ LlmOps.queries ++ LlmExtOps.queries ++
-      StreamBatchOps.queries
+    JournalOps.queries ++ RelationalOps.queries ++ SubqueryOps.queries ++
+      WindowSetOps.queries ++ ScalarFnOps.queries ++ LlmOps.queries ++
+      LlmExtOps.queries ++ StreamBatchOps.queries
 
   /** DuckDB 1.0 twin for every SQL-expressible query (driver's t2 gate).
     * Keys absent here get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    JournalOps.oracle ++ RelationalOps.oracle ++ WindowSetOps.oracle ++
-      ScalarFnOps.oracle ++ LlmOps.oracle ++ LlmExtOps.oracle ++
-      StreamBatchOps.oracle
+    JournalOps.oracle ++ RelationalOps.oracle ++ SubqueryOps.oracle ++
+      WindowSetOps.oracle ++ ScalarFnOps.oracle ++ LlmOps.oracle ++
+      LlmExtOps.oracle ++ StreamBatchOps.oracle
 }

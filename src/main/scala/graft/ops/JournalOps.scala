@@ -147,6 +147,32 @@ object JournalOps {
         .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("m")
     }),
+    "events_sessionize" -> ((s, d) => {
+      // Gap-based sessionization (30-min inactivity gap): the classic
+      // lag → boundary flag → running-sum pattern, then one aggregate
+      // per (user, session). ONE shuffle on user_id: the lag window,
+      // the running sum and the session groupBy all share the
+      // (user_id; tus, eid) partitioning+sort, so Catalyst plans a
+      // single exchange. Skew note: per-row state is O(1) (a running
+      // sum), so a bot user with millions of events costs sort time in
+      // its partition, never memory — contrast the collect_list shape
+      // events_funnel deliberately avoids. Ordering ties on ts break
+      // by event_id (unique) — deterministic session boundaries.
+      val wOrd = Window.partitionBy("user_id").orderBy("tus", "eid")
+      val gapUs = 1800000000L // 30 min in micros
+      Tables(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+                col("event_id").as("eid"))
+        .withColumn("prev", lag("tus", 1).over(wOrd))
+        .withColumn("nu", when(col("prev").isNull ||
+          col("tus") - col("prev") > gapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("nu").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min("tus").as("start_us"), max("tus").as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
     "events_attribution" -> ((s, d) => {
       // Click→view attribution within a 5-minute lookback — the batch
       // twin of the streaming interval join
@@ -355,6 +381,18 @@ object JournalOps {
         "(SELECT date_trunc('minute', max(ts)) FROM e), INTERVAL 1 MINUTE)) AS m) " +
         "SELECT spine.m, COALESCE(b.n, 0) AS n FROM spine LEFT JOIN b USING (m) " +
         "WHERE spine.m IS NOT NULL ORDER BY m"),
+    "events_sessionize" ->
+      ("WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS eid, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev " +
+        "FROM events), " +
+        "y AS (SELECT user_id, tus, eid, " +
+        "CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS nu FROM x), " +
+        "z AS (SELECT user_id, tus, CAST(sum(nu) OVER (" +
+        "PARTITION BY user_id ORDER BY tus, eid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id " +
+        "FROM y) " +
+        "SELECT user_id, session_id, count(*) AS n_events, " +
+        "min(tus) AS start_us, max(tus) AS end_us " +
+        "FROM z GROUP BY 1, 2 ORDER BY user_id, session_id"),
     "events_attribution" ->
       ("SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts, " +
         "i.event_id AS i_id, i.ts AS i_ts " +

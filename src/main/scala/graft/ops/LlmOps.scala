@@ -51,6 +51,22 @@ object LlmOps {
         .agg(min("event_id").as("event_id"))
         .orderBy("event_id")),
 
+    "dedup_normtext" -> ((s, d) =>
+      // Normalization-exact dedup: collapse case + whitespace runs
+      // BEFORE hashing, so trivially-reformatted copies land on one
+      // key — the standard first pass of an LLM dedup pipeline (byte-
+      // exact misses them, MinHash is overkill for them). Same one-
+      // shuffle groupBy shape as dedup_exact, but keyed on md5(norm):
+      // at 100 TB the exchange moves 32-char digests, never bodies.
+      // Normalization is codegen'd map-side (lower/trim/regexp).
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+                md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+        .groupBy("h")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
     "dedup_near_jaccard" -> ((s, d) => {
       val docs = Tables(s, d, "documents").where(col("doc_id") < 500)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -264,6 +280,10 @@ object LlmOps {
     "dedup_exact" ->
       ("SELECT user_id, event_type, props, CAST(min(event_id) AS BIGINT) AS event_id " +
         "FROM events GROUP BY 1, 2, 3 ORDER BY event_id"),
+    "dedup_normtext" ->
+      ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM (" +
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h " +
+        "FROM documents) GROUP BY h ORDER BY doc_id"),
     "dedup_near_jaccard" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
         "WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3), " +

@@ -267,6 +267,20 @@ object RelationalOps {
         .agg(sum("ps").cast("double").as("sum_qty"), sum("pc").as("n"))
         .orderBy("l_returnflag")
     }),
+    "agg_unpivot" -> ((s, d) => {
+      // Wide→long melt (UNPIVOT) — the inverse of agg_pivot. The wide
+      // frame is already a grouped aggregate (one row per returnflag),
+      // so the unpivot itself is a map-side Expand: rows × #measures,
+      // no shuffle after the aggregation. At 100 TB the aggregation
+      // dominates; the melt is free.
+      val wide = Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+             Det.dsum(col("l_extendedprice")).as("sum_price"))
+      wide.unpivot(Array(col("l_returnflag")),
+                   Array(col("sum_qty"), col("sum_price")),
+                   "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
     "agg_udaf_argmax" -> ((s, d) => {
       // marasa state-at-seq as a typed Aggregator UDAF (SURVEY §4.3).
       val am = udaf(graft.expr.ArgMaxBySeq)
@@ -362,6 +376,13 @@ object RelationalOps {
     "agg_salted" ->
       ("SELECT l_returnflag, " + Det.sql.dsum("l_quantity") + " AS sum_qty, " +
         "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "agg_unpivot" ->
+      ("WITH w AS (SELECT l_returnflag, " + Det.sql.dsum("l_quantity") +
+        " AS sum_qty, " + Det.sql.dsum("l_extendedprice") + " AS sum_price " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w " +
+        "UNION ALL SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w " +
+        "ORDER BY l_returnflag, measure"),
   )
 
   // ---- assembled ---------------------------------------------------------
