@@ -170,6 +170,26 @@ class JournalStore private (val spark: SparkSession, val path: String,
   /** Committed manifest versions still retained on disk, ascending. */
   def versions(): Seq[Long] = listVersionFiles(path).map(_._1)
 
+  /** The newest retained version whose commit wall-clock is <= `tsMs` —
+    * the TIMESTAMP AS OF resolution rule (Delta-style: "the table as it
+    * was at that moment"). Versions committed by pre-upgrade writers
+    * carry commitTsMs = 0 and so are always eligible. Throws when every
+    * retained commit is newer than `tsMs` (the asked-for moment predates
+    * the retention window — answering with a newer snapshot would be
+    * silently wrong). */
+  def versionAsOf(tsMs: Long): Long = {
+    val eligible = listVersionFiles(path).flatMap { case (v, _) =>
+      readManifestVersion(path, v).collect {
+        case m if m.commitTsMs <= tsMs => v
+      }
+    }
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"journal store at $path retains no version committed at or before " +
+        s"epoch-ms $tsMs (retained: ${versions().mkString(", ")}; " +
+        "older versions may have been vacuumed)")
+    eligible.max
+  }
+
   private def requireWritable(): Unit =
     require(pinnedVersion.isEmpty,
       "this is a read-only view pinned at manifest version " +
@@ -800,7 +820,12 @@ object JournalStore {
                       files: Seq[String] = Nil, stats: Seq[EpochStat] = Nil,
                       lastBatchId: Long = -1L, version: Long = 0L,
                       kstats: Seq[KeyStat] = Nil, schemaDdl: String = "",
-                      fstats: Seq[FileStat] = Nil)
+                      fstats: Seq[FileStat] = Nil,
+                      // wall-clock commit time, stamped by writeManifest —
+                      // the TIMESTAMP AS OF resolution axis. 0 = committed
+                      // by a pre-upgrade writer (reads as epoch: always
+                      // eligible, never wrongly excluded).
+                      commitTsMs: Long = 0L)
 
   /** How many committed manifest versions stay readable via openAt().
     * Bounds metadata growth to N tiny JSON files regardless of journal
@@ -895,12 +920,14 @@ object JournalStore {
           s"this operation was working against version ${m0.version} " +
           "(concurrent writer detected; the store is single-writer)")
     }
-    val m = m0.copy(version = m0.version + 1)
+    val m = m0.copy(version = m0.version + 1,
+                    commitTsMs = System.currentTimeMillis())
     val root = mapper.createObjectNode()
     root.put("epochSize", m.epochSize)
     root.put("maxSeq", m.maxSeq)
     root.put("lastBatchId", m.lastBatchId)
     root.put("version", m.version)
+    root.put("commitTsMs", m.commitTsMs)
     root.put("schemaDdl", java.net.URLEncoder.encode(m.schemaDdl, "UTF-8"))
     val ck = root.putArray("checkpoints")
     m.checkpoints.foreach(c => ck.add(c))
@@ -1025,7 +1052,8 @@ object JournalStore {
       else ""
     Some(Manifest(num("epochSize"), num("maxSeq"),
       arr("checkpoints").map(_.asLong), arr("files").map(_.asText), stats,
-      num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats))
+      num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats,
+      num("commitTsMs", 0L)))
   } catch {
     // unparseable bytes (e.g. a file damaged outside our atomic-rename
     // protocol) read as "no manifest here" — callers produce their own

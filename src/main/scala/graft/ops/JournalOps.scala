@@ -291,6 +291,38 @@ object JournalOps {
         s"max(seq) AS max_seq FROM $cat.ev WHERE seq >= 1000 " +
         "GROUP BY ns ORDER BY ns")
     }),
+    "journal_time_travel" -> ((s, d) => {
+      // SQL time travel end-to-end (sources/JournalCatalog.loadTable
+      // overloads): two INSERT commits → two more manifest versions;
+      // VERSION AS OF pins the one the FIRST insert committed, so the
+      // second batch must be invisible — snapshot isolation through the
+      // catalog, not the Scala API. The pinned table serves that
+      // version's exact file set (vacuum keeps retained versions'
+      // files), refuses writes, and still epoch-prunes. TIMESTAMP AS OF
+      // rides the same resolver (JournalStore.versionAsOf) and is
+      // pinned by wall clock in JournalCatalogSpec — a fixed instant
+      // can't live in driver-shared SQL.
+      val tag = Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jtt_root_$tag").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val cat = s"jtt_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ev (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2000')")
+      journal(s, d).createOrReplaceTempView(s"jtt_src_$tag")
+      s.sql(s"INSERT INTO $cat.ev SELECT ns, ukey, ts, payload, val, seq " +
+        s"FROM jtt_src_$tag WHERE seq < 4000")
+      s.sql(s"INSERT INTO $cat.ev SELECT ns, ukey, ts, payload, val, seq " +
+        s"FROM jtt_src_$tag WHERE seq >= 4000")
+      // versions ascending: [create, insert1, insert2] — pin insert1's.
+      // (defensive lift: on the empty fixture an insert may not commit)
+      val vs = graft.journal.JournalStore.open(s, s"$root/ev").versions()
+      val v = vs.lift(1).getOrElse(vs.last)
+      s.sql(s"SELECT ns, count(*) AS n_rows, max(seq) AS max_seq " +
+        s"FROM $cat.ev VERSION AS OF $v GROUP BY ns ORDER BY ns")
+    }),
     "journal_diff" -> ((s, d) => {
       // CDC between two points in time: which keys changed in
       // (S1, S2], with old and new payloads — the downstream-sync
@@ -427,6 +459,10 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
         "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
+    "journal_time_travel" ->
+      ("SELECT event_type AS ns, count(*) AS n_rows, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 4000 GROUP BY 1 ORDER BY ns"),
     "journal_catalog_sql" ->
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +

@@ -4,10 +4,13 @@ import java.nio.file.{Files, Paths}
 import java.util
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.journal.JournalStore
@@ -40,7 +43,7 @@ import graft.journal.JournalStore
   * sessions pointed at the same root see the same tables with no extra
   * metastore. Multi-part names map to subdirectories
   * (journal.a.b → root/a/b). */
-class JournalCatalog extends TableCatalog {
+class JournalCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
   private var defaultEpochSize: Long = 1000L
@@ -81,6 +84,36 @@ class JournalCatalog extends TableCatalog {
     if (!JournalStore.exists(p)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     new JournalTable(spark, p, Some(JournalStore.open(spark, p)), pinned = false)
+  }
+
+  /** SQL time travel by manifest version: `SELECT … FROM t VERSION AS OF
+    * 3` resolves here. The pinned table serves the EXACT file set +
+    * checkpoints that version committed (snapshot isolation across later
+    * appends, compactions and vacuums — vacuum keeps every file a
+    * retained version references), and refuses writes/streaming. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathFor(ident)
+    if (!JournalStore.exists(p)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"journal VERSION AS OF takes a numeric manifest version, got '$version'")
+    }
+    val spark = SparkSession.active
+    new JournalTable(spark, p, Some(JournalStore.open(spark, p).openAt(v)),
+      pinned = true)
+  }
+
+  /** SQL time travel by wall clock: `TIMESTAMP AS OF …` (Spark hands the
+    * instant down in microseconds). Resolution rule: the newest retained
+    * version committed at or before the instant — see
+    * [[JournalStore.versionAsOf]]. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathFor(ident)
+    if (!JournalStore.exists(p)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val s0 = JournalStore.open(spark, p)
+    new JournalTable(spark, p, Some(s0.openAt(s0.versionAsOf(timestampMicros / 1000L))),
+      pinned = true)
   }
 
   /** The declared schema is accepted but not authoritative: a journal's
@@ -124,5 +157,97 @@ class JournalCatalog extends TableCatalog {
     if (JournalStore.exists(dst)) throw new TableAlreadyExistsException(to)
     Files.createDirectories(Paths.get(dst).getParent)
     Files.move(Paths.get(src), Paths.get(dst))
+  }
+
+  // ---- stored procedures (SQL CALL) ---------------------------------------
+  // The store's two maintenance operations as DSv2 procedures, so an
+  // operator never needs the Scala API for day-2 work:
+  //   CALL <catalog>.system.compact(table => 'clicks')
+  //   CALL <catalog>.system.vacuum(table => 'clicks', retain => 2, grace_ms => 0)
+  // Both run driver-side against the named store and return no rows
+  // (results — file counts, reclaimed bytes — belong to segmentStats
+  // reads, not the maintenance call).
+
+  private val SystemNs = Array("system")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(SystemNs))
+      Array(Identifier.of(SystemNs, "compact"), Identifier.of(SystemNs, "vacuum"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace.sameElements(SystemNs))
+      throw new IllegalArgumentException(
+        s"journal procedures live in the 'system' namespace, got $ident")
+    ident.name match {
+      case "compact" => new CompactProcedure
+      case "vacuum"  => new VacuumProcedure
+      case other => throw new IllegalArgumentException(
+        s"unknown journal procedure '$other' " +
+          "(available: system.compact, system.vacuum)")
+    }
+  }
+
+  /** Resolve a procedure's `table` argument (dots = subdirectories,
+    * mirroring pathFor) to an open store. */
+  private def storeForName(table: String): JournalStore = {
+    val p = (root +: table.split('.').toSeq).mkString("/")
+    if (!JournalStore.exists(p))
+      throw new NoSuchTableException(Identifier.of(
+        table.split('.').dropRight(1), table.split('.').last))
+    JournalStore.open(SparkSession.active, p)
+  }
+
+  private def noRows: util.Iterator[Scan] = util.Collections.emptyIterator()
+
+  private class CompactProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite a journal table's fragmented (epoch, ns) directories into " +
+        "one file per directory; cluster_by_key additionally sorts rows " +
+        "by ukey for row-group pruning"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("up_to_epoch", LongType).defaultValue("-1")
+        .comment("only compact epochs <= this; -1 = every epoch").build(),
+      ProcedureParameter.in("cluster_by_key", BooleanType).defaultValue("false")
+        .build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val upTo = if (input.isNullAt(1) || input.getLong(1) < 0L) Long.MaxValue
+                 else input.getLong(1)
+      store.compact(upTo, !input.isNullAt(2) && input.getBoolean(2))
+      noRows
+    }
+  }
+
+  private class VacuumProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "delete segment files no retained manifest version references; " +
+        "grace_ms bounds how young a file may be and still be deleted"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("retain", IntegerType)
+        .defaultValue(JournalStore.RetainedVersions.toString)
+        .comment("how many newest manifest versions keep their files").build(),
+      ProcedureParameter.in("grace_ms", LongType).defaultValue("-1")
+        .comment("age-based deletion grace; -1 = store default (30 min)").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val retain = if (input.isNullAt(1)) JournalStore.RetainedVersions
+                   else input.getInt(1)
+      val grace = if (input.isNullAt(2) || input.getLong(2) < 0L)
+                    JournalStore.DefaultVacuumGraceMs
+                  else input.getLong(2)
+      store.vacuum(retain, grace)
+      noRows
+    }
   }
 }

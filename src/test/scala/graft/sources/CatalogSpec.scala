@@ -66,6 +66,87 @@ class CatalogSpec extends AnyFunSuite {
     } != null)
   }}
 
+  test("journal_catalog: VERSION AS OF pins a commit; TIMESTAMP AS OF resolves by wall clock") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE jcat.tt (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2')")
+      spark.sql("INSERT INTO jcat.tt SELECT 'a' AS ns, CAST(1 AS BIGINT) AS ukey, " +
+        "TIMESTAMP '2024-01-01 00:00:01' AS ts, 'p0' AS payload, CAST(1.0 AS DOUBLE) AS val")
+      // wall-clock instant strictly between the two commits (commitTsMs
+      // is millisecond-granular — step past both boundaries)
+      Thread.sleep(20); val between = System.currentTimeMillis(); Thread.sleep(20)
+      spark.sql("INSERT INTO jcat.tt SELECT 'a' AS ns, CAST(2 AS BIGINT) AS ukey, " +
+        "TIMESTAMP '2024-01-01 00:00:02' AS ts, 'p1' AS payload, CAST(2.0 AS DOUBLE) AS val")
+
+      val store = graft.journal.JournalStore.open(spark, s"$root/tt")
+      val vFirstInsert = store.versions()(1) // [create, insert1, insert2]
+      // VERSION AS OF the first insert's commit: second batch invisible
+      val pinned = spark.sql(
+        s"SELECT ukey, payload FROM jcat.tt VERSION AS OF $vFirstInsert")
+        .as[(Long, String)].collect().toSeq
+      assert(pinned === Seq((1L, "p0")))
+      // the unpinned table still sees both
+      assert(spark.sql("SELECT count(*) FROM jcat.tt").as[Long].head() === 2L)
+
+      // TIMESTAMP AS OF an instant between the commits = first insert's
+      // snapshot (session tz is UTC — format the instant accordingly)
+      val lit = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(between))
+      val byTs = spark.sql(
+        s"SELECT ukey, payload FROM jcat.tt TIMESTAMP AS OF '$lit'")
+        .as[(Long, String)].collect().toSeq
+      assert(byTs === Seq((1L, "p0")))
+      // an instant before every retained commit is refused, not answered
+      // with a newer snapshot
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM jcat.tt TIMESTAMP AS OF '2001-01-01 00:00:00'")
+          .collect()
+      }
+      assert(err.getMessage.contains("no version committed at or before") ||
+        Option(err.getCause).exists(_.getMessage.contains("no version committed at or before")),
+        err.getMessage)
+      spark.sql("DROP TABLE jcat.tt")
+    }
+  }
+
+  test("journal_catalog: CALL system.compact / system.vacuum maintain the store by SQL") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE jcat.mt (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+      // 4 commits into the same epoch directory → 4 fragment files
+      (0 until 4).foreach { i =>
+        spark.sql(s"INSERT INTO jcat.mt SELECT 'a' AS ns, CAST($i AS BIGINT) AS ukey, " +
+          s"TIMESTAMP '2024-01-01 00:00:0$i' AS ts, 'p$i' AS payload, " +
+          s"CAST($i.0 AS DOUBLE) AS val")
+      }
+      def segFiles(): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(new java.io.File(s"$root/mt/segments"))
+      }
+      val before = segFiles().size
+      assert(before >= 4, s"expected fragmentation, got $before files")
+
+      spark.sql("CALL jcat.system.compact(table => 'mt', cluster_by_key => true)")
+      // compact REWRITES (old files stay for retained versions until
+      // vacuum); aggressive vacuum with no grace reclaims them
+      spark.sql("CALL jcat.system.vacuum(table => 'mt', retain => 1, grace_ms => 0)")
+      val after = segFiles().size
+      assert(after === 1, s"expected one compacted file per dir, got $after")
+      // maintenance is invisible to readers
+      assert(spark.sql("SELECT count(*) FROM jcat.mt").as[Long].head() === 4L)
+      assert(spark.sql("SELECT payload FROM jcat.mt WHERE ukey = 2").as[String].head() === "p2")
+
+      val bad = intercept[Exception] {
+        spark.sql("CALL jcat.system.frobnicate(table => 'mt')").collect()
+      }
+      assert(bad.getMessage.toLowerCase.contains("frobnicate"), bad.getMessage)
+      spark.sql("DROP TABLE jcat.mt")
+    }
+  }
+
   test("journal_catalog: two sessions-worth of metadata is just the directory") {
     withCatalog { root =>
       // a store created through the PATH api is immediately visible as a
