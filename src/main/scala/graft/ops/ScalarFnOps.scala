@@ -59,6 +59,22 @@ object ScalarFnOps {
                 graft.Det.r(log(col("p_retailprice")), 4).as("ln_p"),
                 graft.Det.r(sqrt(col("p_retailprice")), 4).as("sqrt_p"))
         .orderBy("p_partkey")),
+    "fn_bitwise" -> ((s, d) =>
+      // Bitwise surface — the hash/partition/bloom primitives (AND mask,
+      // OR tag, XOR mix, shifts, popcount). Pure map-side projections:
+      // codegen'd, shuffle-free. bit_count emits INT on both engines
+      // (DuckDB's native return is TINYINT — cast in the oracle).
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+                col("l_orderkey").bitwiseOR(lit(4096L)).as("b_or"),
+                col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+                shiftleft(col("l_linenumber"), 3).as("b_shl"),
+                shiftright(col("l_orderkey"), 2).as("b_shr"),
+                bit_count(col("l_orderkey")).as("b_cnt"))
+        // (l_orderkey, l_linenumber) is not unique in the fixture — order
+        // by every emitted column so remaining ties are full-row dups
+        .orderBy("l_orderkey", "l_linenumber", "b_xor", "b_shl")),
     "fn_array" -> ((s, d) =>
       Tables(s, d, "embeddings")
         .select(col("vec_id"), size(col("embedding")).as("dim"),
@@ -144,6 +160,12 @@ object ScalarFnOps {
         graft.Det.sql.r("ln(p_retailprice)", 4) + " AS ln_p, " +
         graft.Det.sql.r("sqrt(p_retailprice)", 4) + " AS sqrt_p " +
         "FROM part ORDER BY p_partkey"),
+    "fn_bitwise" ->
+      ("SELECT l_orderkey, l_linenumber, l_orderkey & 255 AS b_and, " +
+        "l_orderkey | 4096 AS b_or, xor(l_orderkey, l_partkey) AS b_xor, " +
+        "CAST(l_linenumber << 3 AS INT) AS b_shl, l_orderkey >> 2 AS b_shr, " +
+        "CAST(bit_count(l_orderkey) AS INT) AS b_cnt " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, b_xor, b_shl"),
     "fn_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, CAST(g.i - 1 AS INT) AS pos, " +
         graft.Det.sql.r("CAST(embedding[g.i] AS DOUBLE)", 4) + " AS v " +

@@ -147,6 +147,31 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("journal_catalog: readStream.table tails a catalog table by name") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE jcat.st (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2')")
+      spark.sql("INSERT INTO jcat.st SELECT 'a' AS ns, CAST(1 AS BIGINT) AS ukey, " +
+        "TIMESTAMP '2024-01-01 00:00:01' AS ts, 'p0' AS payload, CAST(1.0 AS DOUBLE) AS val")
+      val q = spark.readStream.table("jcat.st")
+        .writeStream.format("memory").queryName("jcat_tail").outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        def got = spark.table("jcat_tail").select("seq", "payload")
+          .as[(Long, String)].collect().toSeq.sortBy(_._1)
+        assert(got === Seq((0L, "p0")))
+        // a catalog INSERT that lands while the stream runs arrives as
+        // the next micro-batch — same MicroBatchStream as the path API
+        spark.sql("INSERT INTO jcat.st SELECT 'a' AS ns, CAST(2 AS BIGINT) AS ukey, " +
+          "TIMESTAMP '2024-01-01 00:00:02' AS ts, 'p1' AS payload, CAST(2.0 AS DOUBLE) AS val")
+        q.processAllAvailable()
+        assert(got === Seq((0L, "p0"), (1L, "p1")))
+      } finally q.stop()
+      spark.sql("DROP TABLE jcat.st")
+    }
+  }
+
   test("journal_catalog: two sessions-worth of metadata is just the directory") {
     withCatalog { root =>
       // a store created through the PATH api is immediately visible as a
