@@ -291,6 +291,36 @@ object JournalOps {
         s"max(seq) AS max_seq FROM $cat.ev WHERE seq >= 1000 " +
         "GROUP BY ns ORDER BY ns")
     }),
+    "events_anomaly" -> ((s, d) => {
+      // Time-series anomaly scoring: each day's event count z-scored
+      // against its own TRAILING 7-day window (rows between -7 and -1 —
+      // the current day never contaminates its baseline). Variance
+      // comes from exact integer window sums (Σn, Σn²) so the double
+      // arithmetic sequence is identical on both engines (agg_stats_
+      // exact precedent, SURVEY §2.0.5); warm-up rows (fewer than 7
+      // predecessors) are excluded rather than scored against a short
+      // baseline. Scale shape: the daily pre-aggregation collapses the
+      // event stream to (types × days) rows BEFORE the window — the
+      // window pass is over the tiny frame, one shuffle total.
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("cnt7", count(lit(1)).over(w))
+        .withColumn("sum7", sum("n").over(w))
+        .withColumn("ssq7", sum(col("n") * col("n")).over(w))
+        .where(col("cnt7") === 7)
+        .withColumn("mean7", col("sum7").cast("double") / lit(7.0))
+        .withColumn("var7",
+          (col("ssq7").cast("double") - col("sum7").cast("double") *
+            col("sum7").cast("double") / lit(7.0)) / lit(7.0))
+        .select(col("event_type"), col("day"), col("n"),
+          graft.Det.r(when(col("var7") > 0.0,
+            (col("n").cast("double") - col("mean7")) / sqrt(col("var7")))
+            .otherwise(lit(0.0)), 4).as("z"))
+        .orderBy("event_type", "day")
+    }),
     "journal_time_travel" -> ((s, d) => {
       // SQL time travel end-to-end (sources/JournalCatalog.loadTable
       // overloads): two INSERT commits → two more manifest versions;
@@ -459,6 +489,22 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
         "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
+    "events_anomaly" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, n, count(*) OVER win AS cnt7, " +
+        "CAST(sum(n) OVER win AS BIGINT) AS sum7, " +
+        "CAST(sum(n * n) OVER win AS BIGINT) AS ssq7 FROM daily " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, day, n, " +
+        graft.Det.sql.r(
+          "CASE WHEN (CAST(ssq7 AS DOUBLE) - CAST(sum7 AS DOUBLE) * " +
+          "CAST(sum7 AS DOUBLE) / 7.0) / 7.0 > 0.0 THEN " +
+          "(CAST(n AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0) / " +
+          "sqrt((CAST(ssq7 AS DOUBLE) - CAST(sum7 AS DOUBLE) * " +
+          "CAST(sum7 AS DOUBLE) / 7.0) / 7.0) ELSE 0.0 END", 4) +
+        " AS z FROM w WHERE cnt7 = 7 ORDER BY event_type, day"),
     "journal_time_travel" ->
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(max(event_id) AS BIGINT) AS max_seq " +

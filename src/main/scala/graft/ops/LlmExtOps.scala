@@ -412,6 +412,30 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "sample_source_mix" -> ((s, d) => {
+      // Temperature-based source mixing (alpha = 0.5): the training-mix
+      // primitive — downsample over-represented sources toward a sqrt-
+      // flattened char-budget distribution, deterministically (the
+      // sample_stratified portable md5 hash, no RNG: reproducible
+      // across runs, engines and partitionings). Size measure is
+      // Σ n_chars per source (the token-budget proxy), rate_s =
+      // sqrt(min_chars / chars_s) ≤ 1. The per-source rate table is a
+      // tiny aggregate BROADCAST into a map-side join — the corpus
+      // never shuffles; keep/drop is a pure projection.
+      val docs = Tables(s, d, "documents")
+      val sizes = docs.groupBy("source")
+        .agg(sum("n_chars").as("chars"))
+      val minC = sizes.agg(min("chars").as("mn"))
+      val rates = sizes.crossJoin(broadcast(minC))
+        .select(col("source"),
+          sqrt(col("mn").cast("double") / col("chars").cast("double")).as("rate"))
+      docs.join(broadcast(rates), "source")
+        .where(expr("CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
+          "16, 10) AS BIGINT) % 1000000 AS DOUBLE)") < col("rate") * lit(1000000.0))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "sample_stratified" -> ((s, d) =>
       // Deterministic stratified sampling + train/val split — what a
       // training-data mix actually needs: reproducible across runs and
@@ -997,6 +1021,15 @@ object LlmExtOps {
         "SELECT t.doc_id, d.source, CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared " +
         "FROM tr t JOIN ev USING (g) JOIN documents d ON d.doc_id = t.doc_id " +
         "GROUP BY 1, 2 ORDER BY t.doc_id"),
+    "sample_source_mix" ->
+      ("WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars " +
+        "FROM documents GROUP BY 1), " +
+        "r AS (SELECT source, sqrt(CAST((SELECT min(chars) FROM c) AS DOUBLE) / " +
+        "CAST(chars AS DOUBLE)) AS rate FROM c) " +
+        "SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
+        "WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) % 1000000 AS DOUBLE) < rate * 1000000.0 " +
+        "ORDER BY doc_id"),
     "sample_stratified" ->
       ("SELECT doc_id, source, lang, CASE WHEN " +
         "CAST(('0x' || substr(md5('v:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0 " +
