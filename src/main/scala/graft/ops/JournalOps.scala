@@ -344,8 +344,11 @@ object JournalOps {
       journal(s, d).createOrReplaceTempView(s"jtt_src_$tag")
       s.sql(s"INSERT INTO $cat.ev SELECT ns, ukey, ts, payload, val, seq " +
         s"FROM jtt_src_$tag WHERE seq < 4000")
+      // the second commit only needs to EXIST for the pin to have
+      // something to be isolated from — bound it like journal_catalog_
+      // sql's contract rather than re-ingesting the whole fixture
       s.sql(s"INSERT INTO $cat.ev SELECT ns, ukey, ts, payload, val, seq " +
-        s"FROM jtt_src_$tag WHERE seq >= 4000")
+        s"FROM jtt_src_$tag WHERE seq >= 4000 AND seq < 8000")
       // versions ascending: [create, insert1, insert2] — pin insert1's.
       // (defensive lift: on the empty fixture an insert may not commit)
       val vs = graft.journal.JournalStore.open(s, s"$root/ev").versions()

@@ -293,4 +293,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
       "both band sides should share one signature shuffle")
   }
+
+  test("sample_source_mix broadcasts the rate table (corpus never shuffles)") {
+    val df = SparkEntry.queries("sample_source_mix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source rates must broadcast into the corpus scan:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle for the rate join:\n" + p)
+  }
+
+  test("events_anomaly windows over the daily pre-aggregate, not the event stream") {
+    val df = SparkEntry.queries("events_anomaly")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the window's input partitioning is the daily aggregate's (event_
+    // type, day) grouping — Catalyst must not add a second full-stream
+    // exchange for the window pass (partial agg → one hash exchange on
+    // the grouping, then a tiny repartition of daily rows at most)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    // node-level count (the AQE plan STRING renders the same scan twice,
+    // once under Final and once under Initial)
+    val fullScans = flatten(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(fullScans == 1, s"expected one events scan, plan:\n$p")
+  }
+
+  test("dedup_normtext shuffles md5 digests, never document bodies") {
+    val df = SparkEntry.queries("dedup_normtext")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the aggregation exchange must key on the digest column h — a plan
+    // that exchanges on text means bodies cross the wire at 100 TB
+    assert("Exchange hashpartitioning\\(h#".r.findFirstIn(p).isDefined,
+      "aggregate must shuffle on the md5 digest:\n" + p)
+    assert(!"Exchange hashpartitioning\\(text#".r.findFirstIn(p).isDefined, p)
+  }
 }
