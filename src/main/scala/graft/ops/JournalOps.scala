@@ -291,6 +291,26 @@ object JournalOps {
         s"max(seq) AS max_seq FROM $cat.ev WHERE seq >= 1000 " +
         "GROUP BY ns ORDER BY ns")
     }),
+    "events_spine_recursive" -> ((s, d) => {
+      // Recursive CTE (Spark 4 WITH RECURSIVE): the calendar spine as a
+      // recursion anchored on the data's own min/max day, gap-filling
+      // daily purchase counts — the recursive twin of events_resample's
+      // sequence() spine. Scale shape: recursion depth = DAYS (tiny and
+      // data-bounded, never row-bounded); the heavy side stays the
+      // pre-aggregated daily counts, one shuffle. MAX RECURSION LEVEL
+      // is Spark-side syntax only — the DuckDB twin recurses unbounded.
+      val tag = Integer.toHexString(d.hashCode)
+      Tables(s, d, "events").createOrReplaceTempView(s"ev_rec_$tag")
+      s.sql(
+        s"WITH RECURSIVE spine(day) MAX RECURSION LEVEL 1000 AS (" +
+          s"SELECT CAST(date_trunc('day', (SELECT min(ts) FROM ev_rec_$tag)) AS DATE) " +
+          "UNION ALL SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM spine " +
+          s"WHERE day < (SELECT CAST(date_trunc('day', max(ts)) AS DATE) FROM ev_rec_$tag)), " +
+          s"daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n " +
+          s"FROM ev_rec_$tag WHERE event_type = 'purchase' GROUP BY 1) " +
+          "SELECT spine.day, COALESCE(daily.n, 0) AS n " +
+          "FROM spine LEFT JOIN daily USING (day) ORDER BY day")
+    }),
     "events_anomaly" -> ((s, d) => {
       // Time-series anomaly scoring: each day's event count z-scored
       // against its own TRAILING 7-day window (rows between -7 and -1 —
@@ -492,6 +512,15 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
         "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
+    "events_spine_recursive" ->
+      ("WITH RECURSIVE spine(day) AS (" +
+        "SELECT CAST(date_trunc('day', (SELECT min(ts) FROM events)) AS DATE) " +
+        "UNION ALL SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM spine " +
+        "WHERE day < (SELECT CAST(date_trunc('day', max(ts)) AS DATE) FROM events)), " +
+        "daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT spine.day, COALESCE(daily.n, 0) AS n " +
+        "FROM spine LEFT JOIN daily USING (day) ORDER BY day"),
     "events_anomaly" ->
       ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
         "count(*) AS n FROM events GROUP BY 1, 2), " +

@@ -62,15 +62,28 @@ object SubqueryOps {
       "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
       "ORDER BY o_orderkey"
 
+  // Lateral correlated subquery with ORDER BY + LIMIT — per-customer
+  // top-2 orders. Catalyst decorrelates the lateral into a windowed
+  // rank over ONE orders shuffle (no per-customer re-execution); ties
+  // break on o_orderkey so the top-2 boundary is deterministic.
+  private val subLateralSql: String =
+    "SELECT c_custkey, l.o_orderkey, l.o_totalprice FROM customer c, " +
+      "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o " +
+      "WHERE o.o_custkey = c.c_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l " +
+      "ORDER BY c_custkey, o_totalprice DESC, o_orderkey"
+
   val queries: Map[String, Q] = Map(
     "sub_exists" -> ((s, d) => { views(s, d); s.sql(subExistsSql) }),
     "sub_not_in" -> ((s, d) => { views(s, d); s.sql(subNotInSql) }),
     "sub_scalar_corr" -> ((s, d) => { views(s, d); s.sql(subScalarSql) }),
+    "sub_lateral" -> ((s, d) => { views(s, d); s.sql(subLateralSql) }),
   )
 
   val oracle: Map[String, String] = Map(
     "sub_exists" -> subExistsSql,
     "sub_not_in" -> subNotInSql,
     "sub_scalar_corr" -> subScalarSql,
+    "sub_lateral" -> subLateralSql,
   )
 }
