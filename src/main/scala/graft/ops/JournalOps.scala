@@ -341,6 +341,31 @@ object JournalOps {
             .otherwise(lit(0.0)), 4).as("z"))
         .orderBy("event_type", "day")
     }),
+    "events_rolling_dau" -> ((s, d) => {
+      // Rolling 7-day distinct active users per day (DAU7) — the
+      // engagement metric every analytics stack reports. Exact distinct
+      // over a sliding window can't be a window function (no
+      // count(DISTINCT) frames), and the naive day-spine range join
+      // plans a nested-loop at scale. Instead each (day, user) row is
+      // EXPLODED to the ≤7 report days it contributes to — a map-side
+      // ×7 expansion of the already-distinct (day, user) frame — and
+      // one groupBy(day) counts distinct users. Shuffles: the (day,
+      // user) distinct and the final count-distinct, both on small
+      // keyed frames; no join at all except the 1-row broadcast max-day
+      // scalar bounding the spine (events_resample precedent, no
+      // driver collect). Warm-up days (fewer than 7 predecessors)
+      // report their partial trailing window, the standard convention.
+      val du = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val mx = du.agg(max("day").as("mxd")).where(col("mxd").isNotNull)
+      du.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("d"))
+        .crossJoin(broadcast(mx))
+        .where(col("d") <= col("mxd"))
+        .groupBy("d")
+        .agg(countDistinct("user_id").as("dau7"))
+        .orderBy("d")
+    }),
     "journal_time_travel" -> ((s, d) => {
       // SQL time travel end-to-end (sources/JournalCatalog.loadTable
       // overloads): two INSERT commits → two more manifest versions;
@@ -478,6 +503,13 @@ object JournalOps {
         "SELECT user_id, session_id, count(*) AS n_events, " +
         "min(tus) AS start_us, max(tus) AS end_us " +
         "FROM z GROUP BY 1, 2 ORDER BY user_id, session_id"),
+    "events_rolling_dau" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "mx AS (SELECT max(day) AS mxd FROM du), " +
+        "ex AS (SELECT user_id, CAST(unnest(generate_series(day, day + 6, " +
+        "INTERVAL 1 DAY)) AS DATE) AS d FROM du) " +
+        "SELECT d, count(DISTINCT user_id) AS dau7 FROM ex, mx " +
+        "WHERE d <= mxd GROUP BY d ORDER BY d"),
     "events_attribution" ->
       ("SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts, " +
         "i.event_id AS i_id, i.ts AS i_ts " +

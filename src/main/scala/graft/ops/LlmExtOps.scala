@@ -152,6 +152,43 @@ object LlmExtOps {
         .orderBy("a_id", "b_id")
     }),
 
+    "dedup_embedding_lsh" -> ((s, d) => {
+      // The SCALE twin of dedup_embedding (which is exact but bounded
+      // to vec_id < 500 by contract): embedding near-dup over the WHOLE
+      // table with LSH-banded candidate generation. Every vector gets
+      // its K=4 random-hyperplane bucket ids map-side (native codegen'd
+      // lsh_buckets kernel, same LCG hyperplanes as sim_ann_lsh so the
+      // DuckDB oracle derives identical buckets); candidates are pairs
+      // sharing (table, bucket) — the ONLY shuffle key is the band
+      // bucket, never all-pairs (the dedup_minhash shape, on vectors).
+      // Both self-join sides are the same subtree, so the bucket
+      // exchange is planned once and reused. Verification is the exact
+      // cosine on candidates only; a pair recalled by several tables is
+      // collapsed by the tiny per-pair groupBy, which also reports the
+      // table-collision count (the LSH confidence signal). Banding
+      // trades recall for never materializing O(n²) — the knob is
+      // (tables × planes), and the exact-subset property vs
+      // dedup_embedding is pinned in LlmExtSpec.
+      graft.expr.GraftFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val tagged = e.select(col("vec_id"), col("embedding"),
+          posexplode(expr(s"lsh_buckets(embedding, $lshTables, $lshPlanes)"))
+            .as(Seq("tbl", "bucket")))
+      val ax = tagged.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("tbl"), col("bucket"))
+      val bx = tagged.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("tbl"), col("bucket"))
+      ax.join(bx, Seq("tbl", "bucket"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+                graft.Det.r(expr("cosine_sim(a_emb, b_emb)"), 4).as("sim"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).cast("int").as("n_tables"), max("sim").as("sim"))
+        .where(col("sim") >= 0.45)
+        .select("a_id", "b_id", "n_tables", "sim")
+        .orderBy("a_id", "b_id")
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       // 4×15-bit bands over the 60-bit portable simhash → candidates
       // share a band; verify with XOR popcount ≤ 3. With ≤3 differing
@@ -552,6 +589,74 @@ object LlmExtOps {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket_lo")),
 
+    "text_cms_topk" -> ((s, d) => {
+      // Count-min sketch (Cormode-Muthukrishnan) heavy hitters: the
+      // FIXED-MEMORY frequency structure a 100 TB token-counting pass
+      // ships instead of a full distinct-token table — depth 4 × width
+      // 512 cells here, constant regardless of corpus size. Hashes are
+      // the portable md5-slice (row r hashes token t to
+      // md5("r:t")[0,15) mod width), so DuckDB builds the identical
+      // sketch. One corpus-token shuffle total: the exact per-token
+      // counts aggregate; the sketch is then built by expanding the
+      // DISTINCT-token frame ×depth and summing counts per cell —
+      // mathematically identical to hashing every occurrence, without
+      // a second corpus pass. The query reports the exact top-20
+      // tokens with their CMS estimate and overcount (est − n ≥ 0 by
+      // construction, the sketch's one-sided error) — the estimate
+      // join probes 80 broadcast rows against the 2048-cell sketch.
+      val tok = Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("t"))
+        .where(col("t") =!= "")
+      val counts = tok.groupBy("t").agg(count(lit(1)).as("n"))
+      val hashC = expr("CAST(conv(substring(md5(concat(CAST(r AS STRING), " +
+        "':', t)), 1, 15), 16, 10) AS BIGINT) % 512")
+      val cells = counts
+        .select(col("t"), col("n"), explode(expr("sequence(0, 3)")).as("r"))
+        .select(col("r"), hashC.as("c"), col("n"))
+      val sketch = cells.groupBy("r", "c").agg(sum("n").as("cell"))
+      val top = counts.orderBy(col("n").desc, col("t")).limit(20)
+      val probes = top
+        .select(col("t"), col("n"), explode(expr("sequence(0, 3)")).as("r"))
+        .select(col("t"), col("n"), col("r"), hashC.as("c"))
+      sketch.join(broadcast(probes), Seq("r", "c"))
+        .groupBy("t", "n").agg(min("cell").as("est"))
+        .select(col("t"), col("n"), col("est"),
+                (col("est") - col("n")).as("overcount"))
+        .orderBy(col("n").desc, col("t"))
+    }),
+
+    "text_quality_funnel" -> ((s, d) => {
+      // The composed C4-style cleaning pipeline as ONE funnel readout:
+      // per source, how many documents pass each filter (language by
+      // stopword ratio, token-length band, short-token share) and the
+      // conjunction — the go/no-go dashboard a corpus-cleaning run
+      // produces. All signals are per-row map-side projections reusing
+      // the text_langid / text_quality formulations verbatim; one tiny
+      // groupBy(source) shuffle carries only the 0/1 flags. Ratio
+      // predicates compare the Det-rounded value, so the pass/fail
+      // boundary cannot flip between engines (sub_scalar_corr
+      // precedent).
+      val m = Tables(s, d, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .select(col("source"),
+          size(col("w")).as("nt"),
+          graft.Det.r(expr(s"size(filter(w, t -> $stopCond))").cast("double") /
+            greatest(size(col("w")), lit(1)), 4).as("stop_ratio"),
+          graft.Det.r(expr("size(filter(w, t -> length(t) <= 2))").cast("double") /
+            greatest(size(col("w")), lit(1)), 4).as("short_ratio"))
+      m.select(col("source"),
+          (col("stop_ratio") >= 0.05).cast("int").as("pl"),
+          (col("nt") >= 5 && col("nt") <= 1000).cast("int").as("pn"),
+          (col("short_ratio") <= 0.5).cast("int").as("ps"))
+        .withColumn("pa",
+          (col("pl") === 1 && col("pn") === 1 && col("ps") === 1).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("pl").as("n_lang"),
+             sum("pn").as("n_len"), sum("ps").as("n_short"),
+             sum("pa").as("n_kept"))
+        .orderBy("source")
+    }),
+
     "join_nullsafe" -> ((s, d) => {
       // null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
       // match each other — the semantics dedup-on-nullable-columns needs
@@ -944,6 +1049,54 @@ object LlmExtOps {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE a.vec_id < 500 AND b.vec_id < 500 " +
         "AND " + graft.Det.sql.r("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) + " >= 0.45 ORDER BY a_id, b_id"),
+    "dedup_embedding_lsh" -> {
+      // Exact twin: same LCG hyperplanes → same buckets → same candidate
+      // pairs → same rounded cosine verification.
+      val bCols = (0 until lshTables)
+        .map(t => lshBucketSqlDuck(t) + s" AS b$t").mkString(", ")
+      val taggedRows = (0 until lshTables).map(t =>
+        s"SELECT vec_id, embedding, $t AS tbl, b$t AS bucket FROM b")
+        .mkString(" UNION ALL ")
+      s"WITH b AS (SELECT vec_id, embedding, $bCols FROM embeddings), " +
+        s"tagged AS ($taggedRows), " +
+        "pairs AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+        graft.Det.sql.r("list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), " +
+          "CAST(y.embedding AS DOUBLE[]))", 4) + " AS sim " +
+        "FROM tagged x JOIN tagged y ON x.tbl = y.tbl " +
+        "AND x.bucket = y.bucket AND x.vec_id < y.vec_id) " +
+        "SELECT a_id, b_id, CAST(count(*) AS INT) AS n_tables, max(sim) AS sim " +
+        "FROM pairs GROUP BY 1, 2 HAVING max(sim) >= 0.45 ORDER BY a_id, b_id"
+    },
+    "text_cms_topk" ->
+      ("WITH tok AS (SELECT t FROM (SELECT unnest(string_split(lower(text), ' ')) AS t " +
+        "FROM documents) WHERE t <> ''), " +
+        "counts AS (SELECT t, count(*) AS n FROM tok GROUP BY t), " +
+        "cells AS (SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), " +
+        "1, 15)) AS BIGINT) % 512 AS c, n " +
+        "FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS r)), " +
+        "sketch AS (SELECT r, c, CAST(sum(n) AS BIGINT) AS cell FROM cells GROUP BY r, c), " +
+        "top AS (SELECT t, n FROM counts ORDER BY n DESC, t LIMIT 20), " +
+        "probes AS (SELECT t, n, r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), " +
+        "1, 15)) AS BIGINT) % 512 AS c " +
+        "FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS r)) " +
+        "SELECT p.t, p.n, min(s.cell) AS est, min(s.cell) - p.n AS overcount " +
+        "FROM probes p JOIN sketch s ON p.r = s.r AND p.c = s.c " +
+        "GROUP BY p.t, p.n ORDER BY n DESC, t"),
+    "text_quality_funnel" ->
+      ("WITH m AS (SELECT source, len(w) AS nt, " +
+        graft.Det.sql.r("CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE) " +
+          "/ greatest(len(w), 1)", 4) + " AS stop_ratio, " +
+        graft.Det.sql.r("CAST(len(list_filter(w, t -> length(t) <= 2)) AS DOUBLE) " +
+          "/ greatest(len(w), 1)", 4) + " AS short_ratio " +
+        "FROM (SELECT source, string_split(lower(text), ' ') AS w FROM documents)), " +
+        "p AS (SELECT source, " +
+        "CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END AS pl, " +
+        "CASE WHEN nt >= 5 AND nt <= 1000 THEN 1 ELSE 0 END AS pn, " +
+        "CASE WHEN short_ratio <= 0.5 THEN 1 ELSE 0 END AS ps FROM m) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(pl) AS BIGINT) AS n_lang, " +
+        "CAST(sum(pn) AS BIGINT) AS n_len, CAST(sum(ps) AS BIGINT) AS n_short, " +
+        "CAST(sum(CASE WHEN pl = 1 AND pn = 1 AND ps = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_kept FROM p GROUP BY source ORDER BY source"),
     "text_langid" ->
       ("SELECT doc_id, lang, stop_ratio, " +
         "CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang FROM " +

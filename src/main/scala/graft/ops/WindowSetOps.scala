@@ -154,6 +154,31 @@ object WindowSetOps {
         .orderBy("c_nationkey", "c_custkey")
     }),
 
+    "win_running_distinct" -> ((s, d) => {
+      // Running count of DISTINCT event types seen per user — the
+      // "how many features has this user touched so far" curve. There
+      // is no count(DISTINCT) window frame in either engine; the
+      // standard exact rewrite marks each (user, type)'s FIRST
+      // occurrence with row_number()==1 over (user, type) and then
+      // running-sums the marks over (user). Two window passes on
+      // different partition keys → two exchanges, but both are keyed
+      // on the user axis and per-row state is O(1) — no per-user
+      // buffer, bot-skew safe (events_sessionize precedent). Ties on
+      // ts break by the unique event_id, so the curve is
+      // deterministic.
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("fs",
+          when(row_number().over(wFirst) === 1, 1).otherwise(0))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                sum("fs").over(wRun).cast("long").as("n_types_seen"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- §2.F sort / top-k / set ops ------------------------------------
     "sort_multi_null" -> ((s, d) =>
       // No natural nulls in the fixtures — manufacture them with nullif so
@@ -261,6 +286,14 @@ object WindowSetOps {
         "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY c_nationkey, c_custkey"),
+    "win_running_distinct" ->
+      ("WITH f AS (SELECT user_id, event_id, event_type, ts, " +
+        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fs FROM events) " +
+        "SELECT user_id, event_id, event_type, " +
+        "CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen " +
+        "FROM f ORDER BY user_id, event_id"),
     "sort_multi_null" ->
       ("SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal FROM customer " +
         "ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey"),

@@ -321,6 +321,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(fullScans == 1, s"expected one events scan, plan:\n$p")
   }
 
+  test("dedup_embedding_lsh shares one bucket exchange and never goes all-pairs") {
+    val df = SparkEntry.queries("dedup_embedding_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation must be an EQUI join on (tbl, bucket). At this
+    // fixture size AQE broadcasts one side (BroadcastHashJoin); at scale
+    // both sides shuffle on the bucket and share the exchange — either
+    // hash flavor is the banded shape. What must never appear is a
+    // nested-loop/cartesian, i.e. all-pairs.
+    assert(p.contains("BroadcastHashJoin") || p.contains("ReusedExchange"),
+      "bucket join must be an equi hash join:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must be the banded equi-join, never all-pairs:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_rolling_dau expands map-side — no spine join, no nested loop over events") {
+    val df = SparkEntry.queries("events_rolling_dau")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"),
+      "each (day, user) row must explode to its <=7 report days:\n" + p)
+    // only joins allowed: the 1-row broadcast max-day scalar (a BNLJ with
+    // a single-row build side); no shuffled join of any flavor
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("text_cms_topk probes the sketch with a broadcast, one corpus-token shuffle") {
+    val df = SparkEntry.queries("text_cms_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the 80-row probe side must broadcast into the sketch:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_normtext shuffles md5 digests, never document bodies") {
     val df = SparkEntry.queries("dedup_normtext")(spark, sf)
     df.collect()

@@ -201,6 +201,29 @@ class LlmExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (got ${out.map(_._1)})")
   }
 
+  test("dedup_embedding_lsh pairs are a subset of the exact near-dup pairs") {
+    // LSH banding trades recall, never precision: every surviving pair
+    // carries the EXACT rounded cosine, so on the slice dedup_embedding
+    // covers (both ids < 500) the LSH pairs must be exactly a subset of
+    // the brute-force pairs, with identical sims.
+    val lsh = LlmExtOps.queries("dedup_embedding_lsh")(spark, sf)
+      .where(col("a_id") < 500 && col("b_id") < 500)
+      .select("a_id", "b_id", "sim")
+    val exact = LlmExtOps.queries("dedup_embedding")(spark, sf)
+      .select("a_id", "b_id", "sim")
+    assert(lsh.join(exact, Seq("a_id", "b_id", "sim"), "left_anti").count() == 0,
+      "an LSH pair missing from the exact pairs would mean a false positive")
+  }
+
+  test("text_cms_topk: estimates are one-sided (est >= exact count)") {
+    val rows = LlmExtOps.queries("text_cms_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val est = r.getAs[Long]("est")
+      assert(est >= n, s"CMS must never undercount: ${r}")
+    }
+  }
+
   test("text_fingerprint_rolling: declarative query equals the Scala accumulator") {
     val out = LlmExtOps.queries("text_fingerprint_rolling")(spark, sf)
       .as[(Long, Long)].collect().toMap
