@@ -264,6 +264,26 @@ object JournalOps {
       store.append(journal(s, d))
       store.segmentStats()
     }),
+    "journal_meta_agg" -> ((s, d) => {
+      // Metadata-only aggregates through the DSv2 scan: a global
+      // count/min/max over the journal table is answered from the
+      // manifest's per-file stats (sources/JournalV2.scala
+      // ManifestAggScan — complete aggregate pushdown planning as ONE
+      // driver-built row, zero data files opened). At 100 TB this is
+      // the difference between a manifest parse and a full-log scan for
+      // `SELECT count(*) FROM journal.t`. AggPushdownSpec pins the scan
+      // node; this query pins the VALUES against the DuckDB twin.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jagg_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "5000").save(tmp)
+      s.read.format("journal").load(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"),
+          min("ukey").as("min_ukey"), max("ukey").as("max_ukey"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+    }),
     "journal_catalog_sql" -> ((s, d) => {
       // SQL addressability end-to-end (sources/JournalCatalog.scala): a
       // journal store named in a Spark TableCatalog, populated by SQL
@@ -566,6 +586,14 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
         "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
+    "journal_meta_agg" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(min(event_id) AS BIGINT) AS min_seq, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq, " +
+        "CAST(min(user_id) AS BIGINT) AS min_ukey, " +
+        "CAST(max(user_id) AS BIGINT) AS max_ukey, " +
+        "min(ts) AS min_ts, max(ts) AS max_ts " +
+        "FROM events WHERE event_id < 6000"),
     "events_spine_recursive" ->
       ("WITH RECURSIVE spine(day) AS (" +
         "SELECT CAST(date_trunc('day', (SELECT min(ts) FROM events)) AS DATE) " +

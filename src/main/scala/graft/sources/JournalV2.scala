@@ -6,7 +6,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, LessThan => CLt, LessThanOrEqual => CLte, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
@@ -269,12 +271,96 @@ private[sources] class JournalScanBuilder(
     remaining
   }
 
+  /** Manifest-stats aggregate pushdown: a GLOBAL `count(*)` /
+    * `min`/`max` over `seq`/`ukey`/`ts` with no filters is answered
+    * entirely from the manifest's per-file stats — the scan plans as a
+    * single driver-built row and opens ZERO files. This is the
+    * metadata-only path that makes `SELECT count(*) FROM journal.t` on
+    * a 100 TB log a manifest parse (the same stats `nsStats()` serves
+    * through the store API, now reachable from plain SQL).
+    *
+    * Strictly exact-or-decline: every manifest file must carry stats
+    * (a pre-stats store falls back to the ordinary columnar scan), any
+    * pushed filter declines (stats describe unfiltered data), any
+    * group-by declines. min/max over an all-null column (sentinel
+    * min > max in every file) answers NULL — the aggregate's own
+    * semantics. count(*) includes null rows, exactly like the per-file
+    * row counts. */
+  private var manifestAgg: Option[(StructType, Array[Any])] = None
+
+  private def planManifestAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (partitionFilters.nonEmpty || dataFilters.nonEmpty) return None
+    if (relFiles.isEmpty || !relFiles.forall(fstats.contains)) return None
+    val ss = relFiles.map(fstats)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    // (field, internal value) per supported aggregate; None = decline all
+    def slot(f: AggregateFunc): Option[(org.apache.spark.sql.types.StructField, Any)] = f match {
+      case _: CountStar =>
+        Some((org.apache.spark.sql.types.StructField("count(*)", LongType,
+          nullable = false), ss.map(_.rows).sum: java.lang.Long))
+      case m: Min => colName(m.column).flatMap {
+        case "seq" => Some((org.apache.spark.sql.types.StructField("min(seq)",
+          LongType), ss.map(_.minSeq).min: java.lang.Long))
+        case "ukey" =>
+          val keyed = ss.filter(s => s.minKey <= s.maxKey)
+          Some((org.apache.spark.sql.types.StructField("min(ukey)", LongType),
+            if (keyed.isEmpty) null else keyed.map(_.minKey).min: java.lang.Long))
+        case "ts" =>
+          val tsed = ss.filter(s => s.tsMin <= s.tsMax)
+          Some((org.apache.spark.sql.types.StructField("min(ts)",
+            org.apache.spark.sql.types.TimestampType),
+            if (tsed.isEmpty) null else tsed.map(_.tsMin).min: java.lang.Long))
+        case _ => None
+      }
+      case m: Max => colName(m.column).flatMap {
+        case "seq" => Some((org.apache.spark.sql.types.StructField("max(seq)",
+          LongType), ss.map(_.maxSeq).max: java.lang.Long))
+        case "ukey" =>
+          val keyed = ss.filter(s => s.minKey <= s.maxKey)
+          Some((org.apache.spark.sql.types.StructField("max(ukey)", LongType),
+            if (keyed.isEmpty) null else keyed.map(_.maxKey).max: java.lang.Long))
+        case "ts" =>
+          val tsed = ss.filter(s => s.tsMin <= s.tsMax)
+          Some((org.apache.spark.sql.types.StructField("max(ts)",
+            org.apache.spark.sql.types.TimestampType),
+            if (tsed.isEmpty) null else tsed.map(_.tsMax).max: java.lang.Long))
+        case _ => None
+      }
+      case _ => None
+    }
+    val slots = agg.aggregateExpressions.toSeq.map(slot)
+    if (slots.isEmpty || slots.exists(_.isEmpty)) None
+    else Some((StructType(slots.flatten.map(_._1)),
+      slots.flatten.map(_._2).toArray))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planManifestAgg(agg).isDefined || super.supportCompletePushDown(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planManifestAgg(agg) match {
+      case some @ Some(_) => manifestAgg = some; true
+      // fall through to the parquet footer-stats path (conf-gated,
+      // per-file partial rows) so declining here never disables it
+      case None => super.pushAggregation(agg)
+    }
+
   /** A pushed `ukey =` probe swaps in a file index over only the files
     * whose per-file key range (manifest fstats) can contain the key —
     * file-level data skipping the partition directories can't express.
     * Files without stats are always kept (exact-or-conservative, the
     * same contract as the store API's pruning). */
   override def build(): ParquetScan = {
+    manifestAgg match {
+      case Some((aggSchema, values)) =>
+        return new ManifestAggScan(super.build(), aggSchema, values, storePath)
+      case None => ()
+    }
     val scan = super.build()
     val keyEq = pushedDataFilters.collectFirst {
       case sources.EqualTo("ukey", v: Long) => v
@@ -312,6 +398,53 @@ private[sources] class JournalParquetScan(base: ParquetScan,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new JournalMicroBatchStream(base.sparkSession, storePath, tableSchema,
       maxSeqsPerTrigger)
+}
+
+/** The manifest-answered aggregate scan: one input partition producing
+  * ONE driver-computed row — `count(*)`/`min`/`max` straight from the
+  * manifest's per-file stats, zero data files opened. Subclasses
+  * `ParquetScan` only because `ParquetScanBuilder.build()` narrows its
+  * return type; every read-path method is overridden. Equality includes
+  * the aggregate surface so plan/scan reuse can never alias two
+  * different aggregates over the same file set. */
+private[sources] class ManifestAggScan(base: ParquetScan,
+                                       aggSchema: StructType,
+                                       values: Array[Any],
+                                       storePath: String)
+    extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
+      base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+      base.pushedFilters, base.options, base.pushedAggregate,
+      base.partitionFilters, base.dataFilters) {
+  override def readSchema(): StructType = aggSchema
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestAggReaderFactory(values)
+  override def description(): String =
+    s"ManifestAggScan[$storePath, ${aggSchema.fieldNames.mkString(", ")}]"
+  override def equals(obj: Any): Boolean = obj match {
+    case o: ManifestAggScan =>
+      super.equals(o) && aggSchema == o.readSchema() &&
+        values.toSeq == o.rowValues
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * super.hashCode() + aggSchema.hashCode()
+  private[sources] def rowValues: Seq[Any] = values.toSeq
+}
+
+private[sources] case object ManifestAggPartition extends InputPartition
+
+private[sources] class ManifestAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
 }
 
 /** Batch+streaming scan of a store with no committed files: zero input

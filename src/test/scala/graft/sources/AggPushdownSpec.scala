@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Manifest-stats aggregate pushdown (JournalV2.ManifestAggScan): a
+  * global count/min/max over a journal table must be answered from the
+  * manifest — one driver-built row, zero data files opened — and must
+  * DECLINE (exact-or-decline contract) whenever a filter or group-by
+  * makes the stats insufficient. */
+class AggPushdownSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkStore(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_").toString + "/store"
+    val df = Seq(
+      (0L, "a", 10L, "2024-01-01 00:00:01", "p0", 1.0),
+      (1L, "a", 20L, "2024-01-02 00:00:02", "p1", 2.0),
+      (2L, "b", 5L, "2024-01-03 00:00:03", "p2", 3.0),
+      (3L, "b", 70L, "2024-01-04 00:00:04", "p3", 4.0),
+      (4L, "c", 40L, "2024-01-05 00:00:05", "p4", 5.0))
+      .toDF("seq", "ns", "ukey", "ts", "payload", "val")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    df.write.format("journal").option("epochSize", "2").save(dir)
+    dir
+  }
+
+  private def scans(df: DataFrame) = {
+    df.collect() // force execution (AQE finalizes the plan)
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.getClass.getSimpleName
+    }
+  }
+
+  test("global count/min/max answers from the manifest (no file scan)") {
+    val dir = mkStore()
+    val agg = spark.read.format("journal").load(dir)
+      .agg(count(lit(1)).as("n"),
+        min("seq").as("mns"), max("seq").as("mxs"),
+        min("ukey").as("mnk"), max("ukey").as("mxk"),
+        min("ts").as("mnt"), max("ts").as("mxt"))
+    val row = agg.collect()(0)
+    assert(row.getLong(0) === 5L)
+    assert(row.getLong(1) === 0L && row.getLong(2) === 4L)
+    assert(row.getLong(3) === 5L && row.getLong(4) === 70L)
+    assert(row.getTimestamp(5).toString.startsWith("2024-01-01") &&
+      row.getTimestamp(6).toString.startsWith("2024-01-05"))
+    assert(scans(agg) === Seq("ManifestAggScan"),
+      agg.queryExecution.executedPlan.toString)
+  }
+
+  test("count(*) alone answers from the manifest") {
+    val dir = mkStore()
+    val agg = spark.read.format("journal").load(dir).agg(count(lit(1)).as("n"))
+    assert(agg.as[Long].collect()(0) === 5L)
+    assert(scans(agg) === Seq("ManifestAggScan"))
+  }
+
+  test("a filtered aggregate declines pushdown (stats describe unfiltered data)") {
+    val dir = mkStore()
+    val agg = spark.read.format("journal").load(dir)
+      .where(col("ns") === "a").agg(count(lit(1)).as("n"))
+    assert(agg.as[Long].collect()(0) === 2L)
+    assert(!scans(agg).contains("ManifestAggScan"))
+    val agg2 = spark.read.format("journal").load(dir)
+      .where(col("seq") >= 2).agg(max("ukey").as("m"))
+    assert(agg2.as[Long].collect()(0) === 70L)
+    assert(!scans(agg2).contains("ManifestAggScan"))
+  }
+
+  test("group-by and unsupported columns decline pushdown") {
+    val dir = mkStore()
+    val byNs = spark.read.format("journal").load(dir)
+      .groupBy("ns").agg(count(lit(1)).as("n")).orderBy("ns")
+    assert(byNs.as[(String, Long)].collect().toSeq ===
+      Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    assert(!scans(byNs).contains("ManifestAggScan"))
+    val valAgg = spark.read.format("journal").load(dir).agg(min("val").as("m"))
+    assert(valAgg.as[Double].collect()(0) === 1.0)
+    assert(!scans(valAgg).contains("ManifestAggScan"))
+  }
+
+  test("journal_meta_agg (declared query) rides ManifestAggScan and matches the data") {
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("journal_meta_agg")(spark, sf)
+    val row = q.collect()(0)
+    val ev = graft.Tables(spark, sf, "events").where(col("event_id") < 6000)
+      .agg(count(lit(1)), min("event_id"), max("event_id"),
+        min("user_id"), max("user_id"), min("ts"), max("ts")).collect()(0)
+    assert(row === ev)
+    assert(scans(q).contains("ManifestAggScan"),
+      q.queryExecution.executedPlan.toString)
+  }
+
+  test("all-null ukey in every file answers NULL min/max from the sentinel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_n_").toString + "/store"
+    Seq((0L, "a", "2024-01-01 00:00:01", "p0", 1.0),
+        (1L, "a", "2024-01-02 00:00:02", "p1", 2.0))
+      .toDF("seq", "ns", "ts", "payload", "val")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ukey", lit(null).cast("long"))
+      .write.format("journal").option("epochSize", "10").save(dir)
+    val agg = spark.read.format("journal").load(dir)
+      .agg(count(lit(1)).as("n"), min("ukey").as("mn"), max("ukey").as("mx"))
+    val row = agg.collect()(0)
+    assert(row.getLong(0) === 2L && row.isNullAt(1) && row.isNullAt(2))
+    assert(scans(agg) === Seq("ManifestAggScan"))
+  }
+}
