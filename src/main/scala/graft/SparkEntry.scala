@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     JournalOps.queries ++ RelationalOps.queries ++ SubqueryOps.queries ++
       WindowSetOps.queries ++ ScalarFnOps.queries ++ LlmOps.queries ++
-      LlmExtOps.queries ++ StreamBatchOps.queries
+      LlmExtOps.queries ++ StreamBatchOps.queries ++ GraphOps.queries
 
   /** DuckDB 1.0 twin for every SQL-expressible query (driver's t2 gate).
     * Keys absent here get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     JournalOps.oracle ++ RelationalOps.oracle ++ SubqueryOps.oracle ++
       WindowSetOps.oracle ++ ScalarFnOps.oracle ++ LlmOps.oracle ++
-      LlmExtOps.oracle ++ StreamBatchOps.oracle
+      LlmExtOps.oracle ++ StreamBatchOps.oracle ++ GraphOps.oracle
 }

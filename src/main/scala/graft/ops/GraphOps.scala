@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the relational fixtures — the link-analysis
+  * operators a web-crawl training pipeline runs between harvest and
+  * filtering (SURVEY §2 round-8 delta; /root/reference is empty, see
+  * SURVEY §0, so rows cite the SURVEY §2 contract).
+  *
+  * The graph is the bipartite customer–part co-purchase graph derived
+  * from lineitem ⋈ orders (the fixtures have no native edge table).
+  * Scale design: edge-list joins, never adjacency materialization; the
+  * iteration count is FIXED (not convergence-tested), so every declared
+  * query is a bounded, deterministic plan both engines can replay. All
+  * rank arithmetic is INTEGER-scaled (ranks live in units of 1e-12 of
+  * the total mass): BIGINT sums are associative and exact in any
+  * execution order, so the Spark result and the DuckDB oracle are
+  * bit-identical — the float-accumulation-order hazard (SURVEY §2.0.5)
+  * never arises. */
+object GraphOps {
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> ((s, d) => {
+      // PageRank, damping 0.85, 3 fixed iterations, integer-scaled.
+      // Nodes: customers as 2k, parts as 2k+1 (one BIGINT id space —
+      // string tags would double the shuffle width). Edges go BOTH ways
+      // (undirected bipartite), so every node has degree ≥ 1 and the
+      // dangling-mass term vanishes. Per iteration: contributions are a
+      // per-row projection (rank div degree), messages shuffle ONCE on
+      // dst, and the damped update needs the node count — a 1-row
+      // broadcast scalar (journal_replay_tail precedent, no driver
+      // collect). The edge list + degrees are localCheckpoint'd once:
+      // 3 iterations replay the tiny pinned frames, not the
+      // lineitem ⋈ orders lineage (dedup_corpus_minhash precedent).
+      val S = 1000000000000L // rank mass scale: 1e12 per unit of mass
+      val cp = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(cp.select(col("p").as("src"), col("c").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint()
+      val nRow = broadcast(deg.agg(count(lit(1)).as("n")))
+      var ranks = deg.crossJoin(nRow)
+        .select(col("node"), expr(s"$S div n").as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = ranks.join(deg, "node")
+          .select(col("node"), expr("rank div deg").as("contrib"))
+        ranks = edges.join(contrib, edges("src") === contrib("node"))
+          .groupBy("dst").agg(sum("contrib").as("msum"))
+          .crossJoin(nRow)
+          .select(col("dst").as("node"),
+            expr(s"(15 * ($S div n) + 85 * msum) div 100").as("rank"))
+      }
+      ranks
+        .select(
+          when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
+            .as("kind"),
+          expr("node div 2").as("id"), col("rank"))
+        .orderBy(col("rank").desc, col("kind"), col("id")).limit(30)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val S = "1000000000000"
+      // one iteration of the damped integer update, parameterized on the
+      // previous ranks CTE — textually identical math to the Spark side
+      def it(prev: String, out: String): String =
+        s"$out AS (SELECT e.dst AS node, " +
+          s"(15 * ($S // n) + 85 * sum(r.rank // dg.deg)) // 100 AS rank " +
+          s"FROM edges e JOIN $prev r ON r.node = e.src " +
+          "JOIN deg dg ON dg.node = e.src, nn GROUP BY e.dst, n)"
+      "WITH cp AS (SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "edges AS (SELECT c AS src, p AS dst FROM cp " +
+        "UNION ALL SELECT p, c FROM cp), " +
+        "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        s"r0 AS (SELECT node, $S // n AS rank FROM deg, nn), " +
+        it("r0", "r1") + ", " + it("r1", "r2") + ", " + it("r2", "r3") + " " +
+        "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind, " +
+        "node // 2 AS id, CAST(rank AS BIGINT) AS rank " +
+        "FROM r3 ORDER BY rank DESC, kind, id LIMIT 30"
+    },
+  )
+}

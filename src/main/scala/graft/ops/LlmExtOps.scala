@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -589,6 +590,56 @@ object LlmExtOps {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket_lo")),
 
+    "text_inverted_index" -> ((s, d) => {
+      // Inverted index build: token → document frequency, total term
+      // frequency, and a CAPPED posting-list head (first 5 doc_ids) —
+      // the IR structure a retrieval/dedup stage materializes. The cap
+      // is load-bearing at scale: an uncapped collect_list of a
+      // stopword's postings is a single-row OOM at 100 TB, so posting
+      // membership is ranked per token (row_number over doc_id) and
+      // only rank ≤ 5 rows enter the list; df/tf stay exact over ALL
+      // rows. The window and the final groupBy share the token-axis
+      // exchange; one (token, doc) shuffle before that.
+      val wTok = Window.partitionBy("token").orderBy("doc_id")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        .withColumn("rn", row_number().over(wTok))
+        .groupBy("token")
+        .agg(count(lit(1)).cast("long").as("df"),
+             sum("tf").cast("long").as("tf_total"),
+             concat_ws(",", transform(
+               sort_array(collect_list(when(col("rn") <= 5, col("doc_id")))),
+               x => x.cast("string"))).as("postings_head"))
+        .orderBy("token")
+    }),
+
+    "dedup_substring" -> ((s, d) => {
+      // Intra-corpus exact-substring contamination (the Gopher/C4
+      // "remove repeated passages" pass, scoped to word 8-grams): a doc
+      // is flagged with the count of its distinct 8-grams that ALSO
+      // appear in some other document. Never pairwise: per-doc distinct
+      // grams explode map-side (md5 digests, never the text, cross the
+      // wire — the dedup_normtext rule), the cross-doc df comes from
+      // ONE count window over the gram axis, and the per-doc rollup
+      // groups on doc_id — two shuffles total, no candidate-pair blowup
+      // at any df (a gram shared by k docs costs k rows, not k²).
+      val wG = Window.partitionBy("g")
+      Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 7), " +
+            "i -> md5(concat_ws(' ', slice(toks, i, 8))))"))).as("g"))
+        .withColumn("df", count(lit(1)).over(wG))
+        .where(col("df") >= 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_shared_grams"),
+             max("df").cast("long").as("max_gram_df"))
+        .orderBy("doc_id")
+    }),
+
     "text_cms_topk" -> ((s, d) => {
       // Count-min sketch (Cormode-Muthukrishnan) heavy hitters: the
       // FIXED-MEMORY frequency structure a 100 TB token-counting pass
@@ -1067,6 +1118,26 @@ object LlmExtOps {
         "SELECT a_id, b_id, CAST(count(*) AS INT) AS n_tables, max(sim) AS sim " +
         "FROM pairs GROUP BY 1, 2 HAVING max(sim) >= 0.45 ORDER BY a_id, b_id"
     },
+    "text_inverted_index" ->
+      ("WITH td AS (SELECT token, doc_id, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "WHERE length(token) > 0 GROUP BY 1, 2), " +
+        "r AS (SELECT token, doc_id, tf, " +
+        "row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM td) " +
+        "SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total, " +
+        "string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END, ',' " +
+        "ORDER BY doc_id) AS postings_head " +
+        "FROM r GROUP BY 1 ORDER BY token"),
+    "dedup_substring" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 8), " +
+        "grams AS (SELECT DISTINCT doc_id, " +
+        "md5(array_to_string(t[i:i+7], ' ')) AS g " +
+        "FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)), " +
+        "dfd AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM grams) " +
+        "SELECT doc_id, count(*) AS n_shared_grams, " +
+        "CAST(max(df) AS BIGINT) AS max_gram_df " +
+        "FROM dfd WHERE df >= 2 GROUP BY 1 ORDER BY doc_id"),
     "text_cms_topk" ->
       ("WITH tok AS (SELECT t FROM (SELECT unnest(string_split(lower(text), ' ')) AS t " +
         "FROM documents) WHERE t <> ''), " +

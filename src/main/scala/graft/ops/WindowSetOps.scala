@@ -179,6 +179,31 @@ object WindowSetOps {
         .orderBy("user_id", "event_id")
     }),
 
+    "win_gaps_islands" -> ((s, d) => {
+      // Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+      // user (streaks). The classic exact rewrite: day − row_number()
+      // over (user ORDER BY day) is constant within a consecutive run
+      // and strictly decreasing across gaps, so it IS the island key —
+      // no self-join, no spine. Scale shape: distinct (user, day)
+      // collapses the event stream first (one shuffle), the window and
+      // both groupBys all partition on the user axis, O(1) per-row
+      // state — bot-skew safe like events_sessionize.
+      val wDay = Window.partitionBy("user_id").orderBy("day")
+      Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("island",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            - row_number().over(wDay))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_streaks"),
+             max("len").cast("long").as("max_streak"),
+             sum("len").cast("long").as("active_days"),
+             min("start_day").as("first_day"))
+        .orderBy("user_id")
+    }),
+
     // ---- §2.F sort / top-k / set ops ------------------------------------
     "sort_multi_null" -> ((s, d) =>
       // No natural nulls in the fixtures — manufacture them with nullif so
@@ -294,6 +319,20 @@ object WindowSetOps {
         "CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen " +
         "FROM f ORDER BY user_id, event_id"),
+    "win_gaps_islands" ->
+      ("WITH days AS (SELECT DISTINCT user_id, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), " +
+        "isl AS (SELECT user_id, day, " +
+        "date_diff('day', DATE '1970-01-01', day) - " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) AS island " +
+        "FROM days), " +
+        "g AS (SELECT user_id, island, count(*) AS len, min(day) AS start_day " +
+        "FROM isl GROUP BY 1, 2) " +
+        "SELECT user_id, count(*) AS n_streaks, " +
+        "CAST(max(len) AS BIGINT) AS max_streak, " +
+        "CAST(sum(len) AS BIGINT) AS active_days, " +
+        "min(start_day) AS first_day " +
+        "FROM g GROUP BY 1 ORDER BY user_id"),
     "sort_multi_null" ->
       ("SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal FROM customer " +
         "ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey"),
