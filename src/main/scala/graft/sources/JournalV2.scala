@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo =>
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
@@ -223,7 +224,8 @@ private[sources] class JournalScanBuilder(
     options: CaseInsensitiveStringMap, epochSize: Long,
     relFiles: Seq[String], fstats: Map[String, JournalStore.FileStat],
     segDir: String, storePath: String, maxSeqsPerTrigger: Option[Long])
-  extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options) {
+  extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   /** Pushed seq bounds arrive as data filters (seq is a file column);
     * derive the matching epoch directory bounds and append them to the
@@ -339,6 +341,33 @@ private[sources] class JournalScanBuilder(
       slots.flatten.map(_._2).toArray))
   }
 
+  /** Limit pushdown from manifest stats: `SELECT … FROM t LIMIT n`
+    * with NO pushed filters keeps only a prefix of the manifest's files
+    * whose known row counts cover n — a LIMIT 10 peek at a 100 TB log
+    * opens one file, not every live segment. Partial pushdown (Spark
+    * re-applies the limit above), and filter-free by construction: with
+    * a filter the kept files' post-filter row count is unknowable from
+    * stats, so pruning could return FEWER matching rows than the full
+    * scan — decline instead. Files without stats ride along counting
+    * as 0 (conservative: never dropped, never counted). */
+  private var limitFiles: Option[Seq[String]] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (partitionFilters.nonEmpty || dataFilters.nonEmpty ||
+        manifestAgg.isDefined || relFiles.isEmpty) return false
+    var acc = 0L
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = relFiles.iterator
+    while (it.hasNext && acc < limit) {
+      val f = it.next(); kept += f
+      acc += fstats.get(f).map(_.rows).getOrElse(0L)
+    }
+    if (acc >= limit && kept.size < relFiles.size) {
+      limitFiles = Some(kept.toSeq); true
+    } else false
+  }
+  override def isPartiallyPushed: Boolean = true
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     planManifestAgg(agg).isDefined || super.supportCompletePushDown(agg)
 
@@ -367,17 +396,23 @@ private[sources] class JournalScanBuilder(
       case sources.EqualTo("ukey", v: java.lang.Long) => v.longValue
       case sources.EqualTo("ukey", v: Int) => v.toLong
     }
-    val parquet = keyEq match {
-      case Some(k) =>
+    val (parquet, effFiles) = (limitFiles, keyEq) match {
+      // limit pruning and keyEq pruning are mutually exclusive by
+      // construction (pushLimit declines whenever a filter was pushed)
+      case (Some(kept), _) =>
+        (scan.copy(fileIndex =
+          JournalV2.fileIndex(spark, segDir, kept, fullSchema)), kept)
+      case (None, Some(k)) =>
         val pruned = relFiles.filter(f =>
           fstats.get(f).forall(s => s.minKey <= k && k <= s.maxKey))
         if (pruned.size < relFiles.size)
-          scan.copy(fileIndex =
-            JournalV2.fileIndex(spark, segDir, pruned, fullSchema))
-        else scan
-      case None => scan
+          (scan.copy(fileIndex =
+            JournalV2.fileIndex(spark, segDir, pruned, fullSchema)), pruned)
+        else (scan, relFiles)
+      case (None, None) => (scan, relFiles)
     }
-    new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger)
+    new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
+      effFiles, fstats, segDir)
   }
 }
 
@@ -386,18 +421,119 @@ private[sources] class JournalScanBuilder(
   * answers `toMicroBatchStream`, so the same table serves `readStream`
   * by tailing the live store by seq offset. Subclass rather than
   * wrapper because `ParquetScanBuilder.build()` narrows its return
-  * type to `ParquetScan`. */
+  * type to `ParquetScan`.
+  *
+  * ALSO implements [[SupportsRuntimeV2Filtering]] — which stock
+  * `ParquetScan` does not — so a join against a journal table prunes
+  * SEGMENT FILES at runtime from the build side's values (DPP for the
+  * epoch/ns partition directories, manifest per-file key stats for
+  * `ukey`). A `journal ⋈ small-dim` point-lookup join on a 100 TB log
+  * then opens only the files whose key ranges intersect the dim's
+  * keys, instead of every live segment. Exact-or-conservative like
+  * every other stats path: files without stats (or with unparseable
+  * directory values) are always kept, and the join's own row predicate
+  * still applies — runtime pruning is IO-only, never load-bearing. */
 private[sources] class JournalParquetScan(base: ParquetScan,
                                           tableSchema: StructType,
                                           storePath: String,
-                                          maxSeqsPerTrigger: Option[Long])
+                                          maxSeqsPerTrigger: Option[Long],
+                                          relFiles: Seq[String] = Nil,
+                                          fstats: Map[String, JournalStore.FileStat] = Map.empty,
+                                          segDir: String = "")
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
-      base.partitionFilters, base.dataFilters) {
+      base.partitionFilters, base.dataFilters)
+    with SupportsRuntimeV2Filtering {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new JournalMicroBatchStream(base.sparkSession, storePath, tableSchema,
       maxSeqsPerTrigger)
+
+  /** Only columns that SURVIVED column pruning may be declared:
+    * PartitionPruning resolves these against the scan relation's
+    * (pruned) output and throws on any miss — a static list would
+    * break every query that projects ukey/epoch/ns away. */
+  override def filterAttributes(): Array[NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val avail = readSchema().fieldNames.toSet
+    Seq("ukey", "epoch", "ns").filter(avail.contains)
+      .map(Expressions.column).toArray
+  }
+
+  /** Runtime-pruned file index; None until filter() finds a predicate
+    * that actually drops files. Driver-side mutable state, set by
+    * `BatchScanExec.filteredPartitions` BEFORE partitions are planned. */
+  @transient private var runtimeIndex: Option[PartitioningAwareFileIndex] = None
+
+  /** (column, values) from an IN / = runtime predicate over a single
+    * top-level column with all-literal operands; None otherwise. */
+  private def inValues(p: Predicate): Option[(String, Seq[Any])] = {
+    val kids = p.children()
+    if ((p.name() != "IN" && p.name() != "=") || kids.isEmpty) return None
+    kids(0) match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        val vals = kids.drop(1).toSeq.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value
+          case _ => return None
+        }
+        if (vals.isEmpty) None else Some((r.fieldNames()(0), vals))
+      case _ => None
+    }
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    if (relFiles.isEmpty) return
+    def longs(vs: Seq[Any]): Set[Long] = vs.collect {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+    }.toSet
+    val nsRe = """ns=([^/]+)""".r
+    val epochRe = """epoch=(\d+)""".r
+    var files = relFiles
+    predicates.flatMap(inValues).foreach {
+      case ("ukey", vs) =>
+        val ks = longs(vs)
+        if (ks.size == vs.size) // decline on non-integral/null values
+          files = files.filter(f => fstats.get(f).forall(s =>
+            ks.exists(k => s.minKey <= k && k <= s.maxKey)))
+      case ("epoch", vs) =>
+        val es = longs(vs)
+        if (es.size == vs.size)
+          files = files.filter(f =>
+            epochRe.findFirstMatchIn(f).forall(m => es.contains(m.group(1).toLong)))
+      case ("ns", vs) =>
+        val names = vs.map(_.toString).toSet
+        files = files.filter { f =>
+          nsRe.findFirstMatchIn(f).map(_.group(1)) match {
+            // only trust directory values that round-trip literally —
+            // the same escaping rule as the store API's filesForKey
+            case Some(dir) if dir.matches("[A-Za-z0-9_.\\-]+") =>
+              names.contains(dir)
+            case _ => true
+          }
+        }
+      case _ => ()
+    }
+    if (files.size < relFiles.size)
+      runtimeIndex = Some(
+        JournalV2.fileIndex(sparkSession, segDir, files, tableSchema))
+  }
+
+  /** Partitions come from the runtime-pruned index when one is set — a
+    * twin scan over the pruned index (stock ParquetScan `copy` keeps
+    * every other planning input identical) plans them, so runtime
+    * filtering changes WHICH files are listed, never how rows are
+    * read. `BatchScanExec.filteredPartitions` calls filter() first,
+    * then re-plans through this method. */
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeIndex match {
+      case Some(idx) =>
+        new JournalParquetScan(base.copy(fileIndex = idx), tableSchema,
+          storePath, maxSeqsPerTrigger).planInputPartitions()
+      case None => super.planInputPartitions()
+    }
 }
 
 /** The manifest-answered aggregate scan: one input partition producing

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Runtime (join-time) file pruning on the journal V2 scan
+  * (JournalParquetScan § SupportsRuntimeV2Filtering): IN/= predicates
+  * delivered by a join's build side prune segment FILES — epoch/ns by
+  * directory, ukey by the manifest's per-file key stats — before input
+  * partitions are planned. */
+class RuntimeFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Store with 4 epochs × disjoint per-file ukey ranges: epoch e holds
+    * ukeys [100e, 100e+9]. */
+  private def mkStore(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtf_").toString + "/store"
+    val rows = for (e <- 0L to 3L; i <- 0L to 9L) yield
+      (e * 10 + i, "ns" + (e % 2), e * 100 + i,
+        f"2024-01-${e + 1}%02d 00:00:00", s"p$e$i", 1.0)
+    rows.toDF("seq", "ns", "ukey", "ts", "payload", "val")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.format("journal").option("epochSize", "10").save(dir)
+    dir
+  }
+
+  private def journalScan(df: DataFrame): JournalParquetScan = {
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = root.collect { case b: BatchScanExec => b.scan }
+    scans.collectFirst { case s: JournalParquetScan => s }.get
+  }
+
+  test("filter() on ukey prunes files via manifest key stats") {
+    val dir = mkStore()
+    val df = spark.read.format("journal").load(dir)
+    val scan = journalScan(df)
+    val before = scan.planInputPartitions().length
+    assert(before >= 4, s"expected >=4 file partitions, got $before")
+    // ukey IN (105, 305) → only epoch 1 and epoch 3 files can match
+    val in = new Predicate("IN", Array(Expressions.column("ukey"),
+      Expressions.literal(105L), Expressions.literal(305L)))
+    scan.filter(Array(in))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"no pruning: $before -> $after")
+    // correctness unaffected: the pruned scan still serves both keys
+    // (fresh read; the mutated scan above was a probe)
+    val hit = spark.read.format("journal").load(dir)
+      .where(col("ukey").isin(105L, 305L)).select("ukey").as[Long]
+      .collect().sorted
+    assert(hit.toSeq === Seq(105L, 305L))
+  }
+
+  test("filter() on ns and epoch prunes directories; unknown columns are ignored") {
+    val dir = mkStore()
+    val scan = journalScan(spark.read.format("journal").load(dir))
+    val before = scan.planInputPartitions().length
+    val nsEq = new Predicate("=", Array(Expressions.column("ns"),
+      Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString("ns0"))))
+    scan.filter(Array(nsEq))
+    assert(scan.planInputPartitions().length < before)
+
+    val scan2 = journalScan(spark.read.format("journal").load(dir))
+    val epochIn = new Predicate("IN", Array(Expressions.column("epoch"),
+      Expressions.literal(2L)))
+    scan2.filter(Array(epochIn))
+    assert(scan2.planInputPartitions().length < before)
+
+    val scan3 = journalScan(spark.read.format("journal").load(dir))
+    val other = new Predicate("IN", Array(Expressions.column("payload"),
+      Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString("x"))))
+    scan3.filter(Array(other))
+    assert(scan3.planInputPartitions().length === before,
+      "unsupported column must not prune")
+  }
+
+  test("a broadcast join delivers runtime ukey pruning end-to-end") {
+    val dir = mkStore()
+    val fact = spark.read.format("journal").load(dir)
+    val dim = Seq(105L, 305L).toDF("k")
+    val joined = fact.join(broadcast(dim), col("ukey") === col("k"))
+      .select("seq", "ukey", "payload")
+    val rows = joined.collect()
+    assert(rows.length === 2, rows.mkString(","))
+    // the join plans over the journal V2 scan (query stages are leaf
+    // nodes, so assert via the rendered plan), and a projection that
+    // drops epoch/ns still declares the SURVIVING filterable column —
+    // the static-list regression that made PartitionPruning throw
+    // "Unable to resolve epoch" on any pruned projection
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("JournalParquetScan"))
+    val scan = journalScan(fact.select("seq", "ukey", "payload"))
+    assert(scan.isInstanceOf[SupportsRuntimeV2Filtering])
+    assert(scan.filterAttributes().map(_.fieldNames()(0)).toSeq === Seq("ukey"))
+    val full = journalScan(fact)
+    assert(full.filterAttributes().map(_.fieldNames()(0)).toSet ===
+      Set("ukey", "epoch", "ns"))
+  }
+}
