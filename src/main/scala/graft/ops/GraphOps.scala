@@ -63,9 +63,35 @@ object GraphOps {
           expr("node div 2").as("id"), col("rank"))
         .orderBy(col("rank").desc, col("kind"), col("id")).limit(30)
     }),
+    "graph_degree" -> ((s, d) => {
+      // Degree distribution of the same bipartite co-purchase graph —
+      // the first diagnostic a graph pipeline prints (hubs, skew, the
+      // power-law tail). Distinct pairs shuffle once; per-node degree
+      // and the (kind, degree) histogram both stay on the node axis.
+      val cp = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
+        .distinct()
+      cp.select(col("c").as("node")).unionAll(cp.select(col("p").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy(
+          when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
+            .as("kind"),
+          col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("kind", "degree")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_degree" ->
+      ("WITH cp AS (SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "deg AS (SELECT node, count(*) AS degree FROM " +
+        "(SELECT c AS node FROM cp UNION ALL SELECT p FROM cp) GROUP BY 1) " +
+        "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind, " +
+        "degree, count(*) AS n_nodes FROM deg GROUP BY 1, 2 ORDER BY kind, degree"),
     "graph_pagerank" -> {
       val S = "1000000000000"
       // one iteration of the damped integer update, parameterized on the

@@ -264,6 +264,27 @@ object JournalOps {
       store.append(journal(s, d))
       store.segmentStats()
     }),
+    "journal_dim_join" -> ((s, d) => {
+      // Point-lookup join against the journal through the DSv2 scan:
+      // a 10-key broadcast dim probes the log on ukey. This is the
+      // plan runtime file pruning (JournalParquetScan
+      // SupportsRuntimeV2Filtering, RuntimeFilterSpec) serves at
+      // 100 TB — the build side's keys prune segment files via the
+      // manifest's per-file key ranges before the probe side is read;
+      // the broadcast join means the log never shuffles.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jdim_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val dim = s.range(0, 10).select(col("id").as("k"))
+      s.read.format("journal").load(tmp)
+        .join(broadcast(dim), col("ukey") === col("k"))
+        .groupBy("ns")
+        .agg(count(lit(1)).as("n"), sum(col("ukey")).as("sum_ukey"),
+             max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
     "journal_meta_agg" -> ((s, d) => {
       // Metadata-only aggregates through the DSv2 scan: a global
       // count/min/max over the journal table is answered from the
@@ -586,6 +607,12 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(count(DISTINCT event_id // 500) AS BIGINT) AS n_epochs " +
         "FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY ns"),
+    "journal_dim_join" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 6000 AND user_id BETWEEN 0 AND 9 " +
+        "GROUP BY 1 ORDER BY ns"),
     "journal_meta_agg" ->
       ("SELECT count(*) AS n_rows, " +
         "CAST(min(event_id) AS BIGINT) AS min_seq, " +

@@ -254,6 +254,28 @@ object RelationalOps {
              Det.r(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
              Det.r(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
         .orderBy("l_returnflag")),
+    "agg_mode_median" -> ((s, d) => {
+      // Exact median + DETERMINISTIC mode per group. Neither engine's
+      // built-in mode() pins its tie-break, so the mode is computed as
+      // an arg-max over (count, value): counts per (group, value) — one
+      // shuffle, partial-aggregated — then max_by on a composite
+      // numeric key (cnt * 1000 + qty; qty ≤ 50 so the fields can't
+      // bleed). Ties break toward the LARGER value in both engines by
+      // construction, not by engine whim. Median is the exact
+      // interpolated percentile (agg_percentile precedent).
+      val li = Tables(s, d, "lineitem")
+      val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max_by(col("l_quantity"),
+          col("cnt") * 1000 + col("l_quantity").cast("long")).as("mode_qty"))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             Det.r(expr("median(l_quantity)"), 4).as("median_qty"))
+        .join(mode, "l_returnflag")
+        .select("l_returnflag", "n", "median_qty", "mode_qty")
+        .orderBy("l_returnflag")
+    }),
     "agg_salted" -> ((s, d) => {
       // Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a
       // hot key spreads over 16 reducers, then combine partials. Decimal
@@ -373,6 +395,16 @@ object RelationalOps {
         Det.sql.r("quantile_cont(l_quantity, 0.5)", 4) + " AS p50, " +
         Det.sql.r("quantile_cont(l_quantity, 0.75)", 4) + " AS p75 " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "agg_mode_median" ->
+      ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "m AS (SELECT l_returnflag, arg_max(l_quantity, " +
+        "cnt * 1000 + CAST(l_quantity AS BIGINT)) AS mode_qty FROM c GROUP BY 1) " +
+        "SELECT l.l_returnflag, count(*) AS n, " +
+        Det.sql.r("median(l_quantity)", 4) + " AS median_qty, " +
+        "CAST(max(m.mode_qty) AS DOUBLE) AS mode_qty " +
+        "FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag " +
+        "GROUP BY 1 ORDER BY 1"),
     "agg_salted" ->
       ("SELECT l_returnflag, " + Det.sql.dsum("l_quantity") + " AS sum_qty, " +
         "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
