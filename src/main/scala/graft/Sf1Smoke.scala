@@ -50,13 +50,33 @@ object Sf1Smoke {
     spark.read.parquet(s"$src/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // lineitem/orders: replicated with ALL keys shifted per replica —
+    // the 10x graph is 10 disjoint copies (nodes, edges, components all
+    // scale linearly; the co-purchase graph of 10x more orders over 10x
+    // more customers/parts, not a 10x-denser graph)
+    val K = 100000000L
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until reps).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * K))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * K))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until reps).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * K))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     println(s"[sf1] events=${spark.read.parquet(s"$out/events.parquet").count()} " +
       s"docs=${spark.read.parquet(s"$out/documents.parquet").count()}")
 
     val names = Seq("journal_scan", "journal_write_segments", "journal_format_scan",
       "journal_latest", "journal_diff", "events_funnel", "stream_session_batch",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
-      "text_tokens_top", "text_tfidf", "text_repetition", "sample_stratified")
+      "text_tokens_top", "text_tfidf", "text_repetition", "sample_stratified",
+      "graph_pagerank", "graph_degree", "win_gaps_islands",
+      "text_inverted_index", "dedup_substring", "events_sessionize")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

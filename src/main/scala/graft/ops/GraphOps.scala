@@ -39,8 +39,13 @@ object GraphOps {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
         .distinct()
+      // Pin edges PRE-PARTITIONED on src: localCheckpoint preserves the
+      // hash partitioning, so each iteration's contrib⋈edges join
+      // shuffles only the node-sized contrib frame — the edge list (the
+      // big side at 100 TB) is exchanged exactly once, here.
       val edges = cp.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(cp.select(col("p").as("src"), col("c").as("dst")))
+        .repartition(col("src"))
         .localCheckpoint()
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg")).localCheckpoint()

@@ -133,7 +133,17 @@ object StreamingOps {
     * buffered state once the watermark passes — state stays bounded by
     * (watermark + interval), partitioned on user_id across executors,
     * no matter how long the streams run. */
-  def attributeClicks(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    attributeClicksJoin(impressions, clicks, "inner")
+
+  /** Same interval join with a caller-chosen join type. LEFT OUTER is
+    * the "every click reported, attributed or not" variant: an
+    * unmatched click emits with null impression columns once the
+    * watermark proves no in-window impression can still arrive —
+    * correctness rides the same bounded state eviction as the inner
+    * form, no extra buffering. */
+  def attributeClicksJoin(impressions: DataFrame, clicks: DataFrame,
+                          joinType: String): DataFrame = {
     val imp = impressions.select(col("user_id").as("i_user"),
       col("ts").as("i_ts"), col("props").as("i_props"))
       .withWatermark("i_ts", "10 minutes")
@@ -142,7 +152,7 @@ object StreamingOps {
       .withWatermark("c_ts", "10 minutes")
     clk.join(imp,
       expr("c_user = i_user AND i_ts <= c_ts AND " +
-        "i_ts >= c_ts - INTERVAL 5 MINUTES"))
+        "i_ts >= c_ts - INTERVAL 5 MINUTES"), joinType)
       .select(col("c_id"), col("c_user").as("user_id"),
               col("c_ts"), col("i_ts"), col("i_props"))
   }
@@ -168,6 +178,41 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Running per-user top-k metric values (transformWithState ListState;
+    * see [[TopKProcessor]]). */
+  def runningTopKTws(events: Dataset[Ev], k: Int): Dataset[(Long, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Running per-key top-k on transformWithState's LIST state surface
+  * (ValueState is covered by RunningCountProcessor): the per-user
+  * "largest k metric values so far" table a monitoring pipeline keeps.
+  * State is the top-k list itself — O(k) per key regardless of stream
+  * length, merged incrementally per micro-batch (sort of ≤ k + batch
+  * values, never the history). */
+class TopKProcessor(k: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, String)] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var top: ListState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    top = getHandle.getListState[Double]("top", Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[(Long, String)] = {
+    val merged = (top.get().toSeq ++ rows.map(_.value))
+      .sorted(Ordering[Double].reverse).take(k)
+    top.put(merged.toArray)
+    // deterministic rendering for the memory-sink assertion
+    Iterator((key, merged.mkString(",")))
   }
 }
 

@@ -510,4 +510,68 @@ class StreamingSpec extends AnyFunSuite {
       .select("payload").as[String].collect().toSeq
     assert(hist === Seq("n=2", "n=3"))
   }
+
+  test("stream_topk_state (transformWithState ListState): per-user running top-3") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.runningTopKTws(ms.toDS(), 3).toDF("user_id", "top")
+        .writeStream.format("memory").queryName("topk")
+        .outputMode("update").start()
+      ms.addData(ev(0, "2024-01-01 10:00:00", 1, "m", 5.0),
+                 ev(1, "2024-01-01 10:01:00", 1, "m", 9.0),
+                 ev(2, "2024-01-01 10:02:00", 2, "m", 2.0))
+      q.processAllAvailable()
+      // second batch merges against the ListState, not the history:
+      // 7.0 enters user 1's top-3, 1.0 does not
+      ms.addData(ev(3, "2024-01-01 10:03:00", 1, "m", 7.0),
+                 ev(4, "2024-01-01 10:04:00", 1, "m", 1.0),
+                 ev(5, "2024-01-01 10:05:00", 2, "m", 8.0))
+      q.processAllAvailable()
+      // the running top-k string only ever grows (k not yet reached) or
+      // improves in place at equal length — the LONGEST string per user
+      // is the final state (both users end strictly longer here)
+      val last = spark.table("topk").groupBy("user_id")
+        .agg(max_by(col("top"), length(col("top"))).as("top"))
+        .as[(Long, String)].collect().toMap
+      assert(last === Map(1L -> "9.0,7.0,5.0", 2L -> "8.0,2.0"))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("stream_join_leftouter: unmatched clicks emit with nulls after eviction") {
+    val imps = MemoryStream[Ev]
+    val clks = MemoryStream[Ev]
+    val q = StreamingOps.attributeClicksJoin(imps.toDF, clks.toDF, "leftOuter")
+      .writeStream.format("memory").queryName("attr_lo")
+      .outputMode("append").start()
+    imps.addData(ev(10, "2024-01-01 10:00:00", 1, "imp", 0.0))
+    clks.addData(
+      ev(20, "2024-01-01 10:04:00", 1, "click", 0.0), // attributed
+      ev(21, "2024-01-01 10:03:00", 2, "click", 0.0)) // no impression
+    q.processAllAvailable()
+    // march the watermark twice so unmatched state finalizes and emits
+    for (t <- Seq("2024-01-01 12:00:00", "2024-01-01 13:00:00")) {
+      imps.addData(ev(30, t, 9, "imp", 0.0))
+      clks.addData(ev(31, t, 9, "click", 0.0))
+      q.processAllAvailable()
+    }
+    val got = spark.table("attr_lo").where($"user_id" <= 2)
+      .select($"c_id", $"i_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // the attributed click carries its impression; the orphan click is
+    // REPORTED (null impression) rather than dropped — the left-outer
+    // contract — and only after the watermark proved nothing can match
+    assert(got === Set(
+      (20L, Some(ts("2024-01-01 10:00:00"))),
+      (21L, None)))
+    q.stop()
+  }
 }
