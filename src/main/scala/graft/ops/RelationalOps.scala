@@ -254,6 +254,18 @@ object RelationalOps {
              Det.r(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
              Det.r(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
         .orderBy("l_returnflag")),
+    "agg_histogram" -> ((s, d) =>
+      // equi-width histogram of order value (25k buckets) with per-bucket
+      // mass — one hash aggregate. DuckDB 1.0 has no width_bucket, and a
+      // bare BIGINT cast diverges (DuckDB rounds doubles, Spark
+      // truncates — the win_moving_time precedent), so BOTH sides spell
+      // the identical floor-divide on the same IEEE doubles.
+      Tables(s, d, "orders")
+        .groupBy((floor(col("o_totalprice") / 25000).cast("long") * 25000)
+          .as("bucket_lo"))
+        .agg(count(lit(1)).as("n_orders"),
+             Det.dsum(col("o_totalprice")).as("bucket_value"))
+        .orderBy("bucket_lo")),
     "agg_mode_median" -> ((s, d) => {
       // Exact median + DETERMINISTIC mode per group. Neither engine's
       // built-in mode() pins its tie-break, so the mode is computed as
@@ -395,6 +407,11 @@ object RelationalOps {
         Det.sql.r("quantile_cont(l_quantity, 0.5)", 4) + " AS p50, " +
         Det.sql.r("quantile_cont(l_quantity, 0.75)", 4) + " AS p75 " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "agg_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 " +
+        "AS bucket_lo, count(*) AS n_orders, " +
+        Det.sql.dsum("o_totalprice") + " AS bucket_value " +
+        "FROM orders GROUP BY 1 ORDER BY bucket_lo"),
     "agg_mode_median" ->
       ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt " +
         "FROM lineitem GROUP BY 1, 2), " +

@@ -460,6 +460,27 @@ private[sources] class JournalParquetScan(base: ParquetScan,
       .map(Expressions.column).toArray
   }
 
+  /** EXACT row count from the manifest's per-file stats (stock
+    * ParquetScan reports only sizeInBytes): the optimizer's broadcast
+    * and AQE decisions for journal joins then run on real cardinality,
+    * not a bytes-based guess. Only when every scanned file carries
+    * stats AND no data filter was pushed (a pushed filter makes the
+    * scan's output rows < file rows — overstating them is how a
+    * too-big build side gets broadcast); falls back to the parquet
+    * estimate otherwise. */
+  override def estimateStatistics(): Statistics = {
+    val base0 = super.estimateStatistics()
+    if (relFiles.nonEmpty && relFiles.forall(fstats.contains) &&
+        pushedFilters.isEmpty && dataFilters.isEmpty) {
+      val rows = relFiles.map(fstats(_).rows).sum
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base0.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rows)
+      }
+    } else base0
+  }
+
   /** Runtime-pruned file index; None until filter() finds a predicate
     * that actually drops files. Driver-side mutable state, set by
     * `BatchScanExec.filteredPartitions` BEFORE partitions are planned. */

@@ -96,6 +96,20 @@ class AggPushdownSpec extends AnyFunSuite {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("the scan reports the EXACT manifest row count to the optimizer") {
+    // the root may be a Project (column reorder) whose default stats
+    // visitor drops rowCount — assert on the scan relation itself
+    def scanStats(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.rowCount
+    }.head
+    val dir = mkStore()
+    assert(scanStats(spark.read.format("journal").load(dir)) === Some(BigInt(5)))
+    // a pushed filter invalidates the file-level count — no exact claim
+    assert(scanStats(spark.read.format("journal").load(dir)
+      .where(col("ukey") > 20)).isEmpty)
+  }
+
   test("all-null ukey in every file answers NULL min/max from the sentinel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_n_").toString + "/store"
     Seq((0L, "a", "2024-01-01 00:00:01", "p0", 1.0),
