@@ -70,6 +70,22 @@ object JournalOps {
     }),
     "journal_asof_ts" -> ((s, d) =>
       stateAt(journal(s, d), col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))),
+    "journal_scd2" -> ((s, d) => {
+      // Slowly-changing-dimension type-2 view of the journal: every
+      // payload version becomes a validity interval [valid_from,
+      // valid_to] in seq coordinates; the live version's valid_to is
+      // NULL. The warehouse op a journal replaces nightly MERGE jobs
+      // with — here it is ONE window pass: partition on the key axis
+      // (ns, ukey), order by seq, lead(seq)-1 closes each interval.
+      // One shuffle total, no self-join, no state buffered beyond the
+      // window's O(1) lookahead — holds at any key cardinality.
+      val w = Window.partitionBy("ns", "ukey").orderBy("seq")
+      journal(s, d).select(
+          col("ns"), col("ukey"), col("seq").as("valid_from"),
+          (lead(col("seq"), 1).over(w) - 1).as("valid_to"),
+          col("payload"))
+        .orderBy("ns", "ukey", "valid_from")
+    }),
     "events_funnel" -> ((s, d) => {
       // Ordered-funnel analytics over the journal — ClickHouse
       // windowFunnel semantics (EXISTENTIAL): a user reaches stage k iff
@@ -599,6 +615,11 @@ object JournalOps {
         "GROUP BY 1 ORDER BY ns"),
     "journal_asof_ts" ->
       stateSql("WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'"),
+    "journal_scd2" ->
+      ("SELECT event_type AS ns, user_id AS ukey, event_id AS valid_from, " +
+        "lead(event_id) OVER (PARTITION BY event_type, user_id ORDER BY event_id) - 1 " +
+        "AS valid_to, props AS payload FROM events " +
+        "ORDER BY ns, ukey, valid_from"),
     "journal_write_segments" ->
       ("SELECT event_id // 5000 AS epoch, count(*) AS n_rows, " +
         "CAST(min(event_id) AS BIGINT) AS min_seq, CAST(max(event_id) AS BIGINT) AS max_seq " +

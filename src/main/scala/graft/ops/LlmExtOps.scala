@@ -751,6 +751,43 @@ object LlmExtOps {
         .orderBy("source", "doc_id")
     }),
 
+    "text_chunk" -> ((s, d) =>
+      // Overlapping fixed-width chunking (size 200, stride 150 → 50-char
+      // overlap): the retrieval/embedding prep step that turns documents
+      // into model-window-sized passages. Pure per-row explode of an
+      // arithmetic sequence — no shuffle at all until the output sort;
+      // chunk count per doc is ceil(n_chars/stride), so output size is
+      // linear in corpus bytes regardless of document skew. Start
+      // offsets derive from the fixture's n_chars on BOTH sides, so the
+      // chunk grid is engine-independent.
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), greatest(col("n_chars") - 1, lit(0L)),
+            lit(150L))).as("chunk_start"),
+          col("text"))
+        .select(col("doc_id"), col("chunk_start"),
+          col("text").substr((col("chunk_start") + 1).cast("int"), lit(200))
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_start")),
+
+    "text_bpe_pairs" -> ((s, d) => {
+      // First BPE-style merge iteration: corpus-wide counts of ADJACENT
+      // symbol pairs inside words (the statistic a byte-pair-encoding
+      // tokenizer maximizes at every merge step), top 20 candidates.
+      // Words explode map-side from a codegen'd split; the char-bigram
+      // generator is the native CharNGrams expression (no UDF row
+      // bridge); the only shuffle is the final pair-count aggregate —
+      // partial counts combine map-side, so wire volume is the distinct
+      // pair vocabulary (≤ alphabet², tiny), not the corpus.
+      graft.expr.GraftFunctions.register(s)
+      Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(expr("char_ngrams(w, 2)"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       Tables(s, d, "documents")
         .select(col("doc_id"), md5(lower(col("text"))).as("fp_md5"))
@@ -1232,6 +1269,19 @@ object LlmExtOps {
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
         "lang, source, n_chars FROM documents ORDER BY doc_id"),
+    "text_chunk" ->
+      ("SELECT doc_id, chunk_start, " +
+        "substr(text, CAST(chunk_start + 1 AS INT), 200) AS chunk " +
+        "FROM (SELECT doc_id, text, unnest(generate_series(0, " +
+        "greatest(n_chars - 1, 0), 150)) AS chunk_start FROM documents) " +
+        "ORDER BY doc_id, chunk_start"),
+    "text_bpe_pairs" ->
+      ("SELECT gram, count(*) AS cnt FROM " +
+        "(SELECT substring(w, i, 2) AS gram FROM " +
+        "(SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM " +
+        "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w " +
+        "FROM documents) WHERE length(w) >= 2)) " +
+        "GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
     "text_decontaminate" ->

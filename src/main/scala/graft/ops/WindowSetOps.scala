@@ -54,6 +54,22 @@ object WindowSetOps {
                 sum(Det.dec(col("value"))).over(w).cast("double").as("sum_1h"))
         .orderBy("user_id", "event_id")
     }),
+    "win_moving_median" -> ((s, d) => {
+      // Moving MEDIAN (7-row trailing frame) — the robust-smoothing twin
+      // of win_moving_rows' mean: outlier-resistant trend lines over a
+      // noisy metric. Exact interpolated percentile per frame; the frame
+      // is O(1) rows so per-row cost is bounded, and the whole query is
+      // the same single (user_id)-partition sort-and-slide pass as every
+      // other moving window — one shuffle. Both engines interpolate
+      // linearly (percentile ≡ quantile_cont); Det.r renders the double
+      // identically.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+                Det.r(expr("percentile(value, 0.5)").over(w), 4).as("mov_med"))
+        .orderBy("user_id", "event_id")
+    }),
     "win_cume_range" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -289,6 +305,11 @@ object WindowSetOps {
         "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
         "ORDER BY user_id, event_id"),
+    "win_moving_median" ->
+      ("SELECT user_id, event_id, " +
+        graft.Det.sql.r("quantile_cont(value, 0.5) OVER w", 4) + " AS mov_med " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id"),
     "win_cume_range" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DOUBLE) AS cume_spend " +
