@@ -41,10 +41,19 @@ object Bench {
     // inferable when text_tokens_top drifted 0.33→2.67 s over rounds).
     def storageBytes: Long = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
 
+    // localCheckpoint blocks (graph/CC/corpus queries) are released by
+    // the ContextCleaner only after the owning RDD is GC'd — on a 128 GiB
+    // heap GC is rare, so dead blocks pile up ~100 MB/pass and later
+    // passes run under avoidable storage pressure. A System.gc() between
+    // passes triggers the cleaner, so storagePerRun measures true leaks
+    // (blocks still referenced) rather than GC lag.
+    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
+
     val storagePerRun = scala.collection.mutable.ArrayBuffer.empty[Long]
     storagePerRun += storageBytes
     runSuite() // warm-up pass (codegen caches, parquet footers, JIT)
     val runs = (1 to timedRuns).map { _ =>
+      reclaim()
       storagePerRun += storageBytes
       runSuite()
     }
