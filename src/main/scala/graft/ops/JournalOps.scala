@@ -124,6 +124,25 @@ object JournalOps {
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     }),
+    "events_markov" -> ((s, d) => {
+      // First-order Markov transition matrix over the event-type
+      // alphabet, per-user sequences ordered by seq — the
+      // sequence-statistics prep for behavioral modeling. One
+      // (user)-partitioned lag pass (O(1) per-row state, bot-skew
+      // safe), then a type²-sized count aggregate with map-side
+      // partials; transition probabilities normalize inside the tiny
+      // result via a from_type window — nothing after the first
+      // shuffle touches corpus-sized data.
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", graft.Det.r(
+          col("n") / sum(col("n")).over(Window.partitionBy("from_type")), 4))
+        .orderBy("from_type", "to_type")
+    }),
     "events_retention" -> ((s, d) => {
       // Weekly cohort retention over the journal: cohort = ISO week of a
       // user's first activity; count users active again k weeks later.
@@ -530,6 +549,15 @@ object JournalOps {
     "journal_state_at_seq" -> stateSql("WHERE event_id <= 5000"),
     "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
     "journal_sink_state" -> stateSql("WHERE event_id <= 5000"),
+    "events_markov" ->
+      ("WITH t AS (SELECT event_type AS to_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type " +
+        "FROM events) " +
+        "SELECT from_type, to_type, count(*) AS n, " +
+        graft.Det.sql.r(
+          "CAST(count(*) AS DOUBLE) / SUM(count(*)) OVER (PARTITION BY from_type)", 4) +
+        " AS p FROM t WHERE from_type IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY from_type, to_type"),
     "events_retention" ->
       ("WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk " +
         "FROM events), f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1) " +

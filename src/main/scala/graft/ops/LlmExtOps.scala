@@ -817,6 +817,23 @@ object LlmExtOps {
                 col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
 
+    "emb_norm_hist" -> ((s, d) =>
+      // L2-norm histogram of the embedding table — the first health
+      // diagnostic on an embedding corpus (collapsed vectors, un-
+      // normalized batches, scale drift all show up as histogram mass
+      // off the expected shell). The norm folds index-ascending inside
+      // one codegen'd higher-order aggregate (§2.0.3 determinism shape,
+      // round(4) absorbs ulps BEFORE bucketing so a boundary can't flip
+      // between engines); per-row projection + a bucket-sized count
+      // aggregate — the table never shuffles, only bucket partials do.
+      Tables(s, d, "embeddings")
+        .select(graft.Det.r(sqrt(expr(
+          "aggregate(embedding, 0.0D, (acc, x) -> " +
+            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4).as("norm"))
+        .select((floor(col("norm") * 4) / 4).as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket_lo")),
+
     "emb_quantize" -> ((s, d) =>
       // int8 affine quantization per embedding (the compression step an
       // ANN index applies before storage): q_i = round((x_i - lo) * 255 /
@@ -1398,6 +1415,11 @@ object LlmExtOps {
         "FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id " +
         "JOIN probe p ON a.cluster = p.cluster CROSS JOIN q " +
         "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    "emb_norm_hist" ->
+      ("SELECT floor(norm * 4) / 4 AS bucket_lo, count(*) AS n_vecs FROM " +
+        "(SELECT " + graft.Det.sql.r(
+          "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 4) +
+        " AS norm FROM embeddings) GROUP BY 1 ORDER BY bucket_lo"),
     "emb_quantize" ->
       ("SELECT vec_id, CAST(list_min(qs) AS INT) AS qmin, " +
         "CAST(list_max(qs) AS INT) AS qmax, CAST(list_sum(qs) AS BIGINT) AS qsum, " +
