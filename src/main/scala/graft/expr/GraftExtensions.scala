@@ -44,6 +44,19 @@ object GraftFunctions {
       (es: Seq[Expression]) => LshBuckets(es(0),
         foldedLong(es, 1, "lsh_buckets").toInt,
         foldedLong(es, 2, "lsh_buckets").toInt)),
+    // Spark's own runtime-filter bloom aggregate, surfaced as a callable
+    // function: the journal write path builds per-file key blooms with
+    // it (manifest data-skipping beyond min/max ranges). Not registered
+    // by stock Spark; the expression class itself is public and its
+    // serialized form is the public sketch.BloomFilter layout, which the
+    // driver-side prune reads back.
+    (FunctionIdentifier("key_bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "key_bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2))),
   )
 
   /** SQL table-valued functions over the journal store — time travel from

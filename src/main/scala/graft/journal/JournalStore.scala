@@ -107,7 +107,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val safe = dirNs.exists(_.matches("[A-Za-z0-9_.\\-]+"))
       val nsKeep = nsOpt.forall(n => !safe || dirNs.contains(n))
       val keyKeep = ukey match {
-        case Some(k) => fmap.get(f).forall(s => s.minKey <= k && k <= s.maxKey)
+        case Some(k) => fmap.get(f).forall(s =>
+          s.minKey <= k && k <= s.maxKey &&
+            JournalStore.bloomMightContain(s.bloom, k))
         case None => true
       }
       nsKeep && keyKeep
@@ -143,6 +145,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
     canonicalSurface(readSegmentsOver(filesForKey(m, ns, ukey), m.schemaDdl))
   }
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
+
+  /** Spark's runtime-filter bloom aggregate over xxhash64(ukey), reached
+    * through the graft function registry (stock Spark doesn't
+    * SQL-register it, and classic Column construction is private[sql]).
+    * One bloom per (epoch, ns) group = one per written file, in the SAME
+    * stats pass that computes ranges — no extra scan. */
+  private def keyBloomAgg: org.apache.spark.sql.Column = {
+    graft.expr.GraftFunctions.register(spark)
+    expr("key_bloom_agg(xxhash64(CAST(ukey AS BIGINT)), " +
+      s"${JournalStore.BloomItems}L, ${JournalStore.BloomBits}L)")
+  }
 
   def manifest: Manifest = pinnedVersion match {
     case Some(v) => readManifestVersion(path, v).getOrElse(
@@ -269,7 +282,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
            min("ukey").as("kmn"), max("ukey").as("kmx"),
            min(unix_micros(col("ts").cast("timestamp"))).as("tmn"),
            max(unix_micros(col("ts").cast("timestamp"))).as("tmx"),
-           sum(when(col("ts").cast("timestamp").isNull, 1L).otherwise(0L)).as("tnull"))
+           sum(when(col("ts").cast("timestamp").isNull, 1L).otherwise(0L)).as("tnull"),
+           keyBloomAgg.as("kbloom"))
       .collect()
     val batchStats = perNs.groupBy(_.getLong(0)).map { case (e, rs) =>
       EpochStat(e, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).min,
@@ -330,7 +344,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
             if (r.isNullAt(6)) 0L else r.getLong(6),
             if (r.isNullAt(7)) 1L else r.getLong(7),
             if (r.isNullAt(8)) 0L else r.getLong(8),
-            r.getLong(9))
+            r.getLong(9),
+            if (r.isNullAt(10)) "" else java.util.Base64.getEncoder
+              .encodeToString(r.getAs[Array[Byte]](10)))
       }
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
@@ -520,7 +536,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
             if (tsed.isEmpty) 1L else tsed.map(_.tsMin).min,
             if (tsed.isEmpty) 0L else tsed.map(_.tsMax).max,
             // unknown (< 0) in any victim poisons the merge to unknown
-            if (ss.exists(_.nullTs < 0L)) -1L else ss.map(_.nullTs).sum))
+            if (ss.exists(_.nullTs < 0L)) -1L else ss.map(_.nullTs).sum,
+            JournalStore.bloomUnion(ss.map(_.bloom))))
         case _ => None
       }
     }
@@ -805,7 +822,49 @@ object JournalStore {
     * predicates. */
   case class FileStat(file: String, rows: Long, minSeq: Long, maxSeq: Long,
                       minKey: Long, maxKey: Long, tsMin: Long, tsMax: Long,
-                      nullTs: Long = 0L)
+                      nullTs: Long = 0L,
+                      // base64 of a Spark sketch BloomFilter over
+                      // xxhash64(ukey, seed 42) — point-probe data
+                      // skipping BELOW the [minKey, maxKey] range (ranges
+                      // are useless when every file spans the key space).
+                      // "" = none recorded: never pruned, never wrong.
+                      bloom: String = "")
+
+  /** Per-file key-bloom sizing: ~8 KiB of bits, k tuned for ≤8k distinct
+    * keys per file (fpp ≈ 2% at the cap, degrading gracefully above).
+    * Constant across writers so compaction can OR victim blooms
+    * together (sketch mergeInPlace requires identical geometry). */
+  private[journal] val BloomItems = 8192L
+  private[journal] val BloomBits = 65536L
+
+  /** Driver-side probe of a manifest key bloom. Empty or unreadable
+    * blooms answer true — pruning is exact-or-conservative, matching
+    * every other stats family. The hash MUST mirror the write side:
+    * xxhash64 of the BIGINT key, seed 42. */
+  private[graft] def bloomMightContain(b64: String, k: Long): Boolean =
+    if (b64.isEmpty) true
+    else try {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(org.apache.spark.sql.catalyst.expressions
+          .XxHash64Function.hash(k, org.apache.spark.sql.types.LongType, 42L))
+    } catch { case _: Exception => true }
+
+  /** OR-merge victim blooms for a compacted file; any missing or
+    * unreadable constituent poisons the merge to "" (conservative). */
+  private[graft] def bloomUnion(b64s: Seq[String]): String =
+    if (b64s.isEmpty || b64s.exists(_.isEmpty)) ""
+    else try {
+      val bfs = b64s.map(b => org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b))))
+      val acc = bfs.head
+      bfs.tail.foreach(acc.mergeInPlace)
+      val out = new java.io.ByteArrayOutputStream()
+      acc.writeTo(out)
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    } catch { case _: Exception => "" }
 
   /** `schemaDdl`: the store's row schema (data + partition columns) as
     * Spark DDL, evolved at append time by appending any new columns
@@ -953,6 +1012,7 @@ object JournalStore {
       o.put("minKey", s.minKey); o.put("maxKey", s.maxKey)
       o.put("tsMin", s.tsMin); o.put("tsMax", s.tsMax)
       o.put("nullTs", s.nullTs)
+      if (s.bloom.nonEmpty) o.put("bloom", s.bloom)
     }
     val bytes = mapper.writeValueAsBytes(root)
     if (cas) {
@@ -1044,7 +1104,8 @@ object JournalStore {
         o.get("tsMin").asLong, o.get("tsMax").asLong,
         // absent (pre-null-tracking stats) = unknown, never 0: a 0 here
         // would falsely certify the stateAtTs checkpoint shortcut
-        if (o.hasNonNull("nullTs")) o.get("nullTs").asLong else -1L)
+        if (o.hasNonNull("nullTs")) o.get("nullTs").asLong else -1L,
+        if (o.hasNonNull("bloom")) o.get("bloom").asText else "")
     }
     val schemaDdl =
       if (n.hasNonNull("schemaDdl"))

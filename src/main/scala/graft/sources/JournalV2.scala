@@ -404,7 +404,8 @@ private[sources] class JournalScanBuilder(
           JournalV2.fileIndex(spark, segDir, kept, fullSchema)), kept)
       case (None, Some(k)) =>
         val pruned = relFiles.filter(f =>
-          fstats.get(f).forall(s => s.minKey <= k && k <= s.maxKey))
+          fstats.get(f).forall(s => s.minKey <= k && k <= s.maxKey &&
+            JournalStore.bloomMightContain(s.bloom, k)))
         if (pruned.size < relFiles.size)
           (scan.copy(fileIndex =
             JournalV2.fileIndex(spark, segDir, pruned, fullSchema)), pruned)
@@ -518,7 +519,8 @@ private[sources] class JournalParquetScan(base: ParquetScan,
         val ks = longs(vs)
         if (ks.size == vs.size) // decline on non-integral/null values
           files = files.filter(f => fstats.get(f).forall(s =>
-            ks.exists(k => s.minKey <= k && k <= s.maxKey)))
+            ks.exists(k => s.minKey <= k && k <= s.maxKey &&
+              JournalStore.bloomMightContain(s.bloom, k))))
       case ("epoch", vs) =>
         val es = longs(vs)
         if (es.size == vs.size)

@@ -84,6 +84,31 @@ class RuntimeFilterSpec extends AnyFunSuite {
       "unsupported column must not prune")
   }
 
+  test("runtime IN-filter prunes through the per-file key bloom") {
+    // one epoch, one ns, two files with fully OVERLAPPING key ranges
+    // (A: keys ≡ 0 mod 4, B: keys ≡ 2 mod 4) — ranges cannot split a
+    // point probe; only the manifest bloom can (deterministic: fixed
+    // xxhash64 seed, so this pin cannot flake)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtfb_").toString + "/store"
+    val store = graft.journal.JournalStore.create(spark, dir, epochSize = 1000)
+    def batch(start: Long) = (start to 196L by 4).map(k =>
+      ("users", k, "2024-01-01 00:00:01", s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    store.append(batch(0L))
+    store.append(batch(2L))
+    val scan = journalScan(spark.read.format("journal").load(dir))
+    assert(scan.planInputPartitions().length === 2)
+    scan.filter(Array(new Predicate("IN", Array(Expressions.column("ukey"),
+      Expressions.literal(4L)))))
+    assert(scan.planInputPartitions().length === 1,
+      "IN (4) must open only the even-key file despite overlapping ranges")
+    val scan2 = journalScan(spark.read.format("journal").load(dir))
+    scan2.filter(Array(new Predicate("IN", Array(Expressions.column("ukey"),
+      Expressions.literal(4L), Expressions.literal(6L)))))
+    assert(scan2.planInputPartitions().length === 2, "IN (4, 6) needs both files")
+  }
+
   test("a broadcast join delivers runtime ukey pruning end-to-end") {
     val dir = mkStore()
     val fact = spark.read.format("journal").load(dir)
