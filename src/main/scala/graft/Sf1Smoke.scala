@@ -76,7 +76,9 @@ object Sf1Smoke {
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_corpus_minhash",
       "text_tokens_top", "text_tfidf", "text_repetition", "sample_stratified",
       "graph_pagerank", "graph_degree", "win_gaps_islands",
-      "text_inverted_index", "dedup_substring", "events_sessionize")
+      "text_inverted_index", "dedup_substring", "events_sessionize",
+      "graph_triangles", "journal_scd2", "text_chunk", "text_bpe_pairs",
+      "events_markov", "win_moving_median")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

@@ -92,6 +92,18 @@ object GraftFunctions {
           .stateAtTs(java.sql.Timestamp.valueOf(t.replace('T', ' ')))
           .queryExecution.logical
       }),
+    (FunctionIdentifier("journal_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "journal_changes"),
+      (es: Seq[Expression]) => {
+        // journal_changes('/path', v1, v2) — CDC delta between two
+        // retained manifest versions (rows with seq in (v1.max, v2.max]);
+        // exact under compaction, per-file seq stats prune the scan
+        val path = foldedString(es, 0, "journal_changes")
+        val v1 = foldedLong(es, 1, "journal_changes")
+        val v2 = foldedLong(es, 2, "journal_changes")
+        graft.journal.JournalStore.open(SparkSession.active, path)
+          .changesBetween(v1, v2).queryExecution.logical
+      }),
     (FunctionIdentifier("journal_history"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "journal_history"),
       (es: Seq[Expression]) => {

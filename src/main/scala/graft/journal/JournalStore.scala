@@ -203,6 +203,34 @@ class JournalStore private (val spark: SparkSession, val path: String,
     eligible.max
   }
 
+  /** Change-data-feed between two committed versions: every row the
+    * journal gained after `fromVersion`'s high-water mark, up to
+    * `toVersion`'s (seq ∈ (m1.maxSeq, m2.maxSeq]), in seq order.
+    *
+    * The delta is defined by SEQ BOUNDS, not a file diff: compaction
+    * rewrites old rows into new files, so "files in v2 but not v1"
+    * re-emits every compacted row — seq monotonicity makes the bound
+    * form exact under any interleaving of appends, compactions and
+    * checkpoints. Reads v2's snapshot with per-file seq stats pruning
+    * the pre-v1 files, so a tail CDC poll on a 100 TB journal opens
+    * only the files the delta actually touches. Both versions must
+    * still be retained (same rule as openAt). */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    def mOf(v: Long) = readManifestVersion(path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"journal store at $path retains no manifest version $v " +
+          s"(retained: ${versions().mkString(", ")})"))
+    val m1 = mOf(fromVersion); val m2 = mOf(toVersion)
+    val lo = m1.maxSeq; val hi = m2.maxSeq
+    val fmap = m2.fstats.map(s => s.file -> s).toMap
+    val files = m2.files.filter(f => fmap.get(f).forall(_.maxSeq > lo))
+    canonicalSurface(readSegmentsOver(files, m2.schemaDdl))
+      .where(col("seq") > lo && col("seq") <= hi)
+      .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
+  }
+
   private def requireWritable(): Unit =
     require(pinnedVersion.isEmpty,
       "this is a read-only view pinned at manifest version " +

@@ -61,6 +61,44 @@ class BloomSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("changesBetween is the exact seq delta, compaction-proof, file-pruned") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_").toString + "/store"
+    val store = JournalStore.create(spark, dir, epochSize = 4)
+    def batch(ks: Seq[Long]) =
+      ks.map(k => ("users", k, ts("2024-01-01 00:00:01"), s"p$k", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(Seq(1L, 2L, 3L, 4L)))
+    val v1 = store.manifest.version
+    store.append(batch(Seq(5L, 6L)))
+    val v2 = store.manifest.version
+    store.compact(upToEpoch = Long.MaxValue)
+    val v3 = store.manifest.version
+    store.append(batch(Seq(7L)))
+    val v4 = store.manifest.version
+
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("ukey").as[Long].collect().toSeq
+    assert(keys(store.changesBetween(v1, v2)) === Seq(5L, 6L))
+    // compaction between the endpoints must not duplicate or drop rows
+    assert(keys(store.changesBetween(v1, v4)) === Seq(5L, 6L, 7L))
+    assert(keys(store.changesBetween(v3, v4)) === Seq(7L))
+    assert(keys(store.changesBetween(v2, v3)) === Seq())
+    // tail delta must NOT open files fully below the from-watermark:
+    // v4's snapshot holds the compacted epoch files + the new append;
+    // (v3, v4] prunes the compacted files via per-file seq stats
+    val tail = store.changesBetween(v3, v4)
+    assert(tail.inputFiles.length === 1,
+      s"tail CDC must open 1 file, got ${tail.inputFiles.length}")
+    // SQL TVF surface
+    graft.expr.GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT ukey FROM journal_changes('$dir', $v1, $v2)")
+      .as[Long].collect().sorted.toSeq === Seq(5L, 6L))
+    intercept[IllegalArgumentException] {
+      store.changesBetween(v4, v1)
+    }
+  }
+
   test("compaction ORs victim blooms; merged file still admits all keys") {
     val store = mkStore()
     store.compact(upToEpoch = Long.MaxValue, clusterByKey = true)
