@@ -135,9 +135,56 @@ object GraphOps {
         .crossJoin(broadcast(tri.agg(
           coalesce(sum(col("t")), lit(0L)).as("n_triangles"))))
     }),
+    "graph_jaccard" -> ((s, d) => {
+      // Neighbor-overlap (Jaccard) link scoring — the classic
+      // link-prediction / item-similarity statistic — for a CANDIDATE
+      // subset of co-purchase edges (x ≡ 0 mod 20, the batch-scoring
+      // shape: score this probe set against the FULL graph). Same
+      // edge-iterator machinery as graph_triangles: per candidate edge,
+      // |N(x) ∩ N(y)| via one codegen'd array_intersect over full
+      // adjacency arrays — wedges never shuffle; the probe-set
+      // restriction bounds the heavy stage while adjacency (the shared,
+      // reusable artifact) still covers every node.
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y"))
+        .distinct().localCheckpoint()
+      val sym = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+      val adj = sym.groupBy(col("src").as("node"))
+        .agg(collect_list(col("dst")).as("nbrs")).localCheckpoint()
+      pairs.where(col("x") % 20 === 0)
+        .join(adj.select(col("node").as("x"), col("nbrs").as("nx")), "x")
+        .join(adj.select(col("node").as("y"), col("nbrs").as("ny")), "y")
+        .select(col("x"), col("y"),
+          size(array_intersect(col("nx"), col("ny"))).as("common"),
+          (size(col("nx")) + size(col("ny"))).as("dsum"))
+        .select(col("x"), col("y"), col("common"),
+          graft.Det.r(col("common") / (col("dsum") - col("common")), 4)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("x"), col("y")).limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_jaccard" ->
+      ("WITH pp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "sym AS (SELECT x AS src, y AS dst FROM pp UNION ALL SELECT y, x FROM pp), " +
+        "deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1), " +
+        "cand AS (SELECT x, y FROM pp WHERE x % 20 = 0), " +
+        "com AS (SELECT p.x, p.y, count(*) AS common FROM cand p " +
+        "JOIN sym a ON a.src = p.x JOIN sym b ON b.src = p.y AND b.dst = a.dst " +
+        "GROUP BY 1, 2) " +
+        "SELECT c.x, c.y, CAST(coalesce(m.common, 0) AS INT) AS common, " +
+        graft.Det.sql.r(
+          "CAST(coalesce(m.common, 0) AS DOUBLE) / (dx.dg + dy.dg - coalesce(m.common, 0))", 4) +
+        " AS jaccard FROM cand c LEFT JOIN com m ON m.x = c.x AND m.y = c.y " +
+        "JOIN deg dx ON dx.src = c.x JOIN deg dy ON dy.src = c.y " +
+        "ORDER BY jaccard DESC, c.x, c.y LIMIT 20"),
     "graph_triangles" ->
       ("WITH pp AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y " +
         "FROM lineitem a JOIN lineitem b " +
