@@ -48,11 +48,14 @@ import graft.journal.JournalStore
   * conversion. */
 private[sources] class JournalMicroBatchStream(
     spark: SparkSession, storePath: String, tableSchema: StructType,
-    maxSeqsPerTrigger: Option[Long])
+    maxSeqsPerTrigger: Option[Long],
+    startingSeq: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   maxSeqsPerTrigger.foreach(n => require(n > 0,
     s"maxSeqsPerTrigger must be positive, got $n"))
+  startingSeq.foreach(s => require(s == "latest" || s.matches("-?\\d+"),
+    s"""startingSeq must be a seq number or "latest", got "$s""""))
 
   /** The store is re-opened per call: a stream must see commits that
     * land while it runs (the batch-table snapshot rule is exactly
@@ -67,7 +70,19 @@ private[sources] class JournalMicroBatchStream(
     case other => other.json.trim.toLong
   }
 
-  override def initialOffset(): Offset = LongOffset(-1L)
+  /** Where a FRESH query (no checkpoint) starts — the Kafka
+    * startingOffsets idiom on the seq axis. Default: the journal's
+    * beginning (full replay). `startingSeq=N`: first delivered seq is N
+    * (the offset is the last-delivered watermark, hence N-1).
+    * `startingSeq=latest`: tail-follow from the high-water mark at
+    * stream start — history is skipped, every commit after it streams.
+    * Checkpointed restarts never consult this (Spark only calls
+    * initialOffset when no offset log exists), matching Kafka. */
+  override def initialOffset(): Offset = LongOffset(startingSeq match {
+    case None => -1L
+    case Some("latest") => storeOpt.map(_.manifest.maxSeq).getOrElse(-1L)
+    case Some(s) => s.toLong - 1
+  })
   override def deserializeOffset(json: String): Offset = LongOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -98,7 +98,8 @@ private[sources] object JournalV2 {
         } else None
       Some(new JournalTable(spark, path.get, store, pinned.isDefined,
         Option(options.get("epochSize")).map(_.toLong),
-        Option(options.get("maxSeqsPerTrigger")).map(_.toLong)))
+        Option(options.get("maxSeqsPerTrigger")).map(_.toLong),
+        Option(options.get("startingSeq"))))
     }
   }
 }
@@ -107,7 +108,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                     store: Option[JournalStore],
                                     pinned: Boolean,
                                     writeEpochSize: Option[Long] = None,
-                                    maxSeqsPerTrigger: Option[Long] = None)
+                                    maxSeqsPerTrigger: Option[Long] = None,
+                                    startingSeq: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
   private val segDir = s"$storePath/segments"
   // one snapshot for the table's lifetime; a store that does not exist
@@ -169,7 +171,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
       // producer's first commit
       new ScanBuilder {
         override def build(): Scan =
-          new EmptyJournalScan(spark, tableSchema, storePath, maxSeqsPerTrigger)
+          new EmptyJournalScan(spark, tableSchema, storePath,
+            maxSeqsPerTrigger, startingSeq)
       }
     else
       new JournalScanBuilder(spark,
@@ -177,7 +180,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         tableSchema, dataSchema, options,
         store.map(_.epochSize).getOrElse(1000L), m.files,
         m.fstats.map(s => s.file -> s).toMap, segDir,
-        storePath, maxSeqsPerTrigger)
+        storePath, maxSeqsPerTrigger, startingSeq)
 
   /** V2 write = the V2 commit framework executing the store's own
     * whole-batch append (global seq sort + stats + manifest CAS +
@@ -223,7 +226,8 @@ private[sources] class JournalScanBuilder(
     fullSchema: StructType, dataSchema: StructType,
     options: CaseInsensitiveStringMap, epochSize: Long,
     relFiles: Seq[String], fstats: Map[String, JournalStore.FileStat],
-    segDir: String, storePath: String, maxSeqsPerTrigger: Option[Long])
+    segDir: String, storePath: String, maxSeqsPerTrigger: Option[Long],
+    startingSeq: Option[String] = None)
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
@@ -413,7 +417,7 @@ private[sources] class JournalScanBuilder(
       case (None, None) => (scan, relFiles)
     }
     new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
-      effFiles, fstats, segDir)
+      effFiles, fstats, segDir, startingSeq)
   }
 }
 
@@ -440,7 +444,8 @@ private[sources] class JournalParquetScan(base: ParquetScan,
                                           maxSeqsPerTrigger: Option[Long],
                                           relFiles: Seq[String] = Nil,
                                           fstats: Map[String, JournalStore.FileStat] = Map.empty,
-                                          segDir: String = "")
+                                          segDir: String = "",
+                                          startingSeq: Option[String] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
@@ -448,7 +453,7 @@ private[sources] class JournalParquetScan(base: ParquetScan,
     with SupportsRuntimeV2Filtering {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new JournalMicroBatchStream(base.sparkSession, storePath, tableSchema,
-      maxSeqsPerTrigger)
+      maxSeqsPerTrigger, startingSeq)
 
   /** Only columns that SURVIVED column pruning may be declared:
     * PartitionPruning resolves these against the scan relation's
@@ -613,7 +618,8 @@ private[sources] class ManifestAggReaderFactory(values: Array[Any])
   * as they land — the empty snapshot only describes NOW). */
 private[sources] class EmptyJournalScan(
     spark: SparkSession, tableSchema: StructType, storePath: String,
-    maxSeqsPerTrigger: Option[Long]) extends Scan with Batch {
+    maxSeqsPerTrigger: Option[Long],
+    startingSeq: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
@@ -621,7 +627,8 @@ private[sources] class EmptyJournalScan(
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
     EmptyJournalReaderFactory
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new JournalMicroBatchStream(spark, storePath, tableSchema, maxSeqsPerTrigger)
+    new JournalMicroBatchStream(spark, storePath, tableSchema,
+      maxSeqsPerTrigger, startingSeq)
   override def description(): String = s"EmptyJournalScan[$storePath]"
 }
 

@@ -330,6 +330,38 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_journal_source: startingSeq skips history on a fresh query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jseek_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 2)
+    def row(ns: String, k: Long, t: String, p: String) =
+      Seq((ns, k, ts(t), p, 1.0)).toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(row("click", 1L, "2024-01-01 10:00:00", "p0")
+      .union(row("click", 2L, "2024-01-01 10:01:00", "p1"))
+      .union(row("click", 3L, "2024-01-01 10:02:00", "p2")))
+    // numeric form: first delivered seq is startingSeq
+    val q1 = spark.readStream.format("journal").option("startingSeq", "2")
+      .load(path)
+      .writeStream.format("memory").queryName("jseek1").outputMode("append")
+      .start()
+    q1.processAllAvailable()
+    assert(spark.table("jseek1").select("seq").as[Long].collect().toSeq
+      === Seq(2L), "startingSeq=2 must deliver only seq 2")
+    q1.stop()
+    // latest: history is skipped entirely; commits after start arrive
+    val q2 = spark.readStream.format("journal").option("startingSeq", "latest")
+      .load(path)
+      .writeStream.format("memory").queryName("jseek2").outputMode("append")
+      .start()
+    q2.processAllAvailable()
+    assert(spark.table("jseek2").count() === 0L, "latest must skip history")
+    store.append(row("view", 4L, "2024-01-01 10:03:00", "p3"))
+    q2.processAllAvailable()
+    assert(spark.table("jseek2").select("seq", "payload")
+      .as[(Long, String)].collect().toSeq === Seq((3L, "p3")))
+    q2.stop()
+  }
+
   test("stream_dedup_durable: duplicate arriving AFTER a checkpointed restart is suppressed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dddur_").toString
     val src = s"$dir/src"; val idx = s"$dir/sigidx"; val out = s"$dir/out"
