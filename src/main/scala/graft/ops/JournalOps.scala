@@ -340,6 +340,27 @@ object JournalOps {
           min("ukey").as("min_ukey"), max("ukey").as("max_ukey"),
           min("ts").as("min_ts"), max("ts").as("max_ts"))
     }),
+    "journal_ns_meta" -> ((s, d) => {
+      // GROUP BY over the journal's layout axis, still metadata-only:
+      // the DSv2 scan answers `GROUP BY ns` from the manifest's
+      // per-file stats rolled up by directory (ManifestAggScan's
+      // group-by form) — per-namespace row counts and key ranges on a
+      // 100 TB log without opening one data file. Same store fixture as
+      // journal_meta_agg; AggPushdownSpec pins the scan node, this pins
+      // the VALUES.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jagg_store_" + Integer.toHexString(d.hashCode)).toString
+      if (!graft.journal.JournalStore.exists(tmp)) {
+        journal(s, d).where(col("seq") < 6000)
+          .write.format("journal").option("epochSize", "5000").save(tmp)
+      }
+      s.read.format("journal").load(tmp)
+        .groupBy("ns")
+        .agg(count(lit(1)).as("n_rows"),
+          min("ukey").as("min_ukey"), max("ukey").as("max_ukey"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
     "journal_catalog_sql" -> ((s, d) => {
       // SQL addressability end-to-end (sources/JournalCatalog.scala): a
       // journal store named in a Spark TableCatalog, populated by SQL
@@ -670,6 +691,13 @@ object JournalOps {
         "CAST(max(user_id) AS BIGINT) AS max_ukey, " +
         "min(ts) AS min_ts, max(ts) AS max_ts " +
         "FROM events WHERE event_id < 6000"),
+    "journal_ns_meta" ->
+      ("SELECT event_type AS ns, count(*) AS n_rows, " +
+        "CAST(min(user_id) AS BIGINT) AS min_ukey, " +
+        "CAST(max(user_id) AS BIGINT) AS max_ukey, " +
+        "CAST(min(event_id) AS BIGINT) AS min_seq, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 6000 GROUP BY 1 ORDER BY ns"),
     "events_spine_recursive" ->
       ("WITH RECURSIVE spine(day) AS (" +
         "SELECT CAST(date_trunc('day', (SELECT min(ts) FROM events)) AS DATE) " +

@@ -292,13 +292,49 @@ private[sources] class JournalScanBuilder(
     * min > max in every file) answers NULL — the aggregate's own
     * semantics. count(*) includes null rows, exactly like the per-file
     * row counts. */
-  private var manifestAgg: Option[(StructType, Array[Any])] = None
+  private var manifestAgg: Option[(StructType, Array[Array[Any]])] = None
 
-  private def planManifestAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+  private def planManifestAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
     if (partitionFilters.nonEmpty || dataFilters.nonEmpty) return None
     if (relFiles.isEmpty || !relFiles.forall(fstats.contains)) return None
-    val ss = relFiles.map(fstats)
+    // GROUP BY over the journal's layout axes only: ns / epoch are
+    // directory values, so every group's membership — and therefore its
+    // stats rollup — is knowable from the manifest alone. Any other
+    // grouping declines. Every file must parse BOTH keys exactly (an
+    // escaped ns directory poisons the whole pushdown, same
+    // exact-or-decline contract as the global form).
+    val keyNames = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+        Seq("ns", "epoch").contains(r.fieldNames()(0)) => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    if (keyNames.exists(_.isEmpty)) return None
+    val keys = keyNames.flatten
+    val nsDirRe = """ns=([^/]+)""".r
+    val epochDirRe = """epoch=(\d+)""".r
+    def keyOf(f: String): Option[Seq[Any]] = {
+      val vals = keys.map {
+        case "ns" =>
+          nsDirRe.findFirstMatchIn(f).map(_.group(1))
+            .filter(_.matches("[A-Za-z0-9_.\\-]+"))
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        case "epoch" =>
+          epochDirRe.findFirstMatchIn(f).map(m => m.group(1).toLong: java.lang.Long)
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.flatten)
+    }
+    val grouped0 = relFiles.map(f => keyOf(f).map(_ -> f))
+    if (grouped0.exists(_.isEmpty)) return None
+    val groups: Seq[(Seq[Any], Seq[JournalStore.FileStat])] =
+      grouped0.flatten.groupBy(_._1).toSeq
+        .map { case (k, fs) => k -> fs.map(t => fstats(t._2)) }
+        .sortBy(_._1.map(_.toString).mkString("\u0000"))
+    val keyFields = keys.map {
+      case "ns" => org.apache.spark.sql.types.StructField("ns",
+        org.apache.spark.sql.types.StringType)
+      case "epoch" => org.apache.spark.sql.types.StructField("epoch", LongType)
+    }
+    def rowFor(ss: Seq[JournalStore.FileStat]): Option[(Seq[org.apache.spark.sql.types.StructField], Seq[Any])] = {
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
@@ -341,8 +377,13 @@ private[sources] class JournalScanBuilder(
     }
     val slots = agg.aggregateExpressions.toSeq.map(slot)
     if (slots.isEmpty || slots.exists(_.isEmpty)) None
-    else Some((StructType(slots.flatten.map(_._1)),
-      slots.flatten.map(_._2).toArray))
+    else Some((slots.flatten.map(_._1), slots.flatten.map(_._2)))
+    }
+    val rows = groups.map { case (k, ss) => rowFor(ss).map(r => (r._1, k ++ r._2)) }
+    if (rows.isEmpty || rows.exists(_.isEmpty)) return None
+    val aggFields = rows.head.get._1
+    Some((StructType(keyFields ++ aggFields),
+      rows.flatten.map(_._2.toArray).toArray))
   }
 
   /** Limit pushdown from manifest stats: `SELECT … FROM t LIMIT n`
@@ -573,7 +614,7 @@ private[sources] class JournalParquetScan(base: ParquetScan,
   * different aggregates over the same file set. */
 private[sources] class ManifestAggScan(base: ParquetScan,
                                        aggSchema: StructType,
-                                       values: Array[Any],
+                                       values: Array[Array[Any]],
                                        storePath: String)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
@@ -584,29 +625,31 @@ private[sources] class ManifestAggScan(base: ParquetScan,
     Array(ManifestAggPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestAggReaderFactory(values)
+  // one driver-built partition serving |groups| rows (1 for the global
+  // form) — the whole aggregate is a manifest parse either way
   override def description(): String =
     s"ManifestAggScan[$storePath, ${aggSchema.fieldNames.mkString(", ")}]"
   override def equals(obj: Any): Boolean = obj match {
     case o: ManifestAggScan =>
       super.equals(o) && aggSchema == o.readSchema() &&
-        values.toSeq == o.rowValues
+        values.map(_.toSeq).toSeq == o.rowValues
     case _ => false
   }
   override def hashCode(): Int =
     31 * super.hashCode() + aggSchema.hashCode()
-  private[sources] def rowValues: Seq[Any] = values.toSeq
+  private[sources] def rowValues: Seq[Seq[Any]] = values.map(_.toSeq).toSeq
 }
 
 private[sources] case object ManifestAggPartition extends InputPartition
 
-private[sources] class ManifestAggReaderFactory(values: Array[Any])
+private[sources] class ManifestAggReaderFactory(values: Array[Array[Any]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < values.length }
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values(i))
       override def close(): Unit = ()
     }
 }

@@ -96,6 +96,35 @@ class AggPushdownSpec extends AnyFunSuite {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("GROUP BY ns / epoch answers from the manifest (layout-axis rollup)") {
+    val dir = mkStore()
+    // no orderBy: an exchange would wrap the scan in an AQE query stage
+    // the scans() collector can't traverse — sort driver-side instead
+    val byNs = spark.read.format("journal").load(dir)
+      .groupBy("ns").agg(count(lit(1)).as("n"),
+        min("ukey").as("mnk"), max("ukey").as("mxk"))
+    val rows = byNs.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(rows === Seq(("a", 2L, 10L, 20L), ("b", 2L, 5L, 70L),
+      ("c", 1L, 40L, 40L)))
+    assert(scans(byNs) === Seq("ManifestAggScan"),
+      byNs.queryExecution.executedPlan.toString)
+
+    val byBoth = spark.read.format("journal").load(dir)
+      .groupBy("ns", "epoch").agg(max("seq").as("mxs"))
+    assert(byBoth.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted ===
+      Seq(("a", 0L, 1L), ("b", 1L, 3L), ("c", 2L, 4L)))
+    assert(scans(byBoth) === Seq("ManifestAggScan"))
+
+    // non-layout grouping key → ordinary scan (exact-or-decline)
+    val byKey = spark.read.format("journal").load(dir)
+      .groupBy("ukey").agg(count(lit(1)).as("n"))
+    byKey.collect()
+    assert(scans(byKey) !== Seq("ManifestAggScan"))
+  }
+
   test("the scan reports the EXACT manifest row count to the optimizer") {
     // the root may be a Project (column reorder) whose default stats
     // visitor drops rowCount — assert on the scan relation itself
