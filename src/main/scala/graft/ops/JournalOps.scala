@@ -340,6 +340,26 @@ object JournalOps {
           min("ukey").as("min_ukey"), max("ukey").as("max_ukey"),
           min("ts").as("min_ts"), max("ts").as("max_ts"))
     }),
+    "journal_skew_report" -> ((s, d) => {
+      // Hot-key diagnostic: top-3 keys per namespace with their share
+      // of the namespace's rows — the report an operator reads BEFORE
+      // choosing salting factors (join_salted/agg_salted are the
+      // remedies; this is the detector). The (ns, ukey) count is the
+      // only corpus-sized shuffle (map-side partials; the groupBy
+      // itself is skew-immune — a hot KEY is still one group row);
+      // ranking and shares run on the key-count frame, both windows
+      // sharing the ns-axis exchange.
+      val counts = journal(s, d).groupBy("ns", "ukey")
+        .agg(count(lit(1)).as("n"))
+      val byN = Window.partitionBy("ns").orderBy(col("n").desc, col("ukey"))
+      counts
+        .withColumn("rk", row_number().over(byN))
+        .withColumn("ns_rows", sum("n").over(Window.partitionBy("ns")))
+        .where(col("rk") <= 3)
+        .select(col("ns"), col("rk"), col("ukey"), col("n"),
+          graft.Det.r(col("n") / col("ns_rows"), 4).as("share"))
+        .orderBy("ns", "rk")
+    }),
     "journal_ns_meta" -> ((s, d) => {
       // GROUP BY over the journal's layout axis, still metadata-only:
       // the DSv2 scan answers `GROUP BY ns` from the manifest's
@@ -691,6 +711,15 @@ object JournalOps {
         "CAST(max(user_id) AS BIGINT) AS max_ukey, " +
         "min(ts) AS min_ts, max(ts) AS max_ts " +
         "FROM events WHERE event_id < 6000"),
+    "journal_skew_report" ->
+      ("WITH c AS (SELECT event_type AS ns, user_id AS ukey, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT ns, ukey, n, " +
+        "row_number() OVER (PARTITION BY ns ORDER BY n DESC, ukey) AS rk, " +
+        "SUM(n) OVER (PARTITION BY ns) AS ns_rows FROM c) " +
+        "SELECT ns, CAST(rk AS INT) AS rk, ukey, n, " +
+        graft.Det.sql.r("CAST(n AS DOUBLE) / ns_rows", 4) + " AS share " +
+        "FROM r WHERE rk <= 3 ORDER BY ns, rk"),
     "journal_ns_meta" ->
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(min(user_id) AS BIGINT) AS min_ukey, " +
