@@ -266,6 +266,35 @@ object RelationalOps {
         .agg(count(lit(1)).as("n_orders"),
              Det.dsum(col("o_totalprice")).as("bucket_value"))
         .orderBy("bucket_lo")),
+    "agg_assoc_rules" -> ((s, d) => {
+      // Market-basket association rules over co-purchased part pairs:
+      // support (co-occurrence count), directional confidences, lift —
+      // frequent-itemset mining's k=2 core. Pair generation is
+      // per-order (bounded by order size, never all-parts²); the pair
+      // aggregate is the only corpus-sized shuffle (map-side partials);
+      // per-part counts and the 1-row order total join onto the
+      // pair-count frame. All ratios divide exact BIGINT counts — the
+      // identical double on both engines, Det-rounded.
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val nOrders = broadcast(li.select("o").distinct()
+        .agg(count(lit(1)).as("n_orders")))
+      val partCnt = li.groupBy(col("p").as("part")).agg(count(lit(1)).as("pc"))
+      val pairCnt = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+        .agg(count(lit(1)).as("support"))
+      pairCnt
+        .join(partCnt.select(col("part").as("x"), col("pc").as("cx")), "x")
+        .join(partCnt.select(col("part").as("y"), col("pc").as("cy")), "y")
+        .crossJoin(nOrders)
+        .select(col("x"), col("y"), col("support"),
+          Det.r(col("support") / col("cx"), 4).as("conf_xy"),
+          Det.r(col("support") / col("cy"), 4).as("conf_yx"),
+          Det.r(col("support") * col("n_orders") / (col("cx") * col("cy")), 4)
+            .as("lift"))
+        .orderBy(col("support").desc, col("x"), col("y")).limit(25)
+    }),
     "agg_mode_median" -> ((s, d) => {
       // Exact median + DETERMINISTIC mode per group. Neither engine's
       // built-in mode() pins its tie-break, so the mode is computed as
@@ -412,6 +441,19 @@ object RelationalOps {
         "AS bucket_lo, count(*) AS n_orders, " +
         Det.sql.dsum("o_totalprice") + " AS bucket_value " +
         "FROM orders GROUP BY 1 ORDER BY bucket_lo"),
+    "agg_assoc_rules" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "n AS (SELECT count(DISTINCT o) AS n_orders FROM li), " +
+        "pc AS (SELECT p, count(*) AS c FROM li GROUP BY 1), " +
+        "pr AS (SELECT a.p AS x, b.p AS y, count(*) AS support FROM li a " +
+        "JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2) " +
+        "SELECT x, y, support, " +
+        Det.sql.r("CAST(support AS DOUBLE) / cx.c", 4) + " AS conf_xy, " +
+        Det.sql.r("CAST(support AS DOUBLE) / cy.c", 4) + " AS conf_yx, " +
+        Det.sql.r("CAST(support * n_orders AS DOUBLE) / (cx.c * cy.c)", 4) +
+        " AS lift FROM pr JOIN pc cx ON cx.p = pr.x " +
+        "JOIN pc cy ON cy.p = pr.y, n " +
+        "ORDER BY support DESC, x, y LIMIT 25"),
     "agg_mode_median" ->
       ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt " +
         "FROM lineitem GROUP BY 1, 2), " +
