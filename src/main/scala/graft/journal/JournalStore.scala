@@ -655,6 +655,243 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }
   }
 
+  /** Logical delete (the Kafka log-compaction tombstone): append one
+    * NULL-payload row per key. State reads (stateAt / stateAtTs /
+    * latest, and every surface built on them) drop a key whose winning
+    * row is a tombstone; scan()/history() still show the tombstone rows
+    * — they are log records like any other. A later put resurrects the
+    * key (higher seq wins), and compact()/checkpoints carry tombstones
+    * forward untouched, so replay from any checkpoint agrees with full
+    * replay. Contrast with [[deleteWhere]], which physically ERASES
+    * rows from history. Costs one ordinary append (same seq assignment,
+    * stats, manifest CAS). Returns the new high-water seq. */
+  def delete(ns: String, keys: Seq[Long],
+             ts: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+    requireWritable()
+    import spark.implicits._
+    // tombstones must land with the store's own payload/val types, or
+    // append()'s evolution guard would (rightly) refuse the batch
+    val m = manifest
+    val types = (if (m.schemaDdl.nonEmpty)
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        .map(f => f.name -> f.dataType.sql).toMap
+    else Map.empty[String, String])
+    val pT = types.getOrElse("payload", "STRING")
+    val vT = types.getOrElse("val", "DOUBLE")
+    append(keys.toDF("ukey").select(
+      lit(ns).as("ns"), col("ukey"), lit(ts).as("ts"),
+      lit(null).cast(pT).as("payload"), lit(null).cast(vT).as("val")))
+  }
+
+  /** Physical erase (the Delta-style DELETE FROM, and the GDPR lever a
+    * logical tombstone can't be): remove every row matching `cond` from
+    * the log itself, by rewriting ONLY the segment files that hold a
+    * matching row. Backs SQL `DELETE FROM <catalog>.<table> WHERE …`
+    * through the journal table's SupportsDelete.
+    *
+    * Shape, at 100 TB: (1) metadata pruning — ns/ukey equality
+    * conjuncts in `cond` prune candidate files through the manifest's
+    * directory names, per-file key ranges and key blooms, the same
+    * data-skipping path reads use, so a single-key erasure opens only
+    * the files that key can live in; (2) a probe scan finds which
+    * candidates actually contain matches (Delta's touched-file scan);
+    * (3) only those files are rewritten without the matching rows, with
+    * fresh per-file stats/blooms computed in the same pass layout
+    * append() uses. Untouched files are untouched. The swap is one
+    * manifest CAS: concurrent readers keep their snapshot, and the old
+    * files stay on disk for retained versions until vacuum().
+    *
+    * Checkpoints are DROPPED from the manifest (their materialized
+    * state may embed erased payloads — an erase that left them readable
+    * would not be an erase); the next append or checkpoint() call
+    * rebuilds one, and vacuum() reclaims the directories. Seqs of
+    * retained rows are preserved — erasure never renumbers history.
+    * Rows where `cond` is NULL are retained (DELETE's three-valued
+    * WHERE semantics). Returns the number of rows erased. */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long = {
+    requireWritable()
+    val m = manifest
+    if (m.files.isEmpty) return 0L
+    val (nsEq, keyEq) = equalityConjuncts(cond.expr)
+    val candidates = filesForKey(m, nsEq, keyEq)
+    if (candidates.isEmpty) return 0L
+    // Probe: which candidate files hold a matching row (and how many).
+    // input_file_name() is matched back to manifest-relative paths by
+    // suffix; a path that fails to map falls back to rewriting every
+    // candidate (conservative, never wrong).
+    val probe = readSegmentsOver(candidates, m.schemaDdl)
+      .where(cond)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("hits"))
+      .collect()
+    if (probe.isEmpty) return 0L
+    val deleted = probe.map(_.getLong(1)).sum
+    val mapped = probe.map(_.getString(0)).map { p =>
+      val i = p.lastIndexOf("/segments/")
+      if (i < 0) None
+      else Some(p.substring(i + "/segments/".length))
+        .filter(m.files.contains)
+    }
+    val affected =
+      if (mapped.forall(_.isDefined)) mapped.flatten.toSeq else candidates
+    val keep = !coalesce(cond, lit(false))
+    val preExisting = listSegmentFiles()
+    val retained = readSegmentsOver(affected, m.schemaDdl).where(keep)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retained.repartition(col("epoch"), col("ns"))
+      .sortWithinPartitions(col("epoch"), col("ns"), col("ukey"), col("seq"))
+      .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
+    val newFiles = listSegmentFiles() diff preExisting
+    // Fresh stats for the rewritten files — same two lean passes as
+    // append() (numeric aggregate stays codegen'd; the bloom's
+    // TypedImperativeAggregate rides its own pass), over the cached
+    // retained rows. One file per (epoch, ns) directory by the same
+    // repartition argument, so the (epoch, ns)-grain rows ARE per-file.
+    val perNs = retained.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
+      .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"),
+           min("ukey").as("kmn"), max("ukey").as("kmx"),
+           min(unix_micros(col("ts").cast("timestamp"))).as("tmn"),
+           max(unix_micros(col("ts").cast("timestamp"))).as("tmx"),
+           sum(when(col("ts").cast("timestamp").isNull, 1L).otherwise(0L)).as("tnull"))
+      .collect()
+    val perNsBloom: Map[(Long, String), String] =
+      retained.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
+        .agg(keyBloomAgg.as("kbloom"))
+        .collect().map { r =>
+          (r.getLong(0), r.getString(1)) ->
+            (if (r.isNullAt(2)) ""
+             else java.util.Base64.getEncoder.encodeToString(
+               r.getAs[Array[Byte]](2)))
+        }.toMap
+    retained.unpersist()
+    val nsRe = """ns=([^/]+)""".r
+    val statRow = perNs.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val newF = newFiles
+      .groupBy(f => (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1))))
+      .toSeq.collect {
+        case ((Some(e), Some(n)), Seq(f))
+            if n.matches("[A-Za-z0-9_.\\-]+") && statRow.contains((e, n)) =>
+          val r = statRow((e, n))
+          FileStat(f, r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) 1L else r.getLong(5),
+            if (r.isNullAt(6)) 0L else r.getLong(6),
+            if (r.isNullAt(7)) 1L else r.getLong(7),
+            if (r.isNullAt(8)) 0L else r.getLong(8),
+            r.getLong(9),
+            perNsBloom.getOrElse((e, n), ""))
+      }
+    val files2 = (m.files diff affected) ++ newFiles
+    val fstats2 = m.fstats.filterNot(s => affected.contains(s.file)) ++ newF
+    // Epoch- and (epoch, ns)-grain stats for the touched groups are
+    // re-derived from per-file stats when every remaining file in the
+    // group carries them (exact: each FileStat is exact for its file),
+    // and recomputed by scanning the group's files otherwise — the
+    // aggregate-pushdown paths answer COUNT from these, so stale rows
+    // counts are a wrong-answer bug, not a precision loss.
+    val fmap2 = fstats2.map(s => s.file -> s).toMap
+    def dirOf(f: String) = (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1)))
+    val touchedEpochs = (affected ++ newFiles).flatMap(epochOf).distinct
+    val touchedDirs = (affected ++ newFiles).map(dirOf).distinct
+    def scanStats(fs: Seq[String]): (Long, Long, Long) = {
+      val r = readSegmentsOver(fs, m.schemaDdl)
+        .agg(count(lit(1)), min("seq"), max("seq")).head
+      (r.getLong(0), if (r.isNullAt(1)) Long.MaxValue else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+    }
+    val stats2 = m.stats.filterNot(s => touchedEpochs.contains(s.epoch)) ++
+      touchedEpochs.flatMap { e =>
+        val fs = files2.filter(f => epochOf(f).contains(e))
+        if (fs.isEmpty) None
+        else if (fs.forall(fmap2.contains)) {
+          val ss = fs.map(fmap2)
+          Some(EpochStat(e, ss.map(_.rows).sum,
+            ss.map(_.minSeq).min, ss.map(_.maxSeq).max))
+        } else {
+          val (n, mn, mx) = scanStats(fs)
+          if (n == 0L) None else Some(EpochStat(e, n, mn, mx))
+        }
+      }
+    val kstats2 = m.kstats.filterNot(k =>
+        touchedDirs.contains((Some(k.epoch), Some(k.ns)))) ++
+      touchedDirs.flatMap {
+        case (Some(e), Some(n)) =>
+          val fs = files2.filter(f => dirOf(f) == (Some(e), Some(n)))
+          if (fs.isEmpty) None
+          else if (fs.forall(fmap2.contains)) {
+            val ss = fs.map(fmap2)
+            val keyed = ss.filter(s => s.minKey <= s.maxKey)
+            Some(KeyStat(e, n,
+              if (keyed.isEmpty) 1L else keyed.map(_.minKey).min,
+              if (keyed.isEmpty) 0L else keyed.map(_.maxKey).max,
+              ss.map(_.rows).sum))
+          } else {
+            val r = readSegmentsOver(fs, m.schemaDdl)
+              .agg(count(lit(1)), min("ukey"), max("ukey")).head
+            if (r.getLong(0) == 0L) None
+            else Some(KeyStat(e, n,
+              if (r.isNullAt(1)) 1L else r.getLong(1),
+              if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(0)))
+          }
+        case _ => None
+      }
+    writeManifest(path, m.copy(files = files2, stats = stats2.sortBy(_.epoch),
+      kstats = kstats2.sortBy(k => (k.epoch, k.ns)), fstats = fstats2,
+      checkpoints = Nil))
+    deleted
+  }
+
+  /** ns/ukey equality conjuncts of a delete predicate — the shapes the
+    * manifest can prune candidate files with. Anything else simply
+    * yields no pruning (every file is a candidate; the probe scan still
+    * bounds the rewrite to files with actual matches). */
+  private def equalityConjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Option[String], Option[Long]) = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(x: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = x match {
+      case u: UnresolvedAttribute => u.nameParts.lastOption.map(_.toLowerCase)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name.toLowerCase)
+      case _ => None
+    }
+    def conj(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case other => Seq(other)
+    }
+    val eqs = conj(e).collect {
+      case EqualTo(a, Literal(v, _)) if name(a).isDefined => name(a).get -> v
+      case EqualTo(Literal(v, _), a) if name(a).isDefined => name(a).get -> v
+    }
+    val ns = eqs.collectFirst {
+      case ("ns", v: org.apache.spark.unsafe.types.UTF8String) => v.toString }
+    val key = eqs.collectFirst {
+      case ("ukey", v: Long) => v
+      case ("ukey", v: Int) => v.toLong }
+    (ns, key)
+  }
+
+  /** The commit log as a DataFrame — Delta's DESCRIBE HISTORY for the
+    * journal: one row per RETAINED manifest version (vacuum bounds the
+    * window), with the version's high-water seq, live file/checkpoint
+    * counts and the exact row count its per-file stats carry. Derived
+    * entirely from the tiny version manifests — no data files open. */
+  def commitHistory(): DataFrame = {
+    import spark.implicits._
+    val rows = JournalStore.listVersionFiles(path).flatMap { case (v, _) =>
+      JournalStore.readManifestVersion(path, v).map { mv =>
+        (v, mv.maxSeq, mv.files.size.toLong,
+          if (mv.files.nonEmpty && mv.files.forall(f =>
+            mv.fstats.exists(_.file == f)))
+            mv.fstats.filter(f => mv.files.contains(f.file)).map(_.rows).sum
+          else -1L,
+          mv.checkpoints.size.toLong)
+      }
+    }
+    rows.toDF("version", "max_seq", "n_files", "n_rows", "n_checkpoints")
+      .orderBy("version")
+  }
+
   private def epochOf(relPath: String): Option[Long] =
     """epoch=(\d+)""".r.findFirstMatchIn(relPath).map(_.group(1).toLong)
 
@@ -719,10 +956,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val tail = ckpt.fold(pruned) { c =>
       pruned.where(col("epoch") >= lit((c + 1) / epochSize) && col("seq") > c)
     }.where(col("ts") <= lit(t)).select("ns", "ukey", "seq", "payload")
-    base.fold(tail)(_.unionByName(tail))
-      .groupBy("ns", "ukey")
-      .agg(max_by(col("payload"), col("seq")).as("payload"),
-           max("seq").as("last_seq"))
+    tombstoneAwareState(base.fold(tail)(_.unionByName(tail)))
   }
 
   /** Per-key (or per-ns) history in seq order. Key-targeted reads prune
@@ -763,10 +997,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
       spark.read.parquet(ckptDir(cp))
         .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
     }
-    base.fold(tail)(_.unionByName(tail))
-      .groupBy("ns", "ukey")
-      .agg(max_by(col("payload"), col("seq")).as("payload"), max("seq").as("last_seq"))
+    tombstoneAwareState(base.fold(tail)(_.unionByName(tail)))
   }
+
+  /** The one state-combine rule: arg-max by seq per (ns, ukey), then
+    * drop keys whose winning payload is NULL — the Kafka log-compaction
+    * tombstone contract ([[delete]]). The arg-max is a struct max, NOT
+    * max_by: max_by's value-at-max semantics around NULL values differ
+    * between engines, while a struct compare is decided entirely by the
+    * unique seq, so a NULL winning payload survives to the filter
+    * deterministically. Still one partial-aggregated shuffle. */
+  private def tombstoneAwareState(rows: DataFrame): DataFrame =
+    rows
+      .groupBy("ns", "ukey")
+      .agg(max(struct(col("seq"), col("payload"))).as("top"))
+      .select(col("ns"), col("ukey"), col("top.payload").as("payload"),
+              col("top.seq").as("last_seq"))
+      .where(col("payload").isNotNull)
 
   /** Latest state (marasa read(ns)). */
   def latest(): DataFrame = stateAt(manifest.maxSeq)

@@ -52,7 +52,27 @@ class Marasa(val store: JournalStore) {
       .where(col("ns") === ns && col("seq") <= bound &&
              col("epoch") <= lit(bound / store.epochSize))
       .groupBy("skey")
-      .agg(max_by(col("payload"), col("seq")).as("payload"))
+      .agg(max(struct(col("seq"), col("payload"))).as("top"))
+      // struct max (not max_by): the unique seq alone decides, so a NULL
+      // winning payload — a [[delete]] tombstone — reaches the filter
+      .select(col("skey"), col("top.payload").as("payload"))
+      .where(col("payload").isNotNull)
+  }
+
+  /** Delete keys from a namespace (the reference's dict-key removal):
+    * one shared-seq tombstone record, Kafka-style NULL payloads. State
+    * reads as of a later seq drop the keys; history still shows the
+    * tombstone rows; a later write resurrects. Returns the seqno. */
+  def delete(ns: String, keys: Seq[String],
+             ts: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+    val seq = store.manifest.maxSeq + 1
+    val rows = keys.map(k => (seq, ns, k, ts))
+    store.append(rows.toDF("seq", "ns", "skey", "ts")
+      .withColumn("ukey", xxhash64(col("skey")))
+      .withColumn("payload", lit(null).cast("string"))
+      .withColumn("val", lit(null).cast("double"))
+      .select("seq", "ns", "ukey", "skey", "ts", "payload", "val"))
+    seq
   }
 
   /** Changes of one key (or the whole namespace) in seq order, as a
