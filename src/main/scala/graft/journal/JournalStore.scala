@@ -712,7 +712,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
     requireWritable()
     val m = manifest
     if (m.files.isEmpty) return 0L
-    val (nsEq, keyEq) = equalityConjuncts(cond.expr)
+    // Spark 4's Column no longer exposes its Catalyst expression; recover
+    // it from the ANALYZED plan of a lazily-built filter over the store
+    // surface (analysis only — no job runs). The analyzer resolves
+    // attributes and may wrap literals in casts; equalityConjuncts strips
+    // those. A shape we can't recover just means no pruning (all files
+    // are candidates) — the probe scan still bounds the rewrite.
+    val condExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      readSegmentsOver(m.files, m.schemaDdl).where(cond)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+    val (nsEq, keyEq) =
+      condExpr.map(equalityConjuncts).getOrElse((None, None))
     val candidates = filesForKey(m, nsEq, keyEq)
     if (candidates.isEmpty) return 0L
     // Probe: which candidate files hold a matching row (and how many).
@@ -859,7 +871,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
       case And(l, r) => conj(l) ++ conj(r)
       case other => Seq(other)
     }
-    val eqs = conj(e).collect {
+    // the analyzer wraps int literals / narrower attributes in Casts
+    // (ukey === 42 → EqualTo(ukey, cast(42 as bigint))); the underlying
+    // value is what the manifest prunes on, so peel them
+    def strip(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = x match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => strip(c.child)
+      case other => other
+    }
+    val eqs = conj(e).map {
+      case EqualTo(l, r) => EqualTo(strip(l), strip(r))
+      case other => other
+    }.collect {
       case EqualTo(a, Literal(v, _)) if name(a).isDefined => name(a).get -> v
       case EqualTo(Literal(v, _), a) if name(a).isDefined => name(a).get -> v
     }
