@@ -17,6 +17,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Match Verify/TestSpark: the events fixtures' ts is TIMESTAMP_NTZ
+      // and queries cast it to timestamp_ltz — pin the session zone so
+      // bench and the oracle gate see identical values.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

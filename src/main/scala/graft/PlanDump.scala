@@ -9,6 +9,7 @@ object PlanDump {
     val spark = SparkSession.builder()
       .appName("graft-plan").master("local[8]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(args(0))(spark, dir)

@@ -23,6 +23,7 @@ object Sf1Smoke {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "16g")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"

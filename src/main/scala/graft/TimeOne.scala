@@ -11,6 +11,7 @@ object TimeOne {
       .appName("graft-time-one").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "16g")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to 3).foreach { i =>

@@ -109,7 +109,8 @@ object JournalOps {
       val w = Window.partitionBy("user_id").orderBy("tus", "eid")
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables(s, d, "events")
-        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        .select(col("user_id"),
+                expr("unix_micros(cast(ts AS timestamp_ltz))").as("tus"),
                 col("event_id").as("eid"), col("event_type").as("et"))
         .withColumn("pv", max(when(col("et") === "view", col("tus"))).over(w))
         .withColumn("cv", when(col("et") === "click" && col("pv").isNotNull &&
@@ -196,7 +197,8 @@ object JournalOps {
       val wOrd = Window.partitionBy("user_id").orderBy("tus", "eid")
       val gapUs = 1800000000L // 30 min in micros
       Tables(s, d, "events")
-        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        .select(col("user_id"),
+                expr("unix_micros(cast(ts AS timestamp_ltz))").as("tus"),
                 col("event_id").as("eid"))
         .withColumn("prev", lag("tus", 1).over(wOrd))
         .withColumn("nu", when(col("prev").isNull ||
