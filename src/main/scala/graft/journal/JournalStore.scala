@@ -79,9 +79,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
       withSchema.parquet(files.map(f => s"$segDir/$f"): _*)
         .withColumn("ns", col("ns").cast("string"))
     } else
+      // schema-only relation: the manifest-pinned schema when the store
+      // has one (ns is already pinned STRING there), else the canonical
+      // journal surface. No file index is built — resolving expressions
+      // against this shape costs O(1) filesystem work.
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "seq BIGINT, ns STRING, ukey BIGINT, skey STRING, " +
+          if (ddl.nonEmpty) ddl
+          else "seq BIGINT, ns STRING, ukey BIGINT, skey STRING, " +
             "ts TIMESTAMP, payload STRING, val DOUBLE, epoch BIGINT"))
 
   /** Manifest files that can contain rows of `ns` (when given) and/or
@@ -713,13 +718,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val m = manifest
     if (m.files.isEmpty) return 0L
     // Spark 4's Column no longer exposes its Catalyst expression; recover
-    // it from the ANALYZED plan of a lazily-built filter over the store
-    // surface (analysis only — no job runs). The analyzer resolves
-    // attributes and may wrap literals in casts; equalityConjuncts strips
-    // those. A shape we can't recover just means no pruning (all files
-    // are candidates) — the probe scan still bounds the rewrite.
+    // it from the ANALYZED plan of a filter over a SCHEMA-ONLY relation
+    // (attribute resolution and cast insertion need only the schema, so
+    // this never builds a file index or reads a footer — the files-based
+    // relation would stat every segment on the driver just to resolve
+    // one expression). The analyzer may wrap literals in casts;
+    // equalityConjuncts folds those. A shape we can't recover just means
+    // no pruning (all files are candidates) — the probe scan still
+    // bounds the rewrite.
     val condExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-      readSegmentsOver(m.files, m.schemaDdl).where(cond)
+      readSegmentsOver(Nil, m.schemaDdl).where(cond)
         .queryExecution.analyzed.collectFirst {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }
@@ -871,12 +879,34 @@ class JournalStore private (val spark: SparkSession, val path: String,
       case And(l, r) => conj(l) ++ conj(r)
       case other => Seq(other)
     }
-    // the analyzer wraps int literals / narrower attributes in Casts
-    // (ukey === 42 → EqualTo(ukey, cast(42 as bigint))); the underlying
-    // value is what the manifest prunes on, so peel them
+    // The analyzer wraps int literals in Casts (ukey === 42 →
+    // EqualTo(ukey, cast(42 as bigint))). Fold LITERAL-side casts only,
+    // and keep the fold only when it round-trips losslessly back to the
+    // original value — a narrowing cast (cast(2^32+5 as int)) must NOT
+    // prune as its truncated value. Attribute-side casts are left
+    // intact: name() then yields None and the code falls back to no
+    // pruning, which is safe by construction (the probe scan still
+    // evaluates the real predicate). An earlier version peeled casts on
+    // BOTH sides, so deleteWhere(col("ukey").cast("int") === 5) pruned
+    // as ukey=5 and a file holding ukey=2^32+5 silently survived the
+    // erase.
     def strip(x: org.apache.spark.sql.catalyst.expressions.Expression)
         : org.apache.spark.sql.catalyst.expressions.Expression = x match {
-      case c: org.apache.spark.sql.catalyst.expressions.Cast => strip(c.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        strip(c.child) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+            try {
+              val folded = org.apache.spark.sql.catalyst.expressions
+                .Cast(lit, c.dataType).eval(null)
+              val back = org.apache.spark.sql.catalyst.expressions
+                .Cast(org.apache.spark.sql.catalyst.expressions
+                  .Literal(folded, c.dataType), lit.dataType).eval(null)
+              if (folded != null && back == lit.value)
+                org.apache.spark.sql.catalyst.expressions.Literal(folded, c.dataType)
+              else x
+            } catch { case _: Exception => x } // ANSI overflow etc. → no fold
+          case _ => x // attribute-side cast: no pruning on this conjunct
+        }
       case other => other
     }
     val eqs = conj(e).map {

@@ -674,4 +674,73 @@ class JournalStoreSpec extends AnyFunSuite {
     // key-targeted pruning still works over the merged per-file stats
     assert(auto.latest().where($"ns" === "users" && $"ukey" === 1L).count() === 1)
   }
+
+  test("deleteWhere: ns+ukey Int-literal equality erases across files, retains the rest") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf)
+    store.append(Seq(
+      ("users", 1L, ts("2024-01-01 00:00:06"), """{"v":6}""", 6.0),
+      ("users", 3L, ts("2024-01-01 00:00:07"), """{"v":7}""", 7.0),
+    ).toDF("ns", "ukey", "ts", "payload", "val"))
+    // Int literal 1 → the analyzer inserts cast(1 as bigint); the fold
+    // must still yield ukey=1 pruning AND a correct erase
+    val n = store.deleteWhere($"ns" === "users" && $"ukey" === 1)
+    assert(n === 3L) // seqs 0, 2 from batch 1 + the batch-2 users/1 row
+    assert(store.scan().where($"ns" === "users" && $"ukey" === 1L).count() === 0)
+    assert(store.scan().count() === 3) // users/2, carts/1, users/3 survive
+    assert(store.latest().where($"ns" === "users" && $"ukey" === 3L).count() === 1)
+  }
+
+  test("deleteWhere: attribute-side narrowing cast must not prune files (silent-retention bug)") {
+    // Legacy cast semantics: cast(2^32+5 AS INT) truncates to 5, so BOTH
+    // rows match ukey.cast("int") === 5 even though they live in
+    // different files with disjoint key ranges. Peeling the attribute
+    // cast would prune the wide-key file as "ukey=5 can't be there" and
+    // its matching row would silently survive the erase.
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val store = JournalStore.create(spark, freshPath, epochSize = 100)
+      store.append(Seq(("users", 5L, ts("2024-01-01 00:00:01"), """{"a":1}""", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+      store.append(Seq(("users", (1L << 32) + 5L, ts("2024-01-01 00:00:02"), """{"a":2}""", 2.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+      val n = store.deleteWhere($"ukey".cast("int") === 5)
+      assert(n === 2L, "both files' matching rows must be erased")
+      assert(store.scan().count() === 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("deleteWhere: non-equality predicate falls back to no pruning and erases correctly") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf)
+    val n = store.deleteWhere($"val" > 2.0)
+    assert(n === 2L) // val 3.0 and 4.0
+    assert(store.scan().select("val").as[Double].collect().toSeq.sorted === Seq(1.0, 2.0))
+    // seqs of retained rows are preserved — erasure never renumbers
+    assert(store.scan().select("seq").as[Long].collect().toSeq.sorted === Seq(0L, 1L))
+  }
+
+  test("deleteWhere: no-match predicate returns 0 and leaves the manifest untouched") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf)
+    val filesBefore = store.manifest.files
+    assert(store.deleteWhere($"ns" === "nosuch") === 0L)
+    assert(store.manifest.files === filesBefore)
+    assert(store.scan().count() === 4)
+  }
+
+  test("deleteWhere: checkpoints are dropped (erased payloads must not survive in state)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    store.checkpoint(3L)
+    assert(store.manifest.checkpoints.nonEmpty)
+    val n = store.deleteWhere($"ns" === "users" && $"ukey" === 1)
+    assert(n === 2L)
+    assert(store.manifest.checkpoints.isEmpty, "checkpoint may embed erased payloads")
+    // state rebuilt from raw history no longer shows the erased key
+    assert(store.latest().where($"ns" === "users" && $"ukey" === 1L).count() === 0)
+    assert(store.latest().where($"ns" === "users" && $"ukey" === 2L)
+      .select("payload").as[String].head() === """{"v":2}""")
+  }
 }
