@@ -399,7 +399,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // readers only when the manifest that lists them lands
     writeManifest(path, m.copy(maxSeq = newMax,
       files = (m.files ++ newFiles).distinct,
-      stats = mergedStats, kstats = mergedK, fstats = m.fstats ++ batchF,
+      stats = mergedStats, kstats = mergedK, fstats = FileStatsSidecar.appended(m.fstats, batchF),
       lastBatchId = streamBatchId.getOrElse(m.lastBatchId),
       schemaDdl = mergedSchema.toDDL))
     // Automatic checkpoint policy (marasa checkpoints periodically so
@@ -657,6 +657,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
           .filter(_ => aged(p))
           .foreach(_ => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
       }
+    }
+    // Sidecar stat parts referenced by NO retained manifest: orphans
+    // from crashed/CAS-losing writers plus parts rotated out by
+    // consolidation. Same count+age rules as segment files. Reading
+    // partsOf never loads stats bytes — this sweep is name-list work.
+    val liveParts = (cur +: retained).flatMap(mm =>
+      FileStatsSidecar.partsOf(mm.fstats).getOrElse(Nil)).toSet
+    val fsDir = FileStatsSidecar.dir(path)
+    if (Files.exists(fsDir)) {
+      val st = Files.list(fsDir)
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toList
+      } finally st.close()
+      parts.filterNot(p => liveParts.contains(p.getFileName.toString))
+        .filter(aged).foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -1258,7 +1274,10 @@ object JournalStore {
   def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore = {
     Files.createDirectories(Paths.get(path))
     // cas = false: create() is an explicit reset — the one operation
-    // allowed to replace a manifest regardless of its current version
+    // allowed to replace a manifest regardless of its current version.
+    // The pre-reset store's stat sidecar goes with its version files.
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      FileStatsSidecar.dir(path).toFile)
     writeManifest(path, Manifest(epochSize, -1L, Nil), cas = false)
     new JournalStore(spark, path, epochSize)
   }
@@ -1346,16 +1365,26 @@ object JournalStore {
       ks.add(s"${k.epoch}:${k.minKey}:${k.maxKey}:${k.rows}:" +
         java.net.URLEncoder.encode(k.ns, "UTF-8"))
     }
-    val fst = root.putArray("fstats")
-    m.fstats.sortBy(_.file).foreach { s =>
-      val o = fst.addObject()
-      o.put("f", s.file); o.put("rows", s.rows)
-      o.put("minSeq", s.minSeq); o.put("maxSeq", s.maxSeq)
-      o.put("minKey", s.minKey); o.put("maxKey", s.maxKey)
-      o.put("tsMin", s.tsMin); o.put("tsMax", s.tsMax)
-      o.put("nullTs", s.nullTs)
-      if (s.bloom.nonEmpty) o.put("bloom", s.bloom)
+    // Per-file stats go to the parquet sidecar (FileStatsSidecar): the
+    // root carries only part NAMES, so its size is O(file list), not
+    // O(files × 8 KiB bloom). An unchanged base writes nothing; an
+    // append writes one delta part; anything else (legacy inline,
+    // rewrite ops, part-count past the cap) consolidates to one part.
+    // Parts land BEFORE the CAS below — a losing/crashed writer strands
+    // orphan parts (random names, never clobbered), swept by vacuum().
+    val fstatParts: Seq[String] = m.fstats match {
+      case s if s.isEmpty => Nil
+      case lf: LazyFileStats
+          if lf.parts.sizeIs <= FileStatsSidecar.MaxParts => lf.parts
+      case af: AppendedFileStats if af.extra.isEmpty &&
+          af.base.parts.sizeIs <= FileStatsSidecar.MaxParts => af.base.parts
+      case af: AppendedFileStats
+          if af.base.parts.sizeIs < FileStatsSidecar.MaxParts =>
+        af.base.parts :+ FileStatsSidecar.writePart(path, af.extra)
+      case s => Seq(FileStatsSidecar.writePart(path, s.toVector))
     }
+    val fst = root.putArray("fstatsParts")
+    fstatParts.foreach(fst.add)
     val bytes = mapper.writeValueAsBytes(root)
     if (cas) {
       // The version file is the commit ARBITER, not just a record: the
@@ -1398,7 +1427,7 @@ object JournalStore {
 
   private[journal] def readManifestVersion(path: String, v: Long): Option[Manifest] = {
     val p = versionPath(path, v)
-    if (Files.exists(p)) parseManifest(
+    if (Files.exists(p)) parseManifest(path,
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     else None
   }
@@ -1416,7 +1445,7 @@ object JournalStore {
     if (!Files.exists(p)) None
     else {
       val bytes = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      Some(parseManifest(bytes).getOrElse(throw new IllegalStateException(
+      Some(parseManifest(path, bytes).getOrElse(throw new IllegalStateException(
         s"journal store at $path: manifest.json exists but is unparseable " +
           "(corrupted outside the atomic-rename protocol); refusing to " +
           "treat it as an empty store — restore a retained " +
@@ -1424,7 +1453,7 @@ object JournalStore {
     }
   }
 
-  private def parseManifest(s: String): Option[Manifest] = try {
+  private def parseManifest(path: String, s: String): Option[Manifest] = try {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(s)
     // lastBatchId must default to -1 (not 0) when absent: a pre-upgrade
@@ -1440,15 +1469,20 @@ object JournalStore {
       KeyStat(parts(0).toLong, java.net.URLDecoder.decode(parts(4), "UTF-8"),
         parts(1).toLong, parts(2).toLong, parts(3).toLong)
     }
-    val fstats = arr("fstats").map { o =>
-      FileStat(o.get("f").asText, o.get("rows").asLong, o.get("minSeq").asLong,
-        o.get("maxSeq").asLong, o.get("minKey").asLong, o.get("maxKey").asLong,
-        o.get("tsMin").asLong, o.get("tsMax").asLong,
-        // absent (pre-null-tracking stats) = unknown, never 0: a 0 here
-        // would falsely certify the stateAtTs checkpoint shortcut
-        if (o.hasNonNull("nullTs")) o.get("nullTs").asLong else -1L,
-        if (o.hasNonNull("bloom")) o.get("bloom").asText else "")
-    }
+    val fstats: Seq[FileStat] =
+      if (n.hasNonNull("fstatsParts"))
+        // sidecar-backed: parse cost here is the part-NAME list; the
+        // stats bytes load lazily, only if an operation prunes/rewrites
+        new LazyFileStats(path, arr("fstatsParts").map(_.asText))
+      else arr("fstats").map { o => // legacy inline (pre-sidecar stores)
+        FileStat(o.get("f").asText, o.get("rows").asLong, o.get("minSeq").asLong,
+          o.get("maxSeq").asLong, o.get("minKey").asLong, o.get("maxKey").asLong,
+          o.get("tsMin").asLong, o.get("tsMax").asLong,
+          // absent (pre-null-tracking stats) = unknown, never 0: a 0 here
+          // would falsely certify the stateAtTs checkpoint shortcut
+          if (o.hasNonNull("nullTs")) o.get("nullTs").asLong else -1L,
+          if (o.hasNonNull("bloom")) o.get("bloom").asText else "")
+      }
     val schemaDdl =
       if (n.hasNonNull("schemaDdl"))
         java.net.URLDecoder.decode(n.get("schemaDdl").asText, "UTF-8")

@@ -134,6 +134,48 @@ object RelationalOps {
              sum(Det.dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy("c_mktsegment")
     }),
+    "join_skew_handoff" -> ((s, d) => {
+      // Detector→remedy handoff, end-to-end: the skew REPORT (the same
+      // per-key count frame journal_skew_report ranks) chooses each
+      // key's salt factor, and the join consumes that factor with no
+      // driver round-trip — the hot-key table rides ONE broadcast to
+      // both join sides. A key holding more than tot/P of the fact rows
+      // gets sf = min(S, n·P/tot) sub-keys: fact rows spread over sf
+      // reducers (deterministic sub-key from the unique event_id), the
+      // dim side replicates that key's row sf times. Keys the report
+      // calls cold keep sf = 1 — zero replication overhead, so shuffle
+      // volume grows only by the hot keys' dim copies. Result-identical
+      // to the plain join (the oracle IS the unsalted query): the
+      // remedy must be invisible in values, visible only in the
+      // exchange. join_salted is the static-factor form; this is the
+      // report-driven form a 100 TB pipeline runs when the hot keys are
+      // only known from the data itself.
+      val S = 16L
+      val P = 400L
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val tot = ev.agg(count(lit(1)).as("tot"))
+      val hot = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("user_id").as("hk"),
+          least(lit(S), greatest(lit(1L),
+            floor(col("n") * lit(P) / col("tot")).cast("long"))).as("sf"))
+        .where(col("sf") > 1L)
+      val fact = ev.join(broadcast(hot), col("user_id") === col("hk"), "left")
+        .select(col("user_id"), col("value"),
+          pmod(xxhash64(col("event_id")), coalesce(col("sf"), lit(1L))).as("salt"))
+      val dim = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(broadcast(hot), col("c_custkey") === col("hk"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(sequence(lit(0L), coalesce(col("sf"), lit(1L)) - 1L)).as("dsalt"))
+        .hint("shuffle_hash")
+      fact.join(dim,
+          col("user_id") === col("c_custkey") && col("salt") === col("dsalt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("val_sum"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   private val joinOracle: Map[String, String] = Map(
@@ -141,6 +183,13 @@ object RelationalOps {
       ("SELECT c_mktsegment, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY c_mktsegment"),
+    // the unsalted join IS the oracle: the report-driven salting must be
+    // value-invisible
+    "join_skew_handoff" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        Det.sql.dsum("value") + " AS val_sum " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY 1 ORDER BY c_mktsegment"),
     "join_broadcast" ->
       ("SELECT n_nationkey, n_name, r_name FROM nation JOIN region " +

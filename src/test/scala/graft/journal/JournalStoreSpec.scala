@@ -743,4 +743,82 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.latest().where($"ns" === "users" && $"ukey" === 2L)
       .select("payload").as[String].head() === """{"v":2}""")
   }
+
+  test("fstats sidecar: 10k-file store loads O(1) root JSON, stats live in parquet parts") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 100)
+    store.append(sampleDf)
+    // Synthesize a 100 TB-shaped manifest: 10k files, each with real
+    // per-file stats AND an 8 KiB bloom — inline these are ~100 MB of
+    // JSON; the sidecar keeps the root at the file-name list.
+    val bloom = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        JournalStore.BloomItems, JournalStore.BloomBits)
+      bf.putLong(42L)
+      val out = new java.io.ByteArrayOutputStream(); bf.writeTo(out)
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    val m0 = store.manifest
+    val synthFiles = (0 until 10000).map(i => s"epoch=9/ns=synth/part-$i.parquet")
+    val synthStats = synthFiles.zipWithIndex.map { case (f, i) =>
+      JournalStore.FileStat(f, 10L, i * 10L, i * 10L + 9L,
+        i * 100L, i * 100L + 99L, 0L, 1L, 0L, bloom)
+    }
+    JournalStore.writeManifest(path, m0.copy(
+      files = m0.files ++ synthFiles,
+      fstats = FileStatsSidecar.appended(m0.fstats, synthStats)))
+    // root JSON: O(file list), not O(files x bloom) — with 10k inline
+    // blooms it would be >100 MB; the sidecar root stays near the bare
+    // file-name list
+    val rootBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(path, "manifest.json"))
+    assert(rootBytes < 800L * 1024, s"root manifest is $rootBytes bytes")
+    assert(!new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "manifest.json"))).contains(bloom))
+    // parts exist and carry the stats; reopening loads them lazily but
+    // completely, bloom bytes round-tripped exactly
+    val re = JournalStore.open(spark, path).manifest
+    assert(re.fstats.isInstanceOf[LazyFileStats])
+    assert(re.fstats.size === synthStats.size + m0.fstats.size)
+    val reMap = re.fstats.map(s => s.file -> s).toMap
+    synthStats.foreach { s => assert(reMap(s.file) === s) }
+    // a further append writes ONE new delta part; prior parts untouched
+    val partsBefore = FileStatsSidecar.partsOf(re.fstats).get
+    store.append(Seq(("users", 9L, ts("2024-01-02 00:00:00"), """{"z":1}""", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val partsAfter = FileStatsSidecar.partsOf(
+      JournalStore.open(spark, path).manifest.fstats).get
+    assert(partsAfter.size === partsBefore.size + 1)
+    assert(partsBefore.forall(partsAfter.contains))
+  }
+
+  test("fstats sidecar: part count is capped by consolidation; vacuum sweeps dead parts") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 1000)
+    // far more commits than MaxParts: without consolidation the part
+    // list would grow one per append
+    (0 until FileStatsSidecar.MaxParts + 8).foreach { i =>
+      store.append(Seq(("users", i.toLong, ts("2024-01-01 00:00:01"),
+        s"""{"i":$i}""", i.toDouble)).toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    val m = store.manifest
+    val parts = FileStatsSidecar.partsOf(m.fstats).get
+    assert(parts.size <= FileStatsSidecar.MaxParts + 1,
+      s"parts grew unbounded: ${parts.size}")
+    // stats remain complete and per-file exact through consolidation
+    assert(m.fstats.size === m.files.size)
+    assert(m.fstats.map(_.rows).sum === FileStatsSidecar.MaxParts + 8)
+    // vacuum(0) with no grace: only the current version's parts survive
+    store.vacuum(retain = 0, graceMs = 0L)
+    val onDisk = {
+      val st = java.nio.file.Files.list(FileStatsSidecar.dir(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally st.close()
+    }
+    assert(onDisk === parts.toSet, "vacuum must keep exactly the live parts")
+    // pruning still works off the sidecar after the sweep
+    assert(store.latest().where($"ns" === "users" && $"ukey" === 3L).count() === 1)
+  }
 }
