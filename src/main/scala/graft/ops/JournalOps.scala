@@ -507,6 +507,28 @@ object JournalOps {
         .agg(countDistinct("user_id").as("dau7"))
         .orderBy("d")
     }),
+    "journal_erase" -> ((s, d) => {
+      // GDPR-style physical erasure as a declared, oracle-checked row:
+      // ingest a bounded journal, deleteWhere ONE user key across every
+      // namespace, read back per-ns state. Exercises the whole erase
+      // path end-to-end — manifest candidate pruning (key ranges +
+      // blooms), the touched-file probe scan, rewrite of ONLY matching
+      // files, checkpoint drop, manifest CAS — and the oracle is the
+      // logical filter the erasure must be indistinguishable from. The
+      // Int literal takes the analyzer-cast fold branch of
+      // equalityConjuncts (the round-10 hardened path).
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jerase_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      store.deleteWhere(col("ukey") === 7)
+      store.scan().groupBy("ns")
+        .agg(count(lit(1)).as("n"), sum(col("ukey")).as("sum_ukey"),
+             max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
     "journal_time_travel" -> ((s, d) => {
       // SQL time travel end-to-end (sources/JournalCatalog.loadTable
       // overloads): two INSERT commits → two more manifest versions;
@@ -758,6 +780,13 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(max(event_id) AS BIGINT) AS max_seq " +
         "FROM events WHERE event_id < 4000 GROUP BY 1 ORDER BY ns"),
+    // erasure must be indistinguishable from never having ingested the key
+    "journal_erase" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 6000 AND user_id <> 7 " +
+        "GROUP BY 1 ORDER BY ns"),
     "journal_catalog_sql" ->
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +

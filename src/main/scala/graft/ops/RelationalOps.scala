@@ -303,6 +303,24 @@ object RelationalOps {
              Det.r(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
              Det.r(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
         .orderBy("l_returnflag")),
+    "agg_quantile_sketch" -> ((s, d) =>
+      // Fixed-memory quantile SKETCH (Greenwald-Khanna via Spark's
+      // approx_percentile) — the 100 TB percentile shape: mergeable
+      // bounded state, map-side partials, one pass. Declared accuracy
+      // 1e6 makes the sketch rank-EXACT whenever a group holds < 1M
+      // rows (the summary never compresses, error bound ε·N < 1 rank),
+      // which is what lets DuckDB's rank-exact quantile_disc
+      // oracle-check the SKETCH code path end-to-end at test scale; at
+      // real scale the identical plan runs with the default accuracy
+      // and carries the ε·N rank bound instead of exactness.
+      // agg_percentile stays the interpolated-exact twin.
+      Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("approx_percentile(CAST(l_quantity AS DOUBLE), " +
+          "array(0.5D, 0.9D, 0.99D), 1000000)").as("q"))
+        .select(col("l_returnflag"),
+                col("q")(0).as("p50"), col("q")(1).as("p90"),
+                col("q")(2).as("p99"))
+        .orderBy("l_returnflag")),
     "agg_histogram" -> ((s, d) =>
       // equi-width histogram of order value (25k buckets) with per-bucket
       // mass — one hash aggregate. DuckDB 1.0 has no width_bucket, and a
@@ -484,6 +502,14 @@ object RelationalOps {
         Det.sql.r("quantile_cont(l_quantity, 0.25)", 4) + " AS p25, " +
         Det.sql.r("quantile_cont(l_quantity, 0.5)", 4) + " AS p50, " +
         Det.sql.r("quantile_cont(l_quantity, 0.75)", 4) + " AS p75 " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    // rank-exact discrete quantiles: below the declared accuracy the GK
+    // sketch returns an exact order statistic, matching quantile_disc
+    "agg_quantile_sketch" ->
+      ("SELECT l_returnflag, " +
+        "CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS p50, " +
+        "CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90, " +
+        "CAST(quantile_disc(l_quantity, 0.99) AS DOUBLE) AS p99 " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
     "agg_histogram" ->
       ("SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 " +
