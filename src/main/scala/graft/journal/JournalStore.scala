@@ -742,11 +742,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // equalityConjuncts folds those. A shape we can't recover just means
     // no pruning (all files are candidates) — the probe scan still
     // bounds the rewrite.
+    def recoverExpr(df: org.apache.spark.sql.DataFrame)
+        : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      df.where(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
     val condExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-      readSegmentsOver(Nil, m.schemaDdl).where(cond)
-        .queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }
+      try recoverExpr(readSegmentsOver(Nil, m.schemaDdl))
+      catch {
+        // legacy edge: a store with no pinned DDL whose files carry
+        // evolved columns — the schema-only surface can't resolve the
+        // predicate, but the footer-inferred file relation can (and the
+        // probe scan below needs exactly that resolution to work anyway)
+        case _: org.apache.spark.sql.AnalysisException =>
+          recoverExpr(readSegmentsOver(m.files, m.schemaDdl))
+      }
     val (nsEq, keyEq) =
       condExpr.map(equalityConjuncts).getOrElse((None, None))
     val candidates = filesForKey(m, nsEq, keyEq)

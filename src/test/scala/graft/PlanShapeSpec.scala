@@ -41,6 +41,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_skew_handoff: hot-key handoff broadcasts, salted join shuffles, no BNLJ") {
+    val df = SparkEntry.queries("join_skew_handoff")(spark, sf)
+    df.collect() // AQE: final plan only materializes after execution
+    val p = df.queryExecution.executedPlan.toString
+    // the report->factor handoff must ride broadcasts to both sides
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the salted fact-dim join itself stays a SHUFFLED HASH join keyed
+    // on (key, salt) — a lost salt equi-key would degrade it to a
+    // nested-loop/cartesian plan, the scale killer this pin guards.
+    // (The 1-row `tot` scalar rides a broadcast nested loop by design —
+    // the scalar-subquery pattern — so the assertion targets the fact
+    // join's keys, not the operator's absence globally.)
+    assert("ShuffledHashJoin \\[user_id#\\d+L?, salt#\\d+L?\\]".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("topk_global compiles to TakeOrderedAndProject (no global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
