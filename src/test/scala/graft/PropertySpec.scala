@@ -211,4 +211,17 @@ class PropertySpec extends AnyFunSuite {
           uni == (xs.toSet union ys.toSet)
     })
   }
+
+  test("ImageCodec: encode->parse->decode round-trips over the parameter space") {
+    val gen = for {
+      w <- Gen.choose(1, 64)
+      h <- Gen.choose(1, 64)
+      g <- Gen.choose(0, 255)
+    } yield (w, h, g)
+    check(Prop.forAll(gen) { case (w, h, g) =>
+      val png = ops.ImageCodec.buildPng(w, h, g)
+      ops.ImageCodec.parseDims(png) == Some(("png", w, h)) &&
+        ops.ImageCodec.decodePixels(png) == Some((w, h, w.toLong * h * g))
+    })
+  }
 }
