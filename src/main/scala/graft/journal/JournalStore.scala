@@ -1147,6 +1147,29 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .toDF("ns", "n_rows", "n_epochs")
   }
 
+  /** Per-FILE stats as a DataFrame. Sidecar-backed stores read their
+    * parquet parts DISTRIBUTEDLY — at O(10⁶) files, stats analytics
+    * (size-skew reports, bloom coverage audits, compaction planning)
+    * run as ordinary Spark jobs over the same bytes the driver prunes
+    * with, never materializing the stats driver-side. Legacy inline
+    * manifests materialize from memory (they were driver-sized by
+    * definition). */
+  def fileStats(): DataFrame = {
+    val m = manifest
+    FileStatsSidecar.partsOf(m.fstats) match {
+      case Some(parts) => FileStatsSidecar.toDf(spark, path, parts)
+      case None =>
+        val sp = spark
+        import sp.implicits._
+        m.fstats.toSeq.map(s => (s.file, s.rows, s.minSeq, s.maxSeq,
+          s.minKey, s.maxKey, s.tsMin, s.tsMax, s.nullTs,
+          if (s.bloom.isEmpty) Array.emptyByteArray
+          else java.util.Base64.getDecoder.decode(s.bloom)))
+          .toDF("file", "rows", "minSeq", "maxSeq", "minKey", "maxKey",
+            "tsMin", "tsMax", "nullTs", "bloom")
+    }
+  }
+
   /** The same stats recomputed from the segment data — the audit path. */
   def segmentStatsFromData(): DataFrame =
     readSegments()

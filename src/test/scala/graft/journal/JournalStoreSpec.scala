@@ -782,6 +782,14 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(re.fstats.size === synthStats.size + m0.fstats.size)
     val reMap = re.fstats.map(s => s.file -> s).toMap
     synthStats.foreach { s => assert(reMap(s.file) === s) }
+    // the sidecar reads DISTRIBUTEDLY as a DataFrame (the 10^6-file
+    // regime's stats-analytics path): full row count, exact values
+    val statsDf = JournalStore.open(spark, path).fileStats()
+    assert(statsDf.count() === re.fstats.size)
+    val row = statsDf.where($"file" === "epoch=9/ns=synth/part-7.parquet")
+      .select("rows", "minSeq", "maxSeq", "minKey", "maxKey").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) === ((10L, 70L, 79L, 700L, 799L)))
     // a further append writes ONE new delta part; prior parts untouched
     val partsBefore = FileStatsSidecar.partsOf(re.fstats).get
     store.append(Seq(("users", 9L, ts("2024-01-02 00:00:00"), """{"z":1}""", 1.0))
