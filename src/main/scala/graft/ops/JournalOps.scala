@@ -507,6 +507,27 @@ object JournalOps {
         .agg(countDistinct("user_id").as("dau7"))
         .orderBy("d")
     }),
+    "journal_compact_scan" -> ((s, d) => {
+      // Compaction + vacuum as a declared, oracle-checked row: ingest a
+      // bounded journal in several epoch-spanning commits, fold the old
+      // epochs into one key-clustered file per (epoch, ns), physically
+      // reclaim the victims, then read back per-ns state. The oracle is
+      // the plain logical view — compaction must be invisible to every
+      // reader while the file count drops (the invariant the spec suite
+      // pins structurally; this row pins it through the oracle gate).
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jcompact_store_" + Integer.toHexString(d.hashCode)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      store.compact(upToEpoch = 3, clusterByKey = true)
+      store.vacuum(retain = 0, graceMs = 0L)
+      store.scan().groupBy("ns")
+        .agg(count(lit(1)).as("n"), sum(col("ukey")).as("sum_ukey"),
+             min("seq").as("min_seq"), max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
     "journal_erase" -> ((s, d) => {
       // GDPR-style physical erasure as a declared, oracle-checked row:
       // ingest a bounded journal, deleteWhere ONE user key across every
@@ -780,6 +801,14 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
         "CAST(max(event_id) AS BIGINT) AS max_seq " +
         "FROM events WHERE event_id < 4000 GROUP BY 1 ORDER BY ns"),
+    // compaction must be invisible to every reader
+    "journal_compact_scan" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(min(event_id) AS BIGINT) AS min_seq, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 6000 " +
+        "GROUP BY 1 ORDER BY ns"),
     // erasure must be indistinguishable from never having ingested the key
     "journal_erase" ->
       ("SELECT event_type AS ns, count(*) AS n, " +
