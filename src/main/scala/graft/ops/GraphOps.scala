@@ -68,6 +68,41 @@ object GraphOps {
           expr("node div 2").as("id"), col("rank"))
         .orderBy(col("rank").desc, col("kind"), col("id")).limit(30)
     }),
+    "graph_bfs" -> ((s, d) => {
+      // BFS hop distances (bounded depth 4) from the graph's minimum
+      // node id over the symmetric bipartite co-purchase graph — the
+      // reachability / neighborhood-expansion primitive (the
+      // fixed-depth form recommendation and fraud pipelines run). The
+      // frontier loop is level-synchronous: each round joins the edge
+      // list against ONLY the previous level's frontier and anti-joins
+      // the visited set, so per-round shuffle volume is the frontier's
+      // edge neighborhood, never the whole distance table; eager
+      // localCheckpoint keeps every round's plan flat (the CC lesson).
+      // Depth is a contract constant on BOTH sides — the oracle's
+      // recursive CTE carries the same bound, making termination and
+      // results engine-independent.
+      val cp = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
+        .distinct()
+      val dir = cp.select(col("c").as("src"), col("p").as("dst"))
+      val edges = dir
+        .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var dist = edges.agg(min("src").as("id"))
+        .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+      for (k <- 1 to 4) {
+        val frontier = dist.where(col("dist") === (k - 1))
+          .select(col("id").as("fid"))
+        val nxt = edges.join(frontier, col("src") === col("fid"))
+          .select(col("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(k.toLong).as("dist"))
+        dist = dist.union(nxt).localCheckpoint(true)
+      }
+      dist.orderBy("id")
+    }),
     "graph_degree" -> ((s, d) => {
       // Degree distribution of the same bipartite co-purchase graph —
       // the first diagnostic a graph pipeline prints (hubs, skew, the
@@ -197,6 +232,18 @@ object GraphOps {
         "SELECT (SELECT count(*) FROM pp) AS n_edges, " +
         "(SELECT count(*) FROM ori e1 JOIN ori e2 ON e1.v = e2.u " +
         "JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles"),
+    // the recursive CTE carries the same depth-4 bound; UNION dedups
+    // (id, d) pairs so the recursion terminates, min(d) is the hop count
+    "graph_bfs" ->
+      ("WITH RECURSIVE cp AS (SELECT DISTINCT o_custkey * 2 AS c, " +
+        "l_partkey * 2 + 1 AS p FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "edges AS (SELECT c AS src, p AS dst FROM cp " +
+        "UNION ALL SELECT p, c FROM cp), " +
+        "walk(id, d) AS (SELECT min(src), 0 FROM edges " +
+        "UNION SELECT e.dst, w.d + 1 FROM edges e " +
+        "JOIN walk w ON e.src = w.id WHERE w.d < 4) " +
+        "SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk " +
+        "GROUP BY id ORDER BY id"),
     "graph_degree" ->
       ("WITH cp AS (SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +

@@ -546,6 +546,25 @@ object LlmExtOps {
                 substring(col("scrubbed"), 1, 80).as("scrub_prefix"))
         .orderBy("doc_id")),
 
+    "text_edit_distance" -> ((s, d) => {
+      // Edit-distance near-dup scoring on a bounded candidate set
+      // (doc_id < 60 by contract — the quadratic kernel is the
+      // VERIFIER a fingerprint/LSH stage feeds, mirroring how
+      // dedup_near_jaccard bounds its exact twin): levenshtein over
+      // 40-char prefixes, the cheap first-cut a fuzzy-dedup pass runs
+      // before full-text alignment. Codegen'd built-in (no UDF); the
+      // fixture corpus is pure ASCII so char-level distance is
+      // byte-level identical across engines.
+      val t = Tables(s, d, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+      val a = t.select(col("doc_id").as("a_id"), col("pfx").as("a_pfx"))
+      val b = t.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_pfx"), col("b_pfx")).as("dist"))
+        .where(col("dist") <= 24)
+        .orderBy("a_id", "b_id")
+    }),
     "text_normalize" -> ((s, d) =>
       // canonicalization pass a dedup pipeline runs before fingerprinting:
       // lowercase, strip non-alphanumerics, collapse whitespace
@@ -1280,6 +1299,13 @@ object LlmExtOps {
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
         "'[0-9][0-9 ()+-]{6,}[0-9]', '<NUMBER>', 'g'), 1, 80) AS scrub_prefix " +
         "FROM documents ORDER BY doc_id"),
+    "text_edit_distance" ->
+      ("SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS dist " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +
+        "WHERE a.doc_id < 60 AND b.doc_id < 60 " +
+        "AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 24 " +
+        "ORDER BY a_id, b_id"),
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
         "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text, " +
