@@ -50,6 +50,10 @@ object Sf1Smoke {
     // embeddings: pass-through copy so Tables() resolves if touched
     spark.read.parquet(s"$src/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // customer: dim-side pass-through (join_skew_handoff replicates the
+    // FACT side 10x; the dim stays dim — that's the point of the shape)
+    spark.read.parquet(s"$src/customer.parquet")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     // lineitem/orders: replicated with ALL keys shifted per replica —
     // the 10x graph is 10 disjoint copies (nodes, edges, components all
@@ -79,7 +83,12 @@ object Sf1Smoke {
       "graph_pagerank", "graph_degree", "win_gaps_islands",
       "text_inverted_index", "dedup_substring", "events_sessionize",
       "graph_triangles", "journal_scd2", "text_chunk", "text_bpe_pairs",
-      "events_markov", "win_moving_median")
+      "events_markov", "win_moving_median",
+      // round 10: frontier BFS (graph grows 10x), report-driven salt
+      // join (events fact side grows 10x), erase + compact lifecycle
+      // (journal build + rewrite scale with ingest)
+      "graph_bfs", "join_skew_handoff", "journal_erase",
+      "journal_compact_scan")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()
