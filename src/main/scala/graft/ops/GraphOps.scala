@@ -91,6 +91,7 @@ object GraphOps {
         .union(dir.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
       var dist = edges.agg(min("src").as("id"))
+        .where(col("id").isNotNull) // empty graph → empty result, not (null, 0)
         .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
       for (k <- 1 to 4) {
         val frontier = dist.where(col("dist") === (k - 1))
