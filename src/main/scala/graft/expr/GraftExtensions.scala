@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
     GraftFunctions.tableEntries.foreach(ext.injectTableFunction)
+    // SQL DELETE on journal tables (physical erasure through the store;
+    // see JournalDelete.scala for why the built-in path can't serve it)
+    ext.injectPostHocResolutionRule(sp => new graft.sources.JournalDeleteRule(sp))
   }
 }
 

@@ -110,7 +110,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                     writeEpochSize: Option[Long] = None,
                                     maxSeqsPerTrigger: Option[Long] = None,
                                     startingSeq: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val segDir = s"$storePath/segments"
   // one snapshot for the table's lifetime; a store that does not exist
   // yet reads as the empty manifest (batch read falls back to V1 anyway)
@@ -159,6 +160,72 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     }
     caps
+  }
+
+  // -- SQL DELETE (SupportsDelete): plain `DELETE FROM cat.tbl WHERE …`
+  // routes to JournalStore.deleteWhere — physical erasure with manifest
+  // candidate pruning, touched-file rewrite, checkpoint drop and the
+  // single-writer CAS. Spark translates the DELETE condition to V1
+  // source filters; any filter expressible as a Column is accepted (the
+  // store's probe scan evaluates the REAL predicate — pruning precision
+  // is the store's concern, not correctness's). A condition Spark can't
+  // fully translate, or a version-pinned table, refuses loudly.
+
+  private def filterToColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) =>
+        Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    !pinned && store.isDefined && filters.forall(filterToColumn(_).isDefined)
+
+  /** The extension-rule entry ([[JournalDeleteRule]]): a resolved DELETE
+    * condition, attribute references name-normalized so the store's own
+    * relation re-resolves them. */
+  private[sources] def deleteWhereExpr(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    require(!pinned, "DELETE through a version-pinned journal table " +
+      "(VERSION AS OF) is refused — pin a reader, not an eraser")
+    val st = store.getOrElse(throw new IllegalStateException(
+      s"no journal store at $storePath"))
+    val byName = cond.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    }
+    st.deleteWhere(org.apache.spark.sql.graft.StreamBatchBridge.columnOf(byName))
+  }
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    require(!pinned, "DELETE through a version-pinned journal table " +
+      "(VERSION AS OF) is refused — pin a reader, not an eraser")
+    val st = store.getOrElse(throw new IllegalStateException(
+      s"no journal store at $storePath"))
+    val cond = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    st.deleteWhere(cond)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -33,4 +33,11 @@ object StreamBatchBridge {
     ClassicDataset.ofRows(ds.sparkSession,
       LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = true))
   }
+
+  /** Column-from-Expression for the SQL DELETE extension rule: Spark 4
+    * removed the public Column(expr) constructor and the replacement
+    * `ExpressionUtils.column` is private[sql]. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -8,6 +8,10 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // the deployment shape installs the graft extensions; tests run
+      // with them too so the SQL surface (incl. DELETE on journal
+      // tables) is exercised the way a cluster would see it
+      .withExtensions(new graft.expr.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -187,4 +187,34 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM jcat.ext2").as[Long].head() === 1L)
     }
   }
+
+  test("SQL DELETE FROM physically erases through the store's deleteWhere") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.gdpr (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2')")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO jcat.gdpr SELECT 'users' AS ns, " +
+        s"CAST($i AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:0$i' AS ts, " +
+        s"'p$i' AS payload, CAST($i.0 AS DOUBLE) AS val")
+    }
+    // equality delete (the GDPR shape) — pruned via manifest key stats
+    spark.sql("DELETE FROM jcat.gdpr WHERE ukey = 1")
+    assert(spark.sql("SELECT count(*) FROM jcat.gdpr").as[Long].head() === 2L)
+    assert(spark.sql("SELECT count(*) FROM jcat.gdpr WHERE ukey = 1")
+      .as[Long].head() === 0L)
+    // the erase is PHYSICAL: the store's raw history no longer holds the
+    // key either (not a tombstone — contrast store.delete())
+    val store = graft.journal.JournalStore.open(spark, s"$root/gdpr")
+    assert(store.scan().where(col("ukey") === 1L).count() === 0)
+    // retained rows keep their seqs — erasure never renumbers history
+    assert(spark.sql("SELECT seq FROM jcat.gdpr ORDER BY seq")
+      .as[Long].collect().toSeq === Seq(0L, 2L))
+    // arbitrary predicate deletes work too (no-pruning fallback path)
+    spark.sql("DELETE FROM jcat.gdpr WHERE val > 1.5")
+    assert(spark.sql("SELECT ukey FROM jcat.gdpr").as[Long].collect().toSeq === Seq(0L))
+    // a version-pinned table refuses DELETE: pin a reader, not an eraser
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM jcat.gdpr VERSION AS OF 1 WHERE ukey = 0")
+    }
+    assert(err.getMessage != null)
+  }}
 }
