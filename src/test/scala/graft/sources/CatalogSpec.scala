@@ -217,4 +217,15 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }}
+
+  test("TRUNCATE TABLE physically empties the store (SupportsDelete truncate path)") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.trunc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2')")
+    spark.sql("INSERT INTO jcat.trunc SELECT 'users' AS ns, " +
+      "CAST(1 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:01' AS ts, " +
+      "'p0' AS payload, CAST(1.0 AS DOUBLE) AS val")
+    spark.sql("TRUNCATE TABLE jcat.trunc")
+    assert(spark.sql("SELECT count(*) FROM jcat.trunc").as[Long].head() === 0L)
+    assert(graft.journal.JournalStore.open(spark, s"$root/trunc").scan().count() === 0)
+  }}
 }
