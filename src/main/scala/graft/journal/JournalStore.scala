@@ -1406,7 +1406,12 @@ object JournalStore {
     // Parts land BEFORE the CAS below — a losing/crashed writer strands
     // orphan parts (random names, never clobbered), swept by vacuum().
     val fstatParts: Seq[String] = m.fstats match {
-      case s if s.isEmpty => Nil
+      // Lazy shapes first: their emptiness is knowable from parts/extra
+      // alone, so a generic isEmpty (which would force the iterator and
+      // load every sidecar part on every commit) must never see them.
+      case lf: LazyFileStats if lf.parts.isEmpty => Nil
+      case af: AppendedFileStats
+          if af.base.parts.isEmpty && af.extra.isEmpty => Nil
       case lf: LazyFileStats
           if lf.parts.sizeIs <= FileStatsSidecar.MaxParts => lf.parts
       case af: AppendedFileStats if af.extra.isEmpty &&
@@ -1414,6 +1419,7 @@ object JournalStore {
       case af: AppendedFileStats
           if af.base.parts.sizeIs < FileStatsSidecar.MaxParts =>
         af.base.parts :+ FileStatsSidecar.writePart(path, af.extra)
+      case s if s.isEmpty => Nil
       case s => Seq(FileStatsSidecar.writePart(path, s.toVector))
     }
     val fst = root.putArray("fstatsParts")

@@ -241,6 +241,7 @@ object GraphOps {
         "edges AS (SELECT c AS src, p AS dst FROM cp " +
         "UNION ALL SELECT p, c FROM cp), " +
         "walk(id, d) AS (SELECT min(src), 0 FROM edges " +
+        "HAVING min(src) IS NOT NULL " +
         "UNION SELECT e.dst, w.d + 1 FROM edges e " +
         "JOIN walk w ON e.src = w.id WHERE w.d < 4) " +
         "SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk " +

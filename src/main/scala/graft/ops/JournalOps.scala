@@ -20,6 +20,14 @@ import graft.Tables
   */
 object JournalOps {
 
+  /** Tag for per-query temp store paths: the sanitized dataset path plus
+    * this JVM's pid, so (a) two datasets never collide (hashCode could),
+    * and (b) two concurrent harness processes on the SAME dataset get
+    * disjoint directories instead of racing on delete/rebuild. */
+  private[ops] def tmpTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]+", "_").takeRight(60) + "_p" +
+      java.lang.ProcessHandle.current.pid
+
   /** Canonical journal projection of the events table. */
   def journal(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events").select(
@@ -242,7 +250,7 @@ object JournalOps {
       // fixed per-dataset location, wiped before each build — repeated
       // Verify/Bench invocations must not accumulate orphaned stores
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jsrc_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jsrc_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val store = graft.journal.JournalStore.create(s, tmp, epochSize = 5000L)
       store.append(journal(s, d).where(col("seq") < 6000))
@@ -258,7 +266,7 @@ object JournalOps {
       // tests. Caller seqs (= event_id) ride through, so the oracle is the
       // same arg_max-by-event_id state query.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jsink_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jsink_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       journal(s, d).where(col("seq") < 6000)
         .write.format("journal").option("epochSize", "5000").save(tmp)
@@ -276,7 +284,7 @@ object JournalOps {
       // queries in the r6 bench. Store build rides the same caller-seq
       // write path journal_sink_state exercises.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jfmt_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jfmt_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       journal(s, d).where(col("seq") < 4000)
         .write.format("journal").option("epochSize", "1000").save(tmp)
@@ -295,7 +303,7 @@ object JournalOps {
       // Size epochs to the data: tail replay stays bounded, files stay
       // worth opening.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_journal_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_journal_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val store = graft.journal.JournalStore.create(s, tmp, epochSize = 5000L)
       store.append(journal(s, d))
@@ -310,7 +318,7 @@ object JournalOps {
       // manifest's per-file key ranges before the probe side is read;
       // the broadcast join means the log never shuffles.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jdim_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jdim_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       journal(s, d).where(col("seq") < 6000)
         .write.format("journal").option("epochSize", "1000").save(tmp)
@@ -332,7 +340,7 @@ object JournalOps {
       // `SELECT count(*) FROM journal.t`. AggPushdownSpec pins the scan
       // node; this query pins the VALUES against the DuckDB twin.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jagg_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jagg_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       journal(s, d).where(col("seq") < 6000)
         .write.format("journal").option("epochSize", "5000").save(tmp)
@@ -371,7 +379,7 @@ object JournalOps {
       // journal_meta_agg; AggPushdownSpec pins the scan node, this pins
       // the VALUES.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jagg_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jagg_store_" + tmpTag(d)).toString
       if (!graft.journal.JournalStore.exists(tmp)) {
         journal(s, d).where(col("seq") < 6000)
           .write.format("journal").option("epochSize", "5000").save(tmp)
@@ -393,7 +401,7 @@ object JournalOps {
       // INSERT so the oracle is a plain aggregate over events. The
       // catalog name is keyed by the dataset dir: Spark caches catalog
       // instances by name, so each dataset gets its own root.
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = tmpTag(d)
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_jcat_root_$tag").toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -418,7 +426,7 @@ object JournalOps {
       // data-bounded, never row-bounded); the heavy side stays the
       // pre-aggregated daily counts, one shuffle. MAX RECURSION LEVEL
       // is Spark-side syntax only — the DuckDB twin recurses unbounded.
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = tmpTag(d)
       Tables(s, d, "events").createOrReplaceTempView(s"ev_rec_$tag")
       // The day bounds are materialized ONCE before the recursion (1-row
       // localCheckpoint — the dedup_corpus_minhash lineage-pinning
@@ -516,7 +524,7 @@ object JournalOps {
       // reader while the file count drops (the invariant the spec suite
       // pins structurally; this row pins it through the oracle gate).
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jcompact_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jcompact_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       journal(s, d).where(col("seq") < 6000)
         .write.format("journal").option("epochSize", "1000").save(tmp)
@@ -539,7 +547,7 @@ object JournalOps {
       // Int literal takes the analyzer-cast fold branch of
       // equalityConjuncts (the round-10 hardened path).
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jerase_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jerase_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       journal(s, d).where(col("seq") < 6000)
         .write.format("journal").option("epochSize", "1000").save(tmp)
@@ -561,7 +569,7 @@ object JournalOps {
       // rides the same resolver (JournalStore.versionAsOf) and is
       // pinned by wall clock in JournalCatalogSpec — a fixed instant
       // can't live in driver-shared SQL.
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = tmpTag(d)
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_jtt_root_$tag").toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -622,7 +630,7 @@ object JournalOps {
       // so the stats maintenance itself sits inside the correctness
       // gate.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jns_store_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jns_store_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val store = graft.journal.JournalStore.create(s, tmp, epochSize = 500L)
       store.append(journal(s, d).where(col("seq") < 2000))
@@ -814,7 +822,8 @@ object JournalOps {
       ("SELECT event_type AS ns, count(*) AS n, " +
         "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
         "CAST(max(event_id) AS BIGINT) AS max_seq " +
-        "FROM events WHERE event_id < 6000 AND user_id <> 7 " +
+        "FROM events WHERE event_id < 6000 " +
+        "AND (user_id IS NULL OR user_id <> 7) " +
         "GROUP BY 1 ORDER BY ns"),
     "journal_catalog_sql" ->
       ("SELECT event_type AS ns, count(*) AS n_rows, " +
