@@ -344,17 +344,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
       if (r.isNullAt(6)) 0L else r.getLong(6), r.getLong(2))).toSeq
     val hi = if (batchStats.isEmpty) None else Some(batchStats.map(_.maxSeq).max)
     val newMax = math.max(m.maxSeq, hi.getOrElse(m.maxSeq)) // empty batch = no-op
-    val mergedStats = (m.stats ++ batchStats).groupBy(_.epoch).map { case (e, ss) =>
-      EpochStat(e, ss.map(_.rows).sum, ss.map(_.minSeq).min, ss.map(_.maxSeq).max)
-    }.toSeq.sortBy(_.epoch)
-    val mergedK = (m.kstats ++ batchK).groupBy(k => (k.epoch, k.ns))
-      .map { case ((e, n), ks) =>
-        val rows = ks.map(_.rows).sum
-        val nonEmpty = ks.filter(k => k.minKey <= k.maxKey)
-        if (nonEmpty.isEmpty) KeyStat(e, n, 1L, 0L, rows)
-        else KeyStat(e, n, nonEmpty.map(_.minKey).min,
-          nonEmpty.map(_.maxKey).max, rows)
-      }.toSeq.sortBy(k => (k.epoch, k.ns))
+    // Root-list deltas stay RAW: RootSidecar folds base+delta at read
+    // (associative merges), so this append never loads the base lists —
+    // the commit writes one small delta part however many files the
+    // store already tracks (see RootSidecar's class doc).
     // Schema evolution: record the union of the prior schema and this
     // batch's columns (new columns append; existing keep their type;
     // everything nullable since other files may lack it). ns is pinned
@@ -397,9 +390,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     // commit = manifest swap: the new data files become visible to
     // readers only when the manifest that lists them lands
+    val (files2, stats2, kstats2) = RootSidecar.appended(
+      m.files, m.stats, m.kstats, newFiles, batchStats, batchK)
     writeManifest(path, m.copy(maxSeq = newMax,
-      files = (m.files ++ newFiles).distinct,
-      stats = mergedStats, kstats = mergedK, fstats = FileStatsSidecar.appended(m.fstats, batchF),
+      files = files2,
+      stats = stats2, kstats = kstats2, fstats = FileStatsSidecar.appended(m.fstats, batchF),
       lastBatchId = streamBatchId.getOrElse(m.lastBatchId),
       schemaDdl = mergedSchema.toDDL))
     // Automatic checkpoint policy (marasa checkpoints periodically so
@@ -672,6 +667,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
         st.iterator().asScala.toList
       } finally st.close()
       parts.filterNot(p => liveParts.contains(p.getFileName.toString))
+        .filter(aged).foreach(Files.deleteIfExists(_))
+    }
+    // Manifest-root list parts: same orphan/rotation sweep as the stats
+    // sidecar (partsOf is name-list work — no part bytes load here).
+    val liveRoot = (cur +: retained).flatMap(mm =>
+      RootSidecar.partsOf(mm.files).getOrElse(Nil)).toSet
+    val mrDir = RootSidecar.dir(path)
+    if (Files.exists(mrDir)) {
+      val st = Files.list(mrDir)
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toList
+      } finally st.close()
+      parts.filterNot(p => liveRoot.contains(p.getFileName.toString))
         .filter(aged).foreach(Files.deleteIfExists(_))
     }
   }
@@ -1311,6 +1320,8 @@ object JournalStore {
     // The pre-reset store's stat sidecar goes with its version files.
     org.apache.commons.io.FileUtils.deleteQuietly(
       FileStatsSidecar.dir(path).toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      RootSidecar.dir(path).toFile)
     writeManifest(path, Manifest(epochSize, -1L, Nil), cas = false)
     new JournalStore(spark, path, epochSize)
   }
@@ -1384,20 +1395,19 @@ object JournalStore {
     root.put("schemaDdl", java.net.URLEncoder.encode(m.schemaDdl, "UTF-8"))
     val ck = root.putArray("checkpoints")
     m.checkpoints.foreach(c => ck.add(c))
-    val fs = root.putArray("files")
-    m.files.foreach(f => fs.add(f))
-    // epoch stats as a flat numeric list in groups of 4 (epoch, rows,
-    // min, max) and key stats as "epoch:minKey:maxKey:rows:<enc ns>"
-    // strings — the pre-jackson layout, kept verbatim
-    val st = root.putArray("stats")
-    m.stats.sortBy(_.epoch).foreach { s =>
-      st.add(s.epoch); st.add(s.rows); st.add(s.minSeq); st.add(s.maxSeq)
-    }
-    val ks = root.putArray("kstats")
-    m.kstats.sortBy(k => (k.epoch, k.ns)).foreach { k =>
-      ks.add(s"${k.epoch}:${k.minKey}:${k.maxKey}:${k.rows}:" +
-        java.net.URLEncoder.encode(k.ns, "UTF-8"))
-    }
+    // The file list and epoch/key stats go to the manifest-root parquet
+    // sidecar (RootSidecar): the JSON carries only part NAMES, so its
+    // size is O(1) in file count — the property that keeps snapshot
+    // load (and the CAS re-read every commit does) off the O(files)
+    // driver-side JSON parse. An untouched base reuses its part names;
+    // an append adds one delta part; rewrites and the part-count cap
+    // consolidate. Parts land BEFORE the CAS below — a losing/crashed
+    // writer strands orphan parts (random names, never clobbered),
+    // swept by vacuum().
+    val rootParts: Seq[String] =
+      RootSidecar.partsFor(path, m.files, m.stats, m.kstats)
+    val rp = root.putArray("rootParts")
+    rootParts.foreach(rp.add)
     // Per-file stats go to the parquet sidecar (FileStatsSidecar): the
     // root carries only part NAMES, so its size is O(file list), not
     // O(files × 8 KiB bloom). An unchanged base writes nothing; an
@@ -1501,13 +1511,24 @@ object JournalStore {
       if (n.hasNonNull(k)) n.get(k).asLong(dflt) else dflt
     def arr(k: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
       if (n.hasNonNull(k)) n.get(k).elements().asScala.toSeq else Nil
-    val stats = arr("stats").map(_.asLong).grouped(4)
-      .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq
-    val kstats = arr("kstats").map { e =>
-      val parts = e.asText.split(":", 5)
-      KeyStat(parts(0).toLong, java.net.URLDecoder.decode(parts(4), "UTF-8"),
-        parts(1).toLong, parts(2).toLong, parts(3).toLong)
-    }
+    // Root lists: sidecar-backed manifests carry part NAMES only (the
+    // list bytes load lazily through RootSidecar's LRU); legacy inline
+    // manifests (pre-sidecar stores) keep reading as-is and migrate to
+    // parts on their next commit.
+    val (files, stats, kstats): (Seq[String], Seq[EpochStat], Seq[KeyStat]) =
+      if (n.hasNonNull("rootParts"))
+        RootSidecar.fromParts(path, arr("rootParts").map(_.asText))
+      else {
+        val st = arr("stats").map(_.asLong).grouped(4)
+          .map(g => EpochStat(g(0), g(1), g(2), g(3))).toSeq
+        val ks = arr("kstats").map { e =>
+          val parts = e.asText.split(":", 5)
+          KeyStat(parts(0).toLong,
+            java.net.URLDecoder.decode(parts(4), "UTF-8"),
+            parts(1).toLong, parts(2).toLong, parts(3).toLong)
+        }
+        (arr("files").map(_.asText), st, ks)
+      }
     val fstats: Seq[FileStat] =
       if (n.hasNonNull("fstatsParts"))
         // sidecar-backed: parse cost here is the part-NAME list; the
@@ -1527,7 +1548,7 @@ object JournalStore {
         java.net.URLDecoder.decode(n.get("schemaDdl").asText, "UTF-8")
       else ""
     Some(Manifest(num("epochSize"), num("maxSeq"),
-      arr("checkpoints").map(_.asLong), arr("files").map(_.asText), stats,
+      arr("checkpoints").map(_.asLong), files, stats,
       num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats,
       num("commitTsMs", 0L)))
   } catch {

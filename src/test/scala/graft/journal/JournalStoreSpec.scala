@@ -829,4 +829,59 @@ class JournalStoreSpec extends AnyFunSuite {
     // pruning still works off the sidecar after the sweep
     assert(store.latest().where($"ns" === "users" && $"ukey" === 3L).count() === 1)
   }
+
+  test("root sidecar: 10k-file manifest keeps root JSON O(1) bytes; append adds one delta part") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 100)
+    store.append(sampleDf)
+    // Synthesize the 100 TB shape on the ROOT lists themselves: 10k
+    // file names + per-epoch and per-(epoch, ns) stats. Inline, the
+    // file-name array alone is ~400 KB of JSON parsed on the driver at
+    // EVERY snapshot load and every commit's CAS re-read; the root
+    // sidecar keeps the JSON at scalars + part names.
+    val m0 = store.manifest
+    val synthFiles = (0 until 10000).map(i => s"epoch=9/ns=synth/part-$i.parquet")
+    val synthStats = (0 until 500).map(e =>
+      JournalStore.EpochStat(100L + e, 100L, e * 100L, e * 100L + 99L))
+    val synthK = (0 until 500).map(e =>
+      JournalStore.KeyStat(100L + e, "synth", 0L, 999L, 100L))
+    JournalStore.writeManifest(path, m0.copy(
+      files = m0.files ++ synthFiles,
+      stats = m0.stats ++ synthStats,
+      kstats = m0.kstats ++ synthK))
+    def rootBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(path, "manifest.json"))
+    // O(1): scalars, schema DDL, checkpoint list, two part-name lists.
+    // 10k inline names would be ~400 KB; the bound pins independence
+    // from file count, not a formatting accident.
+    assert(rootBytes < 4096L, s"root manifest is $rootBytes bytes")
+    // round-trip: lists load lazily but completely, merged exactly
+    val re = JournalStore.open(spark, path).manifest
+    assert(re.files.isInstanceOf[RootSidecar.FilesView])
+    assert(re.files.size === m0.files.size + 10000)
+    assert(re.stats.size === m0.stats.size + 500)
+    assert(re.kstats.size === m0.kstats.size + 500)
+    assert(re.stats.filter(_.epoch == 357L) ===
+      Seq(JournalStore.EpochStat(357L, 100L, 25700L, 25799L)))
+    assert(re.kstats.filter(k => k.epoch == 357L && k.ns == "synth") ===
+      Seq(JournalStore.KeyStat(357L, "synth", 0L, 999L, 100L)))
+    // a further append commits ONE new delta part; base parts untouched,
+    // and the root JSON stays O(1)
+    val partsBefore = RootSidecar.partsOf(re.files).get
+    store.append(Seq(("users", 9L, ts("2024-01-02 00:00:00"), """{"z":1}""", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val m2 = JournalStore.open(spark, path).manifest
+    val partsAfter = RootSidecar.partsOf(m2.files).get
+    assert(partsAfter.size === partsBefore.size + 1)
+    assert(partsBefore.forall(partsAfter.contains))
+    assert(rootBytes < 4096L, s"root manifest grew to $rootBytes bytes")
+    // the delta merged in: new file visible, epoch stats advanced
+    assert(m2.files.size === re.files.size + 1)
+    assert(m2.maxSeq === re.maxSeq + 1)
+    // the append's real file landed in the merged list and on disk
+    val newNames = m2.files.toSet -- re.files.toSet
+    assert(newNames.size === 1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "segments", newNames.head)))
+  }
 }
