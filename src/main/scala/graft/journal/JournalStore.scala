@@ -251,11 +251,55 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * manifest's high-water `lastBatchId` is a replay after recovery and
     * is skipped — exactly-once ingest for the `journal` streaming sink.
     * The id rides the SAME manifest swap that makes the data visible, so
-    * there is no window where data committed but the id didn't. */
-  def append(df: DataFrame, streamBatchId: Option[Long]): Long = {
+    * there is no window where data committed but the id didn't.
+    *
+    * Concurrency: appends are optimistic. The manifest CAS serializes
+    * commits; a writer that loses the race gets
+    * ConcurrentModificationException BEFORE anything became visible and
+    * simply re-runs the whole attempt against the fresh manifest — seqs
+    * re-assign above the winner's high-water mark, the loser's orphan
+    * segment/sidecar files are never referenced (vacuum sweeps them), and
+    * the winner's commit is untouched. Bounded at
+    * [[JournalStore.MaxCommitRetries]] rebases, then the CME escapes
+    * loudly (a genuinely hot multi-writer store needs coordination this
+    * embedded store doesn't provide). This is what lets two streaming
+    * sinks share one store; REWRITE ops (compact/deleteWhere) stay
+    * single-writer-loud — two concurrent rewriters of the same files
+    * have no safe automatic rebase. Note exactly-once batch dedup is
+    * per-store, not per-sink: two sinks sharing a store must feed
+    * disjoint batch-id spaces (each sink's checkpoint dir does this). */
+  def append(df: DataFrame, streamBatchId: Option[Long]): Long =
+    append(df, streamBatchId, "")
+
+  /** `writerId` keys the exactly-once batch high-water mark: every sink
+    * sharing the store deduplicates against ITS OWN mark (Spark restarts
+    * every query's batch ids from 0, so a shared scalar mark would make
+    * one sink's progress swallow another's batches). "" = the legacy
+    * single-writer mark (`lastBatchId`). */
+  def append(df: DataFrame, streamBatchId: Option[Long],
+             writerId: String): Long = {
+    var attempt = 0
+    while (true) {
+      try return appendOnce(df, streamBatchId, writerId)
+      catch { case e: java.util.ConcurrentModificationException =>
+        attempt += 1
+        if (attempt > JournalStore.MaxCommitRetries) throw e
+        // linear backoff, deterministically staggered by identity so two
+        // lock-stepped writers de-synchronize without an RNG
+        Thread.sleep(25L * attempt + math.abs(path.hashCode % 17))
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def appendOnce(df: DataFrame, streamBatchId: Option[Long],
+                         writerId: String): Long = {
     requireWritable()
     val m0 = manifest
-    if (streamBatchId.exists(_ <= m0.lastBatchId)) return m0.maxSeq
+    val replayMark =
+      if (writerId.isEmpty) m0.lastBatchId
+      else m0.writerMarks.getOrElse(writerId, -1L)
+    if (streamBatchId.exists(_ <= replayMark)) return m0.maxSeq
     val required = Seq("ns", "ukey", "ts", "payload", "val")
     val missing = required.filterNot(df.columns.contains)
     require(missing.isEmpty,
@@ -296,14 +340,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // on (epoch, ns): each output directory is written by exactly one
     // task — one file per (epoch, ns) instead of (#tasks × #dirs) small
     // files, and the writer tasks spread evenly across the cluster.
-    // Snapshot the on-disk file set BEFORE writing: the manifest must
-    // gain exactly the files THIS append creates. Sweeping in "any file
-    // not yet in the manifest" would resurrect files that compact()
-    // dropped from the manifest but vacuum() hasn't deleted yet
-    // (duplicated rows + stats desync).
-    val preExisting = listSegmentFiles()
+    // The job writes into a PRIVATE staging dir and the files are then
+    // moved into the live tree: (a) concurrent appends never share a
+    // Hadoop commit `_temporary` dir (the FileOutputCommitter race two
+    // optimistic writers would otherwise hit); (b) the new-file set is
+    // known exactly — no full segment-tree walk per append (O(files)
+    // driver work at the 10⁶-file scale) and no chance of sweeping in a
+    // compacted-but-unvacuumed stranger's file.
+    val stage = newStageDir()
     out.repartition(col("epoch"), col("ns"))
-      .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
+      .write.partitionBy("epoch", "ns").mode("append").parquet(stage)
     // One stats pass over the cached batch, at (epoch, ns) grain, yields
     // BOTH manifest stat families (the Delta-style metadata that lets
     // segmentStats() / seq-range pruning / key-targeted reads skip the
@@ -371,7 +417,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // that unexpectedly gained several files, or an escaped ns whose
     // directory name doesn't round-trip, records no stats: unpruned,
     // never wrong.
-    val newFiles = listSegmentFiles() diff preExisting
+    val newFiles = promoteStaged(stage)
     val nsRe = """ns=([^/]+)""".r
     val statRow = perNs.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
     val batchF = newFiles
@@ -392,11 +438,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // readers only when the manifest that lists them lands
     val (files2, stats2, kstats2) = RootSidecar.appended(
       m.files, m.stats, m.kstats, newFiles, batchStats, batchK)
-    writeManifest(path, m.copy(maxSeq = newMax,
+    try writeManifest(path, m.copy(maxSeq = newMax,
       files = files2,
       stats = stats2, kstats = kstats2, fstats = FileStatsSidecar.appended(m.fstats, batchF),
-      lastBatchId = streamBatchId.getOrElse(m.lastBatchId),
+      lastBatchId =
+        if (writerId.isEmpty) streamBatchId.getOrElse(m.lastBatchId)
+        else m.lastBatchId,
+      writerMarks =
+        if (writerId.isEmpty || streamBatchId.isEmpty) m.writerMarks
+        else m.writerMarks + (writerId -> streamBatchId.get),
       schemaDdl = mergedSchema.toDDL))
+    catch { case e: java.util.ConcurrentModificationException =>
+      // lost the commit race: nothing became visible; release the cached
+      // batch before the retry wrapper re-runs the attempt
+      if (!hasSeq) out.unpersist()
+      throw e
+    }
     // Automatic checkpoint policy (marasa checkpoints periodically so
     // reads are bounded by epoch size — SURVEY §0.1.5/§4.1): when this
     // append completed an epoch, materialize state at the last finished
@@ -418,7 +475,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
         else out.selectExpr(cols: _*).limit(0)
       val src = priorRows.unionByName(
         out.withColumn("ns", col("ns").cast("string")).selectExpr(cols: _*))
-      writeCheckpoint(stateAtOver(src, m.checkpoints, boundary), boundary)
+      // Post-commit maintenance is best-effort under concurrency: this
+      // append IS durable; if a concurrent writer keeps winning the
+      // checkpoint-registration commit, skip the cycle (the next epoch
+      // rollover re-attempts) rather than failing a succeeded append.
+      try writeCheckpoint(stateAtOver(src, m.checkpoints, boundary), boundary)
+      catch { case _: java.util.ConcurrentModificationException => }
     }
     if (!hasSeq) out.unpersist()
     // Auto-compaction: rewrite only the directories this policy finds
@@ -434,7 +496,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val victims = m2.files.groupBy(dirOf).collect {
         case ((Some(_), Some(_)), fs) if fs.size > autoCompactFiles => fs
       }.flatten.toSeq
-      if (victims.nonEmpty) compactFiles(victims, clusterByKey = true)
+      // same best-effort rule as the checkpoint above: a lost race skips
+      // this compaction cycle, it never fails the durable append
+      if (victims.nonEmpty)
+        try compactFiles(victims, clusterByKey = true)
+        catch { case _: java.util.ConcurrentModificationException => }
     }
     newMax
   }
@@ -489,6 +555,43 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .drop("__graft_pid", "__graft_li", "__graft_off")
   }
 
+  /** A private per-job staging dir under the store root. Spark's commit
+    * protocol runs entirely inside it, so concurrent writer jobs never
+    * share a `_temporary` tree. Dot-prefixed: parquet/Hadoop readers
+    * ignore hidden dirs, so an in-flight stage is invisible to scans. */
+  private def newStageDir(): String =
+    s"$path/.stage-${java.util.UUID.randomUUID()}"
+
+  /** Move the staged job's data files into the live segment tree and
+    * return their segDir-relative names (exactly this job's output —
+    * no tree diff). Same-filesystem move; Spark task files carry a
+    * per-task UUID, so two writers promoting into one (epoch, ns)
+    * directory can never collide on a name. The stage dir (commit
+    * markers and all) is deleted afterwards; a crash mid-promote leaves
+    * only unreferenced files (never referenced by any manifest — the
+    * commit happens after), which vacuum's orphan sweep reclaims. */
+  private def promoteStaged(stage: String): Seq[String] = {
+    val stRoot = Paths.get(stage)
+    if (!Files.exists(stRoot)) return Nil
+    val moved = Seq.newBuilder[String]
+    val walk = Files.walk(stRoot)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .foreach { p =>
+          val rel = stRoot.relativize(p).toString
+          val target = Paths.get(segDir, rel)
+          Files.createDirectories(target.getParent)
+          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          moved += rel
+        }
+    } finally walk.close()
+    org.apache.commons.io.FileUtils.deleteQuietly(stRoot.toFile)
+    moved.result().sorted
+  }
+
   /** All parquet files currently on disk under segments/, path-relative. */
   private def listSegmentFiles(): Seq[String] = {
     val root = Paths.get(segDir)
@@ -539,12 +642,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
     else reader0
     val rows = reader.parquet(old.map(f => s"$segDir/$f"): _*)
       .withColumn("ns", col("ns").cast("string"))
-    // Snapshot the on-disk file set BEFORE the compaction write — the
-    // same invariant append() holds: the manifest gains exactly the files
-    // THIS compaction wrote. Diffing against m.files instead would sweep
-    // in files a PREVIOUS compact() dropped from the manifest but
-    // vacuum() hasn't deleted yet (resurrected rows on double-compact).
-    val preExisting = listSegmentFiles()
+    // Staged write + promote, like append(): the rewrite's commit
+    // protocol is private (no `_temporary` race with concurrent
+    // appenders) and newFiles is exactly THIS compaction's output — no
+    // tree diff that could sweep in files a PREVIOUS compact() dropped
+    // from the manifest but vacuum() hasn't deleted yet.
     val partitioned = rows.repartition(col("epoch"), col("ns"))
     val laidOut =
       if (clusterByKey)
@@ -553,8 +655,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
         partitioned.sortWithinPartitions(col("epoch"), col("ns"),
           col("ukey"), col("seq"))
       else partitioned
-    laidOut.write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
-    val newFiles = listSegmentFiles() diff preExisting
+    val stage = newStageDir()
+    laidOut.write.partitionBy("epoch", "ns").mode("append").parquet(stage)
+    val newFiles = promoteStaged(stage)
     // Derive each rewritten file's stats by merging its victims' per-file
     // stats: compaction rewrites whole (epoch, ns) directories into one
     // file, so the per-(epoch, ns) merge describes exactly the rows in
@@ -668,6 +771,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
       } finally st.close()
       parts.filterNot(p => liveParts.contains(p.getFileName.toString))
         .filter(aged).foreach(Files.deleteIfExists(_))
+    }
+    // Abandoned staging dirs (a writer that crashed between its Spark
+    // job and promoteStaged): never referenced by any manifest, swept
+    // by age alone.
+    val rootDir = Paths.get(path)
+    if (Files.exists(rootDir)) {
+      val st = Files.list(rootDir)
+      val stages = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".stage-")).toList
+      } finally st.close()
+      stages.filter(aged).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     }
     // Manifest-root list parts: same orphan/rotation sweep as the stats
     // sidecar (partsOf is name-list work — no part bytes load here).
@@ -790,13 +907,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val affected =
       if (mapped.forall(_.isDefined)) mapped.flatten.toSeq else candidates
     val keep = !coalesce(cond, lit(false))
-    val preExisting = listSegmentFiles()
     val retained = readSegmentsOver(affected, m.schemaDdl).where(keep)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // staged write + promote, like append()/compactFiles(): private
+    // commit protocol, exact new-file set
+    val stage = newStageDir()
     retained.repartition(col("epoch"), col("ns"))
       .sortWithinPartitions(col("epoch"), col("ns"), col("ukey"), col("seq"))
-      .write.partitionBy("epoch", "ns").mode("append").parquet(segDir)
-    val newFiles = listSegmentFiles() diff preExisting
+      .write.partitionBy("epoch", "ns").mode("append").parquet(stage)
+    val newFiles = promoteStaged(stage)
     // Fresh stats for the rewritten files — same two lean passes as
     // append() (numeric aggregate stays codegen'd; the bloom's
     // TypedImperativeAggregate rides its own pass), over the cached
@@ -1115,7 +1234,6 @@ class JournalStore private (val spark: SparkSession, val path: String,
 
   private def writeCheckpoint(state: DataFrame, seq: Long): Unit = {
     state.write.mode("overwrite").parquet(ckptDir(seq))
-    val m = manifest
     // Retain only the newest checkpoints: stateAt reads the newest one
     // at or below its bound, so older ones serve only deep time travel —
     // which falls back to a longer replay rather than leaking one
@@ -1123,10 +1241,24 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // by vacuum() (a retained manifest version may still reference one).
     // the just-written checkpoint is always kept even when it is older
     // than the retained window (an explicit deep checkpoint(seq) call
-    // must not be a silent no-op after paying the state write)
-    writeManifest(path, m.copy(checkpoints =
-      ((m.checkpoints :+ seq).distinct.sorted.takeRight(RetainedCheckpoints)
-        :+ seq).distinct.sorted))
+    // must not be a silent no-op after paying the state write).
+    // Registration is a tiny read-modify-write commit touching only the
+    // checkpoint list, so a lost CAS race rebases trivially: re-read,
+    // re-add, re-commit (bounded like append's retry loop).
+    var attempt = 0
+    while (attempt <= JournalStore.MaxCommitRetries) {
+      val m = manifest
+      try {
+        writeManifest(path, m.copy(checkpoints =
+          ((m.checkpoints :+ seq).distinct.sorted.takeRight(RetainedCheckpoints)
+            :+ seq).distinct.sorted))
+        return
+      } catch { case e: java.util.ConcurrentModificationException =>
+        attempt += 1
+        if (attempt > JournalStore.MaxCommitRetries) throw e
+        Thread.sleep(25L * attempt)
+      }
+    }
   }
 
   /** Per-epoch segment stats straight from the manifest (no segment-tree
@@ -1284,7 +1416,16 @@ object JournalStore {
                       // the TIMESTAMP AS OF resolution axis. 0 = committed
                       // by a pre-upgrade writer (reads as epoch: always
                       // eligible, never wrongly excluded).
-                      commitTsMs: Long = 0L)
+                      commitTsMs: Long = 0L,
+                      // per-writer exactly-once batch high-water marks
+                      // (writerId -> lastBatchId); the legacy scalar
+                      // lastBatchId is the anonymous ("") writer's mark
+                      writerMarks: Map[String, Long] = Map.empty)
+
+  /** Bounded optimistic-concurrency rebases for append (and checkpoint
+    * registration) before a lost CAS race escapes loudly. Rewrites
+    * (compact/deleteWhere) never retry — see append's doc. */
+  val MaxCommitRetries = 5
 
   /** How many committed manifest versions stay readable via openAt().
     * Bounds metadata growth to N tiny JSON files regardless of journal
@@ -1393,6 +1534,12 @@ object JournalStore {
     root.put("version", m.version)
     root.put("commitTsMs", m.commitTsMs)
     root.put("schemaDdl", java.net.URLEncoder.encode(m.schemaDdl, "UTF-8"))
+    if (m.writerMarks.nonEmpty) {
+      val wm = root.putObject("writerMarks")
+      m.writerMarks.toSeq.sortBy(_._1).foreach { case (id, mark) =>
+        wm.put(java.net.URLEncoder.encode(id, "UTF-8"), mark)
+      }
+    }
     val ck = root.putArray("checkpoints")
     m.checkpoints.foreach(c => ck.add(c))
     // The file list and epoch/key stats go to the manifest-root parquet
@@ -1547,10 +1694,16 @@ object JournalStore {
       if (n.hasNonNull("schemaDdl"))
         java.net.URLDecoder.decode(n.get("schemaDdl").asText, "UTF-8")
       else ""
+    val writerMarks: Map[String, Long] =
+      if (n.hasNonNull("writerMarks")) {
+        val wm = n.get("writerMarks")
+        wm.fieldNames().asScala.map(k =>
+          java.net.URLDecoder.decode(k, "UTF-8") -> wm.get(k).asLong).toMap
+      } else Map.empty
     Some(Manifest(num("epochSize"), num("maxSeq"),
       arr("checkpoints").map(_.asLong), files, stats,
       num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats,
-      num("commitTsMs", 0L)))
+      num("commitTsMs", 0L), writerMarks))
   } catch {
     // unparseable bytes (e.g. a file damaged outside our atomic-rename
     // protocol) read as "no manifest here" — callers produce their own

@@ -146,13 +146,21 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
     val sinkParams =
       if (parameters.contains("autoCompactFiles")) parameters
       else parameters + ("autoCompactFiles" -> "16")
+    // Per-sink exactly-once identity: batch ids restart at 0 for every
+    // query, so two sinks sharing one store must deduplicate against
+    // their OWN high-water mark — keyed by the query's checkpoint
+    // location (its durable identity across restarts), or an explicit
+    // writerId option. Absent both (checkpoint-less test queries), the
+    // legacy anonymous mark preserves single-sink behavior.
+    val writerId = parameters.getOrElse("writerId",
+      parameters.getOrElse("checkpointLocation", ""))
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // re-root the micro-batch plan as a batch DF (the incremental
         // plan only executes inside the stream) — see StreamBatchBridge
         val batch = StreamBatchBridge.asBatchDF(data)
         openOrCreate(data.sparkSession, path, sinkParams)
-          .append(batch, Some(batchId))
+          .append(batch, Some(batchId), writerId)
       }
       override def toString: String = s"JournalSink[$path]"
     }

@@ -214,8 +214,11 @@ class StreamingSpec extends AnyFunSuite {
     val store = graft.journal.JournalStore.open(spark, path)
     assert(store.scan().count() === 4)
     // the batch id high-water mark rode the manifest swap and PERSISTED
-    // (a fresh open sees it — survives a driver restart)
-    assert(store.manifest.lastBatchId === 1L)
+    // (a fresh open sees it — survives a driver restart). The sink keys
+    // its mark by its checkpoint location, so a SECOND sink sharing the
+    // store could never collide with this one's batch-id space.
+    val sinkId = s"$dir/ckpt"
+    assert(store.manifest.writerMarks.get(sinkId) === Some(1L))
     val st = store.latest().orderBy("ns", "ukey")
       .select("ns", "ukey", "payload").as[(String, Long, String)].collect().toSeq
     assert(st === Seq(("click", 1L, """{"k": 1}"""),
@@ -227,11 +230,11 @@ class StreamingSpec extends AnyFunSuite {
     val replay = Seq(("view", 9L, ts("2024-01-01 10:09:00"), "{}", 9.0))
       .toDF("ns", "ukey", "ts", "payload", "val")
     val maxBefore = store.manifest.maxSeq
-    assert(store.append(replay, Some(1L)) === maxBefore)
+    assert(store.append(replay, Some(1L), sinkId) === maxBefore)
     assert(store.scan().count() === 4, "replayed batch must not duplicate rows")
-    assert(store.append(replay, Some(2L)) === maxBefore + 1)
+    assert(store.append(replay, Some(2L), sinkId) === maxBefore + 1)
     assert(store.scan().count() === 5)
-    assert(store.manifest.lastBatchId === 2L)
+    assert(store.manifest.writerMarks.get(sinkId) === Some(2L))
   }
 
   test("stream_journal_sink: auto-compaction keeps per-dir files bounded over 20 micro-batches") {
