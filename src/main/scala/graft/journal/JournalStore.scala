@@ -499,7 +499,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       // same best-effort rule as the checkpoint above: a lost race skips
       // this compaction cycle, it never fails the durable append
       if (victims.nonEmpty)
-        try compactFiles(victims, clusterByKey = true)
+        try compactFiles(victims, SegmentLayout.ByKey)
         catch { case _: java.util.ConcurrentModificationException => }
     }
     newMax
@@ -553,6 +553,41 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .withColumn("seq",
         lit(startSeq + 1L) + col("__graft_off") + col("__graft_li"))
       .drop("__graft_pid", "__graft_li", "__graft_off")
+  }
+
+  /** The Z-curve position of each row over `cols`, as one LONG column —
+    * pure codegen'd Catalyst arithmetic, no UDF:
+    *
+    *  1. Per column, an approximate-quantile pass yields up to 255
+    *    boundaries (driver-side, tiny); the row's 8-bit bucket rank is
+    *    `size(filter(boundaries, b -> v > b))` — a higher-order array
+    *    function over a literal array, evaluated map-side. Rank
+    *    bucketing is skew-proof: a hot key region still spreads across
+    *    buckets by population, where linear (v-min)/(max-min) scaling
+    *    would collapse it into one.
+    *  2. Bucket bits interleave round-robin (bit i of column j lands at
+    *    z-bit i*ncols + (ncols-1-j)), the standard Morton layout, via
+    *    shiftright/AND/shiftleft — all whole-stage-codegen.
+    *
+    * NULL ranks as bucket 0 (comparisons with NULL filter out every
+    * boundary), i.e. nulls cluster at the curve's origin. */
+  private def zValueExpr(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    val bitsPerCol = 8
+    val n = cols.size
+    val buckets = cols.map { c =>
+      val probs = (1 until (1 << bitsPerCol)).map(_.toDouble / (1 << bitsPerCol)).toArray
+      val qs = df.select(col(c).cast("double").as("__graft_zq"))
+        .stat.approxQuantile("__graft_zq", probs, 0.01)
+        .toSeq.filterNot(_.isNaN).distinct
+      if (qs.isEmpty) lit(0L)
+      else size(filter(array(qs.map(lit): _*),
+        b => col(c).cast("double") > b)).cast("long")
+    }
+    buckets.zipWithIndex.map { case (b, j) =>
+      (0 until bitsPerCol).map { i =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _).as("__graft_zv")
   }
 
   /** A private per-job staging dir under the store root. Spark's commit
@@ -622,14 +657,35 @@ class JournalStore private (val spark: SparkSession, val path: String,
   def compact(upToEpoch: Long, clusterByKey: Boolean = false): Unit =
     compactFiles(
       manifest.files.filter(f => epochOf(f).exists(_ <= upToEpoch)),
-      clusterByKey)
+      if (clusterByKey) SegmentLayout.ByKey else SegmentLayout.Unordered)
+
+  /** Compact with MULTI-column clustering: rows are ordered along a
+    * Z-curve (interleaved bits of per-column quantile-bucket ranks —
+    * the Delta/Iceberg OPTIMIZE ZORDER BY layout), so EVERY listed
+    * column keeps row-group min/max locality inside the rewritten
+    * files. Single-axis (ukey, seq) clustering makes a pushed `ukey =`
+    * predicate skip row groups but leaves a second predicate column
+    * (typically ts) scattered across the full range of every row
+    * group; z-ordering trades a little ukey tightness for bounded
+    * ranges on ALL the probe dimensions. Columns are bucketed by
+    * approximate quantile rank (skew-proof where linear min-max
+    * scaling is not); timestamps and other orderable non-numerics
+    * bucket through their DOUBLE cast. */
+  def compact(upToEpoch: Long, zorderBy: Seq[String]): Unit = {
+    require(zorderBy.nonEmpty, "zorderBy needs at least one column")
+    require(zorderBy.size <= 8,
+      s"zorderBy supports at most 8 columns (64 z-bits), got ${zorderBy.size}")
+    compactFiles(
+      manifest.files.filter(f => epochOf(f).exists(_ <= upToEpoch)),
+      SegmentLayout.ZOrder(zorderBy))
+  }
 
   /** Compact an arbitrary victim set (whole (epoch, ns) directories at a
     * time — callers pass every live file of each directory they target)
     * into one file per directory. Backs both the epoch-bounded public
     * compact() and the append-time auto-compaction policy. */
   private def compactFiles(victimFiles: Seq[String],
-                           clusterByKey: Boolean): Unit = {
+                           layout: SegmentLayout): Unit = {
     requireWritable()
     val m = manifest
     val old = victimFiles.filter(m.files.contains)
@@ -648,13 +704,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // tree diff that could sweep in files a PREVIOUS compact() dropped
     // from the manifest but vacuum() hasn't deleted yet.
     val partitioned = rows.repartition(col("epoch"), col("ns"))
-    val laidOut =
-      if (clusterByKey)
+    val laidOut = layout match {
+      case SegmentLayout.Unordered => partitioned
+      case SegmentLayout.ByKey =>
         // (epoch, ns) lead the sort so the dynamic-partition writer
         // streams one open file at a time; (ukey, seq) cluster within
         partitioned.sortWithinPartitions(col("epoch"), col("ns"),
           col("ukey"), col("seq"))
-      else partitioned
+      case SegmentLayout.ZOrder(cols) =>
+        // z-value computed over the whole victim set (one extra
+        // quantile pass — compaction is already a full rewrite); the
+        // sort key stays (epoch, ns) first for the same one-open-file
+        // writer argument, z-curve position within
+        partitioned.sortWithinPartitions(col("epoch"), col("ns"),
+          zValueExpr(rows, cols))
+    }
     val stage = newStageDir()
     laidOut.write.partitionBy("epoch", "ns").mode("append").parquet(stage)
     val newFiles = promoteStaged(stage)
@@ -1421,6 +1485,18 @@ object JournalStore {
                       // (writerId -> lastBatchId); the legacy scalar
                       // lastBatchId is the anonymous ("") writer's mark
                       writerMarks: Map[String, Long] = Map.empty)
+
+  /** Physical row layout of compacted segment files. */
+  sealed trait SegmentLayout
+  object SegmentLayout {
+    /** Write in arrival order (cheapest rewrite). */
+    case object Unordered extends SegmentLayout
+    /** Single-axis (ukey, seq) clustering — optimal for key probes. */
+    case object ByKey extends SegmentLayout
+    /** Multi-column Z-curve clustering — every listed column keeps
+      * row-group min/max locality (see compact(upToEpoch, zorderBy)). */
+    final case class ZOrder(cols: Seq[String]) extends SegmentLayout
+  }
 
   /** Bounded optimistic-concurrency rebases for append (and checkpoint
     * registration) before a lost CAS race escapes loudly. Rewrites

@@ -536,6 +536,29 @@ object JournalOps {
              min("seq").as("min_seq"), max("seq").as("max_seq"))
         .orderBy("ns")
     }),
+    "journal_zorder_scan" -> ((s, d) => {
+      // Multi-column (Z-order) compaction as a declared, oracle-checked
+      // row: ingest, rewrite the old epochs along the (ukey, val)
+      // Z-curve, vacuum, then run the exact probe shape z-ordering
+      // exists for — a conjunction of range predicates on BOTH
+      // clustered columns. Layout must be invisible to results (the
+      // oracle is the plain logical filter); the row-group skipping it
+      // buys is pinned structurally in JournalStoreSpec.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jzorder_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      store.compact(upToEpoch = 5L, zorderBy = Seq("ukey", "val"))
+      store.vacuum(retain = 0, graceMs = 0L)
+      store.scan()
+        .where(col("ukey").between(2, 40) && col("val").between(10.0, 120.0))
+        .groupBy("ns")
+        .agg(count(lit(1)).as("n"), sum(col("ukey")).as("sum_ukey"),
+             min("seq").as("min_seq"), max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
     "journal_erase" -> ((s, d) => {
       // GDPR-style physical erasure as a declared, oracle-checked row:
       // ingest a bounded journal, deleteWhere ONE user key across every
@@ -816,6 +839,16 @@ object JournalOps {
         "CAST(min(event_id) AS BIGINT) AS min_seq, " +
         "CAST(max(event_id) AS BIGINT) AS max_seq " +
         "FROM events WHERE event_id < 6000 " +
+        "GROUP BY 1 ORDER BY ns"),
+    // z-order is a physical layout: results must equal the plain filter
+    "journal_zorder_scan" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(min(event_id) AS BIGINT) AS min_seq, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 6000 " +
+        "AND user_id BETWEEN 2 AND 40 " +
+        "AND value BETWEEN 10.0 AND 120.0 " +
         "GROUP BY 1 ORDER BY ns"),
     // erasure must be indistinguishable from never having ingested the key
     "journal_erase" ->

@@ -957,4 +957,72 @@ class JournalStoreSpec extends AnyFunSuite {
     store.append(batch("c", 2L), Some(5L))
     assert(store.scan().where($"ns" === "c").count() === 1)
   }
+
+  test("z-order compaction: second predicate column regains row-group skipping vs single-axis") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    // small row groups so one compacted file holds many (the unit the
+    // reader's predicate pushdown skips at)
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      // ukey and val are INDEPENDENT dimensions (val = multiplicative
+      // hash of i): a (ukey, seq) sort gives val no locality at all
+      val n = 60000
+      def mkStore(tag: String): (String, JournalStore) = {
+        val path = freshPath
+        val store = JournalStore.create(spark, path, epochSize = 1000000)
+        val rows = spark.range(n.toLong).select(
+          lit("ev").as("ns"),
+          (col("id") % 1000L).as("ukey"),
+          lit(ts("2024-01-01 00:00:00")).as("ts"),
+          lit("{}").as("payload"),
+          ((col("id") * 2654435761L) % 100000L).cast("double").as("val"))
+        store.append(rows)
+        (path, store)
+      }
+      // per-row-group [min,max] of a double column across all live files
+      def rowGroups(path: String, store: JournalStore): Seq[(Double, Double)] = {
+        import scala.jdk.CollectionConverters._
+        store.manifest.files.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$path/segments/$f"), hc)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == "val").get
+            val st = cc.getStatistics
+            (st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+             st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+          } finally r.close()
+        }
+      }
+      // single-axis twin
+      val (pA, sA) = mkStore("bykey")
+      sA.compact(upToEpoch = 100L, clusterByKey = true)
+      // z-order twin
+      val (pB, sB) = mkStore("zorder")
+      sB.compact(upToEpoch = 100L, zorderBy = Seq("ukey", "val"))
+      // same data either way (layout must never change results)
+      assert(sA.scan().count() === n.toLong)
+      assert(sB.scan().count() === n.toLong)
+      assert(sA.latest().count() === sB.latest().count())
+      val gA = rowGroups(pA, sA); val gB = rowGroups(pB, sB)
+      assert(gA.size > 8, s"need many row groups to measure, got ${gA.size}")
+      assert(gB.size > 8, s"need many row groups to measure, got ${gB.size}")
+      // a 5%-wide probe on the SECOND dimension: under (ukey, seq)
+      // clustering val is scattered, so ~every row group admits the
+      // range; under z-order the curve bounds val per row group
+      val (lo, hi) = (40000.0, 45000.0)
+      def admits(g: Seq[(Double, Double)]) =
+        g.count { case (mn, mx) => mx >= lo && mn <= hi }
+      val aAdm = admits(gA); val bAdm = admits(gB)
+      assert(aAdm >= (gA.size * 9) / 10,
+        s"single-axis control should admit ~all groups: $aAdm/${gA.size}")
+      assert(bAdm * 2 <= gB.size,
+        s"z-order should skip at least half the groups: $bAdm/${gB.size}")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+  }
 }
