@@ -116,6 +116,23 @@ object LlmExtOps {
       s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS INT)")
 
+  /** The persisted ANN index's journal-row projection: one row per
+    * (vector, LSH table) with ns = the bucket directory, payload = the
+    * vector's JSON. Shared by the batch build (sim_ann_index) and the
+    * streaming maintenance path (StreamingSpec) so both write the
+    * identical index shape. */
+  private[graft] def annIndexRows(
+      embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+        posexplode(expr(s"lsh_buckets(embedding, $lshTables, $lshPlanes)"))
+          .as(Seq("tbl", "bucket")))
+      .select(
+        concat(lit("t"), col("tbl"), lit("_b"), col("bucket")).as("ns"),
+        col("vec_id").as("ukey"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+        to_json(col("embedding")).as("payload"),
+        lit(0.0).as("val"))
+
   /** Karp-Rabin rolling hash over character code points (== bytes for
     * ASCII text; base 257, mod p = 2^30-35, prime). The sub-2^30 modulus
     * keeps every intermediate < 2^38, so the identical recurrence runs in
@@ -286,6 +303,58 @@ object LlmExtOps {
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"),
                 graft.Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).cast("int").as("n_tables"), max("sim").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    "sim_ann_index" -> ((s, d) => {
+      // The PERSISTED ANN index (VERDICT r10 gap 2): sim_ann_lsh
+      // recomputes every vector's buckets per query; a 100 TB similarity
+      // service materializes the bucket table ONCE and serves probes
+      // from it. Here the index is a journal table whose NAMESPACE is
+      // the bucket id ("t<table>_b<bucket>"): ingest explodes each
+      // vector to its K=4 (table, bucket) rows map-side (native
+      // lsh_buckets kernel, same LCG hyperplanes as sim_ann_lsh) and
+      // appends them with payload = the vector's JSON (Float.toString
+      // is shortest-repr, so from_json returns bit-identical floats —
+      // exact cosines, not approximations). A probe computes ONLY the
+      // query's multi-probe bucket list (one 1-row kernel eval) and
+      // reads the matching namespaces: ns is a partition DIRECTORY in
+      // the journal layout, so the scan statically prunes to the ~93×K
+      // probed buckets — at any corpus size the probe opens only its
+      // buckets, never the corpus. Incremental maintenance = ordinary
+      // journal appends (the streaming sink does exactly this —
+      // probe-visibility of streamed vectors is pinned in
+      // StreamingSpec); the oracle recomputes everything from the raw
+      // embeddings, so serving from the index must be invisible.
+      graft.expr.GraftFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_annindex_" + graft.ops.JournalOps.tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      annIndexRows(e)
+        .write.format("journal").option("epochSize", "1000000").save(path)
+      val store = graft.journal.JournalStore.open(s, path)
+      // the query vector's own buckets: one 1-row kernel eval (driver
+      // metadata read, same class as a scalar aggregate) → a LITERAL
+      // ns list, which is what makes the scan's pruning STATIC
+      val qb = e.where(col("vec_id") === 0)
+        .select(expr(s"lsh_buckets(embedding, $lshTables, $lshPlanes)"))
+        .head.getSeq[Int](0)
+      val probeNs = (0 until lshTables).flatMap(t =>
+        (0 until (1 << lshPlanes))
+          .filter(b => Integer.bitCount(b ^ qb(t)) <= lshProbeHamming)
+          .map(b => s"t${t}_b$b"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      store.scan().where(col("ns").isin(probeNs: _*))
+        .select(col("ukey").as("vec_id"),
+          from_json(col("payload"), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("emb"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+                graft.Det.r(expr("cosine_sim(emb, q_emb)"), 4).as("sim"))
         .groupBy("vec_id")
         .agg(count(lit(1)).cast("int").as("n_tables"), max("sim").as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
@@ -1154,6 +1223,34 @@ object LlmExtOps {
       "SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster, " +
       "(min(lbl) = id) AS is_survivor FROM reach GROUP BY id ORDER BY doc_id"
 
+  /** Exact twin of the multi-table multi-probe ANN pipeline: same LCG
+    * hyperplanes, same probe radius, same candidate union + dedup.
+    * Shared by sim_ann_lsh (recompute path) and sim_ann_index (the
+    * persisted index must serve the identical answer). */
+  private lazy val annOracle: String = {
+    val bCols = (0 until lshTables)
+      .map(t => lshBucketSqlDuck(t) + s" AS b$t").mkString(", ")
+    val taggedRows = (0 until lshTables).map(t =>
+      s"SELECT vec_id, embedding, $t AS tbl, b$t AS bucket FROM b")
+      .mkString(" UNION ALL ")
+    val probeRows = (0 until lshTables).map(t =>
+      s"SELECT q_emb, $t AS tbl, unnest(list_filter(range(0, ${1 << lshPlanes}), " +
+        s"x -> bit_count(xor(x, CAST(b$t AS BIGINT))) <= $lshProbeHamming)) AS probe FROM q")
+      .mkString(" UNION ALL ")
+    s"WITH b AS (SELECT vec_id, embedding, $bCols FROM embeddings), " +
+      s"tagged AS ($taggedRows), " +
+      "q AS (SELECT embedding AS q_emb, " +
+      (0 until lshTables).map(t => s"b$t").mkString(", ") + " FROM b WHERE vec_id = 0), " +
+      s"probes AS ($probeRows), " +
+      "cand AS (SELECT tg.vec_id, " +
+      graft.Det.sql.r("list_cosine_similarity(CAST(tg.embedding AS DOUBLE[]), " +
+        "CAST(p.q_emb AS DOUBLE[]))", 4) + " AS sim " +
+      "FROM tagged tg JOIN probes p ON tg.tbl = p.tbl AND tg.bucket = p.probe " +
+      "WHERE tg.vec_id <> 0) " +
+      "SELECT vec_id, CAST(count(*) AS INT) AS n_tables, max(sim) AS sim " +
+      "FROM cand GROUP BY 1 ORDER BY sim DESC, vec_id LIMIT 10"
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_simhash" ->
       // Brute-force all-pairs twin: exact at hamming<=3 with 4 bands
@@ -1170,31 +1267,10 @@ object LlmExtOps {
         "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a_id, b_id"),
-    "sim_ann_lsh" -> {
-      // Exact twin of the multi-table multi-probe pipeline: same LCG
-      // hyperplanes, same probe radius, same candidate union + dedup.
-      val bCols = (0 until lshTables)
-        .map(t => lshBucketSqlDuck(t) + s" AS b$t").mkString(", ")
-      val taggedRows = (0 until lshTables).map(t =>
-        s"SELECT vec_id, embedding, $t AS tbl, b$t AS bucket FROM b")
-        .mkString(" UNION ALL ")
-      val probeRows = (0 until lshTables).map(t =>
-        s"SELECT q_emb, $t AS tbl, unnest(list_filter(range(0, ${1 << lshPlanes}), " +
-          s"x -> bit_count(xor(x, CAST(b$t AS BIGINT))) <= $lshProbeHamming)) AS probe FROM q")
-        .mkString(" UNION ALL ")
-      s"WITH b AS (SELECT vec_id, embedding, $bCols FROM embeddings), " +
-        s"tagged AS ($taggedRows), " +
-        "q AS (SELECT embedding AS q_emb, " +
-        (0 until lshTables).map(t => s"b$t").mkString(", ") + " FROM b WHERE vec_id = 0), " +
-        s"probes AS ($probeRows), " +
-        "cand AS (SELECT tg.vec_id, " +
-        graft.Det.sql.r("list_cosine_similarity(CAST(tg.embedding AS DOUBLE[]), " +
-          "CAST(p.q_emb AS DOUBLE[]))", 4) + " AS sim " +
-        "FROM tagged tg JOIN probes p ON tg.tbl = p.tbl AND tg.bucket = p.probe " +
-        "WHERE tg.vec_id <> 0) " +
-        "SELECT vec_id, CAST(count(*) AS INT) AS n_tables, max(sim) AS sim " +
-        "FROM cand GROUP BY 1 ORDER BY sim DESC, vec_id LIMIT 10"
-    },
+    "sim_ann_lsh" -> annOracle,
+    // the index is a serving LAYOUT: answers must hash-match the
+    // recompute-from-raw-embeddings pipeline exactly
+    "sim_ann_index" -> annOracle,
     "text_fingerprint_rolling" ->
       ("SELECT doc_id, CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE " +
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +

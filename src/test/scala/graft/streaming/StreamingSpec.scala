@@ -609,4 +609,49 @@ class StreamingSpec extends AnyFunSuite {
       (21L, None)))
     q.stop()
   }
+
+  test("stream_ann_index: streamed vectors become probe-visible in the persisted LSH index") {
+    graft.expr.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_stream_").toString
+    val path = s"$dir/index"
+    // deterministic 64-dim unit-ish vectors: v(seed) clusters with itself
+    def vec(seed: Int): Array[Float] =
+      (0 until 64).map(d => (((seed * 31 + d * 7) % 13) - 6).toFloat / 6f).toArray
+    // batch-build the index over a base corpus (ids 1..20)
+    val base = (1 to 20).map(i => (i.toLong, vec(i % 5))).toDF("vec_id", "embedding")
+    graft.ops.LlmExtOps.annIndexRows(base)
+      .write.format("journal").option("epochSize", "1000000").save(path)
+    val store = graft.journal.JournalStore.open(spark, path)
+    // probe = exactly the shape sim_ann_index serves: the query vector's
+    // multi-probe ns list against the index namespaces
+    def probe(q: Array[Float]): Set[Long] = {
+      val qb = Seq(q).toDF("embedding")
+        .select(expr("lsh_buckets(embedding, 4, 8)")).head.getSeq[Int](0)
+      val probeNs = (0 until 4).flatMap(t =>
+        (0 until 256).filter(b => Integer.bitCount(b ^ qb(t)) <= 3)
+          .map(b => s"t${t}_b$b"))
+      store.scan().where(col("ns").isin(probeNs: _*))
+        .select(col("ukey")).distinct().as[Long].collect().toSet
+    }
+    val newVec = vec(99)
+    val before = probe(newVec)
+    assert(!before.contains(777L))
+    // stream new vectors through the journal sink — the SAME index rows
+    // the batch build writes, maintained incrementally, exactly-once
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.LlmExtOps.annIndexRows(
+        ms.toDF.toDF("vec_id", "embedding"))
+      .writeStream.format("journal")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(path)
+    ms.addData((777L, newVec))
+    q.processAllAvailable()
+    q.stop()
+    // a vector always lands in its own bucket, and self-probe radius
+    // includes it: the appended vector is now probe-visible
+    val after = probe(newVec)
+    assert(after.contains(777L), s"streamed vector not probe-visible: $after")
+    // base corpus unchanged
+    assert(before.subsetOf(after))
+  }
 }
