@@ -116,6 +116,13 @@ object LlmExtOps {
       s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS INT)")
 
+  /** BPE training rounds (text_bpe_train) — the contract constant
+    * bounding the driver-synchronized merge loop, like graph_bfs's
+    * depth. Real tokenizer vocabularies run the same loop ~30k times;
+    * the per-round cost here is vocabulary-sized, not corpus-sized, so
+    * the bound is a harness-time choice, not a scale limit. */
+  private[ops] val bpeTrainRounds = 6
+
   /** The persisted ANN index's journal-row projection: one row per
     * (vector, LSH table) with ns = the bucket directory, payload = the
     * vector's JSON. Shared by the batch build (sim_ann_index) and the
@@ -858,6 +865,58 @@ object LlmExtOps {
             .as("chunk"))
         .orderBy("doc_id", "chunk_start")),
 
+    "text_bpe_train" -> ((s, d) => {
+      // Iterated BPE TRAINING (text_bpe_pairs computes only the first
+      // merge's statistic): the real tokenizer-training loop — count
+      // adjacent symbol pairs, merge the winner, re-segment, recount —
+      // for bpeTrainRounds rounds. Scale shape: round 0 collapses the
+      // corpus to the word-FREQUENCY table (one shuffle; BPE statistics
+      // are identical on it, and it is what every tokenizer trainer
+      // iterates over), so each round touches vocabulary-sized data
+      // only: a pair-count aggregate whose wire volume is the distinct
+      // pair set (map-side partials), a 1-row top-pair frame that joins
+      // back by BROADCAST (no driver round-trip in the data path), and
+      // a codegen'd string replace as the re-segmenter. Each word rides
+      // as a '_'-separated symbol string — replace()'s left-to-right
+      // non-overlapping scan IS the greedy BPE merge, and '_' can never
+      // occur inside a symbol ([a-z] alphabet), so token boundaries are
+      // unforgeable. localCheckpoint per round (the CC discipline)
+      // keeps the plan flat across rounds. The DuckDB oracle unrolls
+      // the same rounds as a WITH chain over the same string
+      // arithmetic.
+      val rows = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      var vocab = Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(lit("_"),
+          array_join(split(col("w"), ""), "_"), lit("_")).as("repr"),
+          col("freq"))
+        .localCheckpoint()
+      for (r <- 1 to bpeTrainRounds) {
+        val top = vocab
+          .selectExpr("freq",
+            "split(substring(repr, 2, char_length(repr) - 2), '_') AS t")
+          .selectExpr("freq",
+            "explode(CASE WHEN size(t) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+              "ELSE transform(sequence(0, size(t) - 2), " +
+              "i -> concat(element_at(t, i + 1), '_', element_at(t, i + 2))) " +
+              "END) AS pair")
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .localCheckpoint()
+        rows += top.select(lit(r).as("merge_round"),
+          expr("split_part(pair, '_', 1)").as("lhs"),
+          expr("split_part(pair, '_', 2)").as("rhs"), col("cnt"))
+        vocab = vocab.crossJoin(broadcast(top.select(col("pair"))))
+          .select(expr("replace(repr, concat('_', pair, '_'), " +
+            "concat('_', replace(pair, '_', ''), '_'))").as("repr"),
+            col("freq"))
+          .localCheckpoint()
+      }
+      rows.result().reduce(_ unionByName _).orderBy("merge_round")
+    }),
+
     "text_bpe_pairs" -> ((s, d) => {
       // First BPE-style merge iteration: corpus-wide counts of ADJACENT
       // symbol pairs inside words (the statistic a byte-pair-encoding
@@ -1428,6 +1487,33 @@ object LlmExtOps {
         "FROM (SELECT doc_id, text, unnest(generate_series(0, " +
         "greatest(n_chars - 1, 0), 150)) AS chunk_start FROM documents) " +
         "ORDER BY doc_id, chunk_start"),
+    "text_bpe_train" -> {
+      // Unrolled twin of the merge loop: v0 = word-frequency table as
+      // '_'-separated symbol strings; per round, pair counts → top pair
+      // (same cnt-desc, pair-asc tiebreak) → replace() re-segmentation
+      // (same left-to-right greedy semantics).
+      val base = "WITH w AS (SELECT w, count(*) AS freq FROM " +
+        "(SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w " +
+        "FROM documents) WHERE length(w) >= 2 GROUP BY 1), " +
+        "v0 AS (SELECT '_' || array_to_string(regexp_split_to_array(w, ''), '_') " +
+        "|| '_' AS repr, freq FROM w)"
+      val roundsSql = (1 to bpeTrainRounds).map { r =>
+        s"p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (SELECT freq, " +
+          "unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS pair " +
+          s"FROM (SELECT freq, string_split(trim(repr, '_'), '_') AS t FROM v${r - 1})) " +
+          "GROUP BY 1), " +
+          s"m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1), " +
+          s"v$r AS (SELECT replace(v.repr, '_' || m.pair || '_', " +
+          "'_' || replace(m.pair, '_', '') || '_') AS repr, v.freq " +
+          s"FROM v${r - 1} v, m$r m)"
+      }.mkString(", ")
+      val out = (1 to bpeTrainRounds).map(r =>
+        s"SELECT $r AS merge_round, split_part(pair, '_', 1) AS lhs, " +
+          s"split_part(pair, '_', 2) AS rhs, cnt FROM m$r")
+        .mkString(" UNION ALL ")
+      s"$base, $roundsSql SELECT merge_round, lhs, rhs, cnt FROM ($out) " +
+        "ORDER BY merge_round"
+    },
     "text_bpe_pairs" ->
       ("SELECT gram, count(*) AS cnt FROM " +
         "(SELECT substring(w, i, 2) AS gram FROM " +
