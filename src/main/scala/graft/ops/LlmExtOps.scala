@@ -1097,6 +1097,50 @@ object LlmExtOps {
         }).toDF("doc_id", "fmt", "width", "height", "px_sum")
         .orderBy("doc_id")
     }),
+
+    "mm_media_meta" -> ((s, d) => {
+      // Audio/video metadata pass (the mm_image_decode pattern on the
+      // other media families): each doc carries a VALID doc_id-
+      // parameterized container — WAV for even ids, MP4 for odd — and
+      // the executor-side parse is a genuine RIFF chunk walk / ISO-BMFF
+      // box walk (MediaCodec), emitting what the PARSER read (rate,
+      // channels, dimensions, duration) plus a payload-sum decode
+      // witness (PCM sample sum / mdat byte sum). The oracle derives
+      // every field from doc_id arithmetic alone, so a parser that
+      // misreads any offset, size, or sample hash-mismatches. At 100 TB
+      // this is the header-only first pass over a binaryFile source —
+      // a few hundred bytes per asset, no frame decode, mapPartitions
+      // batch shape.
+      val s2 = s
+      import s2.implicits._
+      Tables(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) {
+            val rate = 8000 * (1 + (id % 4).toInt)
+            val ch = 1 + ((id / 2) % 2).toInt
+            val nF = 80 * (1 + (id % 4).toInt) * (1 + (id % 7).toInt)
+            val amp = (id % 251).toInt - 125
+            val bytes = MediaCodec.buildWav(rate, ch, nF, amp)
+            val (pr, pc, pn, pd, psum) = MediaCodec.parseWav(bytes)
+              .getOrElse(throw new IllegalStateException(s"unparseable wav for doc $id"))
+            require(pn == nF.toLong,
+              s"frame count round-trip failed for doc $id: $pn vs $nF")
+            (id, "wav", None: Option[Int], None: Option[Int],
+              Some(pr), Some(pc), pd, bytes.length.toLong, psum)
+          } else {
+            val w = 16 * (1 + (id % 32).toInt)
+            val h = 16 * (1 + ((id / 32) % 32).toInt)
+            val dur = 40 * (1 + (id % 25).toInt)
+            val bytes = MediaCodec.buildMp4(w, h, dur)
+            val (pd, pw, ph, msum) = MediaCodec.parseMp4(bytes)
+              .getOrElse(throw new IllegalStateException(s"unparseable mp4 for doc $id"))
+            (id, "mp4", Some(pw), Some(ph), None: Option[Int],
+              None: Option[Int], pd, bytes.length.toLong, msum)
+          }
+        }).toDF("doc_id", "fmt", "width", "height", "sample_rate",
+          "channels", "dur_ms", "byte_len", "data_sum")
+        .orderBy("doc_id")
+    }),
   )
 
   /** One large-star contraction round (Kiveris et al., "Connected
@@ -1687,6 +1731,24 @@ object LlmExtOps {
         "CAST(1 + doc_id % 16 AS INT) AS width, " +
         "CAST(1 + (doc_id // 16) % 16 AS INT) AS height, " +
         "CAST((1 + doc_id % 16) * (1 + (doc_id // 16) % 16) * (doc_id % 251) AS BIGINT) AS px_sum " +
+        "FROM documents ORDER BY doc_id"),
+    // every parsed field (and both payload-sum witnesses) from doc_id
+    // arithmetic alone — see MediaCodec's builders for the derivations
+    "mm_media_meta" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS fmt, " +
+        "CASE WHEN doc_id % 2 = 1 THEN CAST(16 * (1 + doc_id % 32) AS INT) END AS width, " +
+        "CASE WHEN doc_id % 2 = 1 THEN CAST(16 * (1 + (doc_id // 32) % 32) AS INT) END AS height, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(8000 * (1 + doc_id % 4) AS INT) END AS sample_rate, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 2) % 2 AS INT) END AS channels, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(10 * (1 + doc_id % 7) AS BIGINT) " +
+        "ELSE CAST(40 * (1 + doc_id % 25) AS BIGINT) END AS dur_ms, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(44 + 2 * (1 + (doc_id // 2) % 2) * " +
+        "80 * (1 + doc_id % 4) * (1 + doc_id % 7) AS BIGINT) " +
+        "ELSE CAST(499 AS BIGINT) END AS byte_len, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST((1 + (doc_id // 2) % 2) * " +
+        "80 * (1 + doc_id % 4) * (1 + doc_id % 7) * (doc_id % 251 - 125) AS BIGINT) " +
+        "ELSE CAST(31375 AS BIGINT) END AS data_sum " +
         "FROM documents ORDER BY doc_id"),
   )
 }

@@ -69,4 +69,56 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.parseDims("plain text payload".getBytes("UTF-8")) === None)
     assert(ImageCodec.parseDims(Array.fill(64)(0xff.toByte)) === None)
   }
+
+  // -- MediaCodec (WAV / MP4 metadata pass) ------------------------------
+
+  test("wav: build/parse round-trips rate, channels, frames, duration, sample sum") {
+    val b = MediaCodec.buildWav(rate = 16000, ch = 2, nFrames = 320, amp = -7)
+    assert(b.length === 44 + 2 * 2 * 320)
+    assert(MediaCodec.parseWav(b) ===
+      Some((16000, 2, 320L, 20L, 2L * 320L * -7L)))
+  }
+
+  test("wav: unknown RIFF chunks (LIST before data) skip by declared size") {
+    val base = MediaCodec.buildWav(8000, 1, 10, 5)
+    // splice a LIST chunk (odd size — exercises word-alignment padding)
+    // between fmt and data
+    val list = "LIST".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(3).array() ++
+      Array[Byte](1, 2, 3, 0) // 3 data bytes + pad
+    val spliced = base.slice(0, 36) ++ list ++ base.slice(36, base.length)
+    // RIFF outer size field must cover the splice
+    java.nio.ByteBuffer.wrap(spliced, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(spliced.length - 8)
+    assert(MediaCodec.parseWav(spliced) === Some((8000, 1, 10L, 1L, 50L)))
+  }
+
+  test("wav: malformed bytes parse as None, never throw") {
+    assert(MediaCodec.parseWav(Array.emptyByteArray) === None)
+    assert(MediaCodec.parseWav("RIFFxxxxNOPE".getBytes("US-ASCII")) === None)
+    // truncated data chunk: declared size exceeds the payload
+    val b = MediaCodec.buildWav(8000, 1, 10, 1)
+    assert(MediaCodec.parseWav(b.slice(0, b.length - 4)) === None)
+  }
+
+  test("mp4: build/parse round-trips duration, 16.16 dimensions, mdat sum") {
+    val b = MediaCodec.buildMp4(w = 640, h = 480, durMs = 2000)
+    assert(b.length === 499)
+    assert(MediaCodec.parseMp4(b) === Some((2000L, 640, 480, 31375L)))
+  }
+
+  test("mp4: unknown top-level boxes skip by size; malformed sizes reject") {
+    val base = MediaCodec.buildMp4(32, 16, 40)
+    // a free box between ftyp and moov is forward-compatible
+    val free = java.nio.ByteBuffer.allocate(16).putInt(16)
+      .put("free".getBytes("US-ASCII")).putInt(0).putInt(0).array()
+    val spliced = base.slice(0, 24) ++ free ++ base.slice(24, base.length)
+    assert(MediaCodec.parseMp4(spliced) === Some((40L, 32, 16, 31375L)))
+    // a box whose declared size overruns the buffer is malformed, not a crash
+    val broken = base.clone()
+    java.nio.ByteBuffer.wrap(broken, 24, 4).putInt(1 << 30)
+    assert(MediaCodec.parseMp4(broken) === None)
+    assert(MediaCodec.parseMp4(Array.emptyByteArray) === None)
+  }
 }
