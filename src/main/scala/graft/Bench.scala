@@ -53,13 +53,28 @@ object Bench {
     // (blocks still referenced) rather than GC lag.
     def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
 
+    // Cumulative JVM GC time — per-pass deltas make an outlier pass
+    // attributable (BENCH_r10's run 3 took 2.2× runs 1-2 with nothing
+    // in-file to say why: GC storm vs environment noise).
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val storagePerRun = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val gcPerRun = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val wallPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
     storagePerRun += storageBytes
-    runSuite() // warm-up pass (codegen caches, parquet footers, JIT)
+    val gcW0 = gcMs; val w0 = System.nanoTime()
+    val warmup = runSuite() // warm-up pass (codegen caches, parquet footers, JIT)
+    gcPerRun += (gcMs - gcW0); wallPerRun += (System.nanoTime() - w0) / 1e9
     val runs = (1 to timedRuns).map { _ =>
       reclaim()
       storagePerRun += storageBytes
-      runSuite()
+      val gc0 = gcMs; val t0 = System.nanoTime()
+      val r = runSuite()
+      gcPerRun += (gcMs - gc0); wallPerRun += (System.nanoTime() - t0) / 1e9
+      r
     }
     // Per-query median across timed passes; a query that failed in ANY
     // pass keeps a negative time so it can't hide as a fast pass.
@@ -80,9 +95,20 @@ object Bench {
       .mkString("{", ",", "}")
     val totalsJson = totals.map(r3).mkString("[", ",", "]")
     val storageJson = storagePerRun.map(_.toString).mkString("[", ",", "]")
+    // Forensics: EVERY pass's per-query times (warm-up first), per-pass
+    // GC-time deltas and wall-clock — an outlier pass is attributable
+    // in-file (which queries drifted, and whether GC or the environment
+    // ate the difference between sum-of-queries and wall time).
+    val passesJson = (warmup +: runs).map(r =>
+      r.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+    val gcJson = gcPerRun.map(_.toString).mkString("[", ",", "]")
+    val wallJson = wallPerRun.map(r3).mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""runs":$timedRuns,"run_totals":$totalsJson,"storage_bytes_before_run":$storageJson,""" +
+        s""""pass_queries_incl_warmup":$passesJson,"gc_ms_per_pass":$gcJson,""" +
+        s""""wall_sec_per_pass":$wallJson,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line.
     spark.stop()
@@ -96,6 +122,7 @@ object Bench {
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
     val tail = s"""},"n":${results.size},"runs":$timedRuns,"run_totals":$totalsJson,""" +
+      s""""gc_ms_per_pass":$gcJson,"wall_sec_per_pass":$wallJson,""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val sb = new StringBuilder(head)

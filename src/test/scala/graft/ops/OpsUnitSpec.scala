@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.TestSpark.ts
@@ -192,5 +193,42 @@ class OpsUnitSpec extends AnyFunSuite {
     val out = LlmOps.queries("emb_centroid")(spark, dir)
       .as[(Int, Int, Double)].collect().toSeq
     assert(out === Seq((0, 0, 2.0), (0, 1, 4.0), (1, 0, 10.0), (1, 1, 20.0)))
+  }
+
+  test("agg_quantile_sketch at DEFAULT accuracy: rank error within eps*N (deployable setting)") {
+    // agg_quantile_sketch declares accuracy 1e6 to be rank-exact (and
+    // thus oracle-checkable) below 1M rows/group; the setting a real
+    // 100 TB deployment runs is the default 1e4, whose contract is the
+    // Greenwald-Khanna bound: the returned element's rank is within
+    // eps*N of the target rank. Pin that bound on the largest fixture.
+    val sf = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists)
+    val acc = 10000 // Spark's documented default accuracy
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("v"))
+    val approx = li.groupBy("g")
+      .agg(expr(s"approx_percentile(v, array(0.5D, 0.9D, 0.99D), $acc)").as("q"),
+           count(lit(1)).as("n"))
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val g = r.getString(0)
+      val qs = r.getSeq[Double](1)
+      val n = r.getLong(2)
+      assert(n > 100000L, s"group $g too small to exercise compression: $n")
+      val slack = n.toDouble / acc + 1 // eps*N + discreteness
+      Seq(0.5, 0.9, 0.99).zip(qs).foreach { case (p, q) =>
+        val cnt = li.where(col("g") === g)
+          .agg(sum(when(col("v") < q, 1L).otherwise(0L)).as("lo"),
+               sum(when(col("v") <= q, 1L).otherwise(0L)).as("hi")).head
+        val lo = cnt.getLong(0); val hi = cnt.getLong(1)
+        val target = p * n
+        // the value occupies ranks [lo+1, hi]; some rank in that span
+        // must sit within eps*N of the target rank
+        assert(lo + 1 <= target + slack && hi >= target - slack,
+          s"group $g p=$p: value $q spans ranks [${lo + 1}, $hi], " +
+            s"target $target, allowed slack $slack")
+      }
+    }
   }
 }
