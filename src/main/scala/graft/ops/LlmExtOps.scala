@@ -363,13 +363,16 @@ object LlmExtOps {
       // ns list, which is what makes the scan's pruning STATIC
       val qb = e.where(col("vec_id") === 0)
         .select(expr(s"lsh_buckets(embedding, $lshTables, $lshPlanes)"))
-        .head.getSeq[Int](0)
-      val probeNs = (0 until lshTables).flatMap(t =>
+        .collect().headOption.map(_.getSeq[Int](0))
+      val probeNs = qb.toSeq.flatMap(b => (0 until lshTables).flatMap(t =>
         (0 until (1 << lshPlanes))
-          .filter(b => Integer.bitCount(b ^ qb(t)) <= lshProbeHamming)
-          .map(b => s"t${t}_b$b"))
+          .filter(x => Integer.bitCount(x ^ b(t)) <= lshProbeHamming)
+          .map(x => s"t${t}_b$x")))
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-      store.scan().where(col("ns").isin(probeNs: _*))
+      // no query vector (empty corpus) → no probes → empty result, same
+      // as the oracle's empty q CTE
+      store.scan()
+        .where(if (probeNs.isEmpty) lit(false) else col("ns").isin(probeNs: _*))
         .select(col("ukey").as("vec_id"),
           from_json(col("payload"), org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)).as("emb"))
