@@ -57,16 +57,27 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * frame with the canonical schema (superset incl. the facade's skey). */
   private[journal] def readSegments(): org.apache.spark.sql.DataFrame = {
     val m = manifest
-    readSegmentsOver(m.files, m.schemaDdl)
+    readSegmentsOver(m.files, m.schemaDdl, m.dvParts)
   }
 
   /** The schema DDL rides in from the SAME manifest snapshot that
     * produced `files`: re-reading `manifest` here for the schema could
     * tear against a concurrent compact+vacuum (file list from commit N,
     * schema from commit N+1), partially defeating the snapshot the
-    * callers took on purpose. */
+    * callers took on purpose.
+    *
+    * `dvParts` (same snapshot) are the store's deletion vectors
+    * ([[deleteWhereDv]]): rows named by (file, position) are subtracted
+    * from every read by an anti-join against the tiny DV table — the
+    * Delta deletion-vector read path. The position comes from parquet's
+    * `_metadata.row_index` (stable for an immutable file, split-absolute),
+    * so no data column participates and the join key never collides.
+    * `keepPos = true` keeps the helper columns (`__file`, `__pos`) for
+    * callers that need row identity (the DV writer itself). */
   private def readSegmentsOver(files: Seq[String],
-                               ddl: String): org.apache.spark.sql.DataFrame =
+                               ddl: String,
+                               dvParts: Seq[String] = Nil,
+                               keepPos: Boolean = false): org.apache.spark.sql.DataFrame =
     if (files.nonEmpty) {
       // plan against the manifest-pinned schema when the store has one:
       // deterministic under schema evolution (footer sampling picks an
@@ -76,8 +87,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
         if (ddl.nonEmpty)
           reader.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
         else reader
-      withSchema.parquet(files.map(f => s"$segDir/$f"): _*)
+      val raw = withSchema.parquet(files.map(f => s"$segDir/$f"): _*)
         .withColumn("ns", col("ns").cast("string"))
+      val needPos = keepPos || dvParts.nonEmpty
+      val withPos = if (!needPos) raw else raw
+        .withColumn("__file",
+          regexp_extract(col("_metadata.file_path"), "/segments/(.*)$", 1))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val applied =
+        if (dvParts.isEmpty) withPos
+        else {
+          // DV tables are O(deleted rows since last purge) — orders of
+          // magnitude below the data; broadcast the anti-join so the
+          // subtraction costs no shuffle of the corpus
+          val dv = readDvTable(dvParts)
+          withPos.join(broadcast(dv),
+            withPos("__file") === dv("file") && withPos("__pos") === dv("pos"),
+            "left_anti")
+        }
+      if (!needPos || keepPos) applied else applied.drop("__file", "__pos")
     } else
       // schema-only relation: the manifest-pinned schema when the store
       // has one (ns is already pinned STRING there), else the canonical
@@ -147,7 +175,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
   private[graft] def scanUnorderedPruned(ns: Option[String],
                                          ukey: Option[Long]): DataFrame = {
     val m = manifest
-    canonicalSurface(readSegmentsOver(filesForKey(m, ns, ukey), m.schemaDdl))
+    canonicalSurface(
+      readSegmentsOver(filesForKey(m, ns, ukey), m.schemaDdl, m.dvParts))
   }
   private def ckptDir(seq: Long) = s"$path/checkpoints/seq=$seq"
 
@@ -231,7 +260,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val lo = m1.maxSeq; val hi = m2.maxSeq
     val fmap = m2.fstats.map(s => s.file -> s).toMap
     val files = m2.files.filter(f => fmap.get(f).forall(_.maxSeq > lo))
-    canonicalSurface(readSegmentsOver(files, m2.schemaDdl))
+    canonicalSurface(readSegmentsOver(files, m2.schemaDdl, m2.dvParts))
       .where(col("seq") > lo && col("seq") <= hi)
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
   }
@@ -468,9 +497,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val cols = Seq("ns", "ukey", "seq", "payload", "epoch")
       val priorRows =
         if (m.files.nonEmpty)
-          spark.read.option("basePath", segDir)
-            .parquet(m.files.map(f => s"$segDir/$f"): _*)
-            .withColumn("ns", col("ns").cast("string"))
+          // schema-pinned AND DV-subtracted: a checkpoint built from a
+          // raw file read would resurrect vector-deleted rows
+          readSegmentsOver(m.files, m.schemaDdl, m.dvParts)
             .selectExpr(cols: _*)
         else out.selectExpr(cols: _*).limit(0)
       val src = priorRows.unionByName(
@@ -597,6 +626,66 @@ class JournalStore private (val spark: SparkSession, val path: String,
   private def newStageDir(): String =
     s"$path/.stage-${java.util.UUID.randomUUID()}"
 
+  // -- deletion vectors --------------------------------------------------
+
+  private def dvDir = s"$path/dv"
+
+  /** The DV table (file STRING, pos BIGINT) from the given manifest
+    * snapshot's part list. Schema is pinned — no inference, and an empty
+    * part list never reaches here (callers guard). */
+  private def readDvTable(parts: Seq[String]): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "file STRING, pos BIGINT"))
+      .parquet(parts.map(p => s"$dvDir/$p"): _*)
+
+  /** Write `rows` (file, pos) as ONE new DV part under dv/ and return its
+    * name; None when the frame is empty. Staged write + single-file move,
+    * like promoteStaged — the part is never referenced until the manifest
+    * that lists it commits, so a crash strands an orphan vacuum sweeps. */
+  private def writeDvPart(rows: DataFrame): Option[String] = {
+    // an empty frame still writes a parquet part; an empty VECTOR must
+    // read back as "no vectors" (dvParts = Nil) or every fast-path gate
+    // (columnar scan, aggregate pushdown) stays off forever
+    if (rows.isEmpty) return None
+    val stage = newStageDir()
+    rows.select(col("file"), col("pos")).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val stRoot = Paths.get(stage)
+    val found = {
+      val walk = Files.walk(stRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
+          .toList
+      } finally walk.close()
+    }
+    val out = found.headOption.map { p =>
+      val name = s"dvpart-${java.util.UUID.randomUUID()}.parquet"
+      Files.createDirectories(Paths.get(dvDir))
+      Files.move(p, Paths.get(dvDir, name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(stRoot.toFile)
+    out
+  }
+
+  /** DV parts after dropping every entry for `deadFiles` (files leaving
+    * the manifest — their vectors are applied by the rewrite or dead with
+    * the file). Consolidates to at most one part; Nil when nothing
+    * survives. Old parts stay on disk for retained versions until
+    * vacuum(). */
+  private def dvPartsWithout(dvParts: Seq[String],
+                             deadFiles: Seq[String]): Seq[String] = {
+    if (dvParts.isEmpty) return Nil
+    if (deadFiles.isEmpty) return dvParts
+    val survivors = readDvTable(dvParts)
+      .where(!col("file").isin(deadFiles.distinct: _*))
+    writeDvPart(survivors).toSeq
+  }
+
   /** Move the staged job's data files into the live segment tree and
     * return their segDir-relative names (exactly this job's output —
     * no tree diff). Same-filesystem move; Spark task files carry a
@@ -690,14 +779,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val m = manifest
     val old = victimFiles.filter(m.files.contains)
     if (old.isEmpty) return
-    // read through the pinned schema: a footer-sampled read of
-    // mixed-schema victims could DROP evolved columns from the rewrite
-    val reader0 = spark.read.option("basePath", segDir)
-    val reader = if (m.schemaDdl.nonEmpty)
-      reader0.schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-    else reader0
-    val rows = reader.parquet(old.map(f => s"$segDir/$f"): _*)
-      .withColumn("ns", col("ns").cast("string"))
+    // Read through the pinned schema (a footer-sampled read of
+    // mixed-schema victims could DROP evolved columns from the rewrite)
+    // AND through the deletion vectors: the rewrite materializes the
+    // subtraction, so compaction doubles as the DV physical purge.
+    val rows = readSegmentsOver(old, m.schemaDdl, m.dvParts)
     // Staged write + promote, like append(): the rewrite's commit
     // protocol is private (no `_temporary` race with concurrent
     // appenders) and newFiles is exactly THIS compaction's output — no
@@ -751,7 +837,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     }
     writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles,
-      fstats = m.fstats.filterNot(s => old.contains(s.file)) ++ derived))
+      fstats = m.fstats.filterNot(s => old.contains(s.file)) ++ derived,
+      // vectors over the victims are now physically applied — drop them
+      dvParts = dvPartsWithout(m.dvParts, old)))
   }
 
   /** Delete segment files referenced by NO retained manifest version.
@@ -834,6 +922,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
         st.iterator().asScala.toList
       } finally st.close()
       parts.filterNot(p => liveParts.contains(p.getFileName.toString))
+        .filter(aged).foreach(Files.deleteIfExists(_))
+    }
+    // Deletion-vector parts referenced by NO retained manifest: orphans
+    // from crashed writers plus parts rotated out by consolidation or
+    // purged by rewrites. Same count+age rules as segment files.
+    val liveDv = (cur +: retained).flatMap(_.dvParts).toSet
+    val dvRoot = Paths.get(dvDir)
+    if (Files.exists(dvRoot)) {
+      val st = Files.list(dvRoot)
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toList
+      } finally st.close()
+      parts.filterNot(p => liveDv.contains(p.getFileName.toString))
         .filter(aged).foreach(Files.deleteIfExists(_))
     }
     // Abandoned staging dirs (a writer that crashed between its Spark
@@ -945,33 +1047,32 @@ class JournalStore private (val spark: SparkSession, val path: String,
         // predicate, but the footer-inferred file relation can (and the
         // probe scan below needs exactly that resolution to work anyway)
         case _: org.apache.spark.sql.AnalysisException =>
-          recoverExpr(readSegmentsOver(m.files, m.schemaDdl))
+          recoverExpr(readSegmentsOver(m.files, m.schemaDdl, m.dvParts))
       }
     val (nsEq, keyEq) =
       condExpr.map(equalityConjuncts).getOrElse((None, None))
     val candidates = filesForKey(m, nsEq, keyEq)
     if (candidates.isEmpty) return 0L
     // Probe: which candidate files hold a matching row (and how many).
-    // input_file_name() is matched back to manifest-relative paths by
-    // suffix; a path that fails to map falls back to rewriting every
-    // candidate (conservative, never wrong).
-    val probe = readSegmentsOver(candidates, m.schemaDdl)
+    // `__file` is the manifest-relative path extracted from
+    // `_metadata.file_path`; one that fails to map back to the manifest
+    // falls back to rewriting every candidate (conservative, never
+    // wrong). Rows already subtracted by a deletion vector don't count.
+    val probe = readSegmentsOver(candidates, m.schemaDdl, m.dvParts,
+        keepPos = true)
       .where(cond)
-      .groupBy(input_file_name().as("f"))
+      .groupBy(col("__file").as("f"))
       .agg(count(lit(1)).as("hits"))
       .collect()
     if (probe.isEmpty) return 0L
     val deleted = probe.map(_.getLong(1)).sum
     val mapped = probe.map(_.getString(0)).map { p =>
-      val i = p.lastIndexOf("/segments/")
-      if (i < 0) None
-      else Some(p.substring(i + "/segments/".length))
-        .filter(m.files.contains)
+      Some(p).filter(m.files.contains)
     }
     val affected =
       if (mapped.forall(_.isDefined)) mapped.flatten.toSeq else candidates
     val keep = !coalesce(cond, lit(false))
-    val retained = readSegmentsOver(affected, m.schemaDdl).where(keep)
+    val retained = readSegmentsOver(affected, m.schemaDdl, m.dvParts).where(keep)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // staged write + promote, like append()/compactFiles(): private
     // commit protocol, exact new-file set
@@ -1031,7 +1132,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val touchedEpochs = (affected ++ newFiles).flatMap(epochOf).distinct
     val touchedDirs = (affected ++ newFiles).map(dirOf).distinct
     def scanStats(fs: Seq[String]): (Long, Long, Long) = {
-      val r = readSegmentsOver(fs, m.schemaDdl)
+      val r = readSegmentsOver(fs, m.schemaDdl, m.dvParts)
         .agg(count(lit(1)), min("seq"), max("seq")).head
       (r.getLong(0), if (r.isNullAt(1)) Long.MaxValue else r.getLong(1),
         if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
@@ -1063,7 +1164,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
               if (keyed.isEmpty) 0L else keyed.map(_.maxKey).max,
               ss.map(_.rows).sum))
           } else {
-            val r = readSegmentsOver(fs, m.schemaDdl)
+            val r = readSegmentsOver(fs, m.schemaDdl, m.dvParts)
               .agg(count(lit(1)), min("ukey"), max("ukey")).head
             if (r.getLong(0) == 0L) None
             else Some(KeyStat(e, n,
@@ -1074,7 +1175,113 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     writeManifest(path, m.copy(files = files2, stats = stats2.sortBy(_.epoch),
       kstats = kstats2.sortBy(k => (k.epoch, k.ns)), fstats = fstats2,
-      checkpoints = Nil))
+      checkpoints = Nil,
+      // vectors over the rewritten files are applied by the rewrite
+      // itself (the retained read subtracted them) — drop the entries
+      dvParts = dvPartsWithout(m.dvParts, affected)))
+    deleted
+  }
+
+  /** Deletion-vector delete — Delta's DV fast path beside
+    * [[deleteWhere]]'s full rewrite: record each matching row's (file,
+    * row-position) pair in the tiny dv/ sidecar and subtract them from
+    * every read (one broadcast anti-join). Cost is O(matching rows) —
+    * a single-key delete on a 100 TB store writes a few KiB and
+    * rewrites NOTHING, where deleteWhere rewrites every touched file.
+    * NOT the GDPR lever: the bytes stay inside the segment files until
+    * a compact() over those files physically purges them (the rewrite
+    * reads DV-subtracted rows and drops the applied vectors); use
+    * deleteWhere for immediate erasure. Reader semantics must be
+    * indistinguishable from deleteWhere, purge included — pinned by
+    * journal_dv_erase's oracle and JournalStoreSpec.
+    *
+    * Metadata: per-file / per-epoch / per-(epoch, ns) ROW COUNTS are
+    * decremented exactly (the probe counts live hits per file), so
+    * nsStats()/segmentStats()/commitHistory() stay truthful; min/max
+    * seq/key/ts ranges are left as-is — wider than the live data, which
+    * is conservative for every pruning path. A file whose every
+    * stats-known row is deleted leaves the manifest entirely (its
+    * vector entries are dropped — dead weight once the file is
+    * unreferenced). Checkpoints are dropped: their materialized state
+    * embeds deleted rows. Rows where `cond` is NULL are retained
+    * (three-valued DELETE). Returns rows deleted. */
+  def deleteWhereDv(cond: org.apache.spark.sql.Column): Long = {
+    requireWritable()
+    val m = manifest
+    if (m.files.isEmpty) return 0L
+    def recoverExpr(df: org.apache.spark.sql.DataFrame)
+        : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      df.where(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val condExpr =
+      try recoverExpr(readSegmentsOver(Nil, m.schemaDdl))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          recoverExpr(readSegmentsOver(m.files, m.schemaDdl, m.dvParts))
+      }
+    val (nsEq, keyEq) =
+      condExpr.map(equalityConjuncts).getOrElse((None, None))
+    val candidates = filesForKey(m, nsEq, keyEq)
+    if (candidates.isEmpty) return 0L
+    // One scan finds the doomed rows' identities; already-deleted rows
+    // (subtracted by an existing vector) can't match again, so repeated
+    // deletes of the same predicate are no-ops and counts never double.
+    val hitRows = readSegmentsOver(candidates, m.schemaDdl, m.dvParts,
+        keepPos = true)
+      .where(cond)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perFile = hitRows.groupBy("file").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) { hitRows.unpersist(); return 0L }
+    val deleted = perFile.values.sum
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    // exact-stats files that lost every row leave the manifest outright
+    val fullDead = perFile.collect {
+      case (f, h) if fmap.get(f).exists(_.rows == h) => f
+    }.toSeq
+    val newEntries =
+      if (fullDead.isEmpty) hitRows
+      else hitRows.where(!col("file").isin(fullDead: _*))
+    val newPart = writeDvPart(newEntries)
+    hitRows.unpersist()
+    val files2 = m.files diff fullDead
+    val nsRe = """ns=([^/]+)""".r
+    def dirOf(f: String) = (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1)))
+    val epochHits = perFile.toSeq.groupBy { case (f, _) => epochOf(f) }
+      .collect { case (Some(e), xs) => e -> xs.map(_._2).sum }
+    val dirHits = perFile.toSeq.groupBy { case (f, _) => dirOf(f) }
+      .collect { case ((Some(e), Some(nv)), xs) => (e, nv) -> xs.map(_._2).sum }
+    val fstats2 = m.fstats.filterNot(s => fullDead.contains(s.file)).map { s =>
+      perFile.get(s.file).fold(s)(h => s.copy(rows = s.rows - h))
+    }
+    val stats2 = m.stats.flatMap { st =>
+      epochHits.get(st.epoch) match {
+        case None => Some(st)
+        case Some(h) =>
+          val r = st.rows - h
+          if (r <= 0L) None else Some(st.copy(rows = r))
+      }
+    }
+    val kstats2 = m.kstats.flatMap { k =>
+      dirHits.get((k.epoch, k.ns)) match {
+        case None => Some(k)
+        case Some(h) =>
+          val r = k.rows - h
+          if (r <= 0L) None else Some(k.copy(rows = r))
+      }
+    }
+    // each delete appends one part; past the cap, fold to one (same
+    // consolidation discipline as the stats sidecars)
+    val dvParts1 = m.dvParts ++ newPart.toSeq
+    val dvParts2 =
+      if (dvParts1.sizeIs > JournalStore.MaxDvParts)
+        writeDvPart(readDvTable(dvParts1)).toSeq
+      else dvParts1
+    writeManifest(path, m.copy(files = files2, stats = stats2,
+      kstats = kstats2, fstats = fstats2, checkpoints = Nil,
+      dvParts = dvParts2))
     deleted
   }
 
@@ -1223,7 +1430,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       spark.read.parquet(ckptDir(c))
         .select(col("ns"), col("ukey"), col("last_seq").as("seq"), col("payload"))
     }
-    val pruned = readSegmentsOver(filesForTs(m, tMicros), m.schemaDdl)
+    val pruned = readSegmentsOver(filesForTs(m, tMicros), m.schemaDdl, m.dvParts)
     val tail = ckpt.fold(pruned) { c =>
       pruned.where(col("epoch") >= lit((c + 1) / epochSize) && col("seq") > c)
     }.where(col("ts") <= lit(t)).select("ns", "ukey", "seq", "payload")
@@ -1238,7 +1445,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * correctness). */
   def history(ns: String, ukey: Option[Long] = None): DataFrame = {
     val m = manifest
-    val base = readSegmentsOver(filesForKey(m, Some(ns), ukey), m.schemaDdl)
+    val base = readSegmentsOver(filesForKey(m, Some(ns), ukey), m.schemaDdl,
+        m.dvParts)
       .where(col("ns") === ns)
     ukey.fold(base)(k => base.where(col("ukey") === k))
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
@@ -1484,7 +1692,12 @@ object JournalStore {
                       // per-writer exactly-once batch high-water marks
                       // (writerId -> lastBatchId); the legacy scalar
                       // lastBatchId is the anonymous ("") writer's mark
-                      writerMarks: Map[String, Long] = Map.empty)
+                      writerMarks: Map[String, Long] = Map.empty,
+                      // deletion-vector parquet parts under dv/ (file
+                      // STRING, pos BIGINT rows subtracted from every
+                      // read) — deleteWhereDv appends one per call;
+                      // rewrites purge applied entries. Empty = none.
+                      dvParts: Seq[String] = Nil)
 
   /** Physical row layout of compacted segment files. */
   sealed trait SegmentLayout
@@ -1502,6 +1715,12 @@ object JournalStore {
     * registration) before a lost CAS race escapes loudly. Rewrites
     * (compact/deleteWhere) never retry — see append's doc. */
   val MaxCommitRetries = 5
+
+  /** Deletion-vector part-count cap: each deleteWhereDv appends one
+    * part; past this, the next delete folds them to one (bounds the
+    * per-read part-open count the same way the stats sidecars bound
+    * theirs). */
+  val MaxDvParts = 16
 
   /** How many committed manifest versions stay readable via openAt().
     * Bounds metadata growth to N tiny JSON files regardless of journal
@@ -1539,6 +1758,8 @@ object JournalStore {
       FileStatsSidecar.dir(path).toFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
       RootSidecar.dir(path).toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      Paths.get(path, "dv").toFile)
     writeManifest(path, Manifest(epochSize, -1L, Nil), cas = false)
     new JournalStore(spark, path, epochSize)
   }
@@ -1657,6 +1878,10 @@ object JournalStore {
     }
     val fst = root.putArray("fstatsParts")
     fstatParts.foreach(fst.add)
+    if (m.dvParts.nonEmpty) {
+      val dvp = root.putArray("dvParts")
+      m.dvParts.foreach(dvp.add)
+    }
     val bytes = mapper.writeValueAsBytes(root)
     if (cas) {
       // The version file is the commit ARBITER, not just a record: the
@@ -1779,7 +2004,7 @@ object JournalStore {
     Some(Manifest(num("epochSize"), num("maxSeq"),
       arr("checkpoints").map(_.asLong), files, stats,
       num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats,
-      num("commitTsMs", 0L), writerMarks))
+      num("commitTsMs", 0L), writerMarks, arr("dvParts").map(_.asText)))
   } catch {
     // unparseable bytes (e.g. a file damaged outside our atomic-rename
     // protocol) read as "no manifest here" — callers produce their own

@@ -581,6 +581,29 @@ object JournalOps {
              max("seq").as("max_seq"))
         .orderBy("ns")
     }),
+    "journal_dv_erase" -> ((s, d) => {
+      // Deletion-vector delete as a declared, oracle-checked row: ingest
+      // a bounded journal, deleteWhereDv ONE user key (no segment
+      // rewrite — the matching rows' (file, position) pairs land in the
+      // dv/ sidecar and every read subtracts them), then compact the
+      // OLD epochs so part of the vector set is physically purged while
+      // the rest still serves reads — the mixed purged/vectored state a
+      // live store sits in. The oracle is the same logical filter as
+      // journal_erase: DV subtraction, purge included, must be
+      // indistinguishable from the rewrite path.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jdv_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      store.deleteWhereDv(col("ukey") === 7)
+      store.compact(upToEpoch = 2, clusterByKey = true)
+      store.scan().groupBy("ns")
+        .agg(count(lit(1)).as("n"), sum(col("ukey")).as("sum_ukey"),
+             max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
     "journal_time_travel" -> ((s, d) => {
       // SQL time travel end-to-end (sources/JournalCatalog.loadTable
       // overloads): two INSERT commits → two more manifest versions;
@@ -849,6 +872,15 @@ object JournalOps {
         "FROM events WHERE event_id < 6000 " +
         "AND user_id BETWEEN 2 AND 40 " +
         "AND value BETWEEN 10.0 AND 120.0 " +
+        "GROUP BY 1 ORDER BY ns"),
+    // a deletion-vector delete (+ partial purge) must be
+    // indistinguishable from the rewrite erase
+    "journal_dv_erase" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 6000 " +
+        "AND (user_id IS NULL OR user_id <> 7) " +
         "GROUP BY 1 ORDER BY ns"),
     // erasure must be indistinguishable from never having ingested the key
     "journal_erase" ->

@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, LessThan => CLt, LessThanOrEqual => CLte, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.NamedReference
@@ -247,7 +247,13 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         tableSchema, dataSchema, options,
         store.map(_.epochSize).getOrElse(1000L), m.files,
         m.fstats.map(s => s.file -> s).toMap, segDir,
-        storePath, maxSeqsPerTrigger, startingSeq)
+        storePath, maxSeqsPerTrigger, startingSeq,
+        // deletion vectors present: batch reads must subtract them, which
+        // a parquet file scan cannot express row-level — the builder
+        // serves a V1Scan over the store's DV-aware scan surface instead
+        // (correct first; the columnar path returns once compact() purges)
+        dvScan = if (m.dvParts.nonEmpty)
+          store.map(s => () => s.scanUnordered()) else None)
 
   /** V2 write = the V2 commit framework executing the store's own
     * whole-batch append (global seq sort + stats + manifest CAS +
@@ -294,7 +300,8 @@ private[sources] class JournalScanBuilder(
     options: CaseInsensitiveStringMap, epochSize: Long,
     relFiles: Seq[String], fstats: Map[String, JournalStore.FileStat],
     segDir: String, storePath: String, maxSeqsPerTrigger: Option[Long],
-    startingSeq: Option[String] = None)
+    startingSeq: Option[String] = None,
+    dvScan: Option[() => DataFrame] = None)
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
@@ -362,6 +369,10 @@ private[sources] class JournalScanBuilder(
   private var manifestAgg: Option[(StructType, Array[Array[Any]])] = None
 
   private def planManifestAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
+    // deletion vectors: row counts are decremented exactly, but min/max
+    // ranges may still describe vector-deleted rows — decline the whole
+    // pushdown rather than split hairs per aggregate (purge restores it)
+    if (dvScan.isDefined) return None
     if (partitionFilters.nonEmpty || dataFilters.nonEmpty) return None
     if (relFiles.isEmpty || !relFiles.forall(fstats.contains)) return None
     // GROUP BY over the journal's layout axes only: ns / epoch are
@@ -465,6 +476,7 @@ private[sources] class JournalScanBuilder(
   private var limitFiles: Option[Seq[String]] = None
 
   override def pushLimit(limit: Int): Boolean = {
+    if (dvScan.isDefined) return false // V1 fallback applies no file pruning
     if (partitionFilters.nonEmpty || dataFilters.nonEmpty ||
         manifestAgg.isDefined || relFiles.isEmpty) return false
     var acc = 0L
@@ -487,8 +499,9 @@ private[sources] class JournalScanBuilder(
     planManifestAgg(agg) match {
       case some @ Some(_) => manifestAgg = some; true
       // fall through to the parquet footer-stats path (conf-gated,
-      // per-file partial rows) so declining here never disables it
-      case None => super.pushAggregation(agg)
+      // per-file partial rows) so declining here never disables it —
+      // unless deletion vectors exist: footer counts include deleted rows
+      case None => dvScan.isEmpty && super.pushAggregation(agg)
     }
 
   /** A pushed `ukey =` probe swaps in a file index over only the files
@@ -500,6 +513,17 @@ private[sources] class JournalScanBuilder(
     manifestAgg match {
       case Some((aggSchema, values)) =>
         return new ManifestAggScan(super.build(), aggSchema, values, storePath)
+      case None => ()
+    }
+    dvScan match {
+      // deletion vectors: serve the batch read through a V1Scan over the
+      // store's DV-subtracted surface. Partition filters were consumed
+      // by pushdown (exact pruning Spark will NOT re-apply), so they
+      // ride along to be re-applied by the relation; data filters are
+      // always re-evaluated above the scan, so they need no carrying.
+      case Some(df) =>
+        return new JournalDvScan(super.build(), fullSchema, storePath, df,
+          partitionFilters)
       case None => ()
     }
     val scan = super.build()
@@ -527,6 +551,60 @@ private[sources] class JournalScanBuilder(
     new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
       effFiles, fstats, segDir, startingSeq)
   }
+}
+
+/** Batch scan of a journal store that carries DELETION VECTORS: a
+  * parquet file scan cannot subtract rows by (file, position), so this
+  * scan takes Spark's official V1 escape hatch ([[V1Scan]], the same
+  * bridge JDBC V2 uses) and serves the rows from the store's DV-aware
+  * scan surface — the broadcast anti-join readSegmentsOver plans.
+  * Correctness over speed: the DV window trades the columnar reader for
+  * a Row bridge; compact() purges the vectors and restores the fast
+  * path. Consumed partition filters are re-applied here (pushdown
+  * removed them from the plan for exact pruning the V1 relation never
+  * did); data filters are always re-evaluated above the scan by Spark.
+  * The relation's schema is DECLARED as readSchema() — the strategy
+  * requires strict equality — and the DataFrame is projected to it by
+  * name. */
+private[sources] class JournalDvScan(base: ParquetScan,
+                                     tableSchema: StructType,
+                                     storePath: String,
+                                     dvDf: () => DataFrame,
+                                     partFilters: Seq[Expression])
+    extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
+      base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+      base.pushedFilters, base.options, base.pushedAggregate,
+      base.partitionFilters, base.dataFilters)
+    with org.apache.spark.sql.connector.read.V1Scan {
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: SQLContext): T = {
+    val want = readSchema()
+    val reapplied = partFilters.map(_.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
+    val df = reapplied
+      .foldLeft(dvDf()) { (d, e) =>
+        d.where(org.apache.spark.sql.graft.StreamBatchBridge.columnOf(e))
+      }
+      .select(want.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override val sqlContext: SQLContext = context
+      override val schema: StructType = want
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.rdd
+    }.asInstanceOf[T]
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"journal store at $storePath carries deletion vectors; a stream " +
+        "tails the raw log and cannot subtract them — purge first " +
+        "(compact() the affected epochs) or erase with deleteWhere")
 }
 
 /** The journal's V2 `Scan`: a stock `ParquetScan` (columnar batches,

@@ -1025,4 +1025,106 @@ class JournalStoreSpec extends AnyFunSuite {
       else hc.set("parquet.block.size", oldBlock)
     }
   }
+
+  // -- deletion vectors --------------------------------------------------
+
+  test("deleteWhereDv subtracts rows from every read WITHOUT rewriting " +
+      "segment files, decrements counts, and is idempotent") {
+    val store = twoEpochStore()
+    val filesBefore = store.manifest.files.sorted
+    val n = store.deleteWhereDv(col("ukey") === 11L)
+    assert(n === 1L)
+    val m = store.manifest
+    // no rewrite: the segment file set is untouched, one DV part appears
+    assert(m.files.sorted === filesBefore)
+    assert(m.dvParts.size === 1)
+    // every read surface subtracts the row
+    assert(store.scan().where(col("ukey") === 11L).count() === 0L)
+    assert(store.latest().where(col("ukey") === 11L).count() === 0L)
+    assert(store.history("users", Some(11L)).count() === 0L)
+    assert(store.scan().count() === 7L)
+    // metadata row counts stay truthful (nsStats/segmentStats grade)
+    assert(m.fstats.map(_.rows).sum === 7L)
+    assert(m.stats.map(_.rows).sum === 7L)
+    assert(m.kstats.map(_.rows).sum === 7L)
+    // checkpoints were dropped (their state embeds the deleted row)
+    assert(m.checkpoints.isEmpty)
+    // idempotent: the row is already subtracted, nothing matches again
+    assert(store.deleteWhereDv(col("ukey") === 11L) === 0L)
+    assert(store.manifest.dvParts.size === 1)
+  }
+
+  test("deletion vectors are a logical delete until compact() physically " +
+      "purges them; results are invisible to the purge") {
+    val store = twoEpochStore()
+    store.deleteWhereDv(col("ukey") === 11L)
+    val m = store.manifest
+    // the bytes are still physically present in the untouched segments
+    val raw = spark.read.parquet(
+      m.files.map(f => store.path + "/segments/" + f): _*)
+    assert(raw.where(col("ukey") === 11L).count() === 1L)
+    val before = store.scan().collect().map(_.toString).sorted.toSeq
+    // compaction applies the vector in the rewrite = physical purge
+    store.compact(upToEpoch = 100L, clusterByKey = true)
+    val m2 = store.manifest
+    assert(m2.dvParts.isEmpty)
+    val raw2 = spark.read.parquet(
+      m2.files.map(f => store.path + "/segments/" + f): _*)
+    assert(raw2.where(col("ukey") === 11L).count() === 0L)
+    assert(store.scan().collect().map(_.toString).sorted.toSeq === before)
+    // vacuum reclaims the now-unreferenced DV part files
+    store.vacuum(retain = 0, graceMs = 0L)
+    val dvDir = java.nio.file.Paths.get(store.path, "dv")
+    if (java.nio.file.Files.exists(dvDir)) {
+      val left = java.nio.file.Files.list(dvDir)
+      try assert(!left.iterator().hasNext)
+      finally left.close()
+    }
+  }
+
+  test("a file whose every row is vector-deleted leaves the manifest") {
+    val store = twoEpochStore()
+    // epoch 1 holds exactly keys 10-13 in one file; delete them all
+    val n = store.deleteWhereDv(col("ukey") >= 10L)
+    assert(n === 4L)
+    val m = store.manifest
+    assert(m.files.size === 1, m.files)
+    // no vector entries survive for a dropped file
+    assert(m.dvParts.isEmpty, m.dvParts)
+    assert(store.scan().count() === 4L)
+  }
+
+  test("V2 format reads subtract deletion vectors (V1Scan fallback)") {
+    val store = twoEpochStore()
+    store.deleteWhereDv(col("ukey") === 2L)
+    val df = spark.read.format("journal").load(store.path)
+    assert(df.where(col("ukey") === 2L).count() === 0L)
+    assert(df.count() === 7L)
+    // consumed partition filters are re-applied by the fallback relation
+    assert(df.where(col("ns") === "users").count() === 7L)
+    assert(df.where(col("epoch") === 0L).count() === 3L)
+    // aggregate answers must come from the subtracted rows, not footers
+    val agg = df.agg(count(lit(1)), max("ukey")).head
+    assert(agg.getLong(0) === 7L && agg.getLong(1) === 13L)
+    // purge restores the columnar scan with identical results
+    val before = df.collect().map(_.toString).sorted.toSeq
+    store.compact(upToEpoch = 100L, clusterByKey = true)
+    val after = spark.read.format("journal").load(store.path)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
+  test("deleteWhereDv then append: auto-checkpoint rebuilds from the " +
+      "subtracted rows") {
+    val store = twoEpochStore() // epochSize 4, maxSeq 7
+    store.deleteWhereDv(col("ukey") === 1L)
+    // next append crosses an epoch boundary → auto-checkpoint at 7
+    val more = Seq(("users", 20L, ts("2024-01-01 00:01:00"), "p20", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(more)
+    assert(store.manifest.checkpoints.nonEmpty)
+    // state via the fresh checkpoint must NOT resurrect the deleted key
+    assert(store.latest().where(col("ukey") === 1L).count() === 0L)
+    assert(store.latest().where(col("ukey") === 20L).count() === 1L)
+  }
 }
