@@ -996,6 +996,67 @@ class JournalStore private (val spark: SparkSession, val path: String,
       lit(null).cast(pT).as("payload"), lit(null).cast(vT).as("val")))
   }
 
+  /** MERGE (the Delta `MERGE INTO` shape, transposed to a log store):
+    * reconcile `source` (one row per (ns, ukey) — enforced, like
+    * Delta's ambiguous-match error) against CURRENT state and commit
+    * the reconciliation as ONE ordinary append:
+    *
+    *  - matched & `whenMatchedDelete` true  → tombstone row ([[delete]])
+    *  - matched otherwise                   → update row — SKIPPED when
+    *    the source payload already equals state (no-op suppression: an
+    *    idempotent merge re-run appends NOTHING, so periodic
+    *    reconciliation jobs don't grow the log). The comparison is on
+    *    PAYLOAD — the journal's data model already makes payload THE
+    *    record (a NULL payload is the tombstone; state reads key on
+    *    it), so a source that changes only the `val` convenience column
+    *    under an identical payload is by contract a no-op. Encode
+    *    merge-relevant state in the payload.
+    *  - not matched                         → insert row
+    *
+    * In a log store an upsert is just an append (latest seq wins), so
+    * what MERGE adds over blind append is the clause routing and the
+    * no-op suppression — the log then carries exactly the rows that
+    * CHANGED state, which is what makes a 100 TB reconciliation
+    * sustainable. One shuffle on (ns, ukey) for the state join (AQE
+    * broadcasts a small source); one append = one manifest commit,
+    * with every downstream invariant (seqs, stats, auto-checkpoint,
+    * exactly-once marks) inherited. Returns the new high-water seq
+    * (or maxSeq unchanged when nothing needed writing). */
+  def merge(source: DataFrame,
+            whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): Long = {
+    requireWritable()
+    val required = Seq("ns", "ukey", "ts", "payload", "val")
+    val missing = required.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"journal merge requires source columns $required; missing: $missing")
+    val src = source.select(required.map(col): _*).alias("s")
+    val dups = src.groupBy(col("ns"), col("ukey")).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      "journal merge: source has multiple rows for key " +
+        s"(ns=${dups.headOption.map(_.get(0)).orNull}, " +
+        s"ukey=${dups.headOption.map(_.get(1)).orNull}) — a merge must " +
+        "resolve to one action per key (pre-aggregate the source)")
+    val state = latest().select(col("ns"), col("ukey"),
+        col("payload").as("cur_payload")).alias("t")
+    // null-safe on ukey: a NULL key row in the source must match its
+    // NULL-key state, not silently always-insert
+    val joined = src.join(state,
+      col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
+      "left_outer")
+    val matched = col("t.ns").isNotNull
+    val delete = whenMatchedDelete.map(matched && coalesce(_, lit(false)))
+      .getOrElse(lit(false))
+    val noop = matched && !delete &&
+      col("s.payload") <=> col("cur_payload")
+    val out = joined.where(!noop)
+      .select(col("s.ns").as("ns"), col("s.ukey").as("ukey"),
+        col("s.ts").as("ts"),
+        when(delete, lit(null)).otherwise(col("s.payload")).as("payload"),
+        when(delete, lit(null)).otherwise(col("s.val")).as("val"))
+    append(out)
+  }
+
   /** Physical erase (the Delta-style DELETE FROM, and the GDPR lever a
     * logical tombstone can't be): remove every row matching `cond` from
     * the log itself, by rewriting ONLY the segment files that hold a

@@ -581,6 +581,49 @@ object JournalOps {
              max("seq").as("max_seq"))
         .orderBy("ns")
     }),
+    "journal_merge_upsert" -> ((s, d) => {
+      // MERGE INTO as a declared, oracle-checked row: seed a store with
+      // the first 5000 events, then merge the (per-key latest of the)
+      // next 2000 against current state — matched rows with a small
+      // source `val` take the delete clause (tombstone), other matches
+      // update (no-op-suppressed on equal payloads), unmatched keys
+      // insert. One state join + ONE append commit; the oracle is the
+      // same reconciliation as a full-outer-join CASE in SQL. Output
+      // drops last_seq: merge-assigned seqs are engine bookkeeping.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jmerge_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 5000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      val src = journal(s, d)
+        .where(col("seq") >= 5000 && col("seq") < 7000)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"))
+      store.merge(src, whenMatchedDelete = Some(col("val") < 20.0))
+      store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
+    }),
+    "journal_schema_evolve" -> ((s, d) => {
+      // Schema evolution as a declared, oracle-checked row: the second
+      // append carries an extra `src_id` column; the manifest schema
+      // unions it in, readers plan against the pinned DDL, and rows
+      // from pre-evolution files surface NULL — no rewrite, no
+      // inference, exactly the Delta add-column contract.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jevolve_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 2000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      store.append(journal(s, d)
+        .where(col("seq") >= 2000 && col("seq") < 4000)
+        .withColumn("src_id", (col("ukey") % 5).cast("long")))
+      store.scanUnordered()
+        .select("seq", "ns", "ukey", "val", "src_id").orderBy("seq")
+    }),
     "journal_dv_erase" -> ((s, d) => {
       // Deletion-vector delete as a declared, oracle-checked row: ingest
       // a bounded journal, deleteWhereDv ONE user key (no segment
@@ -873,6 +916,33 @@ object JournalOps {
         "AND user_id BETWEEN 2 AND 40 " +
         "AND value BETWEEN 10.0 AND 120.0 " +
         "GROUP BY 1 ORDER BY ns"),
+    // merge = the full-outer-join reconciliation, clause by clause
+    "journal_merge_upsert" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 5000 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload, " +
+        "arg_max(value, event_id) AS val " +
+        "FROM events WHERE event_id >= 5000 AND event_id < 7000 " +
+        "GROUP BY 1, 2), " +
+        "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
+        "COALESCE(s.ukey, t.ukey) AS ukey, " +
+        "CASE WHEN s.ns IS NOT NULL AND t.ns IS NOT NULL " +
+        "AND COALESCE(s.val < 20.0, FALSE) THEN NULL " +
+        "WHEN s.ns IS NOT NULL THEN s.payload " +
+        "ELSE t.payload END AS payload " +
+        "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
+        "ORDER BY ns, ukey"),
+    // evolved column: NULL for pre-evolution rows, no rewrite
+    "journal_schema_evolve" ->
+      ("SELECT event_id AS seq, event_type AS ns, user_id AS ukey, " +
+        "value AS val, " +
+        "CASE WHEN event_id >= 2000 THEN CAST(user_id % 5 AS BIGINT) " +
+        "ELSE NULL END AS src_id " +
+        "FROM events WHERE event_id < 4000 ORDER BY seq"),
     // a deletion-vector delete (+ partial purge) must be
     // indistinguishable from the rewrite erase
     "journal_dv_erase" ->

@@ -1026,6 +1026,36 @@ class JournalStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("merge routes clauses, suppresses no-op updates, rejects " +
+      "ambiguous sources") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf) // users/1 {"v":3}, users/2 {"v":2}, carts/1 {"c":1}
+    val src = Seq(
+      ("users", 1L, ts("2024-01-02 00:00:01"), """{"v":3}""", 9.0), // no-op
+      ("users", 2L, ts("2024-01-02 00:00:02"), """{"v":5}""", 5.0), // update
+      ("users", 9L, ts("2024-01-02 00:00:03"), """{"v":9}""", 1.0), // insert
+      ("carts", 1L, ts("2024-01-02 00:00:04"), """{"c":9}""", 0.5), // delete
+    ).toDF("ns", "ukey", "ts", "payload", "val")
+    val hi = store.merge(src, whenMatchedDelete = Some(col("val") < 1.0))
+    // exactly 3 rows landed (update, insert, tombstone) — the no-op
+    // update appended NOTHING
+    assert(hi === 6L)
+    val st = store.latest().orderBy("ns", "ukey")
+      .select("ns", "ukey", "payload").as[(String, Long, String)].collect().toSeq
+    assert(st === Seq(
+      ("users", 1L, """{"v":3}"""),
+      ("users", 2L, """{"v":5}"""),
+      ("users", 9L, """{"v":9}""")))
+    // re-merging the non-delete rows is a pure no-op: the log stays put
+    val again = store.merge(src.where(col("ns") === "users"))
+    assert(again === 6L)
+    // ambiguous source (two rows, one key) is refused like Delta's
+    // ambiguous-match error
+    val dup = src.where(col("ukey") === 2L)
+      .union(src.where(col("ukey") === 2L))
+    assertThrows[IllegalArgumentException](store.merge(dup))
+  }
+
   // -- deletion vectors --------------------------------------------------
 
   test("deleteWhereDv subtracts rows from every read WITHOUT rewriting " +
