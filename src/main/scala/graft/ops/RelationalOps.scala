@@ -321,6 +321,50 @@ object RelationalOps {
                 col("q")(0).as("p50"), col("q")(1).as("p90"),
                 col("q")(2).as("p99"))
         .orderBy("l_returnflag")),
+    "agg_hll_custom" -> ((s, d) => {
+      // Mergeable HyperLogLog from first principles (Flajolet et al.
+      // 2007, public), with register arithmetic the oracle shares
+      // bit-for-bit: h = 60 md5 bits (portable, RNG-free), bucket =
+      // h mod 512, rho = leading-zero rank of the remaining 51 bits
+      // computed from the BINARY-STRING length (floor(log2) would
+      // misround boundary values by a libm ulp and the two engines'
+      // libms differ). Registers are max-per-bucket — the mergeable
+      // fixed-memory sketch shape (512 registers per group at ANY
+      // cardinality; the max combines map-side). The harmonic combine
+      // stays EXACT: integer weights 2^(52-rho) sum associatively in
+      // BIGINT (≤ 2^61 — no accumulation-order double drift), and ONE
+      // final double division yields the estimate. Raw estimate only:
+      // the small-range correction needs ln (libm again) and every
+      // group here sits far above 2.5·m. agg_approx_distinct is the
+      // built-in (non-portable-sketch) twin; this row is the one whose
+      // SKETCH STATE itself is oracle-checked.
+      val regs = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15)" +
+            ", 16, 10) AS BIGINT)").as("h"))
+        .select(col("flag"), (col("h") % 512).as("b"), expr("h div 512").as("w"))
+        .select(col("flag"), col("b"),
+          // both engines render bin() minimal (no leading zeros), so
+          // its length IS the MSB position — no trim, no libm
+          when(col("w") === 0, lit(52))
+            .otherwise(lit(52) - length(expr("bin(w)"))).as("rho"))
+        .groupBy("flag", "b").agg(max("rho").as("m"))
+      val est = regs.groupBy("flag")
+        .agg(count(lit(1)).as("regs_hit"),
+             sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
+               .as("w_hit"))
+        .select(col("flag"), col("regs_hit"),
+          (col("w_hit") + (lit(512L) - col("regs_hit")) *
+            lit(4503599627370496L)).as("weight"))
+        .select(col("flag"), col("regs_hit"), col("weight"),
+          Det.r(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+            lit(262144.0) * lit(4503599627370496.0) /
+            col("weight").cast("double"), 4).as("hll_estimate"))
+      val exact = Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct("l_orderkey").as("n_exact"))
+      est.join(exact, "flag").orderBy("flag")
+    }),
     "agg_histogram" -> ((s, d) =>
       // equi-width histogram of order value (25k buckets) with per-bucket
       // mass — one hash aggregate. DuckDB 1.0 has no width_bucket, and a
@@ -511,6 +555,27 @@ object RelationalOps {
         "CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90, " +
         "CAST(quantile_disc(l_quantity, 0.99) AS DOUBLE) AS p99 " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    // the HLL register table and its exact integer combine, re-derived
+    // from the same md5 bits — the sketch state itself is the contract
+    "agg_hll_custom" ->
+      ("WITH h AS (SELECT l_returnflag AS flag, " +
+        "CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h FROM lineitem), " +
+        "r AS (SELECT flag, h % 512 AS b, " +
+        "CASE WHEN h // 512 = 0 THEN 52 " +
+        "ELSE 52 - length(bin(h // 512)) END AS rho FROM h), " +
+        "m AS (SELECT flag, b, max(rho) AS m FROM r GROUP BY 1, 2), " +
+        "e AS (SELECT flag, count(*) AS regs_hit, " +
+        "CAST(sum(1::BIGINT << CAST(52 - m AS INT)) AS BIGINT) AS w_hit " +
+        "FROM m GROUP BY 1), " +
+        "x AS (SELECT l_returnflag AS flag, " +
+        "count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1) " +
+        "SELECT e.flag, e.regs_hit, " +
+        "e.w_hit + (512 - e.regs_hit) * 4503599627370496 AS weight, " +
+        Det.sql.r("0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * " +
+          "4503599627370496.0 / CAST(e.w_hit + (512 - e.regs_hit) * " +
+          "4503599627370496 AS DOUBLE)", 4) + " AS hll_estimate, " +
+        "x.n_exact FROM e JOIN x USING (flag) ORDER BY flag"),
     "agg_histogram" ->
       ("SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 " +
         "AS bucket_lo, count(*) AS n_orders, " +
