@@ -1019,6 +1019,34 @@ object LlmExtOps {
                 graft.Det.r((col("hi") - col("lo")) / lit(255.0), 6).as("scale"))
         .orderBy("vec_id")),
 
+    "sim_ann_pq" -> ((s, d) => {
+      // Quantized-code retrieval — the SERVING half of emb_quantize: the
+      // corpus is held as int8 codes + per-vector (lo, hi) — 4× less
+      // memory/IO than float32, the compression every large ANN index
+      // applies — and the probe scores cosine on the DEQUANTIZED codes.
+      // Same plan shape as sim_cosine_topk (1-row broadcast probe, the
+      // scoring runs inside the corpus scan's codegen stage,
+      // TakeOrderedAndProject keeps k); quantize → dequantize is the
+      // emb_quantize arithmetic verbatim, so the oracle checks retrieval
+      // FROM THE CODES end-to-end. The query vector is quantized too —
+      // symmetric distance, the variant that lets the probe itself ship
+      // as one code row.
+      graft.expr.GraftFunctions.register(s)
+      val dq = Tables(s, d, "embeddings")
+        .withColumn("lo", expr("CAST(array_min(embedding) AS DOUBLE)"))
+        .withColumn("hi", expr("CAST(array_max(embedding) AS DOUBLE)"))
+        .withColumn("qs", expr(
+          "transform(embedding, x -> CAST(round(CASE WHEN hi > lo THEN " +
+            "((CAST(x AS DOUBLE) - lo) * 255.0) / (hi - lo) ELSE 0.0 END) AS INT))"))
+        .withColumn("dq", expr(
+          "transform(qs, q -> lo + CAST(q AS DOUBLE) * (hi - lo) / 255.0)"))
+        .select(col("vec_id"), col("dq"))
+      val q = dq.where(col("vec_id") === 0).select(col("dq").as("q_dq"))
+      dq.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.Det.r(expr("cosine_sim(dq, q_dq)"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
     "mm_resize_stub" -> ((s, d) =>
       // Resize over a multimodal binary payload — the downsampling shape
       // an image/audio pipeline runs: keep every 4th byte (a real decoder
@@ -1704,6 +1732,22 @@ object LlmExtOps {
         "(SELECT " + graft.Det.sql.r(
           "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 4) +
         " AS norm FROM embeddings) GROUP BY 1 ORDER BY bucket_lo"),
+    // retrieval from the int8 codes: same quantize arithmetic as
+    // emb_quantize, then cosine over the dequantized lists
+    "sim_ann_pq" ->
+      ("WITH dqv AS (SELECT vec_id, " +
+        "list_transform(qs, q -> lo + CAST(q AS DOUBLE) * (hi - lo) / 255.0) AS dq " +
+        "FROM (SELECT vec_id, lo, hi, " +
+        "list_transform(de, x -> CAST(round(CASE WHEN hi > lo THEN " +
+        "((x - lo) * 255.0) / (hi - lo) ELSE 0.0 END) AS INT)) AS qs FROM (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de, " +
+        "CAST(list_min(embedding) AS DOUBLE) AS lo, " +
+        "CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings))), " +
+        "q AS (SELECT dq AS q_dq FROM dqv WHERE vec_id = 0) " +
+        "SELECT e.vec_id, " +
+        graft.Det.sql.r("list_cosine_similarity(e.dq, q.q_dq)", 4) +
+        " AS sim FROM dqv e CROSS JOIN q WHERE e.vec_id <> 0 " +
+        "ORDER BY sim DESC, e.vec_id LIMIT 10"),
     "emb_quantize" ->
       ("SELECT vec_id, CAST(list_min(qs) AS INT) AS qmin, " +
         "CAST(list_max(qs) AS INT) AS qmax, CAST(list_sum(qs) AS BIGINT) AS qsum, " +

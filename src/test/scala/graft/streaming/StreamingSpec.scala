@@ -192,6 +192,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_merge_sink: an upsert stream maintained via merge in " +
+      "foreachBatch — no-op batches never grow the log") {
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_stream_")
+      .toString + "/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    val ms = MemoryStream[Ev]
+    // merge per micro-batch: value < 0 is the stream's delete marker
+    val q = ms.toDF.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+      store.merge(
+        df.select(col("event_type").as("ns"), col("user_id").as("ukey"),
+          col("ts"), col("props").as("payload"), col("value").as("val")),
+        whenMatchedDelete = Some(col("val") < 0.0))
+      ()
+    }.start()
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "users", 1.0),
+      ev(2, "2024-01-01 10:00:01", 2, "users", 1.0))
+    q.processAllAvailable()
+    assert(store.manifest.maxSeq === 1L) // two inserts
+    ms.addData(
+      ev(1, "2024-01-01 10:01:00", 1, "users", 1.0),  // same payload → no-op
+      ev(9, "2024-01-01 10:01:01", 2, "users", -1.0)) // delete marker
+    q.processAllAvailable()
+    // only the tombstone landed; the unchanged upsert appended nothing
+    assert(store.manifest.maxSeq === 2L)
+    val st = store.latest().orderBy("ukey")
+      .select("ukey", "payload").as[(Long, String)].collect().toSeq
+    assert(st === Seq((1L, """{"k": 1}""")))
+    q.stop()
+  }
+
   test("stream_journal_sink: writeStream.format(journal) is exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsink_stream_").toString
     val path = s"$dir/store"
