@@ -588,6 +588,22 @@ object LlmExtOps {
         .select("doc_id", "source", "lang", "split")
         .orderBy("doc_id")),
 
+    "sample_reservoir" -> ((s, d) =>
+      // Fixed-SIZE uniform sample (the third sampling primitive beside
+      // the fixed-RATE stratified/mix rows): rank every row by a
+      // portable hash and keep the k smallest — the distributed,
+      // deterministic equivalent of reservoir sampling. Plans as
+      // TakeOrderedAndProject: each partition keeps its local top-k
+      // and only k-row heads merge on the driver-side take — the
+      // corpus is never globally sorted and never shuffled, the same
+      // bound at any scale. The salt prefix decorrelates this rank
+      // from the stratified row's keep-hash (independent samples).
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(md5(concat(lit("rsv:"), col("doc_id").cast("string"))),
+            1, 16).as("rk"))
+        .orderBy(col("rk"), col("doc_id")).limit(100)),
+
     "text_langid" -> ((s, d) =>
       Tables(s, d, "documents")
         .withColumn("w", split(lower(col("text")), " "))
@@ -1641,6 +1657,10 @@ object LlmExtOps {
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h " +
         "FROM documents) WHERE (CASE WHEN source = 'src0' THEN h < 80 ELSE h < 50 END) " +
         "ORDER BY doc_id"),
+    "sample_reservoir" ->
+      ("SELECT doc_id, source, " +
+        "substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 16) AS rk " +
+        "FROM documents ORDER BY rk, doc_id LIMIT 100"),
     "dedup_minhash" -> {
       // same Broder construction as the Spark side: one digest per
       // shingle, permutation i = (h1 + i*h2) mod 2^32

@@ -201,6 +201,19 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     !pinned && store.isDefined && filters.forall(filterToColumn(_).isDefined)
 
+  /** SQL DELETE's execution mode: the default rewrites touched segment
+    * files (physical erasure — the GDPR semantics plain DELETE should
+    * have); `spark.graft.journal.deleteMode=dv` switches the SAME
+    * statement to deletion vectors (O(matching rows), no rewrite,
+    * purged at the next compact) for high-frequency operational
+    * deletes. Session-scoped on purpose: the mode is an operational
+    * choice per workload, not table state. */
+  private def runDelete(st: JournalStore,
+                        cond: org.apache.spark.sql.Column): Long =
+    if (spark.conf.getOption("spark.graft.journal.deleteMode")
+        .contains("dv")) st.deleteWhereDv(cond)
+    else st.deleteWhere(cond)
+
   /** The extension-rule entry ([[JournalDeleteRule]]): a resolved DELETE
     * condition, attribute references name-normalized so the store's own
     * relation re-resolves them. */
@@ -214,7 +227,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
     }
-    st.deleteWhere(org.apache.spark.sql.graft.StreamBatchBridge.columnOf(byName))
+    runDelete(st, org.apache.spark.sql.graft.StreamBatchBridge.columnOf(byName))
   }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
@@ -225,7 +238,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
       s"no journal store at $storePath"))
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    st.deleteWhere(cond)
+    runDelete(st, cond)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

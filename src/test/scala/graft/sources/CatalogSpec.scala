@@ -218,6 +218,47 @@ class CatalogSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }}
 
+  test("SQL DELETE in dv mode records a deletion vector instead of " +
+      "rewriting segments") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.dvdel (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    // two rows per commit → two rows per segment file, so a single-key
+    // delete leaves a live row behind and must go through a VECTOR (a
+    // fully-dead file would just leave the manifest)
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO jcat.dvdel SELECT 'users' AS ns, " +
+        s"CAST($i AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:0$i' AS ts, " +
+        s"'p$i' AS payload, CAST($i.0 AS DOUBLE) AS val UNION ALL " +
+        s"SELECT 'users', CAST(${i + 10} AS BIGINT), " +
+        s"TIMESTAMP '2024-01-01 00:01:0$i', 'q$i', CAST(${i + 10}.0 AS DOUBLE)")
+    }
+    val store = graft.journal.JournalStore.open(spark, s"$root/dvdel")
+    val filesBefore = store.manifest.files.sorted
+    spark.conf.set("spark.graft.journal.deleteMode", "dv")
+    try spark.sql("DELETE FROM jcat.dvdel WHERE ukey = 1")
+    finally spark.conf.unset("spark.graft.journal.deleteMode")
+    val m = store.manifest
+    // vector recorded, nothing rewritten, reads subtract — including the
+    // catalog read itself (the V1Scan fallback)
+    assert(m.dvParts.nonEmpty)
+    assert(m.files.sorted === filesBefore)
+    assert(store.scan().where(col("ukey") === 1L).count() === 0)
+    assert(spark.sql("SELECT count(*) FROM jcat.dvdel").as[Long].head() === 5L)
+    assert(spark.sql("SELECT ukey FROM jcat.dvdel ORDER BY ukey")
+      .as[Long].collect().toSeq === Seq(0L, 2L, 10L, 11L, 12L))
+    // without the conf the same statement rewrites its touched file;
+    // ukey=1's vector rides an UNTOUCHED file and survives until purge
+    spark.sql("DELETE FROM jcat.dvdel WHERE ukey = 2")
+    assert(spark.sql("SELECT ukey FROM jcat.dvdel ORDER BY ukey")
+      .as[Long].collect().toSeq === Seq(0L, 10L, 11L, 12L))
+    assert(store.manifest.dvParts.nonEmpty)
+    // compacting the epoch materializes the subtraction and clears it
+    store.compact(upToEpoch = 100L, clusterByKey = true)
+    assert(store.manifest.dvParts.isEmpty)
+    assert(spark.sql("SELECT ukey FROM jcat.dvdel ORDER BY ukey")
+      .as[Long].collect().toSeq === Seq(0L, 10L, 11L, 12L))
+  }}
+
   test("TRUNCATE TABLE physically empties the store (SupportsDelete truncate path)") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.trunc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
       "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2')")
