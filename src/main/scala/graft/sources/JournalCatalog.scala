@@ -172,7 +172,8 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array(Identifier.of(SystemNs, "compact"), Identifier.of(SystemNs, "vacuum"))
+      Array(Identifier.of(SystemNs, "compact"), Identifier.of(SystemNs, "vacuum"),
+        Identifier.of(SystemNs, "restore"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -182,9 +183,10 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     ident.name match {
       case "compact" => new CompactProcedure
       case "vacuum"  => new VacuumProcedure
+      case "restore" => new RestoreProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' " +
-          "(available: system.compact, system.vacuum)")
+          "(available: system.compact, system.vacuum, system.restore)")
     }
   }
 
@@ -247,6 +249,25 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
                     JournalStore.DefaultVacuumGraceMs
                   else input.getLong(2)
       store.vacuum(retain, grace)
+      noRows
+    }
+  }
+
+  private class RestoreProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "roll a journal table back to a retained manifest version, " +
+        "committed as a NEW version (history is never rewritten)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("retained manifest version to restore to").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      storeForName(input.getUTF8String(0).toString)
+        .restore(input.getLong(1))
       noRows
     }
   }

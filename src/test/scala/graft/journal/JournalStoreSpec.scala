@@ -1056,6 +1056,30 @@ class JournalStoreSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](store.merge(dup))
   }
 
+  test("restore rolls state back to a retained version as a NEW commit") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf) // maxSeq 3
+    val v1 = store.manifest.version
+    store.append(Seq(("users", 7L, ts("2024-01-02 00:00:00"), "p7", 7.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")) // maxSeq 4
+    assert(store.manifest.maxSeq === 4L)
+    store.restore(v1)
+    val m = store.manifest
+    // content is v1's; the restore is itself a commit (version advanced)
+    assert(m.maxSeq === 3L)
+    assert(m.version > v1 + 1)
+    assert(store.scan().where(col("ukey") === 7L).count() === 0L)
+    assert(store.scan().count() === 4L)
+    // history moves forward from the restored state: the abandoned seq
+    // range is reused by the next append
+    store.append(Seq(("users", 8L, ts("2024-01-03 00:00:00"), "p8", 8.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(store.manifest.maxSeq === 4L)
+    assert(store.latest().where(col("ukey") === 8L).count() === 1L)
+    // a forgotten version refuses loudly
+    assertThrows[IllegalArgumentException](store.restore(9999L))
+  }
+
   // -- deletion vectors --------------------------------------------------
 
   test("deleteWhereDv subtracts rows from every read WITHOUT rewriting " +

@@ -218,6 +218,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }}
 
+  test("CALL system.restore rolls a table back by SQL") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.rst (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    spark.sql("INSERT INTO jcat.rst SELECT 'users' AS ns, " +
+      "CAST(1 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:00' AS ts, " +
+      "'p1' AS payload, CAST(1.0 AS DOUBLE) AS val")
+    val v = graft.journal.JournalStore.open(spark, s"$root/rst").manifest.version
+    spark.sql("INSERT INTO jcat.rst SELECT 'users' AS ns, " +
+      "CAST(2 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:01' AS ts, " +
+      "'p2' AS payload, CAST(2.0 AS DOUBLE) AS val")
+    assert(spark.sql("SELECT count(*) FROM jcat.rst").as[Long].head() === 2L)
+    spark.sql(s"CALL jcat.system.restore(table => 'rst', version => $v)")
+    assert(spark.sql("SELECT ukey FROM jcat.rst").as[Long].collect().toSeq
+      === Seq(1L))
+  }}
+
   test("SQL DELETE in dv mode records a deletion vector instead of " +
       "rewriting segments") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.dvdel (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
