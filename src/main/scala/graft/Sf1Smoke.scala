@@ -88,7 +88,11 @@ object Sf1Smoke {
       // join (events fact side grows 10x), erase + compact lifecycle
       // (journal build + rewrite scale with ingest)
       "graph_bfs", "join_skew_handoff", "journal_erase",
-      "journal_compact_scan")
+      "journal_compact_scan",
+      // round 11: DV delete + purge, merge reconciliation and z-order
+      // rewrite all scale with ingest; entropy scales with the corpus
+      "journal_dv_erase", "journal_merge_upsert", "journal_zorder_scan",
+      "text_entropy")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

@@ -191,6 +191,50 @@ object JournalOps {
         .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("m")
     }),
+    "events_interpolate" -> ((s, d) => {
+      // Linear interpolation over time-series gaps — the VALUE-filling
+      // twin of events_resample's zero-filling: silent minutes take the
+      // line between the nearest observed neighbors (edges carry the
+      // boundary value). Interpolation runs on the PRE-AGGREGATED
+      // minute frame (≤ 1440 rows after the one shuffle that builds
+      // it — the events_anomaly discipline: windows only ever run over
+      // the tiny bucket frame, never the event stream). Neighbor
+      // lookup is the ignore-nulls last/first window pair; the
+      // interpolated value works on Det-rounded per-minute averages so
+      // both engines walk identical doubles, and the time fraction is
+      // an exact integer minute ratio.
+      val e = Tables(s, d, "events").where(
+        col("event_type") === "purchase" &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+      val obs = e.groupBy(date_trunc("minute", col("ts")).as("m"))
+        .agg(graft.Det.davg(col("value"), 4).as("v"))
+      val spine = e.agg(date_trunc("minute", min("ts")).as("lo"),
+                        date_trunc("minute", max("ts")).as("hi"))
+        .where(col("lo").isNotNull)
+        .select(explode(expr("sequence(lo, hi, interval 1 minute)")).as("m"))
+      val g = spine.join(obs, Seq("m"), "left")
+      val wp = Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.orderBy("m")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val mu = expr("unix_micros(cast(m AS timestamp_ltz))")
+      g.withColumn("pv", last("v", ignoreNulls = true).over(wp))
+        .withColumn("pm", last(when(col("v").isNotNull, mu),
+          ignoreNulls = true).over(wp))
+        .withColumn("nv", first("v", ignoreNulls = true).over(wn))
+        .withColumn("nm", first(when(col("v").isNotNull, mu),
+          ignoreNulls = true).over(wn))
+        .select(col("m"), graft.Det.r(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (((mu - col("pm")) / 60000000L).cast("double") /
+               ((col("nm") - col("pm")) / 60000000L).cast("double"))), 4)
+          .as("v_interp"))
+        .orderBy("m")
+    }),
     "events_sessionize" -> ((s, d) => {
       // Gap-based sessionization (30-min inactivity gap): the classic
       // lag → boundary flag → running-sum pattern, then one aggregate
@@ -771,6 +815,31 @@ object JournalOps {
         "SELECT stage, count(*) AS n_users FROM st GROUP BY 1 ORDER BY stage"
     },
     "journal_latest" -> stateSql(""),
+    "events_interpolate" ->
+      ("WITH e AS (SELECT * FROM events WHERE event_type = 'purchase' " +
+        "AND ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-11 00:00:00'), " +
+        "obs AS (SELECT date_trunc('minute', ts) AS m, " +
+        graft.Det.sql.davg("value", 4) + " AS v FROM e GROUP BY 1), " +
+        "spine AS (SELECT unnest(generate_series(" +
+        "(SELECT date_trunc('minute', min(ts)) FROM e), " +
+        "(SELECT date_trunc('minute', max(ts)) FROM e), INTERVAL 1 MINUTE)) AS m), " +
+        "g AS (SELECT spine.m, obs.v FROM spine LEFT JOIN obs USING (m)), " +
+        "w AS (SELECT m, v, " +
+        "last_value(v IGNORE NULLS) OVER win_p AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) " +
+        "OVER win_p AS pm, " +
+        "first_value(v IGNORE NULLS) OVER win_n AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) " +
+        "OVER win_n AS nm FROM g WINDOW " +
+        "win_p AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "win_n AS (ORDER BY m ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT m, " + graft.Det.sql.r(
+          "CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv " +
+          "WHEN nv IS NULL THEN pv ELSE pv + (nv - pv) * " +
+          "(CAST(date_diff('minute', pm, m) AS DOUBLE) / " +
+          "CAST(date_diff('minute', pm, nm) AS DOUBLE)) END", 4) +
+        " AS v_interp FROM w ORDER BY m"),
     "events_resample" ->
       ("WITH e AS (SELECT * FROM events WHERE event_type = 'purchase' " +
         "AND ts >= TIMESTAMP '2024-01-10 00:00:00' " +

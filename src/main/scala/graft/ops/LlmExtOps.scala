@@ -588,6 +588,31 @@ object LlmExtOps {
         .select("doc_id", "source", "lang", "split")
         .orderBy("doc_id")),
 
+    "text_entropy" -> ((s, d) => {
+      // Token-distribution Shannon entropy per document (nats) — the
+      // repetition/diversity quality signal beside text_repetition's
+      // ratio form: low entropy = templated or looping text. ln is
+      // libm territory (engines differ in the last ulp), so each
+      // term's log is rounded to 6dp and captured as DECIMAL before
+      // the per-doc sum (the text_unigram_logprob discipline) — the
+      // sum is exact and order-independent, one shuffle on (doc,
+      // token) and one on doc.
+      val cnts = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      val tot = cnts.groupBy("doc_id").agg(sum("cnt").as("n"))
+      cnts.join(tot, "doc_id")
+        .select(col("doc_id"), col("n"),
+          (col("cnt").cast("double") *
+            expr("round(ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)"))
+            .as("term"))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_tokens"),
+             graft.Det.r(sum(graft.Det.dec(col("term"), 6)).cast("double") /
+               max("n").cast("double"), 4).as("ent_nats"))
+        .orderBy("doc_id")
+    }),
+
     "sample_reservoir" -> ((s, d) =>
       // Fixed-SIZE uniform sample (the third sampling primitive beside
       // the fixed-RATE stratified/mix rows): rank every row by a
@@ -1657,6 +1682,18 @@ object LlmExtOps {
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h " +
         "FROM documents) WHERE (CASE WHEN source = 'src0' THEN h < 80 ELSE h < 50 END) " +
         "ORDER BY doc_id"),
+    "text_entropy" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) " +
+        "AS t FROM documents), " +
+        "cc AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2), " +
+        "nn AS (SELECT doc_id, sum(cnt) AS n FROM cc GROUP BY 1) " +
+        "SELECT cc.doc_id, CAST(max(n) AS BIGINT) AS n_tokens, " +
+        graft.Det.sql.r(
+          "CAST(sum(CAST(CAST(cnt AS DOUBLE) * " +
+          "round(ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) " +
+          "AS DECIMAL(27,6))) AS DOUBLE) / CAST(max(n) AS DOUBLE)", 4) +
+        " AS ent_nats FROM cc JOIN nn USING (doc_id) " +
+        "GROUP BY 1 ORDER BY doc_id"),
     "sample_reservoir" ->
       ("SELECT doc_id, source, " +
         "substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 16) AS rk " +

@@ -321,6 +321,37 @@ object RelationalOps {
                 col("q")(0).as("p50"), col("q")(1).as("p90"),
                 col("q")(2).as("p99"))
         .orderBy("l_returnflag")),
+    "agg_regression" -> ((s, d) =>
+      // Per-group OLS (value regressed on day-of-month): the classic
+      // regr_slope/regr_intercept pair, but built on EXACT partial
+      // sums — n, Σx, Σx² in BIGINT, Σy, Σxy through the decimal
+      // capture — so the map-side combine is order-independent at any
+      // parallelism and both engines derive slope/intercept from
+      // IDENTICAL doubles with one shared arithmetic expression. One
+      // hash aggregate, no second pass (contrast the textbook
+      // two-pass covariance form).
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          dayofmonth(col("ts").cast("timestamp")).cast("long").as("x"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+             sum(col("x") * col("x")).as("sxx"),
+             Det.dsum(col("value"), 4).as("sy"),
+             Det.dsum(col("value") * col("x"), 4).as("sxy"))
+        .select(col("event_type"), col("n"),
+          Det.r((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("slope"),
+          Det.r((col("sy") - ((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+              col("sx").cast("double")) / col("n").cast("double"), 6)
+            .as("icept"))
+        .orderBy("event_type")),
     "agg_hll_custom" -> ((s, d) => {
       // Mergeable HyperLogLog from first principles (Flajolet et al.
       // 2007, public), with register arithmetic the oracle shares
@@ -555,6 +586,21 @@ object RelationalOps {
         "CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90, " +
         "CAST(quantile_disc(l_quantity, 0.99) AS DOUBLE) AS p99 " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    // OLS from the same exact partial sums, shared arithmetic
+    "agg_regression" -> {
+      val slope = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      ("WITH a AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx, " +
+        Det.sql.dsum("value", 4) + " AS sy, " +
+        Det.sql.dsum("value * x", 4) + " AS sxy FROM (" +
+        "SELECT event_type, CAST(day(ts) AS BIGINT) AS x, value " +
+        "FROM events) GROUP BY 1) " +
+        "SELECT event_type, n, " + Det.sql.r(slope, 6) + " AS slope, " +
+        Det.sql.r(s"(sy - ($slope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 6) +
+        " AS icept FROM a ORDER BY event_type")
+    },
     // the HLL register table and its exact integer combine, re-derived
     // from the same md5 bits — the sketch state itself is the contract
     "agg_hll_custom" ->
