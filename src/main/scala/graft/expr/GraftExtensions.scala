@@ -107,6 +107,17 @@ object GraftFunctions {
         graft.journal.JournalStore.open(SparkSession.active, path)
           .changesBetween(v1, v2).queryExecution.logical
       }),
+    (FunctionIdentifier("journal_commits"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "journal_commits"),
+      (es: Seq[Expression]) => {
+        // journal_commits('/path') — DESCRIBE HISTORY for the journal:
+        // one row per retained manifest version (version, high-water
+        // seq, live file count, exact stats row count, checkpoints),
+        // derived from the tiny version manifests, zero data files open
+        val path = foldedString(es, 0, "journal_commits")
+        graft.journal.JournalStore.open(SparkSession.active, path)
+          .commitHistory().queryExecution.logical
+      }),
     (FunctionIdentifier("journal_history"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "journal_history"),
       (es: Seq[Expression]) => {

@@ -237,6 +237,61 @@ class JournalStore private (val spark: SparkSession, val path: String,
     eligible.max
   }
 
+  /** Shallow CLONE (Delta's CLONE TABLE): an independent store at
+    * `dest` over THIS store's current snapshot, with ZERO data copy —
+    * every referenced segment file, sidecar part, deletion-vector part
+    * and checkpoint file is HARD-LINKED (same filesystem; falls back
+    * to a copy where links aren't supported). Hard links — not a
+    * shared manifest — make the clone genuinely independent: the
+    * source's vacuum() unlinks only its own names (the clone's link
+    * keeps the bytes), appends/compactions/erasures on either side
+    * never touch the other, and there is NO cross-store GC hazard
+    * (the caveat Delta documents for its shallow clones). Sidecar
+    * part NAMES are reused, so the clone's first commit writes no
+    * stats bytes. Streaming exactly-once marks reset: a clone is a
+    * new table — a fresh sink's batch 0 must not be swallowed by the
+    * source's high-water mark. The dev-branch move for a 100 TB
+    * table: clone, experiment destructively, drop the directory. */
+  def cloneTo(dest: String): JournalStore = {
+    val m = manifest
+    require(!JournalStore.exists(dest),
+      s"journal store already exists at $dest")
+    Files.createDirectories(Paths.get(dest))
+    def link(srcP: java.nio.file.Path, dstP: java.nio.file.Path): Unit = {
+      Files.createDirectories(dstP.getParent)
+      try Files.createLink(dstP, srcP)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(srcP, dstP, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+    m.files.foreach(f =>
+      link(Paths.get(segDir, f), Paths.get(dest, "segments", f)))
+    RootSidecar.partsOf(m.files).getOrElse(Nil).foreach(p =>
+      link(RootSidecar.dir(path).resolve(p), RootSidecar.dir(dest).resolve(p)))
+    FileStatsSidecar.partsOf(m.fstats).getOrElse(Nil).foreach(p =>
+      link(FileStatsSidecar.dir(path).resolve(p),
+        FileStatsSidecar.dir(dest).resolve(p)))
+    m.dvParts.foreach(p =>
+      link(Paths.get(dvDir, p), Paths.get(dest, "dv", p)))
+    m.checkpoints.foreach { c =>
+      val srcCk = Paths.get(ckptDir(c))
+      if (Files.exists(srcCk)) {
+        val walk = Files.walk(srcCk)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+            link(p, Paths.get(dest, "checkpoints", s"seq=$c")
+              .resolve(srcCk.relativize(p).toString))
+          }
+        } finally walk.close()
+      }
+    }
+    JournalStore.writeManifest(dest, m.copy(version = 0L, lastBatchId = -1L,
+      writerMarks = Map.empty), cas = false)
+    JournalStore.open(spark, dest)
+  }
+
   /** RESTORE (Delta's RESTORE TABLE … VERSION AS OF): make the CURRENT
     * table state the content of retained version `version`, committed
     * as a NEW version — history is never rewritten, the rollback is

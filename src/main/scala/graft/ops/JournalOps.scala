@@ -625,6 +625,28 @@ object JournalOps {
              max("seq").as("max_seq"))
         .orderBy("ns")
     }),
+    "journal_restore" -> ((s, d) => {
+      // RESTORE as a declared, oracle-checked row: two ingest commits,
+      // roll back to the version the FIRST one committed, read state.
+      // The rollback is itself a commit (snapshot isolation preserved;
+      // vacuum's retained-version rule keeps the files alive), so the
+      // scan must equal the first commit exactly — the oracle is that
+      // logical prefix. Exercises restore end-to-end through the same
+      // store lifecycle journal_time_travel pins for version pinning.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jrestore_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 3000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      val v = store.manifest.version
+      store.append(journal(s, d).where(col("seq") >= 3000 && col("seq") < 6000))
+      store.restore(v)
+      store.scan().groupBy("ns")
+        .agg(count(lit(1)).as("n"), sum(col("ukey")).as("sum_ukey"),
+             max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
     "journal_merge_upsert" -> ((s, d) => {
       // MERGE INTO as a declared, oracle-checked row: seed a store with
       // the first 5000 events, then merge the (per-key latest of the)
@@ -985,6 +1007,12 @@ object JournalOps {
         "AND user_id BETWEEN 2 AND 40 " +
         "AND value BETWEEN 10.0 AND 120.0 " +
         "GROUP BY 1 ORDER BY ns"),
+    // restore must read exactly as the restored commit's prefix
+    "journal_restore" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 3000 GROUP BY 1 ORDER BY ns"),
     // merge = the full-outer-join reconciliation, clause by clause
     "journal_merge_upsert" ->
       ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +

@@ -72,6 +72,14 @@ class ExprSpec extends AnyFunSuite {
     assert(atTs === Seq((1L, "v1")))
     assert(spark.sql("SELECT count(*) FROM " +
       s"journal_state_at_ts('$path', '2024-01-01T00:00:03')").head().getLong(0) === 2L)
+    // DESCRIBE HISTORY from SQL: one row per retained commit, derived
+    // from the tiny version manifests (create, append, and the
+    // append's auto-checkpoint registration = 3 commits)
+    val commits = spark.sql("SELECT version, max_seq, n_files, n_rows " +
+      s"FROM journal_commits('$path') ORDER BY version")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(commits.map(_._1) === Seq(1L, 2L, 3L))
+    assert(commits.last === ((3L, 2L, 2L, 3L)))
   }
 
   test("char_ngrams generator emits exactly the n-grams") {

@@ -1056,6 +1056,35 @@ class JournalStoreSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](store.merge(dup))
   }
 
+  test("cloneTo: zero-copy shallow clone is fully independent of the " +
+      "source across writes, erasure and vacuum") {
+    val store = twoEpochStore()
+    val dest = freshPath
+    val clone = store.cloneTo(dest)
+    // identical reads at clone time
+    assert(clone.scan().collect().map(_.toString).sorted.toSeq ===
+      store.scan().collect().map(_.toString).sorted.toSeq)
+    // divergence: append lands only where it was written
+    clone.append(Seq(("users", 99L, ts("2024-01-02 00:00:00"), "p99", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(clone.scan().count() === 9L)
+    assert(store.scan().count() === 8L)
+    store.append(Seq(("users", 98L, ts("2024-01-02 00:00:01"), "p98", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(clone.scan().where(col("ukey") === 98L).count() === 0L)
+    // destructive source lifecycle cannot reach the clone: rewrite the
+    // shared files and physically reclaim the source's old names — the
+    // clone's hard links keep the bytes alive
+    store.deleteWhere(col("ukey") === 1L)
+    store.compact(upToEpoch = 100L, clusterByKey = true)
+    store.vacuum(retain = 0, graceMs = 0L)
+    assert(store.scan().where(col("ukey") === 1L).count() === 0L)
+    assert(clone.scan().where(col("ukey") === 1L).count() === 1L)
+    assert(clone.scan().count() === 9L)
+    // cloning over an existing store refuses
+    assertThrows[IllegalArgumentException](store.cloneTo(dest))
+  }
+
   test("restore rolls state back to a retained version as a NEW commit") {
     val store = JournalStore.create(spark, freshPath, epochSize = 100)
     store.append(sampleDf) // maxSeq 3
