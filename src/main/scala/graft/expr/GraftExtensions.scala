@@ -107,6 +107,17 @@ object GraftFunctions {
         graft.journal.JournalStore.open(SparkSession.active, path)
           .changesBetween(v1, v2).queryExecution.logical
       }),
+    (FunctionIdentifier("journal_files"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "journal_files"),
+      (es: Seq[Expression]) => {
+        // journal_files('/path') — the live file inventory with its
+        // data-skipping stats (rows, seq/key/ts ranges) as a table:
+        // Delta's DESCRIBE DETAIL / files view, answered from the
+        // manifest sidecar without opening a single data file
+        val path = foldedString(es, 0, "journal_files")
+        graft.journal.JournalStore.open(SparkSession.active, path)
+          .fileStats().queryExecution.logical
+      }),
     (FunctionIdentifier("journal_commits"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "journal_commits"),
       (es: Seq[Expression]) => {

@@ -97,11 +97,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val applied =
         if (dvParts.isEmpty) withPos
         else {
-          // DV tables are O(deleted rows since last purge) — orders of
-          // magnitude below the data; broadcast the anti-join so the
-          // subtraction costs no shuffle of the corpus
-          val dv = readDvTable(dvParts)
-          withPos.join(broadcast(dv),
+          // DV tables are O(deleted rows since last purge) — normally
+          // orders of magnitude below the data, so the anti-join
+          // broadcasts and the subtraction costs no shuffle of the
+          // corpus. BOUNDED: past 64 MB of vector parts (a store
+          // overdue for compaction) the hint is dropped and the join
+          // plans by size — an unconditional broadcast of an unbounded
+          // side is how executors OOM at scale.
+          val dvBytes = dvParts.map { p =>
+            try Files.size(Paths.get(dvDir, p)) catch { case _: Exception => 0L }
+          }.sum
+          val dv0 = readDvTable(dvParts)
+          val dv = if (dvBytes < (64L << 20)) broadcast(dv0) else dv0
+          withPos.join(dv,
             withPos("__file") === dv("file") && withPos("__pos") === dv("pos"),
             "left_anti")
         }

@@ -80,6 +80,13 @@ class ExprSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(commits.map(_._1) === Seq(1L, 2L, 3L))
     assert(commits.last === ((3L, 2L, 2L, 3L)))
+    // the live file inventory + skipping stats as a table, manifest-only
+    val files = spark.sql("SELECT file, rows, minSeq, maxSeq " +
+      s"FROM journal_files('$path') ORDER BY file")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(files.size === 2)
+    assert(files.map(_._2).sum === 3L)
+    assert(files.map(_._3).min === 0L && files.map(_._4).max === 2L)
   }
 
   test("char_ngrams generator emits exactly the n-grams") {
