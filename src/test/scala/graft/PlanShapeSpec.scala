@@ -62,6 +62,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("sample_reservoir compiles to TakeOrderedAndProject (no global " +
+      "sort, no shuffle of the corpus)") {
+    val p = plan("sample_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("sim_ann_pq scores inside the corpus scan stage with a broadcast " +
+      "probe and keeps k via TakeOrderedAndProject") {
+    val p = plan("sim_ann_pq")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("agg_hll_custom: registers build through two-phase hash " +
+      "aggregation, no UDF anywhere") {
+    val p = plan("agg_hll_custom")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final for both the register and combine aggs: " + p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_regression is ONE two-phase hash aggregate (no second pass)") {
+    val p = plan("agg_regression")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), "OLS must not need a join: " + p)
+  }
+
+  test("events_interpolate windows run over the pre-aggregated minute " +
+      "frame, never the event stream") {
+    val df = SparkEntry.queries("events_interpolate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the event-grain aggregation happens BELOW the window operators:
+    // a Window directly over the parquet scan would be the scale bug
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+    // plan strings print root-first: the Window must sit ABOVE the
+    // aggregate that collapsed the stream to minutes
+    assert(winIdx < aggIdx, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("agg_groupby_q1 runs two-phase hash aggregation (map-side partial)") {
     val p = plan("agg_groupby_q1")
     assert(p.contains("HashAggregate"), p)
