@@ -1060,6 +1060,23 @@ object LlmExtOps {
                 graft.Det.r((col("hi") - col("lo")) / lit(255.0), 6).as("scale"))
         .orderBy("vec_id")),
 
+    "sim_mrl_topk" -> ((s, d) => {
+      // Matryoshka retrieval: score on the embedding's FIRST 16 dims
+      // only (MRL-style nested representations — Kusupati et al. 2022,
+      // public) — the coarse-ranking trick that cuts ANN scoring
+      // FLOPs/IO 4× and re-ranks survivors with the full vector
+      // downstream. Same broadcast-probe scan shape as sim_cosine_topk;
+      // the slice happens inside codegen, so the full vector never
+      // leaves the scan operator.
+      graft.expr.GraftFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+        .withColumn("head", expr("slice(embedding, 1, 16)"))
+      val q = e.where(col("vec_id") === 0).select(col("head").as("q_head"))
+      e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.Det.r(expr("cosine_sim(head, q_head)"), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
     "sim_ann_pq" -> ((s, d) => {
       // Quantized-code retrieval — the SERVING half of emb_quantize: the
       // corpus is held as int8 codes + per-vector (lo, hi) — 4× less
@@ -1789,6 +1806,15 @@ object LlmExtOps {
         "(SELECT " + graft.Det.sql.r(
           "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 4) +
         " AS norm FROM embeddings) GROUP BY 1 ORDER BY bucket_lo"),
+    // truncated-head retrieval must match the same sliced cosine
+    "sim_mrl_topk" ->
+      ("SELECT e.vec_id, " +
+        graft.Det.sql.r("list_cosine_similarity(" +
+          "CAST(e.embedding[1:16] AS DOUBLE[]), " +
+          "CAST(q.embedding[1:16] AS DOUBLE[]))", 4) +
+        " AS sim FROM embeddings e, " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
     // retrieval from the int8 codes: same quantize arithmetic as
     // emb_quantize, then cosine over the dequantized lists
     "sim_ann_pq" ->

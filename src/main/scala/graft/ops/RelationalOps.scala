@@ -321,6 +321,37 @@ object RelationalOps {
                 col("q")(0).as("p50"), col("q")(1).as("p90"),
                 col("q")(2).as("p99"))
         .orderBy("l_returnflag")),
+    "agg_ab_ttest" -> ((s, d) =>
+      // Welch's two-sample t statistic (click vs view event values) —
+      // the A/B-experiment readout, from the same exact-partial-sum
+      // discipline as agg_regression: per-arm n / Σv / Σv² accumulate
+      // exactly (decimal capture; v² is 8dp), ONE conditional hash
+      // aggregate over the stream, and the mean/variance/t chain is a
+      // single shared double expression. No p-value on purpose: erf is
+      // libm territory; the statistic is the portable part.
+      Tables(s, d, "events")
+        .where(col("event_type").isin("click", "view"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("na"),
+          Det.dsum(when(col("event_type") === "click", col("value")), 4).as("sa"),
+          sum(Det.dec(when(col("event_type") === "click",
+            col("value") * col("value")), 8)).cast("double").as("ssa"),
+          count(when(col("event_type") === "view", 1)).as("nb"),
+          Det.dsum(when(col("event_type") === "view", col("value")), 4).as("sb"),
+          sum(Det.dec(when(col("event_type") === "view",
+            col("value") * col("value")), 8)).cast("double").as("ssb"))
+        .select(col("na"), col("nb"),
+          Det.r(col("sa") / col("na").cast("double"), 6).as("mean_a"),
+          Det.r(col("sb") / col("nb").cast("double"), 6).as("mean_b"),
+          Det.r(
+            (col("sa") / col("na").cast("double") -
+              col("sb") / col("nb").cast("double")) /
+            sqrt(
+              ((col("ssa") - col("sa") * col("sa") / col("na").cast("double")) /
+                (col("na").cast("double") - lit(1.0))) / col("na").cast("double") +
+              ((col("ssb") - col("sb") * col("sb") / col("nb").cast("double")) /
+                (col("nb").cast("double") - lit(1.0))) / col("nb").cast("double")),
+            6).as("t_welch"))),
     "agg_regression" -> ((s, d) =>
       // Per-group OLS (value regressed on day-of-month): the classic
       // regr_slope/regr_intercept pair, but built on EXACT partial
@@ -586,6 +617,29 @@ object RelationalOps {
         "CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90, " +
         "CAST(quantile_disc(l_quantity, 0.99) AS DOUBLE) AS p99 " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    // Welch t from the same exact conditional sums, shared arithmetic
+    "agg_ab_ttest" ->
+      ("WITH a AS (SELECT " +
+        "count(CASE WHEN event_type = 'click' THEN 1 END) AS na, " +
+        Det.sql.dsum("CASE WHEN event_type = 'click' THEN value END", 4) +
+        " AS sa, " +
+        "CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value * value " +
+        "END AS DECIMAL(27,8))) AS DOUBLE) AS ssa, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) AS nb, " +
+        Det.sql.dsum("CASE WHEN event_type = 'view' THEN value END", 4) +
+        " AS sb, " +
+        "CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value * value " +
+        "END AS DECIMAL(27,8))) AS DOUBLE) AS ssb " +
+        "FROM events WHERE event_type IN ('click', 'view')) " +
+        "SELECT na, nb, " +
+        Det.sql.r("sa / CAST(na AS DOUBLE)", 6) + " AS mean_a, " +
+        Det.sql.r("sb / CAST(nb AS DOUBLE)", 6) + " AS mean_b, " +
+        Det.sql.r(
+          "(sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE)) / sqrt(" +
+          "((ssa - sa * sa / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) " +
+          "/ CAST(na AS DOUBLE) + " +
+          "((ssb - sb * sb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) " +
+          "/ CAST(nb AS DOUBLE))", 6) + " AS t_welch FROM a"),
     // OLS from the same exact partial sums, shared arithmetic
     "agg_regression" -> {
       val slope = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
