@@ -191,6 +191,41 @@ object JournalOps {
         .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("m")
     }),
+    "events_concurrency" -> ((s, d) => {
+      // Peak session concurrency — the interval-stabbing classic done
+      // the scalable way: sessions become ±1 boundary events, one
+      // running sum over the boundary stream gives the live-session
+      // count at every instant, max() reads the peak. The boundary
+      // stream is 2×sessions rows — orders of magnitude below the
+      // event stream (sessionize's aggregate already collapsed it), so
+      // the global-order window is over the SMALL frame; a true
+      // 100 TB deployment day-partitions it and carries the running
+      // count across boundaries in a second tiny pass. Tie order at
+      // equal timestamps is pinned (ends before starts, then user) so
+      // the peak is deterministic on both engines.
+      val wOrd = Window.partitionBy("user_id").orderBy("tus", "eid")
+      val gapUs = 1800000000L
+      val sess = Tables(s, d, "events")
+        .select(col("user_id"),
+                expr("unix_micros(cast(ts AS timestamp_ltz))").as("tus"),
+                col("event_id").as("eid"))
+        .withColumn("prev", lag("tus", 1).over(wOrd))
+        .withColumn("nu", when(col("prev").isNull ||
+          col("tus") - col("prev") > gapUs, 1).otherwise(0))
+        .withColumn("sid",
+          sum("nu").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min("tus").as("t0"), max("tus").as("t1"))
+      val bounds = sess.select(col("user_id"), col("t0").as("t"), lit(1).as("d"))
+        .unionByName(sess.select(col("user_id"), col("t1").as("t"),
+          lit(-1).as("d")))
+      val wAll = Window.orderBy(col("t"), col("d"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bounds
+        .withColumn("live", sum("d").over(wAll))
+        .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+             max("live").as("peak_concurrency"))
+    }),
     "events_interpolate" -> ((s, d) => {
       // Linear interpolation over time-series gaps — the VALUE-filling
       // twin of events_resample's zero-filling: silent minutes take the
@@ -837,6 +872,24 @@ object JournalOps {
         "SELECT stage, count(*) AS n_users FROM st GROUP BY 1 ORDER BY stage"
     },
     "journal_latest" -> stateSql(""),
+    // the boundary-count peak must agree with the same session intervals
+    "events_concurrency" ->
+      ("WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS eid, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev " +
+        "FROM events), " +
+        "y AS (SELECT user_id, tus, eid, " +
+        "CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS nu FROM x), " +
+        "z AS (SELECT user_id, tus, CAST(sum(nu) OVER (" +
+        "PARTITION BY user_id ORDER BY tus, eid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid " +
+        "FROM y), " +
+        "sess AS (SELECT user_id, sid, min(tus) AS t0, max(tus) AS t1 " +
+        "FROM z GROUP BY 1, 2), " +
+        "bounds AS (SELECT user_id, t0 AS t, 1 AS d FROM sess " +
+        "UNION ALL SELECT user_id, t1 AS t, -1 AS d FROM sess), " +
+        "live AS (SELECT CAST(sum(d) OVER (ORDER BY t, d, user_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live FROM bounds) " +
+        "SELECT CAST((SELECT count(*) FROM bounds) / 2 AS BIGINT) " +
+        "AS n_sessions, max(live) AS peak_concurrency FROM live"),
     "events_interpolate" ->
       ("WITH e AS (SELECT * FROM events WHERE event_type = 'purchase' " +
         "AND ts >= TIMESTAMP '2024-01-10 00:00:00' " +

@@ -364,6 +364,35 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_cdc_merge: tailing a journal emits exactly merge's " +
+      "reconciliation delta — suppressed no-ops never reach the stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcdc_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    store.append(Seq(
+      ("users", 1L, ts("2024-01-01 10:00:00"), "pa", 1.0),
+      ("users", 2L, ts("2024-01-01 10:00:01"), "pb", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val q = spark.readStream.format("journal").option("startingSeq", "latest")
+      .load(path)
+      .writeStream.format("memory").queryName("jcdc").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    store.merge(Seq(
+      ("users", 1L, ts("2024-01-01 11:00:00"), "pa", 9.0),   // no-op
+      ("users", 2L, ts("2024-01-01 11:00:01"), "pb2", 1.0),  // update
+      ("users", 3L, ts("2024-01-01 11:00:02"), "pc", 1.0),   // insert
+      ("users", 4L, ts("2024-01-01 11:00:03"), "x", -1.0))   // insert too
+      .toDF("ns", "ukey", "ts", "payload", "val"),
+      whenMatchedDelete = Some(col("val") < 0.0))
+    q.processAllAvailable()
+    // delta = update + 2 inserts; the unchanged upsert emitted NOTHING
+    val got = spark.table("jcdc").select("ukey", "payload")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((2L, "pb2"), (3L, "pc"), (4L, "x")))
+    q.stop()
+  }
+
   test("stream_journal_source: startingSeq skips history on a fresh query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jseek_").toString
     val path = s"$dir/store"
