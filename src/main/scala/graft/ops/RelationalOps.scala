@@ -321,6 +321,34 @@ object RelationalOps {
                 col("q")(0).as("p50"), col("q")(1).as("p90"),
                 col("q")(2).as("p99"))
         .orderBy("l_returnflag")),
+    "agg_chi2" -> ((s, d) => {
+      // Chi-square independence statistic for event_type × day-of-week
+      // — "does behavior depend on the weekday": the contingency table
+      // is ONE hash aggregate over the stream (exact BIGINT counts),
+      // the marginals are tiny aggregates of that table broadcast back
+      // onto it, and the (o−e)²/e fold divides exact integers in one
+      // shared double expression. Mergeable by construction: counts
+      // combine map-side at any parallelism. dof rides along; the
+      // p-value needs the incomplete gamma (libm) and is deliberately
+      // left to the caller.
+      val cells = Tables(s, d, "events")
+        .groupBy(col("event_type").as("et"),
+          dayofweek(col("ts").cast("timestamp")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("et").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("dow").agg(sum("o").as("ct"))
+      val tot = cells.agg(sum("o").as("n"))
+      cells.join(broadcast(rowT), "et").join(broadcast(colT), "dow")
+        .crossJoin(broadcast(tot))
+        .select((col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double")).as("e"),
+          col("o").cast("double").as("od"))
+        .agg(count(lit(1)).as("n_cells"),
+          // each term is Det-rounded to 6dp BEFORE the decimal capture
+          // (the capture is then exact), so the sum is order-free
+          Det.r(sum(Det.dec(Det.r((col("od") - col("e")) * (col("od") - col("e")) /
+            col("e"), 6), 6)).cast("double"), 4).as("chi2"))
+    }),
     "agg_ab_ttest" -> ((s, d) =>
       // Welch's two-sample t statistic (click vs view event values) —
       // the A/B-experiment readout, from the same exact-partial-sum
@@ -617,6 +645,24 @@ object RelationalOps {
         "CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90, " +
         "CAST(quantile_disc(l_quantity, 0.99) AS DOUBLE) AS p99 " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    // chi2 from the same exact contingency counts, shared arithmetic.
+    // DuckDB dayofweek(=weekday number) differs from Spark dayofweek
+    // (1=Sunday); both engines bucket identically when the oracle uses
+    // the same 1..7 Sunday-first convention via isodow arithmetic.
+    "agg_chi2" ->
+      ("WITH cells AS (SELECT event_type AS et, " +
+        "CAST((isodow(ts) % 7) + 1 AS BIGINT) AS dow, count(*) AS o " +
+        "FROM events GROUP BY 1, 2), " +
+        "rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1), " +
+        "ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), " +
+        "t AS (SELECT CAST(o AS DOUBLE) AS od, " +
+        "CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e " +
+        "FROM cells JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN n) " +
+        "SELECT count(*) AS n_cells, " +
+        Det.sql.r("CAST(sum(CAST(" +
+          Det.sql.r("(od - e) * (od - e) / e", 6) +
+          " AS DECIMAL(27,6))) AS DOUBLE)", 4) + " AS chi2 FROM t"),
     // Welch t from the same exact conditional sums, shared arithmetic
     "agg_ab_ttest" ->
       ("WITH a AS (SELECT " +
