@@ -393,6 +393,35 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream over a deletion-vector store refuses loudly (a tail " +
+      "cannot subtract vectors)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdvstream_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    store.append(Seq(
+      ("users", 1L, ts("2024-01-01 10:00:00"), "pa", 1.0),
+      ("users", 2L, ts("2024-01-01 10:00:01"), "pb", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.deleteWhereDv(col("ukey") === 1L)
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("journal").load(path)
+        .writeStream.format("memory").queryName("jdvs").outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("deletion vectors")), err.toString)
+    // purge restores streamability
+    store.compact(upToEpoch = 100L, clusterByKey = true)
+    val q2 = spark.readStream.format("journal").load(path)
+      .writeStream.format("memory").queryName("jdvs2").outputMode("append")
+      .start()
+    q2.processAllAvailable()
+    assert(spark.table("jdvs2").count() === 1L)
+    q2.stop()
+  }
+
   test("stream_journal_source: startingSeq skips history on a fresh query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jseek_").toString
     val path = s"$dir/store"
