@@ -1137,14 +1137,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val missing = required.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"journal merge requires source columns $required; missing: $missing")
-    val src = source.select(required.map(col): _*).alias("s")
-    val dups = src.groupBy(col("ns"), col("ukey")).count()
-      .where(col("count") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      "journal merge: source has multiple rows for key " +
-        s"(ns=${dups.headOption.map(_.get(0)).orNull}, " +
-        s"ukey=${dups.headOption.map(_.get(1)).orNull}) — a merge must " +
-        "resolve to one action per key (pre-aggregate the source)")
+    // Ambiguity detection rides the SAME pass as the merge (an earlier
+    // version pre-scanned the source with a separate count job — a
+    // second full pass over a possibly-huge source): a per-key window
+    // count shares the join's (ns, ukey) partitioning, and assert_true
+    // fails the job from inside the executors the moment a duplicate
+    // key is seen — Delta's ambiguous-match error, single-pass.
+    val src = source.select(required.map(col): _*)
+      .withColumn("__dup", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ns"), col("ukey"))))
+      .alias("s")
     val state = latest().select(col("ns"), col("ukey"),
         col("payload").as("cur_payload")).alias("t")
     // null-safe on ukey: a NULL key row in the source must match its
@@ -1157,7 +1160,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .getOrElse(lit(false))
     val noop = matched && !delete &&
       col("s.payload") <=> col("cur_payload")
-    val out = joined.where(!noop)
+    // assert_true yields NULL when the check passes (and throws from
+    // the executors when it doesn't); riding the FILTER keeps it
+    // evaluated for every joined row — including rows other clauses
+    // would discard — where a free-standing column would be pruned
+    val guard = expr("assert_true(__dup <= 1, 'journal merge: source " +
+      "has multiple rows for a key — a merge must resolve to one " +
+      "action per key (pre-aggregate the source)')")
+    val out = joined.where(guard.isNull && !noop)
       .select(col("s.ns").as("ns"), col("s.ukey").as("ukey"),
         col("s.ts").as("ts"),
         when(delete, lit(null)).otherwise(col("s.payload")).as("payload"),

@@ -1050,10 +1050,15 @@ class JournalStoreSpec extends AnyFunSuite {
     val again = store.merge(src.where(col("ns") === "users"))
     assert(again === 6L)
     // ambiguous source (two rows, one key) is refused like Delta's
-    // ambiguous-match error
+    // ambiguous-match error — detected IN the merge pass (assert_true
+    // from the executors), not by a separate source scan
     val dup = src.where(col("ukey") === 2L)
       .union(src.where(col("ukey") === 2L))
-    assertThrows[IllegalArgumentException](store.merge(dup))
+    val err = intercept[Exception](store.merge(dup))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("multiple rows for a key")),
+      err.toString)
   }
 
   test("cloneTo: zero-copy shallow clone is fully independent of the " +
