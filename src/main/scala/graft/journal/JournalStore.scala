@@ -295,7 +295,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         } finally walk.close()
       }
     }
-    JournalStore.writeManifest(dest, m.copy(version = 0L, lastBatchId = -1L,
+    JournalStore.writeManifest(dest, m.copy(op = "clone", version = 0L, lastBatchId = -1L,
       writerMarks = Map.empty), cas = false)
     JournalStore.open(spark, dest)
   }
@@ -318,7 +318,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         s"journal store at $path retains no manifest version $version " +
           s"(retained: ${versions().mkString(", ")})"))
     val cur = manifest
-    writeManifest(path, target.copy(version = cur.version))
+    writeManifest(path, target.copy(op = "restore", version = cur.version))
   }
 
   /** Change-data-feed between two committed versions: every row the
@@ -551,7 +551,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // readers only when the manifest that lists them lands
     val (files2, stats2, kstats2) = RootSidecar.appended(
       m.files, m.stats, m.kstats, newFiles, batchStats, batchK)
-    try writeManifest(path, m.copy(maxSeq = newMax,
+    try writeManifest(path, m.copy(op = "append", maxSeq = newMax,
       files = files2,
       stats = stats2, kstats = kstats2, fstats = FileStatsSidecar.appended(m.fstats, batchF),
       lastBatchId =
@@ -944,7 +944,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case _ => None
       }
     }
-    writeManifest(path, m.copy(files = (m.files diff old) ++ newFiles,
+    writeManifest(path, m.copy(op = "compact", files = (m.files diff old) ++ newFiles,
       fstats = m.fstats.filterNot(s => old.contains(s.file)) ++ derived,
       // vectors over the victims are now physically applied — drop them
       dvParts = dvPartsWithout(m.dvParts, old)))
@@ -1352,7 +1352,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
           }
         case _ => None
       }
-    writeManifest(path, m.copy(files = files2, stats = stats2.sortBy(_.epoch),
+    writeManifest(path, m.copy(op = "delete", files = files2, stats = stats2.sortBy(_.epoch),
       kstats = kstats2.sortBy(k => (k.epoch, k.ns)), fstats = fstats2,
       checkpoints = Nil,
       // vectors over the rewritten files are applied by the rewrite
@@ -1458,7 +1458,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       if (dvParts1.sizeIs > JournalStore.MaxDvParts)
         writeDvPart(readDvTable(dvParts1)).toSeq
       else dvParts1
-    writeManifest(path, m.copy(files = files2, stats = stats2,
+    writeManifest(path, m.copy(op = "delete-dv", files = files2, stats = stats2,
       kstats = kstats2, fstats = fstats2, checkpoints = Nil,
       dvParts = dvParts2))
     deleted
@@ -1537,7 +1537,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     import spark.implicits._
     val rows = JournalStore.listVersionFiles(path).flatMap { case (v, _) =>
       JournalStore.readManifestVersion(path, v).map { mv =>
-        (v, mv.maxSeq, mv.files.size.toLong,
+        (v, mv.op, mv.maxSeq, mv.files.size.toLong,
           if (mv.files.nonEmpty && mv.files.forall(f =>
             mv.fstats.exists(_.file == f)))
             mv.fstats.filter(f => mv.files.contains(f.file)).map(_.rows).sum
@@ -1545,7 +1545,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
           mv.checkpoints.size.toLong)
       }
     }
-    rows.toDF("version", "max_seq", "n_files", "n_rows", "n_checkpoints")
+    rows.toDF("version", "op", "max_seq", "n_files", "n_rows",
+        "n_checkpoints")
       .orderBy("version")
   }
 
@@ -1700,7 +1701,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     while (attempt <= JournalStore.MaxCommitRetries) {
       val m = manifest
       try {
-        writeManifest(path, m.copy(checkpoints =
+        writeManifest(path, m.copy(op = "checkpoint", checkpoints =
           ((m.checkpoints :+ seq).distinct.sorted.takeRight(RetainedCheckpoints)
             :+ seq).distinct.sorted))
         return
@@ -1876,7 +1877,12 @@ object JournalStore {
                       // STRING, pos BIGINT rows subtracted from every
                       // read) — deleteWhereDv appends one per call;
                       // rewrites purge applied entries. Empty = none.
-                      dvParts: Seq[String] = Nil)
+                      dvParts: Seq[String] = Nil,
+                      // what produced this commit (append/compact/
+                      // delete/delete-dv/checkpoint/restore/clone/
+                      // create) — the DESCRIBE HISTORY operation
+                      // column. "" = pre-upgrade writer.
+                      op: String = "")
 
   /** Physical row layout of compacted segment files. */
   sealed trait SegmentLayout
@@ -1939,7 +1945,7 @@ object JournalStore {
       RootSidecar.dir(path).toFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
       Paths.get(path, "dv").toFile)
-    writeManifest(path, Manifest(epochSize, -1L, Nil), cas = false)
+    writeManifest(path, Manifest(epochSize, -1L, Nil, op = "create"), cas = false)
     new JournalStore(spark, path, epochSize)
   }
 
@@ -2009,6 +2015,7 @@ object JournalStore {
     root.put("lastBatchId", m.lastBatchId)
     root.put("version", m.version)
     root.put("commitTsMs", m.commitTsMs)
+    if (m.op.nonEmpty) root.put("op", m.op)
     root.put("schemaDdl", java.net.URLEncoder.encode(m.schemaDdl, "UTF-8"))
     if (m.writerMarks.nonEmpty) {
       val wm = root.putObject("writerMarks")
@@ -2183,7 +2190,8 @@ object JournalStore {
     Some(Manifest(num("epochSize"), num("maxSeq"),
       arr("checkpoints").map(_.asLong), files, stats,
       num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats,
-      num("commitTsMs", 0L), writerMarks, arr("dvParts").map(_.asText)))
+      num("commitTsMs", 0L), writerMarks, arr("dvParts").map(_.asText),
+      if (n.hasNonNull("op")) n.get("op").asText else ""))
   } catch {
     // unparseable bytes (e.g. a file damaged outside our atomic-rename
     // protocol) read as "no manifest here" — callers produce their own

@@ -191,6 +191,26 @@ object JournalOps {
         .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("m")
     }),
+    "events_wow_growth" -> ((s, d) => {
+      // Week-over-week growth per event type — the reporting staple:
+      // one weekly pre-aggregation collapses the stream, a lag window
+      // over the TINY weekly frame derives deltas and the growth
+      // ratio divides exact BIGINT counts (the identical double both
+      // engines compute). Warm-up weeks (no predecessor) are
+      // excluded; week buckets are ISO Monday-start on both engines.
+      val weekly = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts").cast("timestamp")).as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("wk")
+      weekly
+        .withColumn("prev", lag("n", 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"), col("wk"), col("n"), col("prev"),
+          graft.Det.r((col("n").cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double"), 4).as("wow_growth"))
+        .orderBy("event_type", "wk")
+    }),
     "events_concurrency" -> ((s, d) => {
       // Peak session concurrency — the interval-stabbing classic done
       // the scalable way: sessions become ±1 boundary events, one
@@ -872,6 +892,16 @@ object JournalOps {
         "SELECT stage, count(*) AS n_users FROM st GROUP BY 1 ORDER BY stage"
     },
     "journal_latest" -> stateSql(""),
+    "events_wow_growth" ->
+      ("WITH weekly AS (SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "lagged AS (SELECT event_type, wk, n, " +
+        "lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev " +
+        "FROM weekly) " +
+        "SELECT event_type, wk, n, prev, " +
+        graft.Det.sql.r("(CAST(n AS DOUBLE) - CAST(prev AS DOUBLE)) / " +
+          "CAST(prev AS DOUBLE)", 4) + " AS wow_growth " +
+        "FROM lagged WHERE prev IS NOT NULL ORDER BY event_type, wk"),
     // the boundary-count peak must agree with the same session intervals
     "events_concurrency" ->
       ("WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS eid, " +

@@ -455,6 +455,42 @@ object RelationalOps {
         .agg(countDistinct("l_orderkey").as("n_exact"))
       est.join(exact, "flag").orderBy("flag")
     }),
+    "agg_hll_union" -> ((s, d) => {
+      // Sketch ALGEBRA end-to-end: two groups' register tables merge
+      // by max-per-bucket — the property that makes HLL a distributed
+      // aggregate (partial states union losslessly across partitions,
+      // days, shards) — and the MERGED sketch's estimate is checked
+      // beside the exact distinct of the union. agg_hll_custom checks
+      // per-group register state; this row checks the merge itself,
+      // which is what a 100 TB rollup actually exercises (daily
+      // sketches folding into monthly without touching raw data).
+      val regs = Tables(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "N"))
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15)" +
+            ", 16, 10) AS BIGINT)").as("h"))
+        .select(col("flag"), (col("h") % 512).as("b"), expr("h div 512").as("w"))
+        .select(col("flag"), col("b"),
+          when(col("w") === 0, lit(52))
+            .otherwise(lit(52) - length(expr("bin(w)"))).as("rho"))
+        .groupBy("flag", "b").agg(max("rho").as("m"))
+      val merged = regs.groupBy("b").agg(max("m").as("m"))
+      val est = merged
+        .agg(count(lit(1)).as("regs_hit"),
+             sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
+               .as("w_hit"))
+        .select(col("regs_hit"),
+          (col("w_hit") + (lit(512L) - col("regs_hit")) *
+            lit(4503599627370496L)).as("weight"))
+        .select(col("regs_hit"), col("weight"),
+          Det.r(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+            lit(262144.0) * lit(4503599627370496.0) /
+            col("weight").cast("double"), 4).as("hll_estimate"))
+      val exact = Tables(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "N"))
+        .agg(countDistinct("l_orderkey").as("n_exact"))
+      est.crossJoin(broadcast(exact))
+    }),
     "agg_histogram" -> ((s, d) =>
       // equi-width histogram of order value (25k buckets) with per-bucket
       // mass — one hash aggregate. DuckDB 1.0 has no width_bucket, and a
@@ -722,6 +758,27 @@ object RelationalOps {
           "4503599627370496.0 / CAST(e.w_hit + (512 - e.regs_hit) * " +
           "4503599627370496 AS DOUBLE)", 4) + " AS hll_estimate, " +
         "x.n_exact FROM e JOIN x USING (flag) ORDER BY flag"),
+    // the union sketch re-derived: same registers, max-merged
+    "agg_hll_union" ->
+      ("WITH h AS (SELECT l_returnflag AS flag, " +
+        "CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h FROM lineitem WHERE l_returnflag IN ('A', 'N')), " +
+        "r AS (SELECT flag, h % 512 AS b, " +
+        "CASE WHEN h // 512 = 0 THEN 52 " +
+        "ELSE 52 - length(bin(h // 512)) END AS rho FROM h), " +
+        "pf AS (SELECT flag, b, max(rho) AS m FROM r GROUP BY 1, 2), " +
+        "mg AS (SELECT b, max(m) AS m FROM pf GROUP BY 1), " +
+        "e AS (SELECT count(*) AS regs_hit, " +
+        "CAST(sum(1::BIGINT << CAST(52 - m AS INT)) AS BIGINT) AS w_hit " +
+        "FROM mg), " +
+        "x AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'N')) " +
+        "SELECT e.regs_hit, " +
+        "e.w_hit + (512 - e.regs_hit) * 4503599627370496 AS weight, " +
+        Det.sql.r("0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * " +
+          "4503599627370496.0 / CAST(e.w_hit + (512 - e.regs_hit) * " +
+          "4503599627370496 AS DOUBLE)", 4) + " AS hll_estimate, " +
+        "x.n_exact FROM e CROSS JOIN x"),
     "agg_histogram" ->
       ("SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 " +
         "AS bucket_lo, count(*) AS n_orders, " +

@@ -80,6 +80,9 @@ class ExprSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(commits.map(_._1) === Seq(1L, 2L, 3L))
     assert(commits.last === ((3L, 2L, 2L, 3L)))
+    // the operation column names what produced each commit
+    assert(spark.sql(s"SELECT op FROM journal_commits('$path') ORDER BY version")
+      .as[String].collect().toSeq === Seq("create", "append", "checkpoint"))
     // the live file inventory + skipping stats as a table, manifest-only
     val files = spark.sql("SELECT file, rows, minSeq, maxSeq " +
       s"FROM journal_files('$path') ORDER BY file")
