@@ -51,6 +51,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
     this
   }
 
+  /** Parquet codec for THIS writer's segment/checkpoint writes ("" =
+    * session default, normally snappy). At 100 TB the codec is a real
+    * cost lever — zstd typically shrinks text-heavy payloads ~30% over
+    * snappy for a modest CPU tax — and it is a per-writer policy, not
+    * table state: files of different codecs coexist freely in one
+    * store (parquet self-describes per column chunk), so a fleet can
+    * migrate codec by just compacting. */
+  private var segmentCodec: String = ""
+  def withCompression(codec: String): this.type = {
+    segmentCodec = codec
+    this
+  }
+  private def writerOpts[A](w: org.apache.spark.sql.DataFrameWriter[A])
+      : org.apache.spark.sql.DataFrameWriter[A] =
+    if (segmentCodec.isEmpty) w else w.option("compression", segmentCodec)
+
   /** Read the segment tree. ns is a partition directory — force it back
     * to string (partition type inference would make a numeric-looking
     * namespace an int). A store with no appends yet reads as an empty
@@ -461,8 +477,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // driver work at the 10⁶-file scale) and no chance of sweeping in a
     // compacted-but-unvacuumed stranger's file.
     val stage = newStageDir()
-    out.repartition(col("epoch"), col("ns"))
-      .write.partitionBy("epoch", "ns").mode("append").parquet(stage)
+    writerOpts(out.repartition(col("epoch"), col("ns"))
+      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
     // One stats pass over the cached batch, at (epoch, ns) grain, yields
     // BOTH manifest stat families (the Delta-style metadata that lets
     // segmentStats() / seq-range pruning / key-targeted reads skip the
@@ -914,7 +930,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
           .drop(names: _*)
     }
     val stage = newStageDir()
-    laidOut.write.partitionBy("epoch", "ns").mode("append").parquet(stage)
+    writerOpts(laidOut.write.partitionBy("epoch", "ns").mode("append"))
+      .parquet(stage)
     val newFiles = promoteStaged(stage)
     // Derive each rewritten file's stats by merging its victims' per-file
     // stats: compaction rewrites whole (epoch, ns) directories into one
@@ -1256,9 +1273,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // staged write + promote, like append()/compactFiles(): private
     // commit protocol, exact new-file set
     val stage = newStageDir()
-    retained.repartition(col("epoch"), col("ns"))
+    writerOpts(retained.repartition(col("epoch"), col("ns"))
       .sortWithinPartitions(col("epoch"), col("ns"), col("ukey"), col("seq"))
-      .write.partitionBy("epoch", "ns").mode("append").parquet(stage)
+      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
     val newFiles = promoteStaged(stage)
     // Fresh stats for the rewritten files — same two lean passes as
     // append() (numeric aggregate stays codegen'd; the bloom's
@@ -1685,7 +1702,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
   }
 
   private def writeCheckpoint(state: DataFrame, seq: Long): Unit = {
-    state.write.mode("overwrite").parquet(ckptDir(seq))
+    writerOpts(state.write.mode("overwrite")).parquet(ckptDir(seq))
     // Retain only the newest checkpoints: stateAt reads the newest one
     // at or below its bound, so older ones serve only deep time travel —
     // which falls back to a longer replay rather than leaking one

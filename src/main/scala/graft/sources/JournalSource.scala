@@ -109,6 +109,7 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
     // files after a commit is compacted in-line (0 disables). Defaulted
     // ON for the STREAMING sink only (createSink passes a default) —
     // batch appends are few and large and shouldn't pay rewrites.
+    parameters.get("compression").foreach(s.withCompression)
     parameters.get("autoCompactFiles").map(_.toInt).fold(s)(s.withAutoCompact)
   }
 

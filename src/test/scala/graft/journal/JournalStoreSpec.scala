@@ -1061,6 +1061,38 @@ class JournalStoreSpec extends AnyFunSuite {
       err.toString)
   }
 
+  test("withCompression: the writer's codec reaches the parquet footers; " +
+      "mixed-codec stores read seamlessly") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+      .withCompression("zstd")
+    store.append(sampleDf)
+    val hc = spark.sessionState.newHadoopConf()
+    def codecs(fs: Seq[String]): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      fs.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"${store.path}/segments/$f"), hc)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.flatMap(
+          _.getColumns.asScala.map(_.getCodec.toString)).toSet
+        finally r.close()
+      }.toSet
+    }
+    assert(codecs(store.manifest.files) === Set("ZSTD"))
+    // a second writer with the default codec coexists (parquet is
+    // self-describing per chunk); reads see one logical table
+    val w2 = JournalStore.open(spark, store.path)
+    w2.append(Seq(("users", 9L, ts("2024-01-02 00:00:00"), "p9", 9.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(codecs(w2.manifest.files).contains("ZSTD"))
+    assert(codecs(w2.manifest.files).size === 2)
+    assert(w2.scan().count() === 5L)
+    // compaction under the zstd writer migrates everything to one codec
+    store.compact(upToEpoch = 100L, clusterByKey = true)
+    assert(codecs(store.manifest.files) === Set("ZSTD"))
+    assert(store.scan().count() === 5L)
+  }
+
   test("cloneTo: zero-copy shallow clone is fully independent of the " +
       "source across writes, erasure and vacuum") {
     val store = twoEpochStore()
