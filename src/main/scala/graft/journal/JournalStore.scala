@@ -261,6 +261,34 @@ class JournalStore private (val spark: SparkSession, val path: String,
     eligible.max
   }
 
+  /** Metadata-only column DROP — the inverse of append's add-column
+    * evolution and the Delta column-mapping idea in its simplest form:
+    * the column leaves the manifest's pinned DDL, so every reader
+    * (which plans against that DDL) stops seeing it instantly, with
+    * ZERO data rewritten — the bytes linger inside existing segment
+    * files until compaction naturally rewrites them through the
+    * narrowed schema. Canonical journal columns (seq/ns/ukey/ts/
+    * payload/val/epoch) are structural and refuse to drop. A later
+    * append may re-add the name (ordinary evolution; old files' lapsed
+    * bytes stay invisible because the rewritten DDL orders the column
+    * as a NEW field — parquet reads by name, so pre-drop files would
+    * resurface pre-drop values: that is the documented Delta caveat
+    * too, and compact() before re-add fully forgets them). */
+  def dropColumn(name: String): Unit = {
+    requireWritable()
+    val canonical = Set("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
+    require(!canonical.contains(name.toLowerCase),
+      s"cannot drop structural journal column '$name'")
+    val m = manifest
+    require(m.schemaDdl.nonEmpty, "store has no pinned schema yet")
+    val st = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(st.fieldNames.contains(name),
+      s"no column '$name' in store schema ${st.fieldNames.mkString(", ")}")
+    writeManifest(path, m.copy(op = "drop-column",
+      schemaDdl = org.apache.spark.sql.types.StructType(
+        st.filterNot(_.name == name)).toDDL))
+  }
+
   /** Shallow CLONE (Delta's CLONE TABLE): an independent store at
     * `dest` over THIS store's current snapshot, with ZERO data copy —
     * every referenced segment file, sidecar part, deletion-vector part

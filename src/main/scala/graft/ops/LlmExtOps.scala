@@ -1060,6 +1060,49 @@ object LlmExtOps {
                 graft.Det.r((col("hi") - col("lo")) / lit(255.0), 6).as("scale"))
         .orderBy("vec_id")),
 
+    "emb_pca_power" -> ((s, d) => {
+      // Top principal direction of the embedding cloud by POWER
+      // ITERATION (von Mises iteration, public) — distributed linear
+      // algebra over the corpus: three bounded rounds from the
+      // deterministic e1 start; each round is ONE pass (per-row dot =
+      // index-ordered codegen fold, 6dp-rounded; per-dimension
+      // weighted sums as EXACT decimals with map-side partials and a
+      // 64-key shuffle), and the 64-value direction rides
+      // driver→literal between rounds (the CC/BPE bounded-round
+      // discipline — nothing driver-side grows with the corpus).
+      // Normalization divides by the exact decimal Σw², so every
+      // engine walks identical doubles; the oracle unrolls the same
+      // three rounds in SQL.
+      val e = Tables(s, d, "embeddings")
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("de"))
+      // driver twin of Det.r(_, 6): two-step scaled round, half away
+      // from zero at scale 0, -0.0 normalized — the one rounding rule
+      // every engine in this repo shares
+      def r6(x: Double): Double = {
+        val y = x * 1e6
+        (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 1e6 + 0.0
+      }
+      var v: Seq[Double] = 1.0 +: Seq.fill(63)(0.0)
+      for (_ <- 1 to 3) {
+        val vc = typedlit(v)
+        val dot = graft.Det.r(aggregate(zip_with(col("de"), vc, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6)
+        val terms = e.select(posexplode(transform(col("de"),
+          x => graft.Det.r(x * dot, 6).cast("decimal(27,6)")))
+          .as(Seq("pos", "t")))
+        val sums = terms.groupBy("pos").agg(sum("t").as("w"))
+          .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+        val w = (0 until 64).map(i =>
+          sums.getOrElse(i, java.math.BigDecimal.ZERO))
+        val n2 = w.map(x => x.multiply(x)).reduce(_.add(_)) // exact
+        val norm = math.sqrt(n2.doubleValue)
+        v = w.map(x => r6(x.doubleValue / norm))
+      }
+      val sp = s
+      import sp.implicits._
+      v.zipWithIndex.map { case (x, i) => (i, x + 0.0) }
+        .toDF("pos", "loading").orderBy("pos")
+    }),
     "sim_mrl_topk" -> ((s, d) => {
       // Matryoshka retrieval: score on the embedding's FIRST 16 dims
       // only (MRL-style nested representations — Kusupati et al. 2022,
@@ -1806,6 +1849,35 @@ object LlmExtOps {
         "(SELECT " + graft.Det.sql.r(
           "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 4) +
         " AS norm FROM embeddings) GROUP BY 1 ORDER BY bucket_lo"),
+    // the same three power-iteration rounds unrolled: per-row dots
+    // 6dp-rounded, per-dim sums as exact decimals, norms from exact
+    // decimal squares (w cast to DECIMAL(18,6) so the square stays an
+    // exact in-range decimal — the Spark driver multiplies BigDecimals)
+    "emb_pca_power" -> {
+      def rnd(i: Int, prev: String): String =
+        s"d$i AS (SELECT de, " + graft.Det.sql.r(
+          s"list_dot_product(de, (SELECT vl FROM $prev))", 6) +
+          " AS dot FROM de), " +
+        s"w$i AS (SELECT pos, SUM(t) AS w FROM (" +
+          "SELECT unnest(generate_series(1, len(de))) - 1 AS pos, " +
+          "unnest(list_transform(de, x -> CAST(" +
+          graft.Det.sql.r("x * dot", 6) +
+          s" AS DECIMAL(27,6)))) AS t FROM d$i) GROUP BY 1), " +
+        s"n$i AS (SELECT sqrt(CAST(SUM(" +
+          "CAST(w AS DECIMAL(18,6)) * CAST(w AS DECIMAL(18,6))" +
+          s") AS DOUBLE)) AS nrm FROM w$i), " +
+        s"v$i AS (SELECT pos, " + graft.Det.sql.r(
+          s"CAST(w AS DOUBLE) / (SELECT nrm FROM n$i)", 6) +
+          s" AS v FROM w$i), " +
+        s"v${i}l AS (SELECT list(v ORDER BY pos) AS vl FROM v$i)"
+      "WITH de AS (SELECT CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+        "v0 AS (SELECT pos, CASE WHEN pos = 0 THEN 1.0 ELSE 0.0 END AS v " +
+        "FROM (SELECT unnest(generate_series(0, 63)) AS pos)), " +
+        "v0l AS (SELECT list(v ORDER BY pos) AS vl FROM v0), " +
+        rnd(1, "v0l") + ", " + rnd(2, "v1l") + ", " + rnd(3, "v2l") +
+        " SELECT CAST(pos AS INT) AS pos, v + 0.0 AS loading " +
+        "FROM v3 ORDER BY pos"
+    },
     // truncated-head retrieval must match the same sliced cosine
     "sim_mrl_topk" ->
       ("SELECT e.vec_id, " +

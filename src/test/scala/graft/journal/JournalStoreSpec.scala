@@ -1061,6 +1061,28 @@ class JournalStoreSpec extends AnyFunSuite {
       err.toString)
   }
 
+  test("dropColumn: metadata-only drop hides an evolved column from " +
+      "every reader; structural columns refuse") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf)
+    store.append(Seq(("users", 5L, ts("2024-01-02 00:00:00"), "p5", 5.0, 77L))
+      .toDF("ns", "ukey", "ts", "payload", "val", "extra"))
+    assert(store.scanUnordered().columns.contains("extra"))
+    store.dropColumn("extra")
+    val cols = store.scanUnordered().columns.toSeq
+    assert(!cols.contains("extra"), cols)
+    assert(store.scan().count() === 5L) // data untouched
+    // segment bytes still physically carry the column (no rewrite)
+    val raw = spark.read.option("mergeSchema", "true").parquet(
+      store.manifest.files.map(f => store.path + "/segments/" + f): _*)
+    assert(raw.columns.contains("extra"))
+    // history names the operation
+    assert(store.commitHistory().where(col("op") === "drop-column")
+      .count() === 1L)
+    assertThrows[IllegalArgumentException](store.dropColumn("payload"))
+    assertThrows[IllegalArgumentException](store.dropColumn("nope"))
+  }
+
   test("withCompression: the writer's codec reaches the parquet footers; " +
       "mixed-codec stores read seamlessly") {
     val store = JournalStore.create(spark, freshPath, epochSize = 100)
