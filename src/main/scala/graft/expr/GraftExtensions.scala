@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE on journal tables (physical erasure through the store;
     // see JournalDelete.scala for why the built-in path can't serve it)
     ext.injectPostHocResolutionRule(sp => new graft.sources.JournalDeleteRule(sp))
+    // DV-aware fast batch reads: a journal table with live deletion
+    // vectors is rewritten to DV subtraction ABOVE the columnar parquet
+    // scan (codegen + pushdown preserved); must run AFTER the delete
+    // rule so DELETE keeps its relation node (see JournalDvRead.scala)
+    ext.injectPostHocResolutionRule(sp => new graft.sources.JournalDvReadRule(sp))
   }
 }
 

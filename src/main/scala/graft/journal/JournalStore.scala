@@ -106,9 +106,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val raw = withSchema.parquet(files.map(f => s"$segDir/$f"): _*)
         .withColumn("ns", col("ns").cast("string"))
       val needPos = keepPos || dvParts.nonEmpty
+      // __file = the path suffix after the LAST '/segments/' — i.e.
+      // relative to THIS store's segDir even when the store root itself
+      // contains '/segments/' (a leftmost regex would yield names that
+      // never match manifest entries, silently degrading DV bookkeeping).
+      // The relative name can't contain the marker: it is always
+      // epoch=N/ns=X/part-*.parquet and partition-path escaping encodes
+      // any '/' inside an ns value.
       val withPos = if (!needPos) raw else raw
         .withColumn("__file",
-          regexp_extract(col("_metadata.file_path"), "/segments/(.*)$", 1))
+          element_at(split(col("_metadata.file_path"), "/segments/"), -1))
         .withColumn("__pos", col("_metadata.row_index"))
       val applied =
         if (dvParts.isEmpty) withPos
@@ -268,12 +275,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * ZERO data rewritten — the bytes linger inside existing segment
     * files until compaction naturally rewrites them through the
     * narrowed schema. Canonical journal columns (seq/ns/ukey/ts/
-    * payload/val/epoch) are structural and refuse to drop. A later
-    * append may re-add the name (ordinary evolution; old files' lapsed
-    * bytes stay invisible because the rewritten DDL orders the column
-    * as a NEW field — parquet reads by name, so pre-drop files would
-    * resurface pre-drop values: that is the documented Delta caveat
-    * too, and compact() before re-add fully forgets them). */
+    * payload/val/epoch) are structural and refuse to drop.
+    *
+    * Re-adding the name is REFUSED until the lapsed bytes are gone:
+    * parquet resolves columns by NAME, so an append that re-introduced
+    * a dropped column would make every un-compacted pre-drop file
+    * RESURFACE its pre-drop values under the new column — the
+    * data-resurrection/PII hazard for which Delta refuses DROP COLUMN
+    * without column mapping. The manifest records the lapsed name in
+    * `droppedCols`; append() rejects a batch carrying it, and a
+    * compact() that rewrites EVERY live file (the rewrite plans
+    * against the narrowed DDL, physically forgetting the bytes) clears
+    * the list and re-opens the name for ordinary evolution. */
   def dropColumn(name: String): Unit = {
     requireWritable()
     val canonical = Set("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
@@ -286,7 +299,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       s"no column '$name' in store schema ${st.fieldNames.mkString(", ")}")
     writeManifest(path, m.copy(op = "drop-column",
       schemaDdl = org.apache.spark.sql.types.StructType(
-        st.filterNot(_.name == name)).toDDL))
+        st.filterNot(_.name == name)).toDDL,
+      droppedCols = (m.droppedCols :+ name).distinct))
   }
 
   /** Shallow CLONE (Delta's CLONE TABLE): an independent store at
@@ -309,12 +323,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
     require(!JournalStore.exists(dest),
       s"journal store already exists at $dest")
     Files.createDirectories(Paths.get(dest))
+    // Retry-safe: the manifest commits LAST, so a failure mid-link leaves
+    // dest as links with no store (exists() stays false and the guard
+    // above passes again). A retry must then tolerate the links the
+    // failed attempt already made — FileAlreadyExistsException with
+    // identical content (same inode, or equal bytes from a copy
+    // fallback) is "already done", anything else propagates.
     def link(srcP: java.nio.file.Path, dstP: java.nio.file.Path): Unit = {
       Files.createDirectories(dstP.getParent)
       try Files.createLink(dstP, srcP)
       catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if Files.isSameFile(srcP, dstP) ||
+              Files.size(srcP) == Files.size(dstP) => ()
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.copy(srcP, dstP, StandardCopyOption.COPY_ATTRIBUTES)
+          Files.copy(srcP, dstP, StandardCopyOption.COPY_ATTRIBUTES,
+            StandardCopyOption.REPLACE_EXISTING)
       }
     }
     m.files.foreach(f =>
@@ -354,7 +378,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * after a restore re-enter the abandoned seq range — exactly "the
     * table as of V, moving forward from there". Streaming exactly-once
     * marks roll back too: a sink whose batch landed in the abandoned
-    * history re-appends it on resume, which is the correct replay. */
+    * history re-appends it on resume, which is the correct replay.
+    *
+    * STREAMING-READER caveat (the one Delta documents for RESTORE):
+    * a RUNNING `readStream` of this store tracks its offset as a seq
+    * high-water mark. Rolling maxSeq back BELOW a reader's committed
+    * offset makes the re-entered seq range invisible to that reader —
+    * it will silently skip every re-appended row until seqs grow past
+    * its old offset. Restart such streams with a fresh checkpoint (or
+    * `startingSeq`) after a restore that moves maxSeq backwards; the
+    * rollback is logged as a warning for exactly this reason. */
   def restore(version: Long): Unit = {
     requireWritable()
     val target = readManifestVersion(path, version).getOrElse(
@@ -362,7 +395,27 @@ class JournalStore private (val spark: SparkSession, val path: String,
         s"journal store at $path retains no manifest version $version " +
           s"(retained: ${versions().mkString(", ")})"))
     val cur = manifest
-    writeManifest(path, target.copy(op = "restore", version = cur.version))
+    if (target.maxSeq < cur.maxSeq)
+      org.slf4j.LoggerFactory.getLogger(classOf[JournalStore]).warn(
+        s"journal restore at $path rolls maxSeq ${cur.maxSeq} -> " +
+          s"${target.maxSeq}: any RUNNING stream whose committed offset " +
+          "exceeds the new maxSeq will silently skip re-appended rows — " +
+          "restart those streams with a fresh checkpoint")
+    commitSeam()
+    // restore deliberately does NOT retry a lost CAS: the concurrent
+    // commit changed the very state the caller asked to roll back over,
+    // and silently discarding it (which a blind re-run would do) is the
+    // one outcome the conflict matrix must never produce. Abort with
+    // the decision returned to the caller.
+    try writeManifest(path, target.copy(op = "restore", version = cur.version))
+    catch { case _: java.util.ConcurrentModificationException =>
+      throw new java.util.ConcurrentModificationException(
+        s"journal restore at $path lost the commit race: a concurrent " +
+          s"writer committed after version ${cur.version} was snapshotted. " +
+          "A restore that auto-retried would silently wipe that commit — " +
+          "re-examine the store state and re-run restore explicitly if " +
+          "rolling back over it is intended")
+    }
   }
 
   /** Change-data-feed between two committed versions: every row the
@@ -398,6 +451,44 @@ class JournalStore private (val spark: SparkSession, val path: String,
       "this is a read-only view pinned at manifest version " +
         s"${pinnedVersion.get}; open the store without a version to write")
 
+  /** Test seam: fired ONCE, right before the next commit CAS this
+    * handle attempts (append / deleteWhere / deleteWhereDv / compact).
+    * Lets a spec inject a concurrent writer's commit deterministically
+    * between an operation's manifest snapshot and its own commit —
+    * the writer-conflict matrix is untestable by timing alone. No-op
+    * in production. */
+  private[journal] var onCommitSeam: () => Unit = () => ()
+  private def commitSeam(): Unit = {
+    val h = onCommitSeam
+    onCommitSeam = () => ()
+    h()
+  }
+
+  /** The writer-conflict contract for MAINTENANCE ops (the Delta
+    * conflict-matrix idea, collapsed to one rule): an operation that
+    * loses the manifest CAS re-derives itself COMPLETELY against the
+    * fresh manifest — deleteWhere re-probes candidates, compact
+    * re-filters victims to still-live files — so the retry's commit
+    * describes the real current state (semantic re-validation, not a
+    * blind file-list rebase). Rows can neither be lost (the loser's
+    * output was never referenced; vacuum sweeps its orphans) nor
+    * resurrected (each attempt reads the then-current snapshot).
+    * Bounded like append's loop; a persistently hot store escapes with
+    * the original error. restore() deliberately does NOT retry — see
+    * its catch site. */
+  private def retryOnLostRace[A](body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch { case e: java.util.ConcurrentModificationException =>
+        attempt += 1
+        if (attempt > JournalStore.MaxCommitRetries) throw e
+        Thread.sleep(25L * attempt + math.abs(path.hashCode % 17))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Append a batch. `df` columns: (ns, ukey, ts, payload, val). Seqs are
     * assigned `maxSeq+1 ..` in deterministic (ts, ns, ukey, payload) order;
     * pass a `seq` column to keep caller-assigned seqs (must be dense and
@@ -420,11 +511,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * [[JournalStore.MaxCommitRetries]] rebases, then the CME escapes
     * loudly (a genuinely hot multi-writer store needs coordination this
     * embedded store doesn't provide). This is what lets two streaming
-    * sinks share one store; REWRITE ops (compact/deleteWhere) stay
-    * single-writer-loud — two concurrent rewriters of the same files
-    * have no safe automatic rebase. Note exactly-once batch dedup is
-    * per-store, not per-sink: two sinks sharing a store must feed
-    * disjoint batch-id spaces (each sink's checkpoint dir does this). */
+    * sinks share one store; REWRITE ops (compact/deleteWhere) handle a
+    * lost race by re-deriving the whole operation against the fresh
+    * manifest (see retryOnLostRace — semantic re-validation, not a
+    * file-list rebase), and restore() aborts loudly on purpose. Note
+    * exactly-once batch dedup is per-store, not per-sink: two sinks
+    * sharing a store must feed disjoint batch-id spaces (each sink's
+    * checkpoint dir does this). */
   def append(df: DataFrame, streamBatchId: Option[Long]): Long =
     append(df, streamBatchId, "")
 
@@ -478,6 +571,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
         }
       }
     }
+    // A dropped column's bytes still live inside un-compacted pre-drop
+    // files; re-adding the name would resurrect them (parquet reads by
+    // name) — refuse until a full compact() physically forgets them.
+    // See dropColumn's doc.
+    val readd = df.columns.filter(c =>
+      m0.droppedCols.exists(_.equalsIgnoreCase(c)))
+    require(readd.isEmpty,
+      s"journal append: column(s) ${readd.mkString(", ")} were DROPPED and " +
+        "their pre-drop bytes still live in un-compacted segment files — " +
+        "re-adding the name now would resurface pre-drop values on read. " +
+        "compact() the store first (a full rewrite forgets the bytes and " +
+        "re-opens the name), or use a different column name")
     val m = m0
     // The batch feeds up to three passes (segment write, stats agg, and —
     // on epoch rollover — the checkpoint union). Persist only when we
@@ -595,6 +700,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // readers only when the manifest that lists them lands
     val (files2, stats2, kstats2) = RootSidecar.appended(
       m.files, m.stats, m.kstats, newFiles, batchStats, batchK)
+    commitSeam()
     try writeManifest(path, m.copy(op = "append", maxSeq = newMax,
       files = files2,
       stats = stats2, kstats = kstats2, fstats = FileStatsSidecar.appended(m.fstats, batchF),
@@ -916,7 +1022,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * into one file per directory. Backs both the epoch-bounded public
     * compact() and the append-time auto-compaction policy. */
   private def compactFiles(victimFiles: Seq[String],
-                           layout: SegmentLayout): Unit = {
+                           layout: SegmentLayout): Unit =
+    retryOnLostRace(compactFilesOnce(victimFiles, layout))
+
+  /** A retry re-filters the victims against the FRESH manifest: files a
+    * concurrent deleteWhere rewrote (new names) simply drop out of this
+    * round's victim set — no lost rows, no double-compaction. */
+  private def compactFilesOnce(victimFiles: Seq[String],
+                               layout: SegmentLayout): Unit = {
     requireWritable()
     val m = manifest
     val old = victimFiles.filter(m.files.contains)
@@ -989,10 +1102,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case _ => None
       }
     }
+    commitSeam()
     writeManifest(path, m.copy(op = "compact", files = (m.files diff old) ++ newFiles,
       fstats = m.fstats.filterNot(s => old.contains(s.file)) ++ derived,
       // vectors over the victims are now physically applied — drop them
-      dvParts = dvPartsWithout(m.dvParts, old)))
+      dvParts = dvPartsWithout(m.dvParts, old),
+      // a FULL rewrite (every live file was a victim) re-planned every
+      // row through the narrowed DDL, physically forgetting dropped
+      // columns' bytes — the lapsed names re-open for evolution. A
+      // partial compact may leave pre-drop files alive, so it keeps
+      // the list (conservative; see dropColumn).
+      droppedCols = if ((m.files diff old).isEmpty) Nil else m.droppedCols))
   }
 
   /** Delete segment files referenced by NO retained manifest version.
@@ -1174,7 +1294,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * broadcasts a small source); one append = one manifest commit,
     * with every downstream invariant (seqs, stats, auto-checkpoint,
     * exactly-once marks) inherited. Returns the new high-water seq
-    * (or maxSeq unchanged when nothing needed writing). */
+    * (or maxSeq unchanged when nothing needed writing).
+    *
+    * TOUCHED-FILE PRUNING (the Delta merge idiom): a small source —
+    * probed with an incremental take(), so a huge source pays a few
+    * partitions of probe, never a pass — does NOT join the full
+    * current state. Its collected keys prune the state side to only
+    * the segment files whose manifest ns directory / per-file key
+    * range / key bloom can hold them, the per-key arg-max replays just
+    * those files (row filters pushed to the parquet scan), and the
+    * tiny state is broadcast under the source rows. A 10-key reconcile
+    * against a 100 TB store then opens a handful of files instead of
+    * scanning every key's state. */
   def merge(source: DataFrame,
             whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): Long = {
     requireWritable()
@@ -1182,13 +1313,64 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val missing = required.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"journal merge requires source columns $required; missing: $missing")
-    // Ambiguity detection rides the SAME pass as the merge (an earlier
-    // version pre-scanned the source with a separate count job — a
-    // second full pass over a possibly-huge source): a per-key window
-    // count shares the join's (ns, ukey) partitioning, and assert_true
-    // fails the job from inside the executors the moment a duplicate
-    // key is seen — Delta's ambiguous-match error, single-pass.
-    val src = source.select(required.map(col): _*)
+    val src0 = source.select(required.map(col): _*)
+    val probe = src0.take(JournalStore.MergeSmallSourceRows + 1)
+    if (probe.length <= JournalStore.MergeSmallSourceRows)
+      mergeSmall(src0.schema, probe, whenMatchedDelete)
+    else mergeFull(src0, whenMatchedDelete)
+  }
+
+  private val mergeDupMsg = "journal merge: source has multiple rows " +
+    "for a key - a merge must resolve to one action per key " +
+    "(pre-aggregate the source)"
+
+  /** The small-source merge path: `rows` IS the whole source (already
+    * collected by the probe — the source is never re-evaluated, which
+    * also pins a non-deterministic source to one consistent snapshot).
+    * Ambiguity is checked driver-side; the state side reads only the
+    * key-intersecting files. */
+  private def mergeSmall(schema: org.apache.spark.sql.types.StructType,
+                         rows: Array[org.apache.spark.sql.Row],
+                         whenMatchedDelete: Option[org.apache.spark.sql.Column]): Long = {
+    val m = manifest
+    if (rows.isEmpty) return m.maxSeq
+    val keys = rows.map(r => (if (r.isNullAt(0)) null else r.get(0).toString,
+      if (r.isNullAt(1)) None
+      else Some(r.get(1).asInstanceOf[Number].longValue)))
+    require(keys.distinct.length == keys.length, mergeDupMsg)
+    val distinctKeys = keys.toSeq.distinct
+    val cand = mergeCandidateFiles(m, distinctKeys)
+    val nss = distinctKeys.map(_._1).filter(_ != null).distinct
+    val uks = distinctKeys.flatMap(_._2).distinct
+    val hasNullKey = distinctKeys.exists(_._2.isEmpty)
+    // row filters on the pruned scan: tiny IN lists reach the parquet
+    // reader (row-group skipping inside the candidate files) and make
+    // the arg-max aggregate key-bounded, not file-bounded
+    val keyPred = {
+      val ksIn = if (uks.isEmpty) lit(false) else col("ukey").isin(uks: _*)
+      if (hasNullKey) ksIn || col("ukey").isNull else ksIn
+    }
+    val filtered = readSegmentsOver(cand, m.schemaDdl, m.dvParts)
+      .where(if (nss.isEmpty) lit(false) else col("ns").isin(nss: _*))
+      .where(keyPred)
+      .select("ns", "ukey", "seq", "payload")
+    val state = broadcast(tombstoneAwareState(filtered)
+      .select(col("ns"), col("ukey"), col("payload").as("cur_payload"))).alias("t")
+    val srcDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema).alias("s")
+    append(mergeRouted(srcDf.join(state,
+      col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
+      "left_outer"), whenMatchedDelete, guarded = false))
+  }
+
+  /** The full merge path (source too large to collect): one (ns, ukey)
+    * shuffle joining the source against latest(). Ambiguity detection
+    * rides the SAME pass (no separate count job): a per-key window
+    * count shares the join's partitioning and detonates inside the
+    * routed projection. */
+  private def mergeFull(src0: DataFrame,
+                        whenMatchedDelete: Option[org.apache.spark.sql.Column]): Long = {
+    val src = src0
       .withColumn("__dup", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("ns"), col("ukey"))))
@@ -1197,27 +1379,65 @@ class JournalStore private (val spark: SparkSession, val path: String,
         col("payload").as("cur_payload")).alias("t")
     // null-safe on ukey: a NULL key row in the source must match its
     // NULL-key state, not silently always-insert
-    val joined = src.join(state,
+    append(mergeRouted(src.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
-      "left_outer")
+      "left_outer"), whenMatchedDelete, guarded = true))
+  }
+
+  /** Clause routing shared by both merge paths. With `guarded`, the
+    * duplicate-key detonation is ORDER-INDEPENDENT by construction: a
+    * duplicate-keyed row is KEPT by the filter whatever its no-op
+    * status (`!noop || __dup > 1` — so conjunct reordering or
+    * side-effect pruning across Spark versions can never hide it), and
+    * the raise_error rides the PROJECTED payload — an output column
+    * the append must evaluate for every surviving row. An earlier form
+    * rode assert_true on the filter conjunction, which depended on the
+    * optimizer evaluating it before the no-op conjunct: duplicate keys
+    * whose copies were all no-ops could slip through unseen. */
+  private def mergeRouted(joined: DataFrame,
+                          whenMatchedDelete: Option[org.apache.spark.sql.Column],
+                          guarded: Boolean): DataFrame = {
     val matched = col("t.ns").isNotNull
     val delete = whenMatchedDelete.map(matched && coalesce(_, lit(false)))
       .getOrElse(lit(false))
     val noop = matched && !delete &&
       col("s.payload") <=> col("cur_payload")
-    // assert_true yields NULL when the check passes (and throws from
-    // the executors when it doesn't); riding the FILTER keeps it
-    // evaluated for every joined row — including rows other clauses
-    // would discard — where a free-standing column would be pruned
-    val guard = expr("assert_true(__dup <= 1, 'journal merge: source " +
-      "has multiple rows for a key — a merge must resolve to one " +
-      "action per key (pre-aggregate the source)')")
-    val out = joined.where(guard.isNull && !noop)
+    val payloadOut = when(delete, lit(null)).otherwise(col("s.payload"))
+    val (keep, payload) =
+      if (guarded)
+        (!noop || col("__dup") > 1,
+          when(col("__dup") > 1, raise_error(lit(mergeDupMsg)))
+            .otherwise(payloadOut))
+      else (!noop, payloadOut)
+    joined.where(keep)
       .select(col("s.ns").as("ns"), col("s.ukey").as("ukey"),
-        col("s.ts").as("ts"),
-        when(delete, lit(null)).otherwise(col("s.payload")).as("payload"),
+        col("s.ts").as("ts"), payload.as("payload"),
         when(delete, lit(null)).otherwise(col("s.val")).as("val"))
-    append(out)
+  }
+
+  /** Manifest files whose ns directory / per-file key range / key bloom
+    * can hold ANY of `keys` — the merge touched-file pruning set. Same
+    * exact-or-conservative contract as [[filesForKey]]: a file with no
+    * stats, or an ns directory that doesn't round-trip literally, is
+    * always kept; a null-ns key contributes nothing (the merge join is
+    * null-unsafe on ns, so no state row can match it); a null-ukey key
+    * keeps every ns-compatible file (key stats never describe NULL). */
+  private[journal] def mergeCandidateFiles(
+      m: Manifest, keys: Seq[(String, Option[Long])]): Seq[String] = {
+    val nsRe = """ns=([^/]+)""".r
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    m.files.filter { f =>
+      val dirNs = nsRe.findFirstMatchIn(f).map(_.group(1))
+      val safe = dirNs.exists(_.matches("[A-Za-z0-9_.\\-]+"))
+      keys.exists { case (ns, uk) =>
+        ns != null && (!safe || dirNs.contains(ns)) && (uk match {
+          case Some(k) => fmap.get(f).forall(s =>
+            s.minKey <= k && k <= s.maxKey &&
+              JournalStore.bloomMightContain(s.bloom, k))
+          case None => true
+        })
+      }
+    }
   }
 
   /** Physical erase (the Delta-style DELETE FROM, and the GDPR lever a
@@ -1245,7 +1465,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * retained rows are preserved — erasure never renumbers history.
     * Rows where `cond` is NULL are retained (DELETE's three-valued
     * WHERE semantics). Returns the number of rows erased. */
-  def deleteWhere(cond: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long =
+    retryOnLostRace(deleteWhereOnce(cond))
+
+  private def deleteWhereOnce(cond: org.apache.spark.sql.Column): Long = {
     requireWritable()
     val m = manifest
     if (m.files.isEmpty) return 0L
@@ -1397,6 +1620,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
           }
         case _ => None
       }
+    commitSeam()
     writeManifest(path, m.copy(op = "delete", files = files2, stats = stats2.sortBy(_.epoch),
       kstats = kstats2.sortBy(k => (k.epoch, k.ns)), fstats = fstats2,
       checkpoints = Nil,
@@ -1429,7 +1653,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * unreferenced). Checkpoints are dropped: their materialized state
     * embeds deleted rows. Rows where `cond` is NULL are retained
     * (three-valued DELETE). Returns rows deleted. */
-  def deleteWhereDv(cond: org.apache.spark.sql.Column): Long = {
+  def deleteWhereDv(cond: org.apache.spark.sql.Column): Long =
+    retryOnLostRace(deleteWhereDvOnce(cond))
+
+  private def deleteWhereDvOnce(cond: org.apache.spark.sql.Column): Long = {
     requireWritable()
     val m = manifest
     if (m.files.isEmpty) return 0L
@@ -1497,12 +1724,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     }
     // each delete appends one part; past the cap, fold to one (same
-    // consolidation discipline as the stats sidecars)
-    val dvParts1 = m.dvParts ++ newPart.toSeq
+    // consolidation discipline as the stats sidecars). EXISTING parts'
+    // entries for files that just left the manifest are dropped too —
+    // dead weight that would otherwise ride every future read.
+    val keptOld =
+      if (fullDead.isEmpty) m.dvParts else dvPartsWithout(m.dvParts, fullDead)
+    val dvParts1 = keptOld ++ newPart.toSeq
     val dvParts2 =
       if (dvParts1.sizeIs > JournalStore.MaxDvParts)
         writeDvPart(readDvTable(dvParts1)).toSeq
       else dvParts1
+    commitSeam()
     writeManifest(path, m.copy(op = "delete-dv", files = files2, stats = stats2,
       kstats = kstats2, fstats = fstats2, checkpoints = Nil,
       dvParts = dvParts2))
@@ -1927,7 +2159,13 @@ object JournalStore {
                       // delete/delete-dv/checkpoint/restore/clone/
                       // create) — the DESCRIBE HISTORY operation
                       // column. "" = pre-upgrade writer.
-                      op: String = "")
+                      op: String = "",
+                      // column names DROPPED from the pinned DDL whose
+                      // pre-drop bytes may still live in un-compacted
+                      // segment files: append() refuses to re-introduce
+                      // them (data-resurrection hazard — see dropColumn)
+                      // until a full compact() clears the list.
+                      droppedCols: Seq[String] = Nil)
 
   /** Physical row layout of compacted segment files. */
   sealed trait SegmentLayout
@@ -1941,16 +2179,53 @@ object JournalStore {
     final case class ZOrder(cols: Seq[String]) extends SegmentLayout
   }
 
-  /** Bounded optimistic-concurrency rebases for append (and checkpoint
-    * registration) before a lost CAS race escapes loudly. Rewrites
-    * (compact/deleteWhere) never retry — see append's doc. */
+  /** Bounded optimistic-concurrency rebases before a lost CAS race
+    * escapes loudly: append rebases its commit; maintenance rewrites
+    * (compact/deleteWhere/deleteWhereDv) re-derive themselves against
+    * the fresh manifest (see retryOnLostRace); restore aborts on
+    * purpose. */
   val MaxCommitRetries = 5
+
+  /** merge() sources at or below this many ROWS take the touched-file
+    * path: keys collected driver-side, state bounded to intersecting
+    * segment files, state broadcast. Sized so the collected rows and
+    * the pruning IN-lists stay trivially driver/plan-safe; larger
+    * sources pay the one full-state (ns, ukey) shuffle, which is the
+    * right plan when the source really touches much of the key space. */
+  val MergeSmallSourceRows = 1024
 
   /** Deletion-vector part-count cap: each deleteWhereDv appends one
     * part; past this, the next delete folds them to one (bounds the
     * per-read part-open count the same way the stats sidecars bound
     * theirs). */
   val MaxDvParts = 16
+
+  /** EXECUTOR-side deletion-vector read for the streaming source: the
+    * sorted row positions deleted from segment file `relFile`, loaded
+    * directly from the dv/ parquet parts (parquet-java — no Spark
+    * session exists on an executor). Each stream partition serves one
+    * file, so the per-partition cost is a scan of the tiny vector
+    * parts filtered to that file; part count is bounded by
+    * [[MaxDvParts]]'s consolidation. A damaged part throws — the
+    * subtraction is load-bearing for read correctness and must never
+    * silently read as empty. */
+  private[graft] def dvPositionsFor(relFile: String,
+                                    dvPaths: Seq[String]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    dvPaths.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p))
+        .build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).foreach { g =>
+        if (g.getString("file", 0) == relFile) out += g.getLong("pos", 0)
+      }
+      finally reader.close()
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
 
   /** How many committed manifest versions stay readable via openAt().
     * Bounds metadata growth to N tiny JSON files regardless of journal
@@ -2113,6 +2388,11 @@ object JournalStore {
       val dvp = root.putArray("dvParts")
       m.dvParts.foreach(dvp.add)
     }
+    if (m.droppedCols.nonEmpty) {
+      val dc = root.putArray("droppedCols")
+      m.droppedCols.foreach(c =>
+        dc.add(java.net.URLEncoder.encode(c, "UTF-8")))
+    }
     val bytes = mapper.writeValueAsBytes(root)
     if (cas) {
       // The version file is the commit ARBITER, not just a record: the
@@ -2236,7 +2516,9 @@ object JournalStore {
       arr("checkpoints").map(_.asLong), files, stats,
       num("lastBatchId", -1L), num("version"), kstats, schemaDdl, fstats,
       num("commitTsMs", 0L), writerMarks, arr("dvParts").map(_.asText),
-      if (n.hasNonNull("op")) n.get("op").asText else ""))
+      if (n.hasNonNull("op")) n.get("op").asText else "",
+      arr("droppedCols").map(e =>
+        java.net.URLDecoder.decode(e.asText, "UTF-8"))))
   } catch {
     // unparseable bytes (e.g. a file damaged outside our atomic-rename
     // protocol) read as "no manifest here" — callers produce their own

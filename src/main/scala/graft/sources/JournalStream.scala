@@ -119,6 +119,15 @@ private[sources] class JournalMicroBatchStream(
     // one partition per overlapping file: epoch directory bounds, then
     // the per-file seq range (a file with no stats is kept — the row
     // filter in the reader makes pruning exact-or-conservative)
+    // Deletion vectors visible in THIS batch's manifest snapshot are
+    // subtracted inside the readers (each partition loads only its own
+    // file's positions from the tiny dv/ parts, executor-side). Offsets
+    // stay seq-stable — vectors delete rows, never seqs — so replay of
+    // a checkpointed batch under the same manifest is reproducible.
+    // Like Delta's CDF over deletes: rows DELIVERED before a vector
+    // landed are not retracted; the stream reflects vectors from the
+    // batch that first plans over them.
+    val dvAbs = m.dvParts.map(p => s"$storePath/dv/$p")
     m.files.filter { f =>
       epochRe.findFirstMatchIn(f).map(_.group(1).toLong)
         .forall(e => e >= loEpoch && e <= hiEpoch) &&
@@ -134,7 +143,7 @@ private[sources] class JournalMicroBatchStream(
         FilePartition(i, Array(PartitionedFile(pv,
           SparkPath.fromPathString(abs), 0L,
           java.nio.file.Files.size(java.nio.file.Paths.get(abs))))),
-        lo, hi)
+        lo, hi, f, dvAbs)
     }.toArray
   }
 
@@ -163,9 +172,13 @@ private[sources] class JournalMicroBatchStream(
   override def toString: String = s"JournalMicroBatchStream[$storePath]"
 }
 
-/** One segment file plus the batch's (lo, hi] seq bounds. */
+/** One segment file plus the batch's (lo, hi] seq bounds. `relFile` is
+  * the file's manifest-relative name and `dvPaths` the batch snapshot's
+  * deletion-vector parts (absolute) — empty when the store carries no
+  * vectors. */
 private[sources] case class JournalStreamPartition(
-    files: FilePartition, lo: Long, hi: Long) extends InputPartition {
+    files: FilePartition, lo: Long, hi: Long,
+    relFile: String = "", dvPaths: Seq[String] = Nil) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -184,13 +197,29 @@ private[sources] class JournalStreamReaderFactory(
     val seqIdx = srcSchema.fieldIndex("seq")
     val proj = UnsafeProjection.create(tableSchema.map(f =>
       BoundReference(srcSchema.fieldIndex(f.name), f.dataType, nullable = true)))
+    // Deletion-vector subtraction by ROW ORDINAL: the partition covers
+    // its whole file (offset 0, full length) and the inner factory was
+    // built with ZERO pushed filters, so the stock parquet reader yields
+    // every row in file order — the running ordinal IS
+    // `_metadata.row_index`, the identity the vectors are keyed by.
+    // Positions load once per partition from the tiny dv/ parts
+    // (executor-side parquet-java read, filtered to this file).
+    val deleted: Array[Long] =
+      if (jp.dvPaths.isEmpty) Array.emptyLongArray
+      else graft.journal.JournalStore.dvPositionsFor(jp.relFile, jp.dvPaths)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
+      private var pos = -1L
       override def next(): Boolean = {
         while (inner.next()) {
+          pos += 1
           val r = inner.get()
           val s = r.getLong(seqIdx)
-          if (s > jp.lo && s <= jp.hi) { current = proj(r); return true }
+          if (s > jp.lo && s <= jp.hi &&
+              (deleted.length == 0 ||
+                java.util.Arrays.binarySearch(deleted, pos) < 0)) {
+            current = proj(r); return true
+          }
         }
         false
       }

@@ -143,6 +143,26 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
 
   override def name(): String = s"journal:$storePath"
   override def schema(): StructType = tableSchema
+
+  /** Whether this table's snapshot carries live deletion vectors — the
+    * trigger for [[JournalDvReadRule]]'s logical rewrite (DV subtraction
+    * ABOVE the columnar parquet scan, keeping codegen + pushdown). */
+  private[sources] def hasLiveDv: Boolean =
+    store.isDefined && m.dvParts.nonEmpty
+
+  /** The DV-subtracted batch read as a DataFrame plan: the store's own
+    * scan surface (vectorized parquet scan of the manifest file list,
+    * `_metadata` row identity, broadcast-bounded anti-join against the
+    * tiny DV table), projected to this table's declared column order
+    * and types. [[JournalDvReadRule]] grafts this plan in place of the
+    * V2 relation so Catalyst optimizes it like any parquet query. */
+  private[sources] def dvSubtractedFrame(): DataFrame = {
+    val df = store.getOrElse(throw new IllegalStateException(
+      s"no journal store at $storePath")).scanUnordered()
+    df.select(tableSchema.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name)).toIndexedSeq: _*)
+  }
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.noneOf(classOf[TableCapability])
     // an EXISTING store is batch-readable even with zero committed
@@ -536,7 +556,7 @@ private[sources] class JournalScanBuilder(
       // always re-evaluated above the scan, so they need no carrying.
       case Some(df) =>
         return new JournalDvScan(super.build(), fullSchema, storePath, df,
-          partitionFilters)
+          partitionFilters, maxSeqsPerTrigger, startingSeq)
       case None => ()
     }
     val scan = super.build()
@@ -566,24 +586,30 @@ private[sources] class JournalScanBuilder(
   }
 }
 
-/** Batch scan of a journal store that carries DELETION VECTORS: a
-  * parquet file scan cannot subtract rows by (file, position), so this
-  * scan takes Spark's official V1 escape hatch ([[V1Scan]], the same
-  * bridge JDBC V2 uses) and serves the rows from the store's DV-aware
-  * scan surface — the broadcast anti-join readSegmentsOver plans.
-  * Correctness over speed: the DV window trades the columnar reader for
-  * a Row bridge; compact() purges the vectors and restores the fast
-  * path. Consumed partition filters are re-applied here (pushdown
-  * removed them from the plan for exact pruning the V1 relation never
-  * did); data filters are always re-evaluated above the scan by Spark.
-  * The relation's schema is DECLARED as readSchema() — the strategy
+/** Batch scan of a journal store that carries DELETION VECTORS, for
+  * sessions WITHOUT the graft extensions: a parquet file scan cannot
+  * subtract rows by (file, position) at the Scan layer, so this scan
+  * takes Spark's official V1 escape hatch ([[V1Scan]], the same bridge
+  * JDBC V2 uses) and serves the rows from the store's DV-aware scan
+  * surface — the broadcast anti-join readSegmentsOver plans. Sessions
+  * WITH the extensions never reach this class for batch reads:
+  * [[JournalDvReadRule]] rewrites the relation at analysis time into
+  * the same DV-subtracted plan ABOVE the columnar scan, keeping
+  * whole-stage codegen and parquet pushdown (the 100 TB path).
+  * Consumed partition filters are re-applied here (pushdown removed
+  * them from the plan for exact pruning the V1 relation never did);
+  * data filters are always re-evaluated above the scan by Spark. The
+  * relation's schema is DECLARED as readSchema() — the strategy
   * requires strict equality — and the DataFrame is projected to it by
-  * name. */
+  * name. Streaming is served normally: [[JournalMicroBatchStream]]
+  * subtracts each batch's visible vectors inside its readers. */
 private[sources] class JournalDvScan(base: ParquetScan,
                                      tableSchema: StructType,
                                      storePath: String,
                                      dvDf: () => DataFrame,
-                                     partFilters: Seq[Expression])
+                                     partFilters: Seq[Expression],
+                                     maxSeqsPerTrigger: Option[Long] = None,
+                                     startingSeq: Option[String] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
@@ -614,10 +640,8 @@ private[sources] class JournalDvScan(base: ParquetScan,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    throw new UnsupportedOperationException(
-      s"journal store at $storePath carries deletion vectors; a stream " +
-        "tails the raw log and cannot subtract them — purge first " +
-        "(compact() the affected epochs) or erase with deleteWhere")
+    new JournalMicroBatchStream(base.sparkSession, storePath, tableSchema,
+      maxSeqsPerTrigger, startingSeq)
 }
 
 /** The journal's V2 `Scan`: a stock `ParquetScan` (columnar batches,

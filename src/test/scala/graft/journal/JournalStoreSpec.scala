@@ -1050,8 +1050,9 @@ class JournalStoreSpec extends AnyFunSuite {
     val again = store.merge(src.where(col("ns") === "users"))
     assert(again === 6L)
     // ambiguous source (two rows, one key) is refused like Delta's
-    // ambiguous-match error — detected IN the merge pass (assert_true
-    // from the executors), not by a separate source scan
+    // ambiguous-match error — here via the small-source path's
+    // driver-side key check (the full path detonates from the routed
+    // projection; see the dedicated full-path test)
     val dup = src.where(col("ukey") === 2L)
       .union(src.where(col("ukey") === 2L))
     val err = intercept[Exception](store.merge(dup))
@@ -1236,12 +1237,26 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.scan().count() === 4L)
   }
 
-  test("V2 format reads subtract deletion vectors (V1Scan fallback)") {
+  test("V2 format reads subtract deletion vectors — rewrite keeps the " +
+      "columnar scan; conf-gated V1 fallback agrees") {
     val store = twoEpochStore()
     store.deleteWhereDv(col("ukey") === 2L)
     val df = spark.read.format("journal").load(store.path)
+    // with the graft extensions (this session), the DV read is REWRITTEN
+    // to subtraction above the vectorized parquet scan: no RDD bridge
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD") && !p.contains("JournalDvScan"), p)
+    assert(p.toLowerCase.contains("parquet"), p)
     assert(df.where(col("ukey") === 2L).count() === 0L)
     assert(df.count() === 7L)
+    // the no-extensions fallback (V1 bridge) produces identical rows
+    spark.conf.set("spark.graft.journal.dvRewrite", "false")
+    try {
+      val fb = spark.read.format("journal").load(store.path)
+      assert(fb.queryExecution.executedPlan.toString.contains("JournalDvScan"))
+      assert(fb.count() === 7L)
+      assert(fb.where(col("ukey") === 2L).count() === 0L)
+    } finally spark.conf.unset("spark.graft.journal.dvRewrite")
     // consumed partition filters are re-applied by the fallback relation
     assert(df.where(col("ns") === "users").count() === 7L)
     assert(df.where(col("epoch") === 0L).count() === 3L)
@@ -1254,6 +1269,159 @@ class JournalStoreSpec extends AnyFunSuite {
     val after = spark.read.format("journal").load(store.path)
       .collect().map(_.toString).sorted.toSeq
     assert(after === before)
+  }
+
+  test("merge prunes the state side to key-intersecting files " +
+      "(touched-file idiom) and routes clauses identically") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 4)
+    // 6 appends × 2 ns → many files with disjoint per-file key ranges
+    (0 until 6).foreach { i =>
+      store.append(Seq(
+        ("users", i * 10L, ts(f"2024-01-01 00:0$i%01d:00"), s"u$i", 1.0),
+        ("carts", i * 10L + 1L, ts(f"2024-01-01 00:0$i%01d:01"), s"c$i", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    val m = store.manifest
+    assert(m.files.size >= 6, m.files)
+    // a 2-key probe intersects only the files whose ns directory and
+    // key range/bloom can hold the keys — a strict subset, never carts
+    val cand = store.mergeCandidateFiles(m,
+      Seq(("users", Some(0L)), ("users", Some(50L))))
+    assert(cand.nonEmpty && cand.size < m.files.size,
+      s"$cand vs ${m.files}")
+    assert(cand.forall(_.contains("ns=users")), cand)
+    // end-to-end: the small-source path routes clauses exactly like the
+    // full path (no-op suppressed, update + insert appended)
+    val preMax = m.maxSeq
+    store.merge(Seq(
+      ("users", 0L, ts("2024-01-02 00:00:00"), "u0", 9.0),   // no-op
+      ("users", 50L, ts("2024-01-02 00:00:01"), "u5x", 1.0), // update
+      ("users", 999L, ts("2024-01-02 00:00:02"), "new", 1.0) // insert
+    ).toDF("ns", "ukey", "ts", "payload", "val"))
+    val st = store.latest()
+      .where(col("ns") === "users" && col("ukey").isin(0L, 50L, 999L))
+      .orderBy("ukey").select("payload").as[String].collect().toSeq
+    assert(st === Seq("u0", "u5x", "new"))
+    // exactly 2 rows landed — the no-op appended NOTHING
+    assert(store.scan().where(col("seq") > preMax).count() === 2L)
+  }
+
+  test("merge full path: a duplicate key whose copies are all NO-OPS " +
+      "still detonates (order-independent guard)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100000)
+    store.append(Seq(("users", 1L, ts("2024-01-01 00:00:00"), "pa", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    // > MergeSmallSourceRows rows forces the full-state path; the ONLY
+    // duplicate key's copies both MATCH current state (no-ops) — the
+    // shape the old filter-riding assert_true could let slip whenever
+    // the optimizer evaluated the no-op conjunct first
+    val big = spark.range(2000).selectExpr("'users' AS ns",
+      "id + 100 AS ukey", "timestamp'2024-01-01 00:00:00' AS ts",
+      "concat('p', id) AS payload", "CAST(1.0 AS DOUBLE) AS val")
+    val dupNoop = Seq(
+      ("users", 1L, ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 1L, ts("2024-01-01 00:00:02"), "pa", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    val err = intercept[Exception](store.merge(big.unionByName(dupNoop)))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("multiple rows for a key")),
+      err.toString)
+  }
+
+  test("dropColumn: re-adding a dropped name is refused until a FULL " +
+      "compact forgets the lapsed bytes") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf)
+    store.append(Seq(("users", 5L, ts("2024-01-02 00:00:00"), "p5", 5.0, 77L))
+      .toDF("ns", "ukey", "ts", "payload", "val", "extra"))
+    store.dropColumn("extra")
+    assert(store.manifest.droppedCols === Seq("extra"))
+    // re-add refused: un-compacted pre-drop files would resurface their
+    // pre-drop values under the new column (parquet reads by name)
+    val readd = Seq(("users", 6L, ts("2024-01-03 00:00:00"), "p6", 6.0, 99L))
+      .toDF("ns", "ukey", "ts", "payload", "val", "extra")
+    val err = intercept[IllegalArgumentException](store.append(readd))
+    assert(err.getMessage.contains("DROPPED"), err.getMessage)
+    // a FULL compact rewrites every live file through the narrowed
+    // schema — the hazard is physically gone and the name re-opens
+    store.compact(upToEpoch = 100L)
+    assert(store.manifest.droppedCols.isEmpty)
+    store.append(readd)
+    val newVal = store.scanUnordered().where(col("ukey") === 6L)
+      .select("extra").head
+    assert(newVal.getLong(0) === 99L)
+    // and the pre-drop key-5 row reads NULL — never the lapsed 77
+    val oldVal = store.scanUnordered().where(col("ukey") === 5L)
+      .select("extra").head
+    assert(oldVal.isNullAt(0), oldVal)
+  }
+
+  test("writer conflict matrix: maintenance ops re-validate on a lost " +
+      "CAS; merge rebases through append; restore aborts loudly") {
+    val path = freshPath
+    val s1 = JournalStore.create(spark, path, epochSize = 100)
+    s1.append(sampleDf) // seqs 0..3
+    val s2 = JournalStore.open(spark, path)
+    def row(k: Long, t: String, p: String) =
+      Seq(("users", k, ts(t), p, 1.0)).toDF("ns", "ukey", "ts", "payload", "val")
+
+    // deleteWhere ‖ append: the erase loses the race, re-derives itself
+    // against the fresh manifest, commits; both effects land — nothing
+    // lost, nothing resurrected
+    s1.onCommitSeam =
+      () => { s2.append(row(50L, "2024-01-02 00:00:00", "p50")); () }
+    assert(s1.deleteWhere(col("ukey") === 2L) === 1L)
+    assert(s1.scan().where(col("ukey") === 2L).count() === 0L)
+    assert(s1.scan().where(col("ukey") === 50L).count() === 1L)
+
+    // compact ‖ deleteWhereDv: the compact loses, re-reads the fresh
+    // manifest (now carrying the vector) and its rewrite APPLIES it —
+    // the concurrently deleted row stays deleted through the rewrite
+    val s3 = JournalStore.open(spark, path)
+    s1.onCommitSeam = () => { s3.deleteWhereDv(col("ukey") === 50L); () }
+    s1.compact(upToEpoch = 100L)
+    assert(s1.scan().where(col("ukey") === 50L).count() === 0L)
+    assert(s1.manifest.dvParts.isEmpty) // purged by the retried rewrite
+
+    // merge ‖ append: merge commits through append's CAS rebase — both
+    // commits land, merge rows take the higher seqs (last-writer-wins)
+    s1.onCommitSeam =
+      () => { s2.append(row(60L, "2024-01-03 00:00:00", "p60")); () }
+    s1.merge(row(70L, "2024-01-03 00:00:01", "p70"))
+    assert(s1.latest().where(col("ukey").isin(60L, 70L)).count() === 2L)
+
+    // restore ‖ append: aborts with the precise conflict error — a
+    // blind retry would silently wipe the concurrent commit
+    val v = s1.manifest.version
+    s1.onCommitSeam =
+      () => { s2.append(row(80L, "2024-01-04 00:00:00", "p80")); () }
+    val err = intercept[java.util.ConcurrentModificationException](
+      s1.restore(v))
+    assert(err.getMessage.contains("lost the commit race"), err.getMessage)
+    assert(s1.scan().where(col("ukey") === 80L).count() === 1L)
+  }
+
+  test("a store rooted under a path containing /segments/ keeps exact " +
+      "DV bookkeeping (__file strips at the LAST marker)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seg_").toString
+    val path = s"$dir/segments/store"
+    val store = JournalStore.create(spark, path, epochSize = 100)
+    store.append(Seq(
+      ("users", 1L, ts("2024-01-01 00:00:00"), "pa", 1.0),
+      ("users", 2L, ts("2024-01-01 00:00:01"), "pb", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(store.deleteWhereDv(col("ukey") === 1L) === 1L)
+    assert(store.scan().count() === 1L)
+    // per-file row counts decremented exactly (the regression: a
+    // LEFTMOST '/segments/' split made __file names that never mapped
+    // back to manifest entries, silently degrading the bookkeeping)
+    assert(store.manifest.fstats.map(_.rows).sum === 1L)
+    // deleting the last live row makes the file fully dead → it leaves
+    // the manifest and its vector entries are dropped
+    assert(store.deleteWhereDv(col("ukey") === 2L) === 1L)
+    assert(store.manifest.files.isEmpty, store.manifest.files)
+    assert(store.manifest.dvParts.isEmpty)
   }
 
   test("deleteWhereDv then append: auto-checkpoint rebuilds from the " +
