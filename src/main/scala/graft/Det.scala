@@ -53,7 +53,12 @@ object Det {
     r(sum(dec(c, scale)).cast(DoubleType) / count(lit(1)), scale)
 
   /** DuckDB-side SQL fragments kept textually adjacent to their Spark
-    * twins so the two sides evolve together. */
+    * twins so the two sides evolve together. The p-value helpers below
+    * are DIALECT-NEUTRAL on purpose (ABS/SQRT/EXP/CBRT/ROUND/CASE spell
+    * identically in Spark SQL and DuckDB), so ONE string feeds both
+    * `expr(...)` on the Spark side and the oracle SQL — the two engines
+    * run the exact same arithmetic, and every libm-touched step (cbrt,
+    * exp) is followed by a Det round that absorbs cross-libm ulps. */
   object sql {
     def dsum(e: String, scale: Int = 4): String =
       s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE)"
@@ -65,5 +70,50 @@ object Det {
     }
     def davg(e: String, scale: Int = 4): String =
       r(s"CAST(SUM(CAST($e AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT(*)", scale)
+
+    /** `0.5 * erfc(x)` for x >= 0 via the Abramowitz–Stegun 7.1.26
+      * rational polynomial (|err| < 1.5e-7 — below the 6dp emit
+      * rounding): erf(x) = 1 - poly(t)·exp(-x²), t = 1/(1+0.3275911·x).
+      * Private building block; x must already be Det-pinned. */
+    private def halfErfc(x: String): String = {
+      val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+      val poly = s"(((((1.061405429 * $t) - 1.453152027) * $t + " +
+        s"1.421413741) * $t - 0.284496736) * $t + 0.254829592) * $t"
+      s"(0.5 * ($poly) * EXP(-(($x) * ($x))))"
+    }
+
+    /** Two-sided standard-normal p-value for a z (or large-sample t)
+      * statistic: 2·P(Z > |z|) = erfc(|z|/√2). The input is pinned to
+      * 6dp (absorbing whatever chain produced it), the √2 scaling to
+      * 8dp (sqrt is IEEE-exact, the divide is not re-rounded by both
+      * engines identically otherwise), and the result to `scale`. */
+    def normTwoSidedP(z: String, scale: Int = 6): String = {
+      val zr = r(z, 6)
+      val x = r(s"ABS($zr) / SQRT(2.0)", 8)
+      r(s"2.0 * ${halfErfc(x)}", scale)
+    }
+
+    /** One-sided upper-tail P(Z > z) for a signed z: 0.5·erfc(z/√2),
+      * with the negative-z branch via erfc(-y) = 2 - erfc(y). */
+    def normUpperP(z: String, scale: Int = 6): String = {
+      val zr = r(z, 6)
+      val x = r(s"ABS($zr) / SQRT(2.0)", 8)
+      val tail = halfErfc(x)
+      r(s"CASE WHEN $zr >= 0.0 THEN $tail ELSE 1.0 - $tail END", scale)
+    }
+
+    /** Upper-tail chi-square p-value by the Wilson–Hilferty cube-root
+      * normal transform (1931, public): with k dof,
+      * z = ((x/k)^(1/3) - (1 - 2/(9k))) / sqrt(2/(9k)), p = P(Z > z).
+      * Accurate to ~1e-3 for the moderate-k regime these rows serve —
+      * a DECISION-complete column, not a reference implementation; the
+      * statistic itself stays exact. cbrt's libm ulp is absorbed by
+      * normUpperP's 6dp input pin. */
+    def chi2UpperP(chi2: String, dofDouble: String, scale: Int = 6): String = {
+      val k = s"($dofDouble)"
+      val z = s"((CBRT(($chi2) / $k) - (1.0 - 2.0 / (9.0 * $k))) / " +
+        s"SQRT(2.0 / (9.0 * $k)))"
+      normUpperP(z, scale)
+    }
   }
 }

@@ -99,6 +99,18 @@ object Sf1Smoke {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[sf1] $n%-24s ${sec}%8.2f s  rows=$cnt")
     }
+    // BPE driver-round contract probe (see bpeTrainRounds' scaladoc):
+    // the loop pays one job-launch sync per merge round; print s/round
+    // at 10x data so the constant is a measured, stated number — a real
+    // vocab training multiplies it by ~30k rounds.
+    locally {
+      val rounds = graft.ops.LlmExtOps.bpeTrainRounds
+      val t0 = System.nanoTime()
+      SparkEntry.queries("text_bpe_train")(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[sf1] text_bpe_train          ${sec}%8.2f s  " +
+        f"($rounds rounds incl. corpus round 0, ${sec / rounds}%.2f s/round)")
+    }
     spark.stop()
   }
 }

@@ -303,6 +303,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
       droppedCols = (m.droppedCols :+ name).distinct))
   }
 
+  /** Set (or overwrite) user table properties — Delta's TBLPROPERTIES
+    * for the journal: opaque key→value pairs riding every subsequent
+    * manifest (`manifest.meta`), committed as their own tiny version.
+    * The lever derived artifacts use to record provenance — the ANN
+    * index stores its source-corpus fingerprint here and rebuilds on
+    * mismatch. A lost CAS race rebases trivially (re-read, re-apply). */
+  def setMeta(kvs: Map[String, String]): Unit = {
+    requireWritable()
+    retryOnLostRace {
+      val m = manifest
+      writeManifest(path, m.copy(op = "set-meta", meta = m.meta ++ kvs))
+    }
+  }
+
   /** Shallow CLONE (Delta's CLONE TABLE): an independent store at
     * `dest` over THIS store's current snapshot, with ZERO data copy —
     * every referenced segment file, sidecar part, deletion-vector part
@@ -2165,7 +2179,12 @@ object JournalStore {
                       // segment files: append() refuses to re-introduce
                       // them (data-resurrection hazard — see dropColumn)
                       // until a full compact() clears the list.
-                      droppedCols: Seq[String] = Nil)
+                      droppedCols: Seq[String] = Nil,
+                      // user table properties (Delta TBLPROPERTIES):
+                      // opaque key→value pairs carried by every commit —
+                      // derived artifacts (e.g. the ANN index) record
+                      // their source fingerprint here. See setMeta().
+                      meta: Map[String, String] = Map.empty)
 
   /** Physical row layout of compacted segment files. */
   sealed trait SegmentLayout
@@ -2188,11 +2207,13 @@ object JournalStore {
 
   /** merge() sources at or below this many ROWS take the touched-file
     * path: keys collected driver-side, state bounded to intersecting
-    * segment files, state broadcast. Sized so the collected rows and
-    * the pruning IN-lists stay trivially driver/plan-safe; larger
-    * sources pay the one full-state (ns, ukey) shuffle, which is the
-    * right plan when the source really touches much of the key space. */
-  val MergeSmallSourceRows = 1024
+    * segment files, state broadcast. Sized so the collected rows, the
+    * pruning IN-lists and the per-file bloom probes stay trivially
+    * driver/plan-safe (2048 keys × even 10⁶ files is a short-circuited
+    * driver scan, and the keys fit one broadcast page); larger sources
+    * pay the one full-state (ns, ukey) shuffle, which is the right
+    * plan when the source really touches much of the key space. */
+  val MergeSmallSourceRows = 2048
 
   /** Deletion-vector part-count cap: each deleteWhereDv appends one
     * part; past this, the next delete folds them to one (bounds the
@@ -2393,6 +2414,13 @@ object JournalStore {
       m.droppedCols.foreach(c =>
         dc.add(java.net.URLEncoder.encode(c, "UTF-8")))
     }
+    if (m.meta.nonEmpty) {
+      val mm = root.putObject("meta")
+      m.meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        mm.put(java.net.URLEncoder.encode(k, "UTF-8"),
+          java.net.URLEncoder.encode(v, "UTF-8"))
+      }
+    }
     val bytes = mapper.writeValueAsBytes(root)
     if (cas) {
       // The version file is the commit ARBITER, not just a record: the
@@ -2518,7 +2546,13 @@ object JournalStore {
       num("commitTsMs", 0L), writerMarks, arr("dvParts").map(_.asText),
       if (n.hasNonNull("op")) n.get("op").asText else "",
       arr("droppedCols").map(e =>
-        java.net.URLDecoder.decode(e.asText, "UTF-8"))))
+        java.net.URLDecoder.decode(e.asText, "UTF-8")),
+      if (n.hasNonNull("meta")) {
+        val mm = n.get("meta")
+        mm.fieldNames().asScala.map(k =>
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(mm.get(k).asText, "UTF-8")).toMap
+      } else Map.empty))
   } catch {
     // unparseable bytes (e.g. a file damaged outside our atomic-rename
     // protocol) read as "no manifest here" — callers produce their own

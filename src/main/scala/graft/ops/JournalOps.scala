@@ -408,6 +408,25 @@ object JournalOps {
       store.append(journal(s, d))
       store.segmentStats()
     }),
+    "journal_table_props" -> ((s, d) => {
+      // Table properties (Delta's TBLPROPERTIES for the journal) end to
+      // end: set → CAS commit → overwrite → reopen → read back. The
+      // properties ride every manifest version (URL-encoded, crash-safe
+      // under the same commit protocol as data), so derived-artifact
+      // provenance — the ANN index's source fingerprint is the live
+      // user — and operational tags survive restarts, restores and
+      // clones. The oracle is the literal expected table, pinning the
+      // whole round-trip (encoding included) through the hash gate.
+      val sp = s
+      import sp.implicits._
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jprops_store_" + tmpTag(d)).toString
+      val store = graft.journal.JournalStore.create(s, tmp, epochSize = 1000L)
+      store.setMeta(Map("owner" -> "pipeline-a", "retention.days" -> "30"))
+      store.setMeta(Map("retention.days" -> "45")) // last write wins
+      graft.journal.JournalStore.open(s, tmp).manifest.meta.toSeq
+        .sortBy(_._1).toDF("prop_key", "prop_value")
+    }),
     "journal_dim_join" -> ((s, d) => {
       // Point-lookup join against the journal through the DSv2 scan:
       // a 10-key broadcast dim probes the log on ukey. This is the
@@ -989,6 +1008,9 @@ object JournalOps {
       s"SELECT * FROM ($journalSql) WHERE seq >= 1000 AND seq < 2000 ORDER BY seq",
     "journal_format_scan" ->
       s"SELECT * FROM ($journalSql) WHERE seq >= 1000 AND seq < 3000 ORDER BY seq",
+    "journal_table_props" ->
+      ("SELECT * FROM (SELECT 'owner' AS prop_key, 'pipeline-a' AS prop_value " +
+        "UNION ALL SELECT 'retention.days', '45') ORDER BY prop_key"),
     "journal_namespaces" ->
       ("SELECT event_type AS ns, count(*) AS n, " +
         "CAST(min(event_id) AS BIGINT) AS min_seq, CAST(max(event_id) AS BIGINT) AS max_seq " +

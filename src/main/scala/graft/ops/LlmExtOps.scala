@@ -120,8 +120,21 @@ object LlmExtOps {
     * bounding the driver-synchronized merge loop, like graph_bfs's
     * depth. Real tokenizer vocabularies run the same loop ~30k times;
     * the per-round cost here is vocabulary-sized, not corpus-sized, so
-    * the bound is a harness-time choice, not a scale limit. */
-  private[ops] val bpeTrainRounds = 6
+    * the bound is a harness-time choice, not a scale limit.
+    *
+    * DRIVER-TRIP CONTRACT: each round pays exactly ONE job-launch
+    * synchronization (the localCheckpoint of the 1-row top-pair frame);
+    * everything else in the round — pair count, broadcast join,
+    * re-segmentation — is executor work over the word-frequency table,
+    * whose size is the vocabulary, not the corpus (the corpus is
+    * scanned once, in round 0). Sf1Smoke measures and prints s/round
+    * at 10× data so the constant is a STATED number, not an accident;
+    * it is scale-invariant past round 0 by the argument above. Batching
+    * K non-overlapping top pairs per round (the standard trick for
+    * production vocab sizes) divides the constant by K and composes
+    * with this loop unchanged — the oracle would unroll the same
+    * batched rounds. */
+  private[graft] val bpeTrainRounds = 6
 
   /** The persisted ANN index's journal-row projection: one row per
     * (vector, LSH table) with ns = the bucket directory, payload = the
@@ -340,23 +353,34 @@ object LlmExtOps {
       val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_annindex_" + graft.ops.JournalOps.tmpTag(d)).toString
       // Build ONCE, serve many probes — the service shape this row
-      // models. The index is a deterministic function of the dataset
-      // (path-keyed by dataset+pid), so an existing store with the
-      // expected row count IS the index; anything else (absent, or a
-      // crashed partial build — invisible rows can't commit, so the
-      // count exposes it) rebuilds from scratch. Bench passes after the
+      // models. Index identity/staleness contract: the build records a
+      // CONTENT fingerprint of the source corpus (row count + the
+      // order-free bit_xor of each row's xxhash64(vec_id, vector-json))
+      // as a table property in the index store's manifest; a probe
+      // recomputes the fingerprint (one 2-column columnar scan, one
+      // aggregate row — no shuffle) and any mismatch rebuilds. This is
+      // what catches a corpus whose VECTORS changed under an unchanged
+      // row count — the case a count-only check serves stale buckets
+      // for. (A journal-backed corpus would record its high-water seq
+      // instead and skip even the scan; a plain parquet dir has no
+      // cheaper exact identity than content.) Bench passes after the
       // first therefore measure PROBE cost, not a 4×|corpus|-row
       // re-ingest per pass.
-      val expectedRows = e.count() * lshTables
+      val fpRow = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(vec_id, to_json(embedding)))")).head
+      val fp = s"${fpRow.getLong(0)}:" +
+        (if (fpRow.isNullAt(1)) "0" else fpRow.getLong(1).toString)
       val store = Option(path)
         .filter(graft.journal.JournalStore.exists)
         .map(graft.journal.JournalStore.open(s, _))
-        .filter(_.manifest.maxSeq == expectedRows - 1)
+        .filter(_.manifest.meta.get("source_fp").contains(fp))
         .getOrElse {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
           annIndexRows(e)
             .write.format("journal").option("epochSize", "1000000").save(path)
-          graft.journal.JournalStore.open(s, path)
+          val st = graft.journal.JournalStore.open(s, path)
+          st.setMeta(Map("source_fp" -> fp))
+          st
         }
       // the query vector's own buckets: one 1-row kernel eval (driver
       // metadata read, same class as a scalar aggregate) → a LITERAL
@@ -587,6 +611,44 @@ object LlmExtOps {
                "val").otherwise("train"))
         .select("doc_id", "source", "lang", "split")
         .orderBy("doc_id")),
+
+    "text_pmi" -> ((s, d) => {
+      // Pointwise-mutual-information collocations (Church & Hanks 1990,
+      // public) — the phrase-mining signal beside text_bpe_pairs' raw
+      // pair counts: PMI = ln(c_xy·N / (c_x·c_y)) upweights pairs that
+      // co-occur far above chance, the statistic quality pipelines use
+      // to find multi-word entities and templated boilerplate. Scale
+      // shape: two corpus scans collapse to VOCABULARY-sized unigram
+      // and bigram count tables (map-side partial counts — the wire
+      // volume is the distinct token/pair sets); the scoring joins are
+      // vocab-keyed, never corpus-keyed; N rides a 1-row broadcast.
+      // All counts are exact BIGINTs, so both engines derive the ratio
+      // from identical doubles; ln is libm — Det-rounded to 6dp, and
+      // the top-20 cutoff orders on the ROUNDED value (deterministic
+      // across engines) with the bigram as tiebreak.
+      val words = Tables(s, d, "documents")
+        .select(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+          .as("w"))
+      val uni = words.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bi = words.where(size(col("w")) >= 2)
+        .select(explode(expr("transform(sequence(0, size(w) - 2), " +
+          "i -> struct(element_at(w, i + 1) AS x, element_at(w, i + 2) AS y))"))
+          .as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      val n = uni.agg(sum("c").as("n"))
+      bi.where(col("cxy") >= 5)
+        .join(uni.as("ux"), col("x") === col("ux.t"))
+        .join(uni.as("uy"), col("y") === col("uy.t"))
+        .crossJoin(broadcast(n))
+        .select(concat(col("x"), lit(" "), col("y")).as("bigram"),
+          col("cxy"),
+          graft.Det.r(log(col("cxy").cast("double") * col("n").cast("double") /
+            (col("ux.c").cast("double") * col("uy.c").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram")).limit(20)
+    }),
 
     "text_entropy" -> ((s, d) => {
       // Token-distribution Shannon entropy per document (nats) — the
@@ -1742,6 +1804,22 @@ object LlmExtOps {
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h " +
         "FROM documents) WHERE (CASE WHEN source = 'src0' THEN h < 80 ELSE h < 50 END) " +
         "ORDER BY doc_id"),
+    "text_pmi" ->
+      ("WITH w AS (SELECT list_filter(string_split_regex(lower(text), " +
+        "'[^a-z]+'), x -> x <> '') AS w FROM documents), " +
+        "u AS (SELECT t, count(*) AS c FROM " +
+        "(SELECT unnest(w) AS t FROM w) GROUP BY 1), " +
+        "b AS (SELECT p.x AS x, p.y AS y, count(*) AS cxy FROM " +
+        "(SELECT unnest(list_transform(range(1, len(w)), " +
+        "i -> struct_pack(x := w[i], y := w[i + 1]))) AS p " +
+        "FROM w WHERE len(w) >= 2) GROUP BY 1, 2), " +
+        "n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u) " +
+        "SELECT x || ' ' || y AS bigram, cxy, " +
+        graft.Det.sql.r("ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE) / " +
+          "(CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)))", 6) + " AS pmi " +
+        "FROM b JOIN u ux ON b.x = ux.t JOIN u uy ON b.y = uy.t " +
+        "CROSS JOIN n WHERE cxy >= 5 " +
+        "ORDER BY pmi DESC, bigram LIMIT 20"),
     "text_entropy" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) " +
         "AS t FROM documents), " +

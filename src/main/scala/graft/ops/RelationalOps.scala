@@ -338,6 +338,8 @@ object RelationalOps {
       val rowT = cells.groupBy("et").agg(sum("o").as("rt"))
       val colT = cells.groupBy("dow").agg(sum("o").as("ct"))
       val tot = cells.agg(sum("o").as("n"))
+      val dims = cells.agg(countDistinct("et").as("nr"),
+        countDistinct("dow").as("nc"))
       cells.join(broadcast(rowT), "et").join(broadcast(colT), "dow")
         .crossJoin(broadcast(tot))
         .select((col("rt").cast("double") * col("ct").cast("double") /
@@ -348,6 +350,14 @@ object RelationalOps {
           // (the capture is then exact), so the sum is order-free
           Det.r(sum(Det.dec(Det.r((col("od") - col("e")) * (col("od") - col("e")) /
             col("e"), 6), 6)).cast("double"), 4).as("chi2"))
+        .crossJoin(broadcast(dims))
+        .select(col("n_cells"), col("chi2"),
+          ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"))
+        // decision-complete: upper-tail p by the Wilson–Hilferty normal
+        // transform — the SAME dialect-neutral SQL text the oracle runs
+        // (Det.sql.chi2UpperP), every libm step Det-pinned
+        .select(col("*"), expr(Det.sql.chi2UpperP("chi2",
+          "CAST(dof AS DOUBLE)")).as("p_value"))
     }),
     "agg_ab_ttest" -> ((s, d) =>
       // Welch's two-sample t statistic (click vs view event values) —
@@ -355,8 +365,11 @@ object RelationalOps {
       // discipline as agg_regression: per-arm n / Σv / Σv² accumulate
       // exactly (decimal capture; v² is 8dp), ONE conditional hash
       // aggregate over the stream, and the mean/variance/t chain is a
-      // single shared double expression. No p-value on purpose: erf is
-      // libm territory; the statistic is the portable part.
+      // single shared double expression. The p-value is the two-sided
+      // NORMAL approximation to the t reference (exact as n grows; at
+      // production sample sizes the df correction is below the 6dp
+      // emit), computed by the SAME dialect-neutral Abramowitz–Stegun
+      // erfc text the oracle runs (Det.sql.normTwoSidedP).
       Tables(s, d, "events")
         .where(col("event_type").isin("click", "view"))
         .agg(
@@ -379,7 +392,9 @@ object RelationalOps {
                 (col("na").cast("double") - lit(1.0))) / col("na").cast("double") +
               ((col("ssb") - col("sb") * col("sb") / col("nb").cast("double")) /
                 (col("nb").cast("double") - lit(1.0))) / col("nb").cast("double")),
-            6).as("t_welch"))),
+            6).as("t_welch"))
+        .select(col("*"),
+          expr(Det.sql.normTwoSidedP("t_welch")).as("p_value"))),
     "agg_regression" -> ((s, d) =>
       // Per-group OLS (value regressed on day-of-month): the classic
       // regr_slope/regr_intercept pair, but built on EXACT partial
@@ -694,11 +709,16 @@ object RelationalOps {
         "n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), " +
         "t AS (SELECT CAST(o AS DOUBLE) AS od, " +
         "CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e " +
-        "FROM cells JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN n) " +
-        "SELECT count(*) AS n_cells, " +
+        "FROM cells JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN n), " +
+        "s AS (SELECT count(*) AS n_cells, " +
         Det.sql.r("CAST(sum(CAST(" +
           Det.sql.r("(od - e) * (od - e) / e", 6) +
-          " AS DECIMAL(27,6))) AS DOUBLE)", 4) + " AS chi2 FROM t"),
+          " AS DECIMAL(27,6))) AS DOUBLE)", 4) + " AS chi2 FROM t), " +
+        "d AS (SELECT CAST((count(DISTINCT et) - 1) * " +
+        "(count(DISTINCT dow) - 1) AS BIGINT) AS dof FROM cells) " +
+        "SELECT n_cells, chi2, dof, " +
+        Det.sql.chi2UpperP("chi2", "CAST(dof AS DOUBLE)") +
+        " AS p_value FROM s CROSS JOIN d"),
     // Welch t from the same exact conditional sums, shared arithmetic
     "agg_ab_ttest" ->
       ("WITH a AS (SELECT " +
@@ -712,8 +732,8 @@ object RelationalOps {
         " AS sb, " +
         "CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value * value " +
         "END AS DECIMAL(27,8))) AS DOUBLE) AS ssb " +
-        "FROM events WHERE event_type IN ('click', 'view')) " +
-        "SELECT na, nb, " +
+        "FROM events WHERE event_type IN ('click', 'view')), " +
+        "s AS (SELECT na, nb, " +
         Det.sql.r("sa / CAST(na AS DOUBLE)", 6) + " AS mean_a, " +
         Det.sql.r("sb / CAST(nb AS DOUBLE)", 6) + " AS mean_b, " +
         Det.sql.r(
@@ -721,7 +741,9 @@ object RelationalOps {
           "((ssa - sa * sa / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) " +
           "/ CAST(na AS DOUBLE) + " +
           "((ssb - sb * sb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) " +
-          "/ CAST(nb AS DOUBLE))", 6) + " AS t_welch FROM a"),
+          "/ CAST(nb AS DOUBLE))", 6) + " AS t_welch FROM a) " +
+        "SELECT na, nb, mean_a, mean_b, t_welch, " +
+        Det.sql.normTwoSidedP("t_welch") + " AS p_value FROM s"),
     // OLS from the same exact partial sums, shared arithmetic
     "agg_regression" -> {
       val slope = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, DeleteFromTable, LogicalPlan, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -35,17 +36,39 @@ class JournalDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** `spark.graft.journal.dvRewrite=false` disables the rewrite (the
     * read then rides [[JournalDvScan]]'s V1 bridge — the behavior of a
     * session without extensions); session-scoped escape hatch and the
-    * lever that keeps the fallback path testable. */
+    * lever that keeps the fallback path testable.
+    *
+    * A plan that IS the bare relation (what `load(path)` analyzes
+    * eagerly, before any operator exists above it) is left alone:
+    * every Dataset operation built on it re-analyzes the composed
+    * tree, where this rule then sees the operator context — which is
+    * what lets the count-star case below keep its metadata answer
+    * (`df.count()` on a DV store is a manifest parse, not a scan). The
+    * one shape that stays on the V1 bridge is a bare
+    * `load(path).collect()` — correct, and not a plan worth a fast
+    * path (an unprojected full-table driver collect). */
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!spark.conf.getOption("spark.graft.journal.dvRewrite")
         .forall(_.toBoolean)) plan
-    else rewrite(plan)
+    else plan match {
+      case _: DataSourceV2Relation => plan
+      case _ => rewrite(plan)
+    }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case w: V2WriteCommand =>
       // rewrite only the query side; the table side must stay a relation
       w.withNewQuery(rewrite(w.query))
     case d: DeleteFromTable => d // JournalDeleteRule's node (already ran)
+    case a: Aggregate if countStarOverDvJournal(a) =>
+      // `SELECT count(*) [GROUP BY ns/epoch] FROM t` directly over a
+      // DV-carrying relation: per-file row counts are DV-decremented
+      // exactly, so the scan builder answers it from the manifest with
+      // ZERO files opened (ManifestAggScan) — a rewrite here would turn
+      // the metadata parse into a full scan + anti-join. Left alone on
+      // purpose; every other shape (filters, other aggregates) falls
+      // through to the rewrite below.
+      a
     case r: DataSourceV2Relation if r.table.isInstanceOf[JournalTable] &&
         r.table.asInstanceOf[JournalTable].hasLiveDv =>
       val child = r.table.asInstanceOf[JournalTable]
@@ -59,5 +82,39 @@ class JournalDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(src, a.name)(exprId = a.exprId)
       }, child)
     case other => other.mapChildren(rewrite)
+  }
+
+  /** True for an Aggregate whose child is a live-DV journal relation and
+    * whose surface is exactly the manifest-answerable shape: groupings
+    * only on the layout axes (ns/epoch) and aggregates only
+    * non-distinct, unfiltered count(<literal>) — i.e. count(*). */
+  private def countStarOverDvJournal(a: Aggregate): Boolean = {
+    val dvRel = a.child match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: JournalTable => t.hasLiveDv
+        case _ => false
+      }
+      case _ => false
+    }
+    def okGroup(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e match {
+        case at: Attribute => Seq("ns", "epoch").contains(at.name.toLowerCase)
+        case _ => false
+      }
+    dvRel && a.groupingExpressions.forall(okGroup) &&
+      a.aggregateExpressions.forall {
+        case at: Attribute => okGroup(at)
+        case al: Alias => al.child match {
+          case ae: AggregateExpression
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case c: Count => c.children.forall(_.foldable)
+              case _ => false
+            }
+          case at: Attribute => okGroup(at)
+          case _ => false
+        }
+        case _ => false
+      }
   }
 }

@@ -402,10 +402,14 @@ private[sources] class JournalScanBuilder(
   private var manifestAgg: Option[(StructType, Array[Array[Any]])] = None
 
   private def planManifestAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
-    // deletion vectors: row counts are decremented exactly, but min/max
-    // ranges may still describe vector-deleted rows — decline the whole
-    // pushdown rather than split hairs per aggregate (purge restores it)
-    if (dvScan.isDefined) return None
+    // deletion vectors: per-file ROW COUNTS are decremented exactly by
+    // deleteWhereDv, so count(*) — global or ns/epoch-grouped — stays a
+    // manifest parse even while vectors live. min/max ranges may still
+    // describe vector-deleted rows, so any other aggregate declines
+    // (purge restores them).
+    if (dvScan.isDefined &&
+        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      return None
     if (partitionFilters.nonEmpty || dataFilters.nonEmpty) return None
     if (relFiles.isEmpty || !relFiles.forall(fstats.contains)) return None
     // GROUP BY over the journal's layout axes only: ns / epoch are

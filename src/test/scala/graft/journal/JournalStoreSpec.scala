@@ -1243,12 +1243,21 @@ class JournalStoreSpec extends AnyFunSuite {
     store.deleteWhereDv(col("ukey") === 2L)
     val df = spark.read.format("journal").load(store.path)
     // with the graft extensions (this session), the DV read is REWRITTEN
-    // to subtraction above the vectorized parquet scan: no RDD bridge
-    val p = df.queryExecution.executedPlan.toString
+    // to subtraction above the vectorized parquet scan: no RDD bridge.
+    // (The assertion adds an operator above the bare relation — a bare
+    // load() stays unrewritten by design so aggregates keep their
+    // metadata answers; see JournalDvReadRule.)
+    val p = df.where(col("ukey") >= 0L).queryExecution.executedPlan.toString
     assert(!p.contains("ExistingRDD") && !p.contains("JournalDvScan"), p)
     assert(p.toLowerCase.contains("parquet"), p)
     assert(df.where(col("ukey") === 2L).count() === 0L)
     assert(df.count() === 7L)
+    // df.count() on a DV store is a MANIFEST PARSE (DV-decremented
+    // per-file counts), not a scan
+    val cq = df.groupBy().count()
+    cq.collect()
+    assert(cq.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      cq.queryExecution.executedPlan.toString)
     // the no-extensions fallback (V1 bridge) produces identical rows
     spark.conf.set("spark.graft.journal.dvRewrite", "false")
     try {

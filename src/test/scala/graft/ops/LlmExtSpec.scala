@@ -201,6 +201,38 @@ class LlmExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (got ${out.map(_._1)})")
   }
 
+  test("sim_ann_index: a corpus change under an UNCHANGED row count is " +
+      "caught by the content fingerprint and triggers a rebuild") {
+    graft.expr.GraftFunctions.register(spark)
+    // 40 vectors; the "changed" corpus NEGATES every non-query vector —
+    // identical row count, different content, completely different
+    // top-10 (a count-only identity check serves the stale buckets)
+    def vecs(flip: Boolean) = (0L until 40L).map { id =>
+      val base = Array.tabulate(64)(j =>
+        (((id * 31 + j * 7) % 97).toFloat / 97f) - 0.5f)
+      (id, if (flip && id > 0L) base.map(-_) else base)
+    }.toDF("vec_id", "embedding")
+    val dir = TestSpark.fixtureDir("embeddings" -> vecs(flip = false))
+    def probe() = LlmExtOps.queries("sim_ann_index")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    def recompute() = LlmExtOps.queries("sim_ann_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(probe() === recompute())
+    val idxPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_annindex_" + graft.ops.JournalOps.tmpTag(dir)).toString
+    val fp1 = graft.journal.JournalStore.open(spark, idxPath)
+      .manifest.meta("source_fp")
+    // overwrite the corpus IN PLACE: same path, same count, new bytes
+    vecs(flip = true).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(probe() === recompute(),
+      "index served stale buckets after the corpus changed under an " +
+        "unchanged row count")
+    val fp2 = graft.journal.JournalStore.open(spark, idxPath)
+      .manifest.meta("source_fp")
+    assert(fp1 !== fp2, "fingerprint did not change with the content")
+  }
+
   test("dedup_embedding_lsh pairs are a subset of the exact near-dup pairs") {
     // LSH banding trades recall, never precision: every surviving pair
     // carries the EXACT rounded cosine, so on the slice dedup_embedding

@@ -60,6 +60,29 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(scans(agg) === Seq("ManifestAggScan"))
   }
 
+  test("count(*) stays a manifest parse while deletion vectors live; " +
+      "min/max answers from the subtracted scan") {
+    val dir = mkStore()
+    val store = graft.journal.JournalStore.open(spark, dir)
+    store.deleteWhereDv(col("ukey") === 20L)
+    // global count: per-file counts are DV-decremented exactly →
+    // ManifestAggScan, zero data files opened, subtracted answer
+    val cnt = spark.read.format("journal").load(dir).agg(count(lit(1)).as("n"))
+    assert(scans(cnt) === Seq("ManifestAggScan"))
+    assert(cnt.collect()(0).getLong(0) === 4L)
+    // grouped on a layout axis: still manifest-answered
+    val byNs = spark.read.format("journal").load(dir)
+      .groupBy("ns").agg(count(lit(1)).as("n"))
+    assert(scans(byNs) === Seq("ManifestAggScan"))
+    assert(byNs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+    // min/max cannot trust ranges while vectors live: the query rides
+    // the DV-subtracted columnar plan instead, still exact
+    val mm = spark.read.format("journal").load(dir).agg(max("ukey").as("mx"))
+    assert(mm.collect()(0).getLong(0) === 70L)
+    assert(!mm.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+  }
+
   test("a filtered aggregate declines pushdown (stats describe unfiltered data)") {
     val dir = mkStore()
     val agg = spark.read.format("journal").load(dir)
