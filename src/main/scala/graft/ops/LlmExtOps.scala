@@ -358,28 +358,57 @@ object LlmExtOps {
       // order-free bit_xor of each row's xxhash64(vec_id, vector-json))
       // as a table property in the index store's manifest; a probe
       // recomputes the fingerprint (one 2-column columnar scan, one
-      // aggregate row — no shuffle) and any mismatch rebuilds. This is
-      // what catches a corpus whose VECTORS changed under an unchanged
-      // row count — the case a count-only check serves stale buckets
-      // for. (A journal-backed corpus would record its high-water seq
-      // instead and skip even the scan; a plain parquet dir has no
-      // cheaper exact identity than content.) Bench passes after the
-      // first therefore measure PROBE cost, not a 4×|corpus|-row
-      // re-ingest per pass.
-      val fpRow = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(vec_id, to_json(embedding)))")).head
-      val fp = s"${fpRow.getLong(0)}:" +
-        (if (fpRow.isNullAt(1)) "0" else fpRow.getLong(1).toString)
-      val store = Option(path)
+      // aggregate row — no shuffle) and a mismatch repairs the index.
+      // This is what catches a corpus whose VECTORS changed under an
+      // unchanged row count — the case a count-only check serves stale
+      // buckets for. (A journal-backed corpus would record its
+      // high-water seq instead and skip even the scan; a plain parquet
+      // dir has no cheaper exact identity than content.) Repair is
+      // TIERED, the way a 100 TB index must be: if the stored
+      // fingerprint still matches the prefix vec_id <= the recorded
+      // high-water id, the corpus grew append-only, and the index TOPS
+      // UP — ordinary journal appends of just the NEW vectors' bucket
+      // rows (cost ∝ the delta, not the corpus; the same path the
+      // streaming sink maintains it by). Any in-place edit of old rows
+      // falls through to a full rebuild. Bench passes after the first
+      // therefore measure PROBE cost, not a 4×|corpus|-row re-ingest
+      // per pass.
+      def fpOf(df: org.apache.spark.sql.DataFrame): String = {
+        val r = df.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(vec_id, to_json(embedding)))")).head
+        s"${r.getLong(0)}:" + (if (r.isNullAt(1)) "0" else r.getLong(1).toString)
+      }
+      val fp = fpOf(e)
+      val maxIdRow = e.agg(max("vec_id")).head
+      val maxId = if (maxIdRow.isNullAt(0)) -1L else maxIdRow.getLong(0)
+      val freshMeta = Map("source_fp" -> fp, "source_max_id" -> maxId.toString)
+      val existing = Option(path)
         .filter(graft.journal.JournalStore.exists)
         .map(graft.journal.JournalStore.open(s, _))
+      val store = existing
         .filter(_.manifest.meta.get("source_fp").contains(fp))
+        .orElse {
+          // stale index: append-only growth iff the recorded fingerprint
+          // is exactly the fingerprint of the surviving prefix
+          existing.filter { st =>
+            st.manifest.meta.get("source_max_id").exists { om =>
+              val oldMax = om.toLong
+              maxId > oldMax && st.manifest.meta.get("source_fp")
+                .contains(fpOf(e.where(col("vec_id") <= oldMax)))
+            }
+          }.map { st =>
+            val oldMax = st.manifest.meta("source_max_id").toLong
+            st.append(annIndexRows(e.where(col("vec_id") > oldMax)))
+            st.setMeta(freshMeta)
+            st
+          }
+        }
         .getOrElse {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
           annIndexRows(e)
             .write.format("journal").option("epochSize", "1000000").save(path)
           val st = graft.journal.JournalStore.open(s, path)
-          st.setMeta(Map("source_fp" -> fp))
+          st.setMeta(freshMeta)
           st
         }
       // the query vector's own buckets: one 1-row kernel eval (driver

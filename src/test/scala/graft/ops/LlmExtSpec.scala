@@ -233,6 +233,48 @@ class LlmExtSpec extends AnyFunSuite {
     assert(fp1 !== fp2, "fingerprint did not change with the content")
   }
 
+  test("sim_ann_index: append-only corpus growth TOPS UP the index " +
+      "(delta append, no rebuild) and probes stay oracle-exact") {
+    graft.expr.GraftFunctions.register(spark)
+    def vecs(ids: Range) = ids.map { id =>
+      val base = Array.tabulate(64)(j =>
+        (((id * 31 + j * 7) % 97).toFloat / 97f) - 0.5f)
+      (id.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val dir = TestSpark.fixtureDir("embeddings" -> vecs(0 until 40))
+    def probe() = LlmExtOps.queries("sim_ann_index")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    def recompute() = LlmExtOps.queries("sim_ann_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(probe() === recompute())
+    val idxPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_annindex_" + graft.ops.JournalOps.tmpTag(dir)).toString
+    // a rebuild deletes the store dir; this sentinel survives only a top-up
+    val sentinel = java.nio.file.Paths.get(idxPath, "_spec_sentinel")
+    java.nio.file.Files.write(sentinel, Array[Byte](1))
+    val seqBefore = graft.journal.JournalStore.open(spark, idxPath)
+      .manifest.maxSeq
+    // grow the corpus append-only: 20 new vectors, old rows untouched
+    vecs(40 until 60).coalesce(1).write.mode("append")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(probe() === recompute(),
+      "index did not serve the grown corpus correctly")
+    assert(java.nio.file.Files.exists(sentinel),
+      "append-only growth rebuilt the index instead of topping up")
+    val st = graft.journal.JournalStore.open(spark, idxPath)
+    assert(st.manifest.maxSeq > seqBefore, "top-up appended no rows")
+    assert(st.manifest.meta("source_max_id") === "59")
+    // an in-place edit of an OLD row (not growth) must still rebuild
+    vecs(0 until 60).withColumn("embedding",
+        when(col("vec_id") === 7L, expr("transform(embedding, x -> -x)"))
+          .otherwise(col("embedding")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(probe() === recompute(),
+      "index served stale buckets after an old row changed")
+    assert(!java.nio.file.Files.exists(sentinel),
+      "an in-place edit of an old row must trigger a full rebuild")
+  }
+
   test("dedup_embedding_lsh pairs are a subset of the exact near-dup pairs") {
     // LSH banding trades recall, never precision: every surviving pair
     // carries the EXACT rounded cosine, so on the slice dedup_embedding
