@@ -268,6 +268,95 @@ class JournalStore private (val spark: SparkSession, val path: String,
     eligible.max
   }
 
+  /** NET row-level change feed between two retained manifest versions —
+    * the downstream-sync primitive (Delta's CHANGE DATA FEED, with one
+    * deliberate difference: NET semantics). Output = the canonical
+    * journal surface plus `_change_type` ∈ {insert, delete}, where
+    *   insert = row visible at `toVersion` but not at `fromVersion`
+    *   delete = row visible at `fromVersion` but not at `toVersion`
+    * so applying the feed to the v1 snapshot reproduces the v2 snapshot
+    * exactly (the invariant the spec pins), and a row appended AND
+    * deleted inside the window nets to nothing. Per-commit replay (what
+    * Delta emits) needs write-time change files; net diff needs only
+    * the two retained manifests — the right trade for a sync consumer,
+    * which wants idempotent apply, not history forensics.
+    *
+    * Cost at 100 TB — two tiers, picked automatically:
+    *   - COMMON window (appends + deletion-vector deletes only, i.e.
+    *     v1's files all survive into v2): inserts are a seq-range-
+    *     pruned scan of only the files holding seqs > v1.maxSeq
+    *     (per-file stats), and deletes are the NEW dv parts (the
+    *     window's vectors, O(deleted rows)) joined back to just the
+    *     files they name — nothing store-sized is touched.
+    *   - MAINTENANCE crossed the window (deleteWhere rewrite, restore,
+    *     compaction): file identity is gone, so the diff falls back to
+    *     an exact snapshot set-difference on the canonical columns
+    *     (null-safe `exceptAll`, both sides seq-bounded) — two
+    *     snapshot scans, correct under ANY history including a restore
+    *     that re-used seqs with different content.
+    * Both versions must still be retained (same contract as openAt). */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    def mAt(v: Long) = readManifestVersion(path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"journal store at $path retains no manifest version $v " +
+          s"(retained: ${versions().mkString(", ")})"))
+    val m1 = mAt(fromVersion)
+    val m2 = mAt(toVersion)
+    val hi1 = m1.maxSeq
+    val canonicalCols = Seq("seq", "ns", "ukey", "ts", "payload", "val")
+    def surface(df: DataFrame) =
+      df.select(canonicalCols.map(col): _*)
+    // inserts: alive at v2 beyond v1's high-water; file-stat pruning
+    // bounds the scan to the window's own files
+    val fmap2 = m2.fstats.map(s => s.file -> s).toMap
+    val insFiles = m2.files.filter(f => fmap2.get(f).forall(_.maxSeq > hi1))
+    val inserts = surface(
+        readSegmentsOver(insFiles, m2.schemaDdl, m2.dvParts))
+      .where(col("seq") > hi1)
+      .withColumn("_change_type", lit("insert"))
+    val cheapWindow = m1.files.forall(m2.files.contains)
+    val changed =
+      if (cheapWindow) {
+        val newParts = m2.dvParts.filterNot(m1.dvParts.contains)
+        if (newParts.isEmpty) inserts
+        else {
+          // files named by the window's vectors; the name list is
+          // manifest-sized driver state, same order as m1.files itself
+          val dv0 = readDvTable(newParts)
+          val touched = dv0.select("file").distinct()
+            .collect().map(_.getString(0)).toSet
+          val delFiles = m1.files.filter(touched.contains)
+          val dvBytes = newParts.map { p =>
+            try Files.size(Paths.get(dvDir, p)) catch { case _: Exception => 0L }
+          }.sum
+          val dv = if (dvBytes < (64L << 20)) broadcast(dv0) else dv0
+          val seg = readSegmentsOver(delFiles, m1.schemaDdl,
+            dvParts = Nil, keepPos = true)
+          val deletes = surface(seg.join(dv,
+              seg("__file") === dv("file") && seg("__pos") === dv("pos"),
+              "left_semi"))
+            .where(col("seq") <= hi1) // in-window insert+delete nets out
+            .withColumn("_change_type", lit("delete"))
+          inserts.unionByName(deletes)
+        }
+      } else {
+        // exact fallback: null-safe multiset difference per direction.
+        // seq <= hi1 bounds both sides — rows above hi1 are the insert
+        // tier's job; re-inserts (e.g. a restore un-deleting rows, or
+        // re-appended seqs with different content) surface as inserts.
+        val v1 = surface(readSegmentsOver(m1.files, m1.schemaDdl, m1.dvParts))
+          .where(col("seq") <= hi1)
+        val v2 = surface(readSegmentsOver(m2.files, m2.schemaDdl, m2.dvParts))
+          .where(col("seq") <= hi1)
+        inserts
+          .unionByName(v2.exceptAll(v1).withColumn("_change_type", lit("insert")))
+          .unionByName(v1.exceptAll(v2).withColumn("_change_type", lit("delete")))
+      }
+    changed.select((col("_change_type") +: canonicalCols.map(col)): _*)
+  }
+
   /** Metadata-only column DROP — the inverse of append's add-column
     * evolution and the Delta column-mapping idea in its simplest form:
     * the column leaves the manifest's pinned DDL, so every reader
@@ -297,6 +386,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val st = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     require(st.fieldNames.contains(name),
       s"no column '$name' in store schema ${st.fieldNames.mkString(", ")}")
+    // a CHECK constraint referencing the column would go un-evaluable
+    // (every later append fails analysis) — Delta refuses this too
+    val blocking = m.meta.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) &&
+        spark.sessionState.sqlParser.parseExpression(v).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        }.contains(name.toLowerCase) => k.stripPrefix(ConstraintPrefix)
+    }
+    require(blocking.isEmpty,
+      s"cannot drop column '$name': referenced by CHECK constraint(s) " +
+        s"${blocking.mkString(", ")}; dropConstraint first")
     writeManifest(path, m.copy(op = "drop-column",
       schemaDdl = org.apache.spark.sql.types.StructType(
         st.filterNot(_.name == name)).toDDL,
@@ -313,8 +414,94 @@ class JournalStore private (val spark: SparkSession, val path: String,
     requireWritable()
     retryOnLostRace {
       val m = manifest
+      commitSeam()
       writeManifest(path, m.copy(op = "set-meta", meta = m.meta ++ kvs))
     }
+  }
+
+  /** Remove table properties — TBLPROPERTIES UNSET. Unknown keys are a
+    * no-op (matching SQL's IF EXISTS default here: unset is cleanup,
+    * not a read). */
+  def unsetMeta(keys: Seq[String]): Unit = {
+    requireWritable()
+    retryOnLostRace {
+      val m = manifest
+      writeManifest(path, m.copy(op = "unset-meta", meta = m.meta -- keys))
+    }
+  }
+
+  /** The table-property prefix under which CHECK constraints live —
+    * Delta's `delta.constraints.<name>` idea verbatim: the constraint
+    * is ordinary manifest metadata, so it rides clones, survives
+    * reopen, and reverts with RESTORE like any other table property. */
+  private[journal] val ConstraintPrefix = "constraint."
+
+  /** Active CHECK constraints, name → SQL predicate. */
+  def constraints: Map[String, String] = manifest.meta.collect {
+    case (k, v) if k.startsWith(ConstraintPrefix) =>
+      k.stripPrefix(ConstraintPrefix) -> v
+  }
+
+  /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): a SQL
+    * predicate every FUTURE append/merge batch must satisfy, enforced
+    * atomically — one violating row rejects the whole batch BEFORE any
+    * file is written, so nothing ever becomes visible and nothing needs
+    * cleanup. SQL CHECK semantics: a row violates only when the
+    * predicate is FALSE; NULL/UNKNOWN passes (the standard's rule, and
+    * Delta's). Existing data is validated first, like Delta: adding a
+    * constraint the current state already violates is refused with a
+    * witness row — a constraint must be an invariant, not an
+    * aspiration. Cost at scale: the add pays one column-pruned scan of
+    * current state; each append then pays one extra pass over ITS OWN
+    * batch (batch-sized, never store-sized). */
+  def addConstraint(name: String, sql: String): Unit = {
+    requireWritable()
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' must match [A-Za-z0-9_]+")
+    val m = manifest
+    require(!m.meta.contains(ConstraintPrefix + name),
+      s"constraint '$name' already exists: ${m.meta(ConstraintPrefix + name)}")
+    // syntax check even on an empty store; resolution is checked by the
+    // existing-data scan below (and by every append after)
+    spark.sessionState.sqlParser.parseExpression(sql)
+    if (m.files.nonEmpty) {
+      val bad = scanUnordered()
+        .where(coalesce(not(expr(sql)), lit(false))).limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot add CHECK constraint '$name' ($sql): existing rows " +
+          s"violate it, e.g. ${bad.head}")
+    }
+    setMeta(Map(ConstraintPrefix + name -> sql))
+    // Validate-then-commit has a window: a concurrent append that
+    // started before this constraint became visible may land violating
+    // rows between our scan and the setMeta CAS (it validated against
+    // the OLD constraint set — legitimately). Semantic re-validation
+    // after the commit closes it: the constraint is visible now, so no
+    // FURTHER violating append can commit, and if the window admitted
+    // one we roll the constraint back and fail loudly — a constraint
+    // must hold from the moment it exists, never "except for that one
+    // racing batch" (the conflict-matrix rule: re-derive against the
+    // fresh manifest, abort precisely when semantics can't be rebased).
+    if (manifest.maxSeq != m.maxSeq) {
+      val bad = scanUnordered()
+        .where(coalesce(not(expr(sql)), lit(false))).limit(1).collect()
+      if (bad.nonEmpty) {
+        unsetMeta(Seq(ConstraintPrefix + name))
+        throw new IllegalArgumentException(
+          s"cannot add CHECK constraint '$name' ($sql): a concurrent " +
+            s"append committed rows violating it during the add, e.g. " +
+            s"${bad.head}; the constraint was rolled back")
+      }
+    }
+  }
+
+  /** Drop a CHECK constraint by name. */
+  def dropConstraint(name: String): Unit = {
+    requireWritable()
+    require(manifest.meta.contains(ConstraintPrefix + name),
+      s"no CHECK constraint '$name' " +
+        s"(active: ${constraints.keys.toSeq.sorted.mkString(", ")})")
+    unsetMeta(Seq(ConstraintPrefix + name))
   }
 
   /** Shallow CLONE (Delta's CLONE TABLE): an independent store at
@@ -597,6 +784,29 @@ class JournalStore private (val spark: SparkSession, val path: String,
         "re-adding the name now would resurface pre-drop values on read. " +
         "compact() the store first (a full rewrite forgets the bytes and " +
         "re-opens the name), or use a different column name")
+    // CHECK constraints (see addConstraint): ONE pass over the batch
+    // evaluates every active constraint (an array of when()s, all
+    // codegen'd) and the first violating row rejects the whole batch —
+    // BEFORE the stage write, so the failed append leaves zero bytes
+    // behind. merge() enforces for free (it commits through here).
+    val activeCons = m0.meta.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        (k.stripPrefix(ConstraintPrefix), v)
+    }.toSeq.sortBy(_._1)
+    if (activeCons.nonEmpty) {
+      val violated = array(activeCons.map { case (n, sql) =>
+        when(coalesce(not(expr(sql)), lit(false)), lit(n)) }: _*)
+      df.select(filter(violated, _.isNotNull).as("_viol"),
+          to_json(struct(df.columns.map(col): _*)).as("_row"))
+        .where(size(col("_viol")) > 0).limit(1).collect()
+        .headOption.foreach { r =>
+          throw new IllegalArgumentException(
+            s"journal append: CHECK constraint " +
+              s"${r.getSeq[String](0).mkString(", ")} violated by row " +
+              s"${r.getString(1)}; the batch was rejected atomically " +
+              "(nothing became visible)")
+        }
+    }
     val m = m0
     // The batch feeds up to three passes (segment write, stats agg, and —
     // on epoch rollover — the checkpoint union). Persist only when we
@@ -1755,6 +1965,41 @@ class JournalStore private (val spark: SparkSession, val path: String,
     deleted
   }
 
+  /** Physically remove deletion-vector-dead rows where they
+    * CONCENTRATE — Delta's `REORG TABLE … APPLY (PURGE)` policy knob.
+    * Rewrites only the files whose dead fraction ≥ `minDeadFraction`
+    * (dead = this file's vector entries; live = its manifest row count,
+    * which deleteWhereDv keeps DV-decremented, so the fraction is exact
+    * and costs ONE aggregate over the dv table — no data scan). The
+    * rewrite goes through compactFiles, which materializes the
+    * subtraction and drops the purged files' vector entries, so a
+    * GDPR-style erase SLA is: deleteWhereDv (logical, O(matches)) now,
+    * purgeDeletes on the maintenance cadence (physical, O(dirty
+    * files)), vacuum to unlink bytes. Files below the threshold keep
+    * serving through the (cheap, broadcast) DV subtraction — rewriting
+    * a 1-in-a-million-dead file would be pure write amplification.
+    * Returns the number of files rewritten. */
+  def purgeDeletes(minDeadFraction: Double = 0.1): Int = {
+    requireWritable()
+    require(minDeadFraction > 0 && minDeadFraction <= 1,
+      s"minDeadFraction must be in (0, 1], got $minDeadFraction")
+    val m = manifest
+    if (m.dvParts.isEmpty) return 0
+    val deadPerFile = readDvTable(m.dvParts).groupBy("file")
+      .agg(count(lit(1)).as("dead")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    val victims = m.files.filter { f =>
+      deadPerFile.get(f).exists { dead =>
+        val live = fmap.get(f).map(_.rows).getOrElse(Long.MaxValue)
+        live != Long.MaxValue &&
+          dead.toDouble / math.max(dead + live, 1L) >= minDeadFraction
+      }
+    }
+    if (victims.nonEmpty) compactFiles(victims, SegmentLayout.ByKey)
+    victims.size
+  }
+
   /** ns/ukey equality conjuncts of a delete predicate — the shapes the
     * manifest can prune candidate files with. Anything else simply
     * yields no pruning (every file is a candidate; the probe scan still
@@ -2230,6 +2475,24 @@ object JournalStore {
     * [[MaxDvParts]]'s consolidation. A damaged part throws — the
     * subtraction is load-bearing for read correctness and must never
     * silently read as empty. */
+  /** Distinct segment-file names referenced by the given dv parts —
+    * driver-side planning input for the change-feed delete tier (the
+    * parts are O(deleted rows since last purge), tiny by contract). */
+  private[graft] def dvFileNames(dvPaths: Seq[String]): Set[String] = {
+    val out = scala.collection.mutable.HashSet.empty[String]
+    dvPaths.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p))
+        .build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).foreach { g =>
+        out += g.getString("file", 0)
+      }
+      finally reader.close()
+    }
+    out.toSet
+  }
+
   private[graft] def dvPositionsFor(relFile: String,
                                     dvPaths: Seq[String]): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]

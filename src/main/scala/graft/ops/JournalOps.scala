@@ -786,6 +786,66 @@ object JournalOps {
       store.scanUnordered()
         .select("seq", "ns", "ukey", "val", "src_id").orderBy("seq")
     }),
+    "journal_changes" -> ((s, d) => {
+      // NET change feed (CDC) as a declared, oracle-checked row: build
+      // at v1, then append a window of new rows AND deletion-vector-
+      // delete every `ukey % 10 = 7` key; changes(v1, v2) must emit
+      // exactly (a) inserts = the window's rows MINUS the in-window
+      // rows of deleted keys (append+delete nets out) and (b) deletes =
+      // the PRE-window rows of deleted keys. This is the cheap tier of
+      // JournalStore.changes — seq-pruned insert scan + new-dv-part
+      // deletes, nothing store-sized — and the oracle recomputes both
+      // tiers from the raw events, so the feed must be exact.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jchanges_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 600)
+        .write.format("journal").option("epochSize", "500").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      val v1 = store.manifest.version
+      store.append(journal(s, d).where(col("seq") >= 600 && col("seq") < 1000))
+      store.deleteWhereDv(col("ukey") % 10 === 7)
+      val v2 = store.manifest.version
+      store.changes(v1, v2)
+        .select("_change_type", "seq", "ns", "ukey", "payload", "val")
+        .orderBy("_change_type", "seq")
+    }),
+    "journal_constraints" -> ((s, d) => {
+      // Write-time CHECK constraints as a declared, oracle-checked row
+      // (Delta's ADD CONSTRAINT): a corrupt producer batch (sign-flipped
+      // vals) hits `val >= 0` and is rejected ATOMICALLY — the store
+      // keeps its pre-batch maxSeq and zero bytes of the batch —
+      // then the producer's fixed retry (original values, same seqs)
+      // lands. The final state must therefore equal plain
+      // latest-per-key over seq < 1000: any partial leak of the
+      // rejected batch, or a silently-accepted corruption, breaks the
+      // oracle hash. Enforcement costs ONE pass over the batch (never
+      // the store) — the scale contract for a 100 TB ingest gate.
+      // Bounds sit inside the smallest fixture (1000 events at
+      // sf0.001) so the corrupt batch is non-empty at every SF.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jcons_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 600)
+        .write.format("journal").option("epochSize", "500").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      store.addConstraint("val_nonneg", "val >= 0")
+      val slice = journal(s, d).where(col("seq") >= 600 && col("seq") < 1000)
+      val corrupt = slice.withColumn("val",
+        when(col("ukey") % 7 === 0 && col("val") > 0, -col("val"))
+          .otherwise(col("val")))
+      val rejected =
+        try { store.append(corrupt); false }
+        catch { case _: IllegalArgumentException => true }
+      // an empty/clean slice (empty-input fixtures) legitimately passes;
+      // otherwise a non-rejection means broken enforcement — fail loudly
+      // rather than let the oracle diff carry the blame
+      val hadBad = !corrupt.where(col("val") < 0).isEmpty
+      require(rejected == hadBad,
+        s"CHECK enforcement mismatch: rejected=$rejected hadBad=$hadBad")
+      if (rejected) store.append(slice) // the fixed retry
+      store.latest().orderBy("ns", "ukey")
+    }),
     "journal_dv_erase" -> ((s, d) => {
       // Deletion-vector delete as a declared, oracle-checked row: ingest
       // a bounded journal, deleteWhereDv ONE user key (no segment
@@ -892,6 +952,19 @@ object JournalOps {
   val oracle: Map[String, String] = Map(
     "journal_scan" -> s"SELECT * FROM ($journalSql) ORDER BY seq",
     "journal_state_at_seq" -> stateSql("WHERE event_id <= 5000"),
+    // constraint lifecycle: rejected corrupt batch leaves no trace, the
+    // fixed retry lands → state is indistinguishable from a clean ingest
+    "journal_constraints" -> stateSql("WHERE event_id < 1000"),
+    "journal_changes" ->
+      ("SELECT * FROM (" +
+        "SELECT 'insert' AS _change_type, event_id AS seq, " +
+        "event_type AS ns, user_id AS ukey, props AS payload, " +
+        "value AS val FROM events " +
+        "WHERE event_id >= 600 AND event_id < 1000 AND user_id % 10 <> 7 " +
+        "UNION ALL " +
+        "SELECT 'delete', event_id, event_type, user_id, props, value " +
+        "FROM events WHERE event_id < 600 AND user_id % 10 = 7) " +
+        "ORDER BY _change_type, seq"),
     "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
     "journal_sink_state" -> stateSql("WHERE event_id <= 5000"),
     "events_markov" ->

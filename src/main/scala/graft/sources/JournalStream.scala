@@ -175,10 +175,18 @@ private[sources] class JournalMicroBatchStream(
 /** One segment file plus the batch's (lo, hi] seq bounds. `relFile` is
   * the file's manifest-relative name and `dvPaths` the batch snapshot's
   * deletion-vector parts (absolute) — empty when the store carries no
-  * vectors. */
+  * vectors.
+  *
+  * Change-feed mode (`changeType` non-empty): every output row gains a
+  * leading `_change_type` literal. `deleteTier = true` INVERTS the
+  * vector's role — the partition emits ONLY the rows whose positions
+  * appear in `dvPaths` (the window's NEW vectors) and whose seq is at
+  * or below `lo` (rows already delivered; an append+delete inside the
+  * window nets out on the insert tier instead). */
 private[sources] case class JournalStreamPartition(
     files: FilePartition, lo: Long, hi: Long,
-    relFile: String = "", dvPaths: Seq[String] = Nil) extends InputPartition {
+    relFile: String = "", dvPaths: Seq[String] = Nil,
+    changeType: String = "", deleteTier: Boolean = false) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -195,8 +203,16 @@ private[sources] class JournalStreamReaderFactory(
     val jp = partition.asInstanceOf[JournalStreamPartition]
     val inner = parquet.createReader(jp.files)
     val seqIdx = srcSchema.fieldIndex("seq")
-    val proj = UnsafeProjection.create(tableSchema.map(f =>
-      BoundReference(srcSchema.fieldIndex(f.name), f.dataType, nullable = true)))
+    val tableRefs = tableSchema.map(f =>
+      BoundReference(srcSchema.fieldIndex(f.name), f.dataType, nullable = true))
+    // change-feed rows lead with the `_change_type` literal (the same
+    // shape as JournalStore.changes); plain streams project the table
+    // surface unchanged
+    val proj = UnsafeProjection.create(
+      if (jp.changeType.isEmpty) tableRefs
+      else org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(jp.changeType),
+        org.apache.spark.sql.types.StringType) +: tableRefs)
     // Deletion-vector subtraction by ROW ORDINAL: the partition covers
     // its whole file (offset 0, full length) and the inner factory was
     // built with ZERO pushed filters, so the stock parquet reader yields
@@ -204,6 +220,9 @@ private[sources] class JournalStreamReaderFactory(
     // `_metadata.row_index`, the identity the vectors are keyed by.
     // Positions load once per partition from the tiny dv/ parts
     // (executor-side parquet-java read, filtered to this file).
+    // The delete tier reads the SAME positions with the opposite
+    // polarity: emit exactly the vectored rows (already-delivered seqs
+    // only) as retractions.
     val deleted: Array[Long] =
       if (jp.dvPaths.isEmpty) Array.emptyLongArray
       else graft.journal.JournalStore.dvPositionsFor(jp.relFile, jp.dvPaths)
@@ -215,11 +234,11 @@ private[sources] class JournalStreamReaderFactory(
           pos += 1
           val r = inner.get()
           val s = r.getLong(seqIdx)
-          if (s > jp.lo && s <= jp.hi &&
-              (deleted.length == 0 ||
-                java.util.Arrays.binarySearch(deleted, pos) < 0)) {
-            current = proj(r); return true
-          }
+          val hit = java.util.Arrays.binarySearch(deleted, pos) >= 0
+          val wanted =
+            if (jp.deleteTier) hit && s <= jp.lo
+            else s > jp.lo && s <= jp.hi && !hit
+          if (wanted) { current = proj(r); return true }
         }
         false
       }
@@ -227,4 +246,208 @@ private[sources] class JournalStreamReaderFactory(
       override def close(): Unit = inner.close()
     }
   }
+}
+
+/** Composite change-feed offset: the delivered seq high-water mark plus
+  * the manifest version whose deletion vectors have been reflected.
+  * Two axes because the feed has two tiers — rows arrive by seq,
+  * retractions arrive by manifest commit. */
+private[sources] case class JournalChangeOffset(seq: Long, ver: Long)
+    extends Offset {
+  override def json: String = s"""{"seq":$seq,"ver":$ver}"""
+}
+
+private[sources] object JournalChangeOffset {
+  private val Re = """\{"seq":(-?\d+),"ver":(-?\d+)\}""".r
+  def parse(json: String): JournalChangeOffset = json.trim match {
+    case Re(s, v) => JournalChangeOffset(s.toLong, v.toLong)
+    case other => throw new IllegalArgumentException(
+      s"not a journal change-feed offset: $other")
+  }
+  def of(o: Offset): JournalChangeOffset = o match {
+    case c: JournalChangeOffset => c
+    case other => parse(other.json)
+  }
+}
+
+/** Streaming CHANGE FEED over a journal store
+  * (`spark.readStream.format("journal").option("changeFeed", "true")`) —
+  * the streaming twin of [[graft.journal.JournalStore.changes]], with
+  * the same NET semantics PER MICRO-BATCH: each batch emits
+  *   - `_change_type = insert`: rows with seq in (lo, hi], minus rows
+  *     already vector-dead at the batch's end version (a row appended
+  *     AND deleted between two triggers nets to nothing), and
+  *   - `_change_type = delete`: retractions for previously-DELIVERED
+  *     rows (seq <= lo) named by deletion-vector parts that appeared in
+  *     the offset's version window.
+  * Applying every batch in order to a downstream copy reproduces the
+  * store's live state — the CDC-consumer contract.
+  *
+  * Both offset axes are REPLAY-STABLE: segments and dv parts are
+  * immutable and the manifests at both versions pin exactly which
+  * files/parts each tier reads, so a checkpointed batch re-plans to the
+  * byte (versions must still be retained — the Delta CDF retention
+  * caveat, surfaced as a precise error, never a silent skip).
+  *
+  * Scale shape: the insert tier is the ordinary seq-pruned segment
+  * tail; the delete tier reads ONLY the window's new dv parts (O(rows
+  * deleted in the window)) joined executor-side to just the files they
+  * name. Nothing store-sized is ever scanned. A window crossed by a
+  * REWRITE of v1's files or a vector-part consolidation (deleteWhere
+  * rewrite, restore, compaction, purgeDeletes, part folding) cannot be
+  * derived from file identity and fails with a precise error telling
+  * the consumer to restart from a snapshot — run physical maintenance
+  * on a coarser cadence than the feed's triggers, or resync after. */
+private[sources] class JournalChangeFeedStream(
+    spark: SparkSession, storePath: String, tableSchema: StructType,
+    maxSeqsPerTrigger: Option[Long],
+    startingSeq: Option[String] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  maxSeqsPerTrigger.foreach(n => require(n > 0,
+    s"maxSeqsPerTrigger must be positive, got $n"))
+
+  private def storeOpt: Option[JournalStore] =
+    if (JournalStore.exists(storePath)) Some(JournalStore.open(spark, storePath))
+    else None
+
+  private def manifestAt(store: JournalStore, ver: Long) =
+    if (ver < 0L) JournalStore.Manifest(store.epochSize, -1L, Nil)
+    else store.openAt(ver).manifest
+
+  override def initialOffset(): Offset = {
+    val st = storeOpt
+    val ver = st.map(_.manifest.version).getOrElse(-1L)
+    JournalChangeOffset(startingSeq match {
+      case None => -1L
+      case Some("latest") => st.map(_.manifest.maxSeq).getOrElse(-1L)
+      case Some(s) => s.toLong - 1
+    }, ver)
+  }
+  override def deserializeOffset(json: String): Offset =
+    JournalChangeOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSeqsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "journal change feed is admission-controlled; latestOffset(start, limit) applies")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val o = JournalChangeOffset.of(start)
+    storeOpt match {
+      case None => null
+      case Some(st) =>
+        val m = st.manifest
+        if (m.maxSeq < 0L && o.ver < 0L) null
+        else {
+          val seqHi = maxSeqsPerTrigger
+            .fold(m.maxSeq)(cap => m.maxSeq.min(o.seq + cap)).max(o.seq)
+          // the version advances only when the seq axis is caught up:
+          // admission-controlled catch-up batches keep re-reading the
+          // same version window for their delete diff otherwise
+          val verHi = if (seqHi == m.maxSeq) m.version.max(o.ver) else o.ver
+          JournalChangeOffset(seqHi, if (verHi < 0L) m.version else verHi)
+        }
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val o1 = JournalChangeOffset.of(start)
+    val o2 = JournalChangeOffset.of(end)
+    val store = storeOpt.getOrElse(throw new IllegalStateException(
+      s"journal store at $storePath vanished mid-stream"))
+    val m1 = manifestAt(store, o1.ver)
+    val m2 = manifestAt(store, o2.ver)
+    val lo = o1.seq
+    val hi = o2.seq
+    val segDir = s"$storePath/segments"
+    val epochRe = """epoch=(\d+)""".r
+    val nsRe = """ns=([^/]+)""".r
+    def partFor(f: String, i: Int, dvAbs: Seq[String], ct: String,
+                del: Boolean): JournalStreamPartition = {
+      val epoch = epochRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(0L)
+      val ns = nsRe.findFirstMatchIn(f).map(_.group(1))
+        .map(ExternalCatalogUtils.unescapePathName).orNull
+      val abs = s"$segDir/$f"
+      val pv = new GenericInternalRow(Array[Any](UTF8String.fromString(ns), epoch))
+      JournalStreamPartition(
+        FilePartition(i, Array(PartitionedFile(pv,
+          SparkPath.fromPathString(abs), 0L,
+          java.nio.file.Files.size(java.nio.file.Paths.get(abs))))),
+        lo, hi, f, dvAbs, changeType = ct, deleteTier = del)
+    }
+    // ---- insert tier: the (lo, hi] tail, dead rows at the END version
+    // subtracted (same pruning as the plain stream)
+    val fmap2 = m2.fstats.map(s => s.file -> s).toMap
+    val loEpoch = (lo + 1) / store.epochSize
+    val hiEpoch = if (hi < 0L) -1L else hi / store.epochSize
+    val dvAbs2 = m2.dvParts.map(p => s"$storePath/dv/$p")
+    val inserts = if (hi <= lo) Seq.empty[JournalStreamPartition]
+      else m2.files.filter { f =>
+        epochRe.findFirstMatchIn(f).map(_.group(1).toLong)
+          .forall(e => e >= loEpoch && e <= hiEpoch) &&
+          fmap2.get(f).forall(s => s.maxSeq > lo && s.minSeq <= hi)
+      }.map(f => partFor(f, 0, dvAbs2, "insert", del = false))
+    // ---- delete tier: retractions of already-delivered rows. The
+    // window's manifests are WALKED step by step (all retained; vacuum
+    // keeps every segment file and dv part a retained version
+    // references, so everything named below stays readable even after
+    // a later step folded, purged or compacted it away). The union
+    // over STEPS — not the endpoint diff — catches a vector that
+    // appeared and was consolidated or purged inside one window.
+    val stepManifests =
+      try ((o1.ver.max(0L) + (if (o1.ver < 0L) 0L else 1L)) to o2.ver)
+        .map(v => manifestAt(store, v))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalStateException(
+          s"journal change feed at $storePath: version window " +
+            s"(${o1.ver}, ${o2.ver}] is no longer fully retained — the " +
+            "feed was idle past the store's retention window. Restart " +
+            s"from a fresh snapshot. (${e.getMessage})", e)
+      }
+    // a deleteWhere REWRITE or a RESTORE loses rows without leaving a
+    // vector — undeliverable as change events from file identity
+    val rowLosing = stepManifests.map(_.op)
+      .filter(op => op == "delete" || op == "restore").distinct
+    if (rowLosing.nonEmpty) throw new IllegalStateException(
+      s"journal change feed at $storePath: versions (${o1.ver}, " +
+        s"${o2.ver}] contain ${rowLosing.mkString("/")} commits, whose " +
+        "physical maintenance removes rows without deletion vectors — " +
+        "the window's deletions cannot be derived. Restart the feed " +
+        "from a fresh snapshot (vector deletes, compaction and purge " +
+        "are all fine; deleteWhere-rewrite and restore are not).")
+    val newParts = stepManifests.flatMap(_.dvParts).distinct
+      .filterNot(m1.dvParts.contains)
+    val deletes = if (newParts.isEmpty) Seq.empty[JournalStreamPartition]
+      else {
+        val newAbs = newParts.map(p => s"$storePath/dv/$p")
+        JournalStore.dvFileNames(newAbs).toSeq.sorted
+          .filter(m1.files.contains) // files born inside the window hold
+                                     // only seqs > lo: nothing delivered
+          .map(f => partFor(f, 0, newAbs, "delete", del = true))
+      }
+    (inserts ++ deletes).zipWithIndex.map { case (p, i) =>
+      p.copy(files = FilePartition(i, p.files.files))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataSurface = StructType(tableSchema.filterNot(_.name == "_change_type"))
+    val readDataSchema = StructType(
+      dataSurface.filterNot(f => f.name == "ns" || f.name == "epoch"))
+    val partitionSchema = StructType.fromDDL("ns STRING, epoch BIGINT")
+    val ps = ParquetScan(spark, spark.sessionState.newHadoopConf(),
+      JournalV2.fileIndex(spark, s"$storePath/segments", Nil, dataSurface),
+      readDataSchema, readDataSchema, partitionSchema,
+      Array.empty[org.apache.spark.sql.sources.Filter],
+      CaseInsensitiveStringMap.empty())
+    new JournalStreamReaderFactory(
+      ps.createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory],
+      StructType(readDataSchema ++ partitionSchema), dataSurface)
+  }
+
+  override def toString: String = s"JournalChangeFeedStream[$storePath]"
 }

@@ -99,7 +99,8 @@ private[sources] object JournalV2 {
       Some(new JournalTable(spark, path.get, store, pinned.isDefined,
         Option(options.get("epochSize")).map(_.toLong),
         Option(options.get("maxSeqsPerTrigger")).map(_.toLong),
-        Option(options.get("startingSeq"))))
+        Option(options.get("startingSeq")),
+        Option(options.get("changeFeed")).exists(_.toBoolean)))
     }
   }
 }
@@ -109,7 +110,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                     pinned: Boolean,
                                     writeEpochSize: Option[Long] = None,
                                     maxSeqsPerTrigger: Option[Long] = None,
-                                    startingSeq: Option[String] = None)
+                                    startingSeq: Option[String] = None,
+                                    changeFeed: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val segDir = s"$storePath/segments"
@@ -142,7 +144,11 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
   }
 
   override def name(): String = s"journal:$storePath"
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType =
+    if (changeFeed)
+      StructType(org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema)
+    else tableSchema
 
   /** Whether this table's snapshot carries live deletion vectors — the
     * trigger for [[JournalDvReadRule]]'s logical rewrite (DV subtraction
@@ -262,7 +268,15 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (m.files.isEmpty)
+    if (changeFeed)
+      // the CHANGE FEED is a streaming-only surface (batch CDC is
+      // JournalStore.changes): its Scan answers toMicroBatchStream and
+      // inherits Scan's refusal for toBatch
+      new ScanBuilder {
+        override def build(): Scan = new ChangeFeedScan(spark, schema(),
+          storePath, maxSeqsPerTrigger, startingSeq)
+      }
+    else if (m.files.isEmpty)
       // zero committed files: the parquet machinery has nothing to
       // infer a partition schema from (readSchema would silently drop
       // ns/epoch), so serve a dedicated zero-partition scan that still
@@ -296,6 +310,9 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
     require(!pinned,
       "this is a read-only view pinned at a manifest version; " +
         "write through the unpinned table")
+    require(!changeFeed,
+      "a change-feed table is a read surface; write through the plain " +
+        "journal table (drop the changeFeed option)")
     val epochSz = Option(info.options.get("epochSize")).map(_.toLong)
       .orElse(writeEpochSize)
     val autoCompact = Option(info.options.get("autoCompactFiles")).map(_.toInt)
@@ -859,6 +876,20 @@ private[sources] class EmptyJournalScan(
     new JournalMicroBatchStream(spark, storePath, tableSchema,
       maxSeqsPerTrigger, startingSeq)
   override def description(): String = s"EmptyJournalScan[$storePath]"
+}
+
+/** Streaming-only Scan for the change-feed surface: `toBatch` inherits
+  * Scan's refusal (batch CDC is `JournalStore.changes`), and the
+  * micro-batch stream is [[JournalChangeFeedStream]]. */
+private[sources] class ChangeFeedScan(
+    spark: SparkSession, cdcSchema: StructType, storePath: String,
+    maxSeqsPerTrigger: Option[Long],
+    startingSeq: Option[String] = None) extends Scan {
+  override def readSchema(): StructType = cdcSchema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JournalChangeFeedStream(spark, storePath, cdcSchema,
+      maxSeqsPerTrigger, startingSeq)
+  override def description(): String = s"ChangeFeedScan[$storePath]"
 }
 
 /** Never invoked (the empty scan plans zero partitions) but the factory

@@ -1446,4 +1446,168 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.latest().where(col("ukey") === 1L).count() === 0L)
     assert(store.latest().where(col("ukey") === 20L).count() === 1L)
   }
+
+  test("CHECK constraints: atomic batch rejection, SQL NULL semantics, " +
+      "existing-data validation, drop, and clone carry-over") {
+    val store = JournalStore.create(spark, freshPath)
+    store.append(sampleDf)
+    // adding a constraint the current state violates is refused
+    val exAdd = intercept[IllegalArgumentException](
+      store.addConstraint("val_big", "val > 100"))
+    assert(exAdd.getMessage.contains("existing rows violate"))
+    assert(store.constraints.isEmpty)
+    store.addConstraint("val_pos", "val >= 0")
+    store.addConstraint("payload_json", "payload LIKE '{%'")
+    assert(store.constraints.keySet === Set("val_pos", "payload_json"))
+    // one violating row rejects the WHOLE batch; nothing becomes visible
+    val maxBefore = store.manifest.maxSeq
+    val mixed = Seq(
+      ("users", 3L, ts("2024-01-02 00:00:01"), """{"v":4}""", 4.0),
+      ("users", 4L, ts("2024-01-02 00:00:02"), """{"v":5}""", -1.0),
+    ).toDF("ns", "ukey", "ts", "payload", "val")
+    val exApp = intercept[IllegalArgumentException](store.append(mixed))
+    assert(exApp.getMessage.contains("val_pos"))
+    assert(store.manifest.maxSeq === maxBefore)
+    assert(store.scan().where(col("ukey") === 3L).count() === 0L)
+    // NULL passes (SQL CHECK: only FALSE violates)
+    val nullVal = Seq(("users", 5L, ts("2024-01-02 00:00:03"),
+      """{"v":6}""", null.asInstanceOf[java.lang.Double]))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(nullVal.withColumn("val", col("val").cast("double")))
+    assert(store.scan().where(col("ukey") === 5L).count() === 1L)
+    // merge enforces too (it commits through append)
+    val exMerge = intercept[IllegalArgumentException](store.merge(
+      Seq(("users", 6L, ts("2024-01-02 00:00:04"), """{"v":7}""", -5.0))
+        .toDF("ns", "ukey", "ts", "payload", "val")))
+    assert(exMerge.getMessage.contains("val_pos"))
+    // a clone carries the constraints (they ride the manifest)
+    val clone = store.cloneTo(freshPath)
+    assert(clone.constraints === store.constraints)
+    // dropping the constraint re-opens the gate on the SOURCE only
+    store.dropConstraint("val_pos")
+    store.append(mixed)
+    assert(store.scan().where(col("ukey") === 4L).count() === 1L)
+    intercept[IllegalArgumentException](clone.append(mixed))
+    // a column referenced by a constraint refuses to drop
+    store.append(Seq(("users", 7L, ts("2024-01-02 00:00:05"),
+        """{"v":8}""", 1.0, "en"))
+      .toDF("ns", "ukey", "ts", "payload", "val", "lang"))
+    store.addConstraint("lang_known", "lang IN ('en','fr') OR lang IS NULL")
+    val exDrop = intercept[IllegalArgumentException](store.dropColumn("lang"))
+    assert(exDrop.getMessage.contains("lang_known"))
+    store.dropConstraint("lang_known")
+    store.dropColumn("lang")
+    // reopen sees the same constraint set (manifest round-trip)
+    assert(JournalStore.open(spark, store.path).constraints.keySet ===
+      Set("payload_json"))
+  }
+
+  private def applyFeed(v1: org.apache.spark.sql.DataFrame,
+                        feed: org.apache.spark.sql.DataFrame) = {
+    val cols = Seq("seq", "ns", "ukey", "ts", "payload", "val")
+    v1.select(cols.map(col): _*)
+      .exceptAll(feed.where(col("_change_type") === "delete")
+        .select(cols.map(col): _*))
+      .unionAll(feed.where(col("_change_type") === "insert")
+        .select(cols.map(col): _*))
+  }
+
+  test("changes(v1, v2): applying the net feed to the v1 snapshot " +
+      "reproduces v2 — cheap window (appends + DV deletes)") {
+    val store = twoEpochStore() // keys 0-3 then 10-13, maxSeq 7
+    val v1 = store.manifest.version
+    val snap1 = store.scan().collect()
+    store.append(Seq(
+      ("users", 20L, ts("2024-01-01 00:02:00"), "p20", 1.0),
+      ("users", 21L, ts("2024-01-01 00:02:01"), "p21", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.deleteWhereDv(col("ukey") === 1L || col("ukey") === 21L)
+    val v2 = store.manifest.version
+    val feed = store.changes(v1, v2)
+    // pre-window key 1 surfaces as a delete; in-window append+delete of
+    // key 21 NETS OUT; key 20 is a plain insert
+    val byType = feed.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("ukey")).toSet).toMap
+    assert(byType.getOrElse("insert", Set()) === Set(20L))
+    assert(byType.getOrElse("delete", Set()) === Set(1L))
+    // the apply-invariant
+    val applied = applyFeed(spark.createDataFrame(
+      spark.sparkContext.parallelize(snap1.toSeq),
+      store.scan().schema).select("seq", "ns", "ukey", "ts", "payload", "val"),
+      feed)
+    val now = store.scan().select("seq", "ns", "ukey", "ts", "payload", "val")
+    assert(applied.exceptAll(now).count() === 0L)
+    assert(now.exceptAll(applied).count() === 0L)
+  }
+
+  test("addConstraint ‖ violating append: the constraint re-validates " +
+      "after its CAS commit and rolls itself back") {
+    val path = freshPath
+    val s1 = JournalStore.create(spark, path)
+    s1.append(sampleDf) // all vals positive
+    val s2 = JournalStore.open(spark, path)
+    val bad = Seq(("users", 9L, ts("2024-01-03 00:00:01"), """{"v":9}""", -9.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    // the violating append lands between s1's validation scan and its
+    // setMeta CAS — it validated against the OLD (empty) constraint set
+    s1.onCommitSeam = () => { s2.append(bad); () }
+    val ex = intercept[IllegalArgumentException](
+      s1.addConstraint("val_pos", "val >= 0"))
+    assert(ex.getMessage.contains("rolled back"))
+    // the constraint is gone; the append (which committed first) stands
+    assert(JournalStore.open(spark, path).constraints.isEmpty)
+    assert(s2.scan().where(col("ukey") === 9L).count() === 1L)
+  }
+
+  test("purgeDeletes rewrites only files past the dead-fraction " +
+      "threshold, drops their vectors, and reads are unchanged") {
+    val store = twoEpochStore() // 2 files: epoch0 keys 0-3, epoch1 keys 10-13
+    store.deleteWhereDv(col("ukey").isin(0L, 1L, 2L)) // 3/4 dead in epoch0
+    store.deleteWhereDv(col("ukey") === 10L)          // 1/4 dead in epoch1
+    val before = store.scan()
+      .select("seq", "ns", "ukey", "ts", "payload", "val").collect().toSet
+    val filesBefore = store.manifest.files.toSet
+    val e1File = filesBefore.find(_.contains("epoch=1")).get
+    val rewritten = store.purgeDeletes(0.5)
+    assert(rewritten === 1)
+    val m = store.manifest
+    // epoch0's file was rewritten (new name), epoch1's kept verbatim
+    assert(!m.files.exists(f => filesBefore.contains(f) && f.contains("epoch=0")))
+    assert(m.files.contains(e1File))
+    // the purged file's vector entries are gone; epoch1's survive
+    assert(m.dvParts.nonEmpty)
+    assert(store.latest().where(col("ukey") === 10L).count() === 0L)
+    val after = store.scan()
+      .select("seq", "ns", "ukey", "ts", "payload", "val").collect().toSet
+    assert(after === before)
+    // below-threshold call is a no-op
+    assert(store.purgeDeletes(0.5) === 0)
+  }
+
+  test("changes(v1, v2): maintenance crossing the window falls back to " +
+      "the exact snapshot diff and the apply-invariant still holds") {
+    val store = twoEpochStore()
+    val v1 = store.manifest.version
+    val snap1 = store.scan().select("seq", "ns", "ukey", "ts", "payload", "val")
+      .collect()
+    val snap1Schema = store.scan()
+      .select("seq", "ns", "ukey", "ts", "payload", "val").schema
+    // rewrite-delete (file rewrite, not a vector) + compact: v1's files
+    // do NOT all survive into v2 → exact fallback
+    store.deleteWhere(col("ukey") === 2L)
+    store.compact(1L)
+    store.append(Seq(("users", 30L, ts("2024-01-01 00:03:00"), "p30", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val v2 = store.manifest.version
+    val feed = store.changes(v1, v2)
+    val byType = feed.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("ukey")).toSet).toMap
+    assert(byType.getOrElse("delete", Set()) === Set(2L))
+    assert(byType.getOrElse("insert", Set()) === Set(30L))
+    val applied = applyFeed(spark.createDataFrame(
+      spark.sparkContext.parallelize(snap1.toSeq), snap1Schema), feed)
+    val now = store.scan().select("seq", "ns", "ukey", "ts", "payload", "val")
+    assert(applied.exceptAll(now).count() === 0L)
+    assert(now.exceptAll(applied).count() === 0L)
+  }
 }

@@ -393,6 +393,100 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_change_feed: inserts and retractions arrive with net " +
+      "per-batch semantics; applying the feed reproduces live state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcf_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def rows(ks: Long*) = ks.map(k =>
+      ("users", k, ts(f"2024-01-01 10:00:${k}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(rows(1L, 2L, 3L))
+    val q = spark.readStream.format("journal")
+      .option("changeFeed", "true").load(path)
+      .writeStream.format("memory").queryName("jcf").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    def got = spark.table("jcf").select("_change_type", "ukey")
+      .as[(String, Long)].collect().toSeq
+    assert(got.sorted === Seq(("insert", 1L), ("insert", 2L), ("insert", 3L)))
+    // a vector landing on a DELIVERED row emits a retraction
+    store.deleteWhereDv(col("ukey") === 2L)
+    q.processAllAvailable()
+    assert(got.sorted === Seq(("delete", 2L),
+      ("insert", 1L), ("insert", 2L), ("insert", 3L)))
+    // append + delete in quick succession: if both land inside one
+    // window the events NET OUT (nothing for key 4); if a free-running
+    // trigger slips a batch between them, a matched insert+delete pair
+    // arrives — either way the fold below sees key 4 as dead
+    store.append(rows(4L, 5L))
+    store.deleteWhereDv(col("ukey") === 4L)
+    q.processAllAvailable()
+    val k4 = got.filter(_._2 == 4L).map(_._1).sorted
+    assert(k4.isEmpty || k4 === Seq("delete", "insert"))
+    assert(got.count(_ == ("insert", 5L)) === 1)
+    // CDC-consumer contract: folding the feed reproduces live state
+    val folded = spark.table("jcf")
+      .groupBy("ukey")
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("alive"))
+      .where(col("alive") > 0)
+      .select("ukey").as[Long].collect().toSeq.sorted
+    val live = store.scan().select("ukey").as[Long].collect().toSeq.sorted
+    assert(folded === live)
+    q.stop()
+    // batch reads through a changeFeed table are refused (batch CDC is
+    // JournalStore.changes)
+    val ex = intercept[Exception](
+      spark.read.format("journal").option("changeFeed", "true")
+        .load(path).collect())
+    assert(ex.getMessage.toLowerCase.contains("batch"))
+  }
+
+  test("stream_change_feed: a delete PURGED away inside one window " +
+      "still retracts (step-walked manifests); a rewrite-delete window " +
+      "fails with the precise restart error, never a silent skip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcfm_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    store.append(Seq(
+      ("users", 1L, ts("2024-01-01 10:00:00"), "pa", 1.0),
+      ("users", 2L, ts("2024-01-01 10:00:01"), "pb", 1.0),
+      ("users", 3L, ts("2024-01-01 10:00:02"), "pc", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    // memory sinks cannot recover from a checkpoint, so the restartable
+    // one-shot runs land in parquet (same shape as the DV-stream test)
+    val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("journal")
+        .option("changeFeed", "true").load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // delivers the three inserts
+    // delete then PURGE before the next trigger: the endpoint diff sees
+    // no new dv part (the purge consolidated it away), but the
+    // step-walked window still finds the vector — the retraction lands
+    store.deleteWhereDv(col("ukey") === 1L)
+    assert(store.purgeDeletes(0.01) === 1)
+    runOnce()
+    val got = spark.read.parquet(out).select("_change_type", "ukey")
+      .as[(String, Long)].collect().toSeq
+    assert(got.count(_ == ("delete", 1L)) === 1)
+    // a deleteWhere REWRITE loses rows without vectors: precise refusal
+    store.deleteWhere(col("ukey") === 2L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("cannot be derived"))))
+  }
+
   test("stream over a deletion-vector store subtracts the visible " +
       "vectors; offsets stay seq-stable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jdvstream_").toString
