@@ -332,8 +332,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
             try Files.size(Paths.get(dvDir, p)) catch { case _: Exception => 0L }
           }.sum
           val dv = if (dvBytes < (64L << 20)) broadcast(dv0) else dv0
+          // v1's OWN vectors are applied to the segment read (positions
+          // are assigned from _metadata.row_index BEFORE the dv
+          // anti-join, so the semi-join keys stay file ordinals): a
+          // MaxDvParts fold inside the window renames surviving OLD
+          // entries into a fresh part — "new" by name, but carrying
+          // pre-fromVersion deletions. Without the v1 subtraction those
+          // already-dead rows would match the semi-join and surface as
+          // spurious deletes, violating the invariant that delete =
+          // visible at v1 and not at v2.
           val seg = readSegmentsOver(delFiles, m1.schemaDdl,
-            dvParts = Nil, keepPos = true)
+            dvParts = m1.dvParts, keepPos = true)
           val deletes = surface(seg.join(dv,
               seg("__file") === dv("file") && seg("__pos") === dv("pos"),
               "left_semi"))
@@ -532,14 +541,29 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // fallback) is "already done", anything else propagates.
     def link(srcP: java.nio.file.Path, dstP: java.nio.file.Path): Unit = {
       Files.createDirectories(dstP.getParent)
+      def copyOver(): Unit =
+        Files.copy(srcP, dstP, StandardCopyOption.COPY_ATTRIBUTES,
+          StandardCopyOption.REPLACE_EXISTING)
       try Files.createLink(dstP, srcP)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException
-            if Files.isSameFile(srcP, dstP) ||
-              Files.size(srcP) == Files.size(dstP) => ()
+        // "already done" is accepted ONLY on inode identity: a
+        // size-equal file at dest could be a stale leftover from a
+        // DIFFERENT failed clone with different bytes — trusting
+        // length equality would silently adopt it into the new store.
+        // Anything else at dest is replaced (delete + re-link, copy
+        // fallback where links aren't supported) — idempotent: at
+        // worst a retry re-copies bytes it already copied.
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (!Files.isSameFile(srcP, dstP)) {
+            Files.deleteIfExists(dstP)
+            try Files.createLink(dstP, srcP)
+            catch {
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException => copyOver()
+            }
+          }
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.copy(srcP, dstP, StandardCopyOption.COPY_ATTRIBUTES,
-            StandardCopyOption.REPLACE_EXISTING)
+          copyOver()
       }
     }
     m.files.foreach(f =>
@@ -1531,17 +1555,38 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * against a 100 TB store then opens a handful of files instead of
     * scanning every key's state. */
   def merge(source: DataFrame,
-            whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): Long = {
+            whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+            whenMatchedUpdate: Boolean = true,
+            whenNotMatchedInsert: Boolean = true): Long = {
     requireWritable()
     val required = Seq("ns", "ukey", "ts", "payload", "val")
     val missing = required.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"journal merge requires source columns $required; missing: $missing")
     val src0 = source.select(required.map(col): _*)
+    // the probe runs ONCE, outside the conflict-retry loop: a
+    // non-deterministic source stays pinned to one snapshot across
+    // CAS-loss re-derivations
     val probe = src0.take(JournalStore.MergeSmallSourceRows + 1)
-    if (probe.length <= JournalStore.MergeSmallSourceRows)
-      mergeSmall(src0.schema, probe, whenMatchedDelete)
-    else mergeFull(src0, whenMatchedDelete)
+    // CONFLICT RULE (the deleteWhere precedent, not append's blind
+    // rebase): a merge that loses the manifest CAS re-derives the WHOLE
+    // state join against the fresh manifest — matched/not-matched
+    // routing and no-op suppression are decided against the state the
+    // commit actually lands on. Without this, a row suppressed as no-op
+    // against the pre-race state would stay suppressed even though the
+    // racing commit changed that key — silently dropping the merge's
+    // "set to source value" intent. A fully-suppressed delta still
+    // commits an (empty) manifest version through appendOnce, so the
+    // CAS itself detects the race — there is no unvalidated fast path.
+    // merge‖merge serializes the same way: the loser re-derives against
+    // the winner's state, so both intents land deterministically.
+    retryOnLostRace {
+      if (probe.length <= JournalStore.MergeSmallSourceRows)
+        mergeSmall(src0.schema, probe, whenMatchedDelete,
+          whenMatchedUpdate, whenNotMatchedInsert)
+      else mergeFull(src0, whenMatchedDelete,
+        whenMatchedUpdate, whenNotMatchedInsert)
+    }
   }
 
   private val mergeDupMsg = "journal merge: source has multiple rows " +
@@ -1555,7 +1600,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * key-intersecting files. */
   private def mergeSmall(schema: org.apache.spark.sql.types.StructType,
                          rows: Array[org.apache.spark.sql.Row],
-                         whenMatchedDelete: Option[org.apache.spark.sql.Column]): Long = {
+                         whenMatchedDelete: Option[org.apache.spark.sql.Column],
+                         whenMatchedUpdate: Boolean = true,
+                         whenNotMatchedInsert: Boolean = true): Long = {
     val m = manifest
     if (rows.isEmpty) return m.maxSeq
     val keys = rows.map(r => (if (r.isNullAt(0)) null else r.get(0).toString,
@@ -1582,9 +1629,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .select(col("ns"), col("ukey"), col("payload").as("cur_payload"))).alias("t")
     val srcDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema).alias("s")
-    append(mergeRouted(srcDf.join(state,
+    // appendOnce, NOT append: a lost CAS must escape to merge's own
+    // retry wrapper so the state join re-derives — append's internal
+    // rebase would re-commit this attempt's STALE routing
+    appendOnce(mergeRouted(srcDf.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
-      "left_outer"), whenMatchedDelete, guarded = false))
+      "left_outer"), whenMatchedDelete, guarded = false,
+      whenMatchedUpdate, whenNotMatchedInsert), None, "")
   }
 
   /** The full merge path (source too large to collect): one (ns, ukey)
@@ -1593,7 +1644,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * count shares the join's partitioning and detonates inside the
     * routed projection. */
   private def mergeFull(src0: DataFrame,
-                        whenMatchedDelete: Option[org.apache.spark.sql.Column]): Long = {
+                        whenMatchedDelete: Option[org.apache.spark.sql.Column],
+                        whenMatchedUpdate: Boolean = true,
+                        whenNotMatchedInsert: Boolean = true): Long = {
     val src = src0
       .withColumn("__dup", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
@@ -1602,10 +1655,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val state = latest().select(col("ns"), col("ukey"),
         col("payload").as("cur_payload")).alias("t")
     // null-safe on ukey: a NULL key row in the source must match its
-    // NULL-key state, not silently always-insert
-    append(mergeRouted(src.join(state,
+    // NULL-key state, not silently always-insert. appendOnce for the
+    // same reason as mergeSmall: CAS loss re-derives the whole join
+    // (latest() re-plans against the fresh manifest on each attempt).
+    appendOnce(mergeRouted(src.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
-      "left_outer"), whenMatchedDelete, guarded = true))
+      "left_outer"), whenMatchedDelete, guarded = true,
+      whenMatchedUpdate, whenNotMatchedInsert), None, "")
   }
 
   /** Clause routing shared by both merge paths. With `guarded`, the
@@ -1620,19 +1676,28 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * whose copies were all no-ops could slip through unseen. */
   private def mergeRouted(joined: DataFrame,
                           whenMatchedDelete: Option[org.apache.spark.sql.Column],
-                          guarded: Boolean): DataFrame = {
+                          guarded: Boolean,
+                          whenMatchedUpdate: Boolean = true,
+                          whenNotMatchedInsert: Boolean = true): DataFrame = {
     val matched = col("t.ns").isNotNull
     val delete = whenMatchedDelete.map(matched && coalesce(_, lit(false)))
       .getOrElse(lit(false))
     val noop = matched && !delete &&
       col("s.payload") <=> col("cur_payload")
     val payloadOut = when(delete, lit(null)).otherwise(col("s.payload"))
+    // SQL clause absence (the MERGE INTO surface): no WHEN MATCHED
+    // UPDATE clause → a matched, non-deleted row is left untouched (not
+    // upserted); no WHEN NOT MATCHED INSERT clause → an unmatched
+    // source row is dropped. Defaults keep the Scala API's upsert shape.
+    val keepBase = delete ||
+      (!matched && lit(whenNotMatchedInsert)) ||
+      (matched && !delete && lit(whenMatchedUpdate) && !noop)
     val (keep, payload) =
       if (guarded)
-        (!noop || col("__dup") > 1,
+        (keepBase || col("__dup") > 1,
           when(col("__dup") > 1, raise_error(lit(mergeDupMsg)))
             .otherwise(payloadOut))
-      else (!noop, payloadOut)
+      else (keepBase, payloadOut)
     joined.where(keep)
       .select(col("s.ns").as("ns"), col("s.ukey").as("ukey"),
         col("s.ts").as("ts"), payload.as("payload"),

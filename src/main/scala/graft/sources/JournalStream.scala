@@ -180,13 +180,24 @@ private[sources] class JournalMicroBatchStream(
   * Change-feed mode (`changeType` non-empty): every output row gains a
   * leading `_change_type` literal. `deleteTier = true` INVERTS the
   * vector's role — the partition emits ONLY the rows whose positions
-  * appear in `dvPaths` (the window's NEW vectors) and whose seq is at
-  * or below `lo` (rows already delivered; an append+delete inside the
-  * window nets out on the insert tier instead). */
+  * appear in `dvPaths` (the window's NEW vectors) MINUS positions
+  * already present in `dvBasePaths` (the START version's vectors: a
+  * MaxDvParts fold or purge-time consolidation inside the window
+  * renames surviving OLD entries into a fresh part, so name-newness
+  * alone would re-emit pre-window deletions as spurious retractions),
+  * and whose seq is at or below `lo` (rows already delivered; an
+  * append+delete inside the window nets out on the insert tier
+  * instead). `fullFileDelete = true` retracts EVERY delivered row of
+  * the file except positions in `dvBasePaths` — the shape for a file
+  * a `delete-dv` commit removed outright (fully dead: its vector
+  * entries are stripped at commit, so no position list survives to
+  * name its rows; the file's disappearance IS the deletion record). */
 private[sources] case class JournalStreamPartition(
     files: FilePartition, lo: Long, hi: Long,
     relFile: String = "", dvPaths: Seq[String] = Nil,
-    changeType: String = "", deleteTier: Boolean = false) extends InputPartition {
+    changeType: String = "", deleteTier: Boolean = false,
+    dvBasePaths: Seq[String] = Nil,
+    fullFileDelete: Boolean = false) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -223,9 +234,27 @@ private[sources] class JournalStreamReaderFactory(
     // The delete tier reads the SAME positions with the opposite
     // polarity: emit exactly the vectored rows (already-delivered seqs
     // only) as retractions.
-    val deleted: Array[Long] =
-      if (jp.dvPaths.isEmpty) Array.emptyLongArray
-      else graft.journal.JournalStore.dvPositionsFor(jp.relFile, jp.dvPaths)
+    // `deleted` is the position set the row test keys on. Plain stream /
+    // insert tier: the END version's vectors (subtract). Position-named
+    // delete tier: window-new positions = current parts minus the START
+    // version's (a MaxDvParts fold renames pre-window entries into a
+    // fresh part — without the base subtraction those would re-emit as
+    // spurious retractions). Full-file delete tier: `dvPaths` is the
+    // EXCLUSION set (start-version vectors + window parts whose
+    // positions the position tier already retracts); every other
+    // delivered row of the vanished file retracts.
+    val deleted: Array[Long] = {
+      val cur =
+        if (jp.dvPaths.isEmpty) Array.emptyLongArray
+        else graft.journal.JournalStore.dvPositionsFor(jp.relFile, jp.dvPaths)
+      if (!jp.deleteTier || jp.fullFileDelete ||
+          jp.dvBasePaths.isEmpty || cur.isEmpty) cur
+      else {
+        val base = graft.journal.JournalStore
+          .dvPositionsFor(jp.relFile, jp.dvBasePaths)
+        cur.filter(p => java.util.Arrays.binarySearch(base, p) < 0)
+      }
+    }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       private var pos = -1L
@@ -236,7 +265,8 @@ private[sources] class JournalStreamReaderFactory(
           val s = r.getLong(seqIdx)
           val hit = java.util.Arrays.binarySearch(deleted, pos) >= 0
           val wanted =
-            if (jp.deleteTier) hit && s <= jp.lo
+            if (jp.fullFileDelete) !hit && s <= jp.lo
+            else if (jp.deleteTier) hit && s <= jp.lo
             else s > jp.lo && s <= jp.hi && !hit
           if (wanted) { current = proj(r); return true }
         }
@@ -345,10 +375,18 @@ private[sources] class JournalChangeFeedStream(
         else {
           val seqHi = maxSeqsPerTrigger
             .fold(m.maxSeq)(cap => m.maxSeq.min(o.seq + cap)).max(o.seq)
-          // the version advances only when the seq axis is caught up:
-          // admission-controlled catch-up batches keep re-reading the
-          // same version window for their delete diff otherwise
-          val verHi = if (seqHi == m.maxSeq) m.version.max(o.ver) else o.ver
+          // the version axis advances EVERY batch, even when the seq
+          // axis is admission-throttled and still catching up. Gating
+          // it on seq catch-up starves delete delivery under sustained
+          // ingest (ver freezes at its initial value) and, once
+          // manifest retention rotates past the frozen ver, kills the
+          // stream permanently. Eager advance is safe: a vector naming
+          // a not-yet-delivered row (seq > lo) is DEFERRED by the
+          // reader's `s <= lo` delete-tier guard, and when that seq
+          // window is finally delivered the insert tier subtracts the
+          // END version's vectors — the row nets out, never having
+          // been inserted or retracted.
+          val verHi = m.version.max(o.ver)
           JournalChangeOffset(seqHi, if (verHi < 0L) m.version else verHi)
         }
     }
@@ -367,7 +405,8 @@ private[sources] class JournalChangeFeedStream(
     val epochRe = """epoch=(\d+)""".r
     val nsRe = """ns=([^/]+)""".r
     def partFor(f: String, i: Int, dvAbs: Seq[String], ct: String,
-                del: Boolean): JournalStreamPartition = {
+                del: Boolean,
+                dvBase: Seq[String] = Nil): JournalStreamPartition = {
       val epoch = epochRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(0L)
       val ns = nsRe.findFirstMatchIn(f).map(_.group(1))
         .map(ExternalCatalogUtils.unescapePathName).orNull
@@ -377,7 +416,8 @@ private[sources] class JournalChangeFeedStream(
         FilePartition(i, Array(PartitionedFile(pv,
           SparkPath.fromPathString(abs), 0L,
           java.nio.file.Files.size(java.nio.file.Paths.get(abs))))),
-        lo, hi, f, dvAbs, changeType = ct, deleteTier = del)
+        lo, hi, f, dvAbs, changeType = ct, deleteTier = del,
+        dvBasePaths = dvBase)
     }
     // ---- insert tier: the (lo, hi] tail, dead rows at the END version
     // subtracted (same pruning as the plain stream)
@@ -421,15 +461,46 @@ private[sources] class JournalChangeFeedStream(
         "are all fine; deleteWhere-rewrite and restore are not).")
     val newParts = stepManifests.flatMap(_.dvParts).distinct
       .filterNot(m1.dvParts.contains)
+    val baseAbs = m1.dvParts.map(p => s"$storePath/dv/$p")
+    val newAbs = newParts.map(p => s"$storePath/dv/$p")
     val deletes = if (newParts.isEmpty) Seq.empty[JournalStreamPartition]
       else {
-        val newAbs = newParts.map(p => s"$storePath/dv/$p")
+        // Candidate files come from the parts themselves, NOT filtered
+        // to m1.files: an in-window compact()/purgeDeletes() writes NEW
+        // files holding already-delivered seqs (<= lo), and a later
+        // deleteWhereDv names them — their retractions must flow.
+        // Append-born files need no filter either: all their rows have
+        // seq > lo, which the reader's `s <= lo` delete-tier guard
+        // excludes. Part-name newness is corrected per POSITION in the
+        // reader (dvBasePaths): a MaxDvParts fold inside the window
+        // renames pre-window entries into a fresh part, and those
+        // positions must not re-emit as spurious retractions.
         JournalStore.dvFileNames(newAbs).toSeq.sorted
-          .filter(m1.files.contains) // files born inside the window hold
-                                     // only seqs > lo: nothing delivered
-          .map(f => partFor(f, 0, newAbs, "delete", del = true))
+          .map(f => partFor(f, 0, newAbs, "delete", del = true,
+            dvBase = baseAbs))
       }
-    (inserts ++ deletes).zipWithIndex.map { case (p, i) =>
+    // ---- full-file delete tier: a `delete-dv` commit whose predicate
+    // killed a file OUTRIGHT drops it from the manifest and STRIPS its
+    // vector entries (dead weight on every future read) — so no
+    // position list survives to name its rows. The file's
+    // disappearance is the deletion record: retract every delivered
+    // row of it, excluding positions the start version had already
+    // vectored (retracted in an earlier window) and positions in the
+    // window's parts (the position tier above retracts those). Only
+    // delete-dv removals qualify — compact/purge REPLACE files
+    // (rewrites, no row loss beyond already-retracted vectors).
+    val dvKilledFiles = stepManifests
+      .foldLeft((m1.files.toSet, Set.empty[String])) {
+        case ((prevFiles, acc), st) =>
+          val removed =
+            if (st.op == "delete-dv") prevFiles -- st.files.toSet
+            else Set.empty[String]
+          (st.files.toSet, acc ++ removed)
+      }._2
+    val fullDeletes = dvKilledFiles.toSeq.sorted.map(f =>
+      partFor(f, 0, baseAbs ++ newAbs, "delete", del = true)
+        .copy(fullFileDelete = true))
+    (inserts ++ deletes ++ fullDeletes).zipWithIndex.map { case (p, i) =>
       p.copy(files = FilePartition(i, p.files.files))
     }.toArray
   }

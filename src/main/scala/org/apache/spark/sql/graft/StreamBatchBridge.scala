@@ -40,4 +40,14 @@ object StreamBatchBridge {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** DataFrame-from-LogicalPlan for the SQL MERGE extension rule: the
+    * resolved MergeIntoTable's source subtree must become an ordinary
+    * DataFrame to feed the store's merge, and `Dataset.ofRows` is
+    * private[sql]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    ClassicDataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

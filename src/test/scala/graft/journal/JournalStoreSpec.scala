@@ -1393,8 +1393,9 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(s1.scan().where(col("ukey") === 50L).count() === 0L)
     assert(s1.manifest.dvParts.isEmpty) // purged by the retried rewrite
 
-    // merge ‖ append: merge commits through append's CAS rebase — both
-    // commits land, merge rows take the higher seqs (last-writer-wins)
+    // merge ‖ append (disjoint keys): merge loses the CAS, re-derives
+    // its state join, commits — both effects land, merge rows take the
+    // higher seqs (last-writer-wins)
     s1.onCommitSeam =
       () => { s2.append(row(60L, "2024-01-03 00:00:00", "p60")); () }
     s1.merge(row(70L, "2024-01-03 00:00:01", "p70"))
@@ -1409,6 +1410,47 @@ class JournalStoreSpec extends AnyFunSuite {
       s1.restore(v))
     assert(err.getMessage.contains("lost the commit race"), err.getMessage)
     assert(s1.scan().where(col("ukey") === 80L).count() === 1L)
+  }
+
+  test("merge ‖ append on an INTERSECTING key: the merge re-derives its " +
+      "join on CAS loss, so no-op suppression cannot drop its intent; " +
+      "merge ‖ merge serializes deterministically") {
+    val path = freshPath
+    val s1 = JournalStore.create(spark, path, epochSize = 100)
+    def row(k: Long, t: String, p: String) =
+      Seq(("users", k, ts(t), p, 1.0)).toDF("ns", "ukey", "ts", "payload", "val")
+    s1.append(row(1L, "2024-01-01 00:00:00", "a"))
+    val s2 = JournalStore.open(spark, path)
+
+    // THE lost-update anomaly: the merge's source equals the PRE-race
+    // state ("a"), so against that snapshot it is a no-op and appends
+    // nothing — but the racing append changes the key to "c" between
+    // the snapshot and the commit CAS. Without re-derivation the
+    // suppressed merge never revalidates and "set state to a" is
+    // silently dropped; with it, the (empty) commit loses the CAS, the
+    // join re-runs against "c", and the update lands.
+    s1.onCommitSeam =
+      () => { s2.append(row(1L, "2024-01-01 01:00:00", "c")); () }
+    s1.merge(row(1L, "2024-01-01 02:00:00", "a"))
+    val p1 = s1.latest().where(col("ukey") === 1L)
+      .select("payload").head.getString(0)
+    assert(p1 === "a", s"merge intent lost: state is '$p1'")
+    // history: base "a", racing "c", re-derived merge "a" — three rows
+    assert(s1.scan().where(col("ukey") === 1L).count() === 3L)
+
+    // merge ‖ merge: the seam-injected merge commits first; the outer
+    // merge loses its CAS, re-derives against the winner's state and
+    // lands second — final state is the OUTER merge's source,
+    // deterministically, and both intents are in the log
+    s1.onCommitSeam =
+      () => { s2.merge(row(1L, "2024-01-01 03:00:00", "m2")); () }
+    s1.merge(row(1L, "2024-01-01 04:00:00", "m1"))
+    val p2 = s1.latest().where(col("ukey") === 1L)
+      .select("payload").head.getString(0)
+    assert(p2 === "m1")
+    val hist = s1.scan().where(col("ukey") === 1L).orderBy("seq")
+      .select("payload").as[String].collect().toSeq
+    assert(hist === Seq("a", "c", "a", "m2", "m1"))
   }
 
   test("a store rooted under a path containing /segments/ keeps exact " +
@@ -1609,5 +1651,53 @@ class JournalStoreSpec extends AnyFunSuite {
     val now = store.scan().select("seq", "ns", "ukey", "ts", "payload", "val")
     assert(applied.exceptAll(now).count() === 0L)
     assert(now.exceptAll(applied).count() === 0L)
+  }
+
+  test("changes(v1, v2): a MaxDvParts fold inside a cheap window never " +
+      "re-emits pre-window deletions") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    store.append((1L to 20L).map(k =>
+      ("users", k, ts(f"2024-01-01 00:00:${k}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    // 15 single-key vector deletes BEFORE the window: 15 parts
+    (1L to 15L).foreach(k => store.deleteWhereDv(col("ukey") === k))
+    assert(store.manifest.dvParts.size === 15)
+    val v1 = store.manifest.version
+    // two more inside the window — the second crosses MaxDvParts and
+    // folds EVERYTHING (the 15 pre-window entries included) into one
+    // fresh part name
+    store.deleteWhereDv(col("ukey") === 16L)
+    store.deleteWhereDv(col("ukey") === 17L)
+    val m2 = store.manifest
+    assert(m2.dvParts.size === 1, "fold expected past MaxDvParts")
+    assert(m2.files.size === 1, "file must survive (cheap window)")
+    val feed = store.changes(v1, m2.version)
+    val deleted = feed.where(col("_change_type") === "delete")
+      .select("ukey").as[Long].collect().toSeq.sorted
+    // ONLY the window's own deletions — the folded part's renamed
+    // pre-window entries must not resurface
+    assert(deleted === Seq(16L, 17L))
+    assert(feed.where(col("_change_type") === "insert").count() === 0L)
+  }
+
+  test("cloneTo retry: a stale same-size file at dest is replaced by " +
+      "the source bytes, never adopted") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf)
+    val rel = store.manifest.files.head
+    val srcBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store.path, "segments", rel))
+    // a failed clone from a DIFFERENT source left a same-size file with
+    // different bytes at dest — length equality must not be trusted
+    val dest = freshPath
+    val stale = java.nio.file.Paths.get(dest, "segments", rel)
+    java.nio.file.Files.createDirectories(stale.getParent)
+    val garbage = srcBytes.clone()
+    garbage(garbage.length / 2) = (garbage(garbage.length / 2) ^ 0x5A).toByte
+    java.nio.file.Files.write(stale, garbage)
+    val clone = store.cloneTo(dest)
+    assert(java.nio.file.Files.readAllBytes(stale).sameElements(srcBytes))
+    assert(clone.scan().collect().map(_.toString).sorted.toSeq ===
+      store.scan().collect().map(_.toString).sorted.toSeq)
   }
 }

@@ -171,4 +171,32 @@ class SourceSpec extends AnyFunSuite {
     batch1.write.format("journal").mode("ignore").save(path)
     assert(spark.read.format("journal").load(path).count() === 3)
   }
+
+  test("change feed latestOffset advances the version axis even while " +
+      "the seq axis is admission-throttled (no delete starvation, no " +
+      "retention-kill under sustained ingest)") {
+    import graft.journal.JournalStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcfo_").toString
+    val path = s"$dir/store"
+    val store = JournalStore.create(spark, path, epochSize = 100)
+    store.append((0L to 9L).map(k =>
+      ("users", k, graft.TestSpark.ts(f"2024-01-01 10:00:${k}%02d"),
+        s"p$k", 1.0)).toDF("ns", "ukey", "ts", "payload", "val"))
+    val v0 = store.manifest.version
+    store.deleteWhereDv(col("ukey") === 0L) // version bumps past v0
+    val v1 = store.manifest.version
+    assert(v1 > v0)
+    val stream = new JournalChangeFeedStream(spark, path,
+      spark.read.format("journal").load(path).schema,
+      maxSeqsPerTrigger = Some(2L))
+    val next = JournalChangeOffset.of(stream.latestOffset(
+      JournalChangeOffset(-1L, v0),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(2L)))
+    // seq axis throttled to two rows — but the version axis must still
+    // reach the head: freezing it until seq catch-up starves delete
+    // delivery under sustained ingest and dies once retention rotates
+    // past the frozen version
+    assert(next.seq === 1L)
+    assert(next.ver === v1)
+  }
 }

@@ -487,6 +487,89 @@ class StreamingSpec extends AnyFunSuite {
       Option(c.getMessage).exists(_.contains("cannot be derived"))))
   }
 
+  test("stream_change_feed: a vector landing on a COMPACTION-BORN file " +
+      "still retracts — candidate files come from the parts, not the " +
+      "start manifest's file list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcfc_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    store.append(Seq(
+      ("users", 1L, ts("2024-01-01 10:00:00"), "pa", 1.0),
+      ("users", 2L, ts("2024-01-01 10:00:01"), "pb", 1.0),
+      ("users", 3L, ts("2024-01-01 10:00:02"), "pc", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("journal")
+        .option("changeFeed", "true").load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // the three inserts deliver
+    // compact rewrites the delivered rows into a NEW file, then a
+    // vector names that file: the retraction must still flow (the old
+    // start-manifest file filter silently dropped it)
+    store.compact(upToEpoch = 0L)
+    store.deleteWhereDv(col("ukey") === 2L)
+    runOnce()
+    val got = spark.read.parquet(out).select("_change_type", "ukey")
+      .as[(String, Long)].collect().toSeq
+    assert(got.count(_ == ("delete", 2L)) === 1)
+    // CDC contract: folding the feed equals live state
+    val folded = got.groupBy(_._2).collect {
+      case (k, evs) if evs.count(_._1 == "insert") > evs.count(_._1 == "delete") => k
+    }.toSeq.sorted
+    assert(folded === Seq(1L, 3L))
+  }
+
+  test("stream_change_feed: a delete-dv that kills a file OUTRIGHT " +
+      "still retracts its rows, and the part fold it triggers never " +
+      "re-emits pre-window deletions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcfk_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def batch(ks: Long*) = ks.map(k =>
+      ("users", k, ts(f"2024-01-01 10:00:${k}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(1L, 2L)) // file A
+    store.append(batch(3L, 4L)) // file B
+    val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("journal")
+        .option("changeFeed", "true").load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // 4 inserts
+    store.deleteWhereDv(col("ukey") === 1L)
+    runOnce() // retraction of 1 delivers; its vector is now pre-window
+    // kill file B outright: both its rows die under one predicate — the
+    // commit drops B from the manifest AND strips its vector entries,
+    // folding file A's surviving entry into a fresh part name
+    store.deleteWhereDv(col("ukey") === 3L || col("ukey") === 4L)
+    runOnce()
+    val got = spark.read.parquet(out).select("_change_type", "ukey")
+      .as[(String, Long)].collect().toSeq
+    // key 1's retraction arrived exactly once — the fold's fresh part
+    // name must not re-emit it
+    assert(got.count(_ == ("delete", 1L)) === 1)
+    // the vanished file's rows retract even though no position list
+    // survives to name them
+    assert(got.count(_ == ("delete", 3L)) === 1)
+    assert(got.count(_ == ("delete", 4L)) === 1)
+    val folded = got.groupBy(_._2).collect {
+      case (k, evs) if evs.count(_._1 == "insert") > evs.count(_._1 == "delete") => k
+    }.toSeq.sorted
+    assert(folded === Seq(2L))
+    assert(store.scan().select("ukey").as[Long].collect().toSeq.sorted === Seq(2L))
+  }
+
   test("stream over a deletion-vector store subtracts the visible " +
       "vectors; offsets stay seq-stable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jdvstream_").toString
