@@ -16,6 +16,9 @@ object Bench {
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // deployment shape: the graft extensions ride every session (SQL
+      // MERGE/UPDATE/DELETE rules + DV-aware columnar reads)
+      .withExtensions(new graft.expr.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // Match Verify/TestSpark: the events fixtures' ts is TIMESTAMP_NTZ
       // and queries cast it to timestamp_ltz — pin the session zone so

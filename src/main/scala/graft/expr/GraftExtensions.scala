@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
     GraftFunctions.tableEntries.foreach(ext.injectTableFunction)
+    // SQL MERGE INTO / UPDATE on journal tables (the store's own merge:
+    // touched-file pruning, no-op suppression, CAS re-derivation; see
+    // JournalMerge.scala). Injected FIRST so the target relation is
+    // consumed before the DV-read rewrite descends into the plan.
+    ext.injectPostHocResolutionRule(sp => new graft.sources.JournalMergeRule(sp))
     // SQL DELETE on journal tables (physical erasure through the store;
     // see JournalDelete.scala for why the built-in path can't serve it)
     ext.injectPostHocResolutionRule(sp => new graft.sources.JournalDeleteRule(sp))

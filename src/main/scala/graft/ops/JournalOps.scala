@@ -768,6 +768,53 @@ object JournalOps {
       store.merge(src, whenMatchedDelete = Some(col("val") < 20.0))
       store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
     }),
+    "journal_merge_sql" -> ((s, d) => {
+      // The SQL statement surface of the row above: `MERGE INTO` through
+      // the session-extension rule (sources/JournalMerge.scala) against
+      // a catalog-named store — matched small-val rows take the DELETE
+      // clause, other matches UPDATE (no-op-suppressed), unmatched keys
+      // INSERT; `<=>` on ukey because the store's merge key is
+      // null-safe. Same clone-per-invocation lifecycle as
+      // journal_merge_upsert (a re-merge is not idempotent by design of
+      // the delete clause); different seq window so the two rows pin
+      // different data. The oracle is the reconciliation as a
+      // full-outer-join CASE in ANSI SQL.
+      val tag = tmpTag(d)
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmsql_seed_$tag").toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 3999L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 4000)
+            .write.format("journal").option("epochSize", "1000").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmsql_root_$tag").toString
+      val cat = s"jmsql_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ev"))
+      val store = seedStore.cloneTo(s"$root/ev")
+      journal(s, d)
+        .where(col("seq") >= 4000 && col("seq") < 6000)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"))
+        .createOrReplaceTempView(s"jmsql_src_$tag")
+      s.sql(s"""MERGE INTO $cat.ev AS t USING jmsql_src_$tag AS s
+        ON t.ns = s.ns AND t.ukey <=> s.ukey
+        WHEN MATCHED AND s.val < 20.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+        WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+          VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
+      store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
+    }),
     "journal_schema_evolve" -> ((s, d) => {
       // Schema evolution as a declared, oracle-checked row: the second
       // append carries an extra `src_id` column; the manifest schema
@@ -1222,6 +1269,26 @@ object JournalOps {
         "arg_max(props, event_id) AS payload, " +
         "arg_max(value, event_id) AS val " +
         "FROM events WHERE event_id >= 5000 AND event_id < 7000 " +
+        "GROUP BY 1, 2), " +
+        "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
+        "COALESCE(s.ukey, t.ukey) AS ukey, " +
+        "CASE WHEN s.ns IS NOT NULL AND t.ns IS NOT NULL " +
+        "AND COALESCE(s.val < 20.0, FALSE) THEN NULL " +
+        "WHEN s.ns IS NOT NULL THEN s.payload " +
+        "ELSE t.payload END AS payload " +
+        "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
+        "ORDER BY ns, ukey"),
+    // the SQL MERGE INTO statement = the same reconciliation, different window
+    "journal_merge_sql" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 4000 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload, " +
+        "arg_max(value, event_id) AS val " +
+        "FROM events WHERE event_id >= 4000 AND event_id < 6000 " +
         "GROUP BY 1, 2), " +
         "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
         "COALESCE(s.ukey, t.ukey) AS ukey, " +

@@ -141,6 +141,122 @@ object LlmExtOps {
     * vector's JSON. Shared by the batch build (sim_ann_index) and the
     * streaming maintenance path (StreamingSpec) so both write the
     * identical index shape. */
+  /** Persisted ANN index over a JOURNAL-BACKED corpus with
+    * METADATA-TIER identity (the 100 TB serving contract): the build
+    * records the corpus store's (path, manifest version, high-water
+    * seq) as index table properties, and a probe-time validation is ONE
+    * DRIVER-SIDE MANIFEST READ — zero corpus data files are opened, in
+    * contrast to the plain-parquet corpus path (sim_ann_index), whose
+    * only exact identity is a content fingerprint scan. Staleness is
+    * tiered exactly like the parquet path: an exact (version, maxSeq)
+    * match serves as-is; a window of purely row-preserving commits
+    * (append / compact / meta / checkpoint — verified from the retained
+    * manifests' op labels, still metadata-only) TOPS UP with just the
+    * bucket rows of seqs above the recorded high-water mark (cost ∝
+    * delta); any row-losing commit (delete, delete-dv, restore) or a
+    * rotation past retention falls back to a full rebuild from the
+    * corpus's current state. Corpus rows carry the journal encoding
+    * (ukey = vec_id, payload = the vector's JSON). */
+  private[graft] def annIndexForJournalCorpus(
+      s: org.apache.spark.sql.SparkSession, corpusPath: String,
+      indexPath: String): graft.journal.JournalStore = {
+    graft.expr.GraftFunctions.register(s)
+    val corpus = graft.journal.JournalStore.open(s, corpusPath)
+    val cm = corpus.manifest
+    def corpusVectors(minSeqExcl: Long) =
+      corpus.scan()
+        .where(col("seq") > minSeqExcl)
+        .select(col("ukey").as("vec_id"),
+          from_json(col("payload"), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("embedding"))
+    // commitTsMs joins the identity triple: version/maxSeq numbering
+    // RESTARTS when a store is dropped and recreated at the same path,
+    // and a coincidentally-equal pair must not serve the old index —
+    // the commit wall-clock is the incarnation discriminator
+    val freshMeta = Map(
+      "src_path" -> corpusPath,
+      "src_version" -> cm.version.toString,
+      "src_max_seq" -> cm.maxSeq.toString,
+      "src_commit_ts" -> cm.commitTsMs.toString)
+    val existing = Option(indexPath)
+      .filter(graft.journal.JournalStore.exists)
+      .map(graft.journal.JournalStore.open(s, _))
+      .filter(_.manifest.meta.get("src_path").contains(corpusPath))
+    existing
+      .filter { st =>
+        st.manifest.meta.get("src_version").contains(cm.version.toString) &&
+          st.manifest.meta.get("src_max_seq").contains(cm.maxSeq.toString) &&
+          st.manifest.meta.get("src_commit_ts").contains(cm.commitTsMs.toString)
+      }
+      .orElse {
+        existing.flatMap { st =>
+          val meta = st.manifest.meta
+          (meta.get("src_version").map(_.toLong),
+            meta.get("src_max_seq").map(_.toLong)) match {
+            case (Some(v0), Some(s0)) if cm.version > v0 && cm.maxSeq >= s0 =>
+              // row-preserving ops only → every indexed row still lives;
+              // the walk reads retained MANIFESTS, not data
+              val rowPreserving =
+                Set("append", "compact", "set-meta", "unset-meta", "checkpoint")
+              val opsOk =
+                try {
+                  // the recorded version must be THIS incarnation's
+                  // (same commit wall-clock) — see freshMeta's note
+                  corpus.openAt(v0).manifest.commitTsMs.toString ==
+                    meta.getOrElse("src_commit_ts", "") &&
+                  ((v0 + 1) to cm.version).forall(v =>
+                    rowPreserving.contains(corpus.openAt(v).manifest.op))
+                }
+                catch { case _: IllegalArgumentException => false } // rotated out
+              if (opsOk) {
+                if (cm.maxSeq > s0) st.append(annIndexRows(corpusVectors(s0)))
+                st.setMeta(freshMeta)
+                Some(st)
+              } else None
+            case _ => None
+          }
+        }
+      }
+      .getOrElse {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexPath))
+        annIndexRows(corpusVectors(-1L))
+          .write.format("journal").option("epochSize", "1000000").save(indexPath)
+        val st = graft.journal.JournalStore.open(s, indexPath)
+        st.setMeta(freshMeta)
+        st
+      }
+  }
+
+  /** Multi-probe read of a persisted ANN index for a literal query
+    * vector: the query's bucket list is one 1-row kernel eval, the scan
+    * statically prunes to the probed bucket namespaces, cosines are
+    * exact (shortest-repr JSON round-trip). */
+  private[graft] def annProbe(s: org.apache.spark.sql.SparkSession,
+                              index: graft.journal.JournalStore,
+                              queryVec: Seq[Float],
+                              k: Int = 10): org.apache.spark.sql.DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val qSql = "array(" +
+      queryVec.map(v => s"CAST($v AS FLOAT)").mkString(", ") + ")"
+    val qb = s.range(1)
+      .select(expr(s"lsh_buckets($qSql, $lshTables, $lshPlanes)"))
+      .head.getSeq[Int](0)
+    val probeNs = (0 until lshTables).flatMap(t =>
+      (0 until (1 << lshPlanes))
+        .filter(x => Integer.bitCount(x ^ qb(t)) <= lshProbeHamming)
+        .map(x => s"t${t}_b$x"))
+    index.scan()
+      .where(col("ns").isin(probeNs: _*))
+      .select(col("ukey").as("vec_id"),
+        from_json(col("payload"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("emb"))
+      .select(col("vec_id"),
+        graft.Det.r(expr(s"cosine_sim(emb, $qSql)"), 4).as("sim"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).cast("int").as("n_tables"), max("sim").as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
   private[graft] def annIndexRows(
       embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     embeddings.select(col("vec_id"), col("embedding"),

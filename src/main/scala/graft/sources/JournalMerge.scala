@@ -1,0 +1,387 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.StreamBatchBridge
+import org.apache.spark.sql.types.LongType
+
+/** SQL `MERGE INTO <journal table> USING … ON … WHEN …` →
+  * [[graft.journal.JournalStore.merge]] (touched-file pruning, no-op
+  * suppression, CAS re-derivation), and SQL `UPDATE <journal table>
+  * SET … WHERE …` → an append of the rewritten current state — both via
+  * the same session-extension pattern as [[JournalDeleteRule]].
+  *
+  * The journal table advertises ACCEPT_ANY_SCHEMA (INSERT must be able
+  * to project the writer columns, engine columns excluded), and Spark's
+  * analyzer deliberately SKIPS MergeIntoTable expression resolution for
+  * such targets — the table's framework is expected to resolve the
+  * clauses itself (Delta's DeltaAnalysis does exactly this, for exactly
+  * this reason). So this rule receives the merge with its condition /
+  * assignments still unresolved and resolves them in place: attribute
+  * references against the (aliased) child outputs through a
+  * LocalRelation scope — attribute ids are preserved and no journal
+  * relation is re-planned during the nested analyzer run — with SQL's
+  * own scoping (ON and WHEN MATCHED see both sides, INSERT values see
+  * the source only).
+  *
+  * Supported shape (anything else refuses with a precise error, never a
+  * silent semantic drift):
+  *   - `ON t.ns = s.ns AND t.ukey = s.ukey` — exactly the store's merge
+  *     key, equality only (either column order; `<=>` accepted).
+  *   - `WHEN MATCHED [AND cond] THEN DELETE` — cond may reference
+  *     source columns carried into the merge source.
+  *   - `WHEN MATCHED THEN UPDATE SET … / SET *` — unconditional,
+  *     assigning ts/payload/val from source-only expressions
+  *     (whole-record semantics: the appended update row IS the record).
+  *   - `WHEN NOT MATCHED THEN INSERT … / INSERT *` — unconditional,
+  *     same columns; with both UPDATE and INSERT present their value
+  *     expressions must agree (one source row serves both routes).
+  *   - Clause order honors SQL first-match-wins: an unconditional
+  *     clause shadows everything after it.
+  * Engine-assigned columns (seq/epoch/skey) cannot be assigned.
+  *
+  * Installed by `spark.sql.extensions=graft.expr.GraftExtensions`. */
+class JournalMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case m: MergeIntoTable if m.childrenResolved =>
+      EliminateSubqueryAliases(m.targetTable) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[JournalTable] =>
+          new JournalMergeSupport(spark)
+            .translateMerge(m, r.table.asInstanceOf[JournalTable])
+        case _ => m
+      }
+    case u: UpdateTable
+        if u.table.resolved && u.assignments.forall(_.resolved) &&
+          u.condition.forall(_.resolved) =>
+      EliminateSubqueryAliases(u.table) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[JournalTable] =>
+          new JournalMergeSupport(spark)
+            .translateUpdate(u, r.table.asInstanceOf[JournalTable])
+        case _ => u
+      }
+  }
+}
+
+private[sources] class JournalMergeSupport(spark: SparkSession) {
+  import JournalMergeSupport._
+
+  /** Resolve `exprs` against exactly `attrs` (which keep their child
+    * qualifiers — `t.x` / `s.x` resolve naturally). A LocalRelation
+    * scope keeps the nested analyzer run away from the journal
+    * relations (no re-planning, attribute ids preserved) while still
+    * giving function lookup and type coercion. */
+  private def resolveScoped(exprs: Seq[Expression],
+                            attrs: Seq[Attribute]): Seq[Expression] = {
+    if (exprs.forall(_.resolved)) return exprs
+    val aliased = exprs.map(e => Alias(e, "__r")())
+    val analyzed = spark.sessionState.analyzer
+      .execute(Project(aliased, LocalRelation(attrs)))
+    val out = analyzed match {
+      case p: Project => p.projectList.map {
+        case a: Alias => a.child
+        case o => o
+      }
+      case other =>
+        fail(s"journal MERGE: internal resolution failure (${other.nodeName})")
+    }
+    out.foreach { e =>
+      if (!e.resolved) {
+        val missing = e.collect { case u: UnresolvedAttribute => u.sql }
+        fail(s"journal MERGE cannot resolve ${missing.mkString(", ")} " +
+          s"against [${attrs.map(_.sql).mkString(", ")}] — check the " +
+          "clause's scope (INSERT values see the source only; ON and " +
+          "WHEN MATCHED see both sides)")
+      }
+    }
+    out
+  }
+  private def resolve1(e: Expression, attrs: Seq[Attribute]): Expression =
+    resolveScoped(Seq(e), attrs).head
+
+  def translateMerge(m: MergeIntoTable, table: JournalTable): LogicalPlan = {
+    if (m.withSchemaEvolution) fail("journal MERGE does not support WITH " +
+      "SCHEMA EVOLUTION; appends evolve the schema (add-column) directly")
+    if (m.notMatchedBySourceActions.nonEmpty) fail(
+      "journal MERGE leaves target rows absent from the source untouched; " +
+        "WHEN NOT MATCHED BY SOURCE is not supported (use DELETE FROM for " +
+        "set-difference erasure)")
+    val tAttrs = m.targetTable.output
+    val sAttrs = m.sourceTable.output
+    val both = tAttrs ++ sAttrs
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+
+    // ---- ON: exactly {ns, ukey} equated across the two sides
+    val onCond = resolve1(m.mergeCondition, both)
+    require(!SubqueryExpression.hasSubquery(onCond),
+      "journal MERGE does not support subqueries in the ON condition")
+    val keys = scala.collection.mutable.Map.empty[String, Attribute]
+    conj(onCond).foreach { c =>
+      val (x, y) = c match {
+        case EqualTo(a: Attribute, b: Attribute) => (a, b)
+        case EqualNullSafe(a: Attribute, b: Attribute) => (a, b)
+        case other => fail("journal MERGE ON supports only ns/ukey column " +
+          s"equality conjuncts; got: ${other.sql}")
+      }
+      val (t, s) =
+        if (tOut.contains(x) && sOut.contains(y)) (x, y)
+        else if (tOut.contains(y) && sOut.contains(x)) (y, x)
+        else fail("journal MERGE ON conjuncts must equate a target column " +
+          s"with a source column; got: ${c.sql}")
+      keys += t.name.toLowerCase -> s
+    }
+    if (keys.keySet != Set("ns", "ukey")) fail(
+      "journal MERGE ON must equate exactly the target's (ns, ukey) with " +
+        s"source columns; covered: ${keys.keySet.toSeq.sorted.mkString(", ")}")
+
+    // ---- star expansion (resolution was skipped, so stars reach us raw):
+    // target data column := source column of the same name, source-scoped
+    val extras = table.dataColumnTypes.keySet -- EngineCols -- CanonicalCols
+    def starAssigns(clause: String): Seq[Assignment] = {
+      if (extras.nonEmpty) fail(s"journal MERGE $clause * on a store with " +
+        s"evolved column(s) ${extras.toSeq.sorted.mkString(", ")} — list " +
+        "the assignments explicitly (the merge carries the canonical " +
+        "record only)")
+      CanonicalCols.map(n =>
+        Assignment(UnresolvedAttribute(Seq(n)), UnresolvedAttribute(Seq(n))))
+    }
+
+    // ---- WHEN MATCHED routing, SQL first-match-wins
+    val unsupportedCondUpd = "journal MERGE supports only an unconditional " +
+      "WHEN MATCHED THEN UPDATE (put the condition on a preceding DELETE " +
+      "clause, or pre-filter the source)"
+    def norm(a: MergeAction): MergeAction = a match {
+      case UpdateStarAction(c) => UpdateAction(c, starAssigns("UPDATE SET"))
+      case InsertStarAction(c) => InsertAction(c, starAssigns("INSERT"))
+      case other => other
+    }
+    var delCond: Option[Option[Expression]] = None
+    var updAssigns: Option[Seq[Assignment]] = None
+    m.matchedActions.map(norm) match {
+      case Seq() => ()
+      case Seq(u: UpdateAction) =>
+        if (u.condition.nonEmpty) fail(unsupportedCondUpd)
+        updAssigns = Some(u.assignments)
+      case Seq(d: DeleteAction) => delCond = Some(d.condition)
+      case Seq(d: DeleteAction, u: UpdateAction) =>
+        if (u.condition.nonEmpty) fail(unsupportedCondUpd)
+        if (d.condition.isEmpty) delCond = Some(None) // UPDATE is dead code
+        else { delCond = Some(d.condition); updAssigns = Some(u.assignments) }
+      case Seq(u: UpdateAction, _: DeleteAction) =>
+        if (u.condition.nonEmpty) fail(unsupportedCondUpd)
+        updAssigns = Some(u.assignments) // unconditional UPDATE shadows DELETE
+      case _ => fail("journal MERGE supports at most one WHEN MATCHED " +
+        "DELETE and one WHEN MATCHED UPDATE clause")
+    }
+    val insAssigns = m.notMatchedActions.map(norm) match {
+      case Seq() => None
+      case Seq(i: InsertAction) =>
+        if (i.condition.nonEmpty) fail("journal MERGE supports only an " +
+          "unconditional WHEN NOT MATCHED THEN INSERT (pre-filter the source)")
+        Some(i.assignments)
+      case _ => fail("journal MERGE supports at most one WHEN NOT MATCHED clause")
+    }
+
+    // ---- assignments → the per-column source expressions.
+    // UPDATE values resolve in the joined scope (SQL allows t refs —
+    // though only key self-references survive validation); INSERT
+    // values resolve against the source alone (SQL's insert scope).
+    def dataExprs(as: Seq[Assignment], clause: String,
+                  valueScope: Seq[Attribute]): Map[String, Expression] = {
+      val mm: Map[String, Expression] = as.map { a =>
+        val k = resolve1(a.key, tAttrs) match {
+          case at: Attribute => at.name.toLowerCase
+          case other => fail("journal MERGE can assign only top-level " +
+            s"columns; got: ${other.sql}")
+        }
+        if (SubqueryExpression.hasSubquery(a.value)) fail(
+          s"journal MERGE does not support subqueries in assignments ($clause)")
+        k -> resolve1(a.value, valueScope)
+      }.toMap
+      mm.foreach { case (n, v) =>
+        if (EngineCols.contains(n)) v match {
+          case a: Attribute if tOut.contains(a) => () // aligned keep-current
+          case Literal(null, _) => ()
+          case _ => fail(s"journal MERGE cannot assign engine column '$n' " +
+            s"($clause) — seq/epoch are assigned by the store")
+        }
+      }
+      Seq("ns", "ukey").foreach { n =>
+        mm.get(n).foreach {
+          case a: Attribute if a.semanticEquals(keys(n)) => ()
+          case a: Attribute if tOut.contains(a) && a.name.equalsIgnoreCase(n) => ()
+          case other => fail(s"journal MERGE cannot reassign join key '$n' " +
+            s"(got ${other.sql} in $clause)")
+        }
+      }
+      val extra = mm.keySet -- EngineCols -- Set("ns", "ukey") -- DataCols
+      if (extra.nonEmpty) fail("journal MERGE reconciles the canonical " +
+        s"(ns, ukey, ts, payload, val) record; evolved column(s) " +
+        s"${extra.toSeq.sorted.mkString(", ")} cannot be merge-assigned " +
+        "(append them through the Scala API or INSERT INTO)")
+      DataCols.map { n =>
+        val v = mm.getOrElse(n, fail(s"journal MERGE $clause must assign " +
+          s"'$n': the appended row carries whole-record semantics " +
+          "(ns, ukey, ts, payload, val) — a column left unassigned has no " +
+          "value to ride it"))
+        if (!v.references.subsetOf(sOut)) fail(s"journal MERGE $clause " +
+          s"assignment to '$n' may reference source columns only; got: ${v.sql}")
+        n -> v
+      }.toMap
+    }
+    val updMap = updAssigns.map(dataExprs(_, "UPDATE", both))
+    val insMap = insAssigns.map(dataExprs(_, "INSERT", sAttrs))
+    (updMap, insMap) match {
+      case (Some(u), Some(i)) => DataCols.foreach { n =>
+        if (!u(n).semanticEquals(i(n))) fail("journal MERGE: UPDATE and " +
+          s"INSERT assign different expressions to '$n' — one source row " +
+          "serves both routes; align the clauses")
+      }
+      case _ => ()
+    }
+    // delete-only merge: carry the source's own ts/payload/val (the
+    // tombstone needs a ts to ride the appended row)
+    val proj: Map[String, Expression] = updMap.orElse(insMap).getOrElse {
+      DataCols.map { n =>
+        n -> sAttrs.find(_.name.equalsIgnoreCase(n))
+          .getOrElse(fail(s"a delete-only journal MERGE needs source " +
+            s"column '$n' to shape the tombstone row"))
+      }.toMap
+    }
+
+    // ---- DELETE condition: evaluated inside the store's routing join,
+    // where the source rides under alias "s" with the canonical columns
+    // — rewrite each source reference to the canonical column carrying it
+    val carriers: Map[String, Expression] =
+      proj ++ Map[String, Expression]("ns" -> keys("ns"), "ukey" -> keys("ukey"))
+    val delForStore: Option[Expression] = delCond.map {
+      case None => Literal(true)
+      case Some(c0) =>
+        val c = resolve1(c0, both)
+        if (SubqueryExpression.hasSubquery(c)) fail(
+          "journal MERGE does not support subqueries in the DELETE condition")
+        if (!c.references.subsetOf(sOut)) fail("journal MERGE DELETE " +
+          "condition may reference source columns only (current state is " +
+          "not visible to the routing predicate); got: " + c.sql)
+        c.transform {
+          case a: Attribute if sOut.contains(a) =>
+            val carrier = carriers.collectFirst {
+              case (n, e) if e.semanticEquals(a) => n
+            }.getOrElse(fail(s"journal MERGE DELETE condition references " +
+              s"'${a.name}', which is not carried into the merge source " +
+              "(carried: ns, ukey, ts, payload, val)"))
+            UnresolvedAttribute(Seq("s", carrier))
+        }
+    }
+    JournalMergeCommand(table, m.sourceTable,
+      Seq("ns" -> keys("ns"), "ukey" -> keys("ukey")) ++
+        DataCols.map(n => n -> proj(n)),
+      delForStore.map(ExprBox), matchedUpdate = updMap.isDefined,
+      notMatchedInsert = insMap.isDefined)
+  }
+
+  /** SQL UPDATE: rewrite the CURRENT state rows matching the condition
+    * through the assignments and append them (standard affected-count
+    * semantics; history preserved — see JournalTable.runUpdate for why
+    * this is an append, not a merge). Assignments and the condition may
+    * reference any target column — they evaluate over the live state
+    * frame. */
+  def translateUpdate(u: UpdateTable, table: JournalTable): LogicalPlan = {
+    val tOut = u.table.outputSet
+    u.condition.foreach { c =>
+      require(!SubqueryExpression.hasSubquery(c),
+        "UPDATE on a journal table does not support subqueries in the " +
+          "condition; materialize the subquery into a literal list first")
+    }
+    val byName = u.assignments.map { a =>
+      val n = a.key match {
+        case at: Attribute => at.name.toLowerCase
+        case other => fail("journal UPDATE can assign only top-level " +
+          s"columns; got: ${other.sql}")
+      }
+      if (SubqueryExpression.hasSubquery(a.value)) fail(
+        "journal UPDATE does not support subqueries in assignments")
+      n -> a.value
+    }.toMap
+    (EngineCols ++ Set("ns", "ukey")).foreach { n =>
+      byName.get(n).foreach {
+        case a: Attribute if tOut.contains(a) && a.name.equalsIgnoreCase(n) =>
+          () // aligned keep-current self-reference
+        case other =>
+          if (EngineCols.contains(n)) fail(
+            s"journal UPDATE cannot assign engine column '$n'")
+          else fail(s"journal UPDATE cannot reassign key column '$n' " +
+            s"(got ${other.sql}); DELETE + INSERT expresses a key move")
+      }
+    }
+    JournalUpdateCommand(table,
+      byName.filterNot { case (n, _) => EngineCols.contains(n) }.toSeq,
+      u.condition)
+  }
+}
+
+private[sources] object JournalMergeSupport {
+  val EngineCols = Set("seq", "epoch", "skey")
+  val DataCols = Seq("ts", "payload", "val")
+  val CanonicalCols = Seq("ns", "ukey", "ts", "payload", "val")
+
+  def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(msg)
+
+  def conj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conj(l) ++ conj(r)
+    case x => Seq(x)
+  }
+}
+
+/** Opaque expression holder: the command's routing/assignment
+  * expressions deliberately carry `s.<col>` references that resolve
+  * INSIDE the store's merge join, and the UPDATE branch carries
+  * target-name references that resolve against the state frame —
+  * CheckAnalysis must not walk them as the command's own (they would
+  * fail its resolved-ness sweep). A non-Expression product field is
+  * invisible to QueryPlan.expressions. */
+private[sources] case class ExprBox(e: Expression)
+
+/** Runs the merge on the driver (the store launches its own jobs);
+  * returns the number of reconciliation rows appended (0 = the merge
+  * was a complete no-op). */
+case class JournalMergeCommand(
+    @transient table: JournalTable,
+    @transient source: LogicalPlan,
+    @transient cols: Seq[(String, Expression)],
+    @transient deleteCond: Option[ExprBox],
+    matchedUpdate: Boolean,
+    notMatchedInsert: Boolean)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("appended_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDf = StreamBatchBridge.ofRows(spark, source)
+    val types = table.dataColumnTypes
+    val projected = srcDf.select(cols.map { case (n, e) =>
+      val c = StreamBatchBridge.columnOf(e)
+      types.get(n).fold(c)(c.cast).as(n)
+    }: _*)
+    Seq(Row(table.runMerge(projected,
+      deleteCond.map(b => StreamBatchBridge.columnOf(b.e)),
+      matchedUpdate, notMatchedInsert)))
+  }
+}
+
+/** Runs the UPDATE on the driver; returns the matched-row count. */
+case class JournalUpdateCommand(
+    @transient table: JournalTable,
+    @transient assigns: Seq[(String, Expression)],
+    @transient cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("updated_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(table.runUpdate(assigns, cond)))
+}

@@ -256,6 +256,73 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
     runDelete(st, org.apache.spark.sql.graft.StreamBatchBridge.columnOf(byName))
   }
 
+  /** Target column types for the MERGE rule's source casts. */
+  private[sources] def dataColumnTypes
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    tableSchema.map(f => f.name.toLowerCase -> f.dataType).toMap
+
+  /** The extension-rule entry ([[JournalMergeRule]]): run the store's
+    * merge with the projected SQL source; returns rows appended. */
+  private[sources] def runMerge(source: org.apache.spark.sql.DataFrame,
+                                del: Option[org.apache.spark.sql.Column],
+                                upd: Boolean, ins: Boolean): Long = {
+    require(!pinned, "MERGE through a version-pinned journal table " +
+      "(VERSION AS OF) is refused — pin a reader, not a writer")
+    val st = store.getOrElse(throw new IllegalStateException(
+      s"no journal store at $storePath"))
+    val before = st.manifest.maxSeq
+    val after = st.merge(source, del, upd, ins)
+    after - before
+  }
+
+  /** The extension-rule entry ([[JournalMergeRule]] UPDATE branch):
+    * rewrite the CURRENT state rows matching `cond` through `assigns`
+    * and append them — one new state row per matched key (standard
+    * UPDATE affected-count semantics). Deliberately NOT routed through
+    * merge: merge's no-op suppression keys on PAYLOAD, so a
+    * `SET val = …` that leaves the payload untouched would be silently
+    * suppressed — an UPDATE must never drop its own assignment. Evolved
+    * extra columns ride the appended row unchanged. Returns the number
+    * of rows rewritten. */
+  private[sources] def runUpdate(
+      assigns: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Long = {
+    require(!pinned, "UPDATE through a version-pinned journal table " +
+      "(VERSION AS OF) is refused — pin a reader, not a writer")
+    val st = store.getOrElse(throw new IllegalStateException(
+      s"no journal store at $storePath"))
+    def byName(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.graft.StreamBatchBridge.columnOf(e.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+      })
+    // FULL current-state rows (latest() compacts to ns/ukey/payload):
+    // per-key arg-max by seq over the whole scan surface, tombstones
+    // dropped — the row the UPDATE rewrites carries every column
+    val scan0 = st.scan()
+    val state = scan0
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ns", "ukey")
+          .orderBy(org.apache.spark.sql.functions.col("seq").desc)))
+      .where(org.apache.spark.sql.functions.col("__rn") === 1)
+      .drop("__rn")
+      .where(org.apache.spark.sql.functions.col("payload").isNotNull)
+    val engine = Set("seq", "epoch", "skey", "__rn")
+    val outCols = state.columns.filterNot(c => engine.contains(c.toLowerCase))
+    val amap = assigns.toMap
+    val updated = state
+      .where(cond.map(byName).getOrElse(org.apache.spark.sql.functions.lit(true)))
+      .select(outCols.map { c =>
+        amap.get(c.toLowerCase)
+          .map(e => byName(e).cast(state.schema(c).dataType))
+          .getOrElse(org.apache.spark.sql.functions.col(c)).as(c)
+      }: _*)
+    val before = st.manifest.maxSeq
+    val after = st.append(updated)
+    after - before
+  }
+
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
     require(!pinned, "DELETE through a version-pinned journal table " +

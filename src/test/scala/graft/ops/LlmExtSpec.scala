@@ -383,4 +383,78 @@ class LlmExtSpec extends AnyFunSuite {
     assert(LlmExtOps.decodeStub("ab".getBytes("UTF-8")) === ((2, 97, 195L)))
     assert(LlmExtOps.decodeStub(Array.emptyByteArray) === ((0, 0, 0L)))
   }
+
+  test("journal-corpus ANN index: identity is a MANIFEST read (zero " +
+      "corpus data files opened), append-only growth tops up, a " +
+      "row-losing corpus commit rebuilds") {
+    graft.expr.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annj_").toString
+    val corpusPath = s"$dir/corpus"; val idxPath = s"$dir/index"
+    def vec(id: Long): Seq[Float] = Seq.tabulate(64)(j =>
+      (((id * 31 + j * 7) % 97).toFloat / 97f) - 0.5f)
+    def rows(ids: Range) = ids.map { id =>
+      ("emb", id.toLong, graft.TestSpark.ts("2024-01-01 00:00:00"),
+        Seq.tabulate(64)(j => (((id * 31 + j * 7) % 97).toFloat / 97f) - 0.5f)
+          .mkString("[", ",", "]"), 0.0)
+    }.toDF("ns", "ukey", "ts", "payload", "val")
+    val corpus = graft.journal.JournalStore.create(spark, corpusPath, 1000000L)
+    corpus.append(rows(1 until 40))
+    val idx = LlmExtOps.annIndexForJournalCorpus(spark, corpusPath, idxPath)
+    val q = vec(1L)
+    val first = LlmExtOps.annProbe(spark, idx, q)
+      .collect().map(_.getLong(0)).toSeq
+    assert(first.nonEmpty && first.head === 1L) // self-similarity wins
+
+    // ---- append-only growth: top-up, not rebuild (sentinel survives),
+    // and the new vector is probe-visible. Use a clone of vector 1 so
+    // it must land at the TOP of vector-1's probe.
+    val sentinel = java.nio.file.Paths.get(idxPath, "_spec_sentinel")
+    java.nio.file.Files.write(sentinel, Array[Byte](1))
+    corpus.append(Seq(("emb", 999L, graft.TestSpark.ts("2024-01-02 00:00:00"),
+      q.mkString("[", ",", "]"), 0.0)).toDF("ns", "ukey", "ts", "payload", "val"))
+    val idx2 = LlmExtOps.annIndexForJournalCorpus(spark, corpusPath, idxPath)
+    val grown = LlmExtOps.annProbe(spark, idx2, q)
+      .collect().map(_.getLong(0)).toSeq
+    assert(grown.take(2).toSet === Set(1L, 999L),
+      s"top-up missed the appended clone: $grown")
+    assert(java.nio.file.Files.exists(sentinel),
+      "append-only corpus growth rebuilt the index instead of topping up")
+
+    // ---- THE metadata pin: delete every corpus DATA file (manifest
+    // stays). Validation must still serve the index — it reads the
+    // corpus MANIFEST only; any content-fingerprint scan would throw.
+    val segRoot = java.nio.file.Paths.get(corpusPath, "segments")
+    val walk = java.nio.file.Files.walk(segRoot)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toList.reverse
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach(java.nio.file.Files.delete(_))
+    } finally walk.close()
+    val idx3 = LlmExtOps.annIndexForJournalCorpus(spark, corpusPath, idxPath)
+    val served = LlmExtOps.annProbe(spark, idx3, q)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served === grown,
+      "warm probe of an unchanged journal corpus must serve from the " +
+        "index with zero corpus data files opened")
+
+    // ---- a row-losing corpus commit (vector withdrawn) rebuilds: the
+    // dead vector leaves the index. Rebuild needs readable data files —
+    // recreate the corpus at the same path.
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusPath))
+    val corpus2 = graft.journal.JournalStore.create(spark, corpusPath, 1000000L)
+    corpus2.append(rows(1 until 40))
+    corpus2.append(Seq(("emb", 999L, graft.TestSpark.ts("2024-01-02 00:00:00"),
+      q.mkString("[", ",", "]"), 0.0)).toDF("ns", "ukey", "ts", "payload", "val"))
+    LlmExtOps.annIndexForJournalCorpus(spark, corpusPath, idxPath) // rebuild (new store)
+    java.nio.file.Files.write(sentinel, Array[Byte](1))
+    corpus2.deleteWhereDv(col("ukey") === 999L)
+    val idx4 = LlmExtOps.annIndexForJournalCorpus(spark, corpusPath, idxPath)
+    val afterDelete = LlmExtOps.annProbe(spark, idx4, q)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!afterDelete.contains(999L),
+      "a row-losing corpus commit must rebuild the index")
+    assert(!java.nio.file.Files.exists(sentinel),
+      "delete-dv on the corpus must trigger a full rebuild, not a top-up")
+  }
 }

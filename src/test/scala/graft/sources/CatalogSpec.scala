@@ -285,4 +285,132 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM jcat.trunc").as[Long].head() === 0L)
     assert(graft.journal.JournalStore.open(spark, s"$root/trunc").scan().count() === 0)
   }}
+
+  test("SQL MERGE INTO routes through the store's merge: delete, " +
+      "update, insert clauses with no-op suppression") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.msql (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 1.0),
+      ("users", 3L, graft.TestSpark.ts("2024-01-01 00:00:03"), "px", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/msql")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:01"), "pa", 9.0),   // no-op: payload unchanged
+      ("users", 2L, graft.TestSpark.ts("2024-01-02 00:00:02"), "pb2", 1.0),  // update
+      ("users", 3L, graft.TestSpark.ts("2024-01-02 00:00:03"), "dd", -5.0),  // delete (val < 0)
+      ("users", 4L, graft.TestSpark.ts("2024-01-02 00:00:04"), "pc", 1.0))   // insert
+      .toDF("ns", "ukey", "ts", "payload", "val").createOrReplaceTempView("msrc")
+    val res = spark.sql("""
+      MERGE INTO jcat.msql AS t USING msrc AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
+    // update + tombstone + insert landed; the no-op was suppressed
+    assert(res.as[Long].head() === 3L)
+    val got = graft.journal.JournalStore.open(spark, s"$root/msql")
+      .latest().select("ukey", "payload")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, "pa"), (2L, "pb2"), (4L, "pc")))
+    // idempotent re-run: everything now matches state → zero rows append
+    val again = spark.sql("""
+      MERGE INTO jcat.msql AS t USING msrc AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
+    // NOT fully idempotent by SQL semantics: key 3 is now unmatched
+    // (tombstoned), so the INSERT clause re-inserts it — the one row
+    assert(again.as[Long].head() === 1L)
+  }}
+
+  test("SQL MERGE INTO clause subsets: delete-only and insert-only " +
+      "leave the other routes untouched; unsupported shapes refuse " +
+      "precisely") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.msub (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/msub")
+    Seq(
+      ("users", 2L, graft.TestSpark.ts("2024-01-02 00:00:02"), "zz", 1.0),
+      ("users", 5L, graft.TestSpark.ts("2024-01-02 00:00:05"), "p5", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val").createOrReplaceTempView("msub_src")
+    // delete-only: matched-but-not-deleted rows and unmatched source
+    // rows are both left alone (no implicit upsert, no implicit insert)
+    spark.sql("""
+      MERGE INTO jcat.msub AS t USING msub_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN DELETE""")
+    def live() = graft.journal.JournalStore.open(spark, s"$root/msub")
+      .latest().select("ukey", "payload")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(live() === Seq((1L, "pa"))) // 2 deleted; 5 NOT inserted
+    // insert-only: matched rows never update
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-03 00:00:01"), "CHANGED", 1.0),
+      ("users", 7L, graft.TestSpark.ts("2024-01-03 00:00:07"), "p7", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val").createOrReplaceTempView("msub_src2")
+    spark.sql("""
+      MERGE INTO jcat.msub AS t USING msub_src2 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
+    assert(live() === Seq((1L, "pa"), (7L, "p7"))) // 1 untouched, 7 inserted
+    // unsupported shapes refuse with precise errors
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(Option(e.getMessage).exists(_.contains(frag)),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    refuses("""
+      MERGE INTO jcat.msub AS t USING msub_src2 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey AND t.val > s.val
+      WHEN MATCHED THEN DELETE""", "ns/ukey")
+    refuses("""
+      MERGE INTO jcat.msub AS t USING msub_src2 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val > 0 THEN UPDATE SET ts = s.ts,
+        payload = s.payload, val = s.val""", "unconditional")
+    refuses("""
+      MERGE INTO jcat.msub AS t USING msub_src2 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""", "NOT MATCHED BY SOURCE")
+  }}
+
+  test("SQL UPDATE rewrites current state through append: assignments " +
+      "see target columns, the count is the matched-row count") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.usql (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 2.0),
+      ("carts", 3L, graft.TestSpark.ts("2024-01-01 00:00:03"), "pc", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/usql")
+    val res = spark.sql(
+      "UPDATE jcat.usql SET val = val * 10, payload = concat(payload, '!') " +
+        "WHERE ns = 'users'")
+    assert(res.as[Long].head() === 2L)
+    // current full-row state = per-key argmax by seq over the table
+    val got = spark.sql("""
+      SELECT ukey, payload, val FROM (
+        SELECT *, row_number() OVER (PARTITION BY ns, ukey ORDER BY seq DESC) rn
+        FROM jcat.usql) WHERE rn = 1 ORDER BY ukey""")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "pa!", 10.0), (2L, "pb!", 20.0), (3L, "pc", 3.0)))
+    // history is preserved — UPDATE appends state, never rewrites it
+    assert(graft.journal.JournalStore.open(spark, s"$root/usql")
+      .scan().count() === 5L)
+    // engine/key columns refuse assignment
+    val e = intercept[Exception](
+      spark.sql("UPDATE jcat.usql SET ukey = ukey + 1 WHERE ns = 'users'"))
+    assert(Option(e.getMessage).exists(_.contains("reassign")))
+  }}
 }
