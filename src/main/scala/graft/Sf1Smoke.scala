@@ -92,7 +92,12 @@ object Sf1Smoke {
       // round 11: DV delete + purge, merge reconciliation and z-order
       // rewrite all scale with ingest; entropy scales with the corpus
       "journal_dv_erase", "journal_merge_upsert", "journal_zorder_scan",
-      "text_entropy")
+      "text_entropy",
+      // round 12/13 rows: batch CDC (delete tier reads the window's dv
+      // parts, linear in the window), constraint validation (one
+      // predicate scan per appended batch), PMI (vocabulary-sized count
+      // tables — corpus scan once, then vocab-grain joins)
+      "journal_changes", "journal_constraints", "text_pmi")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()
@@ -110,6 +115,52 @@ object Sf1Smoke {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[sf1] text_bpe_train          ${sec}%8.2f s  " +
         f"($rounds rounds incl. corpus round 0, ${sec / rounds}%.2f s/round)")
+    }
+    // Batched-BPE lever probe (text_bpe_batch): K symbol-disjoint
+    // merges per driver sync — print merges/sync so the lever's payoff
+    // at 10x data is a measured number next to text_bpe_train's 1/sync.
+    locally {
+      val t0 = System.nanoTime()
+      val merges = SparkEntry.queries("text_bpe_batch")(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rounds = 3
+      println(f"[sf1] text_bpe_batch          ${sec}%8.2f s  " +
+        f"($merges merges / $rounds syncs = ${merges.toDouble / rounds}%.1f " +
+        f"merges/sync, ${sec / rounds}%.2f s/round)")
+    }
+    // Streaming change-feed probe: the snapshot batch is O(live rows)
+    // by contract; a TAIL window carrying K vector deletions must cost
+    // O(K + window appends), never O(store) — the number printed next
+    // to the snapshot time is the evidence.
+    locally {
+      val path = s"$out/cf_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val store = graft.journal.JournalStore.create(spark, path,
+        epochSize = 1 << 20)
+      store.append(graft.ops.JournalOps.journal(spark, out))
+      val n = store.scan().count() // manifest-parse count, not a scan
+      val ckpt = s"$out/cf_ckpt"; val sink = s"$out/cf_sink"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+      def runOnce(): Double = {
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("journal")
+          .option("changeFeed", "true").option("startMode", "snapshot")
+          .load(path)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tSnap = runOnce() // snapshot bootstrap: O(live rows)
+      val del = store.deleteWhereDv(col("ukey") % 97L === 0L)
+      val tTail = runOnce() // delete window: O(deleted), store untouched
+      println(f"[sf1] changefeed_snapshot     $tSnap%8.2f s  rows=$n")
+      println(f"[sf1] changefeed_delete_tail  $tTail%8.2f s  " +
+        f"retractions=$del (window cost rides the deletions, not the " +
+        f"$n-row store)")
     }
     spark.stop()
   }

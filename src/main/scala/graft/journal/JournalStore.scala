@@ -1580,11 +1580,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // CAS itself detects the race — there is no unvalidated fast path.
     // merge‖merge serializes the same way: the loser re-derives against
     // the winner's state, so both intents land deterministically.
+    // a large source is pinned ONCE with localCheckpoint, for the same
+    // reason the probe runs once: the profile pass, the state join, and
+    // every CAS-loss re-derivation must see the SAME source rows — a
+    // non-deterministic source re-evaluated between the profile and the
+    // join could defeat the file pruning (a key the profile never saw
+    // would silently join against pruned-away state). One extra
+    // materialization pass, executor-local (MEMORY_AND_DISK), paid only
+    // on the large path.
+    lazy val srcPinned = src0.localCheckpoint()
     retryOnLostRace {
       if (probe.length <= JournalStore.MergeSmallSourceRows)
         mergeSmall(src0.schema, probe, whenMatchedDelete,
           whenMatchedUpdate, whenNotMatchedInsert)
-      else mergeFull(src0, whenMatchedDelete,
+      else mergeFull(srcPinned, whenMatchedDelete,
         whenMatchedUpdate, whenNotMatchedInsert)
     }
   }
@@ -1639,25 +1648,81 @@ class JournalStore private (val spark: SparkSession, val path: String,
   }
 
   /** The full merge path (source too large to collect): one (ns, ukey)
-    * shuffle joining the source against latest(). Ambiguity detection
+    * shuffle joining the source against state. Ambiguity detection
     * rides the SAME pass (no separate count job): a per-key window
     * count shares the join's partitioning and detonates inside the
-    * routed projection. */
+    * routed projection.
+    *
+    * STATE PRUNING WITHOUT A KEY LIST (the large-source twin of
+    * [[mergeSmall]]'s collected-key pruning): ONE aggregate pass over
+    * the pinned source builds a per-NAMESPACE profile — key min/max,
+    * null-key flag, and an 8 KiB key bloom in the per-file stats
+    * geometry. The collect is bounded by the namespace count, never the
+    * source size, so a 100 TB source profiles in one distributed pass
+    * and a few driver rows. The profile prunes the state side twice:
+    * file-level ([[JournalStore.mergeStateCandidateFiles]] — ns
+    * directory, range overlap, and a PROVABLY-EMPTY bloom
+    * intersection), then row-level (a per-ns range disjunction pushed
+    * to the parquet scans — one conjunct per namespace, not per key).
+    * Both are sound for the join: every source key passes its own
+    * group's range and leaves its bits in the bloom intersection, so a
+    * file or row holding any source key's state always survives; what
+    * gets dropped can match nothing. When pruning keeps most files the
+    * path falls back to latest() — checkpoint-bounded replay beats a
+    * near-full segment re-read — still under the row predicate, which
+    * pushes through the state aggregate into checkpoint + tail scans. */
   private def mergeFull(src0: DataFrame,
                         whenMatchedDelete: Option[org.apache.spark.sql.Column],
                         whenMatchedUpdate: Boolean = true,
                         whenNotMatchedInsert: Boolean = true): Long = {
+    val m = manifest
+    val prof = src0
+      .groupBy(col("ns").cast("string").as("ns"))
+      .agg(min(col("ukey").cast("long")).as("kmin"),
+           max(col("ukey").cast("long")).as("kmax"),
+           max(col("ukey").isNull.cast("int")).as("nullKey"),
+           keyBloomAgg.as("kbloom"))
+      .collect()
+    // null-ns source rows never match state (the join is null-UNSAFE on
+    // ns) — they route by the not-matched clause whatever state holds,
+    // so they constrain no state file
+    val groups = prof.filter(r => !r.isNullAt(0)).map { r =>
+      JournalStore.MergeNsProfile(r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        !r.isNullAt(3) && r.getInt(3) == 1,
+        if (r.isNullAt(4)) Array.emptyByteArray
+        else r.getAs[Array[Byte]](4))
+    }.toSeq
+    val rowPred = groups.map { g =>
+      val keyP = (g.kmin, g.kmax) match {
+        case (Some(klo), Some(khi)) =>
+          val ranged = col("ukey").between(klo, khi)
+          if (g.nullKey) ranged || col("ukey").isNull else ranged
+        case _ => col("ukey").isNull
+      }
+      (col("ns") === lit(g.ns)) && keyP
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cand = JournalStore.mergeStateCandidateFiles(m, groups)
+    val stateRows =
+      if (cand.size * 2 <= m.files.size)
+        tombstoneAwareState(
+          readSegmentsOver(cand, m.schemaDdl, m.dvParts)
+            .where(rowPred)
+            .select("ns", "ukey", "seq", "payload"))
+      else latest().where(rowPred)
+    val state = stateRows.select(col("ns"), col("ukey"),
+        col("payload").as("cur_payload")).alias("t")
     val src = src0
       .withColumn("__dup", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("ns"), col("ukey"))))
       .alias("s")
-    val state = latest().select(col("ns"), col("ukey"),
-        col("payload").as("cur_payload")).alias("t")
     // null-safe on ukey: a NULL key row in the source must match its
     // NULL-key state, not silently always-insert. appendOnce for the
     // same reason as mergeSmall: CAS loss re-derives the whole join
-    // (latest() re-plans against the fresh manifest on each attempt).
+    // against the fresh manifest on each attempt (mergeFull re-reads
+    // `manifest` per call; the pinned source never re-evaluates).
     appendOnce(mergeRouted(src.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = true,
@@ -2435,6 +2500,66 @@ object JournalStore {
         .mightContainLong(org.apache.spark.sql.catalyst.expressions
           .XxHash64Function.hash(k, org.apache.spark.sql.types.LongType, 42L))
     } catch { case _: Exception => true }
+
+  /** True only when two key blooms PROVABLY share no key: both sides
+    * decode, the geometries match, and the bitwise INTERSECTION has
+    * zero set bits — a shared key would have left its k hash bits set
+    * in both filters, hence in the intersection, so an empty
+    * intersection is an exact disjointness witness (the converse is
+    * only probabilistic, which is why the answer is used to PRUNE,
+    * never to match). A missing or unreadable side answers false
+    * (keep) — the exact-or-conservative stats contract. */
+  private[journal] def bloomsDisjoint(fileB64: String,
+                                      src: Array[Byte]): Boolean =
+    if (fileB64.isEmpty || src == null || src.isEmpty) false
+    else try {
+      val a = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(fileB64)))
+      val b = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(src))
+      a.intersectInPlace(b).cardinality() == 0L
+    } catch { case _: Exception => false }
+
+  /** One namespace of a large-merge source profile: key range, null-key
+    * presence, and a key bloom in the SAME geometry as the per-file
+    * stats blooms (BloomItems/BloomBits — so the two intersect
+    * directly). Built by one aggregate pass over the source; collected
+    * at namespace grain, never row grain. */
+  private[journal] case class MergeNsProfile(ns: String, kmin: Option[Long],
+      kmax: Option[Long], nullKey: Boolean, bloom: Array[Byte])
+
+  /** Manifest files that can hold state for ANY source key described by
+    * `groups` — the large-source twin of the instance method
+    * `mergeCandidateFiles`'s exact-key pruning, driven by per-ns source
+    * aggregates instead of a collected key list. Exact-or-conservative:
+    * a file with no stats, an ns directory that doesn't round-trip
+    * literally, or an unreadable bloom is kept; a group carrying null
+    * keys keeps every ns-compatible file (key stats never describe
+    * NULL, and the merge join is null-SAFE on ukey). A file is dropped
+    * only when every group either misses its ns directory, has a
+    * provably disjoint key range, or a provably empty bloom
+    * intersection. */
+  private[journal] def mergeStateCandidateFiles(
+      m: Manifest, groups: Seq[MergeNsProfile]): Seq[String] = {
+    val nsRe = """ns=([^/]+)""".r
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    m.files.filter { f =>
+      val dirNs = nsRe.findFirstMatchIn(f).map(_.group(1))
+      val safe = dirNs.exists(_.matches("[A-Za-z0-9_.\\-]+"))
+      groups.exists { g =>
+        (!safe || dirNs.contains(g.ns)) &&
+          (g.nullKey || ((g.kmin, g.kmax) match {
+            case (Some(klo), Some(khi)) => fmap.get(f).forall(s =>
+              s.minKey <= khi && klo <= s.maxKey &&
+                !bloomsDisjoint(s.bloom, g.bloom))
+            // kmin/kmax absent without nullKey cannot happen for a
+            // non-empty group; answer false (nothing to hold) if it does
+            case _ => false
+          }))
+      }
+    }
+  }
 
   /** OR-merge victim blooms for a compacted file; any missing or
     * unreadable constituent poisons the merge to "" (conservative). */

@@ -815,6 +815,95 @@ object JournalOps {
           VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
       store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
     }),
+    "journal_update_sql" -> ((s, d) => {
+      // SQL `UPDATE` as a declared, oracle-checked row: the statement
+      // routes through JournalMergeRule's translateUpdate
+      // (sources/JournalMerge.scala) — the live-state rows matching the
+      // condition are rewritten through the assignments and APPENDED
+      // (history preserved; deliberately not merge-routed, whose
+      // payload-keyed no-op suppression would drop a pure `SET val=`
+      // change). Assignments reference target columns, evaluating over
+      // the state frame. latest() then shows the updated values; rows
+      // missing the condition are untouched. Clone-per-invocation: a
+      // re-run would double-apply `val * 2` to rows still under 10.
+      val tag = tmpTag(d)
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jusql_seed_$tag").toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 4999L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 5000)
+            .write.format("journal").option("epochSize", "1000").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jusql_root_$tag").toString
+      val cat = s"jusql_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ev"))
+      val store = seedStore.cloneTo(s"$root/ev")
+      s.sql(s"UPDATE $cat.ev " +
+        "SET payload = concat(payload, '!'), val = val * 2.0 " +
+        "WHERE val < 10.0")
+      // full-row state read-back (latest() compacts to payload only;
+      // the UPDATE's proof needs val too): per-key arg-max by the
+      // unique seq, tombstone-aware — the same combine rule
+      store.scan()
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("payload"), col("val"))).as("top"))
+        .select(col("ns"), col("ukey"), col("top.payload").as("payload"),
+          col("top.val").as("val"))
+        .where(col("payload").isNotNull)
+        .orderBy("ns", "ukey")
+    }),
+    "journal_merge_bulk" -> ((s, d) => {
+      // The LARGE-source merge path as a declared, oracle-checked row:
+      // the deduped post-seed events UNION 4000 synthetic never-seen
+      // keys push the source past MergeSmallSourceRows, so this merge
+      // takes mergeFull — the pinned-source profile pass (per-ns key
+      // range + stats-geometry bloom, collected at NAMESPACE grain),
+      // manifest candidate pruning, and the ranged row predicate — with
+      // no driver key collect at any source size. Clause routing, no-op
+      // suppression and the delete clause are the small path's exactly;
+      // the oracle is the same full-outer-join CASE with the synthetic
+      // keys unioned in. Clone-per-invocation for the same
+      // non-idempotence reason as journal_merge_upsert.
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jmbulk_seed_" + tmpTag(d)).toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 4999L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 5000)
+            .write.format("journal").option("epochSize", "1000").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jmbulk_work_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val store = seedStore.cloneTo(tmp)
+      val real = journal(s, d)
+        .where(col("seq") >= 5000)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"))
+      val synth = s.range(4000).selectExpr("'bulk' AS ns",
+        // NTZ literal: the store schema pins ts to the parquet table's
+        // TIMESTAMP_NTZ; an LTZ literal would coerce the whole union
+        "1000000 + id AS ukey", "timestamp_ntz'2024-06-01 00:00:00' AS ts",
+        "concat('b', id) AS payload", "CAST(id AS DOUBLE) AS val")
+      store.merge(real.unionByName(synth),
+        whenMatchedDelete = Some(col("val") < 20.0))
+      store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
+    }),
     "journal_schema_evolve" -> ((s, d) => {
       // Schema evolution as a declared, oracle-checked row: the second
       // append carries an extra `src_id` column; the manifest schema
@@ -854,6 +943,34 @@ object JournalOps {
       store.deleteWhereDv(col("ukey") % 10 === 7)
       val v2 = store.manifest.version
       store.changes(v1, v2)
+        .select("_change_type", "seq", "ns", "ukey", "payload", "val")
+        .orderBy("_change_type", "seq")
+    }),
+    "journal_changes_read" -> ((s, d) => {
+      // The READER-OPTION surface of the row above (the Delta CDF
+      // `readChangeFeed` idiom): the same net window is requested with
+      // spark.read options — changeFeed=true + fromVersion/toVersion —
+      // and served by ChangeFeedBatchScan through the V1 bridge
+      // (sources/JournalV2.scala). Same oracle as journal_changes: the
+      // two surfaces must agree with DuckDB's recomputation AND with
+      // each other. Different history (deletes land BEFORE the second
+      // append, and the deleted-key predicate differs) so the two rows
+      // pin different windows, including inserts of keys whose earlier
+      // rows were vector-deleted in the same window.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jchread_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 500)
+        .write.format("journal").option("epochSize", "400").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      val v1 = store.manifest.version
+      store.deleteWhereDv(col("ukey") % 7 === 3)
+      store.append(journal(s, d).where(col("seq") >= 500 && col("seq") < 900))
+      val v2 = store.manifest.version
+      s.read.format("journal")
+        .option("changeFeed", "true")
+        .option("fromVersion", v1).option("toVersion", v2)
+        .load(tmp)
         .select("_change_type", "seq", "ns", "ukey", "payload", "val")
         .orderBy("_change_type", "seq")
     }),
@@ -1011,6 +1128,19 @@ object JournalOps {
         "UNION ALL " +
         "SELECT 'delete', event_id, event_type, user_id, props, value " +
         "FROM events WHERE event_id < 600 AND user_id % 10 = 7) " +
+        "ORDER BY _change_type, seq"),
+    // reader-option surface: deletes land BEFORE the window's append,
+    // so every appended row is an insert (including re-inserted keys)
+    // and the deletes are exactly the pre-window rows of deleted keys
+    "journal_changes_read" ->
+      ("SELECT * FROM (" +
+        "SELECT 'insert' AS _change_type, event_id AS seq, " +
+        "event_type AS ns, user_id AS ukey, props AS payload, " +
+        "value AS val FROM events " +
+        "WHERE event_id >= 500 AND event_id < 900 " +
+        "UNION ALL " +
+        "SELECT 'delete', event_id, event_type, user_id, props, value " +
+        "FROM events WHERE event_id < 500 AND user_id % 7 = 3) " +
         "ORDER BY _change_type, seq"),
     "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
     "journal_sink_state" -> stateSql("WHERE event_id <= 5000"),
@@ -1280,6 +1410,28 @@ object JournalOps {
         "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
         "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
         "ORDER BY ns, ukey"),
+    // the large-source (mergeFull) path: same reconciliation, source
+    // widened past the small-path threshold by 4000 synthetic keys
+    "journal_merge_bulk" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 5000 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload, " +
+        "arg_max(value, event_id) AS val " +
+        "FROM events WHERE event_id >= 5000 GROUP BY 1, 2 " +
+        "UNION ALL SELECT 'bulk' AS ns, 1000000 + i AS ukey, " +
+        "'b' || i AS payload, CAST(i AS DOUBLE) AS val FROM range(4000) t(i)), " +
+        "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
+        "COALESCE(s.ukey, t.ukey) AS ukey, " +
+        "CASE WHEN s.ns IS NOT NULL AND t.ns IS NOT NULL " +
+        "AND COALESCE(s.val < 20.0, FALSE) THEN NULL " +
+        "WHEN s.ns IS NOT NULL THEN s.payload " +
+        "ELSE t.payload END AS payload " +
+        "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
+        "ORDER BY ns, ukey"),
     // the SQL MERGE INTO statement = the same reconciliation, different window
     "journal_merge_sql" ->
       ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
@@ -1300,6 +1452,18 @@ object JournalOps {
         "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
         "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
         "ORDER BY ns, ukey"),
+    // SQL UPDATE: live-state rows (per-key arg-max) matching the
+    // condition rewritten through the assignments; NULL-val rows miss
+    // the condition both sides (Spark filters, SQL CASE else-branch)
+    "journal_update_sql" ->
+      ("WITH state AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload, " +
+        "arg_max(value, event_id) AS val " +
+        "FROM events WHERE event_id < 5000 GROUP BY 1, 2) " +
+        "SELECT ns, ukey, " +
+        "CASE WHEN val < 10.0 THEN payload || '!' ELSE payload END AS payload, " +
+        "CASE WHEN val < 10.0 THEN val * 2.0 ELSE val END AS val " +
+        "FROM state WHERE payload IS NOT NULL ORDER BY ns, ukey"),
     // evolved column: NULL for pre-evolution rows, no rewrite
     "journal_schema_evolve" ->
       ("SELECT event_id AS seq, event_type AS ns, user_id AS ukey, " +

@@ -1183,6 +1183,66 @@ object LlmExtOps {
       rows.result().reduce(_ unionByName _).orderBy("merge_round")
     }),
 
+    "text_bpe_batch" -> ((s, d) => {
+      // BATCHED BPE TRAINING — the production lever text_bpe_train's
+      // Scaladoc names: K symbol-disjoint merges land per driver sync,
+      // so a 50k-merge vocabulary pays ~50k/K syncs instead of 50k.
+      // Per round: pair counts (vocabulary-sized, map-side partials) →
+      // a top-K0 candidate window (ONE bounded collect of ≤K0 rows —
+      // the round's driver sync) → the deterministic RANK-WINDOW
+      // selection: a candidate is kept iff NO higher-ranked candidate
+      // in the window shares a symbol with it. Greedy-over-kept-only
+      // would need a recursive dependency plain SQL can't express; the
+      // window rule is strictly more conservative, engine-neutral, and
+      // still guarantees every kept pair is symbol-disjoint — so the K
+      // merges COMMUTE (a merge only touches adjacencies involving its
+      // own symbols) and one chained replace() projection re-segments
+      // for all of them, each with text_bpe_train's left-to-right
+      // greedy semantics. The DuckDB oracle unrolls the same rounds
+      // with the window rule as NOT EXISTS over the ranked window.
+      val K0 = 12; val K = 4; val rounds = 3
+      import s.implicits._
+      val out = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      var vocab = Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(lit("_"),
+          array_join(split(col("w"), ""), "_"), lit("_")).as("repr"),
+          col("freq"))
+        .localCheckpoint()
+      for (r <- 1 to rounds) {
+        val top = vocab
+          .selectExpr("freq",
+            "split(substring(repr, 2, char_length(repr) - 2), '_') AS t")
+          .selectExpr("freq",
+            "explode(CASE WHEN size(t) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+              "ELSE transform(sequence(0, size(t) - 2), " +
+              "i -> concat(element_at(t, i + 1), '_', element_at(t, i + 2))) " +
+              "END) AS pair")
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(K0)
+          .collect()
+        val kept = top.zipWithIndex.filter { case (a, i) =>
+          val pa = a.getString(0).split("_")
+          !top.take(i).exists { b =>
+            val pb = b.getString(0).split("_")
+            pb.contains(pa(0)) || pb.contains(pa(1))
+          }
+        }.map(_._1).take(K)
+        out += kept.zipWithIndex.map { case (row, i) =>
+          val p = row.getString(0).split("_")
+          (r, i + 1, p(0), p(1), row.getLong(1))
+        }.toSeq.toDF("merge_round", "merge_rank", "lhs", "rhs", "cnt")
+        val repl = kept.map(_.getString(0)).foldLeft("repr") { (acc, p) =>
+          s"replace($acc, '_${p}_', '_${p.replace("_", "")}_')"
+        }
+        vocab = vocab.selectExpr(s"$repl AS repr", "freq").localCheckpoint()
+      }
+      out.result().reduce(_ unionByName _)
+        .orderBy("merge_round", "merge_rank")
+    }),
+
     "text_bpe_pairs" -> ((s, d) => {
       // First BPE-style merge iteration: corpus-wide counts of ADJACENT
       // symbol pairs inside words (the statistic a byte-pair-encoding
@@ -1911,6 +1971,49 @@ object LlmExtOps {
         .mkString(" UNION ALL ")
       s"$base, $roundsSql SELECT merge_round, lhs, rhs, cnt FROM ($out) " +
         "ORDER BY merge_round"
+    },
+    "text_bpe_batch" -> {
+      // Unrolled twin of the batched loop: per round, pair counts →
+      // ranked top-K0 window → rank-window selection (NOT EXISTS over
+      // higher-ranked candidates sharing a symbol) → K chained
+      // replaces. The scalar-subquery needles coalesce to '#' (absent
+      // from the [a-z_] alphabet) when a round keeps fewer than K
+      // pairs, so a missing merge is a no-op rather than a NULL. Same
+      // (cnt DESC, pair) tiebreak as text_bpe_train throughout.
+      val K0 = 12; val K = 4; val rounds = 3
+      val base = "WITH w AS (SELECT w, count(*) AS freq FROM " +
+        "(SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w " +
+        "FROM documents) WHERE length(w) >= 2 GROUP BY 1), " +
+        "v0 AS (SELECT '_' || array_to_string(regexp_split_to_array(w, ''), '_') " +
+        "|| '_' AS repr, freq FROM w)"
+      def repl(r: Int): String = (1 to K).foldLeft("repr") { (acc, i) =>
+        s"replace($acc, " +
+          s"coalesce((SELECT '_' || pair || '_' FROM m$r WHERE rnk = $i), '#'), " +
+          s"coalesce((SELECT '_' || replace(pair, '_', '') || '_' " +
+          s"FROM m$r WHERE rnk = $i), ''))"
+      }
+      val roundsSql = (1 to rounds).map { r =>
+        s"p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (SELECT freq, " +
+          "unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS pair " +
+          s"FROM (SELECT freq, string_split(trim(repr, '_'), '_') AS t FROM v${r - 1})) " +
+          "GROUP BY 1), " +
+          s"c$r AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk " +
+          s"FROM (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT $K0)), " +
+          s"k$r AS (SELECT pair, cnt, row_number() OVER (ORDER BY rk) AS rnk FROM c$r a " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM c$r b WHERE b.rk < a.rk AND " +
+          "(split_part(b.pair, '_', 1) IN (split_part(a.pair, '_', 1), " +
+          "split_part(a.pair, '_', 2)) " +
+          "OR split_part(b.pair, '_', 2) IN (split_part(a.pair, '_', 1), " +
+          "split_part(a.pair, '_', 2))))), " +
+          s"m$r AS (SELECT pair, cnt, rnk FROM k$r WHERE rnk <= $K), " +
+          s"v$r AS (SELECT ${repl(r)} AS repr, freq FROM v${r - 1})"
+      }.mkString(", ")
+      val unioned = (1 to rounds).map(r =>
+        s"SELECT $r AS merge_round, CAST(rnk AS INT) AS merge_rank, " +
+          "split_part(pair, '_', 1) AS lhs, split_part(pair, '_', 2) AS rhs, " +
+          s"cnt FROM m$r").mkString(" UNION ALL ")
+      s"$base, $roundsSql SELECT merge_round, merge_rank, lhs, rhs, cnt " +
+        s"FROM ($unioned) ORDER BY merge_round, merge_rank"
     },
     "text_bpe_pairs" ->
       ("SELECT gram, count(*) AS cnt FROM " +

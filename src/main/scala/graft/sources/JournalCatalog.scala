@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Tab
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.journal.JournalStore
@@ -170,10 +170,13 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
 
   private val SystemNs = Array("system")
 
+  private val ProcedureNames = Seq("compact", "vacuum", "restore",
+    "checkpoint", "purge_deletes", "zorder", "add_constraint",
+    "drop_constraint", "set_property")
+
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array(Identifier.of(SystemNs, "compact"), Identifier.of(SystemNs, "vacuum"),
-        Identifier.of(SystemNs, "restore"))
+      ProcedureNames.map(Identifier.of(SystemNs, _)).toArray
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -184,9 +187,15 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "compact" => new CompactProcedure
       case "vacuum"  => new VacuumProcedure
       case "restore" => new RestoreProcedure
+      case "checkpoint" => new CheckpointProcedure
+      case "purge_deletes" => new PurgeDeletesProcedure
+      case "zorder" => new ZorderProcedure
+      case "add_constraint" => new AddConstraintProcedure
+      case "drop_constraint" => new DropConstraintProcedure
+      case "set_property" => new SetPropertyProcedure
       case other => throw new IllegalArgumentException(
-        s"unknown journal procedure '$other' " +
-          "(available: system.compact, system.vacuum, system.restore)")
+        s"unknown journal procedure '$other' (available: " +
+          ProcedureNames.map("system." + _).mkString(", ") + ")")
     }
   }
 
@@ -268,6 +277,135 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     override def call(input: InternalRow): util.Iterator[Scan] = {
       storeForName(input.getUTF8String(0).toString)
         .restore(input.getLong(1))
+      noRows
+    }
+  }
+
+  private class CheckpointProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "checkpoint"
+    override def description(): String =
+      "materialize the per-key state at a seq (default: the current " +
+        "high water) so future state reads replay only the tail after it"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("seq", LongType).defaultValue("-1")
+        .comment("state upper bound; -1 = the table's current maxSeq").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val seq = if (input.isNullAt(1) || input.getLong(1) < 0L)
+                  store.manifest.maxSeq
+                else input.getLong(1)
+      store.checkpoint(seq)
+      noRows
+    }
+  }
+
+  private class PurgeDeletesProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "purge_deletes"
+    override def description(): String =
+      "physically rewrite segment files whose deletion-vector dead " +
+        "fraction reaches the threshold, then drop their vector entries " +
+        "(Delta's PURGE); files below the threshold keep serving " +
+        "subtracted reads"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("min_dead_fraction", DoubleType).defaultValue("0.1")
+        .comment("rewrite a file when dead rows / total rows >= this").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val frac = if (input.isNullAt(1)) 0.1 else input.getDouble(1)
+      store.purgeDeletes(frac)
+      noRows
+    }
+  }
+
+  private class ZorderProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "compact with a Z-ORDER layout: rows re-clustered by the " +
+        "interleaved bits of the named columns, so multi-column range " +
+        "probes prune files AND row groups (Delta's OPTIMIZE ZORDER BY)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated column list (max 8, 64 z-bits)").build(),
+      ProcedureParameter.in("up_to_epoch", LongType).defaultValue("-1")
+        .comment("only rewrite epochs <= this; -1 = every epoch").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val upTo = if (input.isNullAt(2) || input.getLong(2) < 0L) Long.MaxValue
+                 else input.getLong(2)
+      store.compact(upTo, cols)
+      noRows
+    }
+  }
+
+  private class AddConstraintProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "add_constraint"
+    override def description(): String =
+      "add a CHECK constraint (validated against existing rows first; " +
+        "every future append pays one pass over the batch, never the store)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("constraint name (drop_constraint takes it)").build(),
+      ProcedureParameter.in("expr", StringType)
+        .comment("boolean SQL over the table's columns, e.g. 'val >= 0'")
+        .build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      storeForName(input.getUTF8String(0).toString)
+        .addConstraint(input.getUTF8String(1).toString,
+          input.getUTF8String(2).toString)
+      noRows
+    }
+  }
+
+  private class DropConstraintProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_constraint"
+    override def description(): String = "drop a CHECK constraint by name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      storeForName(input.getUTF8String(0).toString)
+        .dropConstraint(input.getUTF8String(1).toString)
+      noRows
+    }
+  }
+
+  private class SetPropertyProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "set_property"
+    override def description(): String =
+      "set one table property (TBLPROPERTIES), committed under the " +
+        "manifest CAS like any other metadata change; last write wins"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("key", StringType).build(),
+      ProcedureParameter.in("value", StringType).build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      storeForName(input.getUTF8String(0).toString)
+        .setMeta(Map(input.getUTF8String(1).toString ->
+          input.getUTF8String(2).toString))
       noRows
     }
   }

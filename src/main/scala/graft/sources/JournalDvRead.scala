@@ -70,7 +70,8 @@ class JournalDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // through to the rewrite below.
       a
     case r: DataSourceV2Relation if r.table.isInstanceOf[JournalTable] &&
-        r.table.asInstanceOf[JournalTable].hasLiveDv =>
+        r.table.asInstanceOf[JournalTable].hasLiveDv &&
+        !r.table.asInstanceOf[JournalTable].isChangeFeed =>
       val child = r.table.asInstanceOf[JournalTable]
         .dvSubtractedFrame().queryExecution.analyzed
       val byName = child.output.map(a => a.name.toLowerCase -> a).toMap

@@ -281,16 +281,25 @@ private[sources] class JournalStreamReaderFactory(
 /** Composite change-feed offset: the delivered seq high-water mark plus
   * the manifest version whose deletion vectors have been reflected.
   * Two axes because the feed has two tiers — rows arrive by seq,
-  * retractions arrive by manifest commit. */
-private[sources] case class JournalChangeOffset(seq: Long, ver: Long)
+  * retractions arrive by manifest commit. `snap = true` marks a
+  * snapshot-mode start whose initial snapshot batch has not been
+  * delivered yet (the flag clears on the snapshot batch's end offset;
+  * it is serialized only when set, so tail-mode offset logs are
+  * byte-identical to the pre-snapshot format). */
+private[sources] case class JournalChangeOffset(seq: Long, ver: Long,
+                                                snap: Boolean = false)
     extends Offset {
-  override def json: String = s"""{"seq":$seq,"ver":$ver}"""
+  override def json: String =
+    if (snap) s"""{"seq":$seq,"ver":$ver,"snap":true}"""
+    else s"""{"seq":$seq,"ver":$ver}"""
 }
 
 private[sources] object JournalChangeOffset {
   private val Re = """\{"seq":(-?\d+),"ver":(-?\d+)\}""".r
+  private val SnapRe = """\{"seq":(-?\d+),"ver":(-?\d+),"snap":true\}""".r
   def parse(json: String): JournalChangeOffset = json.trim match {
     case Re(s, v) => JournalChangeOffset(s.toLong, v.toLong)
+    case SnapRe(s, v) => JournalChangeOffset(s.toLong, v.toLong, snap = true)
     case other => throw new IllegalArgumentException(
       s"not a journal change-feed offset: $other")
   }
@@ -327,15 +336,38 @@ private[sources] object JournalChangeOffset {
   * rewrite, restore, compaction, purgeDeletes, part folding) cannot be
   * derived from file identity and fails with a precise error telling
   * the consumer to restart from a snapshot — run physical maintenance
-  * on a coarser cadence than the feed's triggers, or resync after. */
+  * on a coarser cadence than the feed's triggers, or resync after.
+  *
+  * SNAPSHOT START (`startMode=snapshot` — the Delta CDF recovery
+  * idiom, and what "restart from a fresh snapshot" in the refusals
+  * above concretely means): a fresh query's FIRST batch emits the
+  * store's CURRENT live state — every surviving row, net of deletion
+  * vectors — as `_change_type = insert` at one pinned (maxSeq,
+  * version) offset, then tails normally from there. The snapshot is
+  * version-pinned in the offset log, so a recovered first batch
+  * replans to the byte, and it deliberately ignores
+  * `maxSeqsPerTrigger` (one atomic snapshot batch, like Delta's
+  * initial CDF snapshot — admission control governs the tail, not the
+  * bootstrap). The downstream copy must be rebuilt from empty: a feed
+  * killed by a deleteWhere rewrite lost rows that were never
+  * retracted, so folding the new feed ONTO the old copy would leak
+  * them — discard the copy, start a fresh checkpoint in snapshot
+  * mode, and folding the new feed alone reproduces live state. */
 private[sources] class JournalChangeFeedStream(
     spark: SparkSession, storePath: String, tableSchema: StructType,
     maxSeqsPerTrigger: Option[Long],
-    startingSeq: Option[String] = None)
+    startingSeq: Option[String] = None,
+    startMode: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   maxSeqsPerTrigger.foreach(n => require(n > 0,
     s"maxSeqsPerTrigger must be positive, got $n"))
+  startMode.foreach(m => require(m == "tail" || m == "snapshot",
+    s"""startMode must be "tail" or "snapshot", got "$m""""))
+  require(!(startMode.contains("snapshot") && startingSeq.isDefined),
+    "startMode=snapshot pins the start to the store's current state; " +
+      "it cannot be combined with startingSeq")
+  private def snapshotStart: Boolean = startMode.contains("snapshot")
 
   private def storeOpt: Option[JournalStore] =
     if (JournalStore.exists(storePath)) Some(JournalStore.open(spark, storePath))
@@ -348,7 +380,12 @@ private[sources] class JournalChangeFeedStream(
   override def initialOffset(): Offset = {
     val st = storeOpt
     val ver = st.map(_.manifest.version).getOrElse(-1L)
-    JournalChangeOffset(startingSeq match {
+    // snapshot mode: pin the snapshot's version NOW (offset-logged, so
+    // the bootstrap survives recovery); the seq axis stays at -1 until
+    // the snapshot batch delivers. A store that does not exist yet pins
+    // when it appears (latestOffset).
+    if (snapshotStart) JournalChangeOffset(-1L, ver, snap = true)
+    else JournalChangeOffset(startingSeq match {
       case None => -1L
       case Some("latest") => st.map(_.manifest.maxSeq).getOrElse(-1L)
       case Some(s) => s.toLong - 1
@@ -369,6 +406,13 @@ private[sources] class JournalChangeFeedStream(
     val o = JournalChangeOffset.of(start)
     storeOpt match {
       case None => null
+      case Some(st) if o.snap =>
+        // the snapshot batch's end offset: the pinned version's high
+        // water on both axes, snap cleared. Deliberately UNCAPPED by
+        // maxSeqsPerTrigger — the snapshot is one atomic batch (Delta's
+        // initial CDF snapshot); the tail that follows is throttled.
+        val pinVer = if (o.ver >= 0L) o.ver else st.manifest.version
+        JournalChangeOffset(manifestAt(st, pinVer).maxSeq, pinVer)
       case Some(st) =>
         val m = st.manifest
         if (m.maxSeq < 0L && o.ver < 0L) null
@@ -399,7 +443,15 @@ private[sources] class JournalChangeFeedStream(
       s"journal store at $storePath vanished mid-stream"))
     val m1 = manifestAt(store, o1.ver)
     val m2 = manifestAt(store, o2.ver)
-    val lo = o1.seq
+    // snapshot batch (start.snap): the pinned END version's live state
+    // as inserts — lo = -1 replays every seq, the end manifest's
+    // vectors subtract dead rows, and there is NO delete tier and NO
+    // version walk (nothing was delivered before this batch, so there
+    // is nothing to retract, and pre-snapshot history — including
+    // deleteWhere rewrites that would poison a version walk — is
+    // irrelevant by construction). Everything derives from o2, which
+    // the offset log pins before execution: replay-stable.
+    val lo = if (o1.snap) -1L else o1.seq
     val hi = o2.seq
     val segDir = s"$storePath/segments"
     val epochRe = """epoch=(\d+)""".r
@@ -439,14 +491,16 @@ private[sources] class JournalChangeFeedStream(
     // over STEPS — not the endpoint diff — catches a vector that
     // appeared and was consolidated or purged inside one window.
     val stepManifests =
-      try ((o1.ver.max(0L) + (if (o1.ver < 0L) 0L else 1L)) to o2.ver)
+      if (o1.snap) Seq.empty[JournalStore.Manifest]
+      else try ((o1.ver.max(0L) + (if (o1.ver < 0L) 0L else 1L)) to o2.ver)
         .map(v => manifestAt(store, v))
       catch { case e: IllegalArgumentException =>
         throw new IllegalStateException(
           s"journal change feed at $storePath: version window " +
             s"(${o1.ver}, ${o2.ver}] is no longer fully retained — the " +
             "feed was idle past the store's retention window. Restart " +
-            s"from a fresh snapshot. (${e.getMessage})", e)
+            s"from a fresh snapshot (startMode=snapshot on a new " +
+            s"checkpoint). (${e.getMessage})", e)
       }
     // a deleteWhere REWRITE or a RESTORE loses rows without leaving a
     // vector — undeliverable as change events from file identity
@@ -456,9 +510,10 @@ private[sources] class JournalChangeFeedStream(
       s"journal change feed at $storePath: versions (${o1.ver}, " +
         s"${o2.ver}] contain ${rowLosing.mkString("/")} commits, whose " +
         "physical maintenance removes rows without deletion vectors — " +
-        "the window's deletions cannot be derived. Restart the feed " +
-        "from a fresh snapshot (vector deletes, compaction and purge " +
-        "are all fine; deleteWhere-rewrite and restore are not).")
+        "the window's deletions cannot be derived. Rebuild the " +
+        "downstream copy from a fresh feed with startMode=snapshot on " +
+        "a new checkpoint (vector deletes, compaction and purge are " +
+        "all fine; deleteWhere-rewrite and restore are not).")
     val newParts = stepManifests.flatMap(_.dvParts).distinct
       .filterNot(m1.dvParts.contains)
     val baseAbs = m1.dvParts.map(p => s"$storePath/dv/$p")

@@ -100,7 +100,10 @@ private[sources] object JournalV2 {
         Option(options.get("epochSize")).map(_.toLong),
         Option(options.get("maxSeqsPerTrigger")).map(_.toLong),
         Option(options.get("startingSeq")),
-        Option(options.get("changeFeed")).exists(_.toBoolean)))
+        Option(options.get("changeFeed")).exists(_.toBoolean),
+        Option(options.get("startMode")),
+        Option(options.get("fromVersion")).map(_.toLong),
+        Option(options.get("toVersion")).map(_.toLong)))
     }
   }
 }
@@ -111,9 +114,26 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                     writeEpochSize: Option[Long] = None,
                                     maxSeqsPerTrigger: Option[Long] = None,
                                     startingSeq: Option[String] = None,
-                                    changeFeed: Boolean = false)
+                                    changeFeed: Boolean = false,
+                                    startMode: Option[String] = None,
+                                    changesFrom: Option[Long] = None,
+                                    changesTo: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  require(startMode.isEmpty || changeFeed,
+    "startMode is a change-feed option (changeFeed=true); a plain " +
+      "journal stream starts by startingSeq")
+  require((changesFrom.isEmpty && changesTo.isEmpty) || changeFeed,
+    "fromVersion/toVersion are change-feed options (changeFeed=true); " +
+      "a plain journal read pins a snapshot with asOfVersion")
+  require(changesFrom.isDefined || changesTo.isEmpty,
+    "toVersion without fromVersion: a batch change window needs an " +
+      "explicit base (fromVersion=<v> emits the NET diff (v, to])")
+  require(changesFrom.isEmpty || startMode.isEmpty,
+    "fromVersion reads a batch change window; startMode governs a " +
+      "STREAMING feed's first batch — the two cannot combine")
+  /** Batch CDC window requested: this table reads as one NET diff. */
+  private def batchWindow: Boolean = changesFrom.isDefined
   private val segDir = s"$storePath/segments"
   // one snapshot for the table's lifetime; a store that does not exist
   // yet reads as the empty manifest (batch read falls back to V1 anyway)
@@ -145,16 +165,30 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
 
   override def name(): String = s"journal:$storePath"
   override def schema(): StructType =
-    if (changeFeed)
+    if (changeFeed) {
+      // a BATCH window reads the store's NET diff, which is computed on
+      // the CANONICAL row surface (JournalStore.changes) — epoch is a
+      // storage coordinate and evolved extras may not exist at the
+      // window's base version, so neither belongs to the diff's schema
+      val body =
+        if (batchWindow) StructType(tableSchema.filter(f =>
+          Seq("seq", "ns", "ukey", "ts", "payload", "val").contains(f.name)))
+        else tableSchema
       StructType(org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType, nullable = false) +: tableSchema)
-    else tableSchema
+        org.apache.spark.sql.types.StringType, nullable = false) +: body)
+    } else tableSchema
 
   /** Whether this table's snapshot carries live deletion vectors — the
     * trigger for [[JournalDvReadRule]]'s logical rewrite (DV subtraction
     * ABOVE the columnar parquet scan, keeping codegen + pushdown). */
   private[sources] def hasLiveDv: Boolean =
     store.isDefined && m.dvParts.nonEmpty
+
+  /** Change-feed tables read DIFFS, not the row surface —
+    * [[JournalDvReadRule]] must leave them alone (its rewrite targets
+    * the plain table read; a feed's `_change_type` column and delete
+    * tier have no equivalent in the store scan). */
+  private[sources] def isChangeFeed: Boolean = changeFeed
 
   /** The DV-subtracted batch read as a DataFrame plan: the store's own
     * scan surface (vectorized parquet scan of the manifest file list,
@@ -335,13 +369,25 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (changeFeed)
-      // the CHANGE FEED is a streaming-only surface (batch CDC is
-      // JournalStore.changes): its Scan answers toMicroBatchStream and
-      // inherits Scan's refusal for toBatch
+    if (changeFeed && batchWindow)
+      // BATCH CDC through the reader surface (the Delta CDF
+      // `readChangeFeed` idiom): fromVersion/toVersion select the NET
+      // diff (from, to] — inserts = visible at `to` and not at `from`,
+      // deletes = visible at `from` and not at `to` — served by
+      // JournalStore.changes through the V1 escape hatch (the diff is a
+      // driver-composed multi-scan plan, not a file list; same bridge
+      // as JournalDvScan). toVersion defaults to the CURRENT manifest.
+      new ScanBuilder {
+        override def build(): Scan = new ChangeFeedBatchScan(spark,
+          schema(), storePath, changesFrom.get, changesTo)
+      }
+    else if (changeFeed)
+      // the live CHANGE FEED is a streaming surface (batch CDC pins an
+      // explicit window with fromVersion): its Scan answers
+      // toMicroBatchStream and inherits Scan's refusal for toBatch
       new ScanBuilder {
         override def build(): Scan = new ChangeFeedScan(spark, schema(),
-          storePath, maxSeqsPerTrigger, startingSeq)
+          storePath, maxSeqsPerTrigger, startingSeq, startMode)
       }
     else if (m.files.isEmpty)
       // zero committed files: the parquet machinery has nothing to
@@ -948,14 +994,60 @@ private[sources] class EmptyJournalScan(
 /** Streaming-only Scan for the change-feed surface: `toBatch` inherits
   * Scan's refusal (batch CDC is `JournalStore.changes`), and the
   * micro-batch stream is [[JournalChangeFeedStream]]. */
+/** Batch change-feed scan: ONE net diff `(fromVersion, toVersion]`
+  * served from [[graft.journal.JournalStore.changes]] — seq-pruned
+  * insert scan + window-dv delete tier on the cheap path, exact
+  * snapshot set-difference when maintenance crossed the window; both
+  * versions must still be retained. The diff is a driver-composed
+  * multi-scan DataFrame (not a file list), so it rides the same
+  * [[org.apache.spark.sql.connector.read.V1Scan]] bridge as
+  * [[JournalDvScan]]. Streaming through a version-pinned window is
+  * refused — tail with the live feed (no fromVersion) instead. */
+private[sources] class ChangeFeedBatchScan(
+    spark: SparkSession, cdcSchema: StructType, storePath: String,
+    fromVersion: Long, toVersion: Option[Long]) extends Scan
+    with org.apache.spark.sql.connector.read.V1Scan {
+  override def readSchema(): StructType = cdcSchema
+  override def description(): String =
+    s"ChangeFeedBatchScan[$storePath, ($fromVersion, " +
+      s"${toVersion.map(_.toString).getOrElse("current")}]]"
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: SQLContext): T = {
+    require(JournalStore.exists(storePath),
+      s"no journal store at $storePath — a batch change window needs " +
+        "an existing store (both versions must be retained)")
+    val st = JournalStore.open(spark, storePath)
+    val hi = toVersion.getOrElse(st.manifest.version)
+    val df = st.changes(fromVersion, hi)
+      .select(cdcSchema.fieldNames
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override val sqlContext: SQLContext = context
+      override val schema: StructType = cdcSchema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.rdd
+    }.asInstanceOf[T]
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "fromVersion/toVersion pin a BATCH change window; a streaming " +
+        "feed tails the live store — drop the version options (and use " +
+        "startingSeq/startMode to govern the first batch)")
+}
+
 private[sources] class ChangeFeedScan(
     spark: SparkSession, cdcSchema: StructType, storePath: String,
     maxSeqsPerTrigger: Option[Long],
-    startingSeq: Option[String] = None) extends Scan {
+    startingSeq: Option[String] = None,
+    startMode: Option[String] = None) extends Scan {
   override def readSchema(): StructType = cdcSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new JournalChangeFeedStream(spark, storePath, cdcSchema,
-      maxSeqsPerTrigger, startingSeq)
+      maxSeqsPerTrigger, startingSeq, startMode)
   override def description(): String = s"ChangeFeedScan[$storePath]"
 }
 

@@ -1237,6 +1237,55 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.scan().count() === 4L)
   }
 
+  test("DV columnar rewrite holds in NESTED plan contexts — cached " +
+      "plan, temp view, and a join build side all stay on BatchScan") {
+    val store = twoEpochStore()
+    store.deleteWhereDv(col("ukey") === 2L)
+    def pinColumnar(df: org.apache.spark.sql.DataFrame): String = {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ExistingRDD") && !p.contains("JournalDvScan"), p)
+      // the rewritten read is a VECTORIZED parquet scan (it renders as
+      // `FileScan parquet … Batched: true` — the rewrite plans through
+      // the file-source path — or as a BatchScan when DSv2 serves it)
+      assert(p.contains("Batched: true") || p.contains("BatchScan"), p)
+      p
+    }
+    val live = Seq(0L, 1L, 3L, 10L, 11L, 12L, 13L)
+    // (a) a CACHED plan: the rewrite happened before InMemoryRelation
+    // captured the child, so the materialized scan is the columnar one
+    val cached = spark.read.format("journal").load(store.path)
+      .where(col("ukey") >= 0L).persist()
+    try {
+      assert(cached.select("ukey").as[Long].collect().sorted.toSeq === live)
+      pinColumnar(cached)
+      val again = cached.where(col("ukey") >= 10L)
+      assert(again.count() === 4L)
+    } finally cached.unpersist()
+    // (b) a temp VIEW: resolution re-runs analysis (and the post-hoc
+    // batch) on every reference to the view text
+    spark.read.format("journal").load(store.path).createOrReplaceTempView("dvv")
+    try {
+      val v = spark.sql("SELECT ukey, payload FROM dvv WHERE ukey >= 0")
+      pinColumnar(v)
+      assert(v.select("ukey").as[Long].collect().sorted.toSeq === live)
+    } finally spark.catalog.dropTempView("dvv")
+    // (c) a JOIN BUILD SIDE: the broadcast side of a join is still the
+    // rewritten columnar read, and the join result subtracts the vector
+    val dim = Seq((1L, "one"), (2L, "two"), (12L, "twelve"))
+      .toDF("k", "label")
+    val j = spark.read.format("journal").load(store.path)
+      .join(broadcast(dim), col("ukey") === col("k"))
+    val jp = pinColumnar(j)
+    assert(jp.contains("BroadcastHashJoin"), jp)
+    assert(j.select("ukey").as[Long].collect().sorted.toSeq === Seq(1L, 12L))
+    // and flipped: the JOURNAL read as the broadcast build side
+    val j2 = dim.join(broadcast(
+      spark.read.format("journal").load(store.path).select("ukey", "payload")),
+      col("ukey") === col("k"))
+    pinColumnar(j2)
+    assert(j2.select("ukey").as[Long].collect().sorted.toSeq === Seq(1L, 12L))
+  }
+
   test("V2 format reads subtract deletion vectors — rewrite keeps the " +
       "columnar scan; conf-gated V1 fallback agrees") {
     val store = twoEpochStore()
@@ -1313,6 +1362,66 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(st === Seq("u0", "u5x", "new"))
     // exactly 2 rows landed — the no-op appended NOTHING
     assert(store.scan().where(col("seq") > preMax).count() === 2L)
+  }
+
+  test("merge LARGE-source pruning: a >2048-row single-ns source joins " +
+      "only that ns's state files — profile-driven candidates (range + " +
+      "bloom intersection), no driver key collect at any source size") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 4)
+    (0 until 6).foreach { i =>
+      store.append(Seq(
+        ("users", i * 1000L, ts(f"2024-01-01 00:0$i%01d:00"), s"u$i", 1.0),
+        ("carts", i * 1000L + 1L, ts(f"2024-01-01 00:0$i%01d:01"), s"c$i", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    val m = store.manifest
+    val usersFiles = m.files.filter(_.contains("ns=users"))
+    assert(usersFiles.size >= 6, m.files)
+    def prof(ns: String, lo: Long, hi: Long,
+             bloom: Array[Byte] = Array.emptyByteArray) =
+      JournalStore.MergeNsProfile(ns, Some(lo), Some(hi),
+        nullKey = false, bloom)
+    // ns + range tier: a users-only profile keeps no carts file; a
+    // range beyond every users file keeps nothing
+    val cand = JournalStore.mergeStateCandidateFiles(m,
+      Seq(prof("users", 0L, 5000L)))
+    assert(cand.nonEmpty && cand.forall(_.contains("ns=users")), cand)
+    assert(JournalStore.mergeStateCandidateFiles(m,
+      Seq(prof("users", 100000L, 100010L))).isEmpty)
+    // bloom tier BELOW the range: a profile whose range overlaps every
+    // users file but whose bloom provably shares no key prunes them all
+    val alien = org.apache.spark.util.sketch.BloomFilter.create(8192L, 65536L)
+    alien.putLong(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(7777L, org.apache.spark.sql.types.LongType, 42L))
+    val alienBytes = { val o = new java.io.ByteArrayOutputStream()
+      alien.writeTo(o); o.toByteArray }
+    assert(JournalStore.mergeStateCandidateFiles(m,
+      Seq(prof("users", 0L, 5000L, alienBytes))).isEmpty)
+    // a null-key group keeps every ns-compatible file (key stats never
+    // describe NULL), and an empty bloom never prunes
+    val nullProf = Seq(JournalStore.MergeNsProfile("users", None, None,
+      nullKey = true, Array.emptyByteArray))
+    assert(JournalStore.mergeStateCandidateFiles(m, nullProf).toSet ===
+      usersFiles.toSet)
+    // end-to-end on the FULL path (3000 rows > MergeSmallSourceRows):
+    // upsert users keys 0..2999 — overlapping keys update, the rest
+    // insert; users keys ≥3000 and every carts row are untouched
+    val preMax = store.manifest.maxSeq
+    val big = spark.range(3000).selectExpr("'users' AS ns", "id AS ukey",
+      "timestamp'2024-01-02 00:00:00' AS ts",
+      "concat('n', id) AS payload", "CAST(1.0 AS DOUBLE) AS val")
+    store.merge(big)
+    val users = store.latest().where(col("ns") === "users")
+    assert(users.count() === 3000L + 3L) // 0..2999 plus 3000/4000/5000
+    assert(users.where(col("ukey") === 1000L)
+      .select("payload").as[String].head() === "n1000")
+    assert(users.where(col("ukey") === 4000L)
+      .select("payload").as[String].head() === "u4")
+    val carts = store.latest().where(col("ns") === "carts")
+    assert(carts.count() === 6L)
+    // every source row landed (none was wrongly no-op-suppressed by a
+    // pruned-away state row): 3000 appended rows exactly
+    assert(store.scan().where(col("seq") > preMax).count() === 3000L)
   }
 
   test("merge full path: a duplicate key whose copies are all NO-OPS " +

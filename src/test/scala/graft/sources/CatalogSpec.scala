@@ -218,6 +218,60 @@ class CatalogSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }}
 
+  test("CALL lifecycle procedures: checkpoint, zorder, purge_deletes, " +
+      "constraints and set_property maintain the store by SQL") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE jcat.lc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+      spark.sql("INSERT INTO jcat.lc SELECT 'a' AS ns, CAST(id AS BIGINT) AS ukey, " +
+        "TIMESTAMP '2024-01-01 00:00:00' AS ts, concat('p', id) AS payload, " +
+        "CAST(id AS DOUBLE) AS val FROM range(60)")
+      def store = graft.journal.JournalStore.open(spark, s"$root/lc")
+      // checkpoint at the current high water: future state reads replay
+      // only the tail after it
+      spark.sql("CALL jcat.system.checkpoint(table => 'lc')")
+      assert(store.manifest.checkpoints.nonEmpty)
+      // constraint gate by SQL: a violating insert refuses atomically,
+      // drop lifts the gate
+      spark.sql("CALL jcat.system.add_constraint(table => 'lc', " +
+        "name => 'val_nonneg', expr => 'val >= 0')")
+      val bad = intercept[Exception] {
+        spark.sql("INSERT INTO jcat.lc SELECT 'a' AS ns, CAST(-1 AS BIGINT) " +
+          "AS ukey, TIMESTAMP '2024-01-01 00:01:00' AS ts, 'neg' AS payload, " +
+          "CAST(-5.0 AS DOUBLE) AS val")
+      }
+      assert(bad.getMessage.contains("val_nonneg") ||
+        Option(bad.getCause).exists(_.getMessage.contains("val_nonneg")), bad)
+      assert(spark.sql("SELECT count(*) FROM jcat.lc").as[Long].head() === 60L)
+      spark.sql("CALL jcat.system.drop_constraint(table => 'lc', " +
+        "name => 'val_nonneg')")
+      spark.sql("INSERT INTO jcat.lc SELECT 'a' AS ns, CAST(-1 AS BIGINT) " +
+        "AS ukey, TIMESTAMP '2024-01-01 00:01:00' AS ts, 'neg' AS payload, " +
+        "CAST(-5.0 AS DOUBLE) AS val")
+      assert(spark.sql("SELECT count(*) FROM jcat.lc").as[Long].head() === 61L)
+      // dv delete + purge by SQL: every file past the threshold rewrites,
+      // its vector entries drop, rows stay subtracted
+      spark.conf.set("spark.graft.journal.deleteMode", "dv")
+      try spark.sql("DELETE FROM jcat.lc WHERE ukey >= 50")
+      finally spark.conf.unset("spark.graft.journal.deleteMode")
+      assert(store.manifest.dvParts.nonEmpty)
+      spark.sql("CALL jcat.system.purge_deletes(table => 'lc', " +
+        "min_dead_fraction => 0.01)")
+      assert(store.manifest.dvParts.isEmpty)
+      assert(spark.sql("SELECT count(*) FROM jcat.lc").as[Long].head() === 51L)
+      // zorder rewrite by SQL preserves content
+      spark.sql("CALL jcat.system.zorder(table => 'lc', columns => 'ukey,val')")
+      assert(spark.sql("SELECT count(*) FROM jcat.lc").as[Long].head() === 51L)
+      assert(spark.sql("SELECT payload FROM jcat.lc WHERE ukey = 7")
+        .as[String].head() === "p7")
+      // property by SQL, visible on reopen
+      spark.sql("CALL jcat.system.set_property(table => 'lc', " +
+        "key => 'owner', value => 'pipeline-b')")
+      assert(store.manifest.meta.get("owner").contains("pipeline-b"))
+      spark.sql("DROP TABLE jcat.lc")
+    }
+  }
+
   test("CALL system.restore rolls a table back by SQL") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.rst (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
       "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")

@@ -443,6 +443,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("batch"))
   }
 
+  test("batch change window through the reader (fromVersion/toVersion): " +
+      "net diff matches changes(); option hygiene refuses bad combos") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcfb_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def rows(ks: Long*) = ks.map(k =>
+      ("users", k, ts(f"2024-01-01 10:00:${k}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(rows(1L, 2L, 3L))
+    val v1 = store.manifest.version
+    store.deleteWhereDv(col("ukey") === 2L)
+    store.append(rows(4L, 5L))
+    val v2 = store.manifest.version
+    def read(opts: (String, String)*) = {
+      val r0 = spark.read.format("journal").option("changeFeed", "true")
+      opts.foldLeft(r0) { case (a, (k, v)) => a.option(k, v) }.load(path)
+    }
+    val win = read("fromVersion" -> v1.toString, "toVersion" -> v2.toString)
+    // schema = _change_type + the CANONICAL surface (no epoch: the diff
+    // is a row-surface object, not a storage listing)
+    assert(win.columns.toSeq ===
+      Seq("_change_type", "seq", "ns", "ukey", "ts", "payload", "val"))
+    assert(win.select("_change_type", "ukey").as[(String, Long)]
+      .collect().toSeq.sorted ===
+      Seq(("delete", 2L), ("insert", 4L), ("insert", 5L)))
+    // agrees with the Scala API row-for-row
+    assert(win.select("_change_type", "seq", "ns", "ukey", "payload")
+      .collect().toSet ===
+      store.changes(v1, v2)
+        .select("_change_type", "seq", "ns", "ukey", "payload")
+        .collect().toSet)
+    // toVersion defaults to the CURRENT manifest
+    assert(read("fromVersion" -> v1.toString)
+      .select("_change_type", "ukey").as[(String, Long)]
+      .collect().toSeq.sorted ===
+      Seq(("delete", 2L), ("insert", 4L), ("insert", 5L)))
+    // identity window: empty
+    assert(read("fromVersion" -> v2.toString).isEmpty)
+    // hygiene: fromVersion without the feed; toVersion alone; a
+    // version-pinned window streamed; snapshot mode combined
+    def msg(f: => Any): String = intercept[Exception](f).getMessage
+    assert(msg(spark.read.format("journal")
+      .option("fromVersion", v1.toString).load(path).collect())
+      .contains("changeFeed"))
+    assert(msg(read("toVersion" -> v2.toString).collect())
+      .contains("fromVersion"))
+    val sex = intercept[Exception] {
+      val q = spark.readStream.format("journal")
+        .option("changeFeed", "true").option("fromVersion", v1.toString)
+        .load(path).writeStream.format("noop").start()
+      try q.awaitTermination(5000) finally q.stop()
+    }
+    assert((Option(sex.getMessage) ++ Option(sex.getCause)
+      .flatMap(c => Option(c.getMessage))).mkString(" ")
+      .toLowerCase.contains("batch"), sex)
+    assert(msg(read("fromVersion" -> v1.toString,
+      "startMode" -> "snapshot").collect()).contains("startMode"))
+  }
+
   test("stream_change_feed: a delete PURGED away inside one window " +
       "still retracts (step-walked manifests); a rewrite-delete window " +
       "fails with the precise restart error, never a silent skip") {
@@ -568,6 +627,79 @@ class StreamingSpec extends AnyFunSuite {
     }.toSeq.sorted
     assert(folded === Seq(2L))
     assert(store.scan().select("ukey").as[Long].collect().toSeq.sorted === Seq(2L))
+  }
+
+  test("stream_change_feed: startMode=snapshot re-bootstraps a feed " +
+      "killed by a deleteWhere rewrite — first batch emits live state " +
+      "as inserts at a pinned offset, then the tail resumes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcfsnap_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def batch(ks: Long*) = ks.map(k =>
+      ("users", k, ts(f"2024-01-01 10:00:${k}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(1L, 2L, 3L))
+    def runOnce(ckpt: String, out: String,
+                opts: Map[String, String] = Map.empty): Unit = {
+      val r0 = spark.readStream.format("journal")
+        .option("changeFeed", "true")
+      val r = opts.foldLeft(r0) { case (acc, (k, v)) => acc.option(k, v) }
+      val q = r.load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+    val ckpt1 = s"$dir/ckpt1"; val out1 = s"$dir/out1"
+    runOnce(ckpt1, out1) // three inserts deliver
+    store.deleteWhereDv(col("ukey") === 2L)
+    runOnce(ckpt1, out1) // retraction of 2 delivers
+    // a deleteWhere REWRITE loses rows without vectors → the feed dies
+    // with the precise refusal
+    store.deleteWhere(col("ukey") === 3L)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(ckpt1, out1)
+    }
+    // RECOVERY (the refusal's own instruction): discard the downstream
+    // copy, restart on a FRESH checkpoint in snapshot mode — the first
+    // batch is the store's live state as inserts
+    val ckpt2 = s"$dir/ckpt2"; val out2 = s"$dir/out2"
+    runOnce(ckpt2, out2, Map("startMode" -> "snapshot"))
+    def got2 = spark.read.parquet(out2).select("_change_type", "ukey")
+      .as[(String, Long)].collect().toSeq
+    assert(got2.sorted === Seq(("insert", 1L))) // 2 dv-dead, 3 rewritten away
+    // the tail resumes from the pinned offset: an append and a vector
+    // delete flow as ordinary events on the SAME checkpoint (startMode
+    // only governs a fresh start — a checkpointed restart ignores it,
+    // the Kafka startingOffsets rule)
+    store.append(batch(6L))
+    store.deleteWhereDv(col("ukey") === 1L)
+    runOnce(ckpt2, out2, Map("startMode" -> "snapshot"))
+    val folded = got2.groupBy(_._2).collect {
+      case (k, evs) if evs.count(_._1 == "insert") > evs.count(_._1 == "delete") => k
+    }.toSeq.sorted
+    assert(folded === store.scan().select("ukey").as[Long].collect().toSeq.sorted)
+    assert(folded === Seq(6L))
+    // option hygiene: snapshot+startingSeq contradict; startMode needs
+    // the change feed; unknown modes refuse
+    def startErr(opts: Map[String, String], feed: Boolean = true): String = {
+      val r0 = spark.readStream.format("journal")
+      val r1 = if (feed) r0.option("changeFeed", "true") else r0
+      val ex = intercept[Exception] {
+        val q = opts.foldLeft(r1) { case (acc, (k, v)) => acc.option(k, v) }
+          .load(path)
+          .writeStream.format("noop").start()
+        try q.awaitTermination(2000) finally q.stop()
+      }
+      (Option(ex.getMessage) ++ Option(ex.getCause).flatMap(c =>
+        Option(c.getMessage))).mkString(" ")
+    }
+    assert(startErr(Map("startMode" -> "snapshot", "startingSeq" -> "1"))
+      .contains("startingSeq"))
+    assert(startErr(Map("startMode" -> "snapshot"), feed = false)
+      .contains("change-feed"))
+    assert(startErr(Map("startMode" -> "rewind")).contains("startMode"))
   }
 
   test("stream over a deletion-vector store subtracts the visible " +
