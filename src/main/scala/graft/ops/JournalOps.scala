@@ -922,6 +922,36 @@ object JournalOps {
       store.scanUnordered()
         .select("seq", "ns", "ukey", "val", "src_id").orderBy("seq")
     }),
+    "journal_txn_append" -> ((s, d) => {
+      // IDEMPOTENT BATCH WRITES as a declared, oracle-checked row —
+      // Delta's txnAppId/txnVersion options on the journal writer
+      // (sources/JournalV2.txnOf): an orchestrator that retries a batch
+      // task whose commit actually landed must not double-ingest. The
+      // row replays both hazard shapes — an immediate retry of a
+      // committed version AND a stale re-submission after a newer
+      // version landed — and both are metadata no-ops against the
+      // manifest's per-writer high-water mark (the SAME mark the
+      // streaming sink deduplicates micro-batches with; txn writes and
+      // stream batches share one mechanism, not two). Had either replay
+      // landed, its rows would surface twice and the oracle's
+      // row/hash gate would detonate.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jtxn_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 1000)
+        .write.format("journal").option("epochSize", "1000").save(tmp)
+      def put(lo: Int, hi: Int, ver: Int): Unit =
+        journal(s, d).where(col("seq") >= lo && col("seq") < hi)
+          .write.format("journal").mode("append")
+          .option("txnAppId", "etl_txn").option("txnVersion", ver.toString)
+          .save(tmp)
+      put(1000, 2000, 1)
+      put(1000, 2000, 1) // retry of a committed version: no-op
+      put(2000, 3000, 2)
+      put(1000, 2000, 1) // stale re-submission after ver 2: no-op
+      graft.journal.JournalStore.open(s, tmp).scanUnordered()
+        .select("seq", "ns", "ukey", "val").orderBy("seq")
+    }),
     "journal_changes" -> ((s, d) => {
       // NET change feed (CDC) as a declared, oracle-checked row: build
       // at v1, then append a window of new rows AND deletion-vector-
@@ -1280,6 +1310,11 @@ object JournalOps {
       s"SELECT * FROM ($journalSql) WHERE seq >= 1000 AND seq < 2000 ORDER BY seq",
     "journal_format_scan" ->
       s"SELECT * FROM ($journalSql) WHERE seq >= 1000 AND seq < 3000 ORDER BY seq",
+    // replayed txn versions are metadata no-ops — had either retry
+    // landed, seqs 1000-1999 would appear twice and the hash would differ
+    "journal_txn_append" ->
+      ("SELECT event_id AS seq, event_type AS ns, user_id AS ukey, " +
+        "value AS val FROM events WHERE event_id < 3000 ORDER BY seq"),
     "journal_table_props" ->
       ("SELECT * FROM (SELECT 'owner' AS prop_key, 'pipeline-a' AS prop_value " +
         "UNION ALL SELECT 'retention.days', '45') ORDER BY prop_key"),

@@ -128,7 +128,15 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
         throw new UnsupportedOperationException(
           "journal is an append-only log; Overwrite would truncate history " +
             "(use mode(\"append\"), or compact()/vacuum() for space)")
-      case _ => openOrCreate(ctx.sparkSession, path, parameters).append(data)
+      case _ =>
+        val store = openOrCreate(ctx.sparkSession, path, parameters)
+        // txnAppId + txnVersion (Delta's idempotent-write options): a
+        // retried batch job whose commit already landed is a no-op —
+        // same per-writer marks the streaming sink deduplicates with
+        JournalV2.txnOf(parameters.get) match {
+          case Some((appId, ver)) => store.append(data, Some(ver), appId)
+          case None => store.append(data)
+        }
     }
     createRelation(ctx, parameters) // readable relation over what landed
   }

@@ -67,6 +67,36 @@ import graft.journal.JournalStore
   * ordinary vectorized DataFrames. */
 private[sources] object JournalV2 {
 
+  /** Idempotent-write identity from writer options (the Delta
+    * `txnAppId`/`txnVersion` idiom): both present → the append carries
+    * (appId, version) into the manifest's per-writer high-water marks,
+    * so a RETRY of an already-committed version (orchestrator re-runs a
+    * task whose commit landed before the failure) is a metadata no-op —
+    * the exact mechanism the streaming sink deduplicates micro-batches
+    * with, shared rather than re-invented. One option without the other
+    * is a configuration error, not a silent non-idempotent write. */
+  def txnOf(opt: String => Option[String]): Option[(String, Long)] = {
+    val appId = opt("txnAppId")
+    val ver = opt("txnVersion").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"txnVersion must be a number (monotonic per txnAppId), got '$v'")
+      }
+    }
+    (appId, ver) match {
+      case (Some(a), Some(v)) =>
+        require(a.nonEmpty, "txnAppId must be non-empty (it keys the " +
+          "store's per-writer idempotence mark)")
+        Some((a, v))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion come as a pair: the appId keys the " +
+          "store's per-writer high-water mark and the version is the " +
+          "monotonic sequence deduplicated against it (Delta's " +
+          "idempotent-write options)")
+    }
+  }
+
   /** File index over the manifest's (possibly pruned) relative file
     * list. `basePath` makes epoch=K/ns=X directory values partition
     * columns; the user-specified schema pins their types (ns STRING —
@@ -418,17 +448,20 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
   /** V2 write = the V2 commit framework executing the store's own
     * whole-batch append (global seq sort + stats + manifest CAS +
     * auto-checkpoint). Overwrite is refused — a journal is an
-    * append-only log. */
+    * append-only log. Idempotent-write options (`txnAppId` +
+    * `txnVersion`, the Delta idiom) ride the manifest's per-writer
+    * high-water marks — see [[JournalV2.txnOf]]. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
       "this is a read-only view pinned at a manifest version; " +
         "write through the unpinned table")
     require(!changeFeed,
       "a change-feed table is a read surface; write through the plain " +
-        "journal table (drop the changeFeed option)")
+      "journal table (drop the changeFeed option)")
     val epochSz = Option(info.options.get("epochSize")).map(_.toLong)
       .orElse(writeEpochSize)
     val autoCompact = Option(info.options.get("autoCompactFiles")).map(_.toInt)
+    val txn = JournalV2.txnOf(k => Option(info.options.get(k)))
     new WriteBuilder {
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -443,7 +476,10 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                 else JournalStore.create(data.sparkSession, storePath,
                   epochSz.getOrElse(1000L))
               autoCompact.foreach(s.withAutoCompact)
-              s.append(data)
+              txn match {
+                case Some((appId, ver)) => s.append(data, Some(ver), appId)
+                case None => s.append(data)
+              }
             }
           }
       }

@@ -105,6 +105,43 @@ class SourceSpec extends AnyFunSuite {
     assert(nsState.count() === 1)
   }
 
+  test("journal format: txnAppId/txnVersion make batch writes idempotent " +
+      "per writer (Delta's idempotent-write options)") {
+    import graft.TestSpark.ts
+    val path = java.nio.file.Files.createTempDirectory("graft_jtxn_")
+      .toString + "/store"
+    def batch(k: Long) = Seq(
+      ("users", k, ts("2024-01-01 00:00:01"), s"p$k", k.toDouble))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    def put(k: Long, app: String, ver: Long): Unit =
+      batch(k).write.format("journal").mode("append")
+        .option("txnAppId", app).option("txnVersion", ver.toString).save(path)
+    batch(0L).write.format("journal").save(path)
+    put(1L, "etl_a", 1)
+    put(1L, "etl_a", 1) // orchestrator retry of a committed version: no-op
+    put(2L, "etl_a", 2)
+    put(3L, "etl_a", 1) // stale re-submission after ver 2: no-op, row 3 dropped
+    // a DIFFERENT appId has its own high-water mark — ver 1 is fresh for it
+    put(4L, "etl_b", 1)
+    val got = spark.read.format("journal").load(path)
+      .select("ukey").as[Long].collect().sorted.toSeq
+    assert(got === Seq(0L, 1L, 2L, 4L))
+    // option-pair validation: one without the other is a config error,
+    // and a non-numeric version fails loudly (never a silent non-
+    // idempotent write)
+    def fails(f: => Unit): String =
+      intercept[Exception](f).getMessage
+    assert(fails(batch(9L).write.format("journal").mode("append")
+      .option("txnAppId", "etl_a").save(path)).contains("txnVersion"))
+    assert(fails(batch(9L).write.format("journal").mode("append")
+      .option("txnVersion", "7").save(path)).contains("txnAppId"))
+    assert(fails(batch(9L).write.format("journal").mode("append")
+      .option("txnAppId", "etl_a").option("txnVersion", "seven").save(path))
+      .toLowerCase.contains("number"))
+    // nothing from the failed attempts leaked into the store
+    assert(spark.read.format("journal").load(path).count() === 4)
+  }
+
   test("journal format: schema evolution is visible through the DSv2 scan") {
     import graft.TestSpark.ts
     val path = java.nio.file.Files.createTempDirectory("graft_jevo_")
