@@ -97,7 +97,12 @@ object Sf1Smoke {
       // parts, linear in the window), constraint validation (one
       // predicate scan per appended batch), PMI (vocabulary-sized count
       // tables — corpus scan once, then vocab-grain joins)
-      "journal_changes", "journal_constraints", "text_pmi")
+      "journal_changes", "journal_constraints", "text_pmi",
+      // round 13: storage-partitioned state reconstruction — the
+      // zero-exchange grouped agg must scale with the DATA, since there
+      // is no shuffle to grow super-linearly; txn replay suppression is
+      // manifest-mark work, so its cost is the ingest itself
+      "journal_grouped_state", "journal_txn_append")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

@@ -952,6 +952,50 @@ object JournalOps {
       graft.journal.JournalStore.open(s, tmp).scanUnordered()
         .select("seq", "ns", "ukey", "val").orderBy("seq")
     }),
+    "journal_grouped_state" -> ((s, d) => {
+      // STORAGE-PARTITIONED state reconstruction: the store's
+      // epoch=K/ns=X layout means every file is single-namespace, so an
+      // nsGrouped scan reports KeyGroupedPartitioning(ns) and the
+      // per-key arg-max — the hottest journal op — aggregates INSIDE
+      // the scan stage with zero exchanges (PlanShapeSpec pins the
+      // no-Exchange plan; this row pins the answer). At 100 TB this is
+      // state reconstruction without shuffling the log. The bucketing
+      // conf is left on: it only activates scans that opt in with the
+      // nsGrouped reader option.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jgrp_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).write.format("journal")
+        .option("epochSize", "5000").save(tmp)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("journal").option("nsGrouped", "true").load(tmp)
+        .groupBy("ns", "ukey")
+        .agg(max_by(col("payload"), col("seq")).as("payload"),
+             max(col("seq")).as("last_seq"))
+        .orderBy("ns", "ukey")
+    }),
+    "journal_spj_join" -> ((s, d) => {
+      // Storage-partitioned JOIN, one-sided shuffle: journal ⋈ small
+      // dim on ns with v2.bucketing.shuffle.enabled — the log side
+      // stays in place (no exchange of 100 TB); only the dim side
+      // shuffles INTO the log's key-grouped layout. The merge hint
+      // keeps the join out of broadcast so the SPJ path is the one
+      // exercised end-to-end through the hash gate.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jspj_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).write.format("journal")
+        .option("epochSize", "5000").save(tmp)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val dim = journal(s, d).select("ns").distinct()
+        .withColumn("label", upper(col("ns")))
+      s.read.format("journal").option("nsGrouped", "true").load(tmp)
+        .join(dim.hint("merge"), Seq("ns"))
+        .groupBy("ns", "label")
+        .agg(count(lit(1)).as("n"), graft.Det.dsum(col("val")).as("sum_val"))
+        .orderBy("ns")
+    }),
     "journal_changes" -> ((s, d) => {
       // NET change feed (CDC) as a declared, oracle-checked row: build
       // at v1, then append a window of new rows AND deletion-vector-
@@ -1315,6 +1359,13 @@ object JournalOps {
     "journal_txn_append" ->
       ("SELECT event_id AS seq, event_type AS ns, user_id AS ukey, " +
         "value AS val FROM events WHERE event_id < 3000 ORDER BY seq"),
+    // the zero-exchange ns-grouped plan must produce EXACTLY the state
+    // the shuffling plan produces
+    "journal_grouped_state" -> stateSql(""),
+    "journal_spj_join" ->
+      ("SELECT event_type AS ns, upper(event_type) AS label, " +
+        "count(*) AS n, " + graft.Det.sql.dsum("value") + " AS sum_val " +
+        "FROM events GROUP BY 1, 2 ORDER BY ns"),
     "journal_table_props" ->
       ("SELECT * FROM (SELECT 'owner' AS prop_key, 'pipeline-a' AS prop_value " +
         "UNION ALL SELECT 'retention.days', '45') ORDER BY prop_key"),

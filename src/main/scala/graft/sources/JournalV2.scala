@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning => V2UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
@@ -752,7 +753,8 @@ private[sources] class JournalScanBuilder(
       case (None, None) => (scan, relFiles)
     }
     new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
-      effFiles, fstats, segDir, startingSeq)
+      effFiles, fstats, segDir, startingSeq,
+      nsGrouped = options.getBoolean("nsGrouped", false))
   }
 }
 
@@ -838,15 +840,63 @@ private[sources] class JournalParquetScan(base: ParquetScan,
                                           relFiles: Seq[String] = Nil,
                                           fstats: Map[String, JournalStore.FileStat] = Map.empty,
                                           segDir: String = "",
-                                          startingSeq: Option[String] = None)
+                                          startingSeq: Option[String] = None,
+                                          private val nsGrouped: Boolean = false)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
       base.partitionFilters, base.dataFilters)
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new JournalMicroBatchStream(base.sparkSession, storePath, tableSchema,
       maxSeqsPerTrigger, startingSeq)
+
+  /** Whether this scan actually serves ns-keyed grouping: the reader
+    * asked for it (`nsGrouped=true`) AND ns survived column pruning —
+    * the partitioning expression must resolve against the scan output,
+    * and the per-file partition values must carry the ns to key on. */
+  private def nsKeyed: Boolean =
+    nsGrouped && readPartitionSchema.fieldNames.contains("ns")
+
+  /** STORAGE-PARTITIONED EXECUTION (the Iceberg/Delta SPJ idiom): the
+    * store lays segments out as `epoch=K/ns=X` directories — every file
+    * is single-namespace by construction — so an opted-in scan
+    * (`nsGrouped=true` reader option) reports
+    * `KeyGroupedPartitioning(identity(ns))` and plans every input
+    * partition with its ns as a [[HasPartitionKey]] key. With
+    * `spark.sql.sources.v2.bucketing.enabled=true`, Catalyst then
+    * elides the shuffle under ns-clustered operators entirely: state
+    * reconstruction (`groupBy(ns, ukey)` arg-max — the single hottest
+    * journal op) aggregates inside the scan stage; an equi-join of two
+    * journal stores ON ns runs as a storage-partitioned join with zero
+    * exchanges; and with `…bucketing.shuffle.enabled` a journal ⋈
+    * plain-table join on ns shuffles ONLY the plain side into the
+    * log's grouping. At 100 TB that is the difference between
+    * shuffling the whole log and shuffling nothing. (Joins whose keys
+    * are a STRICT SUPERSET of (ns) — e.g. on (ns, ukey) — still
+    * shuffle: Spark's co-partitioning check requires partition keys to
+    * cover the join keys. Aggregations have no such limit.)
+    * Opt-in because the grouped plan's parallelism is bounded by
+    * namespace cardinality — right when |ns| ≳ cluster cores, wrong for
+    * a two-namespace store (stock path keeps split-level parallelism).
+    * With the bucketing conf off, Spark ignores the report and plans
+    * exchanges as usual — the option is then harmless. */
+  override def outputPartitioning(): V2Partitioning =
+    if (nsKeyed)
+      new V2KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("ns")),
+        distinctNsCount)
+    else new V2UnknownPartitioning(0)
+
+  /** Distinct namespaces among the scanned files, from the directory
+    * names (best-effort: Spark recomputes the physical partitioning
+    * from the planned partitions' keys — this count is advisory). */
+  private def distinctNsCount: Int = {
+    val nsRe = """ns=([^/]+)""".r
+    math.max(1, relFiles.flatMap(f =>
+      nsRe.findFirstMatchIn(f).map(_.group(1))).distinct.size)
+  }
 
   /** Only columns that SURVIVED column pruning may be declared:
     * PartitionPruning resolves these against the scan relation's
@@ -903,7 +953,12 @@ private[sources] class JournalParquetScan(base: ParquetScan,
   }
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    if (relFiles.isEmpty) return
+    // ns-keyed scans decline runtime file pruning: dropping files after
+    // the partitioning was reported could erase a partition VALUE the
+    // planner already grouped on (runtime pruning is IO-only by
+    // contract, so declining costs correctness nothing — and an
+    // ns-grouped plan usually elided the very join DPP would serve)
+    if (relFiles.isEmpty || nsKeyed) return
     def longs(vs: Seq[Any]): Set[Long] = vs.collect {
       case l: java.lang.Long => l.longValue
       case i: java.lang.Integer => i.longValue
@@ -948,13 +1003,65 @@ private[sources] class JournalParquetScan(base: ParquetScan,
     * filtering changes WHICH files are listed, never how rows are
     * read. `BatchScanExec.filteredPartitions` calls filter() first,
     * then re-plans through this method. */
-  override def planInputPartitions(): Array[InputPartition] =
-    runtimeIndex match {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stock = runtimeIndex match {
       case Some(idx) =>
         new JournalParquetScan(base.copy(fileIndex = idx), tableSchema,
           storePath, maxSeqsPerTrigger).planInputPartitions()
       case None => super.planInputPartitions()
     }
+    if (!nsKeyed) stock
+    else {
+      // ns-keyed planning: split every stock partition at namespace
+      // boundaries so each carries files of exactly ONE ns, keyed for
+      // Spark's partition grouping (HasPartitionKey). The split keeps
+      // the stock size-based packing WITHIN a namespace — Spark merges
+      // same-key splits per task group when it groups, and keeps them
+      // apart for partially-clustered skew handling in SPJ joins. The
+      // key is read from the file's decoded partition VALUES (never
+      // parsed from the path, so escaped directory names stay exact).
+      val nsIdx = readPartitionSchema.fieldIndex("ns")
+      var i = -1
+      stock.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.groupBy { f =>
+            val u = f.partitionValues.getUTF8String(nsIdx)
+            if (u == null) "" else u.toString
+          }.toSeq.sortBy(_._1).map { case (ns, files) =>
+            i += 1
+            new NsFilePartition(i, files, ns)
+          }
+        case other => Seq(other)
+      }
+    }
+  }
+
+  override def equals(obj: Any): Boolean = obj match {
+    // nsGrouped changes the planned partitions and the reported
+    // partitioning — scan/exchange reuse must never alias a grouped
+    // scan with an ungrouped read of the same store
+    case j: JournalParquetScan => super.equals(j) && nsGrouped == j.nsGrouped
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * super.hashCode() + nsGrouped.hashCode()
+}
+
+/** A single-namespace slice of a stock [[org.apache.spark.sql.execution
+  * .datasources.FilePartition]] carrying its ns as the partition key —
+  * the unit Spark's v2-bucketing machinery groups/aligns for shuffle
+  * elision. Key layout matches the reported
+  * `KeyGroupedPartitioning(identity(ns))`: one UTF8String column. */
+private[sources] class NsFilePartition(
+    index0: Int,
+    files0: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    ns: String)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(
+    index0, files0) with HasPartitionKey {
+  private val key = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(ns)))
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** The manifest-answered aggregate scan: one input partition producing

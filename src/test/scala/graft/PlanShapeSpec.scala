@@ -431,4 +431,87 @@ class PlanShapeSpec extends AnyFunSuite {
       "aggregate must shuffle on the md5 digest:\n" + p)
     assert(!"Exchange hashpartitioning\\(text#".r.findFirstIn(p).isDefined, p)
   }
+
+  test("nsGrouped journal scan: ns-keyed aggregation and two-store join " +
+      "plan ZERO exchanges (storage-partitioned execution)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, max_by}
+    def mkStore(tag: String, rows: Seq[(String, Long, String, Double)]): String = {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_spj_$tag")
+        .toString + "/store"
+      val store = journal.JournalStore.create(spark, path, epochSize = 3)
+      store.append(rows.zipWithIndex.map { case ((ns, k, p, v), i) =>
+        (ns, k, TestSpark.ts(f"2024-01-01 00:00:${i + 1}%02d"), p, v)
+      }.toDF("ns", "ukey", "ts", "payload", "val"))
+      path
+    }
+    // 3 namespaces × multiple epochs, overlapping keys across stores
+    val pa = mkStore("a", Seq(
+      ("x", 1L, "a0", 1.0), ("x", 2L, "a1", 2.0), ("y", 1L, "a2", 3.0),
+      ("y", 3L, "a3", 4.0), ("z", 5L, "a4", 5.0), ("x", 1L, "a5", 6.0),
+      ("z", 6L, "a6", 7.0), ("y", 1L, "a7", 8.0)))
+    val pb = mkStore("b", Seq(
+      ("x", 1L, "b0", 10.0), ("y", 1L, "b1", 20.0), ("y", 3L, "b2", 30.0),
+      ("z", 9L, "b3", 40.0), ("x", 2L, "b4", 50.0)))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def grouped(p: String) = spark.read.format("journal")
+        .option("nsGrouped", "true").load(p)
+      // (a) state reconstruction — groupBy(ns, ukey) arg-max — runs
+      // entirely inside the scan stage: no exchange anywhere
+      val state = grouped(pa).groupBy("ns", "ukey")
+        .agg(max_by(col("payload"), col("seq")).as("payload"),
+             max(col("seq")).as("last_seq"))
+      val rows = state.collect()
+      val p1 = state.queryExecution.executedPlan.toString
+      assert(!p1.contains("Exchange"), "ns-grouped agg must not shuffle:\n" + p1)
+      // and it agrees with the stock (shuffling) plan row for row
+      val stock = spark.read.format("journal").load(pa).groupBy("ns", "ukey")
+        .agg(max_by(col("payload"), col("seq")).as("payload"),
+             max(col("seq")).as("last_seq"))
+      assert(rows.map(_.toString).sorted.toSeq ===
+        stock.collect().map(_.toString).sorted.toSeq)
+      assert(rows.length === 6)
+      // (b) storage-partitioned JOIN: both sides ns-grouped, equi key =
+      // the partition key — broadcast disabled, so a shuffle-free plan
+      // can only come from SPJ. (Join keys ⊋ partition keys still
+      // shuffle: Spark's co-partitioning check requires the partition
+      // keys to cover the join keys — see the scan's scaladoc.)
+      val j = grouped(pa).select("ns", "payload")
+        .join(grouped(pb).select(col("ns"), col("payload").as("pb")),
+          Seq("ns"))
+      val got = j.collect()
+      val p2 = j.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange"), "SPJ join must not shuffle:\n" + p2)
+      assert(got.length === 14, got.length) // per-ns m×n: 3·2 + 3·2 + 2·1
+      // (b2) journal ⋈ PLAIN table on ns with one-sided shuffle
+      // (v2.bucketing.shuffle.enabled): the 100 TB log side stays in
+      // place; only the small plain side exchanges INTO the log's
+      // key-grouped layout
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val dim = Seq(("x", "alpha"), ("y", "beta"), ("z", "gamma"),
+        ("w", "nope")).toDF("ns", "label")
+      val j2 = grouped(pa).select("ns", "payload").join(dim, Seq("ns"))
+      assert(j2.collect().length === 8)
+      val p3 = j2.queryExecution.executedPlan.toString
+      assert(p3.contains("Exchange keygroupedpartitioning"), p3)
+      assert(!p3.contains("Exchange hashpartitioning"),
+        "the journal side must not shuffle:\n" + p3)
+      // (c) without the option the same aggregate DOES exchange — the
+      // pin above is meaningful, not vacuous
+      val off = spark.read.format("journal").load(pa).groupBy("ns", "ukey")
+        .agg(max(col("seq")).as("last_seq"))
+      off.collect()
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
