@@ -1020,6 +1020,32 @@ object JournalOps {
         .select("_change_type", "seq", "ns", "ukey", "payload", "val")
         .orderBy("_change_type", "seq")
     }),
+    "journal_incr_agg" -> ((s, d) => {
+      // INCREMENTAL MATERIALIZED-VIEW maintenance via the change feed
+      // (ops/IncrementalAgg.scala): bootstrap a per-ns (count, exact
+      // decimal sum) rollup at v1, then fold the NET changes(v1, v2)
+      // window — an append AND a deletion-vector delete — into it.
+      // Refresh cost is O(window) (the cheap changes() tier reads only
+      // the window's files/vectors), never O(store); the oracle
+      // recomputes the rollup from scratch, so the maintained state
+      // must hash-match a full recompute exactly (decimal fold — no
+      // float drift between the two paths).
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jincr_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "5000").save(tmp)
+      val store = graft.journal.JournalStore.open(s, tmp)
+      val v1 = store.manifest.version
+      val prior = IncrementalAgg.snapshot(
+        store.scanUnordered(), Seq("ns"), Seq("val"))
+      store.append(journal(s, d).where(col("seq") >= 6000 && col("seq") < 8000))
+      store.deleteWhereDv(col("seq") < 2000 && col("ukey") % 10 === 3)
+      val state = IncrementalAgg.maintain(prior,
+        store.changes(v1, store.manifest.version), Seq("ns"), Seq("val"))
+      IncrementalAgg.present(state, Seq("val"))
+        .withColumnRenamed("val", "sum_val").orderBy("ns")
+    }),
     "journal_changes_read" -> ((s, d) => {
       // The READER-OPTION surface of the row above (the Delta CDF
       // `readChangeFeed` idiom): the same net window is requested with
@@ -1362,6 +1388,13 @@ object JournalOps {
     // the zero-exchange ns-grouped plan must produce EXACTLY the state
     // the shuffling plan produces
     "journal_grouped_state" -> stateSql(""),
+    // maintained rollup ≡ from-scratch recompute over the surviving rows
+    "journal_incr_agg" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        graft.Det.sql.dsum("value") + " AS sum_val FROM events " +
+        "WHERE event_id < 8000 " +
+        "AND NOT (event_id < 2000 AND user_id % 10 = 3) " +
+        "GROUP BY 1 ORDER BY ns"),
     "journal_spj_join" ->
       ("SELECT event_type AS ns, upper(event_type) AS label, " +
         "count(*) AS n, " + graft.Det.sql.dsum("value") + " AS sum_val " +

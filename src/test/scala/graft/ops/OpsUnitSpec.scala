@@ -231,4 +231,37 @@ class OpsUnitSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IncrementalAgg: chained windows fold exactly — group death, " +
+      "group birth, null keys, stable state schema") {
+    def state(rows: (String, Double)*) =
+      rows.toSeq.toDF("ns", "val")
+    def changed(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("_change_type", "ns", "val")
+    val s0 = IncrementalAgg.snapshot(
+      state(("a", 1.5), ("a", 2.5), ("b", 10.0), (null, 7.0)),
+      Seq("ns"), Seq("val"))
+    // window 1: kill b entirely, grow a, birth c, touch the null group
+    val s1 = IncrementalAgg.maintain(s0, changed(
+      ("delete", "b", 10.0), ("insert", "a", 4.0), ("insert", "c", 9.0),
+      ("insert", null, 1.0)), Seq("ns"), Seq("val"))
+    // state shape must be IDENTICAL across windows (chainability);
+    // nullability may tighten (coalesce makes the folded sums non-null)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    assert(shape(s1) === shape(s0), s"${s0.schema} vs ${s1.schema}")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.present(df, Seq("val"))
+        .collect().map(r => (Option(r.getString(0)).getOrElse("∅"),
+          r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(snap(s1) === Seq(("a", 3L, 8.0), ("c", 1L, 9.0), ("∅", 2L, 8.0)))
+    // window 2: resurrect b, shrink a — fold result ≡ from-scratch
+    val s2 = IncrementalAgg.maintain(s1, changed(
+      ("insert", "b", 3.25), ("delete", "a", 1.5)), Seq("ns"), Seq("val"))
+    assert(shape(s2) === shape(s0))
+    val scratch = IncrementalAgg.snapshot(
+      state(("a", 2.5), ("a", 4.0), ("b", 3.25), ("c", 9.0),
+        (null, 7.0), (null, 1.0)), Seq("ns"), Seq("val"))
+    assert(snap(s2) === snap(scratch))
+  }
 }
