@@ -737,6 +737,27 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "mix_token_budget" -> ((s, d) => {
+      // TOKEN-BUDGET source mixing by exact WATER-FILLING — the
+      // allocation a training run actually needs: "give me 40% of the
+      // corpus tokens, mixed toward sqrt-flattened source proportions,
+      // without asking any source for more tokens than it has". Sources
+      // are sorted by toks/weight; the saturated prefix (sources whose
+      // full token count fits under the rising water level θ) keeps
+      // everything, the rest are rationed alloc = θ·w with θ chosen so
+      // the budget is met exactly — the classic water-filling closed
+      // form, here as pure window SQL over the |sources|-row aggregate
+      // (the corpus itself is touched twice: one agg scan, one pure-
+      // projection keep/drop — no corpus shuffle, any scale). All
+      // level arithmetic rides EXACT BIGINTs (weights are
+      // round(sqrt·1e6) integers; running sums are integer sums) so
+      // both engines derive bit-identical θ and rates — the shared
+      // MixBudget.sql text IS the oracle text modulo the portable-hash
+      // spelling and table name.
+      Tables(s, d, "documents").createOrReplaceTempView("docs_mixb")
+      s.sql(MixBudget.sql("docs_mixb",
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+    }),
     "sample_stratified" -> ((s, d) =>
       // Deterministic stratified sampling + train/val split — what a
       // training-data mix actually needs: reproducible across runs and
@@ -2035,6 +2056,9 @@ object LlmExtOps {
         "SELECT t.doc_id, d.source, CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared " +
         "FROM tr t JOIN ev USING (g) JOIN documents d ON d.doc_id = t.doc_id " +
         "GROUP BY 1, 2 ORDER BY t.doc_id"),
+    // the SAME water-filling text the Spark side executes, with the
+    // DuckDB portable-hash spelling — arithmetic shared, not twinned
+    "mix_token_budget" -> MixBudget.sql("documents", MixBudget.duckHash),
     "sample_source_mix" ->
       ("WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars " +
         "FROM documents GROUP BY 1), " +

@@ -264,4 +264,31 @@ class OpsUnitSpec extends AnyFunSuite {
         (null, 7.0), (null, 1.0)), Seq("ns"), Seq("val"))
     assert(snap(s2) === snap(scratch))
   }
+
+  test("MixBudget water-filling: small sources saturate at rate 1, " +
+      "rationed rates split by weight, budget met exactly") {
+    // sizes 10 / 100 / 10000 / 90000 chars; sqrt weights ≈
+    // 3.16/10/100/300. Hand-computed: θ₂ = (40044-110)/400 = 99.835 —
+    // tiny+small saturate, big/huge are rationed alloc = θ·w
+    def docs(src: String, n: Int, chars: Long, base: Long) =
+      (0 until n).map(i => (base + i, "t", "en", src, chars))
+    val dir = TestSpark.fixtureDir("documents" ->
+      (docs("tiny", 10, 1L, 0L) ++ docs("small", 20, 5L, 100L) ++
+       docs("big", 40, 250L, 200L) ++ docs("huge", 40, 2250L, 300L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmExtOps.queries("mix_token_budget")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // saturated prefix keeps EVERYTHING, deterministically
+    assert(out("tiny") === ((10L, 10L, 1.0)))
+    assert(out("small") === ((20L, 100L, 1.0)))
+    // rationed rates divide as w/toks: (100/10000)/(300/90000) = 3
+    val rBig = out("big")._3; val rHuge = out("huge")._3
+    assert(math.abs(rBig / rHuge - 3.0) < 1e-4, s"$rBig / $rHuge")
+    // the allocation meets the 0.4 budget exactly (±rounding)
+    val alloc = 10 + 100 + rBig * 10000 + rHuge * 90000
+    assert(math.abs(alloc - 0.4 * 100110) < 1.0, alloc)
+    // and the hash sample tracks its rate (exact check is the oracle's)
+    assert(out("big")._1 <= 40 && out("big")._1 >= 30)
+  }
 }
