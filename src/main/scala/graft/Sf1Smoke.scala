@@ -101,8 +101,10 @@ object Sf1Smoke {
       // round 13: storage-partitioned state reconstruction — the
       // zero-exchange grouped agg must scale with the DATA, since there
       // is no shuffle to grow super-linearly; txn replay suppression is
-      // manifest-mark work, so its cost is the ingest itself
-      "journal_grouped_state", "journal_txn_append")
+      // manifest-mark work, so its cost is the ingest itself; the
+      // incremental rollup's REFRESH is O(window) — at 10x data the
+      // bootstrap grows, the fold does not (fixed 2000-seq window)
+      "journal_grouped_state", "journal_txn_append", "journal_incr_agg")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

@@ -509,6 +509,14 @@ class PlanShapeSpec extends AnyFunSuite {
         .agg(max(col("seq")).as("last_seq"))
       off.collect()
       assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
+      // (d) LIVE DELETION VECTORS trump grouping: the DV-subtracted
+      // read path serves correct rows; the nsGrouped option degrades
+      // gracefully (no grouping claim, never a wrong answer)
+      journal.JournalStore.open(spark, pb).deleteWhereDv(col("ukey") === 9L)
+      val dv = grouped(pb).groupBy("ns")
+        .agg(max(col("ukey")).as("mx")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dv === Map("x" -> 2L, "y" -> 3L)) // z's only row (9) is dead
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -702,6 +702,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(startErr(Map("startMode" -> "rewind")).contains("startMode"))
   }
 
+  test("stream_incr_rollup: a snapshot-mode change feed maintains the " +
+      "IncrementalAgg rollup exactly across appends and vector deletes") {
+    // the round-trip the batch journal_incr_agg row proves offline, now
+    // LIVE: snapshot bootstrap folds current state from zero, then every
+    // micro-batch's inserts/retractions fold incrementally — the rollup
+    // never rescans the store, and after arbitrary mutations it must
+    // hash-equal a from-scratch recompute
+    val dir = java.nio.file.Files.createTempDirectory("graft_jroll_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def batch(rows: (String, Long, Double)*) = rows.map { case (ns, k, v) =>
+      (ns, k, ts(f"2024-01-01 10:00:${k % 60}%02d"), s"p$k", v)
+    }.toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, 10.0)))
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ns",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.DecimalType(38, 4))))
+    @volatile var state: Array[org.apache.spark.sql.Row] = Array.empty
+    def prior = spark.createDataFrame(
+      java.util.Arrays.asList(state: _*), stateSchema)
+    val q = spark.readStream.format("journal")
+      .option("changeFeed", "true").option("startMode", "snapshot")
+      .load(path)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        state = graft.ops.IncrementalAgg
+          .maintain(prior, df, Seq("ns"), Seq("val")).collect()
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    store.append(batch(("b", 4L, 0.25), ("c", 5L, 7.0)))
+    q.processAllAvailable()
+    store.deleteWhereDv(col("ns") === "a") // retract the whole a group
+    store.append(batch(("c", 6L, 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    def snap(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .sortBy(_._1).toSeq
+    val maintained = snap(prior)
+    val recompute = snap(graft.ops.IncrementalAgg.snapshot(
+      store.scanUnordered(), Seq("ns"), Seq("val")))
+    assert(maintained === recompute)
+    assert(maintained.map(t => (t._1, t._2)) === Seq(("b", 2L), ("c", 2L)))
+  }
+
   test("stream over a deletion-vector store subtracts the visible " +
       "vectors; offsets stay seq-stable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jdvstream_").toString
