@@ -63,6 +63,13 @@ object GraftFunctions {
     // by stock Spark; the expression class itself is public and its
     // serialized form is the public sketch.BloomFilter layout, which the
     // driver-side prune reads back.
+    // bounded top-k as a first-class aggregate: partial buffers are
+    // O(k), the exchange carries ≤ k rows per (partition, group) — the
+    // window-rank plan this replaces shuffles EVERY scored row
+    (FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (es: Seq[Expression]) => TopKBy(es(0), es(1),
+        foldedLong(es, 2, "topk_by").toInt)),
     (FunctionIdentifier("key_bloom_agg"),
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",

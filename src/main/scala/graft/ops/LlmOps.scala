@@ -138,6 +138,30 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    "sim_batch_topk" -> ((s, d) => {
+      // BATCH ANN serving — top-k for a whole batch of query vectors in
+      // ONE corpus pass: queries broadcast, the corpus scored map-side
+      // (native codegen'd cosine), and per-query top-k reduced by the
+      // bounded `topk_by` aggregate (expr/TopKBy.scala) — partial
+      // buffers are O(k), so the exchange carries ≤ k rows per
+      // (partition, query) instead of the |corpus|×|batch| scored
+      // frame a rank-window plan would shuffle. Scores are Det-rounded
+      // BEFORE ranking so the (score desc, id asc) total order is
+      // engine-stable; the oracle recomputes with a ROW_NUMBER window.
+      graft.expr.GraftFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      e.where(col("vec_id") >= 8).crossJoin(broadcast(q))
+        .select(col("q_id"),
+          Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"),
+          col("vec_id"))
+        .groupBy("q_id").agg(expr("topk_by(sim, vec_id, 10)").as("top"))
+        .select(col("q_id"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("t.id").as("vec_id"),
+          col("t.score").as("sim"))
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    }),
     "sim_cosine_topk" -> ((s, d) => {
       // native codegen'd Catalyst expression (graft.expr.CosineSimilarity)
       // — no UDF boxing on the scan side; TakeOrderedAndProject keeps k
@@ -323,6 +347,17 @@ object LlmOps {
         "AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_nll " +
         "FROM toks JOIN counts USING (t) CROSS JOIN tot " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "sim_batch_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.q_id, e.vec_id, " +
+        Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+          "CAST(q.q_emb AS DOUBLE[]))", 4) + " AS sim " +
+        "FROM embeddings e, q WHERE e.vec_id >= 8), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id " +
+        "ORDER BY sim DESC, vec_id) AS rn FROM scored) " +
+        "SELECT q_id, vec_id, sim FROM r WHERE rn <= 10 " +
+        "ORDER BY q_id, sim DESC, vec_id"),
     "sim_cosine_topk" ->
       ("SELECT e.vec_id, " +
         Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +

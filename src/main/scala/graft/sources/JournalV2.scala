@@ -439,6 +439,12 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         store.map(_.epochSize).getOrElse(1000L), m.files,
         m.fstats.map(s => s.file -> s).toMap, segDir,
         storePath, maxSeqsPerTrigger, startingSeq,
+        // SQL surface: `nsGrouped` can also ride a table PROPERTY
+        // (set_property procedure / setMeta) — a pure-SQL consumer has
+        // no reader options; the explicit option wins when both exist
+        nsGrouped = Option(options.get("nsGrouped")).map(_.toBoolean)
+          .orElse(m.meta.get("nsGrouped").map(_.toBoolean))
+          .getOrElse(false),
         // deletion vectors present: batch reads must subtract them, which
         // a parquet file scan cannot express row-level — the builder
         // serves a V1Scan over the store's DV-aware scan surface instead
@@ -501,6 +507,7 @@ private[sources] class JournalScanBuilder(
     relFiles: Seq[String], fstats: Map[String, JournalStore.FileStat],
     segDir: String, storePath: String, maxSeqsPerTrigger: Option[Long],
     startingSeq: Option[String] = None,
+    nsGrouped: Boolean = false,
     dvScan: Option[() => DataFrame] = None)
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -753,8 +760,7 @@ private[sources] class JournalScanBuilder(
       case (None, None) => (scan, relFiles)
     }
     new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
-      effFiles, fstats, segDir, startingSeq,
-      nsGrouped = options.getBoolean("nsGrouped", false))
+      effFiles, fstats, segDir, startingSeq, nsGrouped = nsGrouped)
   }
 }
 

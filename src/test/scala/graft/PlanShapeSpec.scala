@@ -432,6 +432,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning\\(text#".r.findFirstIn(p).isDefined, p)
   }
 
+  test("sim_batch_topk reduces map-side through the bounded topk_by " +
+      "aggregate — no rank window, partial before the exchange") {
+    val df = SparkEntry.queries("sim_batch_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // typed-imperative top-k → ObjectHashAggregate partial+final; a
+    // Window here would mean every scored row crossed the exchange
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_topk_by") || p.contains("partial topk_by") ||
+      "partial.*topk_by".r.findFirstIn(p).isDefined, p)
+  }
+
   test("nsGrouped journal scan: ns-keyed aggregation and two-store join " +
       "plan ZERO exchanges (storage-partitioned execution)") {
     import spark.implicits._

@@ -100,4 +100,40 @@ class ExprSpec extends AnyFunSuite {
     val short = Seq("ab").toDF("t").select(expr("char_ngrams(t, 3)")).count()
     assert(short === 0)
   }
+
+  test("topk_by: bounded top-k aggregate — order, ties, small groups, " +
+      "null skip, partial/final merge across many partitions") {
+    GraftFunctions.register(spark)
+    // group a: 100 rows over 32 partitions (forces real partial+merge);
+    // ties at score 50.0 must break on the LOWER id
+    val rows =
+      (0 until 100).map(i => ("a", (i % 51).toDouble, i.toLong)) ++
+      Seq(("b", 1.0, 7L), ("b", 2.0, 3L)) ++           // fewer than k
+      Seq(("c", Double.NaN, 1L), ("c", 0.5, 2L)) ++    // NaN sorts last
+      Seq(("d", 1.0, 1L))
+    val df = rows.toDF("g", "s", "i").repartition(32)
+    val got = df.groupBy("g").agg(expr("topk_by(s, i, 3)").as("top"))
+      .select(col("g"), col("top"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    // a: scores 50 occurs at i=50; 49 at i=49,100? ids 0..99, i%51:
+    // score 50 ← i=50; score 49 ← i=49 and i=100? (no, i<100) → i=49.
+    // second 50s: none (i%51=50 only at i=50). 48 ← i=48,99
+    assert(got("a") === Seq((50.0, 50L), (49.0, 49L), (48.0, 48L)))
+    assert(got("b") === Seq((2.0, 3L), (1.0, 7L)))
+    assert(got("c").head === ((0.5, 2L))) // NaN never beats a real score
+    assert(got("d") === Seq((1.0, 1L)))
+    // null scores/ids are skipped, not ranked
+    val withNulls = Seq(("x", Some(5.0), Some(1L)), ("x", None, Some(2L)),
+      ("x", Some(9.0), None)).toDF("g", "s", "i")
+    val g2 = withNulls.groupBy("g").agg(expr("topk_by(s, i, 2)").as("top"))
+      .select("top").as[Seq[(Double, Long)]].head()
+    assert(g2 === Seq((5.0, 1L)))
+    // tie-break across the k boundary: four ids at the same score, k=2
+    // keeps the two LOWEST ids — deterministic under any partitioning
+    val ties = Seq(("t", 1.0, 9L), ("t", 1.0, 2L), ("t", 1.0, 7L),
+      ("t", 1.0, 4L)).toDF("g", "s", "i").repartition(4)
+    val g3 = ties.groupBy("g").agg(expr("topk_by(s, i, 2)").as("top"))
+      .select("top").as[Seq[(Double, Long)]].head()
+    assert(g3 === Seq((1.0, 2L), (1.0, 4L)))
+  }
 }

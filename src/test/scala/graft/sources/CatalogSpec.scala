@@ -272,6 +272,33 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("nsGrouped as a TABLE PROPERTY: pure-SQL grouped aggregation " +
+      "plans zero exchanges") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.nsg (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '20')")
+    spark.sql("INSERT INTO jcat.nsg SELECT concat('s', id % 3) AS ns, " +
+      "CAST(id % 7 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:00' AS ts, " +
+      "concat('p', id) AS payload, CAST(id AS DOUBLE) AS val FROM range(60)")
+    // a SQL-only consumer flips the property once; every later SELECT
+    // plans storage-partitioned — no reader options anywhere
+    spark.sql("CALL jcat.system.set_property(table => 'nsg', " +
+      "key => 'nsGrouped', value => 'true')")
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.sql(
+        "SELECT ns, ukey, max(seq) AS last_seq FROM jcat.nsg GROUP BY ns, ukey")
+      assert(df.collect().length === 21) // 3 ns × 7 keys
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "property-driven grouped agg must not shuffle:\n" + p)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    spark.sql("DROP TABLE jcat.nsg")
+  }}
+
   test("CALL system.restore rolls a table back by SQL") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.rst (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
       "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
