@@ -968,6 +968,19 @@ object JournalOps {
       graft.journal.JournalStore.open(s, tmp).scanUnordered()
         .select("seq", "ns", "ukey", "val").orderBy("seq")
     }),
+    "journal_tail_scan" -> ((s, d) => {
+      // TAIL INSPECTION with TOP-N pushdown: `ORDER BY seq DESC LIMIT n`
+      // — "what just happened in this log" — prunes the scan to the
+      // files whose manifest seq ranges can hold the top n
+      // (JournalScanBuilder.pushTopN): O(1) files opened on a store of
+      // any size, Spark's Sort+Limit still running above (exact-or-
+      // conservative, IO-only). The final ascending orderBy gives the
+      // hash gate a deterministic row order.
+      val tmp = fullSeedStore(s, d)
+      s.read.format("journal").load(tmp)
+        .orderBy(col("seq").desc).limit(500)
+        .select("seq", "ns", "ukey", "val").orderBy("seq")
+    }),
     "journal_grouped_state" -> ((s, d) => {
       // STORAGE-PARTITIONED state reconstruction: the store's
       // epoch=K/ns=X layout means every file is single-namespace, so an
@@ -1399,6 +1412,11 @@ object JournalOps {
     // the zero-exchange ns-grouped plan must produce EXACTLY the state
     // the shuffling plan produces
     "journal_grouped_state" -> stateSql(""),
+    "journal_tail_scan" ->
+      ("SELECT seq, ns, ukey, val FROM (" +
+        "SELECT event_id AS seq, event_type AS ns, user_id AS ukey, " +
+        "value AS val FROM events ORDER BY event_id DESC LIMIT 500) " +
+        "ORDER BY seq"),
     // maintained rollup ≡ from-scratch recompute over the surviving rows
     "journal_incr_agg" ->
       ("SELECT event_type AS ns, count(*) AS n, " +

@@ -510,7 +510,8 @@ private[sources] class JournalScanBuilder(
     nsGrouped: Boolean = false,
     dvScan: Option[() => DataFrame] = None)
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   /** Pushed seq bounds arrive as data filters (seq is a file column);
     * derive the matching epoch directory bounds and append them to the
@@ -702,6 +703,51 @@ private[sources] class JournalScanBuilder(
     } else false
   }
   override def isPartiallyPushed: Boolean = true
+
+  /** TOP-N pushdown on the seq axis — the tail-inspection query
+    * (`ORDER BY seq DESC LIMIT n`, "what just happened in this log")
+    * opens O(n/rows-per-file) files on a store of ANY size: files are
+    * taken from the seq extreme until their manifest row counts cover
+    * the limit, the cutoff is the worst seq those files can contain,
+    * and only files whose range crosses the cutoff stay in the index.
+    * IO-only and exact-or-conservative (every row that COULD rank in
+    * the global top n lives in a kept file; Spark's own Sort+Limit
+    * still runs above — isPartiallyPushed). Declines when filters were
+    * pushed (file row counts would overstate the match count and the
+    * cutoff could prune true candidates) and when any file lacks
+    * stats. seq is engine-assigned non-null, so null ordering is
+    * irrelevant. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (dvScan.isDefined || manifestAgg.isDefined) return false
+    if (partitionFilters.nonEmpty || dataFilters.nonEmpty ||
+        relFiles.isEmpty) return false
+    if (orders.length != 1) return false
+    val col = orders(0).expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    if (col != "seq" || !relFiles.forall(fstats.contains)) return false
+    val desc = orders(0).direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+    val fromExtreme = relFiles.sortBy(f =>
+      if (desc) -fstats(f).maxSeq else fstats(f).minSeq)
+    var acc = 0L
+    val taken = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fromExtreme.iterator
+    while (it.hasNext && acc < limit) {
+      val f = it.next(); taken += f; acc += fstats(f).rows
+    }
+    if (acc < limit) return false // store smaller than the limit
+    val cutoff =
+      if (desc) taken.map(fstats(_).minSeq).min
+      else taken.map(fstats(_).maxSeq).max
+    val kept = relFiles.filter(f =>
+      if (desc) fstats(f).maxSeq >= cutoff else fstats(f).minSeq <= cutoff)
+    if (kept.size < relFiles.size) { limitFiles = Some(kept); true }
+    else false
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     planManifestAgg(agg).isDefined || super.supportCompletePushDown(agg)

@@ -432,6 +432,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning\\(text#".r.findFirstIn(p).isDefined, p)
   }
 
+  test("TopN pushdown on seq: a tail read plans only the extreme files; " +
+      "both directions stay correct; filters disable the pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_topn_")
+      .toString + "/store"
+    val store = journal.JournalStore.create(spark, path, epochSize = 2)
+    store.append((0 until 10).map(i =>
+      ("a", i.toLong, TestSpark.ts(f"2024-01-01 00:00:${i + 1}%02d"),
+        s"p$i", i.toDouble))
+      .toDF("ns", "ukey", "ts", "payload", "val")) // 5 epoch files
+    def nFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .toBatch.planInputPartitions().foldLeft(0)((n, ip) =>
+              n + ip.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+                .files.length)
+      }.foldLeft(0)(_ + _)
+    val scan = spark.read.format("journal").load(path)
+    val tail = scan.orderBy(col("seq").desc).limit(3)
+    assert(nFiles(tail) === 2, "top-3 of 2-row files needs 2 files")
+    assert(tail.select("payload").as[String].collect().toSeq ===
+      Seq("p9", "p8", "p7"))
+    val head3 = scan.orderBy(col("seq").asc).limit(3)
+    assert(nFiles(head3) === 2)
+    assert(head3.select("payload").as[String].collect().toSeq ===
+      Seq("p0", "p1", "p2"))
+    // a pushed row filter makes file row counts unusable — no pruning,
+    // and the answer is still exact
+    val filtered = scan.where(col("ukey") % 2 === 0)
+      .orderBy(col("seq").desc).limit(2)
+    assert(nFiles(filtered) === 5)
+    assert(filtered.select("payload").as[String].collect().toSeq ===
+      Seq("p8", "p6"))
+  }
+
   test("sim_batch_topk reduces map-side through the bounded topk_by " +
       "aggregate — no rank window, partial before the exchange") {
     val df = SparkEntry.queries("sim_batch_topk")(spark, sf)
