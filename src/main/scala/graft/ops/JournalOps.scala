@@ -1070,6 +1070,35 @@ object JournalOps {
       IncrementalAgg.present(state, Seq("val"))
         .withColumnRenamed("val", "sum_val").orderBy("ns")
     }),
+    "journal_rollup_refresh" -> ((s, d) => {
+      // The FULL incremental-materialized-view lifecycle
+      // (ops/IncrementalAgg.scala MaterializedRollup): the rollup lives
+      // AS a journal store (groups = rows, JSON-typed state), refresh()
+      // folds the source's NET window since the last sync and lands
+      // upserts + dead-group deletes + the sync marker in ONE merge
+      // commit — exactly-once by atomicity (a crash between fold and
+      // commit re-folds the SAME window onto the SAME state), unchanged
+      // groups dropped by merge's payload-keyed no-op suppression.
+      // Bootstrap then incremental refresh here; the oracle recomputes
+      // from scratch, so the maintained rollup must hash-match it.
+      val srcTmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jrup_src_" + tmpTag(d)).toString
+      val dstTmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jrup_dst_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcTmp))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstTmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "5000").save(srcTmp)
+      val src = graft.journal.JournalStore.open(s, srcTmp)
+      val dst = graft.journal.JournalStore.create(s, dstTmp, epochSize = 1000L)
+      MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val"))
+      src.append(journal(s, d).where(col("seq") >= 6000 && col("seq") < 8000))
+      src.deleteWhereDv(col("seq") < 1500 && col("ukey") % 10 === 4)
+      MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val"))
+      MaterializedRollup.read(dst, Seq("ns"), Seq("val"),
+          src.scanUnordered().schema)
+        .withColumnRenamed("val", "sum_val").orderBy("ns")
+    }),
     "journal_changes_read" -> ((s, d) => {
       // The READER-OPTION surface of the row above (the Delta CDF
       // `readChangeFeed` idiom): the same net window is requested with
@@ -1417,6 +1446,13 @@ object JournalOps {
         "SELECT event_id AS seq, event_type AS ns, user_id AS ukey, " +
         "value AS val FROM events ORDER BY event_id DESC LIMIT 500) " +
         "ORDER BY seq"),
+    // maintained rollup-store ≡ from-scratch recompute
+    "journal_rollup_refresh" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        graft.Det.sql.dsum("value") + " AS sum_val FROM events " +
+        "WHERE event_id < 8000 " +
+        "AND NOT (event_id < 1500 AND user_id % 10 = 4) " +
+        "GROUP BY 1 ORDER BY ns"),
     // maintained rollup ≡ from-scratch recompute over the surviving rows
     "journal_incr_agg" ->
       ("SELECT event_type AS ns, count(*) AS n, " +

@@ -291,4 +291,52 @@ class OpsUnitSpec extends AnyFunSuite {
     // and the hash sample tracks its rate (exact check is the oracle's)
     assert(out("big")._1 <= 40 && out("big")._1 >= 30)
   }
+
+  test("MaterializedRollup: bootstrap, incremental refresh, group " +
+      "death, no-op sync, and stale-marker reconciliation") {
+    import graft.journal.JournalStore
+    def mk(tag: String) = JournalStore.create(spark,
+      java.nio.file.Files.createTempDirectory(s"graft_rup_$tag")
+        .toString + "/s", epochSize = 100)
+    def rows(xs: (String, Long, Double)*) = xs.map { case (ns, k, v) =>
+      (ns, k, ts(f"2024-01-01 10:00:${k % 60}%02d"), s"p$k$v", v)
+    }.toDF("ns", "ukey", "ts", "payload", "val")
+    val src = mk("src"); val dst = mk("dst")
+    src.append(rows(("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, 4.0)))
+    val schema = src.scanUnordered().schema
+    def state() = MaterializedRollup
+      .read(dst, Seq("ns"), Seq("val"), schema)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // bootstrap
+    assert(MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val")) > 0)
+    assert(state() === Seq(("a", 2L, 4.0), ("b", 1L, 4.0)))
+    // no-op sync: same source version appends NOTHING (early return)
+    val v0 = dst.manifest.version
+    assert(MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val")) === 0L)
+    assert(dst.manifest.version === v0)
+    // incremental window: b dies entirely, c is born, a grows
+    src.append(rows(("c", 9L, 7.0), ("a", 4L, 0.5)))
+    src.deleteWhereDv(col("ns") === "b")
+    assert(MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val")) > 0)
+    assert(state() === Seq(("a", 3L, 4.5), ("c", 1L, 7.0)))
+    // an unchanged-data commit (new version, same rows): the marker row
+    // advances but NO group row re-appends (no-op suppression) — the
+    // appended delta is exactly 1 row
+    src.setMeta(Map("k" -> "v")) // metadata-only source commit
+    assert(MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val")) === 1L)
+    assert(state() === Seq(("a", 3L, 4.5), ("c", 1L, 7.0)))
+    // stale marker (simulated retention loss): point the sync marker at
+    // a version the source never retained — refresh must RECONCILE to
+    // the source snapshot, including deleting a poisoned extra group
+    import org.apache.spark.sql.functions.lit
+    dst.merge(Seq((MaterializedRollup.Marker, 0L,
+        ts("2024-01-01 00:00:00"), "99999", 0.0),
+      ("""{"ns":"ghost"}""", 0L, ts("2024-01-01 00:00:00"),
+        """{"n":5,"val":9.0}""", 5.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(state().map(_._1).contains("ghost"))
+    assert(MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val")) > 0)
+    assert(state() === Seq(("a", 3L, 4.5), ("c", 1L, 7.0)))
+  }
 }
