@@ -104,7 +104,10 @@ object Sf1Smoke {
       // manifest-mark work, so its cost is the ingest itself; the
       // incremental rollup's REFRESH is O(window) — at 10x data the
       // bootstrap grows, the fold does not (fixed 2000-seq window)
-      "journal_grouped_state", "journal_txn_append", "journal_incr_agg")
+      "journal_grouped_state", "journal_txn_append", "journal_incr_agg",
+      // tail reads stay O(files-holding-the-tail) as the store grows;
+      // the rollup's refresh delta is O(window) like incr_agg
+      "journal_tail_scan", "journal_rollup_refresh")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

@@ -1244,6 +1244,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
       manifest.files.filter(f => epochOf(f).exists(_ <= upToEpoch)),
       if (clusterByKey) SegmentLayout.ByKey else SegmentLayout.Unordered)
 
+  /** PARTIAL compaction scoped to ONE namespace — the Delta `OPTIMIZE …
+    * WHERE <partition predicate>` idiom: a hot namespace's small-file
+    * debt is rewritten without touching the cold 99% of a 100 TB
+    * store. Selection is filesForKey's exact-or-conservative directory
+    * match (a file whose ns can't be proven different is included —
+    * compacting extra files is content-preserving, so conservatism
+    * costs IO only, never correctness). DV purge semantics ride along:
+    * the rewrite materializes vector subtraction for the touched
+    * files, exactly like full compact(). */
+  def compactNs(ns: String, upToEpoch: Long = Long.MaxValue,
+                clusterByKey: Boolean = false): Unit =
+    compactFiles(
+      filesForKey(manifest, Some(ns), None)
+        .filter(f => epochOf(f).exists(_ <= upToEpoch)),
+      if (clusterByKey) SegmentLayout.ByKey else SegmentLayout.Unordered)
+
   /** Compact with MULTI-column clustering: rows are ordered along a
     * Z-curve (interleaved bits of per-column quantile-bucket ranks —
     * the Delta/Iceberg OPTIMIZE ZORDER BY layout), so EVERY listed

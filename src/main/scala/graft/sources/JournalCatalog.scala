@@ -216,7 +216,8 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     override def description(): String =
       "rewrite a journal table's fragmented (epoch, ns) directories into " +
         "one file per directory; cluster_by_key additionally sorts rows " +
-        "by ukey for row-group pruning"
+        "by ukey for row-group pruning; ns scopes the rewrite to one " +
+        "namespace (OPTIMIZE ... WHERE)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -225,12 +226,17 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       ProcedureParameter.in("up_to_epoch", LongType).defaultValue("-1")
         .comment("only compact epochs <= this; -1 = every epoch").build(),
       ProcedureParameter.in("cluster_by_key", BooleanType).defaultValue("false")
-        .build())
+        .build(),
+      ProcedureParameter.in("ns", StringType).defaultValue("NULL")
+        .comment("compact only this namespace's directories " +
+          "(partial OPTIMIZE); NULL = the whole store").build())
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val store = storeForName(input.getUTF8String(0).toString)
       val upTo = if (input.isNullAt(1) || input.getLong(1) < 0L) Long.MaxValue
                  else input.getLong(1)
-      store.compact(upTo, !input.isNullAt(2) && input.getBoolean(2))
+      val byKey = !input.isNullAt(2) && input.getBoolean(2)
+      if (input.isNullAt(3)) store.compact(upTo, byKey)
+      else store.compactNs(input.getUTF8String(3).toString, upTo, byKey)
       noRows
     }
   }

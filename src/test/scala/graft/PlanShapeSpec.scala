@@ -559,6 +559,14 @@ class PlanShapeSpec extends AnyFunSuite {
         .agg(max(col("seq")).as("last_seq"))
       off.collect()
       assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
+      // (c2) static partition pruning composes with grouping: an ns
+      // filter drops whole directories BEFORE the regroup, the agg
+      // still plans zero exchanges and the answer is exact
+      val one = grouped(pa).where(col("ns") === "y").groupBy("ns", "ukey")
+        .agg(max(col("seq")).as("last_seq"))
+      val oneRows = one.collect()
+      assert(oneRows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 3L))
+      assert(!one.queryExecution.executedPlan.toString.contains("Exchange"))
       // (d) LIVE DELETION VECTORS trump grouping: the DV-subtracted
       // read path serves correct rows; the nsGrouped option degrades
       // gracefully (no grouping claim, never a wrong answer)

@@ -1225,6 +1225,36 @@ class JournalStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compactNs rewrites ONLY the target namespace's directories " +
+      "(partial OPTIMIZE); content and the other namespace's files " +
+      "are untouched") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    def batch(ns: String, ks: Long*) = ks.map(k =>
+      (ns, k, ts(f"2024-01-01 00:00:${k % 60}%02d"), s"$ns$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    // three appends → 3 small files in EACH ns directory of epoch 0
+    store.append(batch("hot", 1L).unionByName(batch("cold", 2L)))
+    store.append(batch("hot", 3L).unionByName(batch("cold", 4L)))
+    store.append(batch("hot", 5L).unionByName(batch("cold", 6L)))
+    def filesOf(ns: String) =
+      store.manifest.files.filter(_.contains(s"ns=$ns/")).sorted
+    val coldBefore = filesOf("cold")
+    assert(filesOf("hot").size === 3 && coldBefore.size === 3)
+    store.compactNs("hot")
+    assert(filesOf("hot").size === 1, filesOf("hot"))
+    assert(filesOf("cold") === coldBefore) // byte-identical file list
+    assert(store.scan().count() === 6)
+    assert(store.latest().where(col("ns") === "hot").count() === 3)
+    // re-fragment and compact again: converges back to one file,
+    // nothing lost
+    store.append(batch("hot", 7L))
+    assert(filesOf("hot").size === 2)
+    store.compactNs("hot")
+    assert(filesOf("hot").size === 1)
+    assert(store.scan().count() === 7)
+    assert(filesOf("cold") === coldBefore)
+  }
+
   test("a file whose every row is vector-deleted leaves the manifest") {
     val store = twoEpochStore()
     // epoch 1 holds exactly keys 10-13 in one file; delete them all

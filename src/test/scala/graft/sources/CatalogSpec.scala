@@ -129,6 +129,8 @@ class CatalogSpec extends AnyFunSuite {
       val before = segFiles().size
       assert(before >= 4, s"expected fragmentation, got $before files")
 
+      // ns-scoped partial OPTIMIZE first: only one namespace rewrites
+      spark.sql("CALL jcat.system.compact(table => 'mt', ns => 'a')")
       spark.sql("CALL jcat.system.compact(table => 'mt', cluster_by_key => true)")
       // compact REWRITES (old files stay for retained versions until
       // vacuum); aggressive vacuum with no grace reclaims them
