@@ -172,7 +172,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
 
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
-    "drop_constraint", "set_property")
+    "drop_constraint", "set_property", "refresh_rollup")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -193,6 +193,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "add_constraint" => new AddConstraintProcedure
       case "drop_constraint" => new DropConstraintProcedure
       case "set_property" => new SetPropertyProcedure
+      case "refresh_rollup" => new RefreshRollupProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -412,6 +413,40 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       storeForName(input.getUTF8String(0).toString)
         .setMeta(Map(input.getUTF8String(1).toString ->
           input.getUTF8String(2).toString))
+      noRows
+    }
+  }
+
+  /** The incremental-materialized-view lifecycle by SQL: fold the
+    * source table's NET change window since the rollup's last sync
+    * into the rollup table (ops.MaterializedRollup) — one merge
+    * commit, exactly-once, O(window). `keys`/`sums` are
+    * comma-separated source column names; read the rollup back with
+    * MaterializedRollup.read (or parse ns/payload JSON directly). */
+  private class RefreshRollupProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "refresh_rollup"
+    override def description(): String =
+      "synchronize a rollup journal table to its source table's current " +
+        "version: fold the net change window, land upserts + dead-group " +
+        "deletes + the sync marker in one merge commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("source table name under this catalog").build(),
+      ProcedureParameter.in("rollup", StringType)
+        .comment("rollup table name under this catalog (create it first)")
+        .build(),
+      ProcedureParameter.in("keys", StringType)
+        .comment("comma-separated group-key columns of the source").build(),
+      ProcedureParameter.in("sums", StringType)
+        .comment("comma-separated summed columns of the source").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val src = storeForName(input.getUTF8String(0).toString)
+      val dst = storeForName(input.getUTF8String(1).toString)
+      def cols(i: Int) = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      graft.ops.MaterializedRollup.refresh(src, dst, cols(2), cols(3))
       noRows
     }
   }

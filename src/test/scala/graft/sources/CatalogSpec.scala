@@ -301,6 +301,46 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE jcat.nsg")
   }}
 
+  test("CALL system.refresh_rollup maintains a rollup table by SQL — " +
+      "incremental after mutations, equal to a recompute") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.rsrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    spark.sql("CREATE TABLE jcat.rdst (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    spark.sql("INSERT INTO jcat.rsrc SELECT concat('s', id % 3) AS ns, " +
+      "CAST(id AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:00' AS ts, " +
+      "concat('p', id) AS payload, CAST(id AS DOUBLE) AS val FROM range(30)")
+    def call() = spark.sql("CALL jcat.system.refresh_rollup(" +
+      "source => 'rsrc', rollup => 'rdst', keys => 'ns', sums => 'val')")
+    call()
+    // the rollup is an ordinary journal table — readable by plain SQL
+    // the rollup table is a journal LOG — reconstruct state the usual
+    // way (arg-max by seq, tombstones = dead groups drop out)
+    def rollup(): Map[String, (Long, Double)] =
+      spark.sql("SELECT ns, " +
+        "CAST(get_json_object(p, '$.n') AS BIGINT) AS n, " +
+        "CAST(get_json_object(p, '$.val') AS DOUBLE) AS v FROM (" +
+        "SELECT ns, max_by(payload, seq) AS p FROM jcat.rdst " +
+        "WHERE ns LIKE '{%' GROUP BY ns) WHERE p IS NOT NULL")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    val r1 = rollup()
+    assert(r1.size === 3 && r1("""{"ns":"s0"}""")._1 === 10L)
+    // mutate: append + SQL DELETE of a namespace, refresh incrementally
+    spark.sql("INSERT INTO jcat.rsrc SELECT 's3' AS ns, " +
+      "CAST(100 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:01' AS ts, " +
+      "'px' AS payload, CAST(7.5 AS DOUBLE) AS val")
+    spark.conf.set("spark.graft.journal.deleteMode", "dv")
+    try spark.sql("DELETE FROM jcat.rsrc WHERE ns = 's1'")
+    finally spark.conf.unset("spark.graft.journal.deleteMode")
+    call()
+    val r2 = rollup()
+    assert(!r2.contains("""{"ns":"s1"}"""), r2.keys) // dead group deleted
+    assert(r2("""{"ns":"s3"}""") === ((1L, 7.5)))
+    assert(r2("""{"ns":"s0"}""") === r1("""{"ns":"s0"}""")) // untouched
+    spark.sql("DROP TABLE jcat.rsrc"); spark.sql("DROP TABLE jcat.rdst")
+  }}
+
   test("CALL system.restore rolls a table back by SQL") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.rst (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
       "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
