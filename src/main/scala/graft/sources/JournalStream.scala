@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetPartitionReaderFactory, ParquetScan}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -50,12 +50,26 @@ private[sources] class JournalMicroBatchStream(
     spark: SparkSession, storePath: String, tableSchema: StructType,
     maxSeqsPerTrigger: Option[Long],
     startingSeq: Option[String] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   maxSeqsPerTrigger.foreach(n => require(n > 0,
     s"maxSeqsPerTrigger must be positive, got $n"))
   startingSeq.foreach(s => require(s == "latest" || s.matches("-?\\d+"),
     s"""startingSeq must be a seq number or "latest", got "$s""""))
+
+  /** Trigger.AvailableNow (the batch-drain idiom: "process everything
+    * committed as of NOW in rate-limited batches, then stop"): the end
+    * seq is pinned ONCE here; admission control then pages toward it
+    * but never past it, so commits landing mid-drain wait for the next
+    * run — exactly Kafka's AvailableNow contract, natively instead of
+    * through Spark's compatibility wrapper. */
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(storeOpt.map(_.manifest.maxSeq).getOrElse(-1L))
+  override def reportLatestOffset(): Offset =
+    storeOpt.map(_.manifest.maxSeq).filter(_ >= 0L)
+      .map(LongOffset(_)).orNull
 
   /** The store is re-opened per call: a stream must see commits that
     * land while it runs (the batch-table snapshot rule is exactly
@@ -97,8 +111,13 @@ private[sources] class JournalMicroBatchStream(
     val lo = seqOf(start)
     storeOpt.map(_.manifest.maxSeq).filter(_ >= 0L) match {
       case None => null // no store / no data yet → no batch
-      case Some(avail) =>
-        LongOffset(maxSeqsPerTrigger.fold(avail)(cap => avail.min(lo + cap)).max(lo))
+      case Some(avail0) =>
+        // an AvailableNow drain never reads past the end pinned at
+        // prepare time, no matter what lands mid-run
+        val avail = availableNowEnd.fold(avail0)(avail0.min)
+        if (avail < 0L) null
+        else LongOffset(
+          maxSeqsPerTrigger.fold(avail)(cap => avail.min(lo + cap)).max(lo))
     }
   }
 
@@ -358,12 +377,28 @@ private[sources] class JournalChangeFeedStream(
     maxSeqsPerTrigger: Option[Long],
     startingSeq: Option[String] = None,
     startMode: Option[String] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   maxSeqsPerTrigger.foreach(n => require(n > 0,
     s"maxSeqsPerTrigger must be positive, got $n"))
   startMode.foreach(m => require(m == "tail" || m == "snapshot",
     s"""startMode must be "tail" or "snapshot", got "$m""""))
+
+  /** Trigger.AvailableNow on the CHANGE FEED pins BOTH offset axes at
+    * prepare time — the drain delivers inserts up to the pinned seq and
+    * retractions up to the pinned version, then stops; commits landing
+    * mid-drain wait for the next run. The pinned version must stay
+    * within manifest retention for the drain's duration (violations
+    * fail with the stepManifests retention error, loudly). */
+  @volatile private var availableNowEnd: Option[(Long, Long)] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(storeOpt
+      .map(st => (st.manifest.maxSeq, st.manifest.version))
+      .getOrElse((-1L, -1L)))
+  override def reportLatestOffset(): Offset =
+    storeOpt.map(st =>
+      JournalChangeOffset(st.manifest.maxSeq, st.manifest.version)).orNull
   require(!(startMode.contains("snapshot") && startingSeq.isDefined),
     "startMode=snapshot pins the start to the store's current state; " +
       "it cannot be combined with startingSeq")
@@ -411,10 +446,19 @@ private[sources] class JournalChangeFeedStream(
         // water on both axes, snap cleared. Deliberately UNCAPPED by
         // maxSeqsPerTrigger — the snapshot is one atomic batch (Delta's
         // initial CDF snapshot); the tail that follows is throttled.
-        val pinVer = if (o.ver >= 0L) o.ver else st.manifest.version
-        JournalChangeOffset(manifestAt(st, pinVer).maxSeq, pinVer)
+        val pinVer =
+          if (o.ver >= 0L) o.ver
+          else availableNowEnd.map(_._2).getOrElse(st.manifest.version)
+        if (pinVer < 0L) null // store appeared after an AvailableNow pin
+        else JournalChangeOffset(manifestAt(st, pinVer).maxSeq, pinVer)
       case Some(st) =>
-        val m = st.manifest
+        // an AvailableNow drain pages toward the manifest pinned at
+        // prepare time, never the live head
+        val m = availableNowEnd match {
+          case Some((_, pv)) if pv >= 0L => manifestAt(st, pv)
+          case Some(_) => return null // nothing existed at pin time
+          case None => st.manifest
+        }
         if (m.maxSeq < 0L && o.ver < 0L) null
         else {
           val seqHi = maxSeqsPerTrigger

@@ -702,6 +702,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(startErr(Map("startMode" -> "rewind")).contains("startMode"))
   }
 
+  test("Trigger.AvailableNow drains the journal in rate-limited " +
+      "batches, stops, and a later run resumes from the checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_janow_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def batch(ks: Range) = ks.map(k =>
+      ("users", k.toLong, ts(f"2024-01-01 10:00:${k % 60}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0 until 10))
+    def drain(): Unit = {
+      val q = spark.readStream.format("journal")
+        .option("maxSeqsPerTrigger", "3").load(path)
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow must TERMINATE on its own once the pinned end is
+      // reached — a hang here is the bug
+      assert(q.awaitTermination(120000), "AvailableNow did not stop")
+    }
+    drain()
+    def got() = spark.read.parquet(s"$dir/out")
+      .select("ukey").as[Long].collect().sorted.toSeq
+    assert(got() === (0L until 10L))
+    // rate limit respected: 10 seqs at 3/trigger = 4 committed batches
+    val batches = new java.io.File(s"$dir/ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >= 4 rate-limited batches, got $batches")
+    // a later run picks up ONLY what landed since, from the checkpoint
+    store.append(batch(10 until 12))
+    drain()
+    assert(got() === (0L until 12L))
+  }
+
+  test("Trigger.AvailableNow on the change feed: drains inserts AND " +
+      "retractions to the pinned offsets, stops, resumes incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jcfan_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def batch(ks: Range) = ks.map(k =>
+      ("users", k.toLong, ts(f"2024-01-01 10:00:${k % 60}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0 until 6))
+    store.deleteWhereDv(col("ukey") === 2L)
+    def drain(): Unit = {
+      val q = spark.readStream.format("journal")
+        .option("changeFeed", "true").load(path)
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow did not stop")
+    }
+    drain()
+    def fold(): Seq[Long] = spark.read.parquet(s"$dir/out")
+      .groupBy("ukey").agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("alive"))
+      .where(col("alive") > 0).select("ukey").as[Long].collect().sorted.toSeq
+    assert(fold() === Seq(0L, 1L, 3L, 4L, 5L))
+    // mutate, drain again: the second run delivers exactly the delta
+    store.append(batch(6 until 8))
+    store.deleteWhereDv(col("ukey") === 0L)
+    drain()
+    assert(fold() === store.scan().select("ukey")
+      .as[Long].collect().sorted.toSeq)
+    assert(fold() === Seq(1L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("stream_incr_rollup: a snapshot-mode change feed maintains the " +
       "IncrementalAgg rollup exactly across appends and vector deletes") {
     // the round-trip the batch journal_incr_agg row proves offline, now
