@@ -1579,7 +1579,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val missing = required.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"journal merge requires source columns $required; missing: $missing")
-    val src0 = source.select(required.map(col): _*)
+    // MERGE SCHEMA EVOLUTION (Delta's autoMerge): extra source columns
+    // ride the delta — the append evolves the store schema, old rows
+    // read null, deletes tombstone extras to null. They also join the
+    // no-op decision: a row whose payload is unchanged but whose extra
+    // differs from current state MUST land (suppressing it would
+    // silently drop the new column's value). Columns the store already
+    // pins keep their types (appendOnce fails fast on a retype).
+    val extras = source.columns.filterNot(required.contains).toSeq
+    val src0 = source.select((required ++ extras).map(col): _*)
     // the probe runs ONCE, outside the conflict-retry loop: a
     // non-deterministic source stays pinned to one snapshot across
     // CAS-loss re-derivations
@@ -1607,12 +1615,39 @@ class JournalStore private (val spark: SparkSession, val path: String,
     lazy val srcPinned = src0.localCheckpoint()
     retryOnLostRace {
       if (probe.length <= JournalStore.MergeSmallSourceRows)
-        mergeSmall(src0.schema, probe, whenMatchedDelete,
+        mergeSmall(src0.schema, probe, extras, whenMatchedDelete,
           whenMatchedUpdate, whenNotMatchedInsert)
-      else mergeFull(srcPinned, whenMatchedDelete,
+      else mergeFull(srcPinned, extras, whenMatchedDelete,
         whenMatchedUpdate, whenNotMatchedInsert)
     }
   }
+
+  /** State reconstruction for an extras-carrying merge: the arg-max
+    * struct carries the store's CURRENT values of the evolved columns
+    * (null when the store does not have the column yet), aliased to
+    * the cur__ names the no-op comparison and routing read. */
+  private def mergeStateExtras(rows: DataFrame, stExtras: Seq[String],
+                               extras: Seq[String]): DataFrame =
+    rows.groupBy("ns", "ukey")
+      .agg(max(struct((Seq("seq", "payload") ++ stExtras).map(col): _*))
+        .as("top"))
+      .select(Seq(col("ns"), col("ukey"),
+        col("top.payload").as("cur_payload")) ++
+        extras.map(c =>
+          (if (stExtras.contains(c)) col(s"top.$c") else lit(null))
+            .as(s"cur__$c")): _*)
+      .where(col("cur_payload").isNotNull)
+
+  /** The evolved columns the STORE already carries (current-state
+    * values exist to compare against); case-insensitive like the rest
+    * of the schema surface. */
+  private def storeExtrasOf(m: Manifest, extras: Seq[String]): Seq[String] =
+    if (m.schemaDdl.isEmpty || extras.isEmpty) Nil
+    else {
+      val have = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        .map(_.name.toLowerCase).toSet
+      extras.filter(c => have.contains(c.toLowerCase))
+    }
 
   private val mergeDupMsg = "journal merge: source has multiple rows " +
     "for a key - a merge must resolve to one action per key " +
@@ -1625,6 +1660,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * key-intersecting files. */
   private def mergeSmall(schema: org.apache.spark.sql.types.StructType,
                          rows: Array[org.apache.spark.sql.Row],
+                         extras: Seq[String],
                          whenMatchedDelete: Option[org.apache.spark.sql.Column],
                          whenMatchedUpdate: Boolean = true,
                          whenNotMatchedInsert: Boolean = true): Long = {
@@ -1646,12 +1682,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val ksIn = if (uks.isEmpty) lit(false) else col("ukey").isin(uks: _*)
       if (hasNullKey) ksIn || col("ukey").isNull else ksIn
     }
+    val stExtras = storeExtrasOf(m, extras)
     val filtered = readSegmentsOver(cand, m.schemaDdl, m.dvParts)
       .where(if (nss.isEmpty) lit(false) else col("ns").isin(nss: _*))
       .where(keyPred)
-      .select("ns", "ukey", "seq", "payload")
-    val state = broadcast(tombstoneAwareState(filtered)
-      .select(col("ns"), col("ukey"), col("payload").as("cur_payload"))).alias("t")
+      .select(("ns" +: "ukey" +: "seq" +: "payload" +: stExtras).map(col): _*)
+    val state0 =
+      if (extras.isEmpty)
+        tombstoneAwareState(filtered)
+          .select(col("ns"), col("ukey"), col("payload").as("cur_payload"))
+      else mergeStateExtras(filtered, stExtras, extras)
+    val state = broadcast(state0).alias("t")
     val srcDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema).alias("s")
     // appendOnce, NOT append: a lost CAS must escape to merge's own
@@ -1660,7 +1701,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     appendOnce(mergeRouted(srcDf.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = false,
-      whenMatchedUpdate, whenNotMatchedInsert), None, "")
+      whenMatchedUpdate, whenNotMatchedInsert, extras), None, "")
   }
 
   /** The full merge path (source too large to collect): one (ns, ukey)
@@ -1688,6 +1729,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * near-full segment re-read — still under the row predicate, which
     * pushes through the state aggregate into checkpoint + tail scans. */
   private def mergeFull(src0: DataFrame,
+                        extras: Seq[String],
                         whenMatchedDelete: Option[org.apache.spark.sql.Column],
                         whenMatchedUpdate: Boolean = true,
                         whenNotMatchedInsert: Boolean = true): Long = {
@@ -1720,15 +1762,29 @@ class JournalStore private (val spark: SparkSession, val path: String,
       (col("ns") === lit(g.ns)) && keyP
     }.reduceOption(_ || _).getOrElse(lit(false))
     val cand = JournalStore.mergeStateCandidateFiles(m, groups)
-    val stateRows =
-      if (cand.size * 2 <= m.files.size)
-        tombstoneAwareState(
-          readSegmentsOver(cand, m.schemaDdl, m.dvParts)
-            .where(rowPred)
-            .select("ns", "ukey", "seq", "payload"))
-      else latest().where(rowPred)
-    val state = stateRows.select(col("ns"), col("ukey"),
-        col("payload").as("cur_payload")).alias("t")
+    val stExtras = storeExtrasOf(m, extras)
+    val stateCols = ("ns" +: "ukey" +: "seq" +: "payload" +: stExtras).map(col)
+    val state = (if (extras.isEmpty) {
+        val stateRows =
+          if (cand.size * 2 <= m.files.size)
+            tombstoneAwareState(
+              readSegmentsOver(cand, m.schemaDdl, m.dvParts)
+                .where(rowPred).select(stateCols: _*))
+          else latest().where(rowPred)
+        stateRows.select(col("ns"), col("ukey"),
+          col("payload").as("cur_payload"))
+      } else {
+        // extras need current-state values, which checkpoints don't
+        // carry — reconstruct from segments either way (the pruned
+        // branch is unchanged; the wide branch trades the checkpoint
+        // bound for evolved-column no-op precision)
+        val base =
+          if (cand.size * 2 <= m.files.size)
+            readSegmentsOver(cand, m.schemaDdl, m.dvParts)
+          else readSegments()
+        mergeStateExtras(base.where(rowPred).select(stateCols: _*),
+          stExtras, extras)
+      }).alias("t")
     val src = src0
       .withColumn("__dup", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
@@ -1742,7 +1798,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     appendOnce(mergeRouted(src.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = true,
-      whenMatchedUpdate, whenNotMatchedInsert), None, "")
+      whenMatchedUpdate, whenNotMatchedInsert, extras), None, "")
   }
 
   /** Clause routing shared by both merge paths. With `guarded`, the
@@ -1759,12 +1815,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
                           whenMatchedDelete: Option[org.apache.spark.sql.Column],
                           guarded: Boolean,
                           whenMatchedUpdate: Boolean = true,
-                          whenNotMatchedInsert: Boolean = true): DataFrame = {
+                          whenNotMatchedInsert: Boolean = true,
+                          extras: Seq[String] = Nil): DataFrame = {
     val matched = col("t.ns").isNotNull
     val delete = whenMatchedDelete.map(matched && coalesce(_, lit(false)))
       .getOrElse(lit(false))
+    // no-op = payload AND every evolved column unchanged — suppressing
+    // on payload alone would silently drop an extras-only update
     val noop = matched && !delete &&
-      col("s.payload") <=> col("cur_payload")
+      extras.map(c => col(s"s.$c") <=> col(s"cur__$c"))
+        .foldLeft(col("s.payload") <=> col("cur_payload"))(_ && _)
     val payloadOut = when(delete, lit(null)).otherwise(col("s.payload"))
     // SQL clause absence (the MERGE INTO surface): no WHEN MATCHED
     // UPDATE clause → a matched, non-deleted row is left untouched (not
@@ -1780,9 +1840,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
             .otherwise(payloadOut))
       else (keepBase, payloadOut)
     joined.where(keep)
-      .select(col("s.ns").as("ns"), col("s.ukey").as("ukey"),
+      .select(Seq(col("s.ns").as("ns"), col("s.ukey").as("ukey"),
         col("s.ts").as("ts"), payload.as("payload"),
-        when(delete, lit(null)).otherwise(col("s.val")).as("val"))
+        when(delete, lit(null)).otherwise(col("s.val")).as("val")) ++
+        // evolved columns ride the delta; a delete tombstones them
+        extras.map(c =>
+          when(delete, lit(null)).otherwise(col(s"s.$c")).as(c)): _*)
   }
 
   /** Manifest files whose ns directory / per-file key range / key bloom

@@ -1225,6 +1225,59 @@ class JournalStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("merge schema evolution: extra source columns land, extras-only " +
+      "updates are not no-op-suppressed, deletes tombstone extras, and " +
+      "the large-source path agrees") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    def base(ks: Long*) = ks.map(k =>
+      ("users", k, ts(f"2024-01-01 00:00:${k % 60}%02d"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    def withScore(rows: (Long, String, Double)*) = rows.map { case (k, p, sc) =>
+      ("users", k, ts("2024-01-01 01:00:00"), p, 1.0, sc)
+    }.toDF("ns", "ukey", "ts", "payload", "val", "score")
+    store.append(base(1L, 2L, 3L))
+    // evolve: update k1's payload + score, insert k4 with score
+    store.merge(withScore((1L, "p1x", 0.9), (4L, "p4", 0.4)))
+    def lastScore(k: Long): Option[Double] = {
+      val r = store.scanUnordered().where(col("ukey") === k)
+        .orderBy(col("seq").desc).select("score").head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(store.scanUnordered().columns.contains("score"))
+    assert(lastScore(1L) === Some(0.9))
+    assert(lastScore(2L) === None) // pre-evolution row reads null
+    assert(lastScore(4L) === Some(0.4))
+    // extras-only update: SAME payload, new score — must land
+    val s1 = store.manifest.maxSeq
+    store.merge(withScore((1L, "p1x", 0.5)))
+    assert(store.manifest.maxSeq > s1, "extras-only update was suppressed")
+    assert(lastScore(1L) === Some(0.5))
+    // true no-op: same payload AND same score — suppressed
+    val s2 = store.manifest.maxSeq
+    store.merge(withScore((1L, "p1x", 0.5)))
+    assert(store.manifest.maxSeq === s2)
+    // matched delete tombstones the extras too
+    store.merge(withScore((4L, "kill", -1.0)),
+      whenMatchedDelete = Some(col("score") < 0))
+    assert(store.latest().where(col("ukey") === 4L).count() === 0)
+    assert(lastScore(4L) === None)
+    // LARGE-source path (> MergeSmallSourceRows): same semantics
+    import org.apache.spark.sql.functions.{concat, lit => flit}
+    val big = spark.range(10000, 13000)
+      .select(flit("users").as("ns"), col("id").as("ukey"),
+        flit(ts("2024-01-01 02:00:00")).as("ts"),
+        concat(flit("q"), col("id")).as("payload"), flit(2.0).as("val"),
+        (col("id") % 7).cast("double").as("score"))
+    store.merge(big)
+    val got = store.scanUnordered().where(col("ukey") === 10013L)
+      .select("payload", "score").head()
+    assert(got.getString(0) === "q10013" && got.getDouble(1) === 3.0)
+    // and re-merging the identical big source is fully suppressed
+    val s3 = store.manifest.maxSeq
+    store.merge(big)
+    assert(store.manifest.maxSeq === s3)
+  }
+
   test("compactNs rewrites ONLY the target namespace's directories " +
       "(partial OPTIMIZE); content and the other namespace's files " +
       "are untouched") {
