@@ -47,9 +47,16 @@ object Sf1Smoke {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     docBig.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    // embeddings: pass-through copy so Tables() resolves if touched
-    spark.read.parquet(s"$src/embeddings.parquet")
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // embeddings: 10x with shifted ids and a per-replica perturbation
+    // (kmeans/semantic-dedup probes see 10x the vectors, not 10 exact
+    // copies — exact copies would make every replica a trivial dup)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until reps).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> x + CAST($i AS FLOAT) * 0.003f)")
+          .as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // customer: dim-side pass-through (join_skew_handoff replicates the
     // FACT side 10x; the dim stays dim — that's the point of the shape)
     spark.read.parquet(s"$src/customer.parquet")
@@ -107,7 +114,15 @@ object Sf1Smoke {
       "journal_grouped_state", "journal_txn_append", "journal_incr_agg",
       // tail reads stay O(files-holding-the-tail) as the store grows;
       // the rollup's refresh delta is O(window) like incr_agg
-      "journal_tail_scan", "journal_rollup_refresh")
+      "journal_tail_scan", "journal_rollup_refresh",
+      // round 13 session 3: the version walk is metadata (fixed #versions;
+      // per-version counts scan the 10x ingest — linear, bound = ingest);
+      // kmeans assignment is broadcast-map-side (linear in vectors) and
+      // its update shuffle is O(k·dim·partitions), data-size-free;
+      // dedup_semantic's within-cluster pairs grow (n/k)^2 at FIXED k=4 —
+      // the smoke PRINTS that quadratic on purpose: production sizing is
+      // k ∝ n (constant cluster size ⇒ linear pairs), see SURVEY §2.2
+      "journal_history", "emb_kmeans", "dedup_semantic")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

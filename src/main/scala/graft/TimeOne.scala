@@ -2,16 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc single-query timer (dev tool): runMain graft.TimeOne <name> [sfDir] */
+/** Ad-hoc single-query timer (dev tool):
+  * runMain graft.TimeOne <name> [sfDir] [ext]
+  * — trailing literal `ext` builds the session with GraftExtensions
+  * (Bench's deployment shape), for isolating analyzer-rule overhead. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .appName("graft-time-one").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "16g")
       .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (args.contains("ext"))
+      b0.withExtensions(new graft.expr.GraftExtensions) else b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to 3).foreach { i =>

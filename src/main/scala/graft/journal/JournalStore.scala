@@ -2287,11 +2287,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
             mv.fstats.exists(_.file == f)))
             mv.fstats.filter(f => mv.files.contains(f.file)).map(_.rows).sum
           else -1L,
-          mv.checkpoints.size.toLong)
+          mv.checkpoints.size.toLong,
+          // deletion-vector geometry + commit wall clock (the TIMESTAMP
+          // AS OF axis; real but non-deterministic — declared oracle
+          // rows pin only the deterministic columns)
+          mv.dvParts.size.toLong, mv.commitTsMs)
       }
     }
     rows.toDF("version", "op", "max_seq", "n_files", "n_rows",
-        "n_checkpoints")
+        "n_checkpoints", "n_dv_parts", "commit_ts_ms")
       .orderBy("version")
   }
 
@@ -2514,6 +2518,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       .groupBy(col("epoch").cast("long").as("epoch")) // partition col is discovered as int
       .agg(count(lit(1)).as("n_rows"), min("seq").as("min_seq"), max("seq").as("max_seq"))
       .orderBy("epoch")
+
 }
 
 object JournalStore {

@@ -443,6 +443,74 @@ object JournalOps {
       graft.journal.JournalStore.open(s, tmp).manifest.meta.toSeq
         .sortBy(_._1).toDF("prop_key", "prop_value")
     }),
+    "journal_clone" -> ((s, d) => {
+      // ZERO-COPY CLONE as a declared, oracle-checked row: ingest, then
+      // vector-delete ONE key (so the clone must carry deletion-vector
+      // parts and stats sidecars, not just segments), clone, then
+      // DIVERGE the source with a further append + delete. The clone's
+      // read must be the state AT CLONE TIME — pinning both halves of
+      // the clone contract through the hash gate: completeness (every
+      // sidecar the manifest references travels) and isolation (the
+      // source's later commits are invisible; hard links share bytes
+      // but never state). Cost is O(manifest) link calls — a 100 TB
+      // store clones without moving a byte (Delta SHALLOW CLONE,
+      // except self-contained: links, not references).
+      val tag = tmpTag(d)
+      val src = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jclone_src_$tag").toString
+      val dst = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jclone_dst_$tag").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+      journal(s, d).where(col("seq") < 4000)
+        .write.format("journal").option("epochSize", "1000").save(src)
+      val store = graft.journal.JournalStore.open(s, src)
+      store.deleteWhereDv(col("ukey") === 7)
+      val clone = store.cloneTo(dst)
+      // diverge the SOURCE after the clone — must stay invisible to it
+      store.append(journal(s, d).where(col("seq") >= 4000 && col("seq") < 6000))
+      store.deleteWhereDv(col("ukey") === 9)
+      clone.scan().groupBy("ns")
+        .agg(count(lit(1)).as("n"), sum(col("ukey")).as("sum_ukey"),
+             max("seq").as("max_seq"))
+        .orderBy("ns")
+    }),
+    "journal_history" -> ((s, d) => {
+      // DESCRIBE HISTORY as a declared, oracle-checked row: drive the
+      // store through one of every commit kind a day-2 operator reads
+      // history for — create, append, delete-dv, append, set-meta,
+      // restore — then join the metadata-only version walk
+      // (commitHistory: RetainedVersions-bounded manifest parses, no
+      // segment file opened) with a TIME-TRAVEL live-row count per
+      // version. The count column turns history from a log listing into
+      // a semantic audit: each version's n_live must equal the logical
+      // prefix the oracle derives from raw events — so snapshot
+      // isolation (openAt) and the op labels are pinned through the
+      // hash gate together. Also SQL-reachable as
+      // CALL <cat>.system.history(table => ...) (CatalogSpec).
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jhist_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      // bounds sized to the smallest fixture (sf0.001 = 1000 events) so
+      // every commit is non-empty at every SF and versions are 0..5
+      val store = graft.journal.JournalStore.create(s, tmp, epochSize = 500L)
+      store.append(journal(s, d).where(col("seq") < 600))
+      store.deleteWhereDv(col("ukey") % 2 === 1)
+      val vDel = store.manifest.version // restore target (3 on real data)
+      store.append(journal(s, d).where(col("seq") >= 600 && col("seq") < 1000))
+      store.setMeta(Map("audit" -> "r13"))
+      store.restore(vDel)
+      val hist = store.commitHistory().select("version", "op", "max_seq")
+      val counts = store.versions().map { v =>
+        val at = store.openAt(v)
+        if (at.manifest.files.isEmpty) // create-only snapshot: no schema yet
+          s.range(1).select(lit(v).as("version"), lit(0L).as("n_live"))
+        else at.scan().agg(count(lit(1)).as("n_live"))
+          .select(lit(v).as("version"), col("n_live"))
+      }.reduce(_.union(_))
+      hist.join(counts, Seq("version"))
+        .select("version", "op", "max_seq", "n_live").orderBy("version")
+    }),
     "journal_dim_join" -> ((s, d) => {
       // Point-lookup join against the journal through the DSv2 scan:
       // a 10-key broadcast dim probes the log on ukey. This is the
@@ -1467,6 +1535,41 @@ object JournalOps {
     "journal_table_props" ->
       ("SELECT * FROM (SELECT 'owner' AS prop_key, 'pipeline-a' AS prop_value " +
         "UNION ALL SELECT 'retention.days', '45') ORDER BY prop_key"),
+    // the clone pins state at clone time: the first ingest minus the
+    // pre-clone vector delete; the source's later divergence is invisible
+    "journal_clone" ->
+      ("SELECT event_type AS ns, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_ukey, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq " +
+        "FROM events WHERE event_id < 4000 " +
+        "AND (user_id IS NULL OR user_id <> 7) " +
+        "GROUP BY 1 ORDER BY ns"),
+    // the version walk is metadata, but each version's live-row count is
+    // a logical prefix of the raw events — derived here commit by commit
+    "journal_history" ->
+      ("WITH a1 AS (SELECT CAST(max(event_id) AS BIGINT) AS mx, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events WHERE event_id < 600), " +
+        "d2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events " +
+        "WHERE event_id < 600 AND (user_id IS NULL OR user_id % 2 <> 1)), " +
+        "a3 AS (SELECT CAST(max(event_id) AS BIGINT) AS mx, " +
+        "(SELECT n FROM d2) + CAST(count(*) AS BIGINT) AS n FROM events " +
+        "WHERE event_id >= 600 AND event_id < 1000) " +
+        // version numbers are 1-based, and each epoch-crossing append is
+        // followed by its deterministic AUTO-CHECKPOINT commit (epochSize
+        // 500; seqs 0..599 then 600..999 both complete an epoch) — the
+        // oracle pins those too: checkpoints change replay cost, never
+        // visible state (same max_seq, same n_live as their append)
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS version, 'create' AS op, " +
+        "CAST(-1 AS BIGINT) AS max_seq, CAST(0 AS BIGINT) AS n_live " +
+        "UNION ALL SELECT 2, 'append', (SELECT mx FROM a1), (SELECT n FROM a1) " +
+        "UNION ALL SELECT 3, 'checkpoint', (SELECT mx FROM a1), (SELECT n FROM a1) " +
+        "UNION ALL SELECT 4, 'delete-dv', (SELECT mx FROM a1), (SELECT n FROM d2) " +
+        "UNION ALL SELECT 5, 'append', (SELECT mx FROM a3), (SELECT n FROM a3) " +
+        "UNION ALL SELECT 6, 'checkpoint', (SELECT mx FROM a3), (SELECT n FROM a3) " +
+        "UNION ALL SELECT 7, 'set-meta', (SELECT mx FROM a3), (SELECT n FROM a3) " +
+        "UNION ALL SELECT 8, 'restore', (SELECT mx FROM a1), (SELECT n FROM d2)" +
+        ") ORDER BY version"),
     "journal_namespaces" ->
       ("SELECT event_type AS ns, count(*) AS n, " +
         "CAST(min(event_id) AS BIGINT) AS min_seq, CAST(max(event_id) AS BIGINT) AS max_seq " +

@@ -292,6 +292,103 @@ object LlmExtOps {
     (bytes.length, if (bytes.isEmpty) 0 else bytes(0) & 0xff, sum)
   }
 
+  /** Lloyd k-means over the embeddings table with EXACT cross-engine
+    * arithmetic — the clustering primitive SemDeDup-style semantic dedup
+    * and IVF coarse quantizers are built on. Every step is deterministic
+    * and bit-identical in Spark and DuckDB, so the full iteration is
+    * hash-oracle-checkable (no RNG, no float accumulation-order
+    * dependence):
+    *   - vectors are scaled to BIGINTs once (round(x·10⁶), scale-0 round
+    *     is half-away-from-zero in both engines — Det.r's verified rule);
+    *     distances and sums are then exact integer arithmetic;
+    *   - init: the k smallest vec_ids' vectors, cluster ids in vec_id
+    *     order (k-means++ needs an RNG; first-k is the deterministic
+    *     stand-in — the ITERATION is the operator under test);
+    *   - assignment: argmin of the exact squared distance, ties to the
+    *     smallest cluster id;
+    *   - update: per-dimension floor(sum/n) with the division in DOUBLE
+    *     (sums ≤ 2⁵³ stay exact); an emptied cluster keeps its previous
+    *     centroid.
+    * Three assignment rounds (assign → update → assign → update →
+    * assign), unrolled identically in the DuckDB oracle.
+    *
+    * Scale shape: each assignment is a crossJoin with a BROADCAST k-row
+    * centroid table (map-side, no corpus shuffle); each update shuffles
+    * (cluster, dim) partial sums — map-side combine reduces the exchange
+    * to O(k·dim·partitions), never corpus-sized. The corpus projection is
+    * re-scanned per round here (bounded rounds × cheap 2-column scan); a
+    * production loop would persist the scaled projection once. This is
+    * MLlib's distributed Lloyd shape without the per-round driver
+    * collect: centroids stay a DataFrame end to end. */
+  private[ops] val kmeansK = 4
+  private[ops] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, d, "embeddings").select(col("vec_id"), expr(
+      "transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+    val c0 = e.orderBy("vec_id").limit(kmeansK) // TakeOrdered: k rows
+      .withColumn("cl",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("cl"), col("q").as("c"))
+    def assign(cent: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(broadcast(cent))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), " +
+            "0L, (acc, x) -> acc + x)"))
+        .groupBy("vec_id", "q")
+        .agg(min(struct(col("dist"), col("cl"))).as("m"))
+        .select(col("vec_id"), col("q"),
+          col("m.cl").as("cl"), col("m.dist").as("dist"))
+    def update(a: org.apache.spark.sql.DataFrame,
+               prev: org.apache.spark.sql.DataFrame) = {
+      val sums = a.select(col("cl"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("cl", "i")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          expr("CAST(floor(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .groupBy("cl")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cv))), " +
+          "s -> s.cv)").as("cn"))
+      prev.join(sums, Seq("cl"), "left")
+        .select(col("cl"), coalesce(col("cn"), col("c")).as("c"))
+    }
+    val a1 = assign(c0)
+    val c1 = update(a1, c0)
+    val a2 = assign(c1)
+    val c2 = update(a2, c1)
+    assign(c2)
+  }
+
+  /** DuckDB twin of [[kmeansAssign]] — the same three Lloyd rounds
+    * unrolled as CTEs over the identical integer arithmetic; `a3` is the
+    * final (vec_id, cluster, dist) assignment. */
+  private[ops] def kmeansCtes: String = {
+    def dist(q: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, len($q) + 1), " +
+        s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i]))) AS BIGINT)"
+    def assign(cent: String, out: String) =
+      s"$out AS (SELECT vec_id, q, cl, dist FROM (" +
+        s"SELECT vec_id, q, cl, dist, row_number() OVER (" +
+        s"PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM (" +
+        s"SELECT e.vec_id, e.q, c.cl, ${dist("e.q", "c.c")} AS dist " +
+        s"FROM e CROSS JOIN $cent c)) WHERE rn = 1)"
+    def update(a: String, prev: String, n: Int) =
+      s"s$n AS (SELECT cl, i, CAST(floor(CAST(sum(v) AS DOUBLE) / " +
+        s"count(*)) AS BIGINT) AS cv FROM (SELECT cl, unnest(q) AS v, " +
+        s"unnest(range(1, len(q) + 1)) AS i FROM $a) GROUP BY cl, i), " +
+        s"u$n AS (SELECT cl, list(cv ORDER BY i) AS cn FROM s$n GROUP BY cl), " +
+        s"c$n AS (SELECT p.cl, coalesce(u$n.cn, p.c) AS c " +
+        s"FROM $prev p LEFT JOIN u$n ON p.cl = u$n.cl)"
+    "e AS (SELECT vec_id, list_transform(embedding, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q " +
+      "FROM embeddings), " +
+      "c0 AS (SELECT cl, q AS c FROM (SELECT CAST(row_number() OVER " +
+      s"(ORDER BY vec_id) - 1 AS INT) AS cl, q FROM e) WHERE cl < $kmeansK), " +
+      assign("c0", "a1") + ", " + update("a1", "c0", 1) + ", " +
+      assign("c1", "a2") + ", " + update("a2", "c1", 2) + ", " +
+      assign("c2", "a3")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_embedding" -> ((s, d) => {
       // exact cosine near-dup, bounded (the banded/LSH path carries scale)
@@ -1391,6 +1488,45 @@ object LlmExtOps {
       v.zipWithIndex.map { case (x, i) => (i, x + 0.0) }
         .toDF("pos", "loading").orderBy("pos")
     }),
+    "emb_kmeans" -> ((s, d) =>
+      // Distributed Lloyd k-means, hash-oracle-checked through THREE full
+      // iterations (see kmeansAssign: exact integer distances/updates,
+      // deterministic init and tie-breaks — the DuckDB oracle unrolls the
+      // identical rounds). The declared row emits the final assignment
+      // plus its exact squared distance, so centroid updates, empty-
+      // cluster carry-forward and argmin ties are all pinned end to end.
+      kmeansAssign(s, d)
+        .select(col("vec_id"), col("cl").as("cluster"), col("dist"))
+        .orderBy("vec_id")),
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023, public): k-means-cluster the
+      // embedding space, then near-dup ONLY within clusters — the
+      // cluster partition bounds the candidate set so the quadratic
+      // pairwise cosine never touches cross-cluster pairs. Production
+      // sizing picks k ∝ corpus so expected cluster size stays constant
+      // (pairs stay O(n)); the hyperplane-LSH variant
+      // (dedup_embedding_lsh) is the alternative when clusters still run
+      // hot. Drop rule (deterministic, the paper's keep-one-per-group
+      // greedy): a vector dies when a SMALLER-vec_id clustermate sits
+      // within cosine >= 0.45 (same Det-rounded threshold as
+      // dedup_embedding). Clusters come from the oracle-pinned
+      // kmeansAssign, so the whole pipeline — iteration, partition,
+      // pairing, verdict — is one hash-checked row.
+      graft.expr.GraftFunctions.register(s)
+      val asg = kmeansAssign(s, d).select(col("vec_id"), col("cl"))
+      val t = Tables(s, d, "embeddings").select("vec_id", "embedding")
+        .join(asg, "vec_id")
+      val a = t.select(col("cl"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val b = t.select(col("cl"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      val dropped = a.join(b, "cl").where(col("a_id") < col("b_id"))
+        .where(graft.Det.r(expr("cosine_sim(a_emb, b_emb)"), 4) >= 0.45)
+        .select(col("b_id").as("vec_id")).distinct()
+      t.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cl").as("cluster"))
+        .orderBy("vec_id")
+    }),
     "sim_mrl_topk" -> ((s, d) => {
       // Matryoshka retrieval: score on the embedding's FIRST 16 dims
       // only (MRL-style nested representations — Kusupati et al. 2022,
@@ -2253,6 +2389,22 @@ object LlmExtOps {
         graft.Det.sql.r("list_cosine_similarity(e.dq, q.q_dq)", 4) +
         " AS sim FROM dqv e CROSS JOIN q WHERE e.vec_id <> 0 " +
         "ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    // the same three unrolled Lloyd rounds (kmeansCtes) — exact integer
+    // distances/updates, so the full iteration hash-matches
+    "emb_kmeans" ->
+      (s"WITH $kmeansCtes SELECT vec_id, cl AS cluster, dist FROM a3 " +
+        "ORDER BY vec_id"),
+    "dedup_semantic" ->
+      (s"WITH $kmeansCtes, " +
+        "t AS (SELECT a3.vec_id, a3.cl, e2.embedding FROM a3 " +
+        "JOIN embeddings e2 ON a3.vec_id = e2.vec_id), " +
+        "dropped AS (SELECT DISTINCT b.vec_id FROM t a JOIN t b " +
+        "ON a.cl = b.cl AND a.vec_id < b.vec_id AND " +
+        graft.Det.sql.r("list_cosine_similarity(" +
+          "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 4) +
+        " >= 0.45) " +
+        "SELECT vec_id, cl AS cluster FROM t " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"),
     "emb_quantize" ->
       ("SELECT vec_id, CAST(list_min(qs) AS INT) AS qmin, " +
         "CAST(list_max(qs) AS INT) AS qmax, CAST(list_sum(qs) AS BIGINT) AS qsum, " +

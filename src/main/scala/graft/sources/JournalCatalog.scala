@@ -172,7 +172,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
 
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
-    "drop_constraint", "set_property", "refresh_rollup")
+    "drop_constraint", "set_property", "refresh_rollup", "history")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -194,6 +194,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "drop_constraint" => new DropConstraintProcedure
       case "set_property" => new SetPropertyProcedure
       case "refresh_rollup" => new RefreshRollupProcedure
+      case "history" => new HistoryProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -448,6 +449,49 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       graft.ops.MaterializedRollup.refresh(src, dst, cols(2), cols(3))
       noRows
+    }
+  }
+
+  /** `CALL <cat>.system.history(table => 'clicks')` — DESCRIBE HISTORY
+    * for journal tables, serving [[JournalStore.commitHistory]]'s frame:
+    * one row per retained manifest version (what produced it, the seq
+    * high water, file/row/checkpoint/vector geometry, commit wall
+    * clock). Unlike the maintenance procedures this one RETURNS rows —
+    * a driver-sized `LocalScan` (the result is bounded by
+    * [[JournalStore.RetainedVersions]] manifest parses; no segment file
+    * is opened), so the operator-facing audit surface needs no Scala.
+    * (The TVF spelling `journal_commits('/path')` serves path users;
+    * this CALL serves catalog-table users.) */
+  private class HistoryProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "one row per retained manifest version of a journal table: " +
+        "version, operation, seq high water, live file / row / " +
+        "checkpoint / deletion-vector counts, commit wall clock " +
+        "(DESCRIBE HISTORY)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build())
+    private val schema = StructType.fromDDL(
+      "version BIGINT, op STRING, max_seq BIGINT, n_files BIGINT, " +
+        "n_rows BIGINT, n_checkpoints BIGINT, n_dv_parts BIGINT, " +
+        "commit_ts_ms BIGINT")
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val histRows = store.commitHistory().collect() // RetainedVersions-bounded
+        .map { r =>
+          InternalRow.fromSeq(Seq[Any](r.getLong(0),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7)))
+        }
+      val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = histRows
+      }
+      util.Collections.singletonList(scan).iterator()
     }
   }
 }

@@ -457,4 +457,74 @@ class LlmExtSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(sentinel),
       "delete-dv on the corpus must trigger a full rebuild, not a top-up")
   }
+
+  test("emb_kmeans equals an independent driver-side Lloyd reference " +
+    "(init, exact distances, floor-mean updates, tie-breaks)") {
+    // Re-derive the whole 3-round iteration in plain Scala from the raw
+    // fixture and demand bit-equality — pins the distributed plan's
+    // argmin, the (cluster, dim) partial-sum update, and the empty-
+    // cluster carry-forward against straight-line arithmetic.
+    // half-away-from-zero at scale 0 — the engines' shared rule
+    // (math.round is half-UP, which differs for negative ties)
+    def r0(y: Double): Long =
+      (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+    val raw = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => r0(x.toDouble * 1000000.0)).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i)))
+    var cents: Vector[Array[Long]] = raw.take(4).map(_._2).toVector
+    var asg: Map[Long, Int] = Map.empty
+    def assignAll(): Unit = asg = raw.map { case (id, q) =>
+      id -> cents.zipWithIndex.minBy { case (c, cl) => (d2(q, c), cl) }._2
+    }.toMap
+    for (round <- 1 to 3) {
+      assignAll()
+      if (round < 3) {
+        val byCl = raw.groupBy { case (id, _) => asg(id) }
+        cents = cents.zipWithIndex.map { case (old, cl) =>
+          byCl.get(cl).fold(old) { members =>
+            val n = members.length
+            old.indices.map(i => math.floor(
+              members.map(_._2(i)).sum.toDouble / n).toLong).toArray
+          }
+        }
+      }
+    }
+    val got = LlmExtOps.queries("emb_kmeans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = raw.map { case (id, q) =>
+      val cl = asg(id); (id, cl, d2(q, cents(cl))) }.toSeq
+    assert(got === want)
+  }
+
+  test("dedup_semantic: every dropped vector has a smaller-id clustermate " +
+    "at cosine >= 0.45; every survivor has none") {
+    val asg = LlmExtOps.queries("emb_kmeans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val y = dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0
+      (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 10000.0
+    }
+    val survivors = LlmExtOps.queries("dedup_semantic")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty && survivors.size < vecs.size,
+      "fixture should contain semantic dups at 0.45")
+    vecs.keys.foreach { id =>
+      val hasDup = vecs.keys.exists(o => o < id && asg(o) == asg(id) &&
+        cos4(vecs(o), vecs(id)) >= 0.45)
+      assert(survivors.contains(id) === !hasDup,
+        s"vec $id survivor=${survivors.contains(id)} but hasDup=$hasDup")
+    }
+  }
 }

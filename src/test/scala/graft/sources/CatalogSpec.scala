@@ -536,4 +536,33 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("UPDATE jcat.usql SET ukey = ukey + 1 WHERE ns = 'users'"))
     assert(Option(e.getMessage).exists(_.contains("reassign")))
   }}
+
+  test("CALL system.history RETURNS rows: one per retained version, " +
+    "op labels and seq high water in commit order") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.hist (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    spark.sql("INSERT INTO jcat.hist SELECT 'users' AS ns, " +
+      "CAST(1 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:01' AS ts, " +
+      "'p0' AS payload, CAST(1.0 AS DOUBLE) AS val")
+    spark.sql("INSERT INTO jcat.hist SELECT 'users' AS ns, " +
+      "CAST(2 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:02' AS ts, " +
+      "'p1' AS payload, CAST(2.0 AS DOUBLE) AS val")
+    spark.sql("DELETE FROM jcat.hist WHERE ukey = 1")
+    val rows = spark.sql("CALL jcat.system.history(table => 'hist')")
+      .orderBy("version")
+      .select("version", "op", "max_seq")
+      .as[(Long, String, Long)].collect().toSeq
+    // retained version numbers are 1-based (writeManifest bumps at commit)
+    assert(rows === Seq((1L, "create", -1L), (2L, "append", 0L),
+      (3L, "append", 1L), (4L, "delete", 1L)))
+    // commit wall clock rides along and is monotone non-decreasing
+    val ts = spark.sql("CALL jcat.system.history(table => 'hist')")
+      .orderBy("version").select("commit_ts_ms").as[Long].collect().toSeq
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // the Scala API serves the identical frame
+    val api = graft.journal.JournalStore.open(spark, s"$root/hist")
+      .commitHistory().select("version", "op", "max_seq")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(api === rows)
+  }}
 }
