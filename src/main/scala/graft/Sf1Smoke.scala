@@ -122,7 +122,10 @@ object Sf1Smoke {
       // dedup_semantic's within-cluster pairs grow (n/k)^2 at FIXED k=4 —
       // the smoke PRINTS that quadratic on purpose: production sizing is
       // k ∝ n (constant cluster size ⇒ linear pairs), see SURVEY §2.2
-      "journal_history", "emb_kmeans", "dedup_semantic")
+      "journal_history", "emb_kmeans", "dedup_semantic",
+      // paragraph dedup = one shuffle keyed on block text + the per-doc
+      // re-agg — linear in corpus bytes at any scale
+      "text_dedup_paragraph")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

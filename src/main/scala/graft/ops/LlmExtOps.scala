@@ -326,17 +326,29 @@ object LlmExtOps {
     val e = Tables(s, d, "embeddings").select(col("vec_id"), expr(
       "transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
-    val c0 = e.orderBy("vec_id").limit(kmeansK) // TakeOrdered: k rows
-      .withColumn("cl",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
-      .select(col("cl"), col("q").as("c"))
+    // init without a global window (k rows don't deserve a
+    // single-partition WindowExec): TakeOrdered the k smallest vec_ids,
+    // fold them into one sorted array, posexplode — position IS the
+    // cluster id in vec_id order
+    val c0 = e.orderBy("vec_id").limit(kmeansK)
+      .agg(expr("sort_array(collect_list(struct(vec_id, q)))").as("sv"))
+      .select(posexplode(col("sv")).as(Seq("cl", "x")))
+      .select(col("cl").cast("int").as("cl"), col("x.q").as("c"))
+    // Assignment is a pure MAP-SIDE projection: the whole centroid table
+    // packs into ONE broadcast row (array<struct<cl, c>>) and the argmin
+    // runs per row inside codegen — zero shuffle of the corpus. (The
+    // crossJoin-k-rows-then-groupBy(vec_id) shape re-shuffles N·k rows
+    // carrying the vectors — the exact VERDICT r1 perf anti-pattern
+    // LlmOps.centroidArrayOf documents.) array_min over struct<dist, cl>
+    // orders field-by-field: smallest distance, ties to the smallest
+    // cluster id.
     def assign(cent: org.apache.spark.sql.DataFrame) =
-      e.crossJoin(broadcast(cent))
-        .withColumn("dist", expr(
-          "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), " +
-            "0L, (acc, x) -> acc + x)"))
-        .groupBy("vec_id", "q")
-        .agg(min(struct(col("dist"), col("cl"))).as("m"))
+      e.crossJoin(broadcast(cent.agg(
+          expr("sort_array(collect_list(struct(cl, c)))").as("cents"))))
+        .withColumn("m", expr(
+          "array_min(transform(cents, k -> named_struct(" +
+            "'dist', aggregate(zip_with(q, k.c, (a, b) -> (a - b) * (a - b)), " +
+            "0L, (acc, x) -> acc + x), 'cl', k.cl)))"))
         .select(col("vec_id"), col("q"),
           col("m.cl").as("cl"), col("m.dist").as("dist"))
     def update(a: org.apache.spark.sql.DataFrame,
@@ -1488,6 +1500,35 @@ object LlmExtOps {
       v.zipWithIndex.map { case (x, i) => (i, x + 0.0) }
         .toDF("pos", "loading").orderBy("pos")
     }),
+    "text_dedup_paragraph" -> ((s, d) => {
+      // PARAGRAPH-level exact dedup (the Dolma/CCNet preprocessing
+      // idiom, distinct from doc-level dedup): split every document
+      // into consecutive 8-word blocks (the fixture has no newline
+      // paragraphs; fixed blocks are the deterministic stand-in), keep
+      // only the corpus-wide FIRST occurrence of each identical block
+      // (order = (doc_id, block_idx)), and reassemble each document
+      // from its surviving blocks. One shuffle keyed on the block text
+      // (hash-partitioning a 16-byte digest would move the same bytes —
+      // the body rides the row for reassembly either way; Dolma's
+      // digest trick trims the SORT key, not the exchange), then the
+      // per-doc re-aggregation. Emits per-doc block/kept counts plus
+      // the reassembled text, so the drop rule AND the reassembly
+      // order both sit inside the hash gate.
+      val blocks = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(ceil(size(w) / 8.0) AS INT) - 1), " +
+            "i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))")).as(Seq("bi", "block")))
+      val ranked = blocks.withColumn("rn", row_number().over(
+        Window.partitionBy("block").orderBy("doc_id", "bi")))
+      ranked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN " +
+              "struct(bi, block) END)), s -> s.block)")).as("kept_text"))
+        .orderBy("doc_id")
+    }),
     "emb_kmeans" -> ((s, d) =>
       // Distributed Lloyd k-means, hash-oracle-checked through THREE full
       // iterations (see kmeansAssign: exact integer distances/updates,
@@ -2389,6 +2430,18 @@ object LlmExtOps {
         graft.Det.sql.r("list_cosine_similarity(e.dq, q.q_dq)", 4) +
         " AS sim FROM dqv e CROSS JOIN q WHERE e.vec_id <> 0 " +
         "ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    "text_dedup_paragraph" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, CAST(i AS INT) AS bi, " +
+        "array_to_string(w[(i*8+1):(i*8+8)], ' ') AS block " +
+        "FROM (SELECT doc_id, w, unnest(range(0, " +
+        "CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i FROM w)), " +
+        "r AS (SELECT doc_id, bi, block, row_number() OVER (" +
+        "PARTITION BY block ORDER BY doc_id, bi) AS rn FROM b) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(block, ' ' ORDER BY bi) FILTER (WHERE rn = 1), '') " +
+        "AS kept_text FROM r GROUP BY doc_id ORDER BY doc_id"),
     // the same three unrolled Lloyd rounds (kmeansCtes) — exact integer
     // distances/updates, so the full iteration hash-matches
     "emb_kmeans" ->

@@ -172,7 +172,8 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
 
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
-    "drop_constraint", "set_property", "refresh_rollup", "history")
+    "drop_constraint", "set_property", "refresh_rollup", "history",
+    "clone")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -195,6 +196,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "set_property" => new SetPropertyProcedure
       case "refresh_rollup" => new RefreshRollupProcedure
       case "history" => new HistoryProcedure
+      case "clone" => new CloneProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -448,6 +450,32 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       def cols(i: Int) = input.getUTF8String(i).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       graft.ops.MaterializedRollup.refresh(src, dst, cols(2), cols(3))
+      noRows
+    }
+  }
+
+  /** `CALL <cat>.system.clone(table => 'clicks', dest => 'clicks_dev')`
+    * — zero-copy clone by NAME: the dest becomes a full catalog table
+    * (hard links share segment/sidecar/vector bytes; state diverges
+    * independently from the first commit on either side). O(manifest)
+    * link calls — a 100 TB table clones without moving a byte. */
+  private class CloneProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "zero-copy clone of a journal table to a new table name under " +
+        "this catalog (hard-linked bytes, independent state from the " +
+        "first commit on either side)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("source table name under this catalog").build(),
+      ProcedureParameter.in("dest", StringType)
+        .comment("new table name under this catalog (must not exist)").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dest = input.getUTF8String(1).toString
+      storeForName(input.getUTF8String(0).toString)
+        .cloneTo((root +: dest.split('.').toSeq).mkString("/"))
       noRows
     }
   }

@@ -158,6 +158,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assertMapSideCentroidAssign("sim_ann_ivf")
   }
 
+  test("emb_kmeans: every assignment round is map-side (broadcast packed " +
+    "centroids, no corpus-keyed exchange); updates shuffle only (cl, dim)") {
+    val df = SparkEntry.queries("emb_kmeans")(spark, sf)
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    // three Lloyd assignment rounds = three broadcast cross joins whose
+    // STREAM side reaches the parquet scan with no shuffle in between
+    val assigns = all.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.filter { j =>
+      val l = flatten(j.left)
+      l.exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) &&
+        !l.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    }
+    assert(assigns.size >= 3, df.queryExecution.executedPlan.toString)
+    // no exchange anywhere is keyed on the corpus (vec_id / q) — the only
+    // hash shuffles carry (cl[, i]) partial sums; the final global sort's
+    // range exchange is output ordering, not computation
+    val badExchange = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.exists(e => e.outputPartitioning.toString.contains("vec_id") &&
+      !e.outputPartitioning.toString.contains("range"))
+    assert(!badExchange, df.queryExecution.executedPlan.toString)
+  }
+
   test("journal stateAt after checkpoint prunes segment partitions") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_plan_").toString + "/store"

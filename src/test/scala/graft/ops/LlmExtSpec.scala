@@ -501,6 +501,25 @@ class LlmExtSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("text_dedup_paragraph equals a driver-side first-occurrence fold " +
+    "(block split, corpus-wide winner rule, reassembly order)") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val blocks = w.grouped(8).map(_.mkString(" ")).toSeq
+      val kept = blocks.filter(b => seen.add(b)) // first occurrence wins
+      (id, blocks.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.toSeq
+    val got = LlmExtOps.queries("text_dedup_paragraph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === want)
+    assert(want.map(_._2).sum > want.map(_._3).sum,
+      "fixture should contain repeated blocks")
+  }
+
   test("dedup_semantic: every dropped vector has a smaller-id clustermate " +
     "at cosine >= 0.45; every survivor has none") {
     val asg = LlmExtOps.queries("emb_kmeans")(spark, sf)

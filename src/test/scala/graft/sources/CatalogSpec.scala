@@ -565,4 +565,33 @@ class CatalogSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSeq
     assert(api === rows)
   }}
+
+  test("CALL system.clone: zero-copy clone by name; states diverge " +
+    "independently after the clone") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.csrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    spark.sql("INSERT INTO jcat.csrc SELECT 'users' AS ns, " +
+      "CAST(1 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:01' AS ts, " +
+      "'p0' AS payload, CAST(1.0 AS DOUBLE) AS val")
+    spark.sql("INSERT INTO jcat.csrc SELECT 'users' AS ns, " +
+      "CAST(2 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:02' AS ts, " +
+      "'p1' AS payload, CAST(2.0 AS DOUBLE) AS val")
+    spark.sql("CALL jcat.system.clone(table => 'csrc', dest => 'cdst')")
+    // the clone is a real catalog table sharing bytes, not state
+    spark.sql("INSERT INTO jcat.csrc SELECT 'users' AS ns, " +
+      "CAST(3 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:03' AS ts, " +
+      "'p2' AS payload, CAST(3.0 AS DOUBLE) AS val")
+    assert(spark.sql("SELECT count(*) FROM jcat.cdst").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM jcat.csrc").head().getLong(0) === 3L)
+    // and writable independently — divergence flows the other way too
+    spark.sql("INSERT INTO jcat.cdst SELECT 'users' AS ns, " +
+      "CAST(9 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:09' AS ts, " +
+      "'p9' AS payload, CAST(9.0 AS DOUBLE) AS val")
+    assert(spark.sql("SELECT count(*) FROM jcat.cdst").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM jcat.csrc").head().getLong(0) === 3L)
+    // refuses to overwrite an existing table
+    val e = intercept[Exception](
+      spark.sql("CALL jcat.system.clone(table => 'csrc', dest => 'cdst')"))
+    assert(Option(e.getMessage).exists(_.toLowerCase.contains("exist")))
+  }}
 }
