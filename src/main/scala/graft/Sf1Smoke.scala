@@ -125,7 +125,10 @@ object Sf1Smoke {
       "journal_history", "emb_kmeans", "dedup_semantic",
       // paragraph dedup = one shuffle keyed on block text + the per-doc
       // re-agg — linear in corpus bytes at any scale
-      "text_dedup_paragraph")
+      "text_dedup_paragraph",
+      // trained-codebook IVF = the kmeans train cost + a probed-cluster
+      // candidate scan — train linear, probe sub-corpus
+      "sim_ann_ivf_kmeans")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

@@ -413,6 +413,34 @@ class JournalStore private (val spark: SparkSession, val path: String,
       droppedCols = (m.droppedCols :+ name).distinct))
   }
 
+  /** ALTER TABLE ADD COLUMNS — extend the pinned DDL with a new NULLABLE
+    * column, ZERO data rewritten: readers plan against the widened DDL
+    * and parquet's read-by-name null-fills the column in every existing
+    * segment file (the same mechanism append-time schema evolution
+    * rides; this is the explicit-DDL spelling of it). Refuses an
+    * existing name and a DROPPED name whose pre-drop bytes still linger
+    * (the same data-resurrection hazard append() guards — see
+    * dropColumn; compact() re-opens the name). */
+  def addColumn(name: String,
+                dataType: org.apache.spark.sql.types.DataType): Unit = {
+    requireWritable()
+    retryOnLostRace {
+      val m = manifest
+      require(m.schemaDdl.nonEmpty, "store has no pinned schema yet")
+      val st = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(!st.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists in store schema")
+      require(!m.droppedCols.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' was DROPPED and its pre-drop bytes still live " +
+          "in un-compacted segment files — compact() the store first " +
+          "(see dropColumn), or use a different name")
+      writeManifest(path, m.copy(op = "add-column",
+        schemaDdl = org.apache.spark.sql.types.StructType(
+          st :+ org.apache.spark.sql.types.StructField(
+            name, dataType, nullable = true)).toDDL))
+    }
+  }
+
   /** Set (or overwrite) user table properties — Delta's TBLPROPERTIES
     * for the journal: opaque key→value pairs riding every subsequent
     * manifest (`manifest.meta`), committed as their own tiny version.

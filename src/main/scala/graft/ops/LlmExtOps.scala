@@ -321,8 +321,8 @@ object LlmExtOps {
     * MLlib's distributed Lloyd shape without the per-round driver
     * collect: centroids stay a DataFrame end to end. */
   private[ops] val kmeansK = 4
-  private[ops] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
-                                d: String): org.apache.spark.sql.DataFrame = {
+  private[ops] def kmeansTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = Tables(s, d, "embeddings").select(col("vec_id"), expr(
       "transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
@@ -368,8 +368,13 @@ object LlmExtOps {
     val c1 = update(a1, c0)
     val a2 = assign(c1)
     val c2 = update(a2, c1)
-    assign(c2)
+    (assign(c2), c2)
   }
+
+  /** Final (vec_id, q, cl, dist) assignment — see [[kmeansTrain]]. */
+  private[ops] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame =
+    kmeansTrain(s, d)._1
 
   /** DuckDB twin of [[kmeansAssign]] — the same three Lloyd rounds
     * unrolled as CTEs over the identical integer arithmetic; `a3` is the
@@ -1529,6 +1534,39 @@ object LlmExtOps {
               "struct(bi, block) END)), s -> s.block)")).as("kept_text"))
         .orderBy("doc_id")
     }),
+    "sim_ann_ivf_kmeans" -> ((s, d) => {
+      // IVF with a TRAINED codebook (the FAISS IVF-Flat shape; public):
+      // the coarse quantizer is the oracle-pinned k-means iteration
+      // (kmeansTrain) rather than sim_ann_ivf's label means — build =
+      // train + assign (both map-side, see emb_kmeans), probe = the
+      // query's top-2 centroids by the SAME exact integer distance used
+      // in training, then exact cosine re-rank WITHIN the probed
+      // clusters only. Everything runs on the scaled BIGINT vectors, so
+      // probe selection AND scores are bit-identical cross-engine — the
+      // whole index lifecycle (train → assign → probe → rank) is one
+      // hash-checked row. Scale shape: centroids/probe are k-row
+      // broadcasts; the candidate read touches only the probed
+      // clusters' rows; TakeOrderedAndProject keeps k.
+      val (asg, cents) = kmeansTrain(s, d)
+      val q = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("qq"))
+      val probe = cents.crossJoin(broadcast(q))
+        .select(col("cl"), expr(
+          "aggregate(zip_with(c, qq, (a, b) -> (a - b) * (a - b)), " +
+            "0L, (acc, x) -> acc + x)").as("qd"))
+        .orderBy(col("qd"), col("cl")).limit(2).select("cl")
+      asg.join(broadcast(probe), "cl")
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), graft.Det.r(
+          expr("CAST(aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x) AS DOUBLE)") /
+            (sqrt(expr("CAST(aggregate(q, 0L, (acc, x) -> acc + x * x) AS DOUBLE)")) *
+             sqrt(expr("CAST(aggregate(qq, 0L, (acc, x) -> acc + x * x) AS DOUBLE)"))),
+          4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
     "emb_kmeans" -> ((s, d) =>
       // Distributed Lloyd k-means, hash-oracle-checked through THREE full
       // iterations (see kmeansAssign: exact integer distances/updates,
@@ -2442,6 +2480,23 @@ object LlmExtOps {
         "CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept, " +
         "coalesce(string_agg(block, ' ' ORDER BY bi) FILTER (WHERE rn = 1), '') " +
         "AS kept_text FROM r GROUP BY doc_id ORDER BY doc_id"),
+    // trained-codebook IVF: probe by the SAME exact integer distance the
+    // training used; scores from the scaled ints — bit-identical engines
+    "sim_ann_ivf_kmeans" ->
+      (s"WITH $kmeansCtes, " +
+        "qv AS (SELECT q AS qq FROM e WHERE vec_id = 0), " +
+        "pc AS (SELECT cl FROM (SELECT c2.cl, " +
+        "CAST(list_sum(list_transform(range(1, len(c2.c) + 1), " +
+        "i -> (c2.c[i] - qv.qq[i]) * (c2.c[i] - qv.qq[i]))) AS BIGINT) AS qd " +
+        "FROM c2, qv) ORDER BY qd, cl LIMIT 2) " +
+        "SELECT vec_id, " +
+        graft.Det.sql.r(
+          "CAST(list_sum(list_transform(range(1, len(a3.q) + 1), " +
+            "i -> a3.q[i] * qv.qq[i])) AS DOUBLE) / " +
+            "(sqrt(CAST(list_sum(list_transform(a3.q, x -> x * x)) AS DOUBLE)) * " +
+            "sqrt(CAST(list_sum(list_transform(qv.qq, x -> x * x)) AS DOUBLE)))", 4) +
+        " AS sim FROM a3 JOIN pc USING (cl) CROSS JOIN qv " +
+        "WHERE a3.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),
     // the same three unrolled Lloyd rounds (kmeansCtes) — exact integer
     // distances/updates, so the full iteration hash-matches
     "emb_kmeans" ->

@@ -136,10 +136,40 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "journal tables evolve their schema at append time (new columns " +
-        "ride the manifest); ALTER TABLE is not supported")
+  /** ALTER TABLE, the subset a manifest-pinned store can honor safely:
+    * ADD COLUMNS (nullable, top-level — widens the pinned DDL, zero
+    * rewrite), DROP COLUMN (leaves the DDL instantly; bytes forgotten at
+    * the next full compact — the store's resurrection guard applies),
+    * SET/UNSET TBLPROPERTIES. Renames and retypes are refused: parquet
+    * resolves columns by NAME, so either would silently re-map existing
+    * bytes (the hazard Delta gates behind column mapping). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathFor(ident)
+    if (!JournalStore.exists(p)) throw new NoSuchTableException(ident)
+    val store = JournalStore.open(SparkSession.active, p)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "journal ALTER TABLE supports top-level columns only")
+        require(a.isNullable,
+          "journal ALTER TABLE ADD COLUMNS: new columns must be nullable " +
+            "(existing rows have no value for them)")
+        store.addColumn(a.fieldNames()(0), a.dataType())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "journal ALTER TABLE supports top-level columns only")
+        store.dropColumn(d.fieldNames()(0))
+      case sp: TableChange.SetProperty =>
+        store.setMeta(Map(sp.property -> sp.value))
+      case rp: TableChange.RemoveProperty =>
+        store.unsetMeta(Seq(rp.property))
+      case other => throw new UnsupportedOperationException(
+        s"journal ALTER TABLE does not support ${other.getClass.getSimpleName}: " +
+          "renames/retypes would re-map existing parquet bytes by name " +
+          "(the column-mapping hazard); add/drop/properties are supported")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathFor(ident)

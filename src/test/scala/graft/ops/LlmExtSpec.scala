@@ -501,6 +501,32 @@ class LlmExtSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("sim_ann_ivf_kmeans: nprobe=2 over the trained codebook recalls " +
+    "the exact integer-cosine top-10") {
+    def r0(y: Double): Long =
+      (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => r0(x.toDouble * 1000000.0)).toArray)
+    val qq = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, qq)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val got = LlmExtOps.queries("sim_ann_ivf_kmeans")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size === 10)
+    val recall = (exact & got).size / 10.0
+    assert(recall >= 0.7, s"recall@10 = $recall (exact=$exact got=$got)")
+  }
+
   test("text_dedup_paragraph equals a driver-side first-occurrence fold " +
     "(block split, corpus-wide winner rule, reassembly order)") {
     val docs = Tables(spark, sf, "documents")

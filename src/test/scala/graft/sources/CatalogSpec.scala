@@ -594,4 +594,46 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("CALL jcat.system.clone(table => 'csrc', dest => 'cdst')"))
     assert(Option(e.getMessage).exists(_.toLowerCase.contains("exist")))
   }}
+
+  test("ALTER TABLE: ADD COLUMNS widens with nulls, DROP COLUMN hides " +
+    "instantly, SET/UNSET TBLPROPERTIES ride the manifest; renames refuse") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE jcat.alt (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+      spark.sql("INSERT INTO jcat.alt SELECT 'users' AS ns, " +
+        "CAST(1 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:01' AS ts, " +
+        "'p0' AS payload, CAST(1.0 AS DOUBLE) AS val")
+      // ADD COLUMNS: zero rewrite; pre-add rows read back NULL
+      spark.sql("ALTER TABLE jcat.alt ADD COLUMNS (score DOUBLE)")
+      assert(spark.sql("SELECT score FROM jcat.alt").as[Option[Double]]
+        .collect().toSeq === Seq(None))
+      // new appends can now land the column by name
+      spark.sql("INSERT INTO jcat.alt SELECT 'users' AS ns, " +
+        "CAST(2 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:02' AS ts, " +
+        "'p1' AS payload, CAST(2.0 AS DOUBLE) AS val, " +
+        "CAST(0.75 AS DOUBLE) AS score")
+      assert(spark.sql("SELECT ukey, score FROM jcat.alt ORDER BY ukey")
+        .as[(Long, Option[Double])].collect().toSeq ===
+        Seq((1L, None), (2L, Some(0.75))))
+      // TBLPROPERTIES through ALTER
+      spark.sql("ALTER TABLE jcat.alt SET TBLPROPERTIES ('team' = 'data-eng')")
+      assert(graft.journal.JournalStore.open(spark, s"$root/alt")
+        .manifest.meta.get("team") === Some("data-eng"))
+      spark.sql("ALTER TABLE jcat.alt UNSET TBLPROPERTIES ('team')")
+      assert(graft.journal.JournalStore.open(spark, s"$root/alt")
+        .manifest.meta.get("team") === None)
+      // DROP COLUMN hides the column instantly (no rewrite)
+      spark.sql("ALTER TABLE jcat.alt DROP COLUMN score")
+      assert(!spark.table("jcat.alt").columns.contains("score"))
+      // re-adding the dropped name refuses until a compact forgets the bytes
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE jcat.alt ADD COLUMNS (score DOUBLE)"))
+      assert(Option(e1.getMessage).exists(_.contains("DROPPED")))
+      // renames re-map parquet bytes by name — refused
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE jcat.alt RENAME COLUMN payload TO body"))
+      assert(Option(e2.getMessage).exists(m =>
+        m.contains("rename") || m.contains("Rename")))
+    }
+  }
 }

@@ -1043,6 +1043,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq((0L, "p0"), (1L, "p1"), (2L, "p2"), (3L, "p3")))
   }
 
+  test("stream_journal_source: tail survives a mid-run ALTER TABLE ADD " +
+    "COLUMNS (output schema pinned at stream start; new column ignored)") {
+    // A stream's output schema is fixed when the query starts; a column
+    // added to the store mid-run must neither break the tail nor change
+    // its frame — post-alter rows keep flowing with the ORIGINAL columns
+    // (a consumer wanting the new column restarts the query, the Delta
+    // rule).
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsrc_alt_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, epochSize = 100)
+    def row(k: Long, t: String, p: String) =
+      Seq(("ns", k, ts(t), p, 1.0)).toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(row(1L, "2024-01-01 10:00:00", "p0"))
+    val q = spark.readStream.format("journal").load(path)
+      .writeStream.format("memory").queryName("jalt").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    store.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    // a post-alter append CARRYING the new column still streams
+    store.append(Seq(("ns", 2L, ts("2024-01-01 10:01:00"), "p1", 1.0, 0.5))
+      .toDF("ns", "ukey", "ts", "payload", "val", "score"))
+    q.processAllAvailable()
+    q.stop()
+    val t = spark.table("jalt")
+    assert(!t.columns.contains("score"), t.columns.mkString(","))
+    assert(t.select("seq", "payload").as[(Long, String)].collect().toSeq
+      .sortBy(_._1) === Seq((0L, "p0"), (1L, "p1")))
+    // a FRESH query sees the widened schema (null-filled history)
+    val q2 = spark.readStream.format("journal").load(path)
+      .writeStream.format("memory").queryName("jalt2").outputMode("append")
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    val t2 = spark.table("jalt2")
+    assert(t2.columns.contains("score"), t2.columns.mkString(","))
+    assert(t2.select("seq", "score").as[(Long, Option[Double])].collect()
+      .toSeq.sortBy(_._1) === Seq((0L, None), (1L, Some(0.5))))
+  }
+
   test("stream_journal_pipeline: log -> windowless agg -> log, exactly-once both ends") {
     // The materialized-view-over-log shape: tail one journal, maintain a
     // running per-(ns, ukey) count, land every revision in a SECOND
