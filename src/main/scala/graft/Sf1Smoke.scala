@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * within a replica is unchanged) while sharing no shingles ACROSS
   * replicas — dup pairs, minhash candidates and CC components all scale
   * linearly, the way a 10x corpus does, instead of quadratically the
-  * way naive replication would. Embeddings pass through unscaled (the
-  * ANN queries are probe-bounded; their scale axis is covered by the
-  * corpus queries). Prints per-query seconds for the scale-sensitive
-  * subset; compare against the sf0.1 bench medians for super-linearity.
+  * way naive replication would. Embeddings replicate 10x with shifted
+  * ids and a per-replica perturbation (kmeans/semantic-dedup/IVF probes
+  * see 10x the vectors, not 10 exact copies). Prints per-query seconds
+  * for the scale-sensitive subset; compare against the sf0.1 bench
+  * medians for super-linearity.
   */
 object Sf1Smoke {
   def main(args: Array[String]): Unit = {

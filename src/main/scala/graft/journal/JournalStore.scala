@@ -1429,7 +1429,30 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * immediate-reclaim behavior (tests, decommissioning). */
   def vacuum(retain: Int = RetainedVersions,
              graceMs: Long = DefaultVacuumGraceMs): Unit = {
+    vacuumSweep(retain, graceMs, dryRun = false); ()
+  }
+
+  /** DRY RUN (Delta's `VACUUM … DRY RUN`): the exact (kind,
+    * store-relative path) set `vacuum(retain, graceMs)` would delete
+    * right now, deleting NOTHING — the day-2 "what will this reclaim"
+    * question answered before the irreversible step. Kinds: manifest,
+    * segment, checkpoint, stats-part, dv-part, manifest-part, stage. */
+  def vacuumDryRun(retain: Int = RetainedVersions,
+                   graceMs: Long = DefaultVacuumGraceMs): Seq[(String, String)] =
+    vacuumSweep(retain, graceMs, dryRun = true)
+
+  private def vacuumSweep(retain: Int, graceMs: Long,
+                          dryRun: Boolean): Seq[(String, String)] = {
     requireWritable()
+    val rootP = Paths.get(path)
+    val planned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // every sweep funnels here: report in dry-run, delete otherwise
+    def reap(kind: String, p: java.nio.file.Path): Unit =
+      if (dryRun) planned += ((kind, rootP.relativize(p).toString))
+      else Files.deleteIfExists(p)
+    def reapDir(kind: String, p: java.nio.file.Path): Unit =
+      if (dryRun) planned += ((kind, rootP.relativize(p).toString))
+      else org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
     // ONE manifest snapshot up front: fails fast on a corrupt manifest
     // BEFORE any deletion, and the live-file/checkpoint computations
     // below can't tear against a concurrent commit
@@ -1445,13 +1468,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val dropVersions = all.dropRight(retain)
       // never invalidate the version the CURRENT manifest points at
       .filter { case (v, p) => v != cur.version && aged(p) }
-    dropVersions.foreach { case (_, p) => Files.deleteIfExists(p) }
+    dropVersions.foreach { case (_, p) => reap("manifest", p) }
     val retained = keepVersions.flatMap { case (v, _) =>
       readManifestVersion(path, v) }
     val live = (cur.files ++ retained.flatMap(_.files)).toSet
     (listSegmentFiles().toSet -- live).foreach { f =>
       val p = Paths.get(s"$segDir/$f")
-      if (aged(p)) Files.deleteIfExists(p)
+      if (aged(p)) reap("segment", p)
     }
     // Checkpoints referenced by NO retained manifest are dead weight:
     // auto-checkpointing creates one per epoch rollover and the manifest
@@ -1470,7 +1493,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         """^seq=(\d+)$""".r.findFirstMatchIn(p.getFileName.toString)
           .map(_.group(1).toLong).filterNot(liveCkpts.contains)
           .filter(_ => aged(p))
-          .foreach(_ => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+          .foreach(_ => reapDir("checkpoint", p))
       }
     }
     // Sidecar stat parts referenced by NO retained manifest: orphans
@@ -1487,7 +1510,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         st.iterator().asScala.toList
       } finally st.close()
       parts.filterNot(p => liveParts.contains(p.getFileName.toString))
-        .filter(aged).foreach(Files.deleteIfExists(_))
+        .filter(aged).foreach(reap("stats-part", _))
     }
     // Deletion-vector parts referenced by NO retained manifest: orphans
     // from crashed writers plus parts rotated out by consolidation or
@@ -1501,7 +1524,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         st.iterator().asScala.toList
       } finally st.close()
       parts.filterNot(p => liveDv.contains(p.getFileName.toString))
-        .filter(aged).foreach(Files.deleteIfExists(_))
+        .filter(aged).foreach(reap("dv-part", _))
     }
     // Abandoned staging dirs (a writer that crashed between its Spark
     // job and promoteStaged): never referenced by any manifest, swept
@@ -1514,8 +1537,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         st.iterator().asScala
           .filter(_.getFileName.toString.startsWith(".stage-")).toList
       } finally st.close()
-      stages.filter(aged).foreach(p =>
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      stages.filter(aged).foreach(reapDir("stage", _))
     }
     // Manifest-root list parts: same orphan/rotation sweep as the stats
     // sidecar (partsOf is name-list work — no part bytes load here).
@@ -1529,8 +1551,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
         st.iterator().asScala.toList
       } finally st.close()
       parts.filterNot(p => liveRoot.contains(p.getFileName.toString))
-        .filter(aged).foreach(Files.deleteIfExists(_))
+        .filter(aged).foreach(reap("manifest-part", _))
     }
+    planned.sorted.toSeq
   }
 
   /** Logical delete (the Kafka log-compaction tombstone): append one

@@ -279,7 +279,8 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     override def name(): String = "vacuum"
     override def description(): String =
       "delete segment files no retained manifest version references; " +
-        "grace_ms bounds how young a file may be and still be deleted"
+        "grace_ms bounds how young a file may be and still be deleted; " +
+        "dry_run => true RETURNS the would-delete set and deletes nothing"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -289,7 +290,11 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
         .defaultValue(JournalStore.RetainedVersions.toString)
         .comment("how many newest manifest versions keep their files").build(),
       ProcedureParameter.in("grace_ms", LongType).defaultValue("-1")
-        .comment("age-based deletion grace; -1 = store default (30 min)").build())
+        .comment("age-based deletion grace; -1 = store default (30 min)").build(),
+      ProcedureParameter.in("dry_run", BooleanType).defaultValue("false")
+        .comment("report the would-delete (kind, path) set; delete nothing")
+        .build())
+    private val dryRunSchema = StructType.fromDDL("kind STRING, path STRING")
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val store = storeForName(input.getUTF8String(0).toString)
       val retain = if (input.isNullAt(1)) JournalStore.RetainedVersions
@@ -297,8 +302,21 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       val grace = if (input.isNullAt(2) || input.getLong(2) < 0L)
                     JournalStore.DefaultVacuumGraceMs
                   else input.getLong(2)
-      store.vacuum(retain, grace)
-      noRows
+      if (!input.isNullAt(3) && input.getBoolean(3)) {
+        val planRows = store.vacuumDryRun(retain, grace).map { case (k, p) =>
+          InternalRow.fromSeq(Seq[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(k),
+            org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+        }.toArray
+        val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = dryRunSchema
+          override def rows(): Array[InternalRow] = planRows
+        }
+        util.Collections.singletonList(scan).iterator()
+      } else {
+        store.vacuum(retain, grace)
+        noRows
+      }
     }
   }
 

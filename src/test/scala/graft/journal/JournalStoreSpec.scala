@@ -244,6 +244,32 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(onDisk === store.manifest.files.size)
   }
 
+  test("vacuumDryRun reports the exact reclaim set and deletes nothing; " +
+    "the real vacuum then removes precisely that set") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1)
+    store.append(sampleDf) // 4 epochs, one row each
+    store.compact(upToEpoch = 4L) // originals become reclaim candidates
+    val plan = store.vacuumDryRun(retain = 0, graceMs = 0L)
+    assert(plan.nonEmpty)
+    assert(plan.exists(_._1 == "segment"), plan.mkString(", "))
+    // the dry run destroyed nothing: every reported path still exists,
+    // and reads are untouched
+    plan.foreach { case (k, rel) =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store.path, rel)), s"dry run deleted $k $rel")
+    }
+    assert(store.scan().count() === 4L)
+    // the real sweep with the same knobs removes exactly the planned set
+    store.vacuum(retain = 0, graceMs = 0L)
+    plan.foreach { case (k, rel) =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store.path, rel)), s"vacuum kept $k $rel")
+    }
+    assert(store.scan().count() === 4L)
+    // and a post-vacuum dry run is empty — the plan converges
+    assert(store.vacuumDryRun(retain = 0, graceMs = 0L).isEmpty)
+  }
+
   test("snapshot isolation: files not referenced by the manifest are invisible") {
     val store = JournalStore.create(spark, freshPath, epochSize = 2)
     store.append(sampleDf)

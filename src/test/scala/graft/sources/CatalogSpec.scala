@@ -595,6 +595,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(Option(e.getMessage).exists(_.toLowerCase.contains("exist")))
   }}
 
+  test("CALL system.vacuum dry_run RETURNS the reclaim plan and deletes " +
+    "nothing; the real call then reclaims") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.vdr (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO jcat.vdr SELECT 'a' AS ns, CAST($i AS BIGINT) AS ukey, " +
+        s"TIMESTAMP '2024-01-01 00:00:0$i' AS ts, 'p$i' AS payload, " +
+        s"CAST($i.0 AS DOUBLE) AS val")
+    }
+    spark.sql("CALL jcat.system.compact(table => 'vdr')")
+    def segCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$root/vdr/segments")).size
+    }
+    val before = segCount()
+    val plan = spark.sql("CALL jcat.system.vacuum(table => 'vdr', " +
+      "retain => 1, grace_ms => 0, dry_run => true)")
+      .as[(String, String)].collect().toSeq
+    assert(plan.exists(_._1 == "segment"), plan.mkString(", "))
+    assert(segCount() === before, "dry run must not delete")
+    spark.sql("CALL jcat.system.vacuum(table => 'vdr', retain => 1, grace_ms => 0)")
+    assert(segCount() < before)
+    assert(spark.sql("SELECT count(*) FROM jcat.vdr").head().getLong(0) === 3L)
+  }}
+
   test("ALTER TABLE: ADD COLUMNS widens with nulls, DROP COLUMN hides " +
     "instantly, SET/UNSET TBLPROPERTIES ride the manifest; renames refuse") {
     withCatalog { root =>
