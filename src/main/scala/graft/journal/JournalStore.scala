@@ -2843,6 +2843,11 @@ object JournalStore {
     * not N full copies. */
   val RetainedVersions = 10
 
+  /** Manifest format this library reads AND writes. Bump on any change
+    * an older reader could not safely ignore; readers refuse manifests
+    * stamped with a higher format (see parseManifest's protocol gate). */
+  val FormatVersion = 1L
+
   /** Default vacuum() age grace: nothing younger than this is physically
     * deleted, whatever the version-count window says. 30 minutes bounds
     * the exposure of an in-flight reader whose plan predates a
@@ -2939,6 +2944,7 @@ object JournalStore {
     val m = m0.copy(version = m0.version + 1,
                     commitTsMs = System.currentTimeMillis())
     val root = mapper.createObjectNode()
+    root.put("formatVersion", FormatVersion)
     root.put("epochSize", m.epochSize)
     root.put("maxSeq", m.maxSeq)
     root.put("lastBatchId", m.lastBatchId)
@@ -3080,6 +3086,20 @@ object JournalStore {
   private def parseManifest(path: String, s: String): Option[Manifest] = try {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(s)
+    // PROTOCOL GATE (Delta's reader-version idea): a manifest stamped by
+    // a NEWER format refuses to load rather than being read with its
+    // unknown fields silently ignored — ignoring a future field is never
+    // safe (e.g. a reader that didn't know deletion-vector parts would
+    // resurrect every vector-deleted row). Absent field = format 1
+    // (every manifest this writer has ever produced).
+    if (n.hasNonNull("formatVersion") &&
+        n.get("formatVersion").asLong(1L) > FormatVersion)
+      throw new IllegalStateException(
+        s"journal store at $path: manifest format " +
+          s"${n.get("formatVersion").asLong(1L)} exceeds this reader's " +
+          s"supported format $FormatVersion — the store was written by a " +
+          "newer library version; upgrade this reader (refusing to load: " +
+          "ignoring unknown manifest fields could silently corrupt reads)")
     // lastBatchId must default to -1 (not 0) when absent: a pre-upgrade
     // manifest with no field must not swallow batch 0.
     def num(k: String, dflt: Long = 0L): Long =
@@ -3142,6 +3162,10 @@ object JournalStore {
             java.net.URLDecoder.decode(mm.get(k).asText, "UTF-8")).toMap
       } else Map.empty))
   } catch {
+    // the protocol gate's refusal MUST escape: reading a newer-format
+    // manifest as "no manifest here" would be exactly the silent
+    // corruption the gate exists to prevent
+    case e: IllegalStateException => throw e
     // unparseable bytes (e.g. a file damaged outside our atomic-rename
     // protocol) read as "no manifest here" — callers produce their own
     // targeted errors — rather than an unhandled jackson throw that

@@ -322,10 +322,15 @@ object LlmExtOps {
     * collect: centroids stay a DataFrame end to end. */
   private[ops] val kmeansK = 4
   private[ops] def kmeansTrain(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val e = Tables(s, d, "embeddings").select(col("vec_id"), expr(
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    kmeansTrainOn(Tables(s, d, "embeddings").select(col("vec_id"), expr(
       "transform(embedding, x -> " +
-        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q")))
+
+  /** The iteration over any (vec_id BIGINT, q ARRAY<BIGINT>) frame —
+    * PropertySpec drives it with generated vector sets. */
+  private[graft] def kmeansTrainOn(e: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // init without a global window (k rows don't deserve a
     // single-partition WindowExec): TakeOrdered the k smallest vec_ids,
     // fold them into one sorted array, posexplode — position IS the

@@ -224,4 +224,46 @@ class PropertySpec extends AnyFunSuite {
         ops.ImageCodec.decodePixels(png) == Some((w, h, w.toLong * h * g))
     })
   }
+
+  test("kmeansTrainOn equals a driver-side Lloyd model on random vector " +
+    "sets (argmin ties, empty-cluster carry-forward, floor means)") {
+    // small integer coordinates: the generated sets force the edge cases
+    // the fixture rarely hits — exact distance ties (broken by smaller
+    // cluster id) and clusters emptied mid-iteration (carry forward)
+    val vecsGen: Gen[List[List[Long]]] =
+      Gen.choose(1, 10).flatMap(n => Gen.listOfN(n,
+        Gen.listOfN(3, Gen.choose(0L, 3L))))
+    check(Prop.forAll(vecsGen) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "q")
+      val got = ops.LlmExtOps.kmeansTrainOn(df)._1
+        .select("vec_id", "cl", "dist")
+        .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+      // reference: straight-line Lloyd, 3 assigns / 2 updates
+      val raw = vecs.zipWithIndex.map { case (v, i) => i.toLong -> v.toArray }
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.indices.foldLeft(0L)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+      var cents: Vector[Array[Long]] = raw.take(4).map(_._2).toVector
+      var asg: Map[Long, Int] = Map.empty
+      def assignAll(): Unit = asg = raw.map { case (id, q) =>
+        id -> cents.zipWithIndex.minBy { case (c, cl) => (d2(q, c), cl) }._2
+      }.toMap
+      for (round <- 1 to 3) {
+        assignAll()
+        if (round < 3) {
+          val byCl = raw.groupBy { case (id, _) => asg(id) }
+          cents = cents.zipWithIndex.map { case (old, cl) =>
+            byCl.get(cl).fold(old) { members =>
+              old.indices.map(i => math.floor(
+                members.map(_._2(i)).sum.toDouble / members.length).toLong)
+                .toArray
+            }
+          }
+        }
+      }
+      val want = raw.map { case (id, q) =>
+        val cl = asg(id); (id, cl, d2(q, cents(cl))) }.toSeq
+      got == want
+    })
+  }
 }

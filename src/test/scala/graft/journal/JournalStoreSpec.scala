@@ -244,6 +244,27 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(onDisk === store.manifest.files.size)
   }
 
+  test("protocol gate: a manifest stamped with a NEWER format refuses to " +
+    "load instead of silently ignoring unknown fields") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    store.append(sampleDf)
+    assert(store.scan().count() === 4L) // format 1 reads fine
+    // simulate a future writer: bump the stamped format in place
+    val mf = java.nio.file.Paths.get(store.path, "manifest.json")
+    val bytes = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    assert(bytes.contains("\"formatVersion\":1"), bytes.take(120))
+    java.nio.file.Files.write(mf,
+      bytes.replace("\"formatVersion\":1", "\"formatVersion\":99")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      JournalStore.open(spark, store.path).scan().count())
+    assert(e.getMessage.contains("newer library version"), e.getMessage)
+    // and it must NOT read as "empty store" either (the silent path)
+    val e2 = intercept[IllegalStateException](
+      JournalStore.open(spark, store.path).manifest)
+    assert(e2.getMessage.contains("format 99"), e2.getMessage)
+  }
+
   test("vacuumDryRun reports the exact reclaim set and deletes nothing; " +
     "the real vacuum then removes precisely that set") {
     val store = JournalStore.create(spark, freshPath, epochSize = 1)
