@@ -149,6 +149,26 @@ object JournalOps {
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     }),
+    "events_paths_topk" -> ((s, d) => {
+      // PATH MINING: the most common ordered event-type TRIGRAMS across
+      // user journeys (the funnel-discovery companion to events_markov's
+      // first-order transitions — a path is what a transition matrix
+      // can't show). Same scale shape as events_markov: ONE
+      // user-partitioned window pass builds each row's two predecessors
+      // in O(1) state (no per-user collect_list — a bot with 10M events
+      // costs 10M rows, never one 10M-element array), then a
+      // type³-bounded count aggregate with map-side partials and
+      // TakeOrderedAndProject keeping the top 10.
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type").as("c"))
+        .withColumn("b", lag(col("c"), 1).over(w))
+        .withColumn("a", lag(col("c"), 2).over(w))
+        .where(col("a").isNotNull)
+        .select(concat_ws(" > ", col("a"), col("b"), col("c")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
     "events_markov" -> ((s, d) => {
       // First-order Markov transition matrix over the event-type
       // alphabet, per-user sequences ordered by seq — the
@@ -1365,6 +1385,14 @@ object JournalOps {
         "ORDER BY _change_type, seq"),
     "journal_source_state" -> stateSql("WHERE event_id <= 5000"),
     "journal_sink_state" -> stateSql("WHERE event_id <= 5000"),
+    "events_paths_topk" ->
+      ("WITH s AS (SELECT event_type AS c, " +
+        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS b, " +
+        "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS a " +
+        "FROM events) " +
+        "SELECT a || ' > ' || b || ' > ' || c AS path, " +
+        "CAST(count(*) AS BIGINT) AS n FROM s WHERE a IS NOT NULL " +
+        "GROUP BY 1 ORDER BY n DESC, path LIMIT 10"),
     "events_markov" ->
       ("WITH t AS (SELECT event_type AS to_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type " +
