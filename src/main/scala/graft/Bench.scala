@@ -64,21 +64,54 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // Environment forensics (closes the r13 adjudication gap: 2 of 3
+    // timed passes were contention-polluted and it was only INFERABLE
+    // from per-query swing patterns, not provable in-file). Per pass:
+    // 1-min load average at pass end, and the system-wide /proc/stat
+    // delta split into THIS process's CPU seconds vs everyone else's
+    // busy CPU + iowait. other_busy ≈ 0 on a quiet box; a pass with
+    // high other_busy or iowait is externally polluted by construction.
+    def loadAvg: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    // /proc/stat first line: cpu user nice system idle iowait irq softirq ...
+    def sysCpu: (Double, Double, Double) = try {
+      val tick = 100.0 // USER_HZ on linux
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toDouble / tick)
+      (f(0) + f(1) + f(2) + f(5) + f(6), f(3), f(4)) // (busy, idle, iowait)
+    } catch { case _: Exception => (-1.0, -1.0, -1.0) }
+    def procCpuSec: Double = {
+      val t = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      t match {
+        case s: com.sun.management.OperatingSystemMXBean =>
+          s.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    }
     val storagePerRun = scala.collection.mutable.ArrayBuffer.empty[Long]
     val gcPerRun = scala.collection.mutable.ArrayBuffer.empty[Long]
     val wallPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
-    storagePerRun += storageBytes
-    val gcW0 = gcMs; val w0 = System.nanoTime()
-    val warmup = runSuite() // warm-up pass (codegen caches, parquet footers, JIT)
-    gcPerRun += (gcMs - gcW0); wallPerRun += (System.nanoTime() - w0) / 1e9
-    val runs = (1 to timedRuns).map { _ =>
-      reclaim()
+    val loadPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val otherBusyPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val iowaitPerRun = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timedPass(): Map[String, Double] = {
       storagePerRun += storageBytes
+      val (busy0, _, io0) = sysCpu; val pc0 = procCpuSec
       val gc0 = gcMs; val t0 = System.nanoTime()
       val r = runSuite()
       gcPerRun += (gcMs - gc0); wallPerRun += (System.nanoTime() - t0) / 1e9
+      val (busy1, _, io1) = sysCpu
+      loadPerRun += loadAvg
+      otherBusyPerRun +=
+        (if (busy0 < 0) -1.0 else math.max(0.0, (busy1 - busy0) - (procCpuSec - pc0)))
+      iowaitPerRun += (if (io0 < 0) -1.0 else io1 - io0)
       r
     }
+    val warmup = timedPass() // warm-up pass (codegen caches, parquet footers, JIT)
+    val runs = (1 to timedRuns).map { _ => reclaim(); timedPass() }
     // Per-query median across timed passes; a query that failed in ANY
     // pass keeps a negative time so it can't hide as a fast pass.
     def median(xs: Seq[Double]): Double = {
@@ -114,12 +147,18 @@ object Bench {
         .mkString("{", ",", "}")).mkString("[", ",", "]")
     val gcJson = gcPerRun.map(_.toString).mkString("[", ",", "]")
     val wallJson = wallPerRun.map(r3).mkString("[", ",", "]")
+    val loadJson = loadPerRun.map(r3).mkString("[", ",", "]")
+    val otherJson = otherBusyPerRun.map(r3).mkString("[", ",", "]")
+    val iowaitJson = iowaitPerRun.map(r3).mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""run_total_median":${r3(runTotalMedian)},""" +
         s""""runs":$timedRuns,"run_totals":$totalsJson,"storage_bytes_before_run":$storageJson,""" +
         s""""pass_queries_incl_warmup":$passesJson,"gc_ms_per_pass":$gcJson,""" +
         s""""wall_sec_per_pass":$wallJson,""" +
+        s""""loadavg_per_pass":$loadJson,""" +
+        s""""other_busy_cpu_sec_per_pass":$otherJson,""" +
+        s""""iowait_sec_per_pass":$iowaitJson,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line.
     spark.stop()
@@ -135,6 +174,7 @@ object Bench {
     val tail = s"""},"n":${results.size},"run_total_median":${r3(runTotalMedian)},""" +
       s""""runs":$timedRuns,"run_totals":$totalsJson,""" +
       s""""gc_ms_per_pass":$gcJson,"wall_sec_per_pass":$wallJson,""" +
+      s""""loadavg_per_pass":$loadJson,"other_busy_cpu_sec_per_pass":$otherJson,""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val sb = new StringBuilder(head)

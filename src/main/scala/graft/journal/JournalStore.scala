@@ -385,32 +385,91 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * compact() that rewrites EVERY live file (the rewrite plans
     * against the narrowed DDL, physically forgetting the bytes) clears
     * the list and re-opens the name for ordinary evolution. */
-  def dropColumn(name: String): Unit = {
+  def dropColumn(name: String): Unit =
+    alterSchema(Seq(JournalStore.DropCol(name, ifExists = false)))
+
+  /** DDL STATEMENT ATOMICITY (Delta applies table changes in one
+    * transaction): every change in `changes` validates against the SAME
+    * manifest snapshot and the combined schema/properties delta lands
+    * as ONE manifest commit under the CAS retry — a failure anywhere in
+    * the list (e.g. `ADD COLUMNS (a INT, <dropped-name> DOUBLE)` where
+    * the second name is refused) leaves the store byte-for-byte
+    * untouched, never with the first half durably applied. Changes
+    * apply in statement order against the evolving snapshot, so ADD
+    * then DROP of the same name inside one statement behaves like the
+    * sequential calls would. [[JournalStore.DropCol]] carries SQL's
+    * IF EXISTS (missing column = validated no-op when set). */
+  def alterSchema(changes: Seq[JournalStore.SchemaChange]): Unit = {
     requireWritable()
+    if (changes.isEmpty) return
     val canonical = Set("seq", "ns", "ukey", "ts", "payload", "val", "epoch")
-    require(!canonical.contains(name.toLowerCase),
-      s"cannot drop structural journal column '$name'")
-    val m = manifest
-    require(m.schemaDdl.nonEmpty, "store has no pinned schema yet")
-    val st = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-    require(st.fieldNames.contains(name),
-      s"no column '$name' in store schema ${st.fieldNames.mkString(", ")}")
-    // a CHECK constraint referencing the column would go un-evaluable
-    // (every later append fails analysis) — Delta refuses this too
-    val blocking = m.meta.collect {
-      case (k, v) if k.startsWith(ConstraintPrefix) &&
-        spark.sessionState.sqlParser.parseExpression(v).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.nameParts.head.toLowerCase
-        }.contains(name.toLowerCase) => k.stripPrefix(ConstraintPrefix)
+    retryOnLostRace {
+      val m = manifest
+      var st: Option[org.apache.spark.sql.types.StructType] =
+        if (m.schemaDdl.isEmpty) None
+        else Some(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      var dropped = m.droppedCols
+      var meta = m.meta
+      def pinned() = st.getOrElse(
+        throw new IllegalArgumentException("store has no pinned schema yet"))
+      changes.foreach {
+        case JournalStore.AddCol(name, dt) =>
+          val s = pinned()
+          require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"column '$name' already exists in store schema")
+          require(!dropped.exists(_.equalsIgnoreCase(name)),
+            s"column '$name' was DROPPED and its pre-drop bytes still live " +
+              "in un-compacted segment files — compact() the store first " +
+              "(see dropColumn), or use a different name")
+          st = Some(org.apache.spark.sql.types.StructType(
+            s :+ org.apache.spark.sql.types.StructField(name, dt,
+              nullable = true)))
+        case JournalStore.DropCol(name, ifExists) =>
+          require(!canonical.contains(name.toLowerCase),
+            s"cannot drop structural journal column '$name'")
+          val s = pinned()
+          if (!s.fieldNames.contains(name)) {
+            if (!ifExists) throw new IllegalArgumentException(
+              s"no column '$name' in store schema " +
+                s"${s.fieldNames.mkString(", ")} (use IF EXISTS to no-op)")
+          } else {
+            // a CHECK constraint referencing the column would go
+            // un-evaluable (every later append fails analysis) — Delta
+            // refuses this too
+            val blocking = meta.collect {
+              case (k, v) if k.startsWith(ConstraintPrefix) &&
+                spark.sessionState.sqlParser.parseExpression(v).collect {
+                  case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                    a.nameParts.head.toLowerCase
+                }.contains(name.toLowerCase) => k.stripPrefix(ConstraintPrefix)
+            }
+            require(blocking.isEmpty,
+              s"cannot drop column '$name': referenced by CHECK constraint(s) " +
+                s"${blocking.mkString(", ")}; dropConstraint first")
+            st = Some(org.apache.spark.sql.types.StructType(
+              s.filterNot(_.name == name)))
+            dropped = (dropped :+ name).distinct
+          }
+        case JournalStore.SetProp(k, v) => meta = meta + (k -> v)
+        case JournalStore.UnsetProp(k)  => meta = meta - k
+      }
+      // homogeneous statements keep their specific op name in
+      // commitHistory (drop-column/add-column/set-meta/unset-meta);
+      // mixed change lists record the one combined commit as "alter"
+      val op = changes.map {
+        case _: JournalStore.AddCol => "add-column"
+        case _: JournalStore.DropCol => "drop-column"
+        case _: JournalStore.SetProp => "set-meta"
+        case _: JournalStore.UnsetProp => "unset-meta"
+      }.distinct match {
+        case Seq(one) => one
+        case _ => "alter"
+      }
+      commitSeam()
+      writeManifest(path, m.copy(op = op,
+        schemaDdl = st.map(_.toDDL).getOrElse(m.schemaDdl),
+        droppedCols = dropped, meta = meta))
     }
-    require(blocking.isEmpty,
-      s"cannot drop column '$name': referenced by CHECK constraint(s) " +
-        s"${blocking.mkString(", ")}; dropConstraint first")
-    writeManifest(path, m.copy(op = "drop-column",
-      schemaDdl = org.apache.spark.sql.types.StructType(
-        st.filterNot(_.name == name)).toDDL,
-      droppedCols = (m.droppedCols :+ name).distinct))
   }
 
   /** ALTER TABLE ADD COLUMNS — extend the pinned DDL with a new NULLABLE
@@ -422,24 +481,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * (the same data-resurrection hazard append() guards — see
     * dropColumn; compact() re-opens the name). */
   def addColumn(name: String,
-                dataType: org.apache.spark.sql.types.DataType): Unit = {
-    requireWritable()
-    retryOnLostRace {
-      val m = manifest
-      require(m.schemaDdl.nonEmpty, "store has no pinned schema yet")
-      val st = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-      require(!st.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"column '$name' already exists in store schema")
-      require(!m.droppedCols.exists(_.equalsIgnoreCase(name)),
-        s"column '$name' was DROPPED and its pre-drop bytes still live " +
-          "in un-compacted segment files — compact() the store first " +
-          "(see dropColumn), or use a different name")
-      writeManifest(path, m.copy(op = "add-column",
-        schemaDdl = org.apache.spark.sql.types.StructType(
-          st :+ org.apache.spark.sql.types.StructField(
-            name, dataType, nullable = true)).toDDL))
-    }
-  }
+                dataType: org.apache.spark.sql.types.DataType): Unit =
+    alterSchema(Seq(JournalStore.AddCol(name, dataType)))
 
   /** Set (or overwrite) user table properties — Delta's TBLPROPERTIES
     * for the journal: opaque key→value pairs riding every subsequent
@@ -1535,7 +1578,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val stages = try {
         import scala.jdk.CollectionConverters._
         st.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(".stage-")).toList
+          .filter(p => p.getFileName.toString.startsWith(".stage-") ||
+            // a crashed streaming query's V2-write staging (see
+            // JournalStreamingWrite): a LIVE query re-creates its dir
+            // on the next epoch, so age-based sweeping is safe here too
+            p.getFileName.toString.startsWith(".streamstage-")).toList
       } finally st.close()
       stages.filter(aged).foreach(reapDir("stage", _))
     }
@@ -1624,7 +1671,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
   def merge(source: DataFrame,
             whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
             whenMatchedUpdate: Boolean = true,
-            whenNotMatchedInsert: Boolean = true): Long = {
+            whenNotMatchedInsert: Boolean = true,
+            whenMatchedUpdateCond: Option[org.apache.spark.sql.Column] = None,
+            whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column]
+              = None): Long = {
     requireWritable()
     val required = Seq("ns", "ukey", "ts", "payload", "val")
     val missing = required.filterNot(source.columns.contains)
@@ -1665,11 +1715,24 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // on the large path.
     lazy val srcPinned = src0.localCheckpoint()
     retryOnLostRace {
-      if (probe.length <= JournalStore.MergeSmallSourceRows)
+      // WHEN NOT MATCHED BY SOURCE must SEE every state key (its whole
+      // point is the complement), so it always takes the full-join path
+      // with state pruning disabled — a full reconciliation is a full
+      // read of current state by definition. Small sources still skip
+      // the localCheckpoint pin (the collected probe IS the source).
+      if (whenNotMatchedBySourceDelete.isDefined)
+        mergeFull(
+          if (probe.length <= JournalStore.MergeSmallSourceRows)
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(probe.toSeq, 1), src0.schema)
+          else srcPinned,
+          extras, whenMatchedDelete, whenMatchedUpdate, whenNotMatchedInsert,
+          whenMatchedUpdateCond, whenNotMatchedBySourceDelete)
+      else if (probe.length <= JournalStore.MergeSmallSourceRows)
         mergeSmall(src0.schema, probe, extras, whenMatchedDelete,
-          whenMatchedUpdate, whenNotMatchedInsert)
+          whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond)
       else mergeFull(srcPinned, extras, whenMatchedDelete,
-        whenMatchedUpdate, whenNotMatchedInsert)
+        whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond)
     }
   }
 
@@ -1714,7 +1777,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
                          extras: Seq[String],
                          whenMatchedDelete: Option[org.apache.spark.sql.Column],
                          whenMatchedUpdate: Boolean = true,
-                         whenNotMatchedInsert: Boolean = true): Long = {
+                         whenNotMatchedInsert: Boolean = true,
+                         whenMatchedUpdateCond:
+                           Option[org.apache.spark.sql.Column] = None): Long = {
     val m = manifest
     if (rows.isEmpty) return m.maxSeq
     val keys = rows.map(r => (if (r.isNullAt(0)) null else r.get(0).toString,
@@ -1752,7 +1817,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     appendOnce(mergeRouted(srcDf.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = false,
-      whenMatchedUpdate, whenNotMatchedInsert, extras), None, "")
+      whenMatchedUpdate, whenNotMatchedInsert, extras,
+      whenMatchedUpdateCond), None, "")
   }
 
   /** The full merge path (source too large to collect): one (ns, ukey)
@@ -1783,8 +1849,39 @@ class JournalStore private (val spark: SparkSession, val path: String,
                         extras: Seq[String],
                         whenMatchedDelete: Option[org.apache.spark.sql.Column],
                         whenMatchedUpdate: Boolean = true,
-                        whenNotMatchedInsert: Boolean = true): Long = {
+                        whenNotMatchedInsert: Boolean = true,
+                        whenMatchedUpdateCond:
+                          Option[org.apache.spark.sql.Column] = None,
+                        bySourceDelete:
+                          Option[org.apache.spark.sql.Column] = None): Long = {
     val m = manifest
+    // WHEN NOT MATCHED BY SOURCE: the state COMPLEMENT is the product,
+    // so file/row pruning by the source-key profile is structurally off
+    // (a pruned-away state key would silently escape its tombstone) —
+    // full current state (checkpoint-bounded latest() when no extras
+    // ride) joins the source FULL OUTER, and state-only rows route
+    // through the bySourceDelete gate in mergeRouted.
+    if (bySourceDelete.isDefined) {
+      val state = (if (extras.isEmpty)
+          latest().select(col("ns"), col("ukey"),
+            col("payload").as("cur_payload"))
+        else
+          mergeStateExtras(readSegments().select(
+            ("ns" +: "ukey" +: "seq" +: "payload" +:
+              storeExtrasOf(m, extras)).map(col): _*),
+            storeExtrasOf(m, extras), extras)).alias("t")
+      val src = src0
+        .withColumn("__dup", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ns"), col("ukey"))))
+        .withColumn("__src", lit(1))
+        .alias("s")
+      return appendOnce(mergeRouted(src.join(state,
+        col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
+        "full_outer"), whenMatchedDelete, guarded = true,
+        whenMatchedUpdate, whenNotMatchedInsert, extras,
+        whenMatchedUpdateCond, bySourceDelete), None, "")
+    }
     val prof = src0
       .groupBy(col("ns").cast("string").as("ns"))
       .agg(min(col("ukey").cast("long")).as("kmin"),
@@ -1849,7 +1946,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     appendOnce(mergeRouted(src.join(state,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = true,
-      whenMatchedUpdate, whenNotMatchedInsert, extras), None, "")
+      whenMatchedUpdate, whenNotMatchedInsert, extras,
+      whenMatchedUpdateCond), None, "")
   }
 
   /** Clause routing shared by both merge paths. With `guarded`, the
@@ -1867,36 +1965,66 @@ class JournalStore private (val spark: SparkSession, val path: String,
                           guarded: Boolean,
                           whenMatchedUpdate: Boolean = true,
                           whenNotMatchedInsert: Boolean = true,
-                          extras: Seq[String] = Nil): DataFrame = {
-    val matched = col("t.ns").isNotNull
+                          extras: Seq[String] = Nil,
+                          whenMatchedUpdateCond:
+                            Option[org.apache.spark.sql.Column] = None,
+                          bySourceDelete:
+                            Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // state-only rows exist only under the full-outer bySourceDelete
+    // join, flagged by the source-side __src marker (a literal — immune
+    // to legitimately-null source columns)
+    val stateOnly =
+      if (bySourceDelete.isDefined) col("s.__src").isNull else lit(false)
+    val matched = !stateOnly && col("t.ns").isNotNull
     val delete = whenMatchedDelete.map(matched && coalesce(_, lit(false)))
+      .getOrElse(lit(false))
+    // WHEN MATCHED [AND cond] THEN UPDATE: the gate evaluates inside the
+    // routing join (NULL = not taken, SQL's condition semantics); a
+    // matched row failing the gate appends nothing — the key keeps its
+    // current state
+    val updGate = whenMatchedUpdateCond.map(coalesce(_, lit(false)))
+      .getOrElse(lit(true))
+    // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE: tombstone state
+    // keys absent from the source (the full-reconciliation clause)
+    val bySrcDel = bySourceDelete.map(stateOnly && coalesce(_, lit(false)))
       .getOrElse(lit(false))
     // no-op = payload AND every evolved column unchanged — suppressing
     // on payload alone would silently drop an extras-only update
     val noop = matched && !delete &&
       extras.map(c => col(s"s.$c") <=> col(s"cur__$c"))
         .foldLeft(col("s.payload") <=> col("cur_payload"))(_ && _)
-    val payloadOut = when(delete, lit(null)).otherwise(col("s.payload"))
+    val payloadOut = when(delete || bySrcDel, lit(null))
+      .otherwise(col("s.payload"))
     // SQL clause absence (the MERGE INTO surface): no WHEN MATCHED
     // UPDATE clause → a matched, non-deleted row is left untouched (not
     // upserted); no WHEN NOT MATCHED INSERT clause → an unmatched
     // source row is dropped. Defaults keep the Scala API's upsert shape.
-    val keepBase = delete ||
-      (!matched && lit(whenNotMatchedInsert)) ||
-      (matched && !delete && lit(whenMatchedUpdate) && !noop)
+    val keepBase = delete || bySrcDel ||
+      (!matched && !stateOnly && lit(whenNotMatchedInsert)) ||
+      (matched && !delete && lit(whenMatchedUpdate) && updGate && !noop)
     val (keep, payload) =
       if (guarded)
+        // __dup is NULL on state-only rows (the window count rides the
+        // source before the join): NULL > 1 routes false in both the
+        // filter and the when(), exactly right
         (keepBase || col("__dup") > 1,
           when(col("__dup") > 1, raise_error(lit(mergeDupMsg)))
             .otherwise(payloadOut))
       else (keepBase, payloadOut)
+    // a bySourceDelete tombstone's identity comes from the STATE side
+    // (there is no source row); ts/val/extras tombstone to null
+    def keyOut(n: String) =
+      if (bySourceDelete.isDefined)
+        when(stateOnly, col(s"t.$n")).otherwise(col(s"s.$n"))
+      else col(s"s.$n")
     joined.where(keep)
-      .select(Seq(col("s.ns").as("ns"), col("s.ukey").as("ukey"),
-        col("s.ts").as("ts"), payload.as("payload"),
-        when(delete, lit(null)).otherwise(col("s.val")).as("val")) ++
+      .select(Seq(keyOut("ns").as("ns"), keyOut("ukey").as("ukey"),
+        when(stateOnly, lit(null)).otherwise(col("s.ts")).as("ts"),
+        payload.as("payload"),
+        when(delete || bySrcDel, lit(null)).otherwise(col("s.val")).as("val")) ++
         // evolved columns ride the delta; a delete tombstones them
         extras.map(c =>
-          when(delete, lit(null)).otherwise(col(s"s.$c")).as(c)): _*)
+          when(delete || bySrcDel, lit(null)).otherwise(col(s"s.$c")).as(c)): _*)
   }
 
   /** Manifest files whose ns directory / per-file key range / key bloom
@@ -2354,6 +2482,112 @@ class JournalStore private (val spark: SparkSession, val path: String,
     """epoch=(\d+)""".r.findFirstMatchIn(relPath).map(_.group(1).toLong)
 
   /** Full journal scan in seq order (marasa history(ns=all)). */
+  /** UPDATE: rewrite the CURRENT state rows matching `cond` through
+    * `assigns` and append them — one new state row per matched key
+    * (standard affected-count semantics; history preserved).
+    * Deliberately NOT routed through merge: merge's no-op suppression
+    * keys on PAYLOAD, so a `SET val = …` that leaves the payload
+    * untouched would be silently suppressed — an UPDATE must never drop
+    * its own assignment. Evolved extra columns ride the appended row
+    * unchanged (and may themselves be assigned). Backs SQL `UPDATE` on
+    * journal tables (JournalMergeRule); returns rows rewritten.
+    *
+    * Shape, at 100 TB (the deleteWhere pruning precedent, not a full
+    * log replay): ns/ukey EQUALITY conjuncts in `cond` prune candidate
+    * files through the manifest's directory names, per-file key ranges
+    * and key blooms — a point UPDATE (`WHERE ns='x' AND ukey=5`) opens
+    * only the files that key can live in, and the same equalities ride
+    * the row scan as pushed parquet predicates (sound pre-aggregation:
+    * ns/ukey are the state grouping keys themselves, so dropping other
+    * keys' rows never changes a surviving group's arg-max). State is
+    * ONE partial-aggregated struct-max shuffle (the tombstoneAwareState
+    * idiom widened to every data column — comparison is decided
+    * entirely by the unique leading seq), never a global row_number
+    * window: no single-partition sort, map-side combine does the
+    * heavy lifting. A lost manifest CAS re-derives the whole state
+    * rebuild against the fresh manifest (the merge conflict rule). */
+  def updateWhere(assigns: Seq[(String, org.apache.spark.sql.Column)],
+                  cond: Option[org.apache.spark.sql.Column]): Long = {
+    requireWritable()
+    require(assigns.nonEmpty, "updateWhere needs at least one assignment")
+    retryOnLostRace {
+      val m = manifest
+      if (m.files.isEmpty) 0L
+      else {
+        val (candidates, keyPred) = updatePruning(m, cond)
+        if (candidates.isEmpty) 0L
+        else {
+          val state = updateStateOver(m, candidates, keyPred)
+          val amap = assigns.map { case (n, c) => n.toLowerCase -> c }.toMap
+          val engine = Set("seq", "epoch", "skey")
+          require(!amap.keySet.exists(engine.contains),
+            "updateWhere cannot assign engine columns (seq/epoch/skey)")
+          val outCols = state.columns.toSeq
+          val unknown = amap.keySet --
+            outCols.map(_.toLowerCase) -- Set("ns", "ukey")
+          require(unknown.isEmpty,
+            s"updateWhere: no such column(s) ${unknown.mkString(", ")}")
+          val updated = state
+            .where(cond.getOrElse(lit(true)))
+            .select(outCols.map { c =>
+              amap.get(c.toLowerCase)
+                .map(_.cast(state.schema(c).dataType))
+                .getOrElse(col(c)).as(c)
+            }: _*)
+          appendOnce(updated, None, "") - m.maxSeq
+        }
+      }
+    }
+  }
+
+  /** The metadata pruning an UPDATE's condition drives — candidate
+    * files (manifest ns-directory / key-range / bloom skipping over the
+    * condition's ns/ukey equality conjuncts) plus the row predicate
+    * those equalities push into the pruned scan. Journal-scoped so
+    * plan-shape specs can pin the pruning without running a commit. */
+  private[journal] def updatePruning(m: Manifest,
+      cond: Option[org.apache.spark.sql.Column])
+      : (Seq[String], org.apache.spark.sql.Column) = {
+    def recoverExpr(df: org.apache.spark.sql.DataFrame,
+                    c: org.apache.spark.sql.Column)
+        : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      df.where(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val condExpr = cond.flatMap { c =>
+      try recoverExpr(readSegmentsOver(Nil, m.schemaDdl), c)
+      catch {
+        // same legacy edge as deleteWhere: no pinned DDL but evolved
+        // columns in the files — resolve against the footer-inferred
+        // relation instead (the state scan needs that resolution anyway)
+        case _: org.apache.spark.sql.AnalysisException =>
+          recoverExpr(readSegmentsOver(m.files, m.schemaDdl, m.dvParts), c)
+      }
+    }
+    val (nsEq, keyEq) = condExpr.map(equalityConjuncts).getOrElse((None, None))
+    val keyPred = (nsEq.map(n => col("ns") === lit(n)) ++
+        keyEq.map(k => col("ukey") === lit(k)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    (filesForKey(m, nsEq, keyEq), keyPred)
+  }
+
+  /** Full-row current state over exactly `files` — ONE struct-max
+    * aggregate (no window): every data column (ts/payload/val and
+    * evolved extras) rides the arg-max struct behind the unique
+    * leading seq; tombstoned keys drop. Journal-scoped for specs. */
+  private[journal] def updateStateOver(m: Manifest, files: Seq[String],
+      keyPred: org.apache.spark.sql.Column): DataFrame = {
+    val seg = readSegmentsOver(files, m.schemaDdl, m.dvParts).where(keyPred)
+    val engine = Set("seq", "ns", "ukey", "epoch", "skey")
+    val dataCols = seg.schema.fieldNames.toSeq
+      .filterNot(c => engine.contains(c.toLowerCase))
+    seg.groupBy("ns", "ukey")
+      .agg(max(struct((col("seq") +: dataCols.map(col)): _*)).as("top"))
+      .select(col("ns") +: col("ukey") +:
+        dataCols.map(c => col(s"top.$c").as(c)): _*)
+      .where(col("payload").isNotNull)
+  }
+
   def scan(): DataFrame =
     readSegments()
       .select("seq", "ns", "ukey", "ts", "payload", "val").orderBy("seq")
@@ -2573,6 +2807,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
 }
 
 object JournalStore {
+  /** One element of an ALTER TABLE statement — see [[JournalStore#alterSchema]]. */
+  sealed trait SchemaChange
+  case class AddCol(name: String,
+                    dataType: org.apache.spark.sql.types.DataType)
+      extends SchemaChange
+  case class DropCol(name: String, ifExists: Boolean) extends SchemaChange
+  case class SetProp(key: String, value: String) extends SchemaChange
+  case class UnsetProp(key: String) extends SchemaChange
+
   /** Per-epoch data statistics, maintained in the manifest at append time
     * (the Delta/Iceberg file-stats idea): segment stats never require
     * re-reading the segment tree, and seq-range reads can prune epochs
@@ -3068,8 +3311,17 @@ object JournalStore {
     * corruption as empty would escalate silently — append() restarts
     * versions from 0, vacuum() computes live files from the empty file
     * list and deletes every segment. Version files (readManifestVersion)
-    * stay None-tolerant: an unreadable RETAINED version only shrinks the
-    * openAt window, it never redefines current state. */
+    * are None-tolerant for a MISSING file only (shrinks the openAt
+    * window); one that exists but fails to parse — including a retained
+    * manifest.json.vN stamped by a NEWER format (e.g. left behind after
+    * restoring manifest.json post-downgrade) — throws through
+    * parseManifest's protocol gate, so versions()/commitHistory/vacuum
+    * refuse loudly rather than skip it: vacuum skipping a version it
+    * cannot read would mark that version's files dead and DELETE them.
+    * Operator path out: remove the offending manifest.json.vN by hand
+    * (it is a retained historical snapshot, never current state — the
+    * only cost is losing that version from the time-travel window), or
+    * upgrade the reader. */
   private[journal] def readManifest(path: String): Option[Manifest] = {
     val p = manifestPath(path)
     if (!Files.exists(p)) None

@@ -164,7 +164,11 @@ object JournalOps {
         .select(col("user_id"), col("event_id"), col("event_type").as("c"))
         .withColumn("b", lag(col("c"), 1).over(w))
         .withColumn("a", lag(col("c"), 2).over(w))
-        .where(col("a").isNotNull)
+        // all three legs non-null, not just `a`: concat_ws SKIPS nulls
+        // while the oracle's `||` PROPAGATES them, so a NULL event_type
+        // anywhere in the trigram would diverge between the engines —
+        // filtering b/c too keeps both spellings agreeing on NULL inputs
+        .where(col("a").isNotNull && col("b").isNotNull && col("c").isNotNull)
         .select(concat_ws(" > ", col("a"), col("b"), col("c")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(10)
@@ -919,6 +923,98 @@ object JournalOps {
           VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
       store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
     }),
+    "journal_merge_cond_sql" -> ((s, d) => {
+      // `WHEN MATCHED AND cond THEN UPDATE` (VERDICT r13 item 3 — the
+      // most common MERGE shape after plain upsert): the condition rides
+      // the routing join as an update GATE beside the delete gate —
+      // a matched row failing it (or evaluating NULL) appends NOTHING,
+      // the key keeps its current state; unmatched keys still INSERT.
+      // Enforcement is inside the hash-gated merge (file pruning, no-op
+      // suppression, CAS re-derivation all unchanged). Clone-per-
+      // invocation like every mutating SQL row.
+      val tag = tmpTag(d)
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmcond_seed_$tag").toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 2999L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 3000)
+            .write.format("journal").option("epochSize", "1000").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmcond_root_$tag").toString
+      val cat = s"jmcond_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ev"))
+      val store = seedStore.cloneTo(s"$root/ev")
+      journal(s, d)
+        .where(col("seq") >= 3000 && col("seq") < 5000)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"))
+        .createOrReplaceTempView(s"jmcond_src_$tag")
+      s.sql(s"""MERGE INTO $cat.ev AS t USING jmcond_src_$tag AS s
+        ON t.ns = s.ns AND t.ukey <=> s.ukey
+        WHEN MATCHED AND s.val >= 30.0
+          THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+        WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+          VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
+      store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
+    }),
+    "journal_merge_reconcile" -> ((s, d) => {
+      // `WHEN NOT MATCHED BY SOURCE THEN DELETE` (VERDICT r13 item 5 —
+      // the full-reconciliation MERGE): state keys ABSENT from the
+      // source tombstone, gated here by a target-side condition
+      // (t.ukey % 2 = 0 — the clause can see the state side's
+      // ns/ukey/payload). The state side deliberately reads FULL
+      // (checkpoint-bounded latest()): pruning by source keys is
+      // structurally off for this clause — the complement is the
+      // product. Matched keys upsert, unmatched source keys insert, so
+      // one statement reconciles the store to the source while keeping
+      // the odd-keyed strays.
+      val tag = tmpTag(d)
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmrec_seed_$tag").toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 3999L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 4000)
+            .write.format("journal").option("epochSize", "1000").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmrec_root_$tag").toString
+      val cat = s"jmrec_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ev"))
+      val store = seedStore.cloneTo(s"$root/ev")
+      journal(s, d)
+        .where(col("seq") >= 2000 && col("seq") < 5000)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"))
+        .createOrReplaceTempView(s"jmrec_src_$tag")
+      s.sql(s"""MERGE INTO $cat.ev AS t USING jmrec_src_$tag AS s
+        ON t.ns = s.ns AND t.ukey <=> s.ukey
+        WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+        WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+          VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)
+        WHEN NOT MATCHED BY SOURCE AND t.ukey % 2 = 0 THEN DELETE""")
+      store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
+    }),
     "journal_update_sql" -> ((s, d) => {
       // SQL `UPDATE` as a declared, oracle-checked row: the statement
       // routes through JournalMergeRule's translateUpdate
@@ -1391,7 +1487,8 @@ object JournalOps {
         "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS a " +
         "FROM events) " +
         "SELECT a || ' > ' || b || ' > ' || c AS path, " +
-        "CAST(count(*) AS BIGINT) AS n FROM s WHERE a IS NOT NULL " +
+        "CAST(count(*) AS BIGINT) AS n FROM s " +
+        "WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL " +
         "GROUP BY 1 ORDER BY n DESC, path LIMIT 10"),
     "events_markov" ->
       ("WITH t AS (SELECT event_type AS to_type, " +
@@ -1762,6 +1859,48 @@ object JournalOps {
         "CASE WHEN s.ns IS NOT NULL AND t.ns IS NOT NULL " +
         "AND COALESCE(s.val < 20.0, FALSE) THEN NULL " +
         "WHEN s.ns IS NOT NULL THEN s.payload " +
+        "ELSE t.payload END AS payload " +
+        "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
+        "ORDER BY ns, ukey"),
+    // conditional matched UPDATE: gate not taken (or NULL) keeps the
+    // current payload; unmatched source keys still insert
+    "journal_merge_cond_sql" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 3000 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload, " +
+        "arg_max(value, event_id) AS val " +
+        "FROM events WHERE event_id >= 3000 AND event_id < 5000 " +
+        "GROUP BY 1, 2), " +
+        "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
+        "COALESCE(s.ukey, t.ukey) AS ukey, " +
+        "CASE WHEN s.ns IS NOT NULL AND t.ns IS NOT NULL " +
+        "THEN (CASE WHEN COALESCE(s.val >= 30.0, FALSE) " +
+        "THEN s.payload ELSE t.payload END) " +
+        "WHEN s.ns IS NOT NULL THEN s.payload " +
+        "ELSE t.payload END AS payload " +
+        "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
+        "ORDER BY ns, ukey"),
+    // full reconciliation: state keys absent from the source die when
+    // the (target-side) gate takes them; NULL-ukey strays survive the
+    // even-key gate by SQL's three-valued AND
+    "journal_merge_reconcile" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 4000 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id >= 2000 AND event_id < 5000 " +
+        "GROUP BY 1, 2), " +
+        "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
+        "COALESCE(s.ukey, t.ukey) AS ukey, " +
+        "CASE WHEN s.ns IS NOT NULL THEN s.payload " +
+        "WHEN COALESCE(t.ukey % 2 = 0, FALSE) THEN NULL " +
         "ELSE t.payload END AS payload " +
         "FROM src s FULL OUTER JOIN state1 t " +
         "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +

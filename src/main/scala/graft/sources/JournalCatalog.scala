@@ -83,7 +83,8 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     val p = pathFor(ident)
     if (!JournalStore.exists(p)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
-    new JournalTable(spark, p, Some(JournalStore.open(spark, p)), pinned = false)
+    new JournalTable(spark, p, Some(JournalStore.open(spark, p)),
+      pinned = false, viaCatalog = true)
   }
 
   /** SQL time travel by manifest version: `SELECT … FROM t VERSION AS OF
@@ -147,27 +148,38 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     val p = pathFor(ident)
     if (!JournalStore.exists(p)) throw new NoSuchTableException(ident)
     val store = JournalStore.open(SparkSession.active, p)
-    changes.foreach {
+    // translate the WHOLE statement first, then land it as ONE manifest
+    // commit (JournalStore.alterSchema) — per-change commits would leave
+    // a failing statement half-applied, durably (DDL atomicity; Delta
+    // applies table changes in one transaction)
+    val translated = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "journal ALTER TABLE supports top-level columns only")
         require(a.isNullable,
           "journal ALTER TABLE ADD COLUMNS: new columns must be nullable " +
             "(existing rows have no value for them)")
-        store.addColumn(a.fieldNames()(0), a.dataType())
+        // the pinned DDL appends new columns at the end; silently
+        // accepting FIRST/AFTER would put the column somewhere else
+        require(a.position() == null,
+          "journal ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are " +
+            "not supported — new columns always append at the end of " +
+            "the schema")
+        JournalStore.AddCol(a.fieldNames()(0), a.dataType())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "journal ALTER TABLE supports top-level columns only")
-        store.dropColumn(d.fieldNames()(0))
+        JournalStore.DropCol(d.fieldNames()(0), d.ifExists())
       case sp: TableChange.SetProperty =>
-        store.setMeta(Map(sp.property -> sp.value))
+        JournalStore.SetProp(sp.property, sp.value)
       case rp: TableChange.RemoveProperty =>
-        store.unsetMeta(Seq(rp.property))
+        JournalStore.UnsetProp(rp.property)
       case other => throw new UnsupportedOperationException(
         s"journal ALTER TABLE does not support ${other.getClass.getSimpleName}: " +
           "renames/retypes would re-map existing parquet bytes by name " +
           "(the column-mapping hazard); add/drop/properties are supported")
     }
+    store.alterSchema(translated)
     loadTable(ident)
   }
 

@@ -106,10 +106,6 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
   def translateMerge(m: MergeIntoTable, table: JournalTable): LogicalPlan = {
     if (m.withSchemaEvolution) fail("journal MERGE does not support WITH " +
       "SCHEMA EVOLUTION; appends evolve the schema (add-column) directly")
-    if (m.notMatchedBySourceActions.nonEmpty) fail(
-      "journal MERGE leaves target rows absent from the source untouched; " +
-        "WHEN NOT MATCHED BY SOURCE is not supported (use DELETE FROM for " +
-        "set-difference erasure)")
     val tAttrs = m.targetTable.output
     val sAttrs = m.sourceTable.output
     val both = tAttrs ++ sAttrs
@@ -151,30 +147,42 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
         Assignment(UnresolvedAttribute(Seq(n)), UnresolvedAttribute(Seq(n))))
     }
 
-    // ---- WHEN MATCHED routing, SQL first-match-wins
-    val unsupportedCondUpd = "journal MERGE supports only an unconditional " +
-      "WHEN MATCHED THEN UPDATE (put the condition on a preceding DELETE " +
-      "clause, or pre-filter the source)"
+    // ---- WHEN MATCHED routing, SQL first-match-wins. Conditions are
+    // supported on both matched clauses; composite gates preserve SQL's
+    // NULL-is-not-taken semantics (a NULL gate falls through to the
+    // next clause, so "not taken" must be coalesce(cond, false) = false,
+    // never three-valued NOT).
     def norm(a: MergeAction): MergeAction = a match {
       case UpdateStarAction(c) => UpdateAction(c, starAssigns("UPDATE SET"))
       case InsertStarAction(c) => InsertAction(c, starAssigns("INSERT"))
       case other => other
     }
+    def notTaken(c: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Not(
+        org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(c, Literal(false))))
     var delCond: Option[Option[Expression]] = None
     var updAssigns: Option[Seq[Assignment]] = None
+    var updCond: Option[Expression] = None
     m.matchedActions.map(norm) match {
       case Seq() => ()
       case Seq(u: UpdateAction) =>
-        if (u.condition.nonEmpty) fail(unsupportedCondUpd)
-        updAssigns = Some(u.assignments)
+        updAssigns = Some(u.assignments); updCond = u.condition
       case Seq(d: DeleteAction) => delCond = Some(d.condition)
       case Seq(d: DeleteAction, u: UpdateAction) =>
-        if (u.condition.nonEmpty) fail(unsupportedCondUpd)
         if (d.condition.isEmpty) delCond = Some(None) // UPDATE is dead code
-        else { delCond = Some(d.condition); updAssigns = Some(u.assignments) }
-      case Seq(u: UpdateAction, _: DeleteAction) =>
-        if (u.condition.nonEmpty) fail(unsupportedCondUpd)
-        updAssigns = Some(u.assignments) // unconditional UPDATE shadows DELETE
+        else {
+          delCond = Some(d.condition)
+          updAssigns = Some(u.assignments); updCond = u.condition
+        }
+      case Seq(u: UpdateAction, d: DeleteAction) =>
+        updAssigns = Some(u.assignments); updCond = u.condition
+        u.condition.foreach { uc =>
+          // first-match-wins: DELETE fires only where the UPDATE gate
+          // was not taken
+          delCond = Some(Some(d.condition
+            .map(dc => And(notTaken(uc), dc)).getOrElse(notTaken(uc))))
+        } // unconditional UPDATE shadows DELETE entirely
       case _ => fail("journal MERGE supports at most one WHEN MATCHED " +
         "DELETE and one WHEN MATCHED UPDATE clause")
     }
@@ -186,6 +194,18 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
         Some(i.assignments)
       case _ => fail("journal MERGE supports at most one WHEN NOT MATCHED clause")
     }
+    // ---- WHEN NOT MATCHED BY SOURCE THEN DELETE [AND cond] — the
+    // full-reconciliation clause: target keys absent from the source
+    // tombstone. UPDATE-by-source is refused (the routing join carries
+    // the state side's ns/ukey/payload only).
+    val bySourceDel: Option[Option[Expression]] =
+      m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(d: DeleteAction) => Some(d.condition)
+        case other => fail("journal MERGE supports WHEN NOT MATCHED BY " +
+          "SOURCE THEN DELETE only (got " +
+          other.map(_.getClass.getSimpleName).mkString(", ") + ")")
+      }
 
     // ---- assignments → the per-column source expressions.
     // UPDATE values resolve in the joined scope (SQL allows t refs —
@@ -245,44 +265,79 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       case _ => ()
     }
     // delete-only merge: carry the source's own ts/payload/val (the
-    // tombstone needs a ts to ride the appended row)
+    // tombstone needs a ts to ride the appended row). A merge whose ONLY
+    // action is WHEN NOT MATCHED BY SOURCE keeps no source row at all —
+    // its projection is typed nulls (the join key columns still come
+    // from the ON equalities).
     val proj: Map[String, Expression] = updMap.orElse(insMap).getOrElse {
-      DataCols.map { n =>
+      if (delCond.isEmpty && bySourceDel.isDefined) {
+        val types = table.dataColumnTypes
+        DataCols.map(n => n -> (Literal(null, types(n)): Expression)).toMap
+      } else DataCols.map { n =>
         n -> sAttrs.find(_.name.equalsIgnoreCase(n))
           .getOrElse(fail(s"a delete-only journal MERGE needs source " +
             s"column '$n' to shape the tombstone row"))
       }.toMap
     }
 
-    // ---- DELETE condition: evaluated inside the store's routing join,
+    // ---- clause conditions: evaluated inside the store's routing join,
     // where the source rides under alias "s" with the canonical columns
-    // — rewrite each source reference to the canonical column carrying it
+    // and current state under alias "t" as (ns, ukey, cur_payload) —
+    // rewrite source references to the canonical column carrying them,
+    // and (where the clause can see the target) target references to
+    // the state columns the join reconstructs.
     val carriers: Map[String, Expression] =
       proj ++ Map[String, Expression]("ns" -> keys("ns"), "ukey" -> keys("ukey"))
+    def routedCond(c0: Expression, clause: String,
+                   allowSource: Boolean, allowTarget: Boolean): Expression = {
+      val c = resolve1(c0, both)
+      if (SubqueryExpression.hasSubquery(c)) fail(
+        s"journal MERGE does not support subqueries in the $clause condition")
+      c.transform {
+        case a: Attribute if sOut.contains(a) =>
+          if (!allowSource) fail(s"journal MERGE $clause condition may " +
+            s"reference target columns only; got: ${a.name}")
+          val carrier = carriers.collectFirst {
+            case (n, e) if e.semanticEquals(a) => n
+          }.getOrElse(fail(s"journal MERGE $clause condition references " +
+            s"'${a.name}', which is not carried into the merge source " +
+            "(carried: ns, ukey, ts, payload, val)"))
+          UnresolvedAttribute(Seq("s", carrier))
+        case a: Attribute if tOut.contains(a) =>
+          if (!allowTarget) fail(s"journal MERGE $clause condition may " +
+            s"reference source columns only (current state is not " +
+            s"visible to this routing predicate); got: ${a.name}")
+          a.name.toLowerCase match {
+            case "ns"      => UnresolvedAttribute(Seq("t", "ns"))
+            case "ukey"    => UnresolvedAttribute(Seq("t", "ukey"))
+            case "payload" => UnresolvedAttribute(Seq("cur_payload"))
+            case n => fail(s"journal MERGE $clause condition can see " +
+              s"target columns ns, ukey, payload only (the state side of " +
+              s"the routing join carries no '$n')")
+          }
+      }
+    }
     val delForStore: Option[Expression] = delCond.map {
       case None => Literal(true)
-      case Some(c0) =>
-        val c = resolve1(c0, both)
-        if (SubqueryExpression.hasSubquery(c)) fail(
-          "journal MERGE does not support subqueries in the DELETE condition")
-        if (!c.references.subsetOf(sOut)) fail("journal MERGE DELETE " +
-          "condition may reference source columns only (current state is " +
-          "not visible to the routing predicate); got: " + c.sql)
-        c.transform {
-          case a: Attribute if sOut.contains(a) =>
-            val carrier = carriers.collectFirst {
-              case (n, e) if e.semanticEquals(a) => n
-            }.getOrElse(fail(s"journal MERGE DELETE condition references " +
-              s"'${a.name}', which is not carried into the merge source " +
-              "(carried: ns, ukey, ts, payload, val)"))
-            UnresolvedAttribute(Seq("s", carrier))
-        }
+      // target refs allowed: composite first-match gates (¬updCond ∧ …)
+      // legitimately embed the UPDATE condition's target references
+      case Some(c0) => routedCond(c0, "DELETE",
+        allowSource = true, allowTarget = true)
+    }
+    val updForStore: Option[Expression] = updCond.map(
+      routedCond(_, "UPDATE", allowSource = true, allowTarget = true))
+    val bySrcForStore: Option[Expression] = bySourceDel.map {
+      case None => Literal(true)
+      case Some(c0) => routedCond(c0, "NOT MATCHED BY SOURCE",
+        allowSource = false, allowTarget = true)
     }
     JournalMergeCommand(table, m.sourceTable,
       Seq("ns" -> keys("ns"), "ukey" -> keys("ukey")) ++
         DataCols.map(n => n -> proj(n)),
       delForStore.map(ExprBox), matchedUpdate = updMap.isDefined,
-      notMatchedInsert = insMap.isDefined)
+      notMatchedInsert = insMap.isDefined,
+      updateCond = updForStore.map(ExprBox),
+      bySourceDelete = bySrcForStore.map(ExprBox))
   }
 
   /** SQL UPDATE: rewrite the CURRENT state rows matching the condition
@@ -357,7 +412,9 @@ case class JournalMergeCommand(
     @transient cols: Seq[(String, Expression)],
     @transient deleteCond: Option[ExprBox],
     matchedUpdate: Boolean,
-    notMatchedInsert: Boolean)
+    notMatchedInsert: Boolean,
+    @transient updateCond: Option[ExprBox] = None,
+    @transient bySourceDelete: Option[ExprBox] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("appended_rows", LongType, nullable = false)())
@@ -370,7 +427,9 @@ case class JournalMergeCommand(
     }: _*)
     Seq(Row(table.runMerge(projected,
       deleteCond.map(b => StreamBatchBridge.columnOf(b.e)),
-      matchedUpdate, notMatchedInsert)))
+      matchedUpdate, notMatchedInsert,
+      updateCond.map(b => StreamBatchBridge.columnOf(b.e)),
+      bySourceDelete.map(b => StreamBatchBridge.columnOf(b.e)))))
   }
 }
 

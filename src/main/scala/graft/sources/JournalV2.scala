@@ -148,7 +148,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                     changeFeed: Boolean = false,
                                     startMode: Option[String] = None,
                                     changesFrom: Option[Long] = None,
-                                    changesTo: Option[Long] = None)
+                                    changesTo: Option[Long] = None,
+                                    viaCatalog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(startMode.isEmpty || changeFeed,
@@ -249,6 +250,12 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
       caps.add(TableCapability.MICRO_BATCH_READ)
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      // `writeStream.toTable` — CATALOG-loaded tables only: the
+      // path-provider spelling must keep falling back to the V1 sink
+      // (single write); advertising this there would route it through
+      // the staged V2 write and double every streamed byte
+      if (viaCatalog && !changeFeed)
+        caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
   }
@@ -330,25 +337,26 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
     * merge with the projected SQL source; returns rows appended. */
   private[sources] def runMerge(source: org.apache.spark.sql.DataFrame,
                                 del: Option[org.apache.spark.sql.Column],
-                                upd: Boolean, ins: Boolean): Long = {
+                                upd: Boolean, ins: Boolean,
+                                updCond: Option[org.apache.spark.sql.Column]
+                                  = None,
+                                bySourceDel: Option[org.apache.spark.sql.Column]
+                                  = None): Long = {
     require(!pinned, "MERGE through a version-pinned journal table " +
       "(VERSION AS OF) is refused — pin a reader, not a writer")
     val st = store.getOrElse(throw new IllegalStateException(
       s"no journal store at $storePath"))
     val before = st.manifest.maxSeq
-    val after = st.merge(source, del, upd, ins)
+    val after = st.merge(source, del, upd, ins, updCond, bySourceDel)
     after - before
   }
 
   /** The extension-rule entry ([[JournalMergeRule]] UPDATE branch):
-    * rewrite the CURRENT state rows matching `cond` through `assigns`
-    * and append them — one new state row per matched key (standard
-    * UPDATE affected-count semantics). Deliberately NOT routed through
-    * merge: merge's no-op suppression keys on PAYLOAD, so a
-    * `SET val = …` that leaves the payload untouched would be silently
-    * suppressed — an UPDATE must never drop its own assignment. Evolved
-    * extra columns ride the appended row unchanged. Returns the number
-    * of rows rewritten. */
+    * delegates to [[graft.journal.JournalStore.updateWhere]] — the
+    * pruned state rebuild (condition equalities → manifest file
+    * skipping; struct-max aggregate, never a global window). Attribute
+    * references are name-normalized so the store's own relation
+    * re-resolves them. Returns the number of rows rewritten. */
   private[sources] def runUpdate(
       assigns: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
       cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Long = {
@@ -361,31 +369,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
       })
-    // FULL current-state rows (latest() compacts to ns/ukey/payload):
-    // per-key arg-max by seq over the whole scan surface, tombstones
-    // dropped — the row the UPDATE rewrites carries every column
-    val scan0 = st.scan()
-    val state = scan0
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("ns", "ukey")
-          .orderBy(org.apache.spark.sql.functions.col("seq").desc)))
-      .where(org.apache.spark.sql.functions.col("__rn") === 1)
-      .drop("__rn")
-      .where(org.apache.spark.sql.functions.col("payload").isNotNull)
-    val engine = Set("seq", "epoch", "skey", "__rn")
-    val outCols = state.columns.filterNot(c => engine.contains(c.toLowerCase))
-    val amap = assigns.toMap
-    val updated = state
-      .where(cond.map(byName).getOrElse(org.apache.spark.sql.functions.lit(true)))
-      .select(outCols.map { c =>
-        amap.get(c.toLowerCase)
-          .map(e => byName(e).cast(state.schema(c).dataType))
-          .getOrElse(org.apache.spark.sql.functions.col(c)).as(c)
-      }: _*)
-    val before = st.manifest.maxSeq
-    val after = st.append(updated)
-    after - before
+    st.updateWhere(assigns.map { case (n, e) => n -> byName(e) },
+      cond.map(byName))
   }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
@@ -469,7 +454,12 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
       .orElse(writeEpochSize)
     val autoCompact = Option(info.options.get("autoCompactFiles")).map(_.toInt)
     val txn = JournalV2.txnOf(k => Option(info.options.get(k)))
-    new WriteBuilder {
+    // Update mode treated as append (SupportsStreamingUpdateAsAppend,
+    // the Kafka-sink idiom): the journal keys state by (ns, ukey), so
+    // an update-mode stream lands each revision as a new version —
+    // exactly the V1 path sink's contract.
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -489,6 +479,13 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
               }
             }
           }
+        // `writeStream.toTable` — see JournalStreamingWrite for the
+        // staged-commit shape and the exactly-once mark keyed by the
+        // streaming query id
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new JournalStreamingWrite(spark, storePath, info.schema(),
+            info.queryId(), epochSz, autoCompact)
       }
     }
   }

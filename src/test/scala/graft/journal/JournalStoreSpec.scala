@@ -1494,6 +1494,59 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.scan().where(col("seq") > preMax).count() === 2L)
   }
 
+  test("updateWhere: point updates prune to range/bloom-intersecting " +
+      "files, the state rebuild has no window, extras ride and assign") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 4)
+    (0 until 6).foreach { i =>
+      store.append(Seq(
+        ("users", i * 10L, ts(f"2024-01-01 00:0$i%01d:00"), s"u$i", 1.0),
+        ("carts", i * 10L + 1L, ts(f"2024-01-01 00:0$i%01d:01"), s"c$i", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    // tombstone one key, then re-update: arg-max must see the tombstone
+    store.delete("users", Seq(10L))
+    val m = store.manifest
+    assert(m.files.size >= 6)
+    // PRUNING PIN (VERDICT r13 item 2): a point condition plans only
+    // the files its ns directory + key range/bloom admit — a strict
+    // subset on this multi-epoch store, never the carts side
+    val (cand, keyPred) = store.updatePruning(m,
+      Some(col("ns") === "users" && col("ukey") === 20L && col("val") > 0))
+    assert(cand.nonEmpty && cand.size < m.files.size, s"$cand vs ${m.files}")
+    assert(cand.forall(_.contains("ns=users")), cand)
+    // WINDOW PIN: the state rebuild is a partial-aggregated struct-max,
+    // never a global row_number window
+    val statePlan = store.updateStateOver(m, cand, keyPred)
+      .queryExecution.executedPlan.toString
+    assert(!statePlan.contains("Window"), statePlan)
+    assert(statePlan.contains("HashAggregate") ||
+      statePlan.contains("ObjectHashAggregate") ||
+      statePlan.contains("SortAggregate"), statePlan)
+    // functional: point update rewrites exactly the matched key
+    val n = store.updateWhere(
+      Seq("payload" -> concat(col("payload"), lit("!")),
+          "val" -> (col("val") * 10)),
+      Some(col("ns") === "users" && col("ukey") === 20L))
+    assert(n === 1L)
+    assert(store.latest().where(col("ns") === "users")
+      .orderBy("ukey").select("payload").as[String].collect().toSeq ===
+      Seq("u0", "u2!", "u3", "u4", "u5")) // 10 tombstoned, 20 updated
+    // evolved extras: ride unchanged AND are assignable
+    store.append(Seq(("users", 20L, ts("2024-01-02 00:00:00"), "u2x", 2.0, 7L))
+      .toDF("ns", "ukey", "ts", "payload", "val", "score"))
+    val n2 = store.updateWhere(Seq("score" -> lit(99L)),
+      Some(col("ukey") === 20L))
+    assert(n2 === 1L)
+    val got = store.scanUnordered()
+      .where(col("ukey") === 20L)
+      .orderBy(col("seq").desc).limit(1)
+      .select("payload", "score").as[(String, Long)].head()
+    assert(got === ("u2x", 99L)) // payload rode; score assigned
+    // an unmatched condition appends nothing but still counts 0
+    assert(store.updateWhere(Seq("val" -> lit(0.0)),
+      Some(col("ns") === "nothere")) === 0L)
+  }
+
   test("merge LARGE-source pruning: a >2048-row single-ns source joins " +
       "only that ns's state files — profile-driven candidates (range + " +
       "bloom intersection), no driver key collect at any source size") {

@@ -174,6 +174,57 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("journal_catalog: readStream.table -> transform -> " +
+      "writeStream.toTable round-trip is exactly-once across a " +
+      "checkpointed restart") {
+    withCatalog { root =>
+      Seq("ttsrc", "ttdst").foreach(t => spark.sql(
+        s"CREATE TABLE jcat.$t (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+          "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2')"))
+      def ins(t: String, k: Long, p: String): Unit = spark.sql(
+        s"INSERT INTO jcat.$t SELECT 'a' AS ns, CAST($k AS BIGINT) AS ukey, " +
+          s"TIMESTAMP '2024-01-01 00:00:0$k' AS ts, '$p' AS payload, " +
+          s"CAST($k.0 AS DOUBLE) AS val")
+      ins("ttsrc", 1L, "p1"); ins("ttsrc", 2L, "p2")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_tt_ckpt_").toString
+      var queryId: String = null
+      def run(): Unit = {
+        val q = spark.readStream.table("jcat.ttsrc")
+          .select(col("ns"), col("ukey"), col("ts"),
+            upper(col("payload")).as("payload"), col("val"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .toTable("jcat.ttdst")
+        try { q.processAllAvailable(); queryId = q.id.toString }
+        finally q.stop()
+      }
+      run()
+      def dst = graft.journal.JournalStore.open(spark, s"$root/ttdst")
+      def got = dst.latest().orderBy("ukey").select("ukey", "payload")
+        .as[(Long, String)].collect().toSeq
+      assert(got === Seq((1L, "P1"), (2L, "P2")))
+      val rowsAfterFirst = dst.scan().count()
+      // RESTART from the same checkpoint: Spark replays the last batch —
+      // the (queryId, batchId) mark must swallow it, then the new source
+      // row arrives exactly once
+      ins("ttsrc", 3L, "p3")
+      run()
+      assert(got === Seq((1L, "P1"), (2L, "P2"), (3L, "P3")))
+      assert(dst.scan().count() === rowsAfterFirst + 1,
+        "replayed batches must not duplicate rows")
+      // the exactly-once mark is keyed by the streaming QUERY id (stable
+      // across restarts of one checkpoint), so a second query writing
+      // the same table could never collide with this one's batch ids
+      assert(dst.manifest.writerMarks.contains(queryId),
+        s"marks: ${dst.manifest.writerMarks}")
+      // the staged files were transient: no stream staging remains
+      assert(!new java.io.File(s"$root/ttdst").listFiles()
+        .exists(_.getName.startsWith(".streamstage")),
+        "stage dirs must be cleaned after commit")
+      Seq("ttsrc", "ttdst").foreach(t => spark.sql(s"DROP TABLE jcat.$t"))
+    }
+  }
+
   test("journal_catalog: two sessions-worth of metadata is just the directory") {
     withCatalog { root =>
       // a store created through the PATH api is immediately visible as a
@@ -499,12 +550,81 @@ class CatalogSpec extends AnyFunSuite {
     refuses("""
       MERGE INTO jcat.msub AS t USING msub_src2 AS s
       ON t.ns = s.ns AND t.ukey = s.ukey
-      WHEN MATCHED AND s.val > 0 THEN UPDATE SET ts = s.ts,
-        payload = s.payload, val = s.val""", "unconditional")
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = 0.0""", "DELETE only")
     refuses("""
       MERGE INTO jcat.msub AS t USING msub_src2 AS s
       ON t.ns = s.ns AND t.ukey = s.ukey
-      WHEN NOT MATCHED BY SOURCE THEN DELETE""", "NOT MATCHED BY SOURCE")
+      WHEN NOT MATCHED BY SOURCE AND t.val > 0 THEN DELETE""",
+      "ns, ukey, payload")
+  }}
+
+  test("SQL MERGE conditional clauses: matched UPDATE gates, " +
+      "first-match-wins with DELETE, NOT MATCHED BY SOURCE deletes " +
+      "the gated complement") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.mcond (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 2.0),
+      ("users", 3L, graft.TestSpark.ts("2024-01-01 00:00:03"), "pc", 3.0),
+      ("users", 4L, graft.TestSpark.ts("2024-01-01 00:00:04"), "pd", 4.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/mcond")
+    def live() = graft.journal.JournalStore.open(spark, s"$root/mcond")
+      .latest().select("ukey", "payload")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // conditional UPDATE: only gate-passing matches rewrite; gate-failing
+    // matches keep current state; unmatched keys insert
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:01"), "UP1", 10.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-02 00:00:02"), "UP2", -1.0),
+      ("users", 9L, graft.TestSpark.ts("2024-01-02 00:00:09"), "p9", -5.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mcond_src")
+    spark.sql("""
+      MERGE INTO jcat.mcond AS t USING mcond_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val > 0 THEN UPDATE SET ts = s.ts,
+        payload = s.payload, val = s.val
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
+    assert(live() === Seq((1L, "UP1"), (2L, "pb"), (3L, "pc"), (4L, "pd"),
+      (9L, "p9")))
+    // first-match-wins: conditional UPDATE before DELETE — gate-passing
+    // rows update, the rest fall through to the (conditional) DELETE;
+    // a target-side reference in the gate sees current payload
+    Seq(
+      ("users", 3L, graft.TestSpark.ts("2024-01-03 00:00:03"), "UP3", 7.0),
+      ("users", 4L, graft.TestSpark.ts("2024-01-03 00:00:04"), "x", -2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mcond_src2")
+    spark.sql("""
+      MERGE INTO jcat.mcond AS t USING mcond_src2 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val > 0 AND t.payload != 'never'
+        THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+      WHEN MATCHED THEN DELETE""")
+    assert(live() === Seq((1L, "UP1"), (2L, "pb"), (3L, "UP3"), (9L, "p9")))
+    // NOT MATCHED BY SOURCE: state keys absent from the source tombstone
+    // through the target-side gate; present keys upsert
+    Seq(("users", 1L, graft.TestSpark.ts("2024-01-04 00:00:01"), "KEEP1", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mcond_src3")
+    spark.sql("""
+      MERGE INTO jcat.mcond AS t USING mcond_src3 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+      WHEN NOT MATCHED BY SOURCE AND t.ukey < 9 THEN DELETE""")
+    // 2, 3 die (absent + ukey < 9); 9 survives the gate; 1 upserts
+    assert(live() === Seq((1L, "KEEP1"), (9L, "p9")))
+    // bySource-only merge: no matched/insert clauses at all — the
+    // statement's ONLY product is the gated complement tombstones
+    Seq(("users", 9L)).toDF("ns", "ukey").createOrReplaceTempView("mcond_src4")
+    spark.sql("""
+      MERGE INTO jcat.mcond AS t USING mcond_src4 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(live() === Seq((9L, "p9")))
   }}
 
   test("SQL UPDATE rewrites current state through append: assignments " +
@@ -661,6 +781,46 @@ class CatalogSpec extends AnyFunSuite {
         spark.sql("ALTER TABLE jcat.alt RENAME COLUMN payload TO body"))
       assert(Option(e2.getMessage).exists(m =>
         m.contains("rename") || m.contains("Rename")))
+    }
+  }
+
+  test("ALTER TABLE statement atomicity: a failing change list leaves " +
+    "the store untouched; IF EXISTS no-ops; FIRST/AFTER refuse") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE jcat.atom (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+      spark.sql("INSERT INTO jcat.atom SELECT 'a' AS ns, " +
+        "CAST(1 AS BIGINT) AS ukey, TIMESTAMP '2024-01-01 00:00:01' AS ts, " +
+        "'p' AS payload, CAST(1.0 AS DOUBLE) AS val")
+      spark.sql("ALTER TABLE jcat.atom ADD COLUMNS (lapsed DOUBLE)")
+      spark.sql("ALTER TABLE jcat.atom DROP COLUMN lapsed")
+      val store = graft.journal.JournalStore.open(spark, s"$root/atom")
+      val vBefore = store.manifest.version
+      // ONE statement, two adds; the second refuses (dropped name whose
+      // bytes linger) — the FIRST must not be durably committed either
+      val e = intercept[Exception](spark.sql(
+        "ALTER TABLE jcat.atom ADD COLUMNS (fresh INT, lapsed DOUBLE)"))
+      assert(Option(e.getMessage).exists(_.contains("DROPPED")))
+      assert(store.manifest.version === vBefore,
+        "a failing ALTER statement committed a manifest version")
+      assert(!spark.table("jcat.atom").columns.contains("fresh"),
+        "half of a failing ALTER statement was applied")
+      // DROP COLUMN IF EXISTS on a missing column: validated no-op
+      spark.sql("ALTER TABLE jcat.atom DROP COLUMN IF EXISTS never_there")
+      assert(store.manifest.version === vBefore,
+        "an IF EXISTS no-op must not commit a version")
+      // non-default column positions silently land at the end otherwise —
+      // refuse loudly instead
+      val ePos = intercept[Exception](spark.sql(
+        "ALTER TABLE jcat.atom ADD COLUMNS (early INT FIRST)"))
+      assert(Option(ePos.getMessage).exists(_.contains("FIRST/AFTER")))
+      // a mixed statement that succeeds lands as ONE commit
+      val v1 = store.manifest.version
+      spark.sql("ALTER TABLE jcat.atom ADD COLUMNS (s1 STRING, s2 STRING)")
+      assert(store.manifest.version === v1 + 1,
+        "a multi-column ADD must land as one manifest commit")
+      assert(spark.table("jcat.atom").columns.toSet.intersect(
+        Set("s1", "s2")).size === 2)
     }
   }
 }
