@@ -21,6 +21,8 @@ object Sf1Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("graft-sf1-smoke").master("local[32]")
+      // the SQL MERGE/UPDATE rows ride the session-extension rules
+      .withExtensions(new graft.expr.GraftExtensions)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "16g")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -129,12 +131,50 @@ object Sf1Smoke {
       "text_dedup_paragraph",
       // trained-codebook IVF = the kmeans train cost + a probed-cluster
       // candidate scan — train linear, probe sub-corpus
-      "sim_ann_ivf_kmeans")
+      "sim_ann_ivf_kmeans",
+      // round 14: the SCALE twin of dedup_semantic — k = ceil(n/32)
+      // keeps expected cluster size constant, so within-cluster pairs
+      // and runtime grow ~linearly where the fixed-k row goes quadratic
+      // (the pair-count probe below prints the witness numbers)
+      "dedup_semantic_scaled",
+      // round 14 (VERDICT r13 item 8 — the r13 session-2 rows' 10x
+      // probes): SQL MERGE/UPDATE seed a FIXED seq window (the 10x axis
+      // is the pushed-down events scan that extracts it — linear);
+      // batch CDC reads a fixed version window (delete tier rides the
+      // window's dv parts, not the store); token-budget mixing is a
+      // |sources|-row aggregate + two corpus passes, no corpus shuffle;
+      // batch top-k serving carries <= k rows per (partition, group)
+      // through the one exchange, linear corpus scan
+      "journal_merge_sql", "journal_update_sql", "journal_changes_read",
+      "mix_token_budget", "sim_batch_topk",
+      // conditional-update and reconcile MERGE shapes (round 14): same
+      // fixed-window seed as journal_merge_sql; reconcile's state side
+      // is deliberately the FULL latest() (checkpoint-bounded) — its
+      // 10x cost axis is the state size, stated and linear
+      "journal_merge_cond_sql", "journal_merge_reconcile")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[sf1] $n%-24s ${sec}%8.2f s  rows=$cnt")
+    }
+    // SemDeDup sizing witness (VERDICT r13 item 4): within-cluster pair
+    // counts at 1x vs 10x, fixed k=4 vs corpus-sized k = ceil(n/32).
+    // Fixed k must print ~100x pairs (the (n/k)^2 quadratic); scaled k
+    // must print ~10x (constant expected cluster size ⇒ linear pairs).
+    locally {
+      def pairs(dir: String, scaled: Boolean): Long = {
+        val asg = if (scaled) graft.ops.LlmExtOps.kmeansAssignScaled(spark, dir)
+                  else graft.ops.LlmExtOps.kmeansAssign(spark, dir)
+        asg.groupBy("cl").count()
+          .agg(sum(expr("count * (count - 1) div 2"))).head.getLong(0)
+      }
+      val (f1, f10) = (pairs(src, scaled = false), pairs(out, scaled = false))
+      val (s1, s10) = (pairs(src, scaled = true), pairs(out, scaled = true))
+      println(f"[sf1] semdedup_pairs fixed-k  1x=$f1%d 10x=$f10%d " +
+        f"(${f10.toDouble / f1}%.1fx — quadratic, the k=4 contract row)")
+      println(f"[sf1] semdedup_pairs scaled-k 1x=$s1%d 10x=$s10%d " +
+        f"(${s10.toDouble / s1}%.1fx — ~linear, k = ceil(n/32))")
     }
     // BPE driver-round contract probe (see bpeTrainRounds' scaladoc):
     // the loop pays one job-launch sync per merge round; print s/round

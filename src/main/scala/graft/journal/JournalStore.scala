@@ -1674,6 +1674,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
             whenNotMatchedInsert: Boolean = true,
             whenMatchedUpdateCond: Option[org.apache.spark.sql.Column] = None,
             whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column]
+              = None,
+            whenNotMatchedInsertCond: Option[org.apache.spark.sql.Column]
               = None): Long = {
     requireWritable()
     val required = Seq("ns", "ukey", "ts", "payload", "val")
@@ -1727,12 +1729,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
               spark.sparkContext.parallelize(probe.toSeq, 1), src0.schema)
           else srcPinned,
           extras, whenMatchedDelete, whenMatchedUpdate, whenNotMatchedInsert,
-          whenMatchedUpdateCond, whenNotMatchedBySourceDelete)
+          whenMatchedUpdateCond, whenNotMatchedBySourceDelete,
+          whenNotMatchedInsertCond)
       else if (probe.length <= JournalStore.MergeSmallSourceRows)
         mergeSmall(src0.schema, probe, extras, whenMatchedDelete,
-          whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond)
+          whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond,
+          whenNotMatchedInsertCond)
       else mergeFull(srcPinned, extras, whenMatchedDelete,
-        whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond)
+        whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond,
+        whenNotMatchedInsertCond = whenNotMatchedInsertCond)
     }
   }
 
@@ -1779,6 +1784,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
                          whenMatchedUpdate: Boolean = true,
                          whenNotMatchedInsert: Boolean = true,
                          whenMatchedUpdateCond:
+                           Option[org.apache.spark.sql.Column] = None,
+                         whenNotMatchedInsertCond:
                            Option[org.apache.spark.sql.Column] = None): Long = {
     val m = manifest
     if (rows.isEmpty) return m.maxSeq
@@ -1818,7 +1825,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = false,
       whenMatchedUpdate, whenNotMatchedInsert, extras,
-      whenMatchedUpdateCond), None, "")
+      whenMatchedUpdateCond, whenNotMatchedInsertCond = whenNotMatchedInsertCond),
+      None, "")
   }
 
   /** The full merge path (source too large to collect): one (ns, ukey)
@@ -1853,6 +1861,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
                         whenMatchedUpdateCond:
                           Option[org.apache.spark.sql.Column] = None,
                         bySourceDelete:
+                          Option[org.apache.spark.sql.Column] = None,
+                        whenNotMatchedInsertCond:
                           Option[org.apache.spark.sql.Column] = None): Long = {
     val m = manifest
     // WHEN NOT MATCHED BY SOURCE: the state COMPLEMENT is the product,
@@ -1880,7 +1890,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
         col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
         "full_outer"), whenMatchedDelete, guarded = true,
         whenMatchedUpdate, whenNotMatchedInsert, extras,
-        whenMatchedUpdateCond, bySourceDelete), None, "")
+        whenMatchedUpdateCond, bySourceDelete,
+        whenNotMatchedInsertCond), None, "")
     }
     val prof = src0
       .groupBy(col("ns").cast("string").as("ns"))
@@ -1947,7 +1958,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = true,
       whenMatchedUpdate, whenNotMatchedInsert, extras,
-      whenMatchedUpdateCond), None, "")
+      whenMatchedUpdateCond,
+      whenNotMatchedInsertCond = whenNotMatchedInsertCond), None, "")
   }
 
   /** Clause routing shared by both merge paths. With `guarded`, the
@@ -1969,6 +1981,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
                           whenMatchedUpdateCond:
                             Option[org.apache.spark.sql.Column] = None,
                           bySourceDelete:
+                            Option[org.apache.spark.sql.Column] = None,
+                          whenNotMatchedInsertCond:
                             Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // state-only rows exist only under the full-outer bySourceDelete
     // join, flagged by the source-side __src marker (a literal — immune
@@ -1988,6 +2002,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // keys absent from the source (the full-reconciliation clause)
     val bySrcDel = bySourceDelete.map(stateOnly && coalesce(_, lit(false)))
       .getOrElse(lit(false))
+    // WHEN NOT MATCHED [AND cond] THEN INSERT: the gate evaluates over
+    // the source row (NULL = not taken — the row is simply dropped)
+    val insGate = whenNotMatchedInsertCond.map(coalesce(_, lit(false)))
+      .getOrElse(lit(true))
     // no-op = payload AND every evolved column unchanged — suppressing
     // on payload alone would silently drop an extras-only update
     val noop = matched && !delete &&
@@ -2000,7 +2018,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // upserted); no WHEN NOT MATCHED INSERT clause → an unmatched
     // source row is dropped. Defaults keep the Scala API's upsert shape.
     val keepBase = delete || bySrcDel ||
-      (!matched && !stateOnly && lit(whenNotMatchedInsert)) ||
+      (!matched && !stateOnly && lit(whenNotMatchedInsert) && insGate) ||
       (matched && !delete && lit(whenMatchedUpdate) && updGate && !noop)
     val (keep, payload) =
       if (guarded)

@@ -389,19 +389,94 @@ object LlmExtOps {
   }
 
   /** Final (vec_id, q, cl, dist) assignment — see [[kmeansTrain]]. */
-  private[ops] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
+  private[graft] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
                                 d: String): org.apache.spark.sql.DataFrame =
     kmeansTrain(s, d)._1
 
   /** Corpus-sized assignment (the SemDeDup production sizing — see
-    * [[semTargetCluster]]): k derives from ONE count() scalar, then the
-    * same Lloyd iteration runs at that k. */
-  private[ops] def kmeansAssignScaled(s: org.apache.spark.sql.SparkSession,
+    * [[semTargetCluster]]): k = ceil(n / 32) from ONE count() scalar,
+    * split TWO-LEVEL as kc = ceil(sqrt(k)) coarse clusters × kf =
+    * ceil(k / kc) fine clusters inside each — the FAISS coarse×fine
+    * idiom. A flat Lloyd at k ∝ n costs n·k·d per assignment pass
+    * (quadratic in corpus); the two-level split pays n·(kc + kf)·d =
+    * O(n·sqrt(n)·d), and deeper levels continue the same recursion
+    * when sqrt(k) itself outgrows a broadcast. Final cluster id =
+    * g·kf + cl (globally unique, both engines compute it
+    * identically); expected leaf size stays [[semTargetCluster]], so
+    * SemDeDup's within-cluster pairs stay O(n). All sizing arithmetic
+    * is double ceil/sqrt in BOTH engines (IEEE sqrt is correctly
+    * rounded, so the derived k/kc/kf agree exactly). */
+  private[graft] def kmeansAssignScaled(s: org.apache.spark.sql.SparkSession,
                                       d: String): org.apache.spark.sql.DataFrame = {
     val e = kmeansProj(s, d)
-    val k = math.max(1L,
-      (e.count() + semTargetCluster - 1) / semTargetCluster).toInt
-    kmeansTrainOn(e, k)._1
+    val n = e.count()
+    val k = math.max(1.0, math.ceil(n / semTargetCluster.toDouble))
+    val kc = math.ceil(math.sqrt(k)).toInt max 1
+    val kf = math.ceil(k / kc).toInt max 1
+    val coarse = kmeansTrainOn(e, kc)._1
+    // PIN the coarse assignment before level 2 (MLlib's iterative-ML
+    // idiom): level 2's three assigns and two updates each reference
+    // this frame — left lazy, every reference would re-run the whole
+    // level-1 training. Same for the final assignment, which the
+    // SemDeDup pairwise self-joins twice. Both are deterministic, so
+    // pinning never changes the oracle hash.
+    val g = coarse
+      .select(col("cl").cast("int").as("g"), col("vec_id"), col("q"))
+      .localCheckpoint()
+    kmeansTrainGrouped(g, kf)
+      .select(col("vec_id"), col("q"),
+        (col("g") * lit(kf) + col("cl")).cast("int").as("cl"), col("dist"))
+      .localCheckpoint()
+  }
+
+  /** Per-GROUP Lloyd (the fine level of the two-level split): same
+    * three rounds, same integer arithmetic as [[kmeansTrainOn]], with
+    * every stage keyed by the coarse group `g` — init is the kf
+    * smallest vec_ids PER group (a g-partitioned window, never a
+    * global one), assignment broadcasts ONE map g → its centroid pack
+    * (each row scans only its own group's kf centroids inside
+    * codegen), the update exchange is O(k·dim·partitions). Input:
+    * (g INT, vec_id BIGINT, q ARRAY<BIGINT>); output adds (cl, dist)
+    * with cl local to the group. */
+  private[graft] def kmeansTrainGrouped(e0: org.apache.spark.sql.DataFrame,
+                                        kf: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("vec_id")
+    val c0 = e0.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= kf)
+      .select(col("g"), (col("rn") - 1).cast("int").as("cl"),
+        col("q").as("c"))
+    def assign(cent: org.apache.spark.sql.DataFrame) =
+      e0.crossJoin(broadcast(cent
+          .groupBy("g")
+          .agg(expr("sort_array(collect_list(struct(cl, c)))").as("cs"))
+          .agg(expr("map_from_entries(collect_list(struct(g, cs)))")
+            .as("cmap"))))
+        .withColumn("m", expr(
+          "array_min(transform(cmap[g], k -> named_struct(" +
+            "'dist', aggregate(zip_with(q, k.c, (a, b) -> (a - b) * (a - b)), " +
+            "0L, (acc, x) -> acc + x), 'cl', k.cl)))"))
+        .select(col("g"), col("vec_id"), col("q"),
+          col("m.cl").as("cl"), col("m.dist").as("dist"))
+    def update(a: org.apache.spark.sql.DataFrame,
+               prev: org.apache.spark.sql.DataFrame) = {
+      val sums = a.select(col("g"), col("cl"),
+          posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("g", "cl", "i")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          expr("CAST(floor(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .groupBy("g", "cl")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cv))), " +
+          "s -> s.cv)").as("cn"))
+      prev.join(sums, Seq("g", "cl"), "left")
+        .select(col("g"), col("cl"), coalesce(col("cn"), col("c")).as("c"))
+    }
+    val a1 = assign(c0)
+    val c1 = update(a1, c0)
+    val a2 = assign(c1)
+    val c2 = update(a2, c1)
+    assign(c2)
   }
 
   /** DuckDB twin of [[kmeansAssign]] — the same three Lloyd rounds
@@ -410,9 +485,46 @@ object LlmExtOps {
     * count as a SQL scalar (a literal for the fixed-k rows; a
     * ceil(count/target) subquery for the corpus-sized rows). */
   private[ops] def kmeansCtes: String = kmeansCtesK(kmeansK.toString)
-  private[ops] def kmeansCtesScaled: String = kmeansCtesK(
-    s"(SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $semTargetCluster) " +
-      "AS INT) FROM e)")
+
+  /** DuckDB twin of [[kmeansAssignScaled]] — the TWO-LEVEL corpus-sized
+    * clustering: level 1 is the shared Lloyd CTEs at kc =
+    * ceil(sqrt(k)) (k = ceil(n/32) computed in-SQL), level 2 repeats
+    * the identical three rounds PER coarse group (g rides every
+    * partition/join/group key), and `ffinal` carries the globally
+    * unique cluster id g·kf + cl. Same integer distance/update
+    * arithmetic, so the whole two-level iteration hash-matches. */
+  private[ops] def kmeansCtes2: String = {
+    val kExpr = s"ceil(CAST(count(*) AS DOUBLE) / $semTargetCluster)"
+    val kcSql = s"(SELECT CAST(ceil(sqrt($kExpr)) AS INT) FROM e)"
+    val kfSql = s"(SELECT CAST(ceil($kExpr / ceil(sqrt($kExpr))) AS INT) FROM e)"
+    def dist(q: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, len($q) + 1), " +
+        s"i -> ($q[i] - $c[i]) * ($q[i] - $c[i]))) AS BIGINT)"
+    def fassign(cent: String, out: String) =
+      s"$out AS (SELECT vec_id, g, q, cl, dist FROM (" +
+        s"SELECT vec_id, g, q, cl, dist, row_number() OVER (" +
+        s"PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM (" +
+        s"SELECT e2.vec_id, e2.g, e2.q, c.cl, ${dist("e2.q", "c.c")} AS dist " +
+        s"FROM g0 e2 JOIN $cent c ON e2.g = c.g)) WHERE rn = 1)"
+    def fupdate(a: String, prev: String, n: Int) =
+      s"fs$n AS (SELECT g, cl, i, CAST(floor(CAST(sum(v) AS DOUBLE) / " +
+        s"count(*)) AS BIGINT) AS cv FROM (SELECT g, cl, unnest(q) AS v, " +
+        s"unnest(range(1, len(q) + 1)) AS i FROM $a) GROUP BY g, cl, i), " +
+        s"fu$n AS (SELECT g, cl, list(cv ORDER BY i) AS cn FROM fs$n " +
+        s"GROUP BY g, cl), " +
+        s"fc$n AS (SELECT p.g, p.cl, coalesce(u.cn, p.c) AS c " +
+        s"FROM $prev p LEFT JOIN fu$n u ON p.g = u.g AND p.cl = u.cl)"
+    kmeansCtesK(kcSql) + ", " +
+      "g0 AS (SELECT CAST(cl AS INT) AS g, vec_id, q FROM a3), " +
+      "fc0 AS (SELECT g, cl, q AS c FROM (SELECT g, " +
+      "CAST(row_number() OVER (PARTITION BY g ORDER BY vec_id) - 1 " +
+      s"AS INT) AS cl, q FROM g0) WHERE cl < $kfSql), " +
+      fassign("fc0", "fa1") + ", " + fupdate("fa1", "fc0", 1) + ", " +
+      fassign("fc1", "fa2") + ", " + fupdate("fa2", "fc1", 2) + ", " +
+      fassign("fc2", "fa3") + ", " +
+      s"ffinal AS (SELECT vec_id, CAST(g * $kfSql + cl AS INT) AS cl, " +
+      "dist FROM fa3)"
+  }
   private[ops] def kmeansCtesK(kSql: String): String = {
     def dist(q: String, c: String) =
       s"CAST(list_sum(list_transform(range(1, len($q) + 1), " +
@@ -1646,9 +1758,12 @@ object LlmExtOps {
       // count() scalar — so expected cluster size is a constant and the
       // within-cluster pairwise stays O(n) at any corpus (the paper's
       // k ∝ n sizing; the fixed-k row keeps the small, judge-readable
-      // iteration). Assignment stays a broadcast map-side argmin and the
-      // update exchange is O(k·dim·partitions); Sf1Smoke prints the
-      // pair count at 1× and 10× to witness the linearity.
+      // iteration). Clustering is TWO-LEVEL (kc = ceil(sqrt(k)) coarse ×
+      // kf fine per group — the FAISS coarse×fine idiom), so assignment
+      // FLOPs are n·(kc+kf)·d instead of flat Lloyd's n·k·d quadratic;
+      // both levels stay broadcast map-side argmins, update exchanges
+      // O(k·dim·partitions). Sf1Smoke prints the pair count at 1× and
+      // 10× to witness the linearity.
       graft.expr.GraftFunctions.register(s)
       val asg = kmeansAssignScaled(s, d).select(col("vec_id"), col("cl"))
       val t = Tables(s, d, "embeddings").select("vec_id", "embedding")
@@ -2571,12 +2686,13 @@ object LlmExtOps {
         " >= 0.45) " +
         "SELECT vec_id, cl AS cluster FROM t " +
         "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"),
-    // identical pipeline at the corpus-sized k (k = ceil(n / 32) as a
-    // scalar subquery — same Lloyd CTEs, dynamic cluster count)
+    // identical pipeline at the corpus-sized k (k = ceil(n / 32),
+    // computed in-SQL), clustered TWO-LEVEL (coarse × fine — the same
+    // Lloyd rounds, level 2 keyed by the coarse group)
     "dedup_semantic_scaled" ->
-      (s"WITH $kmeansCtesScaled, " +
-        "t AS (SELECT a3.vec_id, a3.cl, e2.embedding FROM a3 " +
-        "JOIN embeddings e2 ON a3.vec_id = e2.vec_id), " +
+      (s"WITH $kmeansCtes2, " +
+        "t AS (SELECT ffinal.vec_id, ffinal.cl, e2.embedding FROM ffinal " +
+        "JOIN embeddings e2 ON ffinal.vec_id = e2.vec_id), " +
         "dropped AS (SELECT DISTINCT b.vec_id FROM t a JOIN t b " +
         "ON a.cl = b.cl AND a.vec_id < b.vec_id AND " +
         graft.Det.sql.r("list_cosine_similarity(" +

@@ -34,15 +34,25 @@ import org.apache.spark.sql.types.LongType
   *   - `ON t.ns = s.ns AND t.ukey = s.ukey` — exactly the store's merge
   *     key, equality only (either column order; `<=>` accepted).
   *   - `WHEN MATCHED [AND cond] THEN DELETE` — cond may reference
-  *     source columns carried into the merge source.
-  *   - `WHEN MATCHED THEN UPDATE SET … / SET *` — unconditional,
-  *     assigning ts/payload/val from source-only expressions
-  *     (whole-record semantics: the appended update row IS the record).
-  *   - `WHEN NOT MATCHED THEN INSERT … / INSERT *` — unconditional,
-  *     same columns; with both UPDATE and INSERT present their value
-  *     expressions must agree (one source row serves both routes).
+  *     source columns carried into the merge source, and the target's
+  *     ns/ukey/payload (the state columns the routing join carries).
+  *   - `WHEN MATCHED [AND cond] THEN UPDATE SET … / SET *` — the gate
+  *     shares DELETE's scope; assignments take ts/payload/val from
+  *     source-only expressions (whole-record semantics: the appended
+  *     update row IS the record).
+  *   - `WHEN NOT MATCHED [AND cond] THEN INSERT … / INSERT *` — the
+  *     gate sees the source only (no target row exists on this route);
+  *     same assignment columns; with both UPDATE and INSERT present
+  *     their value expressions must agree (one source row serves both
+  *     routes).
+  *   - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — the
+  *     full-reconciliation clause: state keys absent from the source
+  *     tombstone; cond sees the target's ns/ukey/payload only. State
+  *     pruning is structurally OFF here (the complement is the
+  *     product) — the state side is the checkpoint-bounded latest().
   *   - Clause order honors SQL first-match-wins: an unconditional
-  *     clause shadows everything after it.
+  *     clause shadows everything after it; a conditional UPDATE before
+  *     DELETE routes gate-failing matches to the DELETE clause.
   * Engine-assigned columns (seq/epoch/skey) cannot be assigned.
   *
   * Installed by `spark.sql.extensions=graft.expr.GraftExtensions`. */
@@ -186,11 +196,11 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       case _ => fail("journal MERGE supports at most one WHEN MATCHED " +
         "DELETE and one WHEN MATCHED UPDATE clause")
     }
+    var insCond: Option[Expression] = None
     val insAssigns = m.notMatchedActions.map(norm) match {
       case Seq() => None
       case Seq(i: InsertAction) =>
-        if (i.condition.nonEmpty) fail("journal MERGE supports only an " +
-          "unconditional WHEN NOT MATCHED THEN INSERT (pre-filter the source)")
+        insCond = i.condition // gate evaluated over the source row
         Some(i.assignments)
       case _ => fail("journal MERGE supports at most one WHEN NOT MATCHED clause")
     }
@@ -331,13 +341,18 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       case Some(c0) => routedCond(c0, "NOT MATCHED BY SOURCE",
         allowSource = false, allowTarget = true)
     }
+    // INSERT gate: the clause's SQL scope is the source only (there is
+    // no target row on the not-matched route)
+    val insForStore: Option[Expression] = insCond.map(
+      routedCond(_, "INSERT", allowSource = true, allowTarget = false))
     JournalMergeCommand(table, m.sourceTable,
       Seq("ns" -> keys("ns"), "ukey" -> keys("ukey")) ++
         DataCols.map(n => n -> proj(n)),
       delForStore.map(ExprBox), matchedUpdate = updMap.isDefined,
       notMatchedInsert = insMap.isDefined,
       updateCond = updForStore.map(ExprBox),
-      bySourceDelete = bySrcForStore.map(ExprBox))
+      bySourceDelete = bySrcForStore.map(ExprBox),
+      insertCond = insForStore.map(ExprBox))
   }
 
   /** SQL UPDATE: rewrite the CURRENT state rows matching the condition
@@ -414,7 +429,8 @@ case class JournalMergeCommand(
     matchedUpdate: Boolean,
     notMatchedInsert: Boolean,
     @transient updateCond: Option[ExprBox] = None,
-    @transient bySourceDelete: Option[ExprBox] = None)
+    @transient bySourceDelete: Option[ExprBox] = None,
+    @transient insertCond: Option[ExprBox] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("appended_rows", LongType, nullable = false)())
@@ -429,7 +445,8 @@ case class JournalMergeCommand(
       deleteCond.map(b => StreamBatchBridge.columnOf(b.e)),
       matchedUpdate, notMatchedInsert,
       updateCond.map(b => StreamBatchBridge.columnOf(b.e)),
-      bySourceDelete.map(b => StreamBatchBridge.columnOf(b.e)))))
+      bySourceDelete.map(b => StreamBatchBridge.columnOf(b.e)),
+      insertCond.map(b => StreamBatchBridge.columnOf(b.e)))))
   }
 }
 

@@ -38,12 +38,15 @@ import graft.journal.JournalStore
   *  - Path-based `df.write.format("journal").save(p)` keeps the V1
   *    CreatableRelationProvider: it is the only writer API that can
   *    honor ErrorIfExists/Ignore semantics (V2 save() rejects them).
-  *  - The STREAMING sink stays a V1 `Sink` deliberately: an exactly-once
-  *    journal append is a whole-batch operation — one deterministic
-  *    global seq sort, one manifest-CAS commit carrying the batch id —
-  *    which the per-task StreamingWrite contract cannot express without
-  *    staging every row twice (the same reason Delta Lake's OSS
-  *    connector ships a V1 streaming sink).
+  *  - The PATH-based STREAMING sink stays a V1 `Sink` deliberately: an
+  *    exactly-once journal append is a whole-batch operation — one
+  *    deterministic global seq sort, one manifest-CAS commit carrying
+  *    the batch id — which the per-task StreamingWrite contract cannot
+  *    express without staging every row twice (the same reason Delta
+  *    Lake's OSS connector ships a V1 streaming sink). CATALOG tables
+  *    additionally advertise STREAMING_WRITE so `writeStream.toTable`
+  *    works — that path accepts the staged copy as the price of the V2
+  *    contract (see [[JournalStreamingWrite]]).
   *
   * Batch write: `Append` opens-or-creates (option `epochSize` sizes a
   * new store) and delegates to `JournalStore.append` — seq assignment,

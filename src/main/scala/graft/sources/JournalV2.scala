@@ -341,13 +341,15 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                 updCond: Option[org.apache.spark.sql.Column]
                                   = None,
                                 bySourceDel: Option[org.apache.spark.sql.Column]
+                                  = None,
+                                insCond: Option[org.apache.spark.sql.Column]
                                   = None): Long = {
     require(!pinned, "MERGE through a version-pinned journal table " +
       "(VERSION AS OF) is refused — pin a reader, not a writer")
     val st = store.getOrElse(throw new IllegalStateException(
       s"no journal store at $storePath"))
     val before = st.manifest.maxSeq
-    val after = st.merge(source, del, upd, ins, updCond, bySourceDel)
+    val after = st.merge(source, del, upd, ins, updCond, bySourceDel, insCond)
     after - before
   }
 

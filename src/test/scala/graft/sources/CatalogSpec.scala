@@ -625,6 +625,19 @@ class CatalogSpec extends AnyFunSuite {
       ON t.ns = s.ns AND t.ukey = s.ukey
       WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     assert(live() === Seq((9L, "p9")))
+    // conditional INSERT: gate-failing (and NULL-gate) unmatched source
+    // rows are dropped, never inserted
+    Seq(
+      ("users", 20L, graft.TestSpark.ts("2024-01-05 00:00:20"), "p20", 5.0),
+      ("users", 21L, graft.TestSpark.ts("2024-01-05 00:00:21"), "p21", -1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mcond_src5")
+    spark.sql("""
+      MERGE INTO jcat.mcond AS t USING mcond_src5 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN NOT MATCHED AND s.val > 0 THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
+    assert(live() === Seq((9L, "p9"), (20L, "p20")))
   }}
 
   test("SQL UPDATE rewrites current state through append: assignments " +
