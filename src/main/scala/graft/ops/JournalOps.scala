@@ -923,6 +923,61 @@ object JournalOps {
           VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
       store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
     }),
+    "journal_merge_evolve_sql" -> ((s, d) => {
+      // `MERGE WITH SCHEMA EVOLUTION` (Delta's autoMerge, the SQL
+      // spelling of merge schema evolution): the statement assigns a
+      // column the store does not have yet (`score`) — the merge delta
+      // evolves the pinned DDL, pre-merge rows read NULL, matched rows
+      // whose payload AND score are both unchanged stay suppressed.
+      // Readback is the per-key arg-max over the full row surface so
+      // the evolved values are part of the oracle hash.
+      val tag = tmpTag(d)
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmev_seed_$tag").toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 599L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 600)
+            .write.format("journal").option("epochSize", "200").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmev_root_$tag").toString
+      val cat = s"jmev_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ev"))
+      val store = seedStore.cloneTo(s"$root/ev")
+      journal(s, d)
+        // bounds inside the SMALLEST fixture (1000 events at sf0.001) so
+        // the source is non-empty — and the schema actually evolves —
+        // at every SF
+        .where(col("seq") >= 600 && col("seq") < 1000)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"),
+          (col("top.val") * 2.0).as("score"))
+        .createOrReplaceTempView(s"jmev_src_$tag")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.ev AS t
+        USING jmev_src_$tag AS s
+        ON t.ns = s.ns AND t.ukey <=> s.ukey
+        WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload,
+          val = s.val, score = s.score
+        WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val, score)
+          VALUES (s.ns, s.ukey, s.ts, s.payload, s.val, s.score)""")
+      store.scanUnordered()
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("payload"), col("score"))).as("top"))
+        .select(col("ns"), col("ukey"), col("top.payload").as("payload"),
+          col("top.score").as("score"))
+        .where(col("payload").isNotNull)
+        .orderBy("ns", "ukey")
+    }),
     "journal_merge_cond_sql" -> ((s, d) => {
       // `WHEN MATCHED AND cond THEN UPDATE` (VERDICT r13 item 3 — the
       // most common MERGE shape after plain upsert): the condition rides
@@ -1864,6 +1919,27 @@ object JournalOps {
         "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
         "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
         "ORDER BY ns, ukey"),
+    // schema-evolving merge: matched/inserted keys carry the source's
+    // evolved score; keys the merge never touched read NULL (pre-
+    // evolution rows)
+    "journal_merge_evolve_sql" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 600 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload, " +
+        "arg_max(value, event_id) * 2.0 AS score " +
+        "FROM events WHERE event_id >= 600 AND event_id < 1000 " +
+        "GROUP BY 1, 2), " +
+        "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
+        "COALESCE(s.ukey, t.ukey) AS ukey, " +
+        "CASE WHEN s.ns IS NOT NULL THEN s.payload ELSE t.payload END " +
+        "AS payload, " +
+        "CASE WHEN s.ns IS NOT NULL THEN s.score ELSE NULL END AS score " +
+        "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload, score FROM merged " +
+        "WHERE payload IS NOT NULL ORDER BY ns, ukey"),
     // conditional matched UPDATE: gate not taken (or NULL) keeps the
     // current payload; unmatched source keys still insert
     "journal_merge_cond_sql" ->

@@ -53,6 +53,12 @@ import org.apache.spark.sql.types.LongType
   *   - Clause order honors SQL first-match-wins: an unconditional
   *     clause shadows everything after it; a conditional UPDATE before
   *     DELETE routes gate-failing matches to the DELETE clause.
+  *   - `MERGE WITH SCHEMA EVOLUTION` (Delta's autoMerge): assignments
+  *     may target store-evolved extras and brand-new column names —
+  *     both ride the merge delta (append-time evolution; old rows read
+  *     NULL; deletes tombstone extras; extras join the no-op
+  *     decision), UPDATE/INSERT must evolve the same column set, and
+  *     `SET * / INSERT *` expand to every source column by name.
   * Engine-assigned columns (seq/epoch/skey) cannot be assigned.
   *
   * Installed by `spark.sql.extensions=graft.expr.GraftExtensions`. */
@@ -114,8 +120,12 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     resolveScoped(Seq(e), attrs).head
 
   def translateMerge(m: MergeIntoTable, table: JournalTable): LogicalPlan = {
-    if (m.withSchemaEvolution) fail("journal MERGE does not support WITH " +
-      "SCHEMA EVOLUTION; appends evolve the schema (add-column) directly")
+    // WITH SCHEMA EVOLUTION (Delta's autoMerge surface): assignments may
+    // target columns beyond the canonical record — brand-new names and
+    // store-evolved extras both ride the merge delta (the store's
+    // append evolves the pinned DDL; old rows read NULL; deletes
+    // tombstone extras; extras join the no-op decision)
+    val evolve = m.withSchemaEvolution
     val tAttrs = m.targetTable.output
     val sAttrs = m.sourceTable.output
     val both = tAttrs ++ sAttrs
@@ -149,12 +159,23 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     // target data column := source column of the same name, source-scoped
     val extras = table.dataColumnTypes.keySet -- EngineCols -- CanonicalCols
     def starAssigns(clause: String): Seq[Assignment] = {
-      if (extras.nonEmpty) fail(s"journal MERGE $clause * on a store with " +
-        s"evolved column(s) ${extras.toSeq.sorted.mkString(", ")} — list " +
-        "the assignments explicitly (the merge carries the canonical " +
-        "record only)")
-      CanonicalCols.map(n =>
-        Assignment(UnresolvedAttribute(Seq(n)), UnresolvedAttribute(Seq(n))))
+      // star values are the SOURCE attributes themselves (already
+      // resolved — a bare name would be ambiguous in UPDATE's two-sided
+      // scope, and star semantics are source-by-name anyway). With
+      // evolution, * maps EVERY source column (Delta's
+      // star-with-autoMerge); without, the canonical record only.
+      def srcCol(n: String): Attribute =
+        sAttrs.find(_.name.equalsIgnoreCase(n)).getOrElse(fail(
+          s"journal MERGE $clause *: source has no column '$n' to map"))
+      if (evolve)
+        sAttrs.map(a => Assignment(UnresolvedAttribute(Seq(a.name)), a))
+      else {
+        if (extras.nonEmpty) fail(s"journal MERGE $clause * on a store with " +
+          s"evolved column(s) ${extras.toSeq.sorted.mkString(", ")} — list " +
+          "the assignments explicitly, or use MERGE WITH SCHEMA EVOLUTION")
+        CanonicalCols.map(n =>
+          Assignment(UnresolvedAttribute(Seq(n)), srcCol(n)))
+      }
     }
 
     // ---- WHEN MATCHED routing, SQL first-match-wins. Conditions are
@@ -222,12 +243,24 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     // though only key self-references survive validation); INSERT
     // values resolve against the source alone (SQL's insert scope).
     def dataExprs(as: Seq[Assignment], clause: String,
-                  valueScope: Seq[Attribute]): Map[String, Expression] = {
+                  valueScope: Seq[Attribute])
+        : (Map[String, Expression], Map[String, Expression]) = {
       val mm: Map[String, Expression] = as.map { a =>
-        val k = resolve1(a.key, tAttrs) match {
-          case at: Attribute => at.name.toLowerCase
-          case other => fail("journal MERGE can assign only top-level " +
-            s"columns; got: ${other.sql}")
+        val k = a.key match {
+          // a single-part name the target does not have: a NEW column —
+          // legal only under WITH SCHEMA EVOLUTION
+          case u: UnresolvedAttribute
+              if u.nameParts.length == 1 &&
+                !tAttrs.exists(_.name.equalsIgnoreCase(u.nameParts.head)) =>
+            if (evolve) u.nameParts.head.toLowerCase
+            else fail(s"journal MERGE: no target column " +
+              s"'${u.nameParts.head}' — MERGE WITH SCHEMA EVOLUTION adds " +
+              "new columns")
+          case kk => resolve1(kk, tAttrs) match {
+            case at: Attribute => at.name.toLowerCase
+            case other => fail("journal MERGE can assign only top-level " +
+              s"columns; got: ${other.sql}")
+          }
         }
         if (SubqueryExpression.hasSubquery(a.value)) fail(
           s"journal MERGE does not support subqueries in assignments ($clause)")
@@ -249,29 +282,47 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
             s"(got ${other.sql} in $clause)")
         }
       }
-      val extra = mm.keySet -- EngineCols -- Set("ns", "ukey") -- DataCols
-      if (extra.nonEmpty) fail("journal MERGE reconciles the canonical " +
-        s"(ns, ukey, ts, payload, val) record; evolved column(s) " +
-        s"${extra.toSeq.sorted.mkString(", ")} cannot be merge-assigned " +
-        "(append them through the Scala API or INSERT INTO)")
-      DataCols.map { n =>
+      val extraKeys = mm.keySet -- EngineCols -- Set("ns", "ukey") -- DataCols
+      if (extraKeys.nonEmpty && !evolve) fail("journal MERGE reconciles " +
+        s"the canonical (ns, ukey, ts, payload, val) record; evolved " +
+        s"column(s) ${extraKeys.toSeq.sorted.mkString(", ")} cannot be " +
+        "merge-assigned — use MERGE WITH SCHEMA EVOLUTION (or append " +
+        "them through the Scala API / INSERT INTO)")
+      def srcOnly(n: String, v: Expression): Unit =
+        if (!v.references.subsetOf(sOut)) fail(s"journal MERGE $clause " +
+          s"assignment to '$n' may reference source columns only; got: ${v.sql}")
+      val dataMap = DataCols.map { n =>
         val v = mm.getOrElse(n, fail(s"journal MERGE $clause must assign " +
           s"'$n': the appended row carries whole-record semantics " +
           "(ns, ukey, ts, payload, val) — a column left unassigned has no " +
           "value to ride it"))
-        if (!v.references.subsetOf(sOut)) fail(s"journal MERGE $clause " +
-          s"assignment to '$n' may reference source columns only; got: ${v.sql}")
+        srcOnly(n, v)
         n -> v
       }.toMap
+      val extraMap = extraKeys.toSeq.sorted.map { n =>
+        val v = mm(n); srcOnly(n, v); n -> v
+      }.toMap
+      (dataMap, extraMap)
     }
     val updMap = updAssigns.map(dataExprs(_, "UPDATE", both))
     val insMap = insAssigns.map(dataExprs(_, "INSERT", sAttrs))
     (updMap, insMap) match {
-      case (Some(u), Some(i)) => DataCols.foreach { n =>
-        if (!u(n).semanticEquals(i(n))) fail("journal MERGE: UPDATE and " +
-          s"INSERT assign different expressions to '$n' — one source row " +
-          "serves both routes; align the clauses")
-      }
+      case (Some((u, ue)), Some((i, ie))) =>
+        DataCols.foreach { n =>
+          if (!u(n).semanticEquals(i(n))) fail("journal MERGE: UPDATE and " +
+            s"INSERT assign different expressions to '$n' — one source row " +
+            "serves both routes; align the clauses")
+        }
+        if (ue.keySet != ie.keySet) fail("journal MERGE WITH SCHEMA " +
+          "EVOLUTION: UPDATE and INSERT must evolve the SAME column set " +
+          s"(UPDATE: ${ue.keySet.toSeq.sorted.mkString(", ")}; INSERT: " +
+          s"${ie.keySet.toSeq.sorted.mkString(", ")}) — one source row " +
+          "serves both routes")
+        ue.foreach { case (n, v) =>
+          if (!v.semanticEquals(ie(n))) fail("journal MERGE: UPDATE and " +
+            s"INSERT assign different expressions to '$n' — one source " +
+            "row serves both routes; align the clauses")
+        }
       case _ => ()
     }
     // delete-only merge: carry the source's own ts/payload/val (the
@@ -279,16 +330,23 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     // action is WHEN NOT MATCHED BY SOURCE keeps no source row at all —
     // its projection is typed nulls (the join key columns still come
     // from the ON equalities).
-    val proj: Map[String, Expression] = updMap.orElse(insMap).getOrElse {
-      if (delCond.isEmpty && bySourceDel.isDefined) {
-        val types = table.dataColumnTypes
-        DataCols.map(n => n -> (Literal(null, types(n)): Expression)).toMap
-      } else DataCols.map { n =>
-        n -> sAttrs.find(_.name.equalsIgnoreCase(n))
-          .getOrElse(fail(s"a delete-only journal MERGE needs source " +
-            s"column '$n' to shape the tombstone row"))
-      }.toMap
-    }
+    val proj: Map[String, Expression] =
+      updMap.map(_._1).orElse(insMap.map(_._1)).getOrElse {
+        if (delCond.isEmpty && bySourceDel.isDefined) {
+          val types = table.dataColumnTypes
+          DataCols.map(n => n -> (Literal(null, types(n)): Expression)).toMap
+        } else DataCols.map { n =>
+          n -> sAttrs.find(_.name.equalsIgnoreCase(n))
+            .getOrElse(fail(s"a delete-only journal MERGE needs source " +
+              s"column '$n' to shape the tombstone row"))
+        }.toMap
+      }
+    // evolved assignments (WITH SCHEMA EVOLUTION): ride the projected
+    // source as extra columns — the store's merge treats them as the
+    // schema-evolving delta (no-op decision included)
+    val extraProj: Seq[(String, Expression)] =
+      updMap.map(_._2).orElse(insMap.map(_._2)).getOrElse(Map.empty)
+        .toSeq.sortBy(_._1)
 
     // ---- clause conditions: evaluated inside the store's routing join,
     // where the source rides under alias "s" with the canonical columns
@@ -297,7 +355,8 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     // and (where the clause can see the target) target references to
     // the state columns the join reconstructs.
     val carriers: Map[String, Expression] =
-      proj ++ Map[String, Expression]("ns" -> keys("ns"), "ukey" -> keys("ukey"))
+      proj ++ extraProj ++
+        Map[String, Expression]("ns" -> keys("ns"), "ukey" -> keys("ukey"))
     def routedCond(c0: Expression, clause: String,
                    allowSource: Boolean, allowTarget: Boolean): Expression = {
       val c = resolve1(c0, both)
@@ -321,6 +380,10 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
             case "ns"      => UnresolvedAttribute(Seq("t", "ns"))
             case "ukey"    => UnresolvedAttribute(Seq("t", "ukey"))
             case "payload" => UnresolvedAttribute(Seq("cur_payload"))
+            // an evolving merge reconstructs current values for its
+            // evolved columns (the cur__ carriers) — visible to gates
+            case n if extraProj.exists(_._1 == n) =>
+              UnresolvedAttribute(Seq(s"cur__$n"))
             case n => fail(s"journal MERGE $clause condition can see " +
               s"target columns ns, ukey, payload only (the state side of " +
               s"the routing join carries no '$n')")
@@ -347,7 +410,7 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       routedCond(_, "INSERT", allowSource = true, allowTarget = false))
     JournalMergeCommand(table, m.sourceTable,
       Seq("ns" -> keys("ns"), "ukey" -> keys("ukey")) ++
-        DataCols.map(n => n -> proj(n)),
+        DataCols.map(n => n -> proj(n)) ++ extraProj,
       delForStore.map(ExprBox), matchedUpdate = updMap.isDefined,
       notMatchedInsert = insMap.isDefined,
       updateCond = updForStore.map(ExprBox),

@@ -225,6 +225,67 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION: new columns ride the delta, " +
+      "star maps source columns, no-op suppression sees extras, " +
+      "mismatched clause sets refuse") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.mev (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/mev")
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(Option(e.getMessage).exists(_.contains(frag)),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    Seq(("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:01"), "pa", 1.0, 0.9),
+        ("users", 3L, graft.TestSpark.ts("2024-01-02 00:00:03"), "pc", 3.0, 0.3))
+      .toDF("ns", "ukey", "ts", "payload", "val", "score")
+      .createOrReplaceTempView("mev_src")
+    // without the clause, a new column refuses with the hint
+    refuses("""
+      MERGE INTO jcat.mev AS t USING mev_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload,
+        val = s.val, score = s.score""", "WITH SCHEMA EVOLUTION")
+    // UPDATE/INSERT evolving different column sets refuse
+    refuses("""
+      MERGE WITH SCHEMA EVOLUTION INTO jcat.mev AS t USING mev_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload,
+        val = s.val, score = s.score
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""", "SAME column set")
+    // star with evolution maps every source column by name; key 1's
+    // payload is unchanged but its score is NEW — the row must land
+    // (extras join the no-op decision)
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO jcat.mev AS t USING mev_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val store = graft.journal.JournalStore.open(spark, s"$root/mev")
+    def state() = store.scanUnordered()
+      .groupBy("ukey").agg(max(struct(col("seq"), col("payload"),
+        col("score"))).as("t"))
+      .select(col("ukey"), col("t.payload"), col("t.score"))
+      .as[(Long, String, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(state() === Seq((1L, "pa", Some(0.9)), (2L, "pb", None),
+      (3L, "pc", Some(0.3))))
+    // re-merging the identical source is a complete no-op now that
+    // payload AND score both match current state
+    val maxBefore = store.manifest.maxSeq
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO jcat.mev AS t USING mev_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(store.manifest.maxSeq === maxBefore,
+      "an identical re-merge must suppress every row as no-op")
+  }}
+
   test("journal_catalog: two sessions-worth of metadata is just the directory") {
     withCatalog { root =>
       // a store created through the PATH api is immediately visible as a
