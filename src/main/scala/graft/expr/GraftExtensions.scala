@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
     GraftFunctions.tableEntries.foreach(ext.injectTableFunction)
+    // Batch CDC by table name (`option("changeFeed", true).table(...)`):
+    // a RESOLUTION rule, because the rewrite widens the relation's
+    // output with `_change_type` and the analyzer fixpoint must
+    // re-resolve references above it (see JournalCdfReadRule)
+    ext.injectResolutionRule(sp => new graft.sources.JournalCdfReadRule(sp))
     // SQL MERGE INTO / UPDATE on journal tables (the store's own merge:
     // touched-file pruning, no-op suppression, CAS re-derivation; see
     // JournalMerge.scala). Injected FIRST so the target relation is

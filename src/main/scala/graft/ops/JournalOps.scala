@@ -970,9 +970,14 @@ object JournalOps {
           val = s.val, score = s.score
         WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val, score)
           VALUES (s.ns, s.ukey, s.ts, s.payload, s.val, s.score)""")
-      store.scanUnordered()
-        .groupBy("ns", "ukey")
-        .agg(max(struct(col("seq"), col("payload"), col("score"))).as("top"))
+      // defensive score projection: an EMPTY source (empty-input
+      // fixtures) evolves nothing, so the store may not have the column
+      val sc0 = store.scanUnordered()
+      val scoreCol = if (sc0.columns.contains("score")) col("score")
+                     else lit(null).cast("double").as("score")
+      sc0.groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("payload"), scoreCol.as("score")))
+          .as("top"))
         .select(col("ns"), col("ukey"), col("top.payload").as("payload"),
           col("top.score").as("score"))
         .where(col("payload").isNotNull)

@@ -119,3 +119,36 @@ class JournalDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 }
+
+/** Batch CDC by TABLE NAME —
+  * `spark.read.option("changeFeed", true).option("fromVersion", v)
+  * .table("jcat.t")`, the Delta `readChangeFeed`-on-a-name idiom. The
+  * catalog resolved the table BEFORE the read options were visible, so
+  * the relation's schema is the plain row surface and no Scan built
+  * from it could ever add `_change_type`; instead this RESOLUTION rule
+  * (not post-hoc — the replacement widens the plan's output, and the
+  * analyzer's fixpoint must re-resolve references above it, exactly
+  * Delta's DeltaAnalysis CDC pattern) swaps the relation for the
+  * store's NET-diff plan, the same [[graft.journal.JournalStore.changes]]
+  * frame the path reader's ChangeFeedBatchScan serves.
+  *
+  * Installed by `spark.sql.extensions=graft.expr.GraftExtensions`. */
+class JournalCdfReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[JournalTable] &&
+        !r.table.asInstanceOf[JournalTable].isChangeFeed &&
+        Option(r.options.get("changeFeed")).exists(_.toBoolean) =>
+      val t = r.table.asInstanceOf[JournalTable]
+      val from = Option(r.options.get("fromVersion")).map(_.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "changeFeed by table name reads a BATCH change window and " +
+            "needs an explicit base: option(\"fromVersion\", <v>) emits " +
+            "the NET diff (v, to]; a LIVE feed streams through the path " +
+            "API (spark.readStream.format(\"journal\")" +
+            ".option(\"changeFeed\", true).load(path))"))
+      val st = graft.journal.JournalStore.open(spark, t.path)
+      val to = Option(r.options.get("toVersion")).map(_.toLong)
+        .getOrElse(st.manifest.version)
+      st.changes(from, to).queryExecution.analyzed
+  }
+}

@@ -222,6 +222,10 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
     * tier have no equivalent in the store scan). */
   private[sources] def isChangeFeed: Boolean = changeFeed
 
+  /** Store path, for the CDF-by-table-name rewrite
+    * ([[JournalCdfReadRule]]). */
+  private[sources] def path: String = storePath
+
   /** The DV-subtracted batch read as a DataFrame plan: the store's own
     * scan surface (vectorized parquet scan of the manifest file list,
     * `_metadata` row identity, broadcast-bounded anti-join against the
@@ -386,7 +390,24 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
     runDelete(st, cond)
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a READER-OPTION change feed on a catalog table
+    // (`spark.read.option("changeFeed", true).table("jcat.t")`) cannot
+    // be served from here — the relation's schema was fixed at
+    // loadTable, before the option was visible, so the scan could
+    // never add `_change_type`. With the graft extensions installed,
+    // [[JournalCdfReadRule]] rewrites the BATCH relation before
+    // planning reaches this point; reaching it means no extensions (or
+    // a streaming read, which pins its feed at the table level) —
+    // refuse loudly rather than silently serving the PLAIN row surface
+    // to a reader that asked for a diff.
+    require(changeFeed ||
+        !Option(options.get("changeFeed")).exists(_.toBoolean),
+      "changeFeed as a READ OPTION on a catalog table needs the graft " +
+        "session extensions (spark.sql.extensions=graft.expr." +
+        "GraftExtensions) for batch windows; streams read the feed " +
+        "through the path API (spark.readStream.format(\"journal\")" +
+        ".option(\"changeFeed\", true).load(path))")
     if (changeFeed && batchWindow)
       // BATCH CDC through the reader surface (the Delta CDF
       // `readChangeFeed` idiom): fromVersion/toVersion select the NET
@@ -438,6 +459,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         // (correct first; the columnar path returns once compact() purges)
         dvScan = if (m.dvParts.nonEmpty)
           store.map(s => () => s.scanUnordered()) else None)
+  }
 
   /** V2 write = the V2 commit framework executing the store's own
     * whole-batch append (global seq sort + stats + manifest CAS +

@@ -286,6 +286,37 @@ class CatalogSpec extends AnyFunSuite {
       "an identical re-merge must suppress every row as no-op")
   }}
 
+  test("journal_catalog: batch CDC by table name — " +
+      "option(changeFeed).table(...) reads the NET version diff") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE jcat.cdft (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+      val store = graft.journal.JournalStore.open(spark, s"$root/cdft")
+      Seq(("a", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "p1", 1.0),
+          ("a", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "p2", 2.0))
+        .toDF("ns", "ukey", "ts", "payload", "val")
+        .write.format("journal").mode("append").save(s"$root/cdft")
+      val v1 = store.manifest.version
+      store.append(Seq(
+        ("a", 3L, graft.TestSpark.ts("2024-01-02 00:00:03"), "p3", 3.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+      store.deleteWhereDv(col("ukey") === 1L)
+      val v2 = store.manifest.version
+      val got = spark.read
+        .option("changeFeed", "true")
+        .option("fromVersion", v1).option("toVersion", v2)
+        .table("jcat.cdft")
+        .select("_change_type", "ukey", "payload")
+        .as[(String, Long, String)].collect().toSeq.sorted
+      assert(got === Seq(("delete", 1L, "p1"), ("insert", 3L, "p3")))
+      // fromVersion is mandatory by name (a live feed streams via path)
+      val e = intercept[Exception](spark.read
+        .option("changeFeed", "true").table("jcat.cdft").collect())
+      assert(Option(e.getMessage).exists(_.contains("fromVersion")),
+        e.getMessage)
+    }
+  }
+
   test("journal_catalog: two sessions-worth of metadata is just the directory") {
     withCatalog { root =>
       // a store created through the PATH api is immediately visible as a
