@@ -1676,7 +1676,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
             whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column]
               = None,
             whenNotMatchedInsertCond: Option[org.apache.spark.sql.Column]
-              = None): Long = {
+              = None,
+            whenNotMatchedBySourceSet:
+              Seq[(String, org.apache.spark.sql.Column)] = Nil,
+            whenNotMatchedBySourceSetCond:
+              Option[org.apache.spark.sql.Column] = None): Long = {
     requireWritable()
     val required = Seq("ns", "ukey", "ts", "payload", "val")
     val missing = required.filterNot(source.columns.contains)
@@ -1722,7 +1726,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       // with state pruning disabled — a full reconciliation is a full
       // read of current state by definition. Small sources still skip
       // the localCheckpoint pin (the collected probe IS the source).
-      if (whenNotMatchedBySourceDelete.isDefined)
+      if (whenNotMatchedBySourceDelete.isDefined ||
+          whenNotMatchedBySourceSet.nonEmpty)
         mergeFull(
           if (probe.length <= JournalStore.MergeSmallSourceRows)
             spark.createDataFrame(
@@ -1730,7 +1735,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
           else srcPinned,
           extras, whenMatchedDelete, whenMatchedUpdate, whenNotMatchedInsert,
           whenMatchedUpdateCond, whenNotMatchedBySourceDelete,
-          whenNotMatchedInsertCond)
+          whenNotMatchedInsertCond, whenNotMatchedBySourceSet,
+          whenNotMatchedBySourceSetCond)
       else if (probe.length <= JournalStore.MergeSmallSourceRows)
         mergeSmall(src0.schema, probe, extras, whenMatchedDelete,
           whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond,
@@ -1752,6 +1758,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
         .as("top"))
       .select(Seq(col("ns"), col("ukey"),
         col("top.payload").as("cur_payload")) ++
+        extras.map(c =>
+          (if (stExtras.contains(c)) col(s"top.$c") else lit(null))
+            .as(s"cur__$c")): _*)
+      .where(col("cur_payload").isNotNull)
+
+  /** FULL-RECORD state reconstruction for a merge carrying a
+    * WHEN NOT MATCHED BY SOURCE ... UPDATE clause: the arg-max struct
+    * carries ts/val beside payload and the evolved columns, because the
+    * by-source update's appended row is a whole record whose unassigned
+    * columns ride the CURRENT values — which checkpoints don't carry,
+    * so this path always reconstructs from segments (the clause's
+    * structural cost, like the extras path). */
+  private def mergeStateFull(rows: DataFrame, stExtras: Seq[String],
+                             extras: Seq[String]): DataFrame =
+    rows.groupBy("ns", "ukey")
+      .agg(max(struct((Seq("seq", "ts", "payload", "val") ++ stExtras)
+        .map(col): _*)).as("top"))
+      .select(Seq(col("ns"), col("ukey"), col("top.ts").as("cur_ts"),
+        col("top.payload").as("cur_payload"), col("top.val").as("cur_val")) ++
         extras.map(c =>
           (if (stExtras.contains(c)) col(s"top.$c") else lit(null))
             .as(s"cur__$c")): _*)
@@ -1863,6 +1888,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
                         bySourceDelete:
                           Option[org.apache.spark.sql.Column] = None,
                         whenNotMatchedInsertCond:
+                          Option[org.apache.spark.sql.Column] = None,
+                        bySourceSet:
+                          Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                        bySourceSetCond:
                           Option[org.apache.spark.sql.Column] = None): Long = {
     val m = manifest
     // WHEN NOT MATCHED BY SOURCE: the state COMPLEMENT is the product,
@@ -1871,15 +1900,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // full current state (checkpoint-bounded latest() when no extras
     // ride) joins the source FULL OUTER, and state-only rows route
     // through the bySourceDelete gate in mergeRouted.
-    if (bySourceDelete.isDefined) {
-      val state = (if (extras.isEmpty)
+    if (bySourceDelete.isDefined || bySourceSet.nonEmpty) {
+      val stEx = storeExtrasOf(m, extras)
+      val state = (if (bySourceSet.nonEmpty)
+          // by-source UPDATE appends whole records — unassigned columns
+          // ride CURRENT ts/val, which checkpoints don't carry
+          mergeStateFull(readSegments().select(
+            ("ns" +: "ukey" +: "seq" +: "ts" +: "payload" +: "val" +:
+              stEx).map(col): _*), stEx, extras)
+        else if (extras.isEmpty)
           latest().select(col("ns"), col("ukey"),
             col("payload").as("cur_payload"))
         else
           mergeStateExtras(readSegments().select(
             ("ns" +: "ukey" +: "seq" +: "payload" +:
-              storeExtrasOf(m, extras)).map(col): _*),
-            storeExtrasOf(m, extras), extras)).alias("t")
+              stEx).map(col): _*),
+            stEx, extras)).alias("t")
       val src = src0
         .withColumn("__dup", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window
@@ -1891,7 +1927,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         "full_outer"), whenMatchedDelete, guarded = true,
         whenMatchedUpdate, whenNotMatchedInsert, extras,
         whenMatchedUpdateCond, bySourceDelete,
-        whenNotMatchedInsertCond), None, "")
+        whenNotMatchedInsertCond, bySourceSet, bySourceSetCond), None, "")
     }
     val prof = src0
       .groupBy(col("ns").cast("string").as("ns"))
@@ -1983,12 +2019,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
                           bySourceDelete:
                             Option[org.apache.spark.sql.Column] = None,
                           whenNotMatchedInsertCond:
+                            Option[org.apache.spark.sql.Column] = None,
+                          bySourceSet:
+                            Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                          bySourceSetCond:
                             Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    // state-only rows exist only under the full-outer bySourceDelete
-    // join, flagged by the source-side __src marker (a literal — immune
-    // to legitimately-null source columns)
-    val stateOnly =
-      if (bySourceDelete.isDefined) col("s.__src").isNull else lit(false)
+    // state-only rows exist only under the full-outer by-source join,
+    // flagged by the source-side __src marker (a literal — immune to
+    // legitimately-null source columns)
+    val bySrc = bySourceDelete.isDefined || bySourceSet.nonEmpty
+    val stateOnly = if (bySrc) col("s.__src").isNull else lit(false)
     val matched = !stateOnly && col("t.ns").isNotNull
     val delete = whenMatchedDelete.map(matched && coalesce(_, lit(false)))
       .getOrElse(lit(false))
@@ -2002,6 +2042,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // keys absent from the source (the full-reconciliation clause)
     val bySrcDel = bySourceDelete.map(stateOnly && coalesce(_, lit(false)))
       .getOrElse(lit(false))
+    // WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET: rewrite
+    // state keys absent from the source through target-scope
+    // assignments (first-match composition with the DELETE clause is
+    // the caller's gate algebra; !bySrcDel is belt-and-braces). NOT
+    // no-op-suppressed: like SQL UPDATE, a by-source update must never
+    // drop its own assignment.
+    val bySrcUpd =
+      if (bySourceSet.isEmpty) lit(false)
+      else stateOnly && !bySrcDel &&
+        coalesce(bySourceSetCond.getOrElse(lit(true)), lit(false))
+    val bySrcSetMap = bySourceSet.map { case (n, c) => n.toLowerCase -> c }.toMap
     // WHEN NOT MATCHED [AND cond] THEN INSERT: the gate evaluates over
     // the source row (NULL = not taken — the row is simply dropped)
     val insGate = whenNotMatchedInsertCond.map(coalesce(_, lit(false)))
@@ -2011,13 +2062,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val noop = matched && !delete &&
       extras.map(c => col(s"s.$c") <=> col(s"cur__$c"))
         .foldLeft(col("s.payload") <=> col("cur_payload"))(_ && _)
+    // by-source UPDATE output: the assigned expression, or the CURRENT
+    // value (cur_ts/cur_val only exist on the full-state reconstruction
+    // that a bySourceSet merge builds)
+    def bySrcVal(n: String, cur: => org.apache.spark.sql.Column) =
+      bySrcSetMap.getOrElse(n, cur)
     val payloadOut = when(delete || bySrcDel, lit(null))
-      .otherwise(col("s.payload"))
+      .otherwise(if (bySourceSet.isEmpty) col("s.payload")
+        else when(bySrcUpd, bySrcVal("payload", col("cur_payload")))
+          .otherwise(col("s.payload")))
     // SQL clause absence (the MERGE INTO surface): no WHEN MATCHED
     // UPDATE clause → a matched, non-deleted row is left untouched (not
     // upserted); no WHEN NOT MATCHED INSERT clause → an unmatched
     // source row is dropped. Defaults keep the Scala API's upsert shape.
-    val keepBase = delete || bySrcDel ||
+    val keepBase = delete || bySrcDel || bySrcUpd ||
       (!matched && !stateOnly && lit(whenNotMatchedInsert) && insGate) ||
       (matched && !delete && lit(whenMatchedUpdate) && updGate && !noop)
     val (keep, payload) =
@@ -2029,20 +2087,35 @@ class JournalStore private (val spark: SparkSession, val path: String,
           when(col("__dup") > 1, raise_error(lit(mergeDupMsg)))
             .otherwise(payloadOut))
       else (keepBase, payloadOut)
-    // a bySourceDelete tombstone's identity comes from the STATE side
-    // (there is no source row); ts/val/extras tombstone to null
+    // a by-source row's identity comes from the STATE side (there is no
+    // source row); a DELETE tombstones ts/val/extras to null, an UPDATE
+    // rides current values for whatever it didn't assign
     def keyOut(n: String) =
-      if (bySourceDelete.isDefined)
-        when(stateOnly, col(s"t.$n")).otherwise(col(s"s.$n"))
+      if (bySrc) when(stateOnly, col(s"t.$n")).otherwise(col(s"s.$n"))
       else col(s"s.$n")
+    val tsOut =
+      if (!bySrc) col("s.ts")
+      else if (bySourceSet.isEmpty)
+        when(stateOnly, lit(null)).otherwise(col("s.ts"))
+      else when(bySrcUpd, bySrcVal("ts", col("cur_ts")))
+        .when(stateOnly, lit(null)).otherwise(col("s.ts"))
+    val valOut =
+      if (bySourceSet.isEmpty)
+        when(delete || bySrcDel, lit(null)).otherwise(col("s.val"))
+      else when(delete || bySrcDel, lit(null))
+        .when(bySrcUpd, bySrcVal("val", col("cur_val")))
+        .otherwise(col("s.val"))
     joined.where(keep)
       .select(Seq(keyOut("ns").as("ns"), keyOut("ukey").as("ukey"),
-        when(stateOnly, lit(null)).otherwise(col("s.ts")).as("ts"),
-        payload.as("payload"),
-        when(delete || bySrcDel, lit(null)).otherwise(col("s.val")).as("val")) ++
-        // evolved columns ride the delta; a delete tombstones them
+        tsOut.as("ts"), payload.as("payload"), valOut.as("val")) ++
+        // evolved columns ride the delta; a delete tombstones them; a
+        // by-source update assigns them or rides their current values
         extras.map(c =>
-          when(delete || bySrcDel, lit(null)).otherwise(col(s"s.$c")).as(c)): _*)
+          (if (bySourceSet.isEmpty)
+            when(delete || bySrcDel, lit(null)).otherwise(col(s"s.$c"))
+          else when(delete || bySrcDel, lit(null))
+            .when(bySrcUpd, bySrcVal(c, col(s"cur__$c")))
+            .otherwise(col(s"s.$c"))).as(c)): _*)
   }
 
   /** Manifest files whose ns directory / per-file key range / key bloom

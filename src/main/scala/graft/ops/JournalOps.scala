@@ -923,6 +923,50 @@ object JournalOps {
           VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
       store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
     }),
+    "journal_merge_stale" -> ((s, d) => {
+      // `WHEN NOT MATCHED BY SOURCE THEN UPDATE SET` — the "mark stale"
+      // reconciliation (Delta's by-source update): state keys ABSENT
+      // from the source rewrite through TARGET-scope assignments
+      // (unassigned columns ride current values — the state side widens
+      // to the full-record arg-max, the clause's structural cost),
+      // gated here by t.ukey % 3 = 0. No INSERT clause, so source-only
+      // keys stay absent; matched keys upsert.
+      val tag = tmpTag(d)
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmst_seed_$tag").toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 599L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 600)
+            .write.format("journal").option("epochSize", "200").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmst_root_$tag").toString
+      val cat = s"jmst_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ev"))
+      val store = seedStore.cloneTo(s"$root/ev")
+      journal(s, d)
+        .where(col("seq") >= 300 && col("seq") < 800)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"))
+        .createOrReplaceTempView(s"jmst_src_$tag")
+      s.sql(s"""MERGE INTO $cat.ev AS t USING jmst_src_$tag AS s
+        ON t.ns = s.ns AND t.ukey <=> s.ukey
+        WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload,
+          val = s.val
+        WHEN NOT MATCHED BY SOURCE AND t.ukey % 3 = 0
+          THEN UPDATE SET payload = concat(t.payload, ':stale')""")
+      store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
+    }),
     "journal_merge_evolve_sql" -> ((s, d) => {
       // `MERGE WITH SCHEMA EVOLUTION` (Delta's autoMerge, the SQL
       // spelling of merge schema evolution): the statement assigns a
@@ -1921,6 +1965,25 @@ object JournalOps {
         "WHEN s.ns IS NOT NULL THEN s.payload " +
         "ELSE t.payload END AS payload " +
         "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
+        "ORDER BY ns, ukey"),
+    // by-source UPDATE reconcile: matched keys take the source payload,
+    // state-only keys with the even gate mark stale (||, null-propagating
+    // like Spark's concat), source-only keys stay absent (no INSERT)
+    "journal_merge_stale" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 600 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id >= 300 AND event_id < 800 " +
+        "GROUP BY 1, 2), " +
+        "merged AS (SELECT t.ns, t.ukey, " +
+        "CASE WHEN s.ns IS NOT NULL THEN s.payload " +
+        "WHEN COALESCE(t.ukey % 3 = 0, FALSE) " +
+        "THEN t.payload || ':stale' ELSE t.payload END AS payload " +
+        "FROM state1 t LEFT JOIN src s " +
         "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
         "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
         "ORDER BY ns, ukey"),

@@ -45,11 +45,16 @@ import org.apache.spark.sql.types.LongType
   *     same assignment columns; with both UPDATE and INSERT present
   *     their value expressions must agree (one source row serves both
   *     routes).
-  *   - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — the
-  *     full-reconciliation clause: state keys absent from the source
-  *     tombstone; cond sees the target's ns/ukey/payload only. State
-  *     pruning is structurally OFF here (the complement is the
-  *     product) — the state side is the checkpoint-bounded latest().
+  *   - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE
+  *     SET …` — the full-reconciliation clauses: state keys absent
+  *     from the source tombstone (DELETE) or rewrite through
+  *     TARGET-scope assignments (UPDATE; unassigned columns ride
+  *     current values, so the state side widens to the full record and
+  *     ts/val become visible to conditions). Same first-match-wins
+  *     gate algebra as the matched clauses. State pruning is
+  *     structurally OFF here (the complement is the product) — DELETE
+  *     reads the checkpoint-bounded latest(), UPDATE the full-record
+  *     segment arg-max.
   *   - Clause order honors SQL first-match-wins: an unconditional
   *     clause shadows everything after it; a conditional UPDATE before
   *     DELETE routes gate-failing matches to the DELETE clause.
@@ -225,18 +230,35 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
         Some(i.assignments)
       case _ => fail("journal MERGE supports at most one WHEN NOT MATCHED clause")
     }
-    // ---- WHEN NOT MATCHED BY SOURCE THEN DELETE [AND cond] — the
-    // full-reconciliation clause: target keys absent from the source
-    // tombstone. UPDATE-by-source is refused (the routing join carries
-    // the state side's ns/ukey/payload only).
-    val bySourceDel: Option[Option[Expression]] =
-      m.notMatchedBySourceActions match {
-        case Seq() => None
-        case Seq(d: DeleteAction) => Some(d.condition)
-        case other => fail("journal MERGE supports WHEN NOT MATCHED BY " +
-          "SOURCE THEN DELETE only (got " +
-          other.map(_.getClass.getSimpleName).mkString(", ") + ")")
-      }
+    // ---- WHEN NOT MATCHED BY SOURCE — the full-reconciliation
+    // clauses: target keys absent from the source DELETE (tombstone)
+    // or UPDATE (rewrite through target-scope assignments, unassigned
+    // columns riding current values). Same first-match-wins gate
+    // algebra as the matched clauses.
+    var bySourceDel: Option[Option[Expression]] = None
+    var bySrcUpdAssigns: Option[Seq[Assignment]] = None
+    var bySrcUpdCond: Option[Expression] = None
+    m.notMatchedBySourceActions match {
+      case Seq() => ()
+      case Seq(d: DeleteAction) => bySourceDel = Some(d.condition)
+      case Seq(u: UpdateAction) =>
+        bySrcUpdAssigns = Some(u.assignments); bySrcUpdCond = u.condition
+      case Seq(d: DeleteAction, u: UpdateAction) =>
+        if (d.condition.isEmpty) bySourceDel = Some(None) // UPDATE dead
+        else {
+          bySourceDel = Some(d.condition)
+          bySrcUpdAssigns = Some(u.assignments); bySrcUpdCond = u.condition
+        }
+      case Seq(u: UpdateAction, d: DeleteAction) =>
+        bySrcUpdAssigns = Some(u.assignments); bySrcUpdCond = u.condition
+        u.condition.foreach { uc =>
+          bySourceDel = Some(Some(d.condition
+            .map(dc => And(notTaken(uc), dc)).getOrElse(notTaken(uc))))
+        } // unconditional UPDATE shadows DELETE entirely
+      case other => fail("journal MERGE supports at most one WHEN NOT " +
+        "MATCHED BY SOURCE DELETE and one UPDATE clause (got " +
+        other.map(_.getClass.getSimpleName).mkString(", ") + ")")
+    }
 
     // ---- assignments → the per-column source expressions.
     // UPDATE values resolve in the joined scope (SQL allows t refs —
@@ -332,7 +354,8 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     // from the ON equalities).
     val proj: Map[String, Expression] =
       updMap.map(_._1).orElse(insMap.map(_._1)).getOrElse {
-        if (delCond.isEmpty && bySourceDel.isDefined) {
+        if (delCond.isEmpty &&
+            (bySourceDel.isDefined || bySrcUpdAssigns.isDefined)) {
           val types = table.dataColumnTypes
           DataCols.map(n => n -> (Literal(null, types(n)): Expression)).toMap
         } else DataCols.map { n =>
@@ -380,6 +403,12 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
             case "ns"      => UnresolvedAttribute(Seq("t", "ns"))
             case "ukey"    => UnresolvedAttribute(Seq("t", "ukey"))
             case "payload" => UnresolvedAttribute(Seq("cur_payload"))
+            // a by-source UPDATE widens state reconstruction to the
+            // full record, so ts/val current values become visible
+            case "ts" if bySrcUpdAssigns.isDefined =>
+              UnresolvedAttribute(Seq("cur_ts"))
+            case "val" if bySrcUpdAssigns.isDefined =>
+              UnresolvedAttribute(Seq("cur_val"))
             // an evolving merge reconstructs current values for its
             // evolved columns (the cur__ carriers) — visible to gates
             case n if extraProj.exists(_._1 == n) =>
@@ -404,6 +433,35 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       case Some(c0) => routedCond(c0, "NOT MATCHED BY SOURCE",
         allowSource = false, allowTarget = true)
     }
+    // by-source UPDATE: assignments are TARGET-scope expressions over
+    // the reconstructed full record; assignable columns are the data
+    // record itself (plus columns this merge's own evolution carries) —
+    // anything else would silently drop out of the routed projection
+    val bySrcSetForStore: Seq[(String, Expression)] =
+      bySrcUpdAssigns.map(_.map { a =>
+        val k = resolve1(a.key, tAttrs) match {
+          case at: Attribute => at.name.toLowerCase
+          case other => fail("journal MERGE can assign only top-level " +
+            s"columns; got: ${other.sql}")
+        }
+        if (EngineCols.contains(k)) fail("journal MERGE cannot assign " +
+          s"engine column '$k' (NOT MATCHED BY SOURCE UPDATE)")
+        if (k == "ns" || k == "ukey") fail("journal MERGE cannot " +
+          s"reassign join key '$k' (NOT MATCHED BY SOURCE UPDATE); " +
+          "DELETE + INSERT expresses a key move")
+        if (!DataCols.contains(k) && !extraProj.exists(_._1 == k)) fail(
+          "journal MERGE NOT MATCHED BY SOURCE UPDATE can assign " +
+            "ts/payload/val (and columns this merge itself evolves); " +
+            s"got '$k'")
+        if (SubqueryExpression.hasSubquery(a.value)) fail(
+          "journal MERGE does not support subqueries in assignments " +
+            "(NOT MATCHED BY SOURCE UPDATE)")
+        k -> routedCond(a.value, "NOT MATCHED BY SOURCE UPDATE",
+          allowSource = false, allowTarget = true)
+      }).getOrElse(Nil)
+    val bySrcUpdCondForStore: Option[Expression] = bySrcUpdCond.map(
+      routedCond(_, "NOT MATCHED BY SOURCE", allowSource = false,
+        allowTarget = true))
     // INSERT gate: the clause's SQL scope is the source only (there is
     // no target row on the not-matched route)
     val insForStore: Option[Expression] = insCond.map(
@@ -415,7 +473,9 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       notMatchedInsert = insMap.isDefined,
       updateCond = updForStore.map(ExprBox),
       bySourceDelete = bySrcForStore.map(ExprBox),
-      insertCond = insForStore.map(ExprBox))
+      insertCond = insForStore.map(ExprBox),
+      bySourceSet = bySrcSetForStore.map { case (n, e) => n -> ExprBox(e) },
+      bySourceSetCond = bySrcUpdCondForStore.map(ExprBox))
   }
 
   /** SQL UPDATE: rewrite the CURRENT state rows matching the condition
@@ -493,7 +553,9 @@ case class JournalMergeCommand(
     notMatchedInsert: Boolean,
     @transient updateCond: Option[ExprBox] = None,
     @transient bySourceDelete: Option[ExprBox] = None,
-    @transient insertCond: Option[ExprBox] = None)
+    @transient insertCond: Option[ExprBox] = None,
+    @transient bySourceSet: Seq[(String, ExprBox)] = Nil,
+    @transient bySourceSetCond: Option[ExprBox] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("appended_rows", LongType, nullable = false)())
@@ -509,7 +571,9 @@ case class JournalMergeCommand(
       matchedUpdate, notMatchedInsert,
       updateCond.map(b => StreamBatchBridge.columnOf(b.e)),
       bySourceDelete.map(b => StreamBatchBridge.columnOf(b.e)),
-      insertCond.map(b => StreamBatchBridge.columnOf(b.e)))))
+      insertCond.map(b => StreamBatchBridge.columnOf(b.e)),
+      bySourceSet.map { case (n, b) => n -> StreamBatchBridge.columnOf(b.e) },
+      bySourceSetCond.map(b => StreamBatchBridge.columnOf(b.e)))))
   }
 }
 

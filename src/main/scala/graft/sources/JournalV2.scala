@@ -347,13 +347,20 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                 bySourceDel: Option[org.apache.spark.sql.Column]
                                   = None,
                                 insCond: Option[org.apache.spark.sql.Column]
+                                  = None,
+                                bySourceSet:
+                                  Seq[(String, org.apache.spark.sql.Column)]
+                                  = Nil,
+                                bySourceSetCond:
+                                  Option[org.apache.spark.sql.Column]
                                   = None): Long = {
     require(!pinned, "MERGE through a version-pinned journal table " +
       "(VERSION AS OF) is refused — pin a reader, not a writer")
     val st = store.getOrElse(throw new IllegalStateException(
       s"no journal store at $storePath"))
     val before = st.manifest.maxSeq
-    val after = st.merge(source, del, upd, ins, updCond, bySourceDel, insCond)
+    val after = st.merge(source, del, upd, ins, updCond, bySourceDel,
+      insCond, bySourceSet, bySourceSetCond)
     after - before
   }
 

@@ -642,12 +642,51 @@ class CatalogSpec extends AnyFunSuite {
     refuses("""
       MERGE INTO jcat.msub AS t USING msub_src2 AS s
       ON t.ns = s.ns AND t.ukey = s.ukey
-      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = 0.0""", "DELETE only")
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ukey = 0""",
+      "reassign join key")
     refuses("""
       MERGE INTO jcat.msub AS t USING msub_src2 AS s
       ON t.ns = s.ns AND t.ukey = s.ukey
       WHEN NOT MATCHED BY SOURCE AND t.val > 0 THEN DELETE""",
       "ns, ukey, payload")
+  }}
+
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE THEN UPDATE: absent keys " +
+      "rewrite through target-scope assignments, unassigned columns " +
+      "ride current values, first-match-wins with DELETE") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.msup (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 2.0),
+      ("users", 3L, graft.TestSpark.ts("2024-01-01 00:00:03"), "pc", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/msup")
+    Seq(("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:01"), "UP1", 10.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("msup_src")
+    // key 1 matches (upserts); keys 2 and 3 are absent from the source —
+    // 2 (val < 3) marks stale via the UPDATE gate, 3 falls through to
+    // the conditional DELETE (first-match-wins)
+    spark.sql("""
+      MERGE INTO jcat.msup AS t USING msup_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+      WHEN NOT MATCHED BY SOURCE AND t.val < 3.0
+        THEN UPDATE SET payload = concat(t.payload, ':stale'), val = t.val + 100
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val store = graft.journal.JournalStore.open(spark, s"$root/msup")
+    val got = store.latest().orderBy("ukey")
+      .select("ukey", "payload").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "UP1"), (2L, "pb:stale")))
+    // the stale rewrite carried current ts and assigned val: full-record
+    // semantics over the reconstructed state
+    val row2 = store.scanUnordered().where(col("ukey") === 2L)
+      .orderBy(col("seq").desc).limit(1)
+      .select(col("val"), col("ts").cast("string"))
+      .as[(Double, String)].head()
+    assert(row2._1 === 102.0)
+    assert(row2._2.startsWith("2024-01-01"), row2._2) // rode current ts
   }}
 
   test("SQL MERGE conditional clauses: matched UPDATE gates, " +
