@@ -175,6 +175,7 @@ object Bench {
       s""""runs":$timedRuns,"run_totals":$totalsJson,""" +
       s""""gc_ms_per_pass":$gcJson,"wall_sec_per_pass":$wallJson,""" +
       s""""loadavg_per_pass":$loadJson,"other_busy_cpu_sec_per_pass":$otherJson,""" +
+      s""""iowait_sec_per_pass":$iowaitJson,""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val sb = new StringBuilder(head)

@@ -465,10 +465,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case Seq(one) => one
         case _ => "alter"
       }
-      commitSeam()
-      writeManifest(path, m.copy(op = op,
-        schemaDdl = st.map(_.toDDL).getOrElse(m.schemaDdl),
-        droppedCols = dropped, meta = meta))
+      val newDdl = st.map(_.toDDL).getOrElse(m.schemaDdl)
+      // A change list that validates to a pure no-op (e.g. only
+      // DropCol(ifExists=true) on a missing column) must not commit a
+      // version: an unconditional bump would make IF EXISTS
+      // non-idempotent at the history grain.
+      if (newDdl != m.schemaDdl || dropped != m.droppedCols ||
+          meta != m.meta) {
+        commitSeam()
+        writeManifest(path, m.copy(op = op, schemaDdl = newDdl,
+          droppedCols = dropped, meta = meta))
+      }
     }
   }
 
@@ -1680,7 +1687,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
             whenNotMatchedBySourceSet:
               Seq[(String, org.apache.spark.sql.Column)] = Nil,
             whenNotMatchedBySourceSetCond:
-              Option[org.apache.spark.sql.Column] = None): Long = {
+              Option[org.apache.spark.sql.Column] = None,
+            whenMatchedUpdateValues:
+              Seq[(org.apache.spark.sql.Column, String)] = Nil,
+            stateNeedsTsVal: Boolean = false): Long = {
     requireWritable()
     val required = Seq("ns", "ukey", "ts", "payload", "val")
     val missing = required.filterNot(source.columns.contains)
@@ -1693,8 +1703,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // differs from current state MUST land (suppressing it would
     // silently drop the new column's value). Columns the store already
     // pins keep their types (appendOnce fails fast on a retype).
-    val extras = source.columns.filterNot(required.contains).toSeq
-    val src0 = source.select((required ++ extras).map(col): _*)
+    // Reserved __mc* columns are N-clause merge CARRIERS (per-clause
+    // update values / gate source refs, projected by the SQL rule) —
+    // they ride the routing join but are NOT evolution extras and
+    // never reach the appended delta.
+    val extras = source.columns.filterNot(required.contains)
+      .filterNot(_.startsWith(JournalStore.MergeCarrierPrefix)).toSeq
+    val carriers = source.columns
+      .filter(_.startsWith(JournalStore.MergeCarrierPrefix)).toSeq
+    val src0 = source.select((required ++ extras ++ carriers).map(col): _*)
     // the probe runs ONCE, outside the conflict-retry loop: a
     // non-deterministic source stays pinned to one snapshot across
     // CAS-loss re-derivations
@@ -1736,14 +1753,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
           extras, whenMatchedDelete, whenMatchedUpdate, whenNotMatchedInsert,
           whenMatchedUpdateCond, whenNotMatchedBySourceDelete,
           whenNotMatchedInsertCond, whenNotMatchedBySourceSet,
-          whenNotMatchedBySourceSetCond)
+          whenNotMatchedBySourceSetCond, whenMatchedUpdateValues,
+          stateNeedsTsVal)
       else if (probe.length <= JournalStore.MergeSmallSourceRows)
         mergeSmall(src0.schema, probe, extras, whenMatchedDelete,
           whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond,
-          whenNotMatchedInsertCond)
+          whenNotMatchedInsertCond, whenMatchedUpdateValues, stateNeedsTsVal)
       else mergeFull(srcPinned, extras, whenMatchedDelete,
         whenMatchedUpdate, whenNotMatchedInsert, whenMatchedUpdateCond,
-        whenNotMatchedInsertCond = whenNotMatchedInsertCond)
+        whenNotMatchedInsertCond = whenNotMatchedInsertCond,
+        whenMatchedUpdateValues = whenMatchedUpdateValues,
+        stateNeedsTsVal = stateNeedsTsVal)
     }
   }
 
@@ -1811,7 +1831,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
                          whenMatchedUpdateCond:
                            Option[org.apache.spark.sql.Column] = None,
                          whenNotMatchedInsertCond:
-                           Option[org.apache.spark.sql.Column] = None): Long = {
+                           Option[org.apache.spark.sql.Column] = None,
+                         whenMatchedUpdateValues:
+                           Seq[(org.apache.spark.sql.Column, String)] = Nil,
+                         stateNeedsTsVal: Boolean = false): Long = {
     val m = manifest
     if (rows.isEmpty) return m.maxSeq
     val keys = rows.map(r => (if (r.isNullAt(0)) null else r.get(0).toString,
@@ -1831,12 +1854,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
       if (hasNullKey) ksIn || col("ukey").isNull else ksIn
     }
     val stExtras = storeExtrasOf(m, extras)
+    // a clause gate referencing target ts/val (the late-arrival guard
+    // `WHEN MATCHED AND t.ts < s.ts`) widens reconstruction to the full
+    // record — checkpoints don't carry ts/val, segments do
+    val baseCols =
+      if (stateNeedsTsVal) Seq("ns", "ukey", "seq", "ts", "payload", "val")
+      else Seq("ns", "ukey", "seq", "payload")
     val filtered = readSegmentsOver(cand, m.schemaDdl, m.dvParts)
       .where(if (nss.isEmpty) lit(false) else col("ns").isin(nss: _*))
       .where(keyPred)
-      .select(("ns" +: "ukey" +: "seq" +: "payload" +: stExtras).map(col): _*)
+      .select((baseCols ++ stExtras).map(col): _*)
     val state0 =
-      if (extras.isEmpty)
+      if (stateNeedsTsVal) mergeStateFull(filtered, stExtras, extras)
+      else if (extras.isEmpty)
         tombstoneAwareState(filtered)
           .select(col("ns"), col("ukey"), col("payload").as("cur_payload"))
       else mergeStateExtras(filtered, stExtras, extras)
@@ -1850,7 +1880,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       col("s.ns") === col("t.ns") && col("s.ukey") <=> col("t.ukey"),
       "left_outer"), whenMatchedDelete, guarded = false,
       whenMatchedUpdate, whenNotMatchedInsert, extras,
-      whenMatchedUpdateCond, whenNotMatchedInsertCond = whenNotMatchedInsertCond),
+      whenMatchedUpdateCond, whenNotMatchedInsertCond = whenNotMatchedInsertCond,
+      whenMatchedUpdateValues = whenMatchedUpdateValues),
       None, "")
   }
 
@@ -1892,7 +1923,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
                         bySourceSet:
                           Seq[(String, org.apache.spark.sql.Column)] = Nil,
                         bySourceSetCond:
-                          Option[org.apache.spark.sql.Column] = None): Long = {
+                          Option[org.apache.spark.sql.Column] = None,
+                        whenMatchedUpdateValues:
+                          Seq[(org.apache.spark.sql.Column, String)] = Nil,
+                        stateNeedsTsVal: Boolean = false): Long = {
     val m = manifest
     // WHEN NOT MATCHED BY SOURCE: the state COMPLEMENT is the product,
     // so file/row pruning by the source-key profile is structurally off
@@ -1902,9 +1936,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // through the bySourceDelete gate in mergeRouted.
     if (bySourceDelete.isDefined || bySourceSet.nonEmpty) {
       val stEx = storeExtrasOf(m, extras)
-      val state = (if (bySourceSet.nonEmpty)
-          // by-source UPDATE appends whole records — unassigned columns
-          // ride CURRENT ts/val, which checkpoints don't carry
+      val state = (if (bySourceSet.nonEmpty || stateNeedsTsVal)
+          // by-source UPDATE appends whole records (and a ts/val-reading
+          // gate compares current values) — unassigned columns ride
+          // CURRENT ts/val, which checkpoints don't carry
           mergeStateFull(readSegments().select(
             ("ns" +: "ukey" +: "seq" +: "ts" +: "payload" +: "val" +:
               stEx).map(col): _*), stEx, extras)
@@ -1927,7 +1962,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
         "full_outer"), whenMatchedDelete, guarded = true,
         whenMatchedUpdate, whenNotMatchedInsert, extras,
         whenMatchedUpdateCond, bySourceDelete,
-        whenNotMatchedInsertCond, bySourceSet, bySourceSetCond), None, "")
+        whenNotMatchedInsertCond, bySourceSet, bySourceSetCond,
+        whenMatchedUpdateValues), None, "")
     }
     val prof = src0
       .groupBy(col("ns").cast("string").as("ns"))
@@ -1959,7 +1995,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val cand = JournalStore.mergeStateCandidateFiles(m, groups)
     val stExtras = storeExtrasOf(m, extras)
     val stateCols = ("ns" +: "ukey" +: "seq" +: "payload" +: stExtras).map(col)
-    val state = (if (extras.isEmpty) {
+    val state = (if (stateNeedsTsVal) {
+        // a matched-clause gate reads current ts/val — reconstruct the
+        // full record from segments (checkpoints don't carry ts/val);
+        // file/row pruning by the source profile still applies
+        val base =
+          if (cand.size * 2 <= m.files.size)
+            readSegmentsOver(cand, m.schemaDdl, m.dvParts)
+          else readSegments()
+        mergeStateFull(base.where(rowPred).select(
+          (Seq("ns", "ukey", "seq", "ts", "payload", "val") ++ stExtras)
+            .map(col): _*), stExtras, extras)
+      } else if (extras.isEmpty) {
         val stateRows =
           if (cand.size * 2 <= m.files.size)
             tombstoneAwareState(
@@ -1995,7 +2042,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       "left_outer"), whenMatchedDelete, guarded = true,
       whenMatchedUpdate, whenNotMatchedInsert, extras,
       whenMatchedUpdateCond,
-      whenNotMatchedInsertCond = whenNotMatchedInsertCond), None, "")
+      whenNotMatchedInsertCond = whenNotMatchedInsertCond,
+      whenMatchedUpdateValues = whenMatchedUpdateValues), None, "")
   }
 
   /** Clause routing shared by both merge paths. With `guarded`, the
@@ -2023,7 +2071,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
                           bySourceSet:
                             Seq[(String, org.apache.spark.sql.Column)] = Nil,
                           bySourceSetCond:
-                            Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                            Option[org.apache.spark.sql.Column] = None,
+                          whenMatchedUpdateValues:
+                            Seq[(org.apache.spark.sql.Column, String)]
+                            = Nil): DataFrame = {
     // state-only rows exist only under the full-outer by-source join,
     // flagged by the source-side __src marker (a literal — immune to
     // legitimately-null source columns)
@@ -2057,20 +2108,48 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // the source row (NULL = not taken — the row is simply dropped)
     val insGate = whenNotMatchedInsertCond.map(coalesce(_, lit(false)))
       .getOrElse(lit(true))
+    // N-clause matched UPDATE (SQL first-match-wins, composed by the
+    // SQL rule into DISJOINT masked gates): each clause's gate selects
+    // that clause's own carrier columns (source-scope values the rule
+    // projected under reserved __mc names); with no cases the single
+    // canonical carrier serves the update route as before.
+    def updVal(c: String): org.apache.spark.sql.Column =
+      if (whenMatchedUpdateValues.isEmpty) col(s"s.$c")
+      else whenMatchedUpdateValues.tail.foldLeft(
+        when(coalesce(whenMatchedUpdateValues.head._1, lit(false)),
+          col(s"s.${whenMatchedUpdateValues.head._2}$c"))) {
+        case (acc, (g, p)) => acc.when(coalesce(g, lit(false)), col(s"s.$p$c"))
+      }
     // no-op = payload AND every evolved column unchanged — suppressing
-    // on payload alone would silently drop an extras-only update
+    // on payload alone would silently drop an extras-only update. The
+    // comparison reads the value the firing clause WOULD append.
     val noop = matched && !delete &&
-      extras.map(c => col(s"s.$c") <=> col(s"cur__$c"))
-        .foldLeft(col("s.payload") <=> col("cur_payload"))(_ && _)
+      extras.map(c => updVal(c) <=> col(s"cur__$c"))
+        .foldLeft(updVal("payload") <=> col("cur_payload"))(_ && _)
+    // the matched-update route (kept rows only reach it when updGate
+    // held and the row was not a no-op; the residual when() guard keeps
+    // the projection honest if the filter is reordered)
+    val updating = matched && !delete && lit(whenMatchedUpdate) && updGate
     // by-source UPDATE output: the assigned expression, or the CURRENT
     // value (cur_ts/cur_val only exist on the full-state reconstruction
     // that a bySourceSet merge builds)
     def bySrcVal(n: String, cur: => org.apache.spark.sql.Column) =
       bySrcSetMap.getOrElse(n, cur)
-    val payloadOut = when(delete || bySrcDel, lit(null))
-      .otherwise(if (bySourceSet.isEmpty) col("s.payload")
-        else when(bySrcUpd, bySrcVal("payload", col("cur_payload")))
-          .otherwise(col("s.payload")))
+    // route-disjoint arm chain: delete/by-source-delete → null,
+    // by-source update → assigned-or-current, matched update → the
+    // firing clause's carrier, default → the canonical source carrier
+    // (insert route, and the single-clause shared-carrier shape)
+    def armChain(arms: Seq[(org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column)],
+                 dflt: org.apache.spark.sql.Column) =
+      arms.foldRight(dflt) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+    val payloadOut = armChain(
+      Seq(((delete || bySrcDel), lit(null))) ++
+        (if (bySourceSet.nonEmpty)
+          Seq((bySrcUpd, bySrcVal("payload", col("cur_payload")))) else Nil) ++
+        (if (whenMatchedUpdateValues.nonEmpty)
+          Seq((updating, updVal("payload"))) else Nil),
+      col("s.payload"))
     // SQL clause absence (the MERGE INTO surface): no WHEN MATCHED
     // UPDATE clause → a matched, non-deleted row is left untouched (not
     // upserted); no WHEN NOT MATCHED INSERT clause → an unmatched
@@ -2093,29 +2172,32 @@ class JournalStore private (val spark: SparkSession, val path: String,
     def keyOut(n: String) =
       if (bySrc) when(stateOnly, col(s"t.$n")).otherwise(col(s"s.$n"))
       else col(s"s.$n")
-    val tsOut =
-      if (!bySrc) col("s.ts")
-      else if (bySourceSet.isEmpty)
-        when(stateOnly, lit(null)).otherwise(col("s.ts"))
-      else when(bySrcUpd, bySrcVal("ts", col("cur_ts")))
-        .when(stateOnly, lit(null)).otherwise(col("s.ts"))
-    val valOut =
-      if (bySourceSet.isEmpty)
-        when(delete || bySrcDel, lit(null)).otherwise(col("s.val"))
-      else when(delete || bySrcDel, lit(null))
-        .when(bySrcUpd, bySrcVal("val", col("cur_val")))
-        .otherwise(col("s.val"))
+    val tsOut = armChain(
+      (if (bySourceSet.nonEmpty)
+        Seq((bySrcUpd, bySrcVal("ts", col("cur_ts")))) else Nil) ++
+        (if (bySrc) Seq((stateOnly, lit(null))) else Nil) ++
+        (if (whenMatchedUpdateValues.nonEmpty)
+          Seq((updating, updVal("ts"))) else Nil),
+      col("s.ts"))
+    val valOut = armChain(
+      Seq(((delete || bySrcDel), lit(null))) ++
+        (if (bySourceSet.nonEmpty)
+          Seq((bySrcUpd, bySrcVal("val", col("cur_val")))) else Nil) ++
+        (if (whenMatchedUpdateValues.nonEmpty)
+          Seq((updating, updVal("val"))) else Nil),
+      col("s.val"))
     joined.where(keep)
       .select(Seq(keyOut("ns").as("ns"), keyOut("ukey").as("ukey"),
         tsOut.as("ts"), payload.as("payload"), valOut.as("val")) ++
         // evolved columns ride the delta; a delete tombstones them; a
         // by-source update assigns them or rides their current values
-        extras.map(c =>
-          (if (bySourceSet.isEmpty)
-            when(delete || bySrcDel, lit(null)).otherwise(col(s"s.$c"))
-          else when(delete || bySrcDel, lit(null))
-            .when(bySrcUpd, bySrcVal(c, col(s"cur__$c")))
-            .otherwise(col(s"s.$c"))).as(c)): _*)
+        extras.map(c => armChain(
+          Seq(((delete || bySrcDel), lit(null))) ++
+            (if (bySourceSet.nonEmpty)
+              Seq((bySrcUpd, bySrcVal(c, col(s"cur__$c")))) else Nil) ++
+            (if (whenMatchedUpdateValues.nonEmpty)
+              Seq((updating, updVal(c))) else Nil),
+          col(s"s.$c")).as(c)): _*)
   }
 
   /** Manifest files whose ns directory / per-file key range / key bloom
@@ -2613,9 +2695,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
           val engine = Set("seq", "epoch", "skey")
           require(!amap.keySet.exists(engine.contains),
             "updateWhere cannot assign engine columns (seq/epoch/skey)")
+          // Key reassignment would append the row under the NEW key while
+          // the OLD key's latest row stays live and untombstoned — silent
+          // state duplication. Same refusal as the SQL surface
+          // (translateUpdate); a key move is DELETE + append.
+          require(!amap.keySet.exists(Set("ns", "ukey").contains),
+            "updateWhere cannot assign key columns (ns/ukey); " +
+              "move a key with DELETE + append")
           val outCols = state.columns.toSeq
-          val unknown = amap.keySet --
-            outCols.map(_.toLowerCase) -- Set("ns", "ukey")
+          val unknown = amap.keySet -- outCols.map(_.toLowerCase)
           require(unknown.isEmpty,
             s"updateWhere: no such column(s) ${unknown.mkString(", ")}")
           val updated = state
@@ -3118,6 +3206,13 @@ object JournalStore {
     * pay the one full-state (ns, ukey) shuffle, which is the right
     * plan when the source really touches much of the key space. */
   val MergeSmallSourceRows = 2048
+
+  /** Reserved source-column prefix for N-clause merge CARRIERS — the
+    * SQL rule projects per-clause UPDATE values (`__mc_u<i>_<col>`) and
+    * gate source refs (`__mc_s<k>`) under it. Carrier columns ride the
+    * routing join but are never evolution extras and never reach the
+    * appended delta. */
+  val MergeCarrierPrefix = "__mc"
 
   /** Deletion-vector part-count cap: each deleteWhereDv appends one
     * part; past this, the next delete folds them to one (bounds the

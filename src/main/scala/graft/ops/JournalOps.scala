@@ -1072,6 +1072,55 @@ object JournalOps {
           VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
       store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
     }),
+    "journal_merge_multi" -> ((s, d) => {
+      // N-CLAUSE conditional MERGE (VERDICT r14 item 2): THREE
+      // conditional WHEN MATCHED UPDATE clauses with DIFFERENT
+      // per-clause values, a fall-through DELETE, and an INSERT whose
+      // values differ from every UPDATE. SQL first-match-wins composes
+      // as DISJOINT masked gates; each clause's values ride dedicated
+      // __mc_u<i>_ carrier columns the routing join selects by gate —
+      // still ONE state join, ONE append, no-op suppression intact.
+      val tag = tmpTag(d)
+      val seed = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmmul_seed_$tag").toString
+      val seedStore = Option(seed)
+        .filter(graft.journal.JournalStore.exists)
+        .map(graft.journal.JournalStore.open(s, _))
+        .filter(_.manifest.maxSeq == 2999L)
+        .getOrElse {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(seed))
+          journal(s, d).where(col("seq") < 3000)
+            .write.format("journal").option("epochSize", "1000").save(seed)
+          graft.journal.JournalStore.open(s, seed)
+        }
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jmmul_root_$tag").toString
+      val cat = s"jmmul_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/ev"))
+      val store = seedStore.cloneTo(s"$root/ev")
+      journal(s, d)
+        .where(col("seq") >= 3000 && col("seq") < 5000)
+        .groupBy("ns", "ukey")
+        .agg(max(struct(col("seq"), col("ts"), col("payload"), col("val")))
+          .as("top"))
+        .select(col("ns"), col("ukey"), col("top.ts").as("ts"),
+          col("top.payload").as("payload"), col("top.val").as("val"))
+        .createOrReplaceTempView(s"jmmul_src_$tag")
+      s.sql(s"""MERGE INTO $cat.ev AS t USING jmmul_src_$tag AS s
+        ON t.ns = s.ns AND t.ukey <=> s.ukey
+        WHEN MATCHED AND s.val >= 60.0 THEN UPDATE SET ts = s.ts,
+          payload = concat('hot:', s.payload), val = s.val
+        WHEN MATCHED AND s.val >= 30.0 THEN UPDATE SET ts = s.ts,
+          payload = concat('warm:', s.payload), val = s.val
+        WHEN MATCHED AND s.val >= 10.0 THEN UPDATE SET ts = s.ts,
+          payload = concat('cold:', s.payload), val = s.val
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+          VALUES (s.ns, s.ukey, s.ts, concat('new:', s.payload), s.val)""")
+      store.latest().select("ns", "ukey", "payload").orderBy("ns", "ukey")
+    }),
     "journal_merge_reconcile" -> ((s, d) => {
       // `WHEN NOT MATCHED BY SOURCE THEN DELETE` (VERDICT r13 item 5 —
       // the full-reconciliation MERGE): state keys ABSENT from the
@@ -2025,6 +2074,32 @@ object JournalOps {
         "THEN (CASE WHEN COALESCE(s.val >= 30.0, FALSE) " +
         "THEN s.payload ELSE t.payload END) " +
         "WHEN s.ns IS NOT NULL THEN s.payload " +
+        "ELSE t.payload END AS payload " +
+        "FROM src s FULL OUTER JOIN state1 t " +
+        "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +
+        "SELECT ns, ukey, payload FROM merged WHERE payload IS NOT NULL " +
+        "ORDER BY ns, ukey"),
+    // N-clause first-match-wins: the banded CASE is the masked-gate
+    // algebra (a NULL band predicate falls through, coalesce'd FALSE);
+    // the ELSE NULL arm is the fall-through DELETE's tombstone
+    "journal_merge_multi" ->
+      ("WITH state1 AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload " +
+        "FROM events WHERE event_id < 3000 GROUP BY 1, 2), " +
+        "src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "arg_max(props, event_id) AS payload, " +
+        "arg_max(value, event_id) AS val " +
+        "FROM events WHERE event_id >= 3000 AND event_id < 5000 " +
+        "GROUP BY 1, 2), " +
+        "merged AS (SELECT COALESCE(s.ns, t.ns) AS ns, " +
+        "COALESCE(s.ukey, t.ukey) AS ukey, " +
+        "CASE WHEN s.ns IS NOT NULL AND t.ns IS NOT NULL " +
+        "THEN (CASE WHEN COALESCE(s.val >= 60.0, FALSE) " +
+        "THEN 'hot:' || s.payload " +
+        "WHEN COALESCE(s.val >= 30.0, FALSE) THEN 'warm:' || s.payload " +
+        "WHEN COALESCE(s.val >= 10.0, FALSE) THEN 'cold:' || s.payload " +
+        "ELSE NULL END) " +
+        "WHEN s.ns IS NOT NULL THEN 'new:' || s.payload " +
         "ELSE t.payload END AS payload " +
         "FROM src s FULL OUTER JOIN state1 t " +
         "ON s.ns = t.ns AND s.ukey IS NOT DISTINCT FROM t.ukey) " +

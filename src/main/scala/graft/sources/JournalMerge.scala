@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CaseWhen, Cast, EqualNullSafe, EqualTo, Expression, Literal, Or, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -34,17 +34,23 @@ import org.apache.spark.sql.types.LongType
   *   - `ON t.ns = s.ns AND t.ukey = s.ukey` — exactly the store's merge
   *     key, equality only (either column order; `<=>` accepted).
   *   - `WHEN MATCHED [AND cond] THEN DELETE` — cond may reference
-  *     source columns carried into the merge source, and the target's
-  *     ns/ukey/payload (the state columns the routing join carries).
+  *     source columns (carried into the merge source, auto-carried
+  *     when not among the projected record columns) and the target's
+  *     ns/ukey/payload/ts/val (a ts/val reference widens state
+  *     reconstruction to the full record — the late-arrival guard
+  *     `WHEN MATCHED AND t.ts < s.ts` works).
   *   - `WHEN MATCHED [AND cond] THEN UPDATE SET … / SET *` — the gate
   *     shares DELETE's scope; assignments take ts/payload/val from
   *     source-only expressions (whole-record semantics: the appended
-  *     update row IS the record).
+  *     update row IS the record). ANY NUMBER of conditional
+  *     UPDATE/DELETE clauses compose first-match-wins: each clause's
+  *     masked gate selects that clause's own projected value carriers
+  *     inside the routing join.
   *   - `WHEN NOT MATCHED [AND cond] THEN INSERT … / INSERT *` — the
   *     gate sees the source only (no target row exists on this route);
-  *     same assignment columns; with both UPDATE and INSERT present
-  *     their value expressions must agree (one source row serves both
-  *     routes).
+  *     same assignment columns. N conditional INSERT clauses compose
+  *     first-match-wins as a projection-time CASE. UPDATE and INSERT
+  *     values may differ (per-route carriers).
   *   - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE
   *     SET …` — the full-reconciliation clauses: state keys absent
   *     from the source tombstone (DELETE) or rewrite through
@@ -183,11 +189,13 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       }
     }
 
-    // ---- WHEN MATCHED routing, SQL first-match-wins. Conditions are
-    // supported on both matched clauses; composite gates preserve SQL's
-    // NULL-is-not-taken semantics (a NULL gate falls through to the
-    // next clause, so "not taken" must be coalesce(cond, false) = false,
-    // never three-valued NOT).
+    // ---- clause routing, SQL first-match-wins over ARBITRARY clause
+    // chains: clause i fires iff its own gate holds AND no earlier
+    // clause in the same group was taken. Composite masks preserve
+    // SQL's NULL-is-not-taken semantics (a NULL gate falls through to
+    // the next clause, so "not taken" must be coalesce(cond, false) =
+    // false, never three-valued NOT). An unconditional clause makes
+    // everything after it dead code (masked() stops emitting).
     def norm(a: MergeAction): MergeAction = a match {
       case UpdateStarAction(c) => UpdateAction(c, starAssigns("UPDATE SET"))
       case InsertStarAction(c) => InsertAction(c, starAssigns("INSERT"))
@@ -197,68 +205,61 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       org.apache.spark.sql.catalyst.expressions.Not(
         org.apache.spark.sql.catalyst.expressions.Coalesce(
           Seq(c, Literal(false))))
-    var delCond: Option[Option[Expression]] = None
-    var updAssigns: Option[Seq[Assignment]] = None
-    var updCond: Option[Expression] = None
-    m.matchedActions.map(norm) match {
-      case Seq() => ()
-      case Seq(u: UpdateAction) =>
-        updAssigns = Some(u.assignments); updCond = u.condition
-      case Seq(d: DeleteAction) => delCond = Some(d.condition)
-      case Seq(d: DeleteAction, u: UpdateAction) =>
-        if (d.condition.isEmpty) delCond = Some(None) // UPDATE is dead code
-        else {
-          delCond = Some(d.condition)
-          updAssigns = Some(u.assignments); updCond = u.condition
+    def masked(actions: Seq[MergeAction], group: String)
+        : Seq[(Option[Expression], MergeAction)] = {
+      val out = Seq.newBuilder[(Option[Expression], MergeAction)]
+      var prior: Seq[Expression] = Nil
+      var live = true
+      actions.foreach { a =>
+        if (live) {
+          val own = a match {
+            case u: UpdateAction => u.condition
+            case d: DeleteAction => d.condition
+            case i: InsertAction => i.condition
+            case other => fail(s"journal MERGE $group: unsupported " +
+              s"action ${other.getClass.getSimpleName}")
+          }
+          out += (own.toSeq ++ prior.map(notTaken)).reduceOption(And) -> a
+          own match {
+            case Some(c) => prior :+= c
+            case None => live = false
+          }
         }
-      case Seq(u: UpdateAction, d: DeleteAction) =>
-        updAssigns = Some(u.assignments); updCond = u.condition
-        u.condition.foreach { uc =>
-          // first-match-wins: DELETE fires only where the UPDATE gate
-          // was not taken
-          delCond = Some(Some(d.condition
-            .map(dc => And(notTaken(uc), dc)).getOrElse(notTaken(uc))))
-        } // unconditional UPDATE shadows DELETE entirely
-      case _ => fail("journal MERGE supports at most one WHEN MATCHED " +
-        "DELETE and one WHEN MATCHED UPDATE clause")
+      }
+      out.result()
     }
-    var insCond: Option[Expression] = None
-    val insAssigns = m.notMatchedActions.map(norm) match {
-      case Seq() => None
-      case Seq(i: InsertAction) =>
-        insCond = i.condition // gate evaluated over the source row
-        Some(i.assignments)
-      case _ => fail("journal MERGE supports at most one WHEN NOT MATCHED clause")
+    val matchedClauses = masked(m.matchedActions.map(norm), "WHEN MATCHED")
+    matchedClauses.foreach {
+      case (_, _: UpdateAction) | (_, _: DeleteAction) => ()
+      case (_, other) => fail("journal MERGE WHEN MATCHED supports UPDATE " +
+        s"and DELETE; got ${other.getClass.getSimpleName}")
     }
+    val updClauses: Seq[(Option[Expression], Seq[Assignment])] =
+      matchedClauses.collect { case (g, u: UpdateAction) => g -> u.assignments }
+    val delGates: Seq[Option[Expression]] =
+      matchedClauses.collect { case (g, _: DeleteAction) => g }
+    val insClauses: Seq[(Option[Expression], Seq[Assignment])] =
+      masked(m.notMatchedActions.map(norm), "WHEN NOT MATCHED").map {
+        case (g, i: InsertAction) => g -> i.assignments
+        case (_, other) => fail("journal MERGE WHEN NOT MATCHED supports " +
+          s"INSERT only; got ${other.getClass.getSimpleName}")
+      }
     // ---- WHEN NOT MATCHED BY SOURCE — the full-reconciliation
     // clauses: target keys absent from the source DELETE (tombstone)
     // or UPDATE (rewrite through target-scope assignments, unassigned
     // columns riding current values). Same first-match-wins gate
     // algebra as the matched clauses.
-    var bySourceDel: Option[Option[Expression]] = None
-    var bySrcUpdAssigns: Option[Seq[Assignment]] = None
-    var bySrcUpdCond: Option[Expression] = None
-    m.notMatchedBySourceActions match {
-      case Seq() => ()
-      case Seq(d: DeleteAction) => bySourceDel = Some(d.condition)
-      case Seq(u: UpdateAction) =>
-        bySrcUpdAssigns = Some(u.assignments); bySrcUpdCond = u.condition
-      case Seq(d: DeleteAction, u: UpdateAction) =>
-        if (d.condition.isEmpty) bySourceDel = Some(None) // UPDATE dead
-        else {
-          bySourceDel = Some(d.condition)
-          bySrcUpdAssigns = Some(u.assignments); bySrcUpdCond = u.condition
-        }
-      case Seq(u: UpdateAction, d: DeleteAction) =>
-        bySrcUpdAssigns = Some(u.assignments); bySrcUpdCond = u.condition
-        u.condition.foreach { uc =>
-          bySourceDel = Some(Some(d.condition
-            .map(dc => And(notTaken(uc), dc)).getOrElse(notTaken(uc))))
-        } // unconditional UPDATE shadows DELETE entirely
-      case other => fail("journal MERGE supports at most one WHEN NOT " +
-        "MATCHED BY SOURCE DELETE and one UPDATE clause (got " +
-        other.map(_.getClass.getSimpleName).mkString(", ") + ")")
+    val bySrcClauses =
+      masked(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE")
+    bySrcClauses.foreach {
+      case (_, _: UpdateAction) | (_, _: DeleteAction) => ()
+      case (_, other) => fail("journal MERGE WHEN NOT MATCHED BY SOURCE " +
+        s"supports UPDATE and DELETE; got ${other.getClass.getSimpleName}")
     }
+    val bySrcUpdClauses: Seq[(Option[Expression], Seq[Assignment])] =
+      bySrcClauses.collect { case (g, u: UpdateAction) => g -> u.assignments }
+    val bySrcDelGates: Seq[Option[Expression]] =
+      bySrcClauses.collect { case (g, _: DeleteAction) => g }
 
     // ---- assignments → the per-column source expressions.
     // UPDATE values resolve in the joined scope (SQL allows t refs —
@@ -326,36 +327,61 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
       }.toMap
       (dataMap, extraMap)
     }
-    val updMap = updAssigns.map(dataExprs(_, "UPDATE", both))
-    val insMap = insAssigns.map(dataExprs(_, "INSERT", sAttrs))
-    (updMap, insMap) match {
-      case (Some((u, ue)), Some((i, ie))) =>
-        DataCols.foreach { n =>
-          if (!u(n).semanticEquals(i(n))) fail("journal MERGE: UPDATE and " +
-            s"INSERT assign different expressions to '$n' — one source row " +
-            "serves both routes; align the clauses")
-        }
-        if (ue.keySet != ie.keySet) fail("journal MERGE WITH SCHEMA " +
-          "EVOLUTION: UPDATE and INSERT must evolve the SAME column set " +
-          s"(UPDATE: ${ue.keySet.toSeq.sorted.mkString(", ")}; INSERT: " +
-          s"${ie.keySet.toSeq.sorted.mkString(", ")}) — one source row " +
-          "serves both routes")
-        ue.foreach { case (n, v) =>
-          if (!v.semanticEquals(ie(n))) fail("journal MERGE: UPDATE and " +
-            s"INSERT assign different expressions to '$n' — one source " +
-            "row serves both routes; align the clauses")
-        }
-      case _ => ()
-    }
+    val updMaps = updClauses.map(c => dataExprs(c._2, "UPDATE", both))
+    val insMaps = insClauses.map(c => dataExprs(c._2, "INSERT", sAttrs))
+    // every UPDATE/INSERT clause must evolve the SAME column set — the
+    // appended merge delta has exactly one schema
+    val evolveSets = (updMaps.map(_._2.keySet) ++ insMaps.map(_._2.keySet))
+      .distinct
+    if (evolveSets.size > 1) fail("journal MERGE WITH SCHEMA EVOLUTION: " +
+      "every UPDATE and INSERT clause must evolve the SAME column set (" +
+      evolveSets.map(_.toSeq.sorted.mkString("{", ", ", "}"))
+        .mkString(" vs ") + ") — the merge delta has one schema")
+    // shared-carrier shape (the historical single-clause plan): ONE
+    // update clause whose values match the single insert clause's (or
+    // with no insert clause at all) rides the canonical s.* carriers;
+    // any other update shape projects per-clause __mc_u<i>_ carriers
+    // the routing join selects by masked gate.
+    def sameValues(a: (Map[String, Expression], Map[String, Expression]),
+                   b: (Map[String, Expression], Map[String, Expression]))
+        : Boolean =
+      DataCols.forall(n => a._1(n).semanticEquals(b._1(n))) &&
+        a._2.keySet == b._2.keySet &&
+        a._2.forall { case (n, v) => v.semanticEquals(b._2(n)) }
+    val sharedCarrier = updMaps.isEmpty ||
+      (updMaps.size == 1 && (insMaps.isEmpty ||
+        (insMaps.size == 1 && sameValues(updMaps.head, insMaps.head))))
+    // insert-route canonical values: a single clause rides its own
+    // values (the historical plan); N clauses compose a PROJECTION-TIME
+    // CASE over the masked source-scope gates (ELSE = first clause's
+    // values, so non-insert routes — the delete tombstone's ts — stay
+    // deterministic)
+    val insProj: Option[(Map[String, Expression], Map[String, Expression])] =
+      insMaps match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many =>
+          val gates = insClauses.map(_._1.map(resolve1(_, sAttrs)))
+          def pick(vals: Seq[Map[String, Expression]], n: String): Expression =
+            CaseWhen(gates.zip(vals).collect {
+              case (Some(g), mm) => (g, mm(n)) },
+              Some(vals.head(n)))
+          Some((DataCols.map(n => n -> pick(many.map(_._1), n)).toMap,
+            many.head._2.keySet.toSeq.sorted
+              .map(n => n -> pick(many.map(_._2), n)).toMap))
+      }
     // delete-only merge: carry the source's own ts/payload/val (the
     // tombstone needs a ts to ride the appended row). A merge whose ONLY
     // action is WHEN NOT MATCHED BY SOURCE keeps no source row at all —
     // its projection is typed nulls (the join key columns still come
     // from the ON equalities).
+    val primary: Option[(Map[String, Expression], Map[String, Expression])] =
+      if (sharedCarrier) updMaps.headOption.orElse(insProj)
+      else insProj.orElse(updMaps.headOption)
     val proj: Map[String, Expression] =
-      updMap.map(_._1).orElse(insMap.map(_._1)).getOrElse {
-        if (delCond.isEmpty &&
-            (bySourceDel.isDefined || bySrcUpdAssigns.isDefined)) {
+      primary.map(_._1).getOrElse {
+        if (delGates.isEmpty &&
+            (bySrcDelGates.nonEmpty || bySrcUpdClauses.nonEmpty)) {
           val types = table.dataColumnTypes
           DataCols.map(n => n -> (Literal(null, types(n)): Expression)).toMap
         } else DataCols.map { n =>
@@ -368,8 +394,7 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     // source as extra columns — the store's merge treats them as the
     // schema-evolving delta (no-op decision included)
     val extraProj: Seq[(String, Expression)] =
-      updMap.map(_._2).orElse(insMap.map(_._2)).getOrElse(Map.empty)
-        .toSeq.sortBy(_._1)
+      primary.map(_._2).getOrElse(Map.empty).toSeq.sortBy(_._1)
 
     // ---- clause conditions: evaluated inside the store's routing join,
     // where the source rides under alias "s" with the canonical columns
@@ -380,6 +405,15 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
     val carriers: Map[String, Expression] =
       proj ++ extraProj ++
         Map[String, Expression]("ns" -> keys("ns"), "ukey" -> keys("ukey"))
+    // source refs a gate needs beyond the projected record columns ride
+    // dedicated __mc_s<k> carriers (auto-added to the projection), so
+    // any source-scope gate expression is routable
+    val autoCarriers =
+      scala.collection.mutable.LinkedHashMap.empty[Attribute, String]
+    // a gate reading target ts/val widens state reconstruction to the
+    // full record (checkpoints don't carry ts/val — the late-arrival
+    // guard's structural cost, same as by-source UPDATE's)
+    var needFullState = false
     def routedCond(c0: Expression, clause: String,
                    allowSource: Boolean, allowTarget: Boolean): Expression = {
       val c = resolve1(c0, both)
@@ -391,9 +425,13 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
             s"reference target columns only; got: ${a.name}")
           val carrier = carriers.collectFirst {
             case (n, e) if e.semanticEquals(a) => n
-          }.getOrElse(fail(s"journal MERGE $clause condition references " +
-            s"'${a.name}', which is not carried into the merge source " +
-            "(carried: ns, ukey, ts, payload, val)"))
+          }.orElse(autoCarriers.collectFirst {
+            case (at, n) if at.semanticEquals(a) => n
+          }).getOrElse {
+            val n = s"__mc_s${autoCarriers.size}"
+            autoCarriers += a -> n
+            n
+          }
           UnresolvedAttribute(Seq("s", carrier))
         case a: Attribute if tOut.contains(a) =>
           if (!allowTarget) fail(s"journal MERGE $clause condition may " +
@@ -403,42 +441,63 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
             case "ns"      => UnresolvedAttribute(Seq("t", "ns"))
             case "ukey"    => UnresolvedAttribute(Seq("t", "ukey"))
             case "payload" => UnresolvedAttribute(Seq("cur_payload"))
-            // a by-source UPDATE widens state reconstruction to the
-            // full record, so ts/val current values become visible
-            case "ts" if bySrcUpdAssigns.isDefined =>
+            case "ts"  => needFullState = true
               UnresolvedAttribute(Seq("cur_ts"))
-            case "val" if bySrcUpdAssigns.isDefined =>
+            case "val" => needFullState = true
               UnresolvedAttribute(Seq("cur_val"))
             // an evolving merge reconstructs current values for its
             // evolved columns (the cur__ carriers) — visible to gates
             case n if extraProj.exists(_._1 == n) =>
               UnresolvedAttribute(Seq(s"cur__$n"))
             case n => fail(s"journal MERGE $clause condition can see " +
-              s"target columns ns, ukey, payload only (the state side of " +
-              s"the routing join carries no '$n')")
+              s"target columns ns, ukey, ts, payload, val only (the " +
+              s"state side of the routing join carries no '$n')")
           }
       }
     }
-    val delForStore: Option[Expression] = delCond.map {
-      case None => Literal(true)
-      // target refs allowed: composite first-match gates (¬updCond ∧ …)
-      // legitimately embed the UPDATE condition's target references
-      case Some(c0) => routedCond(c0, "DELETE",
-        allowSource = true, allowTarget = true)
-    }
-    val updForStore: Option[Expression] = updCond.map(
-      routedCond(_, "UPDATE", allowSource = true, allowTarget = true))
-    val bySrcForStore: Option[Expression] = bySourceDel.map {
-      case None => Literal(true)
-      case Some(c0) => routedCond(c0, "NOT MATCHED BY SOURCE",
-        allowSource = false, allowTarget = true)
-    }
+    // target refs allowed in matched gates: composite first-match masks
+    // legitimately embed earlier clauses' target references
+    val delForStore: Option[Expression] =
+      if (delGates.isEmpty) None
+      else Some(delGates.map(_.map(routedCond(_, "DELETE",
+        allowSource = true, allowTarget = true)).getOrElse(Literal(true)))
+        .reduce(Or))
+    // matched UPDATE: the union gate routes keep/no-op; on the carrier
+    // path each clause's masked gate selects its own __mc_u<i>_ columns
+    val updCases: Seq[(Expression, String)] =
+      if (sharedCarrier) Nil
+      else updClauses.zipWithIndex.map { case ((g, _), i) =>
+        g.map(routedCond(_, "UPDATE", allowSource = true,
+          allowTarget = true)).getOrElse(Literal(true)) -> s"__mc_u${i}_"
+      }
+    val updValueCarriers: Seq[(String, Expression)] =
+      if (sharedCarrier) Nil
+      else updMaps.zipWithIndex.flatMap { case ((d, e), i) =>
+        (DataCols.map(n => n -> d(n)) ++ e.toSeq.sortBy(_._1)).map {
+          case (n, v) => s"__mc_u${i}_$n" ->
+            table.dataColumnTypes.get(n)
+              .map(dt => Cast(v, dt): Expression).getOrElse(v)
+        }
+      }
+    val updForStore: Option[Expression] =
+      if (updClauses.isEmpty) None
+      else if (sharedCarrier)
+        updClauses.head._1.map(routedCond(_, "UPDATE",
+          allowSource = true, allowTarget = true))
+      else Some(updCases.map(_._1).reduce(Or))
+    val bySrcForStore: Option[Expression] =
+      if (bySrcDelGates.isEmpty) None
+      else Some(bySrcDelGates.map(_.map(routedCond(_,
+        "NOT MATCHED BY SOURCE", allowSource = false, allowTarget = true))
+        .getOrElse(Literal(true))).reduce(Or))
     // by-source UPDATE: assignments are TARGET-scope expressions over
     // the reconstructed full record; assignable columns are the data
     // record itself (plus columns this merge's own evolution carries) —
-    // anything else would silently drop out of the routed projection
-    val bySrcSetForStore: Seq[(String, Expression)] =
-      bySrcUpdAssigns.map(_.map { a =>
+    // anything else would silently drop out of the routed projection.
+    // N clauses compose per-column CASEs over the masked gates,
+    // unassigned columns riding current values per firing clause.
+    def bySrcAssigns(assigns: Seq[Assignment]): Seq[(String, Expression)] =
+      assigns.map { a =>
         val k = resolve1(a.key, tAttrs) match {
           case at: Attribute => at.name.toLowerCase
           case other => fail("journal MERGE can assign only top-level " +
@@ -458,24 +517,53 @@ private[sources] class JournalMergeSupport(spark: SparkSession) {
             "(NOT MATCHED BY SOURCE UPDATE)")
         k -> routedCond(a.value, "NOT MATCHED BY SOURCE UPDATE",
           allowSource = false, allowTarget = true)
-      }).getOrElse(Nil)
-    val bySrcUpdCondForStore: Option[Expression] = bySrcUpdCond.map(
-      routedCond(_, "NOT MATCHED BY SOURCE", allowSource = false,
-        allowTarget = true))
+      }
+    def curRef(n: String): Expression = n match {
+      case "ts"      => UnresolvedAttribute(Seq("cur_ts"))
+      case "val"     => UnresolvedAttribute(Seq("cur_val"))
+      case "payload" => UnresolvedAttribute(Seq("cur_payload"))
+      case other     => UnresolvedAttribute(Seq(s"cur__$other"))
+    }
+    val (bySrcSetForStore, bySrcUpdCondForStore)
+        : (Seq[(String, Expression)], Option[Expression]) =
+      bySrcUpdClauses.map { case (g, as) =>
+        g.map(routedCond(_, "NOT MATCHED BY SOURCE", allowSource = false,
+          allowTarget = true)) -> bySrcAssigns(as)
+      } match {
+        case Seq() => (Nil, None)
+        case Seq((g, set)) => (set, g)
+        case cls =>
+          val cols = cls.flatMap(_._2.map(_._1)).distinct
+          val set = cols.map { n =>
+            n -> (CaseWhen(cls.map { case (g, as) =>
+              (g.getOrElse(Literal(true)),
+                as.collectFirst { case (`n`, v) => v }.getOrElse(curRef(n)))
+            }, Some(curRef(n))): Expression)
+          }
+          (set, Some(cls.map(_._1.getOrElse(Literal(true))).reduce(Or)))
+      }
     // INSERT gate: the clause's SQL scope is the source only (there is
     // no target row on the not-matched route)
-    val insForStore: Option[Expression] = insCond.map(
-      routedCond(_, "INSERT", allowSource = true, allowTarget = false))
+    val insForStore: Option[Expression] = {
+      val gs = insClauses.map(_._1)
+      if (gs.isEmpty || gs.forall(_.isEmpty)) None
+      else Some(gs.map(_.map(routedCond(_, "INSERT", allowSource = true,
+        allowTarget = false)).getOrElse(Literal(true))).reduce(Or))
+    }
     JournalMergeCommand(table, m.sourceTable,
       Seq("ns" -> keys("ns"), "ukey" -> keys("ukey")) ++
-        DataCols.map(n => n -> proj(n)) ++ extraProj,
-      delForStore.map(ExprBox), matchedUpdate = updMap.isDefined,
-      notMatchedInsert = insMap.isDefined,
+        DataCols.map(n => n -> proj(n)) ++ extraProj ++
+        updValueCarriers ++
+        autoCarriers.toSeq.map { case (a, n) => n -> (a: Expression) },
+      delForStore.map(ExprBox), matchedUpdate = updMaps.nonEmpty,
+      notMatchedInsert = insMaps.nonEmpty,
       updateCond = updForStore.map(ExprBox),
       bySourceDelete = bySrcForStore.map(ExprBox),
       insertCond = insForStore.map(ExprBox),
       bySourceSet = bySrcSetForStore.map { case (n, e) => n -> ExprBox(e) },
-      bySourceSetCond = bySrcUpdCondForStore.map(ExprBox))
+      bySourceSetCond = bySrcUpdCondForStore.map(ExprBox),
+      updateValues = updCases.map { case (g, p) => ExprBox(g) -> p },
+      stateNeedsTsVal = needFullState)
   }
 
   /** SQL UPDATE: rewrite the CURRENT state rows matching the condition
@@ -555,7 +643,9 @@ case class JournalMergeCommand(
     @transient bySourceDelete: Option[ExprBox] = None,
     @transient insertCond: Option[ExprBox] = None,
     @transient bySourceSet: Seq[(String, ExprBox)] = Nil,
-    @transient bySourceSetCond: Option[ExprBox] = None)
+    @transient bySourceSetCond: Option[ExprBox] = None,
+    @transient updateValues: Seq[(ExprBox, String)] = Nil,
+    stateNeedsTsVal: Boolean = false)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("appended_rows", LongType, nullable = false)())
@@ -573,7 +663,10 @@ case class JournalMergeCommand(
       bySourceDelete.map(b => StreamBatchBridge.columnOf(b.e)),
       insertCond.map(b => StreamBatchBridge.columnOf(b.e)),
       bySourceSet.map { case (n, b) => n -> StreamBatchBridge.columnOf(b.e) },
-      bySourceSetCond.map(b => StreamBatchBridge.columnOf(b.e)))))
+      bySourceSetCond.map(b => StreamBatchBridge.columnOf(b.e)),
+      updateValues.map { case (b, p) =>
+        StreamBatchBridge.columnOf(b.e) -> p },
+      stateNeedsTsVal)))
   }
 }
 

@@ -353,14 +353,18 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                                   = Nil,
                                 bySourceSetCond:
                                   Option[org.apache.spark.sql.Column]
-                                  = None): Long = {
+                                  = None,
+                                updValues:
+                                  Seq[(org.apache.spark.sql.Column, String)]
+                                  = Nil,
+                                stateNeedsTsVal: Boolean = false): Long = {
     require(!pinned, "MERGE through a version-pinned journal table " +
       "(VERSION AS OF) is refused — pin a reader, not a writer")
     val st = store.getOrElse(throw new IllegalStateException(
       s"no journal store at $storePath"))
     val before = st.manifest.maxSeq
     val after = st.merge(source, del, upd, ins, updCond, bySourceDel,
-      insCond, bySourceSet, bySourceSetCond)
+      insCond, bySourceSet, bySourceSetCond, updValues, stateNeedsTsVal)
     after - before
   }
 

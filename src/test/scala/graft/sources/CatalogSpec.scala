@@ -644,11 +644,20 @@ class CatalogSpec extends AnyFunSuite {
       ON t.ns = s.ns AND t.ukey = s.ukey
       WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ukey = 0""",
       "reassign join key")
+    // a target ts/val reference in a gate is SUPPORTED (it widens state
+    // reconstruction to the full record): here every state key is in
+    // the source, so the gated complement is empty and nothing changes
+    spark.sql("""
+      MERGE INTO jcat.msub AS t USING msub_src2 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN NOT MATCHED BY SOURCE AND t.val > 0 THEN DELETE""")
+    assert(live() === Seq((1L, "pa"), (7L, "p7")))
+    // a truly unknown target column still refuses precisely
     refuses("""
       MERGE INTO jcat.msub AS t USING msub_src2 AS s
       ON t.ns = s.ns AND t.ukey = s.ukey
-      WHEN NOT MATCHED BY SOURCE AND t.val > 0 THEN DELETE""",
-      "ns, ukey, payload")
+      WHEN NOT MATCHED BY SOURCE AND t.seq > 0 THEN DELETE""",
+      "carries no")
   }}
 
   test("SQL MERGE WHEN NOT MATCHED BY SOURCE THEN UPDATE: absent keys " +
@@ -769,6 +778,121 @@ class CatalogSpec extends AnyFunSuite {
       WHEN NOT MATCHED AND s.val > 0 THEN INSERT (ns, ukey, ts, payload, val)
         VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)""")
     assert(live() === Seq((9L, "p9"), (20L, "p20")))
+  }}
+
+  test("SQL MERGE N-clause chains: ≥3 conditional WHEN MATCHED UPDATEs " +
+      "first-match-wins, per-clause values, differing INSERT values, " +
+      "t.ts late-arrival guard, N INSERT and N BY SOURCE clauses") {
+    withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.mn (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 2.0),
+      ("users", 3L, graft.TestSpark.ts("2024-01-01 00:00:03"), "pc", 3.0),
+      ("users", 4L, graft.TestSpark.ts("2024-01-01 00:00:04"), "pd", 4.0),
+      ("users", 5L, graft.TestSpark.ts("2024-01-01 00:00:05"), "pe", 5.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/mn")
+    def live() = graft.journal.JournalStore.open(spark, s"$root/mn")
+      .latest().select("ukey", "payload")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // three conditional UPDATE clauses with DIFFERENT per-clause values,
+    // a fall-through DELETE, and an INSERT whose values differ from
+    // every UPDATE (the per-route carrier path): first-match-wins picks
+    // exactly one band per key
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:01"), "u1", 150.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-02 00:00:02"), "u2", 20.0),
+      ("users", 3L, graft.TestSpark.ts("2024-01-02 00:00:03"), "u3", 5.0),
+      ("users", 4L, graft.TestSpark.ts("2024-01-02 00:00:04"), "u4", -1.0),
+      ("users", 30L, graft.TestSpark.ts("2024-01-02 00:00:30"), "u30", 7.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mn_src1")
+    spark.sql("""
+      MERGE INTO jcat.mn AS t USING mn_src1 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val >= 100 THEN UPDATE SET ts = s.ts,
+        payload = concat('hot:', s.payload), val = s.val
+      WHEN MATCHED AND s.val >= 10 THEN UPDATE SET ts = s.ts,
+        payload = concat('warm:', s.payload), val = s.val
+      WHEN MATCHED AND s.val >= 0 THEN UPDATE SET ts = s.ts,
+        payload = concat('cold:', s.payload), val = s.val
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, concat('new:', s.payload), s.val)""")
+    assert(live() === Seq((1L, "hot:u1"), (2L, "warm:u2"), (3L, "cold:u3"),
+      (5L, "pe"), (30L, "new:u30")))
+    // idempotence on the carrier path: re-merging the matched band keys
+    // with the same clause chain is a complete no-op — the PER-CLAUSE
+    // carrier values join the no-op comparison
+    val st = graft.journal.JournalStore.open(spark, s"$root/mn")
+    val seqBefore = st.manifest.maxSeq
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW mn_src1b AS
+      SELECT * FROM mn_src1 WHERE ukey IN (1, 2, 3)""")
+    spark.sql("""
+      MERGE INTO jcat.mn AS t USING mn_src1b AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val >= 100 THEN UPDATE SET ts = s.ts,
+        payload = concat('hot:', s.payload), val = s.val
+      WHEN MATCHED AND s.val >= 10 THEN UPDATE SET ts = s.ts,
+        payload = concat('warm:', s.payload), val = s.val
+      WHEN MATCHED AND s.val >= 0 THEN UPDATE SET ts = s.ts,
+        payload = concat('cold:', s.payload), val = s.val
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, concat('new:', s.payload), s.val)""")
+    assert(graft.journal.JournalStore.open(spark, s"$root/mn")
+      .manifest.maxSeq === seqBefore,
+      "identical N-clause re-merge must suppress every row as no-op")
+    // the late-arrival guard (t.ts in a matched gate widens state to the
+    // full record): a STALE source row must not overwrite newer state,
+    // and the gate may read a source column that is not an assigned
+    // carrier (s.tag rides a dedicated auto-carrier)
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 12:00:00"), "stale1", 1.0, "go"),
+      ("users", 2L, graft.TestSpark.ts("2024-01-03 00:00:02"), "fresh2", 2.0, "go"),
+      ("users", 3L, graft.TestSpark.ts("2024-01-03 00:00:03"), "held3", 3.0, "hold"))
+      .toDF("ns", "ukey", "ts", "payload", "val", "tag")
+      .createOrReplaceTempView("mn_src2")
+    spark.sql("""
+      MERGE INTO jcat.mn AS t USING mn_src2 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND t.ts < s.ts AND s.tag = 'go' THEN UPDATE SET
+        ts = s.ts, payload = s.payload, val = s.val""")
+    assert(live() === Seq((1L, "hot:u1"), (2L, "fresh2"), (3L, "cold:u3"),
+      (5L, "pe"), (30L, "new:u30")))
+    // N conditional INSERT clauses: a projection-time first-match CASE
+    Seq(
+      ("users", 40L, graft.TestSpark.ts("2024-01-04 00:00:40"), "i40", 100.0),
+      ("users", 41L, graft.TestSpark.ts("2024-01-04 00:00:41"), "i41", 1.0),
+      ("users", 42L, graft.TestSpark.ts("2024-01-04 00:00:42"), "i42", -9.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mn_src3")
+    spark.sql("""
+      MERGE INTO jcat.mn AS t USING mn_src3 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN NOT MATCHED AND s.val >= 50 THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, concat('big:', s.payload), s.val)
+      WHEN NOT MATCHED AND s.val >= 0 THEN INSERT (ns, ukey, ts, payload, val)
+        VALUES (s.ns, s.ukey, s.ts, concat('small:', s.payload), s.val)""")
+    assert(live() === Seq((1L, "hot:u1"), (2L, "fresh2"), (3L, "cold:u3"),
+      (5L, "pe"), (30L, "new:u30"), (40L, "big:i40"), (41L, "small:i41")))
+    // N BY SOURCE clauses: gated UPDATE chain + fall-through DELETE over
+    // the state complement
+    Seq(("users", 40L, graft.TestSpark.ts("2024-01-05 00:00:40"), "k40", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mn_src4")
+    spark.sql("""
+      MERGE INTO jcat.mn AS t USING mn_src4 AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED THEN UPDATE SET ts = s.ts, payload = s.payload, val = s.val
+      WHEN NOT MATCHED BY SOURCE AND t.ukey < 3
+        THEN UPDATE SET payload = concat(t.payload, ':old')
+      WHEN NOT MATCHED BY SOURCE AND t.ukey < 30
+        THEN UPDATE SET payload = concat(t.payload, ':mid')
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(live() === Seq((1L, "hot:u1:old"), (2L, "fresh2:old"),
+      (3L, "cold:u3:mid"), (5L, "pe:mid"), (40L, "k40")))
   }}
 
   test("SQL UPDATE rewrites current state through append: assignments " +
