@@ -136,6 +136,82 @@ object LlmExtOps {
     * batched rounds. */
   private[graft] val bpeTrainRounds = 6
 
+  /** Word → BPE token-sequence ENCODE MAP: [[queries]]' text_bpe_train
+    * loop with the WORD carried through re-segmentation, so the trained
+    * vocab doubles as the word → tokens map a corpus encode joins
+    * through. Training statistics are IDENTICAL to text_bpe_train's —
+    * single-symbol words emit no pairs and no merge pattern
+    * (`_l_r_` ≥ 2 symbols) can match them, so admitting length-1 words
+    * changes no merge decision. Per round: a vocabulary-sized pair
+    * aggregate, a broadcast 1-row top-pair join, a codegen'd replace;
+    * the corpus is scanned once (round 0's word-frequency collapse). */
+  private[ops] def bpeWordTokens(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    var vocab = Tables(s, d, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), concat(lit("_"),
+        array_join(split(col("w"), ""), "_"), lit("_")).as("repr"),
+        col("freq"))
+      .localCheckpoint()
+    for (_ <- 1 to bpeTrainRounds) {
+      val top = vocab
+        .selectExpr("freq",
+          "split(substring(repr, 2, char_length(repr) - 2), '_') AS t")
+        .selectExpr("freq",
+          "explode(CASE WHEN size(t) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(0, size(t) - 2), " +
+            "i -> concat(element_at(t, i + 1), '_', element_at(t, i + 2))) " +
+            "END) AS pair")
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint()
+      vocab = vocab.crossJoin(broadcast(top.select(col("pair"))))
+        .select(col("w"),
+          expr("replace(repr, concat('_', pair, '_'), " +
+            "concat('_', replace(pair, '_', ''), '_'))").as("repr"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    vocab.selectExpr("w",
+      "split(substring(repr, 2, char_length(repr) - 2), '_') AS ts")
+  }
+
+  /** DuckDB twin of [[bpeWordTokens]] plus the corpus word explode: the
+    * unrolled train rounds carrying the word, then `wtok` (word →
+    * token list), `toks` (token → lexicographic id), and `dw`
+    * (doc_id, word index, word). Shared by the text_bpe_encode and
+    * text_pack_bpe oracles so both replay the identical arithmetic. */
+  private def bpeEncodeCtes: String = {
+    val base = "WITH w0 AS (SELECT w, count(*) AS freq FROM " +
+      "(SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w " +
+      "FROM documents) WHERE length(w) >= 1 GROUP BY 1), " +
+      "v0 AS (SELECT w, '_' || array_to_string(regexp_split_to_array(w, ''), '_') " +
+      "|| '_' AS repr, freq FROM w0)"
+    val roundsSql = (1 to bpeTrainRounds).map { r =>
+      s"p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (SELECT freq, " +
+        "unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS pair " +
+        s"FROM (SELECT freq, string_split(trim(repr, '_'), '_') AS t FROM v${r - 1})) " +
+        "GROUP BY 1), " +
+        s"m$r AS (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1), " +
+        s"v$r AS (SELECT v.w, replace(v.repr, '_' || m.pair || '_', " +
+        "'_' || replace(m.pair, '_', '') || '_') AS repr, v.freq " +
+        s"FROM v${r - 1} v, m$r m)"
+    }.mkString(", ")
+    s"$base, $roundsSql, " +
+      s"wtok AS (SELECT w, string_split(trim(repr, '_'), '_') AS ts " +
+      s"FROM v$bpeTrainRounds), " +
+      "toks AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS INT) " +
+      "AS tid FROM (SELECT DISTINCT unnest(ts) AS token FROM wtok)), " +
+      "dw0 AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') " +
+      "AS arr FROM documents), " +
+      "dw1 AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS wi, " +
+      "arr FROM dw0), " +
+      "dw AS (SELECT doc_id, wi, arr[wi] AS w FROM dw1 " +
+      "WHERE length(arr[wi]) >= 1)"
+  }
+
   /** The persisted ANN index's journal-row projection: one row per
     * (vector, LSH table) with ns = the bucket directory, payload = the
     * vector's JSON. Shared by the batch build (sim_ann_index) and the
@@ -1524,6 +1600,75 @@ object LlmExtOps {
         .orderBy("merge_round", "merge_rank")
     }),
 
+    "text_bpe_encode" -> ((s, d) => {
+      // BPE ENCODE — APPLY the trained tokenizer to the corpus (the
+      // step between text_bpe_train and training-ready data): re-derive
+      // the merge list with the word carried through re-segmentation
+      // (bpeWordTokens), so the trained vocab IS the word →
+      // token-sequence map; token ids are the lexicographic rank of the
+      // final symbol set (deterministic, engine-neutral). The corpus is
+      // scanned ONCE; the encode map and id table are vocabulary-sized
+      // BROADCASTs; the only corpus-sized shuffle is the per-document
+      // position window (keyed on doc_id — the output grain), which the
+      // following doc-grain aggregate reuses without a second exchange.
+      // Output pins the FULL encoded sequence per doc: token count, a
+      // position-weighted id checksum (order-sensitive), and the first
+      // 10 tokens readably.
+      val wtok = bpeWordTokens(s, d)
+      val toks = wtok.select(explode(col("ts")).as("token")).distinct()
+        .withColumn("tid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("token")))
+      val dw = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z]+")))
+        .toDF("doc_id", "wi", "w")
+        .where(length(col("w")) >= 1)
+      val enc = dw.join(broadcast(wtok), "w")
+        .select(col("doc_id"), col("wi"), posexplode(col("ts")))
+        .toDF("doc_id", "wi", "ti", "token")
+        .join(broadcast(toks), "token")
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("wi", "ti")))
+      enc.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bpe_tokens"),
+        sum(col("pos").cast("long") * col("tid")).as("tok_checksum"),
+        array_join(expr("transform(slice(array_sort(" +
+          "collect_list(struct(pos, token))), 1, 10), x -> x.token)"),
+          " ").as("head"))
+        .orderBy("doc_id")
+    }),
+
+    "text_pack_bpe" -> ((s, d) => {
+      // text_pack_sequences on REAL BPE token counts: per-doc counts
+      // come from the encode map WITHOUT positions — one corpus explode,
+      // a broadcast join to the vocab map, and a sum of per-word
+      // token-array sizes (no corpus window before the pack cumsum, the
+      // operator's defining per-source scan). Documents with no [a-z]
+      // words pack with n_tok = 0.
+      val wtok = bpeWordTokens(s, d)
+      val dw = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) >= 1)
+      val ntok = dw.join(broadcast(wtok), "w")
+        .groupBy("doc_id").agg(sum(size(col("ts"))).as("bpe_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(ntok, Seq("doc_id"), "left")
+        .withColumn("n_tok", coalesce(col("bpe_tok"), lit(0L)))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("source"),
+          col("n_tok").cast("int").as("n_tok"),
+          expr("CAST((cum - n_tok) div 2048 AS BIGINT)").as("pack_id"),
+          expr("CAST(cum - n_tok - ((cum - n_tok) div 2048) * 2048 AS INT)")
+            .as("pack_offset"))
+        .orderBy("source", "doc_id")
+    }),
+
     "text_bpe_pairs" -> ((s, d) => {
       // First BPE-style merge iteration: corpus-wide counts of ADJACENT
       // symbol pairs inside words (the statistic a byte-pair-encoding
@@ -2424,6 +2569,38 @@ object LlmExtOps {
       s"$base, $roundsSql SELECT merge_round, merge_rank, lhs, rhs, cnt " +
         s"FROM ($unioned) ORDER BY merge_round, merge_rank"
     },
+    "text_bpe_encode" ->
+      // the encode CTEs replay the identical merge arithmetic with the
+      // word carried; positions replay as (word index, within-word
+      // index) row_number, so the checksum is order-sensitive on the
+      // SAME total order both engines derive
+      (bpeEncodeCtes + ", " +
+        "dt0 AS (SELECT d.doc_id, d.wi, wt.ts FROM dw d " +
+        "JOIN wtok wt ON d.w = wt.w), " +
+        "dt1 AS (SELECT doc_id, wi, unnest(generate_series(1, len(ts))) " +
+        "AS ti, ts FROM dt0), " +
+        "pt AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY wi, ti) AS pos, ts[ti] AS token FROM dt1), " +
+        "enc AS (SELECT p.doc_id, p.pos, p.token, k.tid FROM pt p " +
+        "JOIN toks k ON p.token = k.token) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(sum(pos * tid) AS BIGINT) AS tok_checksum, " +
+        "string_agg(token, ' ' ORDER BY pos) FILTER (WHERE pos <= 10) " +
+        "AS head FROM enc GROUP BY 1 ORDER BY doc_id"),
+    "text_pack_bpe" ->
+      (bpeEncodeCtes + ", " +
+        "wcnt AS (SELECT d.doc_id, CAST(sum(len(wt.ts)) AS BIGINT) " +
+        "AS bpe_tok FROM dw d JOIN wtok wt ON d.w = wt.w GROUP BY 1), " +
+        "nt AS (SELECT doc.doc_id, doc.source, " +
+        "coalesce(w.bpe_tok, 0) AS n_tok FROM documents doc " +
+        "LEFT JOIN wcnt w ON doc.doc_id = w.doc_id), " +
+        "packed AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cum FROM nt) " +
+        "SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, " +
+        "CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id, " +
+        "CAST(cum - n_tok - ((cum - n_tok) // 2048) * 2048 AS INT) " +
+        "AS pack_offset FROM packed ORDER BY source, doc_id"),
     "text_bpe_pairs" ->
       ("SELECT gram, count(*) AS cnt FROM " +
         "(SELECT substring(w, i, 2) AS gram FROM " +

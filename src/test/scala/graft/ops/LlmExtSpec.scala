@@ -572,4 +572,35 @@ class LlmExtSpec extends AnyFunSuite {
         s"vec $id survivor=${survivors.contains(id)} but hasDup=$hasDup")
     }
   }
+
+  test("text_bpe_encode: lossless segmentation, bounded vocab, counts " +
+      "agree with text_pack_bpe") {
+    // the encode map must SEGMENT, never rewrite: concatenating a
+    // word's tokens reproduces the word, for every vocabulary word
+    val wtok = LlmExtOps.bpeWordTokens(spark, sf)
+      .select(col("w"), expr("concat_ws('', ts)").as("glued"),
+        col("ts")).collect()
+    assert(wtok.nonEmpty)
+    wtok.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"BPE tokens must concatenate back to the word: ${r.getString(0)}")
+      assert(r.getSeq[String](2).nonEmpty)
+    }
+    // token vocabulary = base [a-z] symbols + at most one new symbol
+    // per merge round
+    val tokens = wtok.flatMap(_.getSeq[String](2)).toSet
+    assert(tokens.size <= 26 + LlmExtOps.bpeTrainRounds)
+    assert(tokens.exists(_.length >= 2),
+      "six merge rounds over the fixture must produce multi-char tokens")
+    // the packing row's token counts are the encode row's counts
+    val encCounts = LlmExtOps.queries("text_bpe_encode")(spark, sf)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val packCounts = LlmExtOps.queries("text_pack_bpe")(spark, sf)
+      .select("doc_id", "n_tok").as[(Long, Int)].collect().toMap
+    assert(packCounts.nonEmpty)
+    packCounts.foreach { case (id, n) =>
+      assert(encCounts.getOrElse(id, 0L) === n.toLong,
+        s"doc $id: pack n_tok $n != encode count ${encCounts.get(id)}")
+    }
+  }
 }
