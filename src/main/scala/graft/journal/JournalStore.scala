@@ -2283,7 +2283,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     val (nsEq, keyEq) =
       condExpr.map(equalityConjuncts).getOrElse((None, None))
-    val candidates = filesForKey(m, nsEq, keyEq)
+    // seq/ts range conjuncts prune through the per-file ranges too —
+    // sound for an erase: a file with no in-range row holds no match
+    val (seqR, tsR) = condExpr.map(rangeConjuncts).getOrElse((None, None))
+    val rangeOk = filesForRanges(m, seqR, tsR)
+    val candidates = filesForKey(m, nsEq, keyEq).filter(rangeOk.contains)
     if (candidates.isEmpty) return 0L
     // Probe: which candidate files hold a matching row (and how many).
     // `__file` is the manifest-relative path extracted from
@@ -2458,7 +2462,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     val (nsEq, keyEq) =
       condExpr.map(equalityConjuncts).getOrElse((None, None))
-    val candidates = filesForKey(m, nsEq, keyEq)
+    // same seq/ts range skipping as deleteWhere: row-independent erase,
+    // so a file outside the bounds can hold no doomed row
+    val (seqR, tsR) = condExpr.map(rangeConjuncts).getOrElse((None, None))
+    val rangeOk = filesForRanges(m, seqR, tsR)
+    val candidates = filesForKey(m, nsEq, keyEq).filter(rangeOk.contains)
     if (candidates.isEmpty) return 0L
     // One scan finds the doomed rows' identities; already-deleted rows
     // (subtracted by an existing vector) can't match again, so repeated
@@ -2561,61 +2569,70 @@ class JournalStore private (val spark: SparkSession, val path: String,
     victims.size
   }
 
+  /** Bare column name of an attribute reference (resolved or not);
+    * anything computed yields None — no pruning on that conjunct. */
+  private def predName(x: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = x match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      u.nameParts.lastOption.map(_.toLowerCase)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name.toLowerCase)
+    case _ => None
+  }
+
+  /** Top-level AND conjuncts of a predicate. */
+  private def predConjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      predConjuncts(l) ++ predConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The analyzer wraps int literals in Casts (ukey === 42 →
+    * EqualTo(ukey, cast(42 as bigint))). Fold LITERAL-side casts only,
+    * and keep the fold only when it round-trips losslessly back to the
+    * original value — a narrowing cast (cast(2^32+5 as int)) must NOT
+    * prune as its truncated value. Attribute-side casts are left
+    * intact: predName() then yields None and the code falls back to no
+    * pruning, which is safe by construction (the probe scan still
+    * evaluates the real predicate). An earlier version peeled casts on
+    * BOTH sides, so deleteWhere(col("ukey").cast("int") === 5) pruned
+    * as ukey=5 and a file holding ukey=2^32+5 silently survived the
+    * erase. */
+  private def stripLosslessCast(
+      x: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = x match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      stripLosslessCast(c.child) match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+          try {
+            val folded = org.apache.spark.sql.catalyst.expressions
+              .Cast(lit, c.dataType).eval(null)
+            val back = org.apache.spark.sql.catalyst.expressions
+              .Cast(org.apache.spark.sql.catalyst.expressions
+                .Literal(folded, c.dataType), lit.dataType).eval(null)
+            if (folded != null && back == lit.value)
+              org.apache.spark.sql.catalyst.expressions.Literal(folded, c.dataType)
+            else x
+          } catch { case _: Exception => x } // ANSI overflow etc. → no fold
+        case _ => x // attribute-side cast: no pruning on this conjunct
+      }
+    case other => other
+  }
+
   /** ns/ukey equality conjuncts of a delete predicate — the shapes the
     * manifest can prune candidate files with. Anything else simply
     * yields no pruning (every file is a candidate; the probe scan still
     * bounds the rewrite to files with actual matches). */
   private def equalityConjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : (Option[String], Option[Long]) = {
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Literal}
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    def name(x: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = x match {
-      case u: UnresolvedAttribute => u.nameParts.lastOption.map(_.toLowerCase)
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        Some(a.name.toLowerCase)
-      case _ => None
-    }
-    def conj(x: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
-      case And(l, r) => conj(l) ++ conj(r)
-      case other => Seq(other)
-    }
-    // The analyzer wraps int literals in Casts (ukey === 42 →
-    // EqualTo(ukey, cast(42 as bigint))). Fold LITERAL-side casts only,
-    // and keep the fold only when it round-trips losslessly back to the
-    // original value — a narrowing cast (cast(2^32+5 as int)) must NOT
-    // prune as its truncated value. Attribute-side casts are left
-    // intact: name() then yields None and the code falls back to no
-    // pruning, which is safe by construction (the probe scan still
-    // evaluates the real predicate). An earlier version peeled casts on
-    // BOTH sides, so deleteWhere(col("ukey").cast("int") === 5) pruned
-    // as ukey=5 and a file holding ukey=2^32+5 silently survived the
-    // erase.
-    def strip(x: org.apache.spark.sql.catalyst.expressions.Expression)
-        : org.apache.spark.sql.catalyst.expressions.Expression = x match {
-      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        strip(c.child) match {
-          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-            try {
-              val folded = org.apache.spark.sql.catalyst.expressions
-                .Cast(lit, c.dataType).eval(null)
-              val back = org.apache.spark.sql.catalyst.expressions
-                .Cast(org.apache.spark.sql.catalyst.expressions
-                  .Literal(folded, c.dataType), lit.dataType).eval(null)
-              if (folded != null && back == lit.value)
-                org.apache.spark.sql.catalyst.expressions.Literal(folded, c.dataType)
-              else x
-            } catch { case _: Exception => x } // ANSI overflow etc. → no fold
-          case _ => x // attribute-side cast: no pruning on this conjunct
-        }
-      case other => other
-    }
-    val eqs = conj(e).map {
-      case EqualTo(l, r) => EqualTo(strip(l), strip(r))
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    val eqs = predConjuncts(e).map {
+      case EqualTo(l, r) => EqualTo(stripLosslessCast(l), stripLosslessCast(r))
       case other => other
     }.collect {
-      case EqualTo(a, Literal(v, _)) if name(a).isDefined => name(a).get -> v
-      case EqualTo(Literal(v, _), a) if name(a).isDefined => name(a).get -> v
+      case EqualTo(a, Literal(v, _)) if predName(a).isDefined => predName(a).get -> v
+      case EqualTo(Literal(v, _), a) if predName(a).isDefined => predName(a).get -> v
     }
     val ns = eqs.collectFirst {
       case ("ns", v: org.apache.spark.unsafe.types.UTF8String) => v.toString }
@@ -2623,6 +2640,88 @@ class JournalStore private (val spark: SparkSession, val path: String,
       case ("ukey", v: Long) => v
       case ("ukey", v: Int) => v.toLong }
     (ns, key)
+  }
+
+  /** seq/ts RANGE conjuncts of an UPDATE/DELETE predicate — the bounds
+    * the manifest's per-file seq and ts ranges can prune with, beside
+    * the equality pruning. Same lossless-cast discipline as
+    * [[equalityConjuncts]]; any unrecognized shape contributes no bound
+    * (conservative). Returns CLOSED [lo, hi] bounds; ts bounds are unix
+    * micros — the stats geometry (Spark TimestampType IS micros, so a
+    * strict bound tightens by exactly one). Rows with NULL seq/ts can
+    * never satisfy a range conjunct (three-valued WHERE), so ts pruning
+    * stays sound on null-ts rows. */
+  private[journal] def rangeConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Option[(Long, Long)], Option[(Long, Long)]) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    var seqB: Option[(Long, Long)] = None
+    var tsB: Option[(Long, Long)] = None
+    def tighten(cur: Option[(Long, Long)], lo: Long, hi: Long) = cur match {
+      case None => Some((lo, hi))
+      case Some((l, h)) => Some((math.max(l, lo), math.min(h, hi)))
+    }
+    def rec(n: String, op: String, v: Long): Unit = {
+      val (lo, hi) = op match {
+        case "<"  => (Long.MinValue, if (v == Long.MinValue) v else v - 1)
+        case "<=" => (Long.MinValue, v)
+        case ">"  => (if (v == Long.MaxValue) v else v + 1, Long.MaxValue)
+        case ">=" => (v, Long.MaxValue)
+        case _    => (v, v) // "="
+      }
+      n match {
+        case "seq" => seqB = tighten(seqB, lo, hi)
+        case "ts"  => tsB = tighten(tsB, lo, hi)
+        case _     => ()
+      }
+    }
+    def field(a0: Expression, l0: Expression): Option[(String, Long)] = {
+      val a = stripLosslessCast(a0)
+      (predName(a), stripLosslessCast(l0)) match {
+        case (Some("seq"), Literal(v: Long, _)) => Some("seq" -> v)
+        case (Some("seq"), Literal(v: Int, _)) => Some("seq" -> v.toLong)
+        case (Some("ts"), Literal(v: Long, TimestampType)) => Some("ts" -> v)
+        case (Some("ts"), Literal(v: Long, TimestampNTZType)) => Some("ts" -> v)
+        case _ => None
+      }
+    }
+    predConjuncts(e).foreach {
+      case EqualTo(l, r) =>
+        field(l, r).orElse(field(r, l)).foreach { case (n, v) => rec(n, "=", v) }
+      case LessThan(l, r) =>
+        field(l, r).foreach { case (n, v) => rec(n, "<", v) }
+        field(r, l).foreach { case (n, v) => rec(n, ">", v) }
+      case LessThanOrEqual(l, r) =>
+        field(l, r).foreach { case (n, v) => rec(n, "<=", v) }
+        field(r, l).foreach { case (n, v) => rec(n, ">=", v) }
+      case GreaterThan(l, r) =>
+        field(l, r).foreach { case (n, v) => rec(n, ">", v) }
+        field(r, l).foreach { case (n, v) => rec(n, "<", v) }
+      case GreaterThanOrEqual(l, r) =>
+        field(l, r).foreach { case (n, v) => rec(n, ">=", v) }
+        field(r, l).foreach { case (n, v) => rec(n, "<=", v) }
+      case _ => ()
+    }
+    (seqB, tsB)
+  }
+
+  /** Manifest files whose per-file seq/ts ranges can OVERLAP the probed
+    * bounds — the range-skipping twin of [[filesForKey]], same
+    * exact-or-conservative contract (no stats entry = kept). A file
+    * whose every ts is NULL (tsMin > tsMax sentinel) is dropped exactly
+    * under a ts bound: NULL rows can't satisfy a range conjunct. */
+  private[journal] def filesForRanges(m: Manifest,
+      seqR: Option[(Long, Long)], tsR: Option[(Long, Long)]): Set[String] = {
+    if (seqR.isEmpty && tsR.isEmpty) return m.files.toSet
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    m.files.filter { f =>
+      fmap.get(f).forall { s =>
+        seqR.forall { case (lo, hi) => s.minSeq <= hi && s.maxSeq >= lo } &&
+          tsR.forall { case (lo, hi) =>
+            s.tsMin <= s.tsMax && s.tsMin <= hi && s.tsMax >= lo }
+      }
+    }.toSet
   }
 
   /** The commit log as a DataFrame — Delta's DESCRIBE HISTORY for the
@@ -2723,7 +2822,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * files (manifest ns-directory / key-range / bloom skipping over the
     * condition's ns/ukey equality conjuncts) plus the row predicate
     * those equalities push into the pruned scan. Journal-scoped so
-    * plan-shape specs can pin the pruning without running a commit. */
+    * plan-shape specs can pin the pruning without running a commit.
+    *
+    * seq/ts RANGE conjuncts prune TWO-PHASE: unlike an erase, the state
+    * rebuild must see EVERY row of an affected key (the per-key arg-max
+    * would otherwise resurrect an older record), so range-skipped files
+    * can't simply leave the scan. Instead the range-pruned file subset
+    * is PROBED for the distinct keys with any matching row — a superset
+    * of the keys whose CURRENT state matches, since a current row
+    * matching the condition is itself an in-range row — and the state
+    * rebuild then reads only the files that can hold THOSE keys
+    * ([[mergeCandidateFiles]]), with the key lists pushed as row
+    * filters. A probe returning more than MergeSmallSourceRows keys (or
+    * any null-ns key, which mergeCandidateFiles cannot describe) falls
+    * back to the equality-pruned set — conservative, never wrong. */
   private[journal] def updatePruning(m: Manifest,
       cond: Option[org.apache.spark.sql.Column])
       : (Seq[String], org.apache.spark.sql.Column) = {
@@ -2747,7 +2859,32 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val keyPred = (nsEq.map(n => col("ns") === lit(n)) ++
         keyEq.map(k => col("ukey") === lit(k)))
       .reduceOption(_ && _).getOrElse(lit(true))
-    (filesForKey(m, nsEq, keyEq), keyPred)
+    val baseCand = filesForKey(m, nsEq, keyEq)
+    val (seqR, tsR) = condExpr.map(rangeConjuncts).getOrElse((None, None))
+    if (seqR.isEmpty && tsR.isEmpty) return (baseCand, keyPred)
+    val rangeOk = filesForRanges(m, seqR, tsR)
+    val probeFiles = baseCand.filter(rangeOk.contains)
+    if (probeFiles.isEmpty) return (Nil, keyPred)
+    if (probeFiles.size == baseCand.size) return (baseCand, keyPred)
+    val probe = readSegmentsOver(probeFiles, m.schemaDdl, m.dvParts)
+      .where(cond.getOrElse(lit(true)))
+      .select(col("ns").cast("string").as("ns"),
+        col("ukey").cast("long").as("ukey"))
+      .distinct().take(JournalStore.MergeSmallSourceRows + 1)
+    if (probe.length > JournalStore.MergeSmallSourceRows ||
+        probe.exists(_.isNullAt(0))) return (baseCand, keyPred)
+    if (probe.isEmpty) return (Nil, keyPred)
+    val keys = probe.toSeq.map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))).distinct
+    val nss = keys.map(_._1).distinct
+    val uks = keys.flatMap(_._2).distinct
+    val hasNullKey = keys.exists(_._2.isEmpty)
+    val ukP = {
+      val in = if (uks.isEmpty) lit(false) else col("ukey").isin(uks: _*)
+      if (hasNullKey) in || col("ukey").isNull else in
+    }
+    (mergeCandidateFiles(m, keys),
+      keyPred && col("ns").isin(nss: _*) && ukP)
   }
 
   /** Full-row current state over exactly `files` — ONE struct-max

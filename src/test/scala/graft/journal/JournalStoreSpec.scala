@@ -1547,6 +1547,50 @@ class JournalStoreSpec extends AnyFunSuite {
       Some(col("ns") === "nothere")) === 0L)
   }
 
+  test("seq/ts-range pruning (VERDICT r14 item 3): a ts-bounded UPDATE " +
+      "plans a strict file subset through the two-phase key probe; a " +
+      "seq-bounded erase skips out-of-range files") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    // 6 single-row appends → multi-epoch store, one users file per
+    // append, each with its own disjoint ts (and seq) range
+    (0 until 6).foreach { i =>
+      store.append(Seq(
+        ("users", i * 10L, ts(f"2024-01-01 00:0$i%01d:00"), s"u$i", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    val m = store.manifest
+    assert(m.files.size >= 6)
+    // RANGE PIN: a pure ts bound — NO ns/ukey equality — plans a strict
+    // subset: the range-pruned probe finds only the old keys, and the
+    // state rebuild reads only the files that can hold those keys
+    val (cand, _) = store.updatePruning(m,
+      Some(col("ts") < lit(ts("2024-01-01 00:02:00"))))
+    assert(cand.nonEmpty && cand.size < m.files.size, s"$cand vs ${m.files}")
+    // the per-file range skipping itself, pinned at the manifest grain
+    val tsSub = store.filesForRanges(m, None,
+      Some((Long.MinValue, 0L))) // hi = epoch start → nothing overlaps
+    assert(tsSub.isEmpty)
+    val seqSub = store.filesForRanges(m, Some((0L, 1L)), None)
+    assert(seqSub.nonEmpty && seqSub.size < m.files.size, seqSub)
+    // functional: the ts-bounded update rewrites exactly the two old
+    // keys (their rewritten rows keep the original ts — unassigned
+    // columns ride current values)
+    val n = store.updateWhere(
+      Seq("payload" -> concat(col("payload"), lit("-old"))),
+      Some(col("ts") < lit(ts("2024-01-01 00:02:00"))))
+    assert(n === 2L)
+    assert(store.latest().orderBy("ukey").select("payload")
+      .as[String].collect().toSeq ===
+      Seq("u0-old", "u1-old", "u2", "u3", "u4", "u5"))
+    // seq-bounded PHYSICAL erase: only the in-range files rewrite; the
+    // updated (higher-seq) rows of the same keys survive untouched
+    assert(store.deleteWhere(col("seq") <= 1L) === 2L)
+    assert(store.scan().agg(min("seq")).as[Long].head() >= 2L)
+    assert(store.latest().orderBy("ukey").select("payload")
+      .as[String].collect().toSeq ===
+      Seq("u0-old", "u1-old", "u2", "u3", "u4", "u5"))
+  }
+
   test("merge LARGE-source pruning: a >2048-row single-ns source joins " +
       "only that ns's state files — profile-driven candidates (range + " +
       "bloom intersection), no driver key collect at any source size") {
