@@ -573,6 +573,34 @@ class LlmExtSpec extends AnyFunSuite {
     }
   }
 
+  test("text_quality_model: map-side scoring (no join, no corpus " +
+      "shuffle before the per-source rollup), sane funnel") {
+    val df = LlmExtOps.queries("text_quality_model")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the returned frame is score → rollup: the broadcast weight map is
+    // a literal, so there must be NO join OPERATOR anywhere in the plan
+    // (match operator names, not the substring — the learned vocabulary
+    // itself contains words like 'join'), and the only exchanges are
+    // the rollup's hash partitioning + the output sort's range
+    // partitioning
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach { op =>
+      assert(!plan.contains(op), s"unexpected $op in:\n$plan")
+    }
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges (rollup + sort):\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs === Tables(spark, sf, "documents").count())
+    val nKept = rows.map(_.getLong(2)).sum
+    assert(nKept > 0 && nKept <= nDocs)
+    rows.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p >= 0.0 && p <= 1.0, s"avg_prob out of range: $r")
+    }
+  }
+
   test("text_bpe_encode: lossless segmentation, bounded vocab, counts " +
       "agree with text_pack_bpe") {
     // the encode map must SEGMENT, never rewrite: concatenating a
