@@ -1547,6 +1547,33 @@ class JournalStoreSpec extends AnyFunSuite {
       Some(col("ns") === "nothere")) === 0L)
   }
 
+  test("vacuum reaps a crashed streaming query's orphaned " +
+      ".streamstage-* dirs after grace; a fresh one survives the sweep") {
+    val p = freshPath
+    val store = JournalStore.create(spark, p, epochSize = 100)
+    store.append(Seq(("a", 1L, ts("2024-01-01 00:00:01"), "pa", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    // plant the orphan a killed toTable query would leave: a stage dir
+    // with an epoch subdir and a staged part no commit ever consumed
+    val stage = new java.io.File(s"$p/.streamstage-deadq/epoch=3")
+    assert(stage.mkdirs())
+    java.nio.file.Files.writeString(
+      stage.toPath.resolve("part-0.parquet"), "staged-bytes")
+    // within grace the dir survives (a LIVE query's dir must never be
+    // swept mid-epoch)
+    store.vacuum(graceMs = 60L * 60L * 1000L)
+    assert(stage.exists())
+    // the dry run names it as a 'stage' reap once aged, deleting nothing
+    val plan = store.vacuumDryRun(graceMs = 0L)
+    assert(plan.exists { case (k, f) =>
+      k == "stage" && f.startsWith(".streamstage-deadq") }, plan)
+    assert(stage.exists())
+    // the real sweep reaps the whole dir; the store is unharmed
+    store.vacuum(graceMs = 0L)
+    assert(!new java.io.File(s"$p/.streamstage-deadq").exists())
+    assert(store.latest().count() === 1L)
+  }
+
   test("seq/ts-range pruning (VERDICT r14 item 3): a ts-bounded UPDATE " +
       "plans a strict file subset through the two-phase key probe; a " +
       "seq-bounded erase skips out-of-range files") {
