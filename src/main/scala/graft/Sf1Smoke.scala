@@ -165,7 +165,11 @@ object Sf1Smoke {
       // window before the per-source cumsum; quality model is two
       // vocabulary-collapsing passes + one map-side scoring pass
       "journal_merge_multi", "text_bpe_encode", "text_pack_bpe",
-      "text_quality_model")
+      "text_quality_model",
+      // incremental dedup: index build is the linear corpus pass; the
+      // batch side pays batch signatures + the bucket join — its 10x
+      // axis is candidate volume, never corpus x batch
+      "dedup_incremental")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

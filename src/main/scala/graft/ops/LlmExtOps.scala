@@ -1022,6 +1022,67 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "dedup_incremental" -> ((s, d) => {
+      // INCREMENTAL dedup — the daily-ingest shape at 100 TB: a NEW
+      // batch (doc_id % 10 = 7, the fixture's "today") dedups against
+      // the EXISTING corpus through its banded-minhash index WITHOUT
+      // touching the corpus pair space. Production keeps the
+      // (band, bv, doc_id) index PERSISTED and append-maintained (a
+      // journal table — sim_ann_index demonstrates the persisted-index
+      // identity mechanics; admitted batches append their own bands);
+      // here the index builds in-frame from the same one corpus pass.
+      // Cost shape: index maintenance is linear and incremental; the
+      // new batch pays batch-sized signatures + a bucket EQUI-join
+      // against the index + exact jaccard verification of the
+      // CANDIDATES only — never corpus × batch, and the corpus is
+      // re-read only for candidate verification rows. Signatures are
+      // the same Broder md5 arithmetic as dedup_corpus_minhash (native
+      // codegen'd minhash_sig kernel, no per-shingle explode).
+      // New-vs-new dedup INSIDE the batch is dedup_corpus_minhash's
+      // job on the batch alone — deliberately out of scope here.
+      graft.expr.GraftFunctions.register(s)
+      val isNew = col("doc_id") % 10 === 7
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"),
+          when(size(col("w")) >= 3, LlmOps.shingles(3))
+            .otherwise(array().cast("array<string>")).as("gs"))
+        .localCheckpoint()
+      def bandsOf(df: org.apache.spark.sql.DataFrame) =
+        df.where(size(col("gs")) > 0)
+          .select(col("doc_id"), expr("minhash_sig(gs)").as("ms"))
+          .select(col("doc_id"),
+            explode(array((0 until 8).map(h =>
+              struct(lit(h).as("band"), col("ms").getItem(h).as("bv"))): _*))
+              .as("x"))
+          .select(col("doc_id"), col("x.band"), col("x.bv"))
+      val oldIx = bandsOf(sh.where(!isNew)) // the persisted-index stand-in
+      val cand = bandsOf(sh.where(isNew)).as("n").join(oldIx.as("o"),
+          col("n.band") === col("o.band") && col("n.bv") === col("o.bv"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+      val ver = cand
+        .join(sh.select(col("doc_id").as("new_id"), col("gs").as("gn")),
+          "new_id")
+        .join(sh.select(col("doc_id").as("old_id"), col("gs").as("go")),
+          "old_id")
+        .withColumn("i",
+          size(array_intersect(col("gn"), col("go"))).cast("double"))
+        .withColumn("jac", graft.Det.r(
+          col("i") / (size(col("gn")) + size(col("go")) - col("i")), 4))
+        .where(col("jac") >= 0.4)
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("nd"), max("jac").as("mj"))
+      sh.where(isNew).select(col("doc_id"), col("source"))
+        .join(ver.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_matches"),
+          coalesce(col("mj"), lit(0.0)).as("max_jac"),
+          col("nd").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     "text_decontaminate" -> ((s, d) => {
       // Benchmark decontamination — the training-data op every serious
       // LLM pipeline runs before training: flag training documents that
@@ -2839,6 +2900,45 @@ object LlmExtOps {
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
         "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id NOT IN " +
         "(SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id) ORDER BY doc_id"
+    },
+    "dedup_incremental" -> {
+      // new-batch-vs-index twin: same Broder signature arithmetic as
+      // dedup_corpus_minhash; candidates are (new, old) bucket matches
+      // only, verified exactly, rolled up per new doc
+      val minCols = (0 until 8).map { h =>
+        s"min((CAST(('0x' || substr(dig, 1, 8)) AS BIGINT) + " +
+          s"$h * CAST(('0x' || substr(dig, 9, 8)) AS BIGINT)) % 4294967296) AS m$h"
+      }.mkString(", ")
+      val bandRows = (0 until 8)
+        .map(h => s"SELECT doc_id, $h AS band, m$h AS bv FROM sigs")
+        .mkString(" UNION ALL ")
+      val inter = "len(list_intersect(sa.gs, sb.gs))"
+      val jac = graft.Det.sql.r(
+        s"CAST($inter AS DOUBLE) / (len(sa.gs) + len(sb.gs) - $inter)", 4)
+      "WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "sharr AS (SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN " +
+        "list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS gs FROM docs), " +
+        "sh AS (SELECT doc_id, md5('s:' || g) AS dig FROM " +
+        "(SELECT doc_id, unnest(gs) AS g FROM sharr WHERE len(gs) > 0)), " +
+        s"sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY 1), " +
+        s"bands AS ($bandRows), " +
+        "cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id " +
+        "FROM bands n JOIN bands o ON n.band = o.band AND n.bv = o.bv " +
+        "AND n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7), " +
+        s"ver AS (SELECT new_id, CAST(count(*) AS BIGINT) AS nd, " +
+        "max(jac) AS mj FROM " +
+        s"(SELECT c.new_id, c.old_id, $jac AS jac FROM cand c " +
+        "JOIN sharr sa ON sa.doc_id = c.new_id " +
+        "JOIN sharr sb ON sb.doc_id = c.old_id) " +
+        "WHERE jac >= 0.4 GROUP BY 1) " +
+        "SELECT s.doc_id, s.source, " +
+        "CAST(coalesce(v.nd, 0) AS BIGINT) AS n_dup_matches, " +
+        "coalesce(v.mj, 0.0) AS max_jac, v.new_id IS NOT NULL AS is_dup " +
+        "FROM sharr s LEFT JOIN ver v ON s.doc_id = v.new_id " +
+        "WHERE s.doc_id % 10 = 7 ORDER BY s.doc_id"
     },
     "sim_ann_ivf" ->
       // full IVF twin: same quantizer (exact decimal per-dim means), same
