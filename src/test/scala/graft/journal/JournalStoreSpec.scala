@@ -1618,6 +1618,27 @@ class JournalStoreSpec extends AnyFunSuite {
       Seq("u0-old", "u1-old", "u2", "u3", "u4", "u5"))
   }
 
+  test("updatePruning range probe falls back to the equality-pruned " +
+      "set past MergeSmallSourceRows distinct keys") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 5000)
+    store.append((0 until 3000).map(i =>
+      ("users", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.append((0 until 10).map(i =>
+      ("users", 100000L + i, ts("2024-02-01 00:00:01"), s"q$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val m = store.manifest
+    // the ts bound matches 3000 distinct keys — more than the probe can
+    // usefully broadcast, so pruning falls back to the equality-pruned
+    // candidate set (here: every file), never a wrong subset
+    val (cand, _) = store.updatePruning(m,
+      Some(col("ts") < lit(ts("2024-01-15 00:00:00"))))
+    assert(cand.toSet === m.files.toSet)
+    // the bounded update is still CORRECT through the fallback
+    assert(store.updateWhere(Seq("val" -> lit(2.0)),
+      Some(col("ts") < lit(ts("2024-01-15 00:00:00")))) === 3000L)
+  }
+
   test("merge LARGE-source pruning: a >2048-row single-ns source joins " +
       "only that ns's state files — profile-driven candidates (range + " +
       "bloom intersection), no driver key collect at any source size") {

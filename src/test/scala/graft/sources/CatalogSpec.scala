@@ -895,6 +895,55 @@ class CatalogSpec extends AnyFunSuite {
       (3L, "cold:u3:mid"), (5L, "pe:mid"), (40L, "k40")))
   }}
 
+  test("SQL MERGE N-clause x SCHEMA EVOLUTION: per-clause evolved " +
+      "values ride carriers; mismatched evolve sets refuse precisely") {
+    withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.mne (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "pa", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "pb", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .write.format("journal").mode("append").save(s"$root/mne")
+    Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:01"), "u1", 9.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-02 00:00:02"), "u2", 1.0),
+      ("users", 9L, graft.TestSpark.ts("2024-01-02 00:00:09"), "u9", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mne_src")
+    // two conditional UPDATE clauses evolving the SAME new column with
+    // DIFFERENT values, plus an INSERT evolving it a third way — every
+    // route's evolved value rides its own carrier
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO jcat.mne AS t USING mne_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val >= 5 THEN UPDATE SET ts = s.ts,
+        payload = s.payload, val = s.val, score = s.val * 10
+      WHEN MATCHED THEN UPDATE SET ts = s.ts,
+        payload = s.payload, val = s.val, score = s.val * 100
+      WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val, score)
+        VALUES (s.ns, s.ukey, s.ts, s.payload, s.val, s.val * 1000)""")
+    val got = graft.journal.JournalStore.open(spark, s"$root/mne")
+      .scanUnordered().groupBy("ns", "ukey")
+      .agg(max(struct(col("seq"), col("payload"), col("score"))).as("top"))
+      .select(col("ukey"), col("top.payload").as("payload"),
+        col("top.score").as("score"))
+      .where(col("payload").isNotNull)
+      .orderBy("ukey").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "u1", 90.0), (2L, "u2", 100.0),
+      (9L, "u9", 3000.0)))
+    // clauses evolving DIFFERENT column sets refuse with the set diff
+    val e = intercept[Exception](spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO jcat.mne AS t USING mne_src AS s
+      ON t.ns = s.ns AND t.ukey = s.ukey
+      WHEN MATCHED AND s.val >= 5 THEN UPDATE SET ts = s.ts,
+        payload = s.payload, val = s.val, extra_a = s.val
+      WHEN MATCHED THEN UPDATE SET ts = s.ts,
+        payload = s.payload, val = s.val, extra_b = s.val"""))
+    assert(Option(e.getMessage).exists(_.contains("SAME column set")),
+      e.getMessage)
+  }}
+
   test("SQL UPDATE rewrites current state through append: assignments " +
       "see target columns, the count is the matched-row count") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.usql (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
