@@ -169,7 +169,11 @@ object Sf1Smoke {
       // incremental dedup: index build is the linear corpus pass; the
       // batch side pays batch signatures + the bucket join — its 10x
       // axis is candidate volume, never corpus x batch
-      "dedup_incremental")
+      "dedup_incremental",
+      // LM scoring: model size is FIXED (top-256/512), so 10x data
+      // grows only the two vocabulary-collapsing train passes and the
+      // map-side scoring scan — linear, no corpus shuffle
+      "text_lm_score")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

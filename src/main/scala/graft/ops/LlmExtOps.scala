@@ -1347,6 +1347,61 @@ object LlmExtOps {
         .orderBy("source")
     }),
 
+    "text_lm_score" -> ((s, d) => {
+      // N-GRAM LM quality scoring (the CCNet/KenLM-style perplexity
+      // filter): score each document by the average Laplace-smoothed
+      // bigram log-probability under a FIXED-SIZE model trained on the
+      // corpus itself — top-256 unigrams + top-512 bigrams over them —
+      // so the model BROADCASTS at any corpus scale (model size is a
+      // hyperparameter, not corpus-bound; rarer grams hit the 1/257
+      // OOV floor, exactly how a production perplexity filter ships
+      // its pruned LM). Training = two vocabulary-collapsing passes;
+      // scoring is MAP-SIDE (literal maps + higher-order aggregate);
+      // each bigram's ln is rounded to 6dp micro-units and accumulated
+      // as BIGINT, so the per-doc sum is EXACT and order-independent
+      // (the quality_model integer-dot discipline) — ln is the only
+      // libm step, absorbed by the micro rounding. No corpus shuffle
+      // at all: training collapses to vocabulary grain, scoring is a
+      // doc-grain projection.
+      val U = 256; val B = 512
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '[^a-z]+'), " +
+            "t -> length(t) >= 1)").as("w"))
+      val pairsExpr = "CASE WHEN size(w) < 2 THEN " +
+        "CAST(array() AS ARRAY<STRING>) ELSE " +
+        "transform(sequence(0, size(w) - 2), " +
+        "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2))) END"
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(U).collect()
+      val um = typedLit(uni.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val uset = uni.map(_.getString(0)).toSeq
+      val bigRows = toks.select(explode(expr(pairsExpr)).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .where(expr("split_part(p, ' ', 1)").isin(uset: _*) &&
+          expr("split_part(p, ' ', 2)").isin(uset: _*))
+        .orderBy(col("c").desc, col("p")).limit(B).collect()
+      val bm = typedLit(bigRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      toks
+        .withColumn("n_pairs",
+          greatest(size(col("w")) - 1, lit(0)).cast("int"))
+        .withColumn("slp", aggregate(expr(pairsExpr), lit(0L), (acc, p) =>
+          acc + round(
+            log(((coalesce(element_at(bm, p), lit(0L)) + lit(1L))
+              .cast("double")) /
+              ((coalesce(element_at(um,
+                element_at(split(p, " "), 1)), lit(0L)) + lit(257L))
+                .cast("double"))) * lit(1000000.0)).cast("long")))
+        .select(col("doc_id"), col("n_pairs"),
+          col("slp").as("logp_sum_micro"),
+          when(col("n_pairs") > 0,
+            graft.Det.r(col("slp").cast("double") / lit(1000000.0) /
+              col("n_pairs"), 6))
+            .otherwise(lit(null).cast("double")).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     "text_pii_scrub" -> ((s, d) =>
       // PII redaction — the compliance pass every training corpus runs:
       // mask email addresses and long digit runs (phone/account numbers),
@@ -2602,6 +2657,43 @@ object LlmExtOps {
         "AS n_kept, " + graft.Det.sql.davg("prob", 4) + " AS avg_prob, " +
         "CAST(sum(acc) AS BIGINT) AS dot_num_sum " +
         "FROM p GROUP BY 1 ORDER BY source"),
+    "text_lm_score" ->
+      // the oracle trains the IDENTICAL fixed-size LM (same top-K
+      // orderings) and replays the per-bigram micro-log arithmetic:
+      // CAST(ROUND(LN(...) * 1e6) AS BIGINT) summed exactly, so
+      // logp_sum_micro is integer-equal across engines and avg_logp
+      // shares the same division order
+      ("WITH tk AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), " +
+        "t -> length(t) >= 1) AS w FROM documents), " +
+        "uni AS (SELECT t, count(*) AS c FROM " +
+        "(SELECT unnest(w) AS t FROM tk) GROUP BY 1 " +
+        "ORDER BY c DESC, t LIMIT 256), " +
+        "pr AS (SELECT doc_id, CASE WHEN len(w) < 2 THEN " +
+        "CAST([] AS VARCHAR[]) ELSE list_transform(" +
+        "generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) " +
+        "END AS ps FROM tk), " +
+        "big AS (SELECT p, count(*) AS c FROM " +
+        "(SELECT unnest(ps) AS p FROM pr) GROUP BY 1), " +
+        "bigm AS (SELECT p, c FROM big " +
+        "WHERE split_part(p, ' ', 1) IN (SELECT t FROM uni) " +
+        "AND split_part(p, ' ', 2) IN (SELECT t FROM uni) " +
+        "ORDER BY c DESC, p LIMIT 512), " +
+        "occ AS (SELECT doc_id, unnest(ps) AS p FROM pr), " +
+        "terms AS (SELECT o.doc_id, " +
+        "CAST(ROUND(LN(CAST(coalesce(b.c, 0) + 1 AS DOUBLE) / " +
+        "CAST(coalesce(u.c, 0) + 257 AS DOUBLE)) * 1000000.0) AS BIGINT) " +
+        "AS term FROM occ o LEFT JOIN bigm b ON o.p = b.p " +
+        "LEFT JOIN uni u ON split_part(o.p, ' ', 1) = u.t), " +
+        "agg AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS slp, " +
+        "CAST(count(*) AS BIGINT) AS np FROM terms GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(coalesce(a.np, 0) AS INT) AS n_pairs, " +
+        "CAST(coalesce(a.slp, 0) AS BIGINT) AS logp_sum_micro, " +
+        "CASE WHEN a.np > 0 THEN " +
+        graft.Det.sql.r("CAST(a.slp AS DOUBLE) / 1000000.0 / a.np", 6) +
+        " ELSE NULL END AS avg_logp " +
+        "FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id " +
+        "ORDER BY t.doc_id"),
     "text_pii_scrub" ->
       ("SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
