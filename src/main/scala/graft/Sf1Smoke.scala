@@ -173,7 +173,10 @@ object Sf1Smoke {
       // LM scoring: model size is FIXED (top-256/512), so 10x data
       // grows only the two vocabulary-collapsing train passes and the
       // map-side scoring scan — linear, no corpus shuffle
-      "text_lm_score")
+      "text_lm_score",
+      // int8 quantization: one 64-group codebook aggregate + a
+      // map-side scoring scan — linear in vectors
+      "emb_quantize")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

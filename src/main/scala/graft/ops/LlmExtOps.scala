@@ -1894,6 +1894,45 @@ object LlmExtOps {
                 col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
 
+    "emb_quantize" -> ((s, d) => {
+      // INT8 scalar quantization of the embedding store — the 4x
+      // storage lever a 100 TB vector corpus pulls before ANN serving:
+      // per-DIMENSION min/max over the corpus (ONE map-side-combined
+      // 64-group aggregate, collected as the 128-double codebook),
+      // affine code = round(255·(x−mn)/(mx−mn)), reconstruction =
+      // mn + code·(mx−mn)/255. Codes are exact integers cross-engine
+      // (scale-0 round over identical doubles), so the per-label
+      // rollup pins quantization AND reconstruction error in the hash
+      // gate. Scoring is map-side (codebook rides as array literals;
+      // the index-ascending fold + round(6) is the §2.0.3 determinism
+      // shape emb_norm_hist uses); the only shuffles are the 64-group
+      // training aggregate and the label rollup.
+      val mm = Tables(s, d, "embeddings")
+        .select(posexplode(col("embedding"))).toDF("pos", "x")
+        .groupBy("pos").agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .orderBy("pos").collect()
+      val mnA = typedLit(mm.map(_.getDouble(1)).toSeq)
+      val mxA = typedLit(mm.map(_.getDouble(2)).toSeq)
+      val recon = "(element_at(mn, i) + ROUND(255.0 * " +
+        "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(mn, i)) / " +
+        "(element_at(mx, i) - element_at(mn, i))) * " +
+        "(element_at(mx, i) - element_at(mn, i)) / 255.0)"
+      val diff = s"(CAST(element_at(embedding, i) AS DOUBLE) - $recon)"
+      Tables(s, d, "embeddings")
+        .withColumn("mn", mnA).withColumn("mx", mxA)
+        .withColumn("sqe", expr(
+          "aggregate(sequence(1, 64), 0.0D, (acc, i) -> acc + " +
+            "(CASE WHEN element_at(mx, i) = element_at(mn, i) THEN 0.0D " +
+            s"ELSE $diff * $diff END))"))
+        .select(col("label"),
+          graft.Det.r(col("sqe") / lit(64.0), 6).as("mse"))
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"),
+          graft.Det.davg(col("mse"), 6).as("avg_mse"),
+          max("mse").as("max_mse"))
+        .orderBy("label")
+    }),
+
     "emb_norm_hist" -> ((s, d) =>
       // L2-norm histogram of the embedding table — the first health
       // diagnostic on an embedding corpus (collapsed vectors, un-
@@ -3054,6 +3093,29 @@ object LlmExtOps {
         "FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id " +
         "JOIN probe p ON a.cluster = p.cluster CROSS JOIN q " +
         "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    "emb_quantize" -> {
+      // identical codebook (order-free per-dim min/max of exact
+      // float→double casts) and identical affine arithmetic; round(6)
+      // absorbs the list_sum-vs-fold ulps like emb_norm_hist
+      val recon = "(mna.mn[i] + ROUND(255.0 * " +
+        "(CAST(embedding[i] AS DOUBLE) - mna.mn[i]) / " +
+        "(mna.mx[i] - mna.mn[i])) * (mna.mx[i] - mna.mn[i]) / 255.0)"
+      val diff = s"(CAST(embedding[i] AS DOUBLE) - $recon)"
+      "WITH dim AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM " +
+        "(SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+        "unnest(generate_series(1, 64)) AS pos FROM embeddings) " +
+        "GROUP BY 1), " +
+        "mna AS (SELECT list(mn ORDER BY pos) AS mn, " +
+        "list(mx ORDER BY pos) AS mx FROM dim), " +
+        "per AS (SELECT label, " +
+        graft.Det.sql.r("list_sum(list_transform(generate_series(1, 64), " +
+          "i -> CASE WHEN mna.mx[i] = mna.mn[i] THEN 0.0 " +
+          s"ELSE $diff * $diff END)) / 64.0", 6) + " AS mse " +
+        "FROM embeddings, mna) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        graft.Det.sql.davg("mse", 6) + " AS avg_mse, " +
+        "max(mse) AS max_mse FROM per GROUP BY 1 ORDER BY label"
+    },
     "emb_norm_hist" ->
       ("SELECT floor(norm * 4) / 4 AS bucket_lo, count(*) AS n_vecs FROM " +
         "(SELECT " + graft.Det.sql.r(
