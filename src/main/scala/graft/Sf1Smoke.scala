@@ -174,9 +174,9 @@ object Sf1Smoke {
       // grows only the two vocabulary-collapsing train passes and the
       // map-side scoring scan — linear, no corpus shuffle
       "text_lm_score",
-      // int8 quantization: one 64-group codebook aggregate + a
-      // map-side scoring scan — linear in vectors
-      "emb_quantize")
+      // int8 codebook quantization: one 64-group codebook aggregate +
+      // a map-side scoring scan — linear in vectors
+      "emb_quantize_codebook")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

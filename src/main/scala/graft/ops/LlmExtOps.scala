@@ -1894,7 +1894,7 @@ object LlmExtOps {
                 col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
 
-    "emb_quantize" -> ((s, d) => {
+    "emb_quantize_codebook" -> ((s, d) => {
       // INT8 scalar quantization of the embedding store — the 4x
       // storage lever a 100 TB vector corpus pulls before ANN serving:
       // per-DIMENSION min/max over the corpus (ONE map-side-combined
@@ -3093,7 +3093,7 @@ object LlmExtOps {
         "FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id " +
         "JOIN probe p ON a.cluster = p.cluster CROSS JOIN q " +
         "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"),
-    "emb_quantize" -> {
+    "emb_quantize_codebook" -> {
       // identical codebook (order-free per-dim min/max of exact
       // float→double casts) and identical affine arithmetic; round(6)
       // absorbs the list_sum-vs-fold ulps like emb_norm_hist
