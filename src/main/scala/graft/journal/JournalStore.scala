@@ -517,6 +517,132 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }
   }
 
+  /** ANALYZE TABLE — per-column statistics over the current log surface
+    * (the same rows the DSv2 scan serves), persisted as table
+    * properties and re-served to Spark's optimizer through the scan's
+    * DSv2 `columnStats` (SURVEY §2.A journal core; Delta/ANSI `ANALYZE
+    * TABLE ... COMPUTE STATISTICS FOR COLUMNS` semantics). CBO join
+    * estimation and broadcast decisions then run on real ndv/null
+    * counts instead of byte-size guesses — on a 1000-executor cluster
+    * that is the difference between broadcasting a provably small build
+    * side and sort-merging it by default.
+    *
+    * Cost at scale: TWO corpus passes, both ending in metadata-sized
+    * results. Pass 1 is ONE global aggregate (row count + per-column
+    * null count / typed min / typed max — partial aggregation map-side,
+    * a single 1-row exchange). Pass 2 melts each row to (column, value)
+    * pairs MAP-SIDE ONLY and folds them into 512 HyperLogLog registers
+    * per column (Flajolet et al. 2007, the same md5-derived portable
+    * register arithmetic as the hash-gated agg_hll_custom row — fixed
+    * memory at any cardinality); the one exchange carries at most
+    * cols × 512 register rows. No value ever reaches the driver except
+    * the final per-column summary.
+    *
+    * Staleness contract: stats are stamped with the EXACT row count they
+    * were computed at; the scan re-serves them only while the manifest's
+    * per-file row counts still sum to that number (stale stats are
+    * DROPPED, never served wrong — the same exact-or-decline discipline
+    * as the manifest aggregate pushdown). A no-arg call analyzes every
+    * visible column; a subset call replaces the whole recorded stats set
+    * (stats always describe one coherent analyze run, never a mix). */
+  def analyze(columns: Seq[String] = Nil): Unit = {
+    requireWritable()
+    require(manifest.files.nonEmpty,
+      "analyze: the store has no committed data files yet (nothing to " +
+        "measure; stats on an empty store would pin rows=0 and then be " +
+        "dropped as stale by the first append anyway)")
+    val df = scanUnordered()
+    val names = df.schema.fieldNames.toSeq
+    // the no-arg default analyzes every REAL column; epoch is derived
+    // layout (seq div epochSize — its stats restate seq's), analyzable
+    // only on explicit request
+    val cols = if (columns.isEmpty) names.filterNot(_ == "epoch") else {
+      val missing = columns.filterNot(names.contains)
+      require(missing.isEmpty,
+        s"analyze: unknown column(s) ${missing.mkString(", ")} " +
+          s"(visible: ${names.mkString(", ")})")
+      columns
+    }
+    // pass 1: rows + per-column nulls / typed min / typed max (min/max
+    // are computed on the TYPED column, then canonicalized to string
+    // for the manifest — casting first would order "10" < "9")
+    val aggs = count(lit(1L)).as("rows_total") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = head.getLong(0)
+    // pass 2: portable-HLL registers per column (null values carry no
+    // distinctness; an all-null column simply has no register rows)
+    val regs: Map[String, (Long, Long)] =
+      if (rows == 0) Map.empty
+      else df
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
+        .select(col("cv.c").as("c"), col("cv.v").as("v"))
+        .where(col("v").isNotNull)
+        .selectExpr("c",
+          "CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h")
+        .selectExpr("c", "h % 512 AS b",
+          "CASE WHEN h div 512 = 0 THEN 52 " +
+            "ELSE 52 - length(bin(h div 512)) END AS rho")
+        .groupBy("c", "b").agg(max("rho").as("m"))
+        .groupBy("c").agg(count(lit(1)).as("regs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
+            .as("whit"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val kvs = scala.collection.immutable.TreeMap.newBuilder[String, String]
+    kvs += JournalStore.StatsRowsKey -> rows.toString
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val p = JournalStore.StatsColPrefix + c + "."
+      val nonNull = head.getLong(1 + 3 * i)
+      val (rh, wh) = regs.getOrElse(c, (0L, 0L))
+      kvs += (p + "nulls") -> (rows - nonNull).toString
+      kvs += (p + "regs") -> rh.toString
+      kvs += (p + "whit") -> wh.toString
+      kvs += (p + "ndv") -> JournalStore.hllNdvEstimate(rh, wh).toString
+      if (!head.isNullAt(2 + 3 * i))
+        kvs += (p + "min") -> head.getString(2 + 3 * i)
+      if (!head.isNullAt(3 + 3 * i))
+        kvs += (p + "max") -> head.getString(3 + 3 * i)
+    }
+    val fresh = kvs.result()
+    retryOnLostRace {
+      val m = manifest
+      val stale = m.meta.keys.filter(k => k == JournalStore.StatsRowsKey ||
+        k.startsWith(JournalStore.StatsColPrefix))
+      commitSeam()
+      writeManifest(path, m.copy(op = "analyze",
+        meta = m.meta -- stale ++ fresh))
+    }
+  }
+
+  /** Exact row count the last [[analyze]] ran at; None if never run. */
+  def analyzedRowCount: Option[Long] =
+    manifest.meta.get(JournalStore.StatsRowsKey).map(_.toLong)
+
+  /** Per-column stats of the last [[analyze]] run (column → record);
+    * empty if never run. min/max are the canonical string casts of the
+    * typed extrema; None for all-null columns. */
+  def analyzedColumnStats: Map[String, JournalStore.ColumnStatRecord] = {
+    val meta = manifest.meta
+    meta.keys.collect {
+      case k if k.startsWith(JournalStore.StatsColPrefix) &&
+        k.endsWith(".ndv") =>
+        k.stripPrefix(JournalStore.StatsColPrefix).stripSuffix(".ndv")
+    }.map { c =>
+      val p = JournalStore.StatsColPrefix + c + "."
+      c -> JournalStore.ColumnStatRecord(
+        nulls = meta(p + "nulls").toLong,
+        ndv = meta(p + "ndv").toLong,
+        regsHit = meta(p + "regs").toLong,
+        whit = meta(p + "whit").toLong,
+        min = meta.get(p + "min"),
+        max = meta.get(p + "max"))
+    }.toMap
+  }
+
   /** The table-property prefix under which CHECK constraints live —
     * Delta's `delta.constraints.<name>` idea verbatim: the constraint
     * is ordinary manifest metadata, so it rides clones, survives
@@ -3343,6 +3469,48 @@ object JournalStore {
     * pay the one full-state (ns, ukey) shuffle, which is the right
     * plan when the source really touches much of the key space. */
   val MergeSmallSourceRows = 2048
+
+  /** Table-property key holding the EXACT row count the last analyze()
+    * ran at — the staleness arbiter: the scan re-serves column stats
+    * only while the manifest's per-file rows still sum to this. */
+  private[graft] val StatsRowsKey = "stats.rows"
+
+  /** Table-property prefix for analyze()'s per-column stats
+    * (`stats.col.<name>.{nulls,regs,whit,ndv,min,max}` — flat keys, so
+    * arbitrary min/max strings ride the manifest's URL-encoding with no
+    * JSON escaping of their own). */
+  private[graft] val StatsColPrefix = "stats.col."
+
+  /** One column's recorded ANALYZE stats. `regsHit`/`whit` are the raw
+    * HLL register summary (exact integers — the sketch state itself, so
+    * a reader can re-derive or merge estimates); `ndv` is the corrected
+    * estimate served to the optimizer. */
+  case class ColumnStatRecord(nulls: Long, ndv: Long, regsHit: Long,
+                              whit: Long, min: Option[String],
+                              max: Option[String]) {
+    /** Harmonic-mean weight: whit + one full 2^52 term per empty
+      * register (the exact-integer form the oracle twin recomputes). */
+    def weight: Long = whit + (512L - regsHit) * 4503599627370496L
+  }
+
+  /** HLL cardinality estimate from a 512-register summary: the raw
+    * harmonic estimate (alpha_m · m² · 2^52 / weight — the agg_hll_custom
+    * arithmetic) with Flajolet's small-range linear-counting correction
+    * (m·ln(m/V) when the raw estimate is under 2.5·m and empty registers
+    * remain — without it an 8-value column would report ndv ≈ 370).
+    * Driver-side and planner-advisory only, so the libm ln here is
+    * outside every cross-engine hash gate. */
+  private[graft] def hllNdvEstimate(regsHit: Long, whit: Long): Long = {
+    if (regsHit == 0) return 0L
+    val m = 512.0
+    val weight = whit.toDouble + (512L - regsHit).toDouble * 4503599627370496.0
+    val raw = 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 *
+      4503599627370496.0 / weight
+    val zeros = 512 - regsHit
+    val est = if (raw <= 2.5 * 512 && zeros > 0) m * math.log(m / zeros)
+              else raw
+    math.max(1L, math.round(est))
+  }
 
   /** Reserved source-column prefix for N-clause merge CARRIERS — the
     * SQL rule projects per-clause UPDATE values (`__mc_u<i>_<col>`) and

@@ -576,6 +576,49 @@ object JournalOps {
           min("ukey").as("min_ukey"), max("ukey").as("max_ukey"),
           min("ts").as("min_ts"), max("ts").as("max_ts"))
     }),
+    "journal_analyze" -> ((s, d) => {
+      // ANALYZE TABLE end to end (journal/JournalStore.scala analyze):
+      // ingest → one analyze() — two corpus passes, both ending in
+      // metadata-sized results (a 1-row global aggregate; ≤ cols×512
+      // HLL register rows) — → stats read BACK from the manifest (the
+      // persistence proof; they ride clones/restores like any table
+      // property). The emitted register summary (regs_hit, weight) is
+      // the HLL SKETCH STATE itself — exact integers the oracle
+      // recomputes from the same md5 arithmetic (agg_hll_custom's
+      // registers, now produced by the store verb) — beside exact null
+      // counts and typed min/max canonicalized to strings. The ndv
+      // estimate served to Spark's CBO is derived from these registers
+      // (hllNdvEstimate) and is deliberately NOT in the hash gate: its
+      // small-range correction takes a driver-side libm ln.
+      // AnalyzeSpec pins the optimizer side (DSv2 columnStats →
+      // attributeStats, staleness drop); this row pins the VALUES.
+      val sp = s
+      import sp.implicits._
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_janalyze_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "5000").save(tmp)
+      val st = graft.journal.JournalStore.open(s, tmp)
+      // ANALYZE of an EMPTY table is zero stat rows (analyze() itself
+      // refuses — stats pinned at rows=0 would only ever be dropped as
+      // stale), same output schema
+      val recs =
+        if (st.manifest.files.isEmpty)
+          Seq.empty[(String, Long, Long, Long, Long, String, String)]
+        else {
+          st.analyze(Seq("ns", "ukey", "seq", "payload"))
+          val rows = st.analyzedRowCount.get
+          val cs = st.analyzedColumnStats
+          Seq("ns", "ukey", "seq", "payload").sorted.map { c =>
+            val r = cs(c)
+            (c, rows, r.nulls, r.regsHit, r.weight,
+              r.min.orNull, r.max.orNull)
+          }
+        }
+      recs.toDF("col_name", "n_rows", "n_nulls", "regs_hit", "weight",
+        "vmin", "vmax").orderBy("col_name")
+    }),
     "journal_skew_report" -> ((s, d) => {
       // Hot-key diagnostic: top-3 keys per namespace with their share
       // of the namespace's rows — the report an operator reads BEFORE
@@ -1886,6 +1929,37 @@ object JournalOps {
         "CAST(max(user_id) AS BIGINT) AS max_ukey, " +
         "min(ts) AS min_ts, max(ts) AS max_ts " +
         "FROM events WHERE event_id < 6000"),
+    // analyze() replayed: the same 512-register md5 HLL arithmetic as
+    // the agg_hll_custom oracle, per melted column, beside exact
+    // nulls / typed-then-cast min/max
+    "journal_analyze" ->
+      ("WITH src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "event_id AS seq, props AS payload FROM events " +
+        "WHERE event_id < 6000), " +
+        "mel AS (SELECT 'ns' AS c, ns AS v FROM src UNION ALL " +
+        "SELECT 'payload' AS c, payload AS v FROM src UNION ALL " +
+        "SELECT 'seq' AS c, CAST(seq AS VARCHAR) AS v FROM src UNION ALL " +
+        "SELECT 'ukey' AS c, CAST(ukey AS VARCHAR) AS v FROM src), " +
+        "h AS (SELECT c, CAST(concat('0x', substr(md5(v), 1, 15)) " +
+        "AS BIGINT) AS h FROM mel WHERE v IS NOT NULL), " +
+        "r AS (SELECT c, h % 512 AS b, CASE WHEN h // 512 = 0 THEN 52 " +
+        "ELSE 52 - length(bin(h // 512)) END AS rho FROM h), " +
+        "mm AS (SELECT c, b, max(rho) AS m FROM r GROUP BY 1, 2), " +
+        "e AS (SELECT c, count(*) AS regs_hit, " +
+        "CAST(sum(1::BIGINT << CAST(52 - m AS INT)) AS BIGINT) AS w_hit " +
+        "FROM mm GROUP BY 1), " +
+        "st AS (SELECT 'ns' AS c, count(*) AS n_rows, " +
+        "count(*) - count(ns) AS n_nulls, min(ns) AS vmin, max(ns) AS vmax " +
+        "FROM src UNION ALL " +
+        "SELECT 'payload', count(*), count(*) - count(payload), " +
+        "min(payload), max(payload) FROM src UNION ALL " +
+        "SELECT 'seq', count(*), count(*) - count(seq), " +
+        "CAST(min(seq) AS VARCHAR), CAST(max(seq) AS VARCHAR) FROM src " +
+        "UNION ALL SELECT 'ukey', count(*), count(*) - count(ukey), " +
+        "CAST(min(ukey) AS VARCHAR), CAST(max(ukey) AS VARCHAR) FROM src) " +
+        "SELECT st.c AS col_name, st.n_rows, st.n_nulls, e.regs_hit, " +
+        "e.w_hit + (512 - e.regs_hit) * 4503599627370496 AS weight, " +
+        "st.vmin, st.vmax FROM st JOIN e USING (c) ORDER BY col_name"),
     "journal_skew_report" ->
       ("WITH c AS (SELECT event_type AS ns, user_id AS ukey, count(*) AS n " +
         "FROM events GROUP BY 1, 2), " +

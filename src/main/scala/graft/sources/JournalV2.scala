@@ -108,6 +108,50 @@ private[sources] object JournalV2 {
       Map("basePath" -> segDir), Some(fullSchema),
       FileStatusCache.getOrCreate(spark), None, None)
 
+  /** ANALYZE-recorded column stats → the DSv2 columnStats report, for
+    * columns that survived pruning. Exact-or-decline at two grains:
+    * the whole set is dropped unless the recorded row count equals the
+    * live exact count (`exactRows` — stats describe THIS surface, not
+    * an ancestor's), and typed min/max are reported only for BIGINT
+    * columns (a lossless Long parse-back; string/timestamp extrema stay
+    * manifest-only, ndv and null counts carry the estimation weight).
+    * The map is driver-built from manifest metadata — O(columns). */
+  def columnStatsFor(meta: Map[String, String], exactRows: Long,
+                     schema: StructType): java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (!meta.get(JournalStore.StatsRowsKey).contains(exactRows.toString))
+      return out
+    val pre = JournalStore.StatsColPrefix
+    schema.fields.foreach { f =>
+      val p = pre + f.name + "."
+      (meta.get(p + "nulls"), meta.get(p + "ndv")) match {
+        case (Some(nu), Some(nd)) =>
+          val longTyped = f.dataType == org.apache.spark.sql.types.LongType
+          def bound(k: String): java.util.Optional[Object] =
+            if (!longTyped) java.util.Optional.empty()
+            else meta.get(p + k) match {
+              case Some(v) => java.util.Optional.of(
+                java.lang.Long.valueOf(v).asInstanceOf[Object])
+              case None => java.util.Optional.empty()
+            }
+          val (mn, mx) = (bound("min"), bound("max"))
+          out.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nd.toLong)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nu.toLong)
+            override def min(): java.util.Optional[Object] = mn
+            override def max(): java.util.Optional[Object] = mx
+          })
+        case _ => ()
+      }
+    }
+    out
+  }
+
   /** V2 table unless a state-mode/ns option forces the V1 relation
     * (None → caller returns a capability-less stub and Spark falls back).
     * The store may not exist yet: the table still carries the streaming
@@ -464,6 +508,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         nsGrouped = Option(options.get("nsGrouped")).map(_.toBoolean)
           .orElse(m.meta.get("nsGrouped").map(_.toBoolean))
           .getOrElse(false),
+        statsMeta = m.meta,
         // deletion vectors present: batch reads must subtract them, which
         // a parquet file scan cannot express row-level — the builder
         // serves a V1Scan over the store's DV-aware scan surface instead
@@ -540,7 +585,8 @@ private[sources] class JournalScanBuilder(
     segDir: String, storePath: String, maxSeqsPerTrigger: Option[Long],
     startingSeq: Option[String] = None,
     nsGrouped: Boolean = false,
-    dvScan: Option[() => DataFrame] = None)
+    dvScan: Option[() => DataFrame] = None,
+    statsMeta: Map[String, String] = Map.empty)
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
   with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -838,7 +884,8 @@ private[sources] class JournalScanBuilder(
       case (None, None) => (scan, relFiles)
     }
     new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
-      effFiles, fstats, segDir, startingSeq, nsGrouped = nsGrouped)
+      effFiles, fstats, segDir, startingSeq, nsGrouped = nsGrouped,
+      statsMeta = statsMeta)
   }
 }
 
@@ -925,7 +972,8 @@ private[sources] class JournalParquetScan(base: ParquetScan,
                                           fstats: Map[String, JournalStore.FileStat] = Map.empty,
                                           segDir: String = "",
                                           startingSeq: Option[String] = None,
-                                          private val nsGrouped: Boolean = false)
+                                          private val nsGrouped: Boolean = false,
+                                          statsMeta: Map[String, String] = Map.empty)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
@@ -1006,10 +1054,20 @@ private[sources] class JournalParquetScan(base: ParquetScan,
     if (relFiles.nonEmpty && relFiles.forall(fstats.contains) &&
         pushedFilters.isEmpty && dataFilters.isEmpty) {
       val rows = relFiles.map(fstats(_).rows).sum
+      // ANALYZE-recorded column stats (ndv / null count / long min-max)
+      // ride the same report — DataSourceV2Relation.transformV2Stats
+      // turns them into catalyst attributeStats, so CBO join estimation
+      // runs on real cardinality. Exact-or-decline: served only while
+      // the recorded row count still matches the live exact count
+      // (an append/delete since analyze() silently drops them).
+      val colStats = JournalV2.columnStatsFor(statsMeta, rows, readSchema())
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong = base0.sizeInBytes()
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.of(rows)
+        override def columnStats(): java.util.Map[NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          colStats
       }
     } else base0
   }

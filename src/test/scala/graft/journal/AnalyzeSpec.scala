@@ -1,0 +1,125 @@
+package graft.journal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.TestSpark.ts
+
+/** ANALYZE TABLE column statistics: exactness of the recorded stats,
+  * the small-range-corrected HLL ndv, the staleness (exact-or-decline)
+  * contract, and the DSv2 columnStats → catalyst attributeStats
+  * propagation the optimizer consumes. */
+class AnalyzeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshPath =
+    java.nio.file.Files.createTempDirectory("graft_analyze_").toString + "/store"
+
+  private def fixture = Seq(
+    ("users", 1L, ts("2024-01-01 00:00:01"), """{"v":1}""", Some(1.0)),
+    ("users", 2L, ts("2024-01-01 00:00:02"), """{"v":2}""", Some(2.0)),
+    ("users", 3L, ts("2024-01-01 00:00:03"), """{"v":3}""", None),
+    ("carts", 4L, ts("2024-01-01 00:00:04"), """{"c":1}""", Some(4.0)),
+    ("carts", 1L, ts("2024-01-01 00:00:05"), """{"c":2}""", None),
+  ).toDF("ns", "ukey", "ts", "payload", "val")
+
+  test("analyze records exact rows/nulls/min/max and corrected ndv") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 3)
+    store.append(fixture)
+    store.analyze()
+    assert(store.analyzedRowCount === Some(5L))
+    val cs = store.analyzedColumnStats
+    // every visible column analyzed by the no-arg call
+    assert(cs.keySet === Set("ns", "ukey", "seq", "ts", "payload", "val"))
+    val ns = cs("ns")
+    assert(ns.nulls === 0L)
+    assert(ns.min === Some("carts") && ns.max === Some("users"))
+    // 2 distinct values → 2 registers hit → linear counting lands on 2
+    assert(ns.ndv === 2L)
+    val ukey = cs("ukey")
+    assert(ukey.nulls === 0L)
+    assert(ukey.min === Some("1") && ukey.max === Some("4"))
+    assert(ukey.ndv === 4L)
+    val v = cs("val")
+    assert(v.nulls === 2L)
+    assert(v.min === Some("1.0") && v.max === Some("4.0"))
+    assert(v.ndv === 3L)
+    // raw register state is recorded exactly (re-derivable / mergeable)
+    assert(ns.regsHit === 2L)
+    assert(ns.weight === ns.whit + 510L * 4503599627370496L)
+  }
+
+  test("ndv estimate stays within HLL tolerance at mid cardinality") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    val rows = (0 until 600).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+    store.append(rows.toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    val ndv = store.analyzedColumnStats("ukey").ndv
+    // 512 registers → rsd ≈ 1.04/sqrt(512) ≈ 4.6%; allow 4 sigma
+    assert(math.abs(ndv - 600L) <= 110, s"ndv=$ndv for 600 distinct")
+  }
+
+  test("scan serves analyze stats to the optimizer; appends stale them") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 3)
+    store.append(fixture)
+    store.analyze(Seq("ns", "ukey", "val"))
+    // CBO's stats visitor is what carries attributeStats up the plan;
+    // the size-only default drops them above the leaf — asserting at
+    // the TOP of the optimized plan proves estimation actually sees
+    // the analyze stats, not merely that the leaf reports them
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    def attrStats = spark.read.format("journal").load(path)
+      .queryExecution.optimizedPlan.stats.attributeStats
+    try {
+    val st = attrStats
+    assert(st.nonEmpty, "expected attributeStats from DSv2 columnStats")
+    val byName = st.map { case (a, s) => a.name -> s }
+    assert(byName("ukey").distinctCount.map(_.toLong) === Some(4L))
+    assert(byName("ukey").nullCount.map(_.toLong) === Some(0L))
+    // BIGINT extrema parse back losslessly and ride the report
+    assert(byName("ukey").min === Some(1L))
+    assert(byName("ukey").max === Some(4L))
+    assert(byName("val").nullCount.map(_.toLong) === Some(2L))
+    // string column: ndv/nulls only, no extrema (no lossless parse-back)
+    assert(byName("ns").distinctCount.map(_.toLong) === Some(2L))
+    assert(byName("ns").min.isEmpty && byName("ns").max.isEmpty)
+    // a later append makes the recorded stats describe an ancestor
+    // surface → the scan DROPS them (exact-or-decline), numRows stays
+    store.append(Seq(("users", 9L, ts("2024-01-02 00:00:00"), "{}", 0.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(attrStats.isEmpty, "stale stats must not be served")
+    assert(spark.read.format("journal").load(path)
+      .queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(6)))
+    // re-analyze re-arms the report at the new surface
+    store.analyze(Seq("ukey"))
+    assert(attrStats.map { case (a, s) => a.name -> s }("ukey")
+      .distinctCount.map(_.toLong) === Some(5L))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("a subset analyze replaces the whole recorded stats set") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 3)
+    store.append(fixture)
+    store.analyze()
+    assert(store.analyzedColumnStats.keySet.size === 6)
+    store.analyze(Seq("ukey"))
+    assert(store.analyzedColumnStats.keySet === Set("ukey"))
+    // stats ride the manifest: a reopened handle sees them
+    assert(JournalStore.open(spark, store.path)
+      .analyzedColumnStats("ukey").ndv === 4L)
+    // DESCRIBE HISTORY grain: the analyze commit is its own operation
+    assert(JournalStore.open(spark, store.path).manifest.op === "analyze")
+  }
+
+  test("analyze refuses unknown columns and empty stores") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 3)
+    val e = intercept[IllegalArgumentException](store.analyze())
+    assert(e.getMessage.contains("no committed data files"))
+    store.append(fixture)
+    val e2 = intercept[IllegalArgumentException](store.analyze(Seq("nope")))
+    assert(e2.getMessage.contains("unknown column"))
+  }
+}
