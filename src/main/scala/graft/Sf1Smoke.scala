@@ -176,7 +176,16 @@ object Sf1Smoke {
       "text_lm_score",
       // int8 codebook quantization: one 64-group codebook aggregate +
       // a map-side scoring scan — linear in vectors
-      "emb_quantize_codebook")
+      "emb_quantize_codebook",
+      // round-15 session 2: ANALYZE is two linear passes ending in
+      // metadata-sized results (1-row aggregate; ≤ cols×512 HLL
+      // registers); the domain cap's exchange carries ≤ C rows per
+      // (partition, domain) whatever the corpus; hybrid RRF bounds
+      // both legs to 64-entry topk_by arrays before fusing; shard
+      // packing's only global window runs over 64 bucket TOTALS — the
+      // corpus sees one partitioned window + a broadcast join
+      "journal_analyze", "text_domain_cap", "sim_hybrid_rrf",
+      "text_shard_pack")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

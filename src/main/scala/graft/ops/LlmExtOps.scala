@@ -1285,6 +1285,50 @@ object LlmExtOps {
                 "avg_token_len", "quality_score")
         .orderBy("doc_id")),
 
+    "text_domain_cap" -> ((s, d) => {
+      // PER-DOMAIN CAPS (FineWeb's per-host contribution bound): a web
+      // corpus is dominated by a few crawl hosts, so each domain
+      // (`source` is the fixture's domain axis) keeps only its C=8 best
+      // docs by the text_quality heuristic score before mixing. The
+      // scale-critical part is HOW the cap selects: never a per-domain
+      // sort of the corpus (a rank window would shuffle every scored
+      // doc to its domain's partition — the hot-host skew is exactly
+      // where that plan dies) but the bounded `topk_by` aggregate
+      // (expr/TopKBy.scala): partial buffers carry ≤ 2C (score, id)
+      // pairs map-side, so the one exchange ships at most C rows per
+      // (partition, domain) — a 10⁹-doc host costs the same as a
+      // 10²-doc one. Kept-set identity is pinned with exact integer
+      // checksums (id sum + 4dp-micro score sum folded over the ≤C
+      // array — no float accumulation order anywhere).
+      graft.expr.GraftFunctions.register(s)
+      val q = Tables(s, d, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("stop_ratio",
+          graft.Det.r(expr(s"size(filter(w, t -> $stopCond))").cast("double") /
+            greatest(col("n_tokens"), lit(1)), 4))
+        .withColumn("short_ratio",
+          graft.Det.r(expr("size(filter(w, t -> length(t) <= 2))").cast("double") /
+            greatest(col("n_tokens"), lit(1)), 4))
+        .select(col("source"), col("doc_id"),
+          graft.Det.r(lit(0.5) * (lit(1) - col("short_ratio")) +
+            lit(0.3) * (lit(1) - col("stop_ratio")) +
+            lit(0.2) * least(col("n_tokens") / lit(100.0), lit(1.0)), 4)
+            .as("score"))
+      q.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             expr("topk_by(score, doc_id, 8)").as("top"))
+        .select(col("source"), col("n_docs"),
+          size(col("top")).cast("bigint").as("n_kept"),
+          (col("n_docs") - size(col("top"))).cast("bigint").as("n_dropped"),
+          expr("aggregate(top, CAST(0 AS BIGINT), (a, x) -> a + x.id)")
+            .as("kept_id_sum"),
+          expr("aggregate(top, CAST(0 AS BIGINT), (a, x) -> " +
+            "a + CAST(round(x.score * 10000) AS BIGINT))")
+            .as("kept_score_micro"))
+        .orderBy("source")
+    }),
+
     "text_quality_model" -> ((s, d) => {
       // MODEL-BASED quality scoring (the DCLM / FineWeb-Edu pass,
       // VERDICT r14 item 4): a Bernoulli linear classifier over a
@@ -1645,6 +1689,49 @@ object LlmExtOps {
                 expr("CAST(cum - n_tok - ((cum - n_tok) div 2048) * 2048 AS INT)")
                   .as("pack_offset"))
         .orderBy("source", "doc_id")
+    }),
+
+    "text_shard_pack" -> ((s, d) => {
+      // GLOBAL SHUFFLE + SHARD CUTTING — the final step of a training
+      // pipeline: stream documents in a deterministic pseudo-random
+      // order (an md5 permutation of doc_id — "global shuffle" with no
+      // RNG, so both engines and every re-run walk the same order) and
+      // cut the stream into token-budget shards (2048 tokens). The
+      // global running sum that positions each doc is the classic
+      // single-task trap (a corpus-wide ORDER BY window moves ALL data
+      // to one partition — Spark even warns); here it is TWO-LEVEL:
+      // an intra-bucket partitioned window (64 hash buckets, parallel)
+      // plus a 64-row bucket-offset frame joined back by broadcast —
+      // the same partial+offset scheme the store's parallel seq
+      // assignment rides. The shuffle order (bucket, h, doc_id) is a
+      // pure function of doc_id, so the oracle replays the two-level
+      // arithmetic with ONE window and lands on identical shards.
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("h", expr("CAST(conv(substring(md5(CAST(doc_id AS " +
+          "STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("bucket", col("h") % 64)
+      val wIntra = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("h", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      val wBkt = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      // 64-row frame: the only global window runs over bucket TOTALS
+      val offsets = t.groupBy("bucket").agg(sum("n_tok").as("btok"))
+        .withColumn("boff", sum("btok").over(wBkt) - col("btok"))
+        .select("bucket", "boff")
+      t.withColumn("cum_in", sum("n_tok").over(wIntra))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("pos", col("boff") + col("cum_in") - col("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("CAST(pos div 2048 AS BIGINT)").as("shard_id"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+             sum("doc_id").as("id_sum"))
+        .orderBy("shard_id")
     }),
 
     "text_chunk" -> ((s, d) =>
@@ -2655,6 +2742,31 @@ object LlmExtOps {
         graft.Det.sql.r("CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(w), 1)", 4) + " AS avg_token_len " +
         "FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)) " +
         "ORDER BY doc_id"),
+    // the cap replayed with a rank window (the oracle may afford the
+    // per-domain sort the engine side refuses): same score arithmetic,
+    // same (score DESC, doc_id ASC) total order, same C=8
+    "text_domain_cap" ->
+      ("WITH q AS (SELECT source, doc_id, " +
+        graft.Det.sql.r("0.5 * (1 - short_ratio) + 0.3 * (1 - stop_ratio) " +
+          "+ 0.2 * least(n_tokens / 100.0, 1.0)", 4) + " AS score FROM " +
+        "(SELECT source, doc_id, len(w) AS n_tokens, " +
+        graft.Det.sql.r("CAST(len(list_filter(w, t -> t = 'the' OR " +
+          "t = 'a')) AS DOUBLE) / greatest(len(w), 1)", 4) +
+        " AS stop_ratio, " +
+        graft.Det.sql.r("CAST(len(list_filter(w, t -> length(t) <= 2)) " +
+          "AS DOUBLE) / greatest(len(w), 1)", 4) + " AS short_ratio " +
+        "FROM (SELECT source, doc_id, string_split(lower(text), ' ') AS w " +
+        "FROM documents))), " +
+        "r AS (SELECT source, doc_id, score, row_number() OVER " +
+        "(PARTITION BY source ORDER BY score DESC, doc_id) AS rk FROM q), " +
+        "k AS (SELECT source, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS kept_id_sum, " +
+        "CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT) " +
+        "AS kept_score_micro FROM r WHERE rk <= 8 GROUP BY 1), " +
+        "n AS (SELECT source, count(*) AS n_docs FROM q GROUP BY 1) " +
+        "SELECT n.source, n.n_docs, k.n_kept, " +
+        "n.n_docs - k.n_kept AS n_dropped, k.kept_id_sum, " +
+        "k.kept_score_micro FROM n JOIN k USING (source) ORDER BY source"),
     "text_quality_model" ->
       // the oracle trains the IDENTICAL closed-form model: integer weak
       // label, top-64 doc-frequency vocabulary (df DESC, token tiebreak),
@@ -2785,6 +2897,20 @@ object LlmExtOps {
         "sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM documents) " +
         "ORDER BY source, doc_id"),
+    // the two-level (bucket window + offset join) cumsum replayed as
+    // ONE global window over the same (bucket, h, doc_id) total order
+    "text_shard_pack" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h FROM documents), " +
+        "o AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY h % 64, " +
+        "h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "- n_tok AS pos FROM t) " +
+        "SELECT CAST(pos // 2048 AS BIGINT) AS shard_id, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS tokens, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+        "FROM o GROUP BY 1 ORDER BY shard_id"),
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
         "lang, source, n_chars FROM documents ORDER BY doc_id"),

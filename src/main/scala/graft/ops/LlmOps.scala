@@ -162,6 +162,60 @@ object LlmOps {
           col("t.score").as("sim"))
         .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
     }),
+    "sim_hybrid_rrf" -> ((s, d) => {
+      // HYBRID RETRIEVAL — a lexical leg and a dense cosine leg fused
+      // by Reciprocal Rank Fusion (Cormack & Clarke 2009, rrf =
+      // Σ 1/(60+rank)): the production RAG serving shape, where
+      // keyword recall and embedding recall cover each other's misses.
+      // Scale design: NEITHER leg ranks with a window over the corpus
+      // — each reduces through the bounded topk_by aggregate to a
+      // ≤64-entry array (the exchange carries ≤64 (score, id) pairs
+      // per partition — a rank window would shuffle every scored doc
+      // to ONE partition), and rank IS the array position
+      // (posexplode). Fusion then full-outer-joins two 64-row frames:
+      // broadcast-sized by construction at ANY corpus size. All fused
+      // arithmetic is exact integers: the lexical score is the
+      // rational tf·N/df in 1e-6 units (deliberately NOT the ln-idf
+      // form — a libm log inside a rank the hash gate depends on is a
+      // cross-engine ulp flip waiting to happen) and each RRF term
+      // rounds 1e6/(60+rank) before the integer sum. Doc i pairs with
+      // vector i (the multimodal_join fixture contract).
+      graft.expr.GraftFunctions.register(s)
+      val terms = Seq("spark", "merge", "vector")
+      val tf = Tables(s, d, "documents").where(col("doc_id") =!= 0)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id") +: terms.map(t =>
+          expr(s"size(filter(w, x -> x = '$t'))").cast("long")
+            .as(s"tf_$t")): _*)
+      val stats = tf.agg(count(lit(1)).cast("long").as("n_docs"),
+        terms.map(t =>
+          sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+      val lex = tf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), terms.map(t =>
+          when(col(s"df_$t") > 0, expr(
+            s"CAST(round(1000000.0 * tf_$t * n_docs / df_$t) AS BIGINT)"))
+            .otherwise(lit(0L))).reduce(_ + _).as("lex_micro"))
+        .where(col("lex_micro") > 0)
+        .agg(expr("topk_by(CAST(lex_micro AS DOUBLE), doc_id, 64)").as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "t")))
+        .select((col("p") + 1).as("lex_rank"), col("t.id").as("doc_id"))
+      val emb = Tables(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val vec = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Det.r(expr("cosine_sim(embedding, q_emb)"), 4).as("sim"))
+        .agg(expr("topk_by(sim, vec_id, 64)").as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "t")))
+        .select((col("p") + 1).as("vec_rank"), col("t.id").as("doc_id"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (coalesce(expr("CAST(round(1000000.0 / (60 + lex_rank)) AS BIGINT)"),
+            lit(0L)) +
+           coalesce(expr("CAST(round(1000000.0 / (60 + vec_rank)) AS BIGINT)"),
+            lit(0L))).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+    }),
     "sim_cosine_topk" -> ((s, d) => {
       // native codegen'd Catalyst expression (graft.expr.CosineSimilarity)
       // — no UDF boxing on the scan side; TakeOrderedAndProject keeps k
@@ -358,6 +412,45 @@ object LlmOps {
         "ORDER BY sim DESC, vec_id) AS rn FROM scored) " +
         "SELECT q_id, vec_id, sim FROM r WHERE rn <= 10 " +
         "ORDER BY q_id, sim DESC, vec_id"),
+    // both legs replayed with rank windows over the same exact-integer
+    // scores; FULL OUTER + USING coalesces doc_id like the engine's
+    // full_outer join on the key
+    "sim_hybrid_rrf" ->
+      ("WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w " +
+        "FROM documents WHERE doc_id <> 0), " +
+        "tf AS (SELECT doc_id, " +
+        "len(list_filter(w, x -> x = 'spark')) AS tf_spark, " +
+        "len(list_filter(w, x -> x = 'merge')) AS tf_merge, " +
+        "len(list_filter(w, x -> x = 'vector')) AS tf_vector FROM w), " +
+        "st AS (SELECT count(*) AS n_docs, " +
+        "sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark, " +
+        "sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge, " +
+        "sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector " +
+        "FROM tf), " +
+        "lexs AS (SELECT doc_id, " +
+        "(CASE WHEN df_spark > 0 THEN CAST(round(1000000.0 * tf_spark " +
+        "* n_docs / df_spark) AS BIGINT) ELSE 0 END + " +
+        "CASE WHEN df_merge > 0 THEN CAST(round(1000000.0 * tf_merge " +
+        "* n_docs / df_merge) AS BIGINT) ELSE 0 END + " +
+        "CASE WHEN df_vector > 0 THEN CAST(round(1000000.0 * tf_vector " +
+        "* n_docs / df_vector) AS BIGINT) ELSE 0 END) AS lex_micro " +
+        "FROM tf CROSS JOIN st), " +
+        "lexr AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY lex_micro DESC, doc_id) AS INT) AS lex_rank " +
+        "FROM lexs WHERE lex_micro > 0 QUALIFY lex_rank <= 64), " +
+        "vecs AS (SELECT e.vec_id AS doc_id, " +
+        Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+          "CAST(q.embedding AS DOUBLE[]))", 4) + " AS sim " +
+        "FROM embeddings e, (SELECT embedding FROM embeddings " +
+        "WHERE vec_id = 0) q WHERE e.vec_id <> 0), " +
+        "vecr AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY sim DESC, doc_id) AS INT) AS vec_rank FROM vecs " +
+        "QUALIFY vec_rank <= 64) " +
+        "SELECT doc_id, l.lex_rank, v.vec_rank, " +
+        "COALESCE(CAST(round(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0) " +
+        "+ COALESCE(CAST(round(1000000.0 / (60 + v.vec_rank)) AS BIGINT), " +
+        "0) AS rrf_micro FROM lexr l FULL OUTER JOIN vecr v USING (doc_id) " +
+        "ORDER BY rrf_micro DESC, doc_id LIMIT 20"),
     "sim_cosine_topk" ->
       ("SELECT e.vec_id, " +
         Det.sql.r("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +

@@ -297,6 +297,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning\\(source".r.findFirstIn(p).isDefined, p)
   }
 
+  test("text_domain_cap caps through topk_by (no per-domain rank window)") {
+    val lp = SparkEntry.queries("text_domain_cap")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, lp.toString)
+    assert(lp.toString.contains("topk_by"), lp.toString)
+  }
+
+  test("sim_hybrid_rrf ranks both legs via topk_by arrays (no corpus window)") {
+    val lp = SparkEntry.queries("sim_hybrid_rrf")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, lp.toString)
+    assert("topk_by".r.findAllIn(lp.toString).size >= 2, lp.toString)
+  }
+
+  test("text_shard_pack: the only global-order window runs over bucket " +
+      "totals, never the corpus") {
+    val lp = SparkEntry.queries("text_shard_pack")(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size === 2, lp.toString)
+    val (glob, part) = wins.partition(_.partitionSpec.isEmpty)
+    assert(part.size === 1 && glob.size === 1, lp.toString)
+    // the empty-partition window must consume the 64-row bucket
+    // ROLLUP (an Aggregate beneath it), never corpus-grain rows
+    assert(glob.head.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, glob.head.toString)
+  }
+
   test("text_repetition is a single map-side pass (no mid-query shuffle)") {
     val p = plan("text_repetition")
     // the only exchange allowed is the final presentation orderBy;
