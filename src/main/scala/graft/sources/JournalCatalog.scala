@@ -215,7 +215,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
     "drop_constraint", "set_property", "refresh_rollup", "history",
-    "clone")
+    "clone", "analyze")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -239,6 +239,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "refresh_rollup" => new RefreshRollupProcedure
       case "history" => new HistoryProcedure
       case "clone" => new CloneProcedure
+      case "analyze" => new AnalyzeProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -578,6 +579,54 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = histRows
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** ANALYZE TABLE as a SQL CALL — the pure-SQL operator's spelling of
+    * JournalStore.analyze (Delta/ANSI `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS`): computes + commits the stats, RETURNS
+    * the recorded per-column summary so the operator sees what the
+    * planner will be fed. Subsequent reads of the table serve these
+    * stats to CBO through the scan's DSv2 columnStats until a write
+    * stales them. */
+  private class AnalyzeProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "compute per-column statistics (null count, typed min/max, HLL " +
+        "ndv) over a journal table's current rows, persist them as " +
+        "table properties for the optimizer, and return the recorded " +
+        "summary (ANALYZE TABLE ... FOR COLUMNS)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("columns", StringType).defaultValue("NULL")
+        .comment("comma-separated column subset; NULL = every visible " +
+          "column (epoch excluded — derived layout)").build())
+    private val schema = StructType.fromDDL(
+      "col_name STRING, n_rows BIGINT, n_nulls BIGINT, ndv BIGINT, " +
+        "vmin STRING, vmax STRING")
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val cols =
+        if (input.isNullAt(1)) Nil
+        else input.getUTF8String(1).toString.split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      store.analyze(cols)
+      val rows = store.analyzedRowCount.getOrElse(0L)
+      def utf(s: Option[String]) =
+        s.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+      val statRows = store.analyzedColumnStats.toSeq.sortBy(_._1).map {
+        case (c, r) => InternalRow.fromSeq(Seq[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(c),
+          rows, r.nulls, r.ndv, utf(r.min), utf(r.max)))
+      }.toArray
+      val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = statRows
       }
       util.Collections.singletonList(scan).iterator()
     }

@@ -1003,6 +1003,46 @@ class CatalogSpec extends AnyFunSuite {
     assert(api === rows)
   }}
 
+  test("CALL system.analyze RETURNS the recorded column stats and arms " +
+    "the scan's CBO report; a write stales it") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.anl (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    spark.sql("INSERT INTO jcat.anl SELECT * FROM VALUES " +
+      "('users', CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:01', 'p0', CAST(1.0 AS DOUBLE)), " +
+      "('users', CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 00:00:02', 'p1', CAST(2.0 AS DOUBLE)), " +
+      "('carts', CAST(3 AS BIGINT), TIMESTAMP '2024-01-01 00:00:03', 'p2', CAST(NULL AS DOUBLE)) " +
+      "AS t(ns, ukey, ts, payload, val)")
+    val stats = spark.sql(
+      "CALL jcat.system.analyze(table => 'anl', columns => 'ns, ukey, val')")
+      .orderBy("col_name")
+      .select("col_name", "n_rows", "n_nulls", "ndv", "vmin", "vmax")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(stats === Seq(
+      ("ns", 3L, 0L, 2L, "carts", "users"),
+      ("ukey", 3L, 0L, 3L, "1", "3"),
+      ("val", 3L, 1L, 2L, "1.0", "2.0")))
+    // the by-name read serves the stats to the optimizer (CBO carries
+    // them above the leaf), keyed on the live-row-count match
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def attr = spark.table("jcat.anl").queryExecution
+        .optimizedPlan.stats.attributeStats
+        .map { case (a, s) => a.name -> s }
+      assert(attr("ukey").distinctCount.map(_.toLong) === Some(3L))
+      assert(attr("val").nullCount.map(_.toLong) === Some(1L))
+      spark.sql("INSERT INTO jcat.anl SELECT 'users' AS ns, " +
+        "CAST(9 AS BIGINT) AS ukey, TIMESTAMP '2024-01-02 00:00:00' AS ts, " +
+        "'p9' AS payload, CAST(9.0 AS DOUBLE) AS val")
+      assert(spark.table("jcat.anl").queryExecution
+        .optimizedPlan.stats.attributeStats.isEmpty,
+        "stale stats must be dropped after a write")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // the analyze commit is first-class history
+    val ops = spark.sql("CALL jcat.system.history(table => 'anl')")
+      .orderBy("version").select("op").as[String].collect().toSeq
+    assert(ops.contains("analyze"))
+  }}
+
   test("CALL system.clone: zero-copy clone by name; states diverge " +
     "independently after the clone") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.csrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
