@@ -452,6 +452,31 @@ class JournalStore private (val spark: SparkSession, val path: String,
           }
         case JournalStore.SetProp(k, v) => meta = meta + (k -> v)
         case JournalStore.UnsetProp(k)  => meta = meta - k
+        case JournalStore.SetDefault(name, sqlTxt) =>
+          require(!Seq("seq", "epoch").contains(name.toLowerCase),
+            s"'$name' is engine-assigned; it cannot carry a DEFAULT")
+          val s = pinned()
+          val field = s.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot set DEFAULT on unknown column '$name' " +
+                s"(schema: ${s.fieldNames.mkString(", ")})"))
+          // constants only: a column reference would make every append
+          // re-evaluate against its own batch — not a DEFAULT
+          val parsed = spark.sessionState.sqlParser.parseExpression(sqlTxt)
+          require(parsed.collectFirst {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+          }.isEmpty,
+            s"DEFAULT for '$name' must be a constant expression, got: $sqlTxt")
+          // the literal must cast to the column type NOW — a bad default
+          // failing at some later append would be a delayed DDL error
+          val v = spark.range(1)
+            .select(expr(sqlTxt).cast(field.dataType)).head.get(0)
+          require(v != null || sqlTxt.trim.equalsIgnoreCase("null"),
+            s"DEFAULT $sqlTxt does not cast to ${field.dataType.sql} " +
+              s"(column '$name')")
+          meta = meta + (JournalStore.DefaultPrefix + name -> sqlTxt)
+        case JournalStore.DropDefault(name) =>
+          meta = meta - (JournalStore.DefaultPrefix + name)
       }
       // homogeneous statements keep their specific op name in
       // commitHistory (drop-column/add-column/set-meta/unset-meta);
@@ -461,6 +486,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case _: JournalStore.DropCol => "drop-column"
         case _: JournalStore.SetProp => "set-meta"
         case _: JournalStore.UnsetProp => "unset-meta"
+        case _: JournalStore.SetDefault | _: JournalStore.DropDefault =>
+          "set-default"
       }.distinct match {
         case Seq(one) => one
         case _ => "alter"
@@ -653,6 +680,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
   def constraints: Map[String, String] = manifest.meta.collect {
     case (k, v) if k.startsWith(ConstraintPrefix) =>
       k.stripPrefix(ConstraintPrefix) -> v
+  }
+
+  /** Active column DEFAULTs, column → SQL literal text (see
+    * [[JournalStore.SetDefault]]; applied by append() to absent
+    * pinned-DDL columns, and surfaced to Spark's INSERT resolution
+    * through the V2 table's field metadata). */
+  def columnDefaults: Map[String, String] = manifest.meta.collect {
+    case (k, v) if k.startsWith(JournalStore.DefaultPrefix) =>
+      k.stripPrefix(JournalStore.DefaultPrefix) -> v
   }
 
   /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): a SQL
@@ -971,7 +1007,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     -1L // unreachable
   }
 
-  private def appendOnce(df: DataFrame, streamBatchId: Option[Long],
+  private def appendOnce(df0: DataFrame, streamBatchId: Option[Long],
                          writerId: String): Long = {
     requireWritable()
     val m0 = manifest
@@ -980,7 +1016,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       else m0.writerMarks.getOrElse(writerId, -1L)
     if (streamBatchId.exists(_ <= replayMark)) return m0.maxSeq
     val required = Seq("ns", "ukey", "ts", "payload", "val")
-    val missing = required.filterNot(df.columns.contains)
+    val missing = required.filterNot(df0.columns.contains)
     require(missing.isEmpty,
       s"journal append requires columns $required; missing: $missing")
     // Fail fast on incompatible column-type changes: the batch's parquet
@@ -991,7 +1027,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     if (m0.schemaDdl.nonEmpty) {
       val prev = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
         .map(f => f.name -> f.dataType).toMap
-      df.schema.filterNot(_.name == "ns").foreach { f =>
+      df0.schema.filterNot(_.name == "ns").foreach { f =>
         prev.get(f.name).foreach { want =>
           require(f.dataType == want,
             s"journal append: column '${f.name}' has type ${f.dataType.sql} " +
@@ -1004,7 +1040,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // files; re-adding the name would resurrect them (parquet reads by
     // name) — refuse until a full compact() physically forgets them.
     // See dropColumn's doc.
-    val readd = df.columns.filter(c =>
+    val readd = df0.columns.filter(c =>
       m0.droppedCols.exists(_.equalsIgnoreCase(c)))
     require(readd.isEmpty,
       s"journal append: column(s) ${readd.mkString(", ")} were DROPPED and " +
@@ -1012,6 +1048,30 @@ class JournalStore private (val spark: SparkSession, val path: String,
         "re-adding the name now would resurface pre-drop values on read. " +
         "compact() the store first (a full rewrite forgets the bytes and " +
         "re-opens the name), or use a different column name")
+    // Column DEFAULTs (ALTER COLUMN ... SET DEFAULT): a pinned-DDL
+    // column that carries a default and is ABSENT from the batch is
+    // materialized as the default literal cast to its DDL type —
+    // instead of the read-time null-fill an evolved column otherwise
+    // gets. A PRESENT column is untouched (an explicit NULL stays
+    // NULL), and rows written before the default keep what they were
+    // written with (Delta's write-time default semantics). Runs before
+    // constraint checks so constraints see the final row values.
+    val df = {
+      val ddlCols: Map[String, org.apache.spark.sql.types.DataType] =
+        if (m0.schemaDdl.isEmpty) Map.empty
+        else org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+          .map(f => f.name -> f.dataType).toMap
+      m0.meta.collect {
+        case (k, v) if k.startsWith(JournalStore.DefaultPrefix) =>
+          (k.stripPrefix(JournalStore.DefaultPrefix), v)
+      }.foldLeft(df0) { case (acc, (c, sqlTxt)) =>
+        if (acc.columns.contains(c)) acc
+        else ddlCols.get(c) match {
+          case Some(dt) => acc.withColumn(c, expr(sqlTxt).cast(dt))
+          case None => acc // default on a not-yet-pinned column: no-op
+        }
+      }
+    }
     // CHECK constraints (see addConstraint): ONE pass over the batch
     // evaluates every active constraint (an array of when()s, all
     // codegen'd) and the first violating row rejects the whole batch —
@@ -3257,6 +3317,16 @@ object JournalStore {
   case class DropCol(name: String, ifExists: Boolean) extends SchemaChange
   case class SetProp(key: String, value: String) extends SchemaChange
   case class UnsetProp(key: String) extends SchemaChange
+  /** ALTER COLUMN ... SET DEFAULT <sql literal> — a WRITE-time default
+    * (Delta semantics: future batches that omit the column materialize
+    * it; existing rows are untouched and read as they were written). */
+  case class SetDefault(name: String, sql: String) extends SchemaChange
+  case class DropDefault(name: String) extends SchemaChange
+
+  /** Table-property prefix for column DEFAULTs (`default.<col>` → the
+    * SQL literal text) — ordinary manifest metadata, so defaults ride
+    * clones, survive reopen, and revert with RESTORE. */
+  private[graft] val DefaultPrefix = "default."
 
   /** Per-epoch data statistics, maintained in the manifest at append time
     * (the Delta/Iceberg file-stats idea): segment stats never require

@@ -58,6 +58,14 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
+  /** Opt in to column DEFAULT DDL: without this capability Spark
+    * refuses `CREATE TABLE (... DEFAULT ...)` and `ALTER COLUMN ...
+    * SET DEFAULT` at analysis, before the catalog ever sees them. */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def pathFor(ident: Identifier): String =
     ((root +: ident.namespace.toSeq) :+ ident.name).mkString("/")
 
@@ -134,6 +142,21 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
         .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "epochSize")))
         .map(_.toLong).getOrElse(defaultEpochSize)
     JournalStore.create(SparkSession.active, p, epochSize)
+    // CREATE TABLE (... c T DEFAULT lit ...): Spark has already
+    // analysis-checked the default against the declared type; persist
+    // it as the store's default.<col> property (the declared schema
+    // itself pins at first append, as always)
+    val defaults = schema.fields.collect {
+      case f if f.metadata.contains(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY) =>
+        (JournalStore.DefaultPrefix + f.name) ->
+          f.metadata.getString(
+            org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+    }.toMap
+    if (defaults.nonEmpty)
+      JournalStore.open(SparkSession.active, p).setMeta(defaults)
     loadTable(ident)
   }
 
@@ -174,6 +197,16 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
         JournalStore.SetProp(sp.property, sp.value)
       case rp: TableChange.RemoveProperty =>
         JournalStore.UnsetProp(rp.property)
+      // ALTER COLUMN ... SET DEFAULT <lit> / DROP DEFAULT (DROP arrives
+      // as an empty newDefaultValue); validation — constant-only,
+      // casts-to-column-type — lives in the store's alterSchema
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          "journal ALTER TABLE supports top-level columns only")
+        val sql = ud.newDefaultValue()
+        if (sql == null || sql.isEmpty)
+          JournalStore.DropDefault(ud.fieldNames()(0))
+        else JournalStore.SetDefault(ud.fieldNames()(0), sql)
       case other => throw new UnsupportedOperationException(
         s"journal ALTER TABLE does not support ${other.getClass.getSimpleName}: " +
           "renames/retypes would re-map existing parquet bytes by name " +

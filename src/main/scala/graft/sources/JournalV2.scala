@@ -236,7 +236,30 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
     val head = canonical.flatMap(byName.get)
     val rest = manifestSchema
       .filterNot(f => canonical.contains(f.name) || f.name == "epoch")
-    StructType(head ++ rest ++ byName.get("epoch"))
+    val raw = StructType(head ++ rest ++ byName.get("epoch"))
+    // column DEFAULTs (default.<col> table properties) ride field
+    // metadata under CURRENT_DEFAULT: Spark's INSERT resolution reads
+    // it to fill omitted columns and the DEFAULT keyword. EXISTS_DEFAULT
+    // is deliberately NOT set — existing rows keep what they were
+    // written with (write-time semantics; a read-time backfill would
+    // rewrite history every time the default changed).
+    val defPre = JournalStore.DefaultPrefix
+    val defaults = m.meta.collect {
+      case (k, v) if k.startsWith(defPre) => k.stripPrefix(defPre) -> v
+    }
+    if (defaults.isEmpty) raw
+    else StructType(raw.map { f =>
+      defaults.get(f.name) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              sql)
+            .build())
+        case None => f
+      }
+    })
   }
 
   override def name(): String = s"journal:$storePath"

@@ -1043,6 +1043,60 @@ class CatalogSpec extends AnyFunSuite {
     assert(ops.contains("analyze"))
   }}
 
+  test("column DEFAULTs: SET DEFAULT fills omitted INSERT columns and " +
+    "absent append columns; old rows stay null; DROP DEFAULT reverts") {
+    withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.dft (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+      "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '100')")
+    // the table ACCEPTS_ANY_SCHEMA (system columns ride the schema), so
+    // INSERT literals cast explicitly like every other catalog test
+    def ins(n: Int, extraCols: String, extraVals: String): Unit =
+      spark.sql(s"INSERT INTO jcat.dft (ns, ukey, ts, payload, val$extraCols) " +
+        s"VALUES ('users', CAST($n AS BIGINT), " +
+        s"TIMESTAMP '2024-01-01 00:00:0$n', 'p$n', " +
+        s"CAST($n.0 AS DOUBLE)$extraVals)")
+    ins(1, "", "")
+    // evolve a column, then give it a write-time default
+    spark.sql("ALTER TABLE jcat.dft ADD COLUMNS (tier STRING)")
+    spark.sql("ALTER TABLE jcat.dft ALTER COLUMN tier SET DEFAULT 'bronze'")
+    // INSERT omitting tier → Spark fills the current default
+    ins(2, "", "")
+    // the DEFAULT keyword resolves too
+    ins(3, ", tier", ", DEFAULT")
+    // an explicit value and an explicit NULL are both honored verbatim
+    ins(4, ", tier", ", 'gold'")
+    ins(5, ", tier", ", CAST(NULL AS STRING)")
+    val got = spark.table("jcat.dft").orderBy("ukey")
+      .select("ukey", "tier").as[(Long, String)].collect().toSeq
+    // row 1 predates the column: write-time semantics keep it null
+    assert(got === Seq((1L, null), (2L, "bronze"), (3L, "bronze"),
+      (4L, "gold"), (5L, null)))
+    // the Scala append path fills an ABSENT defaulted column the same way
+    val store = graft.journal.JournalStore.open(spark, s"$root/dft")
+    assert(store.columnDefaults === Map("tier" -> "'bronze'"))
+    store.append(Seq(("users", 6L, graft.TestSpark.ts("2024-01-01 00:00:06"),
+      "p5", 6.0)).toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(spark.table("jcat.dft").where($"ukey" === 6)
+      .select("tier").as[String].head() === "bronze")
+    // DROP DEFAULT: later omissions revert to null-fill
+    spark.sql("ALTER TABLE jcat.dft ALTER COLUMN tier DROP DEFAULT")
+    ins(7, "", "")
+    assert(spark.table("jcat.dft").where($"ukey" === 7)
+      .select("tier").as[String].head() === null)
+    // a non-constant or non-castable default is refused at DDL time
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE jcat.dft ALTER COLUMN val SET DEFAULT ukey + 1"))
+    assert(e1.getMessage.toLowerCase.contains("default"))
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE jcat.dft ALTER COLUMN val SET DEFAULT 'nope'"))
+    assert(e2.getMessage.toLowerCase.contains("default"))
+    // CREATE-time defaults persist through the catalog too
+    spark.sql("CREATE TABLE jcat.dft2 (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE DEFAULT 0.5) USING journal")
+    assert(graft.journal.JournalStore.open(spark, s"$root/dft2")
+      .columnDefaults === Map("val" -> "0.5"))
+  }}
+
   test("CALL system.clone: zero-copy clone by name; states diverge " +
     "independently after the clone") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.csrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
