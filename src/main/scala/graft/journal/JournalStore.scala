@@ -691,6 +691,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
       k.stripPrefix(JournalStore.DefaultPrefix) -> v
   }
 
+  /** GENERATED columns, column → generation-expression SQL (see
+    * [[JournalStore.GeneratedPrefix]]). */
+  def generatedColumns: Map[String, String] = manifest.meta.collect {
+    case (k, v) if k.startsWith(JournalStore.GeneratedPrefix) =>
+      k.stripPrefix(JournalStore.GeneratedPrefix) -> v
+  }
+
   /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): a SQL
     * predicate every FUTURE append/merge batch must satisfy, enforced
     * atomically — one violating row rejects the whole batch BEFORE any
@@ -1061,7 +1068,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         if (m0.schemaDdl.isEmpty) Map.empty
         else org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
           .map(f => f.name -> f.dataType).toMap
-      m0.meta.collect {
+      val defaulted = m0.meta.collect {
         case (k, v) if k.startsWith(JournalStore.DefaultPrefix) =>
           (k.stripPrefix(JournalStore.DefaultPrefix), v)
       }.foldLeft(df0) { case (acc, (c, sqlTxt)) =>
@@ -1071,6 +1078,37 @@ class JournalStore private (val spark: SparkSession, val path: String,
           case None => acc // default on a not-yet-pinned column: no-op
         }
       }
+      // GENERATED columns (GENERATED ALWAYS AS): absent → computed from
+      // the batch's own columns; present → validated below with the
+      // constraint pass (a provided value that disagrees with the
+      // expression rejects the batch — Delta's rule). Runs after the
+      // defaults fill so a generation expression may reference a
+      // defaulted column.
+      m0.meta.collect {
+        case (k, v) if k.startsWith(JournalStore.GeneratedPrefix) =>
+          (k.stripPrefix(JournalStore.GeneratedPrefix), v)
+      }.foldLeft(defaulted) { case (acc, (c, genSql)) =>
+        if (acc.columns.contains(c)) acc
+        else ddlCols.get(c) match {
+          case Some(dt) => acc.withColumn(c, expr(genSql).cast(dt))
+          case None => acc.withColumn(c, expr(genSql))
+        }
+      }
+    }
+    // provided generated-column values must EQUAL the expression —
+    // checked like constraints: one codegen'd pass, first violation
+    // rejects atomically before any byte lands
+    m0.meta.collect {
+      case (k, v) if k.startsWith(JournalStore.GeneratedPrefix) &&
+        df0.columns.contains(k.stripPrefix(JournalStore.GeneratedPrefix)) =>
+        (k.stripPrefix(JournalStore.GeneratedPrefix), v)
+    }.foreach { case (c, genSql) =>
+      val bad = df.where(!(col(c) <=> expr(genSql))).limit(1).collect()
+      require(bad.isEmpty,
+        s"journal append: generated column '$c' = $genSql was provided " +
+          s"with a disagreeing value, e.g. ${bad.headOption.orNull}; " +
+          "the batch was rejected atomically (omit the column to have " +
+          "the store compute it)")
     }
     // CHECK constraints (see addConstraint): ONE pass over the batch
     // evaluates every active constraint (an array of when()s, all
@@ -3327,6 +3365,16 @@ object JournalStore {
     * SQL literal text) — ordinary manifest metadata, so defaults ride
     * clones, survive reopen, and revert with RESTORE. */
   private[graft] val DefaultPrefix = "default."
+
+  /** Table-property prefix for GENERATED columns (`generated.<col>` →
+    * the generation-expression SQL, Delta's GENERATED ALWAYS AS):
+    * append() computes the column for batches that omit it and
+    * VALIDATES batches that provide it (a mismatching provided value
+    * rejects the whole batch, Delta's rule — a generated column is an
+    * invariant of the row, not a suggestion). Spark's CREATE-time
+    * analysis has already verified the expression (deterministic,
+    * references only non-generated columns). */
+  private[graft] val GeneratedPrefix = "generated."
 
   /** Per-epoch data statistics, maintained in the manifest at append time
     * (the Delta/Iceberg file-stats idea): segment stats never require

@@ -58,13 +58,18 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
-  /** Opt in to column DEFAULT DDL: without this capability Spark
-    * refuses `CREATE TABLE (... DEFAULT ...)` and `ALTER COLUMN ...
-    * SET DEFAULT` at analysis, before the catalog ever sees them. */
+  /** Opt in to column DEFAULT and GENERATED ALWAYS AS DDL: without
+    * these capabilities Spark refuses the syntax at analysis, before
+    * the catalog ever sees it. (Generated expressions additionally get
+    * Spark's own CREATE-time verification: deterministic, referencing
+    * only non-generated columns.) */
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def pathFor(ident: Identifier): String =
     ((root +: ident.namespace.toSeq) :+ ident.name).mkString("/")
@@ -155,9 +160,52 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
             org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
               .CURRENT_DEFAULT_COLUMN_METADATA_KEY)
     }.toMap
-    if (defaults.nonEmpty)
-      JournalStore.open(SparkSession.active, p).setMeta(defaults)
+    // ... and GENERATED ALWAYS AS expressions (Spark has CREATE-time
+    // verified them: deterministic, non-generated references only)
+    val generated = schema.fields.collect {
+      case f if f.metadata.contains(
+          org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .GENERATION_EXPRESSION_METADATA_KEY) =>
+        (JournalStore.GeneratedPrefix + f.name) ->
+          f.metadata.getString(
+            org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY)
+    }.toMap
+    if ((defaults ++ generated).nonEmpty)
+      JournalStore.open(SparkSession.active, p).setMeta(defaults ++ generated)
     loadTable(ident)
+  }
+
+  /** The v2-Column overload is what Spark actually calls for CREATE
+    * TABLE: GENERATED ALWAYS AS expressions ride `Column.
+    * generationExpression` FIRST-CLASS and are STRIPPED by the
+    * StructType bridge (defaults survive it as field metadata) — so
+    * they must be captured here, before delegating the directory work
+    * to the StructType path. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // hand-rolled Column[] → StructType (CatalogV2Util is private[sql]):
+    // re-encode defaults as CURRENT_DEFAULT metadata for the base path
+    val structFields = columns.map { c =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.defaultValue()).foreach(dv => md.putString(
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .CURRENT_DEFAULT_COLUMN_METADATA_KEY, dv.getSql))
+      org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable, md.build())
+    }
+    val t = createTable(ident, StructType(structFields), partitions,
+      properties)
+    val generated = columns.flatMap(c => Option(c.generationExpression())
+      .map(ge => (JournalStore.GeneratedPrefix + c.name) -> ge)).toMap
+    if (generated.nonEmpty) {
+      val p = Option(properties.get(TableCatalog.PROP_LOCATION))
+        .getOrElse(pathFor(ident))
+      JournalStore.open(SparkSession.active, p).setMeta(generated)
+      loadTable(ident)
+    } else t
   }
 
   /** ALTER TABLE, the subset a manifest-pinned store can honor safely:

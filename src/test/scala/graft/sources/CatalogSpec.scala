@@ -1097,6 +1097,37 @@ class CatalogSpec extends AnyFunSuite {
       .columnDefaults === Map("val" -> "0.5"))
   }}
 
+  test("GENERATED ALWAYS AS: the store computes omitted columns, " +
+    "validates provided ones, rejects disagreement") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.gen (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "bucket BIGINT GENERATED ALWAYS AS (ukey % 8)) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/gen")
+    assert(store.generatedColumns === Map("bucket" -> "ukey % 8"))
+    // a batch that omits the column gets it computed from its own rows
+    store.append(Seq(
+      ("users", 10L, graft.TestSpark.ts("2024-01-01 00:00:01"), "p0", 1.0),
+      ("users", 13L, graft.TestSpark.ts("2024-01-01 00:00:02"), "p1", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(spark.table("jcat.gen").orderBy("ukey")
+      .select("ukey", "bucket").as[(Long, Long)].collect().toSeq ===
+      Seq((10L, 2L), (13L, 5L)))
+    // a batch PROVIDING agreeing values is accepted verbatim
+    store.append(Seq(("users", 16L,
+      graft.TestSpark.ts("2024-01-01 00:00:03"), "p2", 3.0, 0L))
+      .toDF("ns", "ukey", "ts", "payload", "val", "bucket"))
+    // ... and a disagreeing value rejects the whole batch atomically
+    val before = spark.table("jcat.gen").count()
+    val e = intercept[IllegalArgumentException] {
+      store.append(Seq(("users", 17L,
+        graft.TestSpark.ts("2024-01-01 00:00:04"), "p3", 4.0, 3L))
+        .toDF("ns", "ukey", "ts", "payload", "val", "bucket"))
+    }
+    assert(e.getMessage.contains("generated column 'bucket'"))
+    assert(spark.table("jcat.gen").count() === before)
+  }}
+
   test("CALL system.clone: zero-copy clone by name; states diverge " +
     "independently after the clone") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.csrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
