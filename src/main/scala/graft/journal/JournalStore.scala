@@ -698,6 +698,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
       k.stripPrefix(JournalStore.GeneratedPrefix) -> v
   }
 
+  /** IDENTITY columns, column → (start, step, allowExplicit, used). */
+  def identityColumns: Map[String, JournalStore.IdentitySpec] =
+    manifest.meta.collect {
+      case (k, v) if k.startsWith(JournalStore.IdentityPrefix) =>
+        k.stripPrefix(JournalStore.IdentityPrefix) ->
+          JournalStore.parseIdentity(v)
+    }
+
   /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): a SQL
     * predicate every FUTURE append/merge batch must satisfy, enforced
     * atomically — one violating row rejects the whole batch BEFORE any
@@ -1063,11 +1071,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // NULL), and rows written before the default keep what they were
     // written with (Delta's write-time default semantics). Runs before
     // constraint checks so constraints see the final row values.
+    val ddlCols: Map[String, org.apache.spark.sql.types.DataType] =
+      if (m0.schemaDdl.isEmpty) Map.empty
+      else org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+        .map(f => f.name -> f.dataType).toMap
+    // IDENTITY columns (GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY):
+    // values are assigned below as a pure projection off the batch's
+    // deterministic seqs; ALWAYS refuses explicit values up front
+    val idSpecs = m0.meta.collect {
+      case (k, v) if k.startsWith(JournalStore.IdentityPrefix) =>
+        (k.stripPrefix(JournalStore.IdentityPrefix),
+          JournalStore.parseIdentity(v))
+    }
+    idSpecs.foreach { case (c, spec) =>
+      require(spec.allowExplicit || !df0.columns.contains(c),
+        s"journal append: column '$c' is GENERATED ALWAYS AS IDENTITY — " +
+          "explicit values are not accepted (declare it GENERATED BY " +
+          "DEFAULT AS IDENTITY to allow them)")
+    }
     val df = {
-      val ddlCols: Map[String, org.apache.spark.sql.types.DataType] =
-        if (m0.schemaDdl.isEmpty) Map.empty
-        else org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
-          .map(f => f.name -> f.dataType).toMap
       val defaulted = m0.meta.collect {
         case (k, v) if k.startsWith(JournalStore.DefaultPrefix) =>
           (k.stripPrefix(JournalStore.DefaultPrefix), v)
@@ -1144,8 +1166,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val hasSeq = df.columns.contains("seq")
     val withSeq = if (hasSeq) df else assignSeqs(df, m.maxSeq)
     val out0 = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
-    val out = if (hasSeq) out0
-      else out0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // identity values = start + (used + rank)·step, rank = the row's
+    // position in THIS batch's deterministic seq order — a pure
+    // projection, no extra shuffle, unique across appends because the
+    // consumed count rides the same manifest commit as the data.
+    // Explicitly-provided values (BY DEFAULT form) pass through
+    // verbatim and do not advance the counter (Delta's rule; gaps are
+    // fine, identity promises uniqueness, not contiguity).
+    val out1 = idSpecs.foldLeft(out0) { case (acc, (c, spec)) =>
+      if (acc.columns.contains(c)) acc
+      else {
+        val v = lit(spec.start) +
+          (lit(spec.used) + col("seq") - lit(m.maxSeq + 1L)) * lit(spec.step)
+        acc.withColumn(c, ddlCols.get(c).fold(v)(v.cast))
+      }
+    }
+    val out = if (hasSeq) out1
+      else out1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
     // replay, ns pruning bounds per-namespace history reads (marasa's
     // per-namespace segment files, as partition directories). Repartition
@@ -1250,6 +1287,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // readers only when the manifest that lists them lands
     val (files2, stats2, kstats2) = RootSidecar.appended(
       m.files, m.stats, m.kstats, newFiles, batchStats, batchK)
+    // identity counters advance in the SAME commit as the data they
+    // numbered — a lost CAS race retries the whole append against the
+    // fresh counter, so values stay unique under retry
+    val rowsAppended = batchStats.map(_.rows).sum
+    val idMeta = idSpecs.collect {
+      case (c, spec) if !df0.columns.contains(c) && rowsAppended > 0 =>
+        (JournalStore.IdentityPrefix + c) ->
+          JournalStore.packIdentity(spec.copy(used = spec.used + rowsAppended))
+    }
     commitSeam()
     try writeManifest(path, m.copy(op = "append", maxSeq = newMax,
       files = files2,
@@ -1260,6 +1306,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       writerMarks =
         if (writerId.isEmpty || streamBatchId.isEmpty) m.writerMarks
         else m.writerMarks + (writerId -> streamBatchId.get),
+      meta = m.meta ++ idMeta,
       schemaDdl = mergedSchema.toDDL))
     catch { case e: java.util.ConcurrentModificationException =>
       // lost the commit race: nothing became visible; release the cached
@@ -3375,6 +3422,28 @@ object JournalStore {
     * analysis has already verified the expression (deterministic,
     * references only non-generated columns). */
   private[graft] val GeneratedPrefix = "generated."
+
+  /** Table-property prefix for IDENTITY columns (`identity.<col>` →
+    * packed "start,step,allowExplicit,used"). `used` counts the values
+    * this store has assigned so far; it advances inside the SAME
+    * manifest commit as the rows it numbered, so identity values are
+    * unique across appends, retries and restarts. Assignment itself is
+    * a projection off the batch's deterministic seqs — no extra
+    * shuffle, no global window, and fully parallel (the same
+    * range-partition + zipWithIndex order seq assignment rides). */
+  private[graft] val IdentityPrefix = "identity."
+
+  /** One identity column's spec + consumed count. */
+  case class IdentitySpec(start: Long, step: Long, allowExplicit: Boolean,
+                          used: Long)
+
+  private[graft] def packIdentity(s: IdentitySpec): String =
+    s"${s.start},${s.step},${s.allowExplicit},${s.used}"
+
+  private[graft] def parseIdentity(v: String): IdentitySpec = {
+    val p = v.split(',')
+    IdentitySpec(p(0).toLong, p(1).toLong, p(2).toBoolean, p(3).toLong)
+  }
 
   /** Per-epoch data statistics, maintained in the manifest at append time
     * (the Delta/Iceberg file-stats idea): segment stats never require

@@ -69,7 +69,9 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def pathFor(ident: Identifier): String =
     ((root +: ident.namespace.toSeq) :+ ident.name).mkString("/")
@@ -200,10 +202,17 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       properties)
     val generated = columns.flatMap(c => Option(c.generationExpression())
       .map(ge => (JournalStore.GeneratedPrefix + c.name) -> ge)).toMap
-    if (generated.nonEmpty) {
+    // ... as are IDENTITY specs (GENERATED ALWAYS/BY DEFAULT AS
+    // IDENTITY): start/step/allow-explicit plus a consumed-count of 0
+    val identities = columns.flatMap(c => Option(c.identityColumnSpec())
+      .map(is => (JournalStore.IdentityPrefix + c.name) ->
+        JournalStore.packIdentity(JournalStore.IdentitySpec(
+          is.getStart, is.getStep, is.isAllowExplicitInsert, 0L)))).toMap
+    if ((generated ++ identities).nonEmpty) {
       val p = Option(properties.get(TableCatalog.PROP_LOCATION))
         .getOrElse(pathFor(ident))
-      JournalStore.open(SparkSession.active, p).setMeta(generated)
+      JournalStore.open(SparkSession.active, p)
+        .setMeta(generated ++ identities)
       loadTable(ident)
     } else t
   }

@@ -1128,6 +1128,46 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("jcat.gen").count() === before)
   }}
 
+  test("IDENTITY columns: unique monotone values across appends, " +
+    "counter rides the commit, ALWAYS refuses explicit values") {
+    withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.idt (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 " +
+      "INCREMENT BY 2)) USING journal OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/idt")
+    val spec0 = store.identityColumns("rid")
+    assert((spec0.start, spec0.step, spec0.allowExplicit, spec0.used) ===
+      (100L, 2L, false, 0L))
+    def batch(ks: Long*) = ks.map(k => ("users", k,
+      graft.TestSpark.ts(f"2024-01-01 00:00:${k}%02.0f"), s"p$k", k.toDouble))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(1, 2, 3))
+    store.append(batch(4, 5))
+    // values follow the deterministic seq order: 100,102,104 then 106,108
+    assert(spark.table("jcat.idt").orderBy("seq")
+      .select("ukey", "rid").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 100L), (2L, 102L), (3L, 104L), (4L, 106L), (5L, 108L)))
+    assert(graft.journal.JournalStore.open(spark, s"$root/idt")
+      .identityColumns("rid").used === 5L)
+    // GENERATED ALWAYS: an explicit rid is refused before any write
+    val e = intercept[IllegalArgumentException] {
+      store.append(batch(6).withColumn("rid", lit(999L)))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS AS IDENTITY"))
+    // BY DEFAULT: explicit values pass through, counter does not move
+    spark.sql("CREATE TABLE jcat.idt2 (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "rid BIGINT GENERATED BY DEFAULT AS IDENTITY) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val st2 = graft.journal.JournalStore.open(spark, s"$root/idt2")
+    st2.append(batch(7).withColumn("rid", lit(999L)))
+    st2.append(batch(8))
+    assert(spark.table("jcat.idt2").orderBy("seq")
+      .select("ukey", "rid").as[(Long, Long)].collect().toSeq ===
+      Seq((7L, 999L), (8L, 1L)))
+  }}
+
   test("CALL system.clone: zero-copy clone by name; states diverge " +
     "independently after the clone") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.csrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
