@@ -185,7 +185,11 @@ object Sf1Smoke {
       // packing's only global window runs over 64 bucket TOTALS — the
       // corpus sees one partitioned window + a broadcast join
       "journal_analyze", "text_domain_cap", "sim_hybrid_rrf",
-      "text_shard_pack")
+      "text_shard_pack",
+      // colspec materialization (DEFAULT + GENERATED + IDENTITY) is a
+      // pure projection inside the append — its 10x axis is the fixed
+      // 3000-row ingest window, so the probe states near-constant cost
+      "journal_colspec_sql")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()

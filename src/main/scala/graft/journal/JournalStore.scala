@@ -1039,10 +1039,26 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // conflicting type here would defer the failure to an arbitrary later
     // read through the pinned manifest schema (or silently coerce).
     // Schema evolution ADDS columns; it never retypes one.
-    if (m0.schemaDdl.nonEmpty) {
+    val df1 = if (m0.schemaDdl.isEmpty) df0 else {
       val prev = org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
         .map(f => f.name -> f.dataType).toMap
-      df0.schema.filterNot(_.name == "ns").foreach { f =>
+      // timestamp FLAVOR differences (LTZ ↔ NTZ) are normalized to the
+      // pinned flavor instead of refused: a catalog-declared TIMESTAMP
+      // table must accept the parquet fixture's NTZ reads (the session
+      // timezone is pinned UTC project-wide, so the cast is
+      // deterministic), and the physical files stay homogeneous
+      val tsKinds: Set[org.apache.spark.sql.types.DataType] = Set(
+        org.apache.spark.sql.types.TimestampType,
+        org.apache.spark.sql.types.TimestampNTZType)
+      val df1 = df0.schema.foldLeft(df0) { (acc, f) =>
+        prev.get(f.name) match {
+          case Some(want) if want != f.dataType &&
+              tsKinds(want) && tsKinds(f.dataType) =>
+            acc.withColumn(f.name, col(f.name).cast(want))
+          case _ => acc
+        }
+      }
+      df1.schema.filterNot(_.name == "ns").foreach { f =>
         prev.get(f.name).foreach { want =>
           require(f.dataType == want,
             s"journal append: column '${f.name}' has type ${f.dataType.sql} " +
@@ -1050,6 +1066,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
               "explicitly (schema evolution adds columns, never retypes)")
         }
       }
+      df1
     }
     // A dropped column's bytes still live inside un-compacted pre-drop
     // files; re-adding the name would resurrect them (parquet reads by
@@ -1093,7 +1110,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val defaulted = m0.meta.collect {
         case (k, v) if k.startsWith(JournalStore.DefaultPrefix) =>
           (k.stripPrefix(JournalStore.DefaultPrefix), v)
-      }.foldLeft(df0) { case (acc, (c, sqlTxt)) =>
+      }.foldLeft(df1) { case (acc, (c, sqlTxt)) =>
         if (acc.columns.contains(c)) acc
         else ddlCols.get(c) match {
           case Some(dt) => acc.withColumn(c, expr(sqlTxt).cast(dt))
@@ -3789,7 +3806,18 @@ object JournalStore {
     * by the snapshot-isolation rule). */
   def exists(path: String): Boolean = Files.exists(manifestPath(path))
 
-  def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore = {
+  def create(spark: SparkSession, path: String, epochSize: Long = 1000L): JournalStore =
+    create(spark, path, epochSize, None)
+
+  /** CREATE with a DECLARED schema (the catalog's CREATE TABLE path):
+    * the declared columns pin into the manifest DDL at create time —
+    * plus the engine-assigned seq/epoch columns, keeping the reader
+    * surface invariant — so append-time column materialization
+    * (DEFAULT / GENERATED / IDENTITY) knows each declared column's
+    * type before the first batch arrives. Path-API stores (no declared
+    * schema) keep pinning at first append, as always. */
+  def create(spark: SparkSession, path: String, epochSize: Long,
+             declared: Option[org.apache.spark.sql.types.StructType]): JournalStore = {
     Files.createDirectories(Paths.get(path))
     // cas = false: create() is an explicit reset — the one operation
     // allowed to replace a manifest regardless of its current version.
@@ -3800,7 +3828,20 @@ object JournalStore {
       RootSidecar.dir(path).toFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
       Paths.get(path, "dv").toFile)
-    writeManifest(path, Manifest(epochSize, -1L, Nil, op = "create"), cas = false)
+    val ddl = declared.filter(_.nonEmpty).map { st =>
+      // bare (name, type) fields only: metadata like DEFAULT clauses
+      // would render into toDDL and fromDDL cannot parse them back —
+      // defaults/generation/identity live as table properties instead
+      val base = st.filterNot(f => f.name == "seq" || f.name == "epoch")
+        .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType))
+      org.apache.spark.sql.types.StructType(base :+
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType) :+
+        org.apache.spark.sql.types.StructField("epoch",
+          org.apache.spark.sql.types.LongType)).toDDL
+    }.getOrElse("")
+    writeManifest(path, Manifest(epochSize, -1L, Nil, op = "create",
+      schemaDdl = ddl), cas = false)
     new JournalStore(spark, path, epochSize)
   }
 

@@ -687,6 +687,44 @@ object JournalOps {
         s"max(seq) AS max_seq FROM $cat.ev WHERE seq >= 1000 " +
         "GROUP BY ns ORDER BY ns")
     }),
+    "journal_colspec_sql" -> ((s, d) => {
+      // The three Delta-parity column specs in ONE hash-gated lifecycle
+      // (sources/JournalCatalog.scala): CREATE declares a DEFAULT, a
+      // GENERATED ALWAYS AS expression and an IDENTITY sequence; the
+      // batch provides NONE of the three, and the store materializes
+      // all of them at append — the default literal, the generated
+      // projection of the batch's own rows, and identity values riding
+      // the deterministic caller-seq order (start + seq·step here,
+      // since caller seqs are dense from 0). All three are pure
+      // projections: zero shuffle beyond the append's own layout
+      // repartition at ANY batch size. The oracle replays the exact
+      // arithmetic from events; the readback aggregates per ns so the
+      // row also witnesses the assignments riding the columnar scan.
+      val tag = tmpTag(d)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jcolspec_root_$tag").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val cat = s"jcolspec_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE, " +
+        "tier STRING DEFAULT 'bronze', " +
+        "bucket BIGINT GENERATED ALWAYS AS (ukey % 8), " +
+        "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 " +
+        "INCREMENT BY 2)) USING journal OPTIONS (epochSize '2000')")
+      val st = graft.journal.JournalStore.open(s, s"$root/t")
+      st.append(journal(s, d).where(col("seq") < 3000))
+      s.read.format("journal").load(s"$root/t")
+        .groupBy("ns")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("rid").as("sum_rid"),
+          min("rid").as("min_rid"),
+          sum("bucket").as("sum_bucket"),
+          sum(when(col("tier") === "bronze", 1L).otherwise(0L))
+            .as("n_bronze"))
+        .orderBy("ns")
+    }),
     "events_spine_recursive" -> ((s, d) => {
       // Recursive CTE (Spark 4 WITH RECURSIVE): the calendar spine as a
       // recursion anchored on the data's own min/max day, gap-filling
@@ -1960,6 +1998,16 @@ object JournalOps {
         "SELECT st.c AS col_name, st.n_rows, st.n_nulls, e.regs_hit, " +
         "e.w_hit + (512 - e.regs_hit) * 4503599627370496 AS weight, " +
         "st.vmin, st.vmax FROM st JOIN e USING (c) ORDER BY col_name"),
+    // the store's materializations replayed: tier is the constant
+    // default, bucket = ukey % 8, rid = 100 + 2·seq (caller seqs are
+    // the dense event_ids, so rank == seq)
+    "journal_colspec_sql" ->
+      ("SELECT event_type AS ns, count(*) AS n_rows, " +
+        "CAST(sum(100 + 2 * event_id) AS BIGINT) AS sum_rid, " +
+        "CAST(min(100 + 2 * event_id) AS BIGINT) AS min_rid, " +
+        "CAST(sum(user_id % 8) AS BIGINT) AS sum_bucket, " +
+        "count(*) AS n_bronze " +
+        "FROM events WHERE event_id < 3000 GROUP BY 1 ORDER BY ns"),
     "journal_skew_report" ->
       ("WITH c AS (SELECT event_type AS ns, user_id AS ukey, count(*) AS n " +
         "FROM events GROUP BY 1, 2), " +

@@ -148,7 +148,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       Option(properties.get("epochSize"))
         .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "epochSize")))
         .map(_.toLong).getOrElse(defaultEpochSize)
-    JournalStore.create(SparkSession.active, p, epochSize)
+    JournalStore.create(SparkSession.active, p, epochSize, Some(schema))
     // CREATE TABLE (... c T DEFAULT lit ...): Spark has already
     // analysis-checked the default against the declared type; persist
     // it as the store's default.<col> property (the declared schema
@@ -305,7 +305,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
     "drop_constraint", "set_property", "refresh_rollup", "history",
-    "clone", "analyze")
+    "clone", "analyze", "expire")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -330,6 +330,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "history" => new HistoryProcedure
       case "clone" => new CloneProcedure
       case "analyze" => new AnalyzeProcedure
+      case "expire" => new ExpireProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -669,6 +670,44 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = histRows
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** Retention sweep as a SQL CALL: physically erase rows older than a
+    * wall-clock bound (GDPR/TTL enforcement — the scheduled job every
+    * production log runs). Thin spelling of deleteWhere(ts < bound),
+    * which already prunes candidate files through the manifest's
+    * per-file ts ranges (the round-15 seq/ts-range pruning), so an
+    * expire over a 100 TB log rewrites only the files whose range can
+    * overlap the bound. Returns the erased-row count. */
+  private class ExpireProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "expire"
+    override def description(): String =
+      "physically delete rows with ts older than the given timestamp " +
+        "(retention/TTL sweep; ts-range file pruning applies); returns " +
+        "n_deleted"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("older_than", StringType)
+        .comment("UTC timestamp literal; rows with ts strictly older " +
+          "are erased").build())
+    private val schema = StructType.fromDDL("n_deleted BIGINT")
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val bound = input.getUTF8String(1).toString
+      val n = store.deleteWhere(
+        org.apache.spark.sql.functions.col("ts") <
+          org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.lit(bound)))
+      val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(Seq[Any](n)))
       }
       util.Collections.singletonList(scan).iterator()
     }

@@ -1128,6 +1128,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("jcat.gen").count() === before)
   }}
 
+  test("CALL system.expire erases rows older than the bound and " +
+    "returns the count; newer rows survive") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.exp (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/exp")
+    store.append(Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "old1", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-15 00:00:00"), "old2", 2.0),
+      ("users", 3L, graft.TestSpark.ts("2024-02-01 00:00:00"), "new1", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val n = spark.sql("CALL jcat.system.expire(table => 'exp', " +
+      "older_than => '2024-01-20 00:00:00')")
+      .select("n_deleted").as[Long].head()
+    assert(n === 2L)
+    assert(spark.table("jcat.exp").select("payload")
+      .as[String].collect().toSeq === Seq("new1"))
+    // the erase is first-class history (a delete commit)
+    assert(spark.sql("CALL jcat.system.history(table => 'exp')")
+      .orderBy("version").select("op").as[String].collect()
+      .toSeq.last === "delete")
+  }}
+
   test("IDENTITY columns: unique monotone values across appends, " +
     "counter rides the commit, ALWAYS refuses explicit values") {
     withCatalog { root =>
