@@ -706,6 +706,38 @@ class JournalStore private (val spark: SparkSession, val path: String,
           JournalStore.parseIdentity(v)
     }
 
+  /** ALTER TABLE ... SYNC IDENTITY (Delta's verb): re-arm an identity
+    * column's counter past the column's current maximum, so generation
+    * resumes collision-free after GENERATED BY DEFAULT explicit inserts
+    * (which deliberately do not advance the counter). One column-pruned
+    * max scan; the counter update is its own tiny commit. Never moves
+    * the counter backwards. */
+  def syncIdentity(column: String): Unit = {
+    requireWritable()
+    val spec = identityColumns.getOrElse(column,
+      throw new IllegalArgumentException(
+        s"no identity column '$column' (identity columns: " +
+          s"${identityColumns.keys.toSeq.sorted.mkString(", ")})"))
+    val mx = scanUnordered().agg(max(col(column))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val maxVal = mx.getLong(0)
+      // smallest used' with start + used'·step > maxVal (step may be
+      // negative: "past" means beyond in the step's direction)
+      val usedPast =
+        if (spec.step > 0) math.max(0L,
+          Math.floorDiv(maxVal - spec.start, spec.step) + 1L)
+        else math.max(0L,
+          Math.floorDiv(spec.start - maxVal, -spec.step) + 1L)
+      if (usedPast > spec.used) retryOnLostRace {
+        val m = manifest
+        commitSeam()
+        writeManifest(path, m.copy(op = "sync-identity",
+          meta = m.meta + ((JournalStore.IdentityPrefix + column) ->
+            JournalStore.packIdentity(spec.copy(used = usedPast)))))
+      }
+    }
+  }
+
   /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): a SQL
     * predicate every FUTURE append/merge batch must satisfy, enforced
     * atomically — one violating row rejects the whole batch BEFORE any

@@ -305,7 +305,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
     "drop_constraint", "set_property", "refresh_rollup", "history",
-    "clone", "analyze", "expire")
+    "clone", "analyze", "expire", "sync_identity")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -331,6 +331,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "clone" => new CloneProcedure
       case "analyze" => new AnalyzeProcedure
       case "expire" => new ExpireProcedure
+      case "sync_identity" => new SyncIdentityProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -672,6 +673,28 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
         override def rows(): Array[InternalRow] = histRows
       }
       util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** ALTER TABLE ... SYNC IDENTITY as a SQL CALL: re-arm a BY DEFAULT
+    * identity counter past the column's current max (explicit inserts
+    * do not advance it), so generation resumes collision-free. */
+  private class SyncIdentityProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "sync_identity"
+    override def description(): String =
+      "advance an identity column's counter past the column's current " +
+        "maximum (SYNC IDENTITY after explicit BY DEFAULT inserts)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build(),
+      ProcedureParameter.in("column", StringType)
+        .comment("the identity column to sync").build())
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      storeForName(input.getUTF8String(0).toString)
+        .syncIdentity(input.getUTF8String(1).toString)
+      noRows
     }
   }
 

@@ -1189,6 +1189,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("jcat.idt2").orderBy("seq")
       .select("ukey", "rid").as[(Long, Long)].collect().toSeq ===
       Seq((7L, 999L), (8L, 1L)))
+    // SYNC IDENTITY re-arms the counter past the explicit max, so the
+    // next generated value clears 999 instead of colliding with it
+    spark.sql("CALL jcat.system.sync_identity(table => 'idt2', " +
+      "column => 'rid')")
+    st2.append(batch(9))
+    assert(spark.table("jcat.idt2").where($"ukey" === 9)
+      .select("rid").as[Long].head() === 1000L)
+    // syncing again is a no-op (never moves the counter backwards)
+    val usedBefore = graft.journal.JournalStore.open(spark, s"$root/idt2")
+      .identityColumns("rid").used
+    spark.sql("CALL jcat.system.sync_identity(table => 'idt2', " +
+      "column => 'rid')")
+    assert(graft.journal.JournalStore.open(spark, s"$root/idt2")
+      .identityColumns("rid").used === usedBefore)
   }}
 
   test("CALL system.clone: zero-copy clone by name; states diverge " +

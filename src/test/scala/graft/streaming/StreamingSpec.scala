@@ -268,6 +268,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.manifest.writerMarks.get(sinkId) === Some(2L))
   }
 
+  test("stream_journal_sink materializes DEFAULT and IDENTITY columns " +
+      "(the shared append path) with identity unique across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsink_cspec_").toString
+    val path = s"$dir/store"
+    val store = graft.journal.JournalStore.create(spark, path, 100L,
+      Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ns STRING, ukey BIGINT, ts TIMESTAMP, payload STRING, " +
+          "val DOUBLE, tier STRING, rid BIGINT")))
+    store.setMeta(Map("default.tier" -> "'bronze'",
+      "identity.rid" -> "100,2,false,0"))
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF
+      .select(col("event_type").as("ns"), col("user_id").as("ukey"),
+        col("ts"), col("props").as("payload"), col("value").as("val"))
+      .writeStream.format("journal")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(path)
+    ms.addData(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:01:00", 2, "click", 2.0))
+    q.processAllAvailable()
+    ms.addData(ev(2, "2024-01-01 10:02:00", 3, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    // both columns materialized batch by batch; identity values never
+    // collide because the counter rides each batch's manifest commit
+    val rows = graft.journal.JournalStore.open(spark, path).scanUnordered()
+      .orderBy("seq").select("ukey", "tier", "rid")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.map(_._2).forall(_ == "bronze"), rows.toString)
+    assert(rows.map(_._3) === Seq(100L, 102L, 104L), rows.toString)
+  }
+
   test("stream_journal_sink: auto-compaction keeps per-dir files bounded over 20 micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsink_ac_").toString
     val path = s"$dir/store"
