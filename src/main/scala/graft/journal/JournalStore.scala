@@ -1132,12 +1132,24 @@ class JournalStore private (val spark: SparkSession, val path: String,
         (k.stripPrefix(JournalStore.IdentityPrefix),
           JournalStore.parseIdentity(v))
     }
-    idSpecs.foreach { case (c, spec) =>
-      require(spec.allowExplicit || !df0.columns.contains(c),
+    // Which identity columns need value assignment: the column is
+    // absent, or present with NULL cells (a MERGE/UPDATE delta carries
+    // every target column, so its inserted rows arrive with the
+    // identity column as NULL — those cells generate; provided non-null
+    // values pass only under BY DEFAULT). One limit-1 probe per
+    // identity column, only when the column is present.
+    val idNeedsFill: Map[String, Boolean] = idSpecs.map { case (c, spec) =>
+      val hasCol = df0.columns.contains(c)
+      val hasNonNull = hasCol &&
+        df0.where(col(c).isNotNull).limit(1).collect().nonEmpty
+      require(spec.allowExplicit || !hasNonNull,
         s"journal append: column '$c' is GENERATED ALWAYS AS IDENTITY — " +
           "explicit values are not accepted (declare it GENERATED BY " +
           "DEFAULT AS IDENTITY to allow them)")
-    }
+      val hasNull = !hasCol ||
+        df0.where(col(c).isNull).limit(1).collect().nonEmpty
+      c -> hasNull
+    }.toMap
     val df = {
       val defaulted = m0.meta.collect {
         case (k, v) if k.startsWith(JournalStore.DefaultPrefix) =>
@@ -1159,16 +1171,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case (k, v) if k.startsWith(JournalStore.GeneratedPrefix) =>
           (k.stripPrefix(JournalStore.GeneratedPrefix), v)
       }.foldLeft(defaulted) { case (acc, (c, genSql)) =>
-        if (acc.columns.contains(c)) acc
-        else ddlCols.get(c) match {
-          case Some(dt) => acc.withColumn(c, expr(genSql).cast(dt))
-          case None => acc.withColumn(c, expr(genSql))
-        }
+        val gen = ddlCols.get(c).fold(expr(genSql))(expr(genSql).cast)
+        if (!acc.columns.contains(c)) acc.withColumn(c, gen)
+        // a present-but-NULL cell computes too: a MERGE/UPDATE delta
+        // carries every target column, so its inserted rows arrive
+        // with the generated column as NULL — Delta's "generated
+        // columns cannot be set to NULL" rule, realized as compute
+        else acc.withColumn(c, coalesce(col(c), gen))
       }
     }
-    // provided generated-column values must EQUAL the expression —
-    // checked like constraints: one codegen'd pass, first violation
-    // rejects atomically before any byte lands
+    // provided NON-NULL generated-column values must EQUAL the
+    // expression — checked like constraints: one codegen'd pass, first
+    // violation rejects atomically before any byte lands
     m0.meta.collect {
       case (k, v) if k.startsWith(JournalStore.GeneratedPrefix) &&
         df0.columns.contains(k.stripPrefix(JournalStore.GeneratedPrefix)) =>
@@ -1223,12 +1237,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // verbatim and do not advance the counter (Delta's rule; gaps are
     // fine, identity promises uniqueness, not contiguity).
     val out1 = idSpecs.foldLeft(out0) { case (acc, (c, spec)) =>
-      if (acc.columns.contains(c)) acc
-      else {
-        val v = lit(spec.start) +
-          (lit(spec.used) + col("seq") - lit(m.maxSeq + 1L)) * lit(spec.step)
-        acc.withColumn(c, ddlCols.get(c).fold(v)(v.cast))
-      }
+      val v0 = lit(spec.start) +
+        (lit(spec.used) + col("seq") - lit(m.maxSeq + 1L)) * lit(spec.step)
+      val v = ddlCols.get(c).fold(v0)(v0.cast)
+      if (!acc.columns.contains(c)) acc.withColumn(c, v)
+      // NULL cells generate (rank counts the whole batch, so provided
+      // rows leave gaps — identity promises uniqueness, not contiguity)
+      else if (idNeedsFill(c)) acc.withColumn(c, coalesce(col(c), v))
+      else acc
     }
     val out = if (hasSeq) out1
       else out1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1341,7 +1357,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // fresh counter, so values stay unique under retry
     val rowsAppended = batchStats.map(_.rows).sum
     val idMeta = idSpecs.collect {
-      case (c, spec) if !df0.columns.contains(c) && rowsAppended > 0 =>
+      case (c, spec) if idNeedsFill(c) && rowsAppended > 0 =>
         (JournalStore.IdentityPrefix + c) ->
           JournalStore.packIdentity(spec.copy(used = spec.used + rowsAppended))
     }

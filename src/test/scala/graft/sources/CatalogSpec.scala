@@ -1205,6 +1205,43 @@ class CatalogSpec extends AnyFunSuite {
       .identityColumns("rid").used === usedBefore)
   }}
 
+  test("MERGE INTO a table with GENERATED + IDENTITY columns: inserted " +
+    "rows compute both; updated rows keep their identity") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.mgen (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "bucket BIGINT GENERATED ALWAYS AS (ukey % 8), " +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/mgen")
+    store.append(Seq(
+      ("users", 10L, graft.TestSpark.ts("2024-01-01 00:00:01"), "p0", 1.0),
+      ("users", 11L, graft.TestSpark.ts("2024-01-01 00:00:02"), "p1", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    Seq(("users", 11L, graft.TestSpark.ts("2024-01-02 00:00:00"), "p1b", 9.0),
+        ("users", 12L, graft.TestSpark.ts("2024-01-02 00:00:01"), "p2", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mgen_src")
+    spark.sql("MERGE INTO jcat.mgen t USING mgen_src s " +
+      "ON t.ns = s.ns AND t.ukey = s.ukey " +
+      "WHEN MATCHED THEN UPDATE SET t.ts = s.ts, t.payload = s.payload, " +
+      "t.val = s.val " +
+      "WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val) " +
+      "VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)")
+    val got = spark.table("jcat.mgen")
+      .groupBy("ukey")
+      .agg(max_by(col("payload"), col("seq")).as("payload"),
+        max_by(col("bucket"), col("seq")).as("bucket"),
+        max_by(col("rid"), col("seq")).as("rid"))
+      .orderBy("ukey")
+      .select("ukey", "payload", "bucket", "rid")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // inserted row 12 generated bucket (12 % 8 = 4) and a FRESH rid;
+    // all rids distinct; every bucket equals ukey % 8
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Seq((10L, "p0", 2L), (11L, "p1b", 3L), (12L, "p2", 4L)))
+    assert(got.map(_._4).distinct.size === 3, got.toString)
+  }}
+
   test("CALL system.clone: zero-copy clone by name; states diverge " +
     "independently after the clone") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.csrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
