@@ -619,6 +619,48 @@ class JournalStore private (val spark: SparkSession, val path: String,
             .as("whit"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
+    // pass 3 (BIGINT columns): a 16-bin EQUI-HEIGHT histogram for the
+    // optimizer's range-selectivity estimation — boundaries from one
+    // mergeable percentile-sketch aggregate (single pass, fixed
+    // memory), per-bin ndv from one melted approx-distinct pass whose
+    // exchange carries ≤ cols×16 rows. Planner-advisory (served
+    // through DSv2 columnStats.histogram), so sketch estimates are the
+    // honest scale choice here — nothing downstream hash-gates them.
+    val longCols = cols.filter(c => df.schema.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.LongType))
+    val hists: Map[String, (Seq[Long], Seq[Long])] =
+      if (rows == 0 || longCols.isEmpty) Map.empty
+      else {
+        val qs = (1 to 16).map(i => i / 16.0).mkString(", ")
+        val bAggs = longCols.map(c =>
+          expr(s"approx_percentile($c, array($qs), 10000)").as(s"b_$c"))
+        val bRow = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
+        val bounds: Map[String, Seq[Long]] = longCols.zipWithIndex.collect {
+          case (c, i) if !bRow.isNullAt(i) => c -> bRow.getSeq[Long](i).toSeq
+        }.toMap
+        if (bounds.isEmpty) Map.empty
+        else {
+          val bCols = bounds.keys.toSeq
+          val mapArgs = bCols.flatMap(c =>
+            Seq(lit(c), array(bounds(c).map(lit(_)): _*)))
+          val ndvRows = df
+            .select(explode(array(bCols.map(c =>
+              struct(lit(c).as("c"), col(c).as("v"))): _*)).as("cv"))
+            .select(col("cv.c").as("c"), col("cv.v").as("v"))
+            .where(col("v").isNotNull)
+            .withColumn("ba", element_at(map(mapArgs: _*), col("c")))
+            .withColumn("b",
+              least(lit(15), size(expr("filter(ba, x -> x < v)"))))
+            .groupBy("c", "b")
+            .agg(approx_count_distinct("v").as("ndv"))
+            .collect()
+          val byCol = ndvRows.groupBy(_.getString(0))
+          byCol.map { case (c, rs) =>
+            val perBin = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+            c -> (bounds(c), (0 until 16).map(i => perBin.getOrElse(i, 0L)))
+          }
+        }
+      }
     val kvs = scala.collection.immutable.TreeMap.newBuilder[String, String]
     kvs += JournalStore.StatsRowsKey -> rows.toString
     cols.zipWithIndex.foreach { case (c, i) =>
@@ -633,6 +675,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
         kvs += (p + "min") -> head.getString(2 + 3 * i)
       if (!head.isNullAt(3 + 3 * i))
         kvs += (p + "max") -> head.getString(3 + 3 * i)
+      hists.get(c).foreach { case (bs, ns2) =>
+        kvs += (p + "hist") ->
+          (bs.mkString(",") + "|" + ns2.mkString(","))
+      }
     }
     val fresh = kvs.result()
     retryOnLostRace {

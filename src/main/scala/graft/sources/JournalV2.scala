@@ -138,6 +138,40 @@ private[sources] object JournalV2 {
               case None => java.util.Optional.empty()
             }
           val (mn, mx) = (bound("min"), bound("max"))
+          // analyze()'s 16-bin equi-height histogram ("b1..b16|n0..n15"
+          // — upper bin edges + per-bin ndv; height = non-null rows /
+          // 16): FilterEstimation then prices range predicates on real
+          // value distribution instead of the uniform assumption
+          val hist: java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            (if (!longTyped) None else meta.get(p + "hist")).map { packed =>
+              val Array(bs, ns2) = packed.split('|')
+              val edges = bs.split(',').map(_.toDouble)
+              val ndvs = ns2.split(',').map(_.toLong)
+              val lo0 = meta.get(p + "min").map(_.toDouble)
+                .getOrElse(edges.head)
+              val binArr = edges.indices.map { i =>
+                val (l, h, n2) =
+                  (if (i == 0) lo0 else edges(i - 1), edges(i), ndvs(i))
+                new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                  override def lo(): Double = l
+                  override def hi(): Double = h
+                  override def ndv(): Long = n2
+                }
+              }.toArray
+              val h: org.apache.spark.sql.connector.read.colstats.Histogram =
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double =
+                    (exactRows - nu.toLong).toDouble / edges.length
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    binArr
+                }
+              h
+            } match {
+              case Some(h) => java.util.Optional.of(h)
+              case None => java.util.Optional.empty()
+            }
           out.put(Expressions.column(f.name), new ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(nd.toLong)
@@ -145,6 +179,8 @@ private[sources] object JournalV2 {
               java.util.OptionalLong.of(nu.toLong)
             override def min(): java.util.Optional[Object] = mn
             override def max(): java.util.Optional[Object] = mx
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] = hist
           })
         case _ => ()
       }

@@ -100,6 +100,51 @@ class AnalyzeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("histogram stats: range selectivity prices real skew, not the " +
+      "uniform assumption") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 1000)
+    // 90% of rows at ukey=1, a thin tail to 1000: uniform range math
+    // would price `ukey <= 1` at ~0.1% of rows; the histogram knows
+    // better
+    val rows = (0 until 900).map(i =>
+      ("n", 1L, ts("2024-01-01 00:00:01"), s"a$i", 1.0)) ++
+      (0 until 100).map(i =>
+        ("n", (i + 1) * 10L, ts("2024-01-01 00:00:02"), s"b$i", 2.0))
+    store.append(rows.toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    val packed = store.manifest.meta("stats.col.ukey.hist")
+    assert(packed.split('|').length === 2, packed)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s.stats.attributeStats
+        }.get.map { case (a, s) => a.name -> s }
+      assert(st("ukey").histogram.isDefined, "expected a histogram")
+      // price `ukey <= 1` through the REAL estimation path
+      // (BasicStatsPlanVisitor → FilterEstimation over the scan's
+      // attributeStats) — built as a logical Filter directly, because
+      // a pushed-down predicate makes the scan decline its stats
+      // (exact-or-decline) and leaves the planner nothing to price.
+      // True answer: 90% of rows; the uniform [1,1000] assumption
+      // would price ~0.1%. The histogram must put it ≥ half.
+      val rel = spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s
+        }.get
+      val ukeyAttr = rel.output.find(_.name == "ukey").get
+      val flt = org.apache.spark.sql.catalyst.plans.logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(ukeyAttr,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L)), rel)
+      val est = flt.stats.rowCount
+      assert(est.exists(_ >= BigInt(450)),
+        s"histogram-driven estimate too low: $est")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("a subset analyze replaces the whole recorded stats set") {
     val store = JournalStore.create(spark, freshPath, epochSize = 3)
     store.append(fixture)
