@@ -305,7 +305,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
     "drop_constraint", "set_property", "refresh_rollup", "history",
-    "clone", "analyze", "expire", "sync_identity")
+    "clone", "analyze", "expire", "sync_identity", "detail")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -332,6 +332,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "analyze" => new AnalyzeProcedure
       case "expire" => new ExpireProcedure
       case "sync_identity" => new SyncIdentityProcedure
+      case "detail" => new DetailProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -671,6 +672,56 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = histRows
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** DESCRIBE DETAIL as a SQL CALL: the one-row operational summary of
+    * a journal table (Delta's DESCRIBE DETAIL) — manifest version /
+    * seq high water / live file count / exact row count / on-disk
+    * bytes / checkpoint + DV part counts / schema + governance feature
+    * counts — answered from the MANIFEST alone: zero data files opened
+    * at any store size (rows from the per-file stats the scan's
+    * metadata-only aggregates already serve; bytes from a directory
+    * stat walk of the listed files). */
+  private class DetailProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "detail"
+    override def description(): String =
+      "one-row operational summary of a journal table (DESCRIBE " +
+        "DETAIL): version, maxSeq, files, rows, bytes, checkpoints, " +
+        "dv parts, constraint/default/generated/identity counts"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build())
+    private val schema = StructType.fromDDL(
+      "location STRING, version BIGINT, max_seq BIGINT, epoch_size BIGINT, " +
+        "n_files BIGINT, n_rows BIGINT, size_bytes BIGINT, " +
+        "n_checkpoints BIGINT, n_dv_parts BIGINT, n_constraints BIGINT, " +
+        "n_defaults BIGINT, n_generated BIGINT, n_identity BIGINT, " +
+        "analyzed_rows BIGINT")
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val store = storeForName(input.getUTF8String(0).toString)
+      val m = store.manifest
+      val rows: Long = m.fstats.map(_.rows).sum
+      val bytes: Long = m.files.map { f =>
+        val p = java.nio.file.Paths.get(store.path, "segments", f)
+        try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
+      }.sum
+      def nPre(pre: String): Long =
+        m.meta.keys.count(_.startsWith(pre)).toLong
+      val row = InternalRow.fromSeq(Seq[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(store.path),
+        m.version, m.maxSeq, m.epochSize, m.files.size.toLong, rows, bytes,
+        m.checkpoints.size.toLong, m.dvParts.size.toLong,
+        nPre("constraint."), nPre("default."), nPre("generated."),
+        m.meta.keys.count(k => k.startsWith("identity.")).toLong,
+        store.analyzedRowCount.getOrElse(-1L)))
+      val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(row)
       }
       util.Collections.singletonList(scan).iterator()
     }

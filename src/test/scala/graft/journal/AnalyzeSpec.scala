@@ -145,6 +145,30 @@ class AnalyzeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("stats survive compaction (rows unchanged → still served) and " +
+      "ride clones") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 2)
+    store.append(fixture)
+    store.analyze(Seq("ukey"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def served(p: String) = spark.read.format("journal").load(p)
+        .queryExecution.optimizedPlan.stats.attributeStats.nonEmpty
+      assert(served(path))
+      // compact rewrites files but preserves the row count — the
+      // exact-or-decline guard keeps the stats live
+      store.compact(Long.MaxValue)
+      assert(served(path), "stats must survive a row-preserving compact")
+      // stats are table properties: a zero-copy clone carries them
+      val clonePath = freshPath
+      store.cloneTo(clonePath)
+      assert(JournalStore.open(spark, clonePath)
+        .analyzedColumnStats("ukey").ndv === 4L)
+      assert(served(clonePath))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("a subset analyze replaces the whole recorded stats set") {
     val store = JournalStore.create(spark, freshPath, epochSize = 3)
     store.append(fixture)

@@ -1128,6 +1128,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("jcat.gen").count() === before)
   }}
 
+  test("CALL system.detail: one-row manifest-only operational summary") {
+    withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.det (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE DEFAULT 0.0, " +
+      "bucket BIGINT GENERATED ALWAYS AS (ukey % 4)) USING journal " +
+      "OPTIONS (epochSize '2')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/det")
+    store.append(Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "p0", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "p1", 2.0),
+      ("carts", 3L, graft.TestSpark.ts("2024-01-01 00:00:03"), "p2", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    val d = spark.sql("CALL jcat.system.detail(table => 'det')").collect()(0)
+    assert(d.getAs[Long]("n_rows") === 3L)
+    assert(d.getAs[Long]("max_seq") === 2L)
+    assert(d.getAs[Long]("n_files") >= 2L) // multi-(epoch,ns) layout
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("n_defaults") === 1L)
+    assert(d.getAs[Long]("n_generated") === 1L)
+    assert(d.getAs[Long]("n_identity") === 0L)
+    assert(d.getAs[Long]("analyzed_rows") === 3L)
+  }}
+
   test("CALL system.expire erases rows older than the bound and " +
     "returns the count; newer rows survive") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.exp (ns STRING, ukey BIGINT, " +
