@@ -706,10 +706,18 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       val store = storeForName(input.getUTF8String(0).toString)
       val m = store.manifest
       val rows: Long = m.fstats.map(_.rows).sum
-      val bytes: Long = m.files.map { f =>
-        val p = java.nio.file.Paths.get(store.path, "segments", f)
-        try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
-      }.sum
+      // size stats distribute: one stat call per file, but spread over
+      // the cluster (a 10⁶-file store must not serialize 10⁶ driver
+      // stat calls behind a DESCRIBE)
+      val segRoot = store.path
+      val bytes: Long =
+        if (m.files.isEmpty) 0L
+        else SparkSession.active.sparkContext
+          .parallelize(m.files, math.min(64, m.files.size))
+          .map { f =>
+            val p = java.nio.file.Paths.get(segRoot, "segments", f)
+            try java.nio.file.Files.size(p) catch { case _: Exception => 0L }
+          }.sum().toLong
       def nPre(pre: String): Long =
         m.meta.keys.count(_.startsWith(pre)).toLong
       val row = InternalRow.fromSeq(Seq[Any](
