@@ -946,6 +946,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * its old offset. Restart such streams with a fresh checkpoint (or
     * `startingSeq`) after a restore that moves maxSeq backwards; the
     * rollback is logged as a warning for exactly this reason. */
+  /** RESTORE TO TIMESTAMP (Delta's second restore form): roll back to
+    * the newest RETAINED version whose commit wall clock is at or
+    * before `t` — the same commitTsMs axis TIMESTAMP AS OF reads
+    * resolve on. O(retained versions) manifest parses, then the
+    * ordinary version restore (same abort-on-race contract). */
+  def restoreToTs(t: java.sql.Timestamp): Unit = {
+    val target = versions()
+      .flatMap(v => JournalStore.readManifestVersion(path, v))
+      .filter(_.commitTsMs <= t.getTime)
+      .map(_.version).sorted.lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"journal store at $path retains no manifest version committed " +
+          s"at or before $t (retained: ${versions().mkString(", ")})"))
+    restore(target)
+  }
+
   def restore(version: Long): Unit = {
     requireWritable()
     val target = readManifestVersion(path, version).getOrElse(

@@ -436,11 +436,22 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("table name under this catalog").build(),
-      ProcedureParameter.in("version", LongType)
-        .comment("retained manifest version to restore to").build())
+      ProcedureParameter.in("version", LongType).defaultValue("-1")
+        .comment("retained manifest version to restore to " +
+          "(exactly one of version/timestamp)").build(),
+      ProcedureParameter.in("timestamp", StringType).defaultValue("NULL")
+        .comment("UTC commit wall-clock bound: restore to the newest " +
+          "retained version committed at or before it (RESTORE TO " +
+          "TIMESTAMP)").build())
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      storeForName(input.getUTF8String(0).toString)
-        .restore(input.getLong(1))
+      val store = storeForName(input.getUTF8String(0).toString)
+      val byVersion = !input.isNullAt(1) && input.getLong(1) >= 0L
+      val byTs = !input.isNullAt(2)
+      require(byVersion ^ byTs,
+        "restore takes exactly one of version => N / timestamp => 'ts'")
+      if (byVersion) store.restore(input.getLong(1))
+      else store.restoreToTs(java.sql.Timestamp.valueOf(
+        input.getUTF8String(2).toString))
       noRows
     }
   }

@@ -1128,6 +1128,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("jcat.gen").count() === before)
   }}
 
+  test("CALL system.restore(timestamp => ...): rolls to the newest " +
+    "version committed at or before the bound") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.rts (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/rts")
+    def one(k: Long) = Seq(("users", k,
+      graft.TestSpark.ts("2024-01-01 00:00:01"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(one(1))
+    val tsAfterFirst = graft.journal.JournalStore.open(spark, s"$root/rts")
+      .manifest.commitTsMs
+    Thread.sleep(5)
+    store.append(one(2))
+    assert(spark.table("jcat.rts").count() === 2)
+    // the bound is exactly the first append's commit wall clock —
+    // deterministic: restore lands on that version
+    spark.sql(s"CALL jcat.system.restore(table => 'rts', " +
+      s"timestamp => '${new java.sql.Timestamp(tsAfterFirst)}')")
+    assert(spark.table("jcat.rts").select("ukey")
+      .as[Long].collect().toSeq === Seq(1L))
+    // exactly-one-arg contract
+    val e = intercept[Exception](spark.sql(
+      "CALL jcat.system.restore(table => 'rts')").collect())
+    assert(e.getMessage.contains("exactly one"))
+  }}
+
   test("CALL system.detail: one-row manifest-only operational summary") {
     withCatalog { root =>
     spark.sql("CREATE TABLE jcat.det (ns STRING, ukey BIGINT, " +
