@@ -725,6 +725,36 @@ object JournalOps {
             .as("n_bronze"))
         .orderBy("ns")
     }),
+    "journal_expire_sql" -> ((s, d) => {
+      // Retention/TTL enforcement end to end (CALL system.expire →
+      // JournalStore.deleteWhere): ingest a fixed window, erase
+      // everything with ts older than the bound, read back per-ns
+      // survivors beside the erased count. The delete's candidate set
+      // prunes through the manifest's per-file ts ranges (the round-15
+      // range extractor) — at 100 TB the sweep rewrites only files
+      // whose ts range can overlap the bound, and the erased rows are
+      // physically GONE (the GDPR contract), not filtered.
+      val tag = tmpTag(d)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jexpire_root_$tag").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val cat = s"jexp_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2000')")
+      graft.journal.JournalStore.open(s, s"$root/t")
+        .append(journal(s, d).where(col("seq") < 6000))
+      val nDel = s.sql(s"CALL $cat.system.expire(table => 't', " +
+        "older_than => '2024-01-10 00:00:00')")
+        .collect()(0).getLong(0)
+      s.read.format("journal").load(s"$root/t")
+        .groupBy("ns")
+        .agg(count(lit(1)).as("n_rows"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"))
+        .withColumn("n_deleted", lit(nDel))
+        .orderBy("ns")
+    }),
     "events_spine_recursive" -> ((s, d) => {
       // Recursive CTE (Spark 4 WITH RECURSIVE): the calendar spine as a
       // recursion anchored on the data's own min/max day, gap-filling
@@ -1998,6 +2028,17 @@ object JournalOps {
         "SELECT st.c AS col_name, st.n_rows, st.n_nulls, e.regs_hit, " +
         "e.w_hit + (512 - e.regs_hit) * 4503599627370496 AS weight, " +
         "st.vmin, st.vmax FROM st JOIN e USING (c) ORDER BY col_name"),
+    // the sweep replayed: survivors = rows at/after the bound; the
+    // erased count rides every output row as a constant column
+    "journal_expire_sql" ->
+      ("WITH kept AS (SELECT event_type AS ns, event_id FROM events " +
+        "WHERE event_id < 6000 AND ts >= TIMESTAMP '2024-01-10 00:00:00'), " +
+        "del AS (SELECT count(*) AS n_deleted FROM events " +
+        "WHERE event_id < 6000 AND ts < TIMESTAMP '2024-01-10 00:00:00') " +
+        "SELECT ns, count(*) AS n_rows, " +
+        "CAST(min(event_id) AS BIGINT) AS min_seq, " +
+        "CAST(max(event_id) AS BIGINT) AS max_seq, n_deleted " +
+        "FROM kept CROSS JOIN del GROUP BY ns, n_deleted ORDER BY ns"),
     // the store's materializations replayed: tier is the constant
     // default, bucket = ukey % 8, rid = 100 + 2·seq (caller seqs are
     // the dense event_ids, so rank == seq)
