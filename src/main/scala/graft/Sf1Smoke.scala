@@ -189,7 +189,11 @@ object Sf1Smoke {
       // colspec materialization (DEFAULT + GENERATED + IDENTITY) is a
       // pure projection inside the append — its 10x axis is the fixed
       // 3000-row ingest window, so the probe states near-constant cost
-      "journal_colspec_sql")
+      "journal_colspec_sql",
+      // retention sweep: fixed-window ingest + a ts-range-pruned
+      // deleteWhere — near-constant; at scale the axis is the number
+      // of files whose ts range overlaps the bound, never store size
+      "journal_expire_sql")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, out).count()
