@@ -183,6 +183,30 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(JournalStore.open(spark, store.path).manifest.op === "analyze")
   }
 
+  test("identity values stay unique when an append loses the commit " +
+      "race (the retry re-reads the advanced counter)") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 1000,
+      Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "ns STRING, ukey BIGINT, ts TIMESTAMP, payload STRING, " +
+          "val DOUBLE, rid BIGINT")))
+    store.setMeta(Map("identity.rid" -> "1,1,false,0"))
+    def batch(ks: Long*) = ks.map(k =>
+      ("n", k, ts("2024-01-01 00:00:01"), s"p$k", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    // a SECOND writer lands a 2-row batch between this handle's
+    // manifest snapshot and its own commit: the first attempt computed
+    // rids from the stale counter and must lose the CAS; the retry
+    // re-reads the advanced counter and re-assigns
+    val rival = JournalStore.open(spark, path)
+    store.onCommitSeam = () => rival.append(batch(100, 101))
+    store.append(batch(1, 2, 3))
+    val rids = store.scanUnordered().select("rid")
+      .as[Long].collect().toSeq.sorted
+    assert(rids === Seq(1L, 2L, 3L, 4L, 5L), rids.toString)
+    assert(JournalStore.open(spark, path).identityColumns("rid").used === 5L)
+  }
+
   test("analyze refuses unknown columns and empty stores") {
     val store = JournalStore.create(spark, freshPath, epochSize = 3)
     val e = intercept[IllegalArgumentException](store.analyze())
