@@ -1116,8 +1116,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
     -1L // unreachable
   }
 
+  /** `internalRewrite` marks a STATE re-append (updateWhere's rewritten
+    * current rows, merge's routed delta) as opposed to a user batch:
+    * identity values the state already carries pass through VERBATIM
+    * (the GENERATED ALWAYS refusal guards user inserts, not the store
+    * re-writing its own assigned values), and GENERATED columns are
+    * RECOMPUTED from the post-assignment row instead of validated
+    * against the carried pre-update value (Delta recomputes generated
+    * columns on UPDATE for the same reason: the carried value describes
+    * the row before the assignment). NULL identity cells still generate
+    * (a merge delta's insert route arrives NULL), and user-facing
+    * appends keep both guards. */
   private def appendOnce(df0: DataFrame, streamBatchId: Option[Long],
-                         writerId: String): Long = {
+                         writerId: String,
+                         internalRewrite: Boolean = false): Long = {
     requireWritable()
     val m0 = manifest
     val replayMark =
@@ -1202,9 +1214,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // identity column, only when the column is present.
     val idNeedsFill: Map[String, Boolean] = idSpecs.map { case (c, spec) =>
       val hasCol = df0.columns.contains(c)
-      val hasNonNull = hasCol &&
+      // the non-null probe only feeds the ALWAYS refusal, which internal
+      // state rewrites bypass — skip the job there
+      val hasNonNull = !internalRewrite && hasCol &&
         df0.where(col(c).isNotNull).limit(1).collect().nonEmpty
-      require(spec.allowExplicit || !hasNonNull,
+      require(internalRewrite || spec.allowExplicit || !hasNonNull,
         s"journal append: column '$c' is GENERATED ALWAYS AS IDENTITY — " +
           "explicit values are not accepted (declare it GENERATED BY " +
           "DEFAULT AS IDENTITY to allow them)")
@@ -1234,7 +1248,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
           (k.stripPrefix(JournalStore.GeneratedPrefix), v)
       }.foldLeft(defaulted) { case (acc, (c, genSql)) =>
         val gen = ddlCols.get(c).fold(expr(genSql))(expr(genSql).cast)
-        if (!acc.columns.contains(c)) acc.withColumn(c, gen)
+        // an internal state rewrite RECOMPUTES from the post-assignment
+        // row (the carried value describes the pre-update row)
+        if (internalRewrite || !acc.columns.contains(c))
+          acc.withColumn(c, gen)
         // a present-but-NULL cell computes too: a MERGE/UPDATE delta
         // carries every target column, so its inserted rows arrive
         // with the generated column as NULL — Delta's "generated
@@ -1244,8 +1261,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }
     // provided NON-NULL generated-column values must EQUAL the
     // expression — checked like constraints: one codegen'd pass, first
-    // violation rejects atomically before any byte lands
-    m0.meta.collect {
+    // violation rejects atomically before any byte lands (internal
+    // rewrites recompute above, so there is nothing to validate)
+    if (!internalRewrite) m0.meta.collect {
       case (k, v) if k.startsWith(JournalStore.GeneratedPrefix) &&
         df0.columns.contains(k.stripPrefix(JournalStore.GeneratedPrefix)) =>
         (k.stripPrefix(JournalStore.GeneratedPrefix), v)
@@ -2252,6 +2270,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
       if (hasNullKey) ksIn || col("ukey").isNull else ksIn
     }
     val stExtras = storeExtrasOf(m, extras)
+    // identity columns the source does not carry: their CURRENT values
+    // ride the state side (cur__<c>) so matched rows KEEP their assigned
+    // identity — Delta's stable-identity-under-MERGE semantics; insert
+    // rows arrive NULL and generate fresh values in appendOnce
+    val idCarry = identityCarryCols(m, schema.fieldNames, extras)
     // a clause gate referencing target ts/val (the late-arrival guard
     // `WHEN MATCHED AND t.ts < s.ts`) widens reconstruction to the full
     // record — checkpoints don't carry ts/val, segments do
@@ -2261,13 +2284,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val filtered = readSegmentsOver(cand, m.schemaDdl, m.dvParts)
       .where(if (nss.isEmpty) lit(false) else col("ns").isin(nss: _*))
       .where(keyPred)
-      .select((baseCols ++ stExtras).map(col): _*)
+      .select((baseCols ++ stExtras ++ idCarry).map(col): _*)
     val state0 =
-      if (stateNeedsTsVal) mergeStateFull(filtered, stExtras, extras)
-      else if (extras.isEmpty)
+      if (stateNeedsTsVal)
+        mergeStateFull(filtered, stExtras ++ idCarry, extras ++ idCarry)
+      else if (extras.isEmpty && idCarry.isEmpty)
         tombstoneAwareState(filtered)
           .select(col("ns"), col("ukey"), col("payload").as("cur_payload"))
-      else mergeStateExtras(filtered, stExtras, extras)
+      else mergeStateExtras(filtered, stExtras ++ idCarry, extras ++ idCarry)
     val state = broadcast(state0).alias("t")
     val srcDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema).alias("s")
@@ -2279,9 +2303,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
       "left_outer"), whenMatchedDelete, guarded = false,
       whenMatchedUpdate, whenNotMatchedInsert, extras,
       whenMatchedUpdateCond, whenNotMatchedInsertCond = whenNotMatchedInsertCond,
-      whenMatchedUpdateValues = whenMatchedUpdateValues),
-      None, "")
+      whenMatchedUpdateValues = whenMatchedUpdateValues,
+      idCarry = idCarry),
+      None, "", internalRewrite = true)
   }
+
+  /** Identity columns whose CURRENT values a merge must carry through
+    * the state join (pinned in the store schema, absent from the merge
+    * source) — see mergeSmall/mergeFull. */
+  private def identityCarryCols(m: Manifest, srcCols: Seq[String],
+                                extras: Seq[String]): Seq[String] =
+    storeExtrasOf(m, m.meta.keys.collect {
+      case k if k.startsWith(JournalStore.IdentityPrefix) =>
+        k.stripPrefix(JournalStore.IdentityPrefix)
+    }.toSeq.sorted).filterNot(c =>
+      srcCols.exists(_.equalsIgnoreCase(c)) ||
+        extras.exists(_.equalsIgnoreCase(c)))
 
   /** The full merge path (source too large to collect): one (ns, ukey)
     * shuffle joining the source against state. Ambiguity detection
@@ -2332,6 +2369,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // full current state (checkpoint-bounded latest() when no extras
     // ride) joins the source FULL OUTER, and state-only rows route
     // through the bySourceDelete gate in mergeRouted.
+    val idCarry = identityCarryCols(m, src0.columns.toSeq, extras)
     if (bySourceDelete.isDefined || bySourceSet.nonEmpty) {
       val stEx = storeExtrasOf(m, extras)
       val state = (if (bySourceSet.nonEmpty || stateNeedsTsVal)
@@ -2340,15 +2378,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
           // CURRENT ts/val, which checkpoints don't carry
           mergeStateFull(readSegments().select(
             ("ns" +: "ukey" +: "seq" +: "ts" +: "payload" +: "val" +:
-              stEx).map(col): _*), stEx, extras)
-        else if (extras.isEmpty)
+              (stEx ++ idCarry)).map(col): _*),
+            stEx ++ idCarry, extras ++ idCarry)
+        else if (extras.isEmpty && idCarry.isEmpty)
           latest().select(col("ns"), col("ukey"),
             col("payload").as("cur_payload"))
         else
           mergeStateExtras(readSegments().select(
             ("ns" +: "ukey" +: "seq" +: "payload" +:
-              stEx).map(col): _*),
-            stEx, extras)).alias("t")
+              (stEx ++ idCarry)).map(col): _*),
+            stEx ++ idCarry, extras ++ idCarry)).alias("t")
       val src = src0
         .withColumn("__dup", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window
@@ -2361,7 +2400,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
         whenMatchedUpdate, whenNotMatchedInsert, extras,
         whenMatchedUpdateCond, bySourceDelete,
         whenNotMatchedInsertCond, bySourceSet, bySourceSetCond,
-        whenMatchedUpdateValues), None, "")
+        whenMatchedUpdateValues, idCarry), None, "",
+        internalRewrite = true)
     }
     val prof = src0
       .groupBy(col("ns").cast("string").as("ns"))
@@ -2402,9 +2442,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
             readSegmentsOver(cand, m.schemaDdl, m.dvParts)
           else readSegments()
         mergeStateFull(base.where(rowPred).select(
-          (Seq("ns", "ukey", "seq", "ts", "payload", "val") ++ stExtras)
-            .map(col): _*), stExtras, extras)
-      } else if (extras.isEmpty) {
+          (Seq("ns", "ukey", "seq", "ts", "payload", "val") ++ stExtras ++
+            idCarry).map(col): _*), stExtras ++ idCarry, extras ++ idCarry)
+      } else if (extras.isEmpty && idCarry.isEmpty) {
         val stateRows =
           if (cand.size * 2 <= m.files.size)
             tombstoneAwareState(
@@ -2414,16 +2454,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
         stateRows.select(col("ns"), col("ukey"),
           col("payload").as("cur_payload"))
       } else {
-        // extras need current-state values, which checkpoints don't
-        // carry — reconstruct from segments either way (the pruned
-        // branch is unchanged; the wide branch trades the checkpoint
-        // bound for evolved-column no-op precision)
+        // extras (and carried identity values) need current-state
+        // values, which checkpoints don't carry — reconstruct from
+        // segments either way (the pruned branch is unchanged; the wide
+        // branch trades the checkpoint bound for no-op precision)
         val base =
           if (cand.size * 2 <= m.files.size)
             readSegmentsOver(cand, m.schemaDdl, m.dvParts)
           else readSegments()
-        mergeStateExtras(base.where(rowPred).select(stateCols: _*),
-          stExtras, extras)
+        mergeStateExtras(
+          base.where(rowPred).select((stateCols ++ idCarry.map(col)): _*),
+          stExtras ++ idCarry, extras ++ idCarry)
       }).alias("t")
     val src = src0
       .withColumn("__dup", count(lit(1)).over(
@@ -2441,7 +2482,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       whenMatchedUpdate, whenNotMatchedInsert, extras,
       whenMatchedUpdateCond,
       whenNotMatchedInsertCond = whenNotMatchedInsertCond,
-      whenMatchedUpdateValues = whenMatchedUpdateValues), None, "")
+      whenMatchedUpdateValues = whenMatchedUpdateValues,
+      idCarry = idCarry), None, "", internalRewrite = true)
   }
 
   /** Clause routing shared by both merge paths. With `guarded`, the
@@ -2472,7 +2514,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
                             Option[org.apache.spark.sql.Column] = None,
                           whenMatchedUpdateValues:
                             Seq[(org.apache.spark.sql.Column, String)]
-                            = Nil): DataFrame = {
+                            = Nil,
+                          idCarry: Seq[String] = Nil): DataFrame = {
     // state-only rows exist only under the full-outer by-source join,
     // flagged by the source-side __src marker (a literal — immune to
     // legitimately-null source columns)
@@ -2595,7 +2638,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
               Seq((bySrcUpd, bySrcVal(c, col(s"cur__$c")))) else Nil) ++
             (if (whenMatchedUpdateValues.nonEmpty)
               Seq((updating, updVal(c))) else Nil),
-          col(s"s.$c")).as(c)): _*)
+          col(s"s.$c")).as(c)) ++
+        // carried identity values: any row whose key HAS state keeps its
+        // assigned identity (update, delete tombstone, by-source routes);
+        // only the insert route arrives NULL and generates fresh values
+        // in appendOnce. Excluded from the no-op comparison by design.
+        idCarry.map(c =>
+          when(matched || stateOnly, col(s"cur__$c"))
+            .otherwise(lit(null)).as(c)): _*)
   }
 
   /** Manifest files whose ns directory / per-file key range / key bloom
@@ -3199,6 +3249,28 @@ class JournalStore private (val spark: SparkSession, val path: String,
           require(!amap.keySet.exists(Set("ns", "ukey").contains),
             "updateWhere cannot assign key columns (ns/ukey); " +
               "move a key with DELETE + append")
+          // GENERATED columns recompute from the post-assignment row
+          // (Delta's UPDATE rule) — a direct assignment would be
+          // silently overwritten, so refuse it loudly. ALWAYS identity
+          // columns never accept explicit values; BY DEFAULT ones do.
+          val genCols = m.meta.keys.collect {
+            case k if k.startsWith(JournalStore.GeneratedPrefix) =>
+              k.stripPrefix(JournalStore.GeneratedPrefix).toLowerCase
+          }.toSet
+          val assignedGen = amap.keySet.intersect(genCols)
+          require(assignedGen.isEmpty,
+            s"updateWhere cannot assign GENERATED column(s) " +
+              s"${assignedGen.toSeq.sorted.mkString(", ")} — the store " +
+              "recomputes them from the updated row")
+          val alwaysIds = m.meta.collect {
+            case (k, v) if k.startsWith(JournalStore.IdentityPrefix) &&
+              !JournalStore.parseIdentity(v).allowExplicit =>
+              k.stripPrefix(JournalStore.IdentityPrefix).toLowerCase
+          }.toSet
+          val assignedId = amap.keySet.intersect(alwaysIds)
+          require(assignedId.isEmpty,
+            s"updateWhere cannot assign GENERATED ALWAYS AS IDENTITY " +
+              s"column(s) ${assignedId.toSeq.sorted.mkString(", ")}")
           val outCols = state.columns.toSeq
           val unknown = amap.keySet -- outCols.map(_.toLowerCase)
           require(unknown.isEmpty,
@@ -3210,7 +3282,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
                 .map(_.cast(state.schema(c).dataType))
                 .getOrElse(col(c)).as(c)
             }: _*)
-          appendOnce(updated, None, "") - m.maxSeq
+          // internalRewrite: the re-appended state rows carry their
+          // existing identity values verbatim and recompute generated
+          // columns from the post-assignment row
+          appendOnce(updated, None, "", internalRewrite = true) - m.maxSeq
         }
       }
     }

@@ -1291,6 +1291,84 @@ class CatalogSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2, r._3)) ===
       Seq((10L, "p0", 2L), (11L, "p1b", 3L), (12L, "p2", 4L)))
     assert(got.map(_._4).distinct.size === 3, got.toString)
+    // STABLE identity under merge (Delta semantics): the updated row
+    // KEEPS the rid its original append assigned — value equality, not
+    // just distinctness. Original appends assigned rid 1 (ukey 10) and
+    // rid 2 (ukey 11) in deterministic seq order.
+    assert(got.map(r => (r._1, r._4)).take(2) ===
+      Seq((10L, 1L), (11L, 2L)), got.toString)
+  }}
+
+  test("UPDATE on a table with ALWAYS identity + generated columns: " +
+    "identity passes through verbatim, generated recomputes from the " +
+    "post-assignment row; direct assignment of either is refused") {
+    withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.uid (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "dbl DOUBLE GENERATED ALWAYS AS (val * 2), " +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/uid")
+    store.append(Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "p0", 1.0),
+      ("users", 2L, graft.TestSpark.ts("2024-01-01 00:00:02"), "p1", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    // SQL UPDATE re-appends rewritten state through the internal path:
+    // the ALWAYS identity refusal must NOT fire on the carried rids
+    // (the r15 regression: every UPDATE on an identity table threw)
+    spark.sql("UPDATE jcat.uid SET val = 100.0 WHERE ukey = 1")
+    val got = spark.table("jcat.uid")
+      .groupBy("ukey")
+      .agg(max_by(col("val"), col("seq")).as("val"),
+        max_by(col("dbl"), col("seq")).as("dbl"),
+        max_by(col("rid"), col("seq")).as("rid"))
+      .orderBy("ukey")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    // dbl RECOMPUTED from the assigned val (Delta's UPDATE rule), rid
+    // kept verbatim (1 and 2 from the original append)
+    assert(got === Seq((1L, 100.0, 200.0, 1L), (2L, 2.0, 4.0, 2L)))
+    // the identity counter did not advance: the rewrite carried values
+    assert(graft.journal.JournalStore.open(spark, s"$root/uid")
+      .identityColumns("rid").used === 2L)
+    // direct assignment of a generated or ALWAYS identity column refuses
+    val eg = intercept[IllegalArgumentException] {
+      store.updateWhere(Seq("dbl" -> lit(5.0)), None)
+    }
+    assert(eg.getMessage.contains("GENERATED"))
+    val ei = intercept[IllegalArgumentException] {
+      store.updateWhere(Seq("rid" -> lit(5L)), None)
+    }
+    assert(ei.getMessage.contains("IDENTITY"))
+  }}
+
+  test("MERGE INSERT into a table with a column DEFAULT: unlisted " +
+    "defaulted columns fill the DEFAULT, not null") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.mdef (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "tag STRING DEFAULT 'fresh') USING journal OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/mdef")
+    store.append(Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "p0", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    Seq(("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:00"), "p0b", 9.0),
+        ("users", 2L, graft.TestSpark.ts("2024-01-02 00:00:01"), "p2", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+      .createOrReplaceTempView("mdef_src")
+    spark.sql("MERGE INTO jcat.mdef t USING mdef_src s " +
+      "ON t.ns = s.ns AND t.ukey = s.ukey " +
+      "WHEN MATCHED THEN UPDATE SET t.ts = s.ts, t.payload = s.payload, " +
+      "t.val = s.val " +
+      "WHEN NOT MATCHED THEN INSERT (ns, ukey, ts, payload, val) " +
+      "VALUES (s.ns, s.ukey, s.ts, s.payload, s.val)")
+    val got = spark.table("jcat.mdef")
+      .groupBy("ukey")
+      .agg(max_by(col("payload"), col("seq")).as("payload"),
+        max_by(col("tag"), col("seq")).as("tag"))
+      .orderBy("ukey")
+      .as[(Long, String, String)].collect().toSeq
+    // the INSERT route (ukey 2) materialized the write-time DEFAULT
+    // exactly as append() does — Delta's MERGE INSERT default semantics
+    assert(got === Seq((1L, "p0b", "fresh"), (2L, "p2", "fresh")))
   }}
 
   test("CALL system.clone: zero-copy clone by name; states diverge " +
