@@ -565,13 +565,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * cols × 512 register rows. No value ever reaches the driver except
     * the final per-column summary.
     *
-    * Staleness contract: stats are stamped with the EXACT row count they
-    * were computed at; the scan re-serves them only while the manifest's
-    * per-file row counts still sum to that number (stale stats are
-    * DROPPED, never served wrong — the same exact-or-decline discipline
-    * as the manifest aggregate pushdown). A no-arg call analyzes every
-    * visible column; a subset call replaces the whole recorded stats set
-    * (stats always describe one coherent analyze run, never a mix). */
+    * Freshness contract (round 16 — stats that SURVIVE appends): stats
+    * are stamped with the EXACT row count they describe, and the scan
+    * re-serves them only while the manifest's per-file row counts still
+    * sum to that number. Appends no longer break the match: every
+    * append folds ITS batch's sketch into the recorded stats in the
+    * same manifest commit ([[incrementalStatsMeta]] — null counts add,
+    * extrema widen, packed HLL registers union), so the stamped count
+    * moves with the data and a 100 TB table's CBO stats stay alive at
+    * delta cost; analyze() is the bootstrap/backfill. Destructive
+    * rewrites (erase/expire) still decline at serve time — you cannot
+    * subtract from an HLL — and the next analyze() re-arms. A no-arg
+    * call analyzes every visible column; a subset call replaces the
+    * whole recorded stats set (stats always describe one coherent
+    * analyze lineage, never a mix). */
   def analyze(columns: Seq[String] = Nil): Unit = {
     requireWritable()
     require(manifest.files.nonEmpty,
@@ -592,18 +599,37 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }
     // pass 1: rows + per-column nulls / typed min / typed max (min/max
     // are computed on the TYPED column, then canonicalized to string
-    // for the manifest — casting first would order "10" < "9")
-    val aggs = count(lit(1L)).as("rows_total") +: cols.flatMap(c => Seq(
+    // for the manifest — casting first would order "10" < "9").
+    // Timestamp columns additionally record epoch-MICROS extrema: the
+    // lossless numeric form the optimizer report and the ts histogram
+    // serve (the canonical string form is display-only).
+    val tsCols = cols.filter(c => df.schema.find(_.name == c).exists(f =>
+      f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+    val aggs = (count(lit(1L)).as("rows_total") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"n_$c"),
       min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
+      max(col(c)).cast("string").as(s"mx_$c")))) ++
+      tsCols.flatMap(c => Seq(
+        min(unix_micros(col(c).cast("timestamp"))).as(s"mnus_$c"),
+        max(unix_micros(col(c).cast("timestamp"))).as(s"mxus_$c")))
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = head.getLong(0)
-    // pass 2: portable-HLL registers per column (null values carry no
-    // distinctness; an all-null column simply has no register rows)
-    val regs: Map[String, (Long, Long)] =
+    val tsBase = 1 + 3 * cols.size
+    val tsMicros: Map[String, (Long, Long)] = tsCols.zipWithIndex.collect {
+      case (c, j) if !head.isNullAt(tsBase + 2 * j) =>
+        c -> (head.getLong(tsBase + 2 * j), head.getLong(tsBase + 2 * j + 1))
+    }.toMap
+    // pass 2: portable-HLL registers per column, collected at (column,
+    // register) grain — ≤ cols×512 rows — so the manifest records the
+    // raw MERGEABLE sketch state (packed one byte per register).
+    // append() then folds each batch's registers into these with an
+    // elementwise max (incremental ANALYZE: ndv stays alive at delta
+    // cost instead of dropping on row-count drift). Null values carry
+    // no distinctness; an all-null column has no register rows.
+    val regBytes: Map[String, Array[Byte]] =
       if (rows == 0) Map.empty
-      else df
+      else JournalStore.packRegisters(df
         .select(explode(array(cols.map(c =>
           struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
         .select(col("cv.c").as("c"), col("cv.v").as("v"))
@@ -614,38 +640,50 @@ class JournalStore private (val spark: SparkSession, val path: String,
           "CASE WHEN h div 512 = 0 THEN 52 " +
             "ELSE 52 - length(bin(h div 512)) END AS rho")
         .groupBy("c", "b").agg(max("rho").as("m"))
-        .groupBy("c").agg(count(lit(1)).as("regs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
-            .as("whit"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-    // pass 3 (BIGINT columns): a 16-bin EQUI-HEIGHT histogram for the
-    // optimizer's range-selectivity estimation — boundaries from one
-    // mergeable percentile-sketch aggregate (single pass, fixed
-    // memory), per-bin ndv from one melted approx-distinct pass whose
-    // exchange carries ≤ cols×16 rows. Planner-advisory (served
-    // through DSv2 columnStats.histogram), so sketch estimates are the
-    // honest scale choice here — nothing downstream hash-gates them.
-    val longCols = cols.filter(c => df.schema.find(_.name == c)
-      .exists(_.dataType == org.apache.spark.sql.types.LongType))
+        .collect())
+    val regs: Map[String, (Long, Long)] =
+      regBytes.map { case (c, arr) =>
+        c -> JournalStore.registerSummary(arr)
+      }
+    // pass 3 (BIGINT + TIMESTAMP columns): a 16-bin EQUI-HEIGHT
+    // histogram for the optimizer's range-selectivity estimation —
+    // boundaries from one mergeable percentile-sketch aggregate (single
+    // pass, fixed memory), per-bin ndv from one melted approx-distinct
+    // pass whose exchange carries ≤ cols×16 rows. Timestamp columns bin
+    // on epoch MICROS (the catalyst-internal value FilterEstimation
+    // compares literals in), so time-range predicates — the store's
+    // primary pruning/retention axis — price on the real distribution
+    // too. Planner-advisory (served through DSv2 columnStats.histogram),
+    // so sketch estimates are the honest scale choice here — nothing
+    // downstream hash-gates them.
+    val histCols: Seq[(String, String)] = cols.flatMap { c =>
+      df.schema.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) => Some(c -> c)
+        case Some(org.apache.spark.sql.types.TimestampType) |
+             Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          Some(c -> s"unix_micros(CAST(`$c` AS TIMESTAMP))")
+        case _ => None
+      }
+    }
     val hists: Map[String, (Seq[Long], Seq[Long])] =
-      if (rows == 0 || longCols.isEmpty) Map.empty
+      if (rows == 0 || histCols.isEmpty) Map.empty
       else {
         val qs = (1 to 16).map(i => i / 16.0).mkString(", ")
-        val bAggs = longCols.map(c =>
-          expr(s"approx_percentile($c, array($qs), 10000)").as(s"b_$c"))
+        val bAggs = histCols.map { case (c, e) =>
+          expr(s"approx_percentile($e, array($qs), 10000)").as(s"b_$c") }
         val bRow = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
-        val bounds: Map[String, Seq[Long]] = longCols.zipWithIndex.collect {
-          case (c, i) if !bRow.isNullAt(i) => c -> bRow.getSeq[Long](i).toSeq
+        val bounds: Map[String, Seq[Long]] = histCols.zipWithIndex.collect {
+          case ((c, _), i) if !bRow.isNullAt(i) =>
+            c -> bRow.getSeq[Long](i).toSeq
         }.toMap
         if (bounds.isEmpty) Map.empty
         else {
-          val bCols = bounds.keys.toSeq
-          val mapArgs = bCols.flatMap(c =>
-            Seq(lit(c), array(bounds(c).map(lit(_)): _*)))
+          val bCols = histCols.filter(ce => bounds.contains(ce._1))
+          val mapArgs = bCols.flatMap { case (c, _) =>
+            Seq(lit(c), array(bounds(c).map(lit(_)): _*)) }
           val ndvRows = df
-            .select(explode(array(bCols.map(c =>
-              struct(lit(c).as("c"), col(c).as("v"))): _*)).as("cv"))
+            .select(explode(array(bCols.map { case (c, e) =>
+              struct(lit(c).as("c"), expr(e).as("v")) }: _*)).as("cv"))
             .select(col("cv.c").as("c"), col("cv.v").as("v"))
             .where(col("v").isNotNull)
             .withColumn("ba", element_at(map(mapArgs: _*), col("c")))
@@ -671,10 +709,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
       kvs += (p + "regs") -> rh.toString
       kvs += (p + "whit") -> wh.toString
       kvs += (p + "ndv") -> JournalStore.hllNdvEstimate(rh, wh).toString
+      // the raw packed registers — what append()'s incremental
+      // maintenance merges each batch's sketch into
+      kvs += (p + "hllregs") -> java.util.Base64.getEncoder.encodeToString(
+        regBytes.getOrElse(c, new Array[Byte](512)))
       if (!head.isNullAt(2 + 3 * i))
         kvs += (p + "min") -> head.getString(2 + 3 * i)
       if (!head.isNullAt(3 + 3 * i))
         kvs += (p + "max") -> head.getString(3 + 3 * i)
+      tsMicros.get(c).foreach { case (mnus, mxus) =>
+        kvs += (p + "minus") -> mnus.toString
+        kvs += (p + "maxus") -> mxus.toString
+      }
       hists.get(c).foreach { case (bs, ns2) =>
         kvs += (p + "hist") ->
           (bs.mkString(",") + "|" + ns2.mkString(","))
@@ -689,6 +735,154 @@ class JournalStore private (val spark: SparkSession, val path: String,
       writeManifest(path, m.copy(op = "analyze",
         meta = m.meta -- stale ++ fresh))
     }
+  }
+
+  /** INCREMENTAL ANALYZE — the append-time maintenance that keeps
+    * [[analyze]] stats alive instead of letting them die on the first
+    * micro-batch (on a 100 TB table a full re-scan per refresh is not
+    * an option; this is delta cost). Folds ONE batch's per-column
+    * sketch into the recorded stats: row count and null counts add,
+    * typed extrema widen, and the packed HLL registers merge with an
+    * elementwise max (the union of two HLL sketches IS the sketch of
+    * the union — ndv stays approximately correct forever). Histograms
+    * are left as recorded: they are planner-advisory and their bin
+    * heights rescale with the live row count at serve time; analyze()
+    * re-derives boundaries on the next explicit run.
+    *
+    * Cost: TWO batch-sized jobs (one flat aggregate; one melt →
+    * 512-register fold whose exchange carries ≤ cols×512 rows), paid
+    * ONLY by stores that have been analyze()d — un-analyzed stores
+    * skip both. Returns (refreshed keys, keys to drop); both ride the
+    * append's OWN manifest commit, so stats and data move atomically
+    * and a lost CAS recomputes against the fresh manifest.
+    *
+    * Exact-or-decline at the value grain: a column type whose string
+    * extrema cannot be merged order-correctly (e.g. binary) DROPS its
+    * min/max keys rather than risking a wrong bound; pre-`hllregs`
+    * stats (older manifests) are not mergeable and are left to the
+    * serving gate's row-count decline, the legacy behavior. */
+  private def incrementalStatsMeta(meta: Map[String, String],
+      batch: DataFrame, batchRows: Long)
+      : (Map[String, String], Set[String]) = {
+    val empty = (Map.empty[String, String], Set.empty[String])
+    val oldRows = meta.get(JournalStore.StatsRowsKey)
+    if (oldRows.isEmpty || batchRows == 0) return empty
+    val pre = JournalStore.StatsColPrefix
+    val statCols = meta.keys.collect {
+      case k if k.startsWith(pre) && k.endsWith(".ndv") =>
+        k.stripPrefix(pre).stripSuffix(".ndv")
+    }.toSeq.sorted
+    if (statCols.isEmpty ||
+        !statCols.forall(c => meta.contains(pre + c + ".hllregs")))
+      return empty
+    import org.apache.spark.sql.types._
+    val bTypes = batch.schema.map(f => f.name -> f.dataType).toMap
+    val present = statCols.filter(bTypes.contains)
+    val tsCols = present.filter(c => bTypes(c) == TimestampType ||
+      bTypes(c) == TimestampNTZType)
+    // pass A: per-column nulls + typed extrema over the batch (the
+    // caller holds the batch cached for its stats passes already)
+    val aggs = present.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c"))) ++
+      tsCols.flatMap(c => Seq(
+        min(unix_micros(col(c).cast("timestamp"))).as(s"mnus_$c"),
+        max(unix_micros(col(c).cast("timestamp"))).as(s"mxus_$c")))
+    val head: Option[org.apache.spark.sql.Row] =
+      if (present.isEmpty) None
+      else Some(batch.agg(aggs.head, aggs.tail: _*).collect()(0))
+    // pass B: the batch's own HLL registers (same melt as analyze())
+    val batchRegs: Map[String, Array[Byte]] =
+      if (present.isEmpty) Map.empty
+      else JournalStore.packRegisters(batch
+        .select(explode(array(present.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
+        .select(col("cv.c").as("c"), col("cv.v").as("v"))
+        .where(col("v").isNotNull)
+        .selectExpr("c",
+          "CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h")
+        .selectExpr("c", "h % 512 AS b",
+          "CASE WHEN h div 512 = 0 THEN 52 " +
+            "ELSE 52 - length(bin(h div 512)) END AS rho")
+        .groupBy("c", "b").agg(max("rho").as("m"))
+        .collect())
+    // order-correct extremum merge per type; None = decline (drop keys)
+    def mergeExtremum(dt: DataType, a: String, b: String,
+                      takeMin: Boolean): Option[String] = {
+      val cmp: Option[Int] = dt match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          Some(a.toLong.compareTo(b.toLong))
+        case DoubleType | FloatType =>
+          Some(a.toDouble.compareTo(b.toDouble))
+        case _: DecimalType =>
+          Some(BigDecimal(a).compare(BigDecimal(b)))
+        // canonical casts of these compare order-correctly as strings
+        case StringType | DateType | BooleanType |
+             TimestampType | TimestampNTZType =>
+          Some(a.compareTo(b))
+        case _ => None
+      }
+      cmp.map(x => if ((x <= 0) == takeMin) a else b)
+    }
+    val out = Map.newBuilder[String, String]
+    val drop = Set.newBuilder[String]
+    out += JournalStore.StatsRowsKey ->
+      (oldRows.get.toLong + batchRows).toString
+    statCols.foreach { c =>
+      val p = pre + c + "."
+      val oldNulls = meta(p + "nulls").toLong
+      if (!present.contains(c)) {
+        // a stats column this batch does not carry: the batch
+        // null-fills it on read — nulls grow, everything else holds
+        out += (p + "nulls") -> (oldNulls + batchRows).toString
+      } else {
+        val i = present.indexOf(c)
+        val h = head.get
+        val nonNull = h.getLong(3 * i)
+        out += (p + "nulls") ->
+          (oldNulls + (batchRows - nonNull)).toString
+        val merged = JournalStore.mergeRegisters(
+          java.util.Base64.getDecoder.decode(meta(p + "hllregs")),
+          batchRegs.getOrElse(c, new Array[Byte](512)))
+        val (rh, wh) = JournalStore.registerSummary(merged)
+        out += (p + "hllregs") ->
+          java.util.Base64.getEncoder.encodeToString(merged)
+        out += (p + "regs") -> rh.toString
+        out += (p + "whit") -> wh.toString
+        out += (p + "ndv") -> JournalStore.hllNdvEstimate(rh, wh).toString
+        val bMin = if (h.isNullAt(3 * i + 1)) None
+          else Some(h.getString(3 * i + 1))
+        val bMax = if (h.isNullAt(3 * i + 2)) None
+          else Some(h.getString(3 * i + 2))
+        def fold(key: String, bv: Option[String], takeMin: Boolean): Unit =
+          (meta.get(p + key), bv) match {
+            case (None, None) => ()
+            case (None, Some(v)) => out += (p + key) -> v
+            case (Some(_), None) => () // all-null batch widens nothing
+            case (Some(o), Some(v)) =>
+              mergeExtremum(bTypes(c), o, v, takeMin) match {
+                case Some(m2) => out += (p + key) -> m2
+                case None => drop += (p + key) // decline, never wrong
+              }
+          }
+        fold("min", bMin, takeMin = true)
+        fold("max", bMax, takeMin = false)
+        if (tsCols.contains(c)) {
+          val j = tsCols.indexOf(c)
+          val base = 3 * present.size
+          if (!h.isNullAt(base + 2 * j)) {
+            val (bmn, bmx) =
+              (h.getLong(base + 2 * j), h.getLong(base + 2 * j + 1))
+            out += (p + "minus") -> meta.get(p + "minus")
+              .map(o => math.min(o.toLong, bmn)).getOrElse(bmn).toString
+            out += (p + "maxus") -> meta.get(p + "maxus")
+              .map(o => math.max(o.toLong, bmx)).getOrElse(bmx).toString
+          }
+        }
+      }
+    }
+    (out.result(), drop.result())
   }
 
   /** Exact row count the last [[analyze]] ran at; None if never run. */
@@ -1441,6 +1635,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
         (JournalStore.IdentityPrefix + c) ->
           JournalStore.packIdentity(spec.copy(used = spec.used + rowsAppended))
     }
+    // incremental ANALYZE: fold this batch's column sketch into the
+    // recorded stats so they stay served after the append (no-op — and
+    // no extra jobs — on stores that were never analyze()d)
+    val (statsAdd, statsDrop) = incrementalStatsMeta(m.meta, out, rowsAppended)
     commitSeam()
     try writeManifest(path, m.copy(op = "append", maxSeq = newMax,
       files = files2,
@@ -1451,7 +1649,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       writerMarks =
         if (writerId.isEmpty || streamBatchId.isEmpty) m.writerMarks
         else m.writerMarks + (writerId -> streamBatchId.get),
-      meta = m.meta ++ idMeta,
+      meta = m.meta -- statsDrop ++ idMeta ++ statsAdd,
       schemaDdl = mergedSchema.toDDL))
     catch { case e: java.util.ConcurrentModificationException =>
       // lost the commit race: nothing became visible; release the cached
@@ -3899,6 +4097,40 @@ object JournalStore {
     val est = if (raw <= 2.5 * 512 && zeros > 0) m * math.log(m / zeros)
               else raw
     math.max(1L, math.round(est))
+  }
+
+  /** Collected (column, register, rho) rows → one packed 512-byte
+    * register array per column (byte = max rho seen; 0 = empty). The
+    * packed form is what the manifest stores under `hllregs` — raw
+    * mergeable sketch state, so append() can fold a batch's registers
+    * in with an elementwise max. */
+  private[journal] def packRegisters(
+      rows: Array[org.apache.spark.sql.Row]): Map[String, Array[Byte]] =
+    rows.groupBy(_.getString(0)).map { case (c, rs) =>
+      val arr = new Array[Byte](512)
+      rs.foreach { r =>
+        val b = r.get(1).asInstanceOf[Number].intValue
+        val rho = r.get(2).asInstanceOf[Number].intValue
+        if (rho > arr(b)) arr(b) = rho.toByte
+      }
+      c -> arr
+    }
+
+  /** (registers hit, harmonic whit) of a packed register array — the
+    * summary pair [[hllNdvEstimate]] consumes. */
+  private[journal] def registerSummary(arr: Array[Byte]): (Long, Long) = {
+    var hit = 0L; var whit = 0L
+    arr.foreach { b => if (b != 0) { hit += 1L; whit += 1L << (52 - b) } }
+    (hit, whit)
+  }
+
+  /** Elementwise max of two packed register arrays (HLL union). */
+  private[journal] def mergeRegisters(a: Array[Byte],
+                                      b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](512)
+    var i = 0
+    while (i < 512) { out(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
+    out
   }
 
   /** Reserved source-column prefix for N-clause merge CARRIERS — the

@@ -591,7 +591,8 @@ object JournalOps {
       // (hllNdvEstimate) and is deliberately NOT in the hash gate: its
       // small-range correction takes a driver-side libm ln.
       // AnalyzeSpec pins the optimizer side (DSv2 columnStats →
-      // attributeStats, staleness drop); this row pins the VALUES.
+      // attributeStats, append-time incremental merge, the destructive-
+      // rewrite decline); this row pins the VALUES.
       val sp = s
       import sp.implicits._
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),

@@ -130,13 +130,25 @@ private[sources] object JournalV2 {
       (meta.get(p + "nulls"), meta.get(p + "ndv")) match {
         case (Some(nu), Some(nd)) =>
           val longTyped = f.dataType == org.apache.spark.sql.types.LongType
-          def bound(k: String): java.util.Optional[Object] =
-            if (!longTyped) java.util.Optional.empty()
-            else meta.get(p + k) match {
+          // timestamp extrema/histograms serve in epoch MICROS — the
+          // catalyst-internal Long value FilterEstimation compares
+          // timestamp literals in (analyze() records them under
+          // minus/maxus beside the display-only canonical strings)
+          val tsTyped =
+            f.dataType == org.apache.spark.sql.types.TimestampType ||
+              f.dataType == org.apache.spark.sql.types.TimestampNTZType
+          def bound(k: String): java.util.Optional[Object] = {
+            val key =
+              if (longTyped) Some(p + k)
+              else if (tsTyped)
+                Some(p + (if (k == "min") "minus" else "maxus"))
+              else None
+            key.flatMap(meta.get) match {
               case Some(v) => java.util.Optional.of(
                 java.lang.Long.valueOf(v).asInstanceOf[Object])
               case None => java.util.Optional.empty()
             }
+          }
           val (mn, mx) = (bound("min"), bound("max"))
           // analyze()'s 16-bin equi-height histogram ("b1..b16|n0..n15"
           // — upper bin edges + per-bin ndv; height = non-null rows /
@@ -144,12 +156,13 @@ private[sources] object JournalV2 {
           // value distribution instead of the uniform assumption
           val hist: java.util.Optional[
               org.apache.spark.sql.connector.read.colstats.Histogram] =
-            (if (!longTyped) None else meta.get(p + "hist")).map { packed =>
+            (if (longTyped || tsTyped) meta.get(p + "hist")
+             else None).map { packed =>
               val Array(bs, ns2) = packed.split('|')
               val edges = bs.split(',').map(_.toDouble)
               val ndvs = ns2.split(',').map(_.toLong)
-              val lo0 = meta.get(p + "min").map(_.toDouble)
-                .getOrElse(edges.head)
+              val lo0 = meta.get(p + (if (tsTyped) "minus" else "min"))
+                .map(_.toDouble).getOrElse(edges.head)
               val binArr = edges.indices.map { i =>
                 val (l, h, n2) =
                   (if (i == 0) lo0 else edges(i - 1), edges(i), ndvs(i))

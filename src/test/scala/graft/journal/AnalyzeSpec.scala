@@ -61,7 +61,9 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(math.abs(ndv - 600L) <= 110, s"ndv=$ndv for 600 distinct")
   }
 
-  test("scan serves analyze stats to the optimizer; appends stale them") {
+  test("scan serves analyze stats to the optimizer; appends MERGE the " +
+      "batch sketch in (stats survive, no re-analyze); destructive " +
+      "rewrites still decline") {
     val path = freshPath
     val store = JournalStore.create(spark, path, epochSize = 3)
     store.append(fixture)
@@ -86,17 +88,92 @@ class AnalyzeSpec extends AnyFunSuite {
     // string column: ndv/nulls only, no extrema (no lossless parse-back)
     assert(byName("ns").distinctCount.map(_.toLong) === Some(2L))
     assert(byName("ns").min.isEmpty && byName("ns").max.isEmpty)
-    // a later append makes the recorded stats describe an ancestor
-    // surface → the scan DROPS them (exact-or-decline), numRows stays
-    store.append(Seq(("users", 9L, ts("2024-01-02 00:00:00"), "{}", 0.0))
+    // INCREMENTAL ANALYZE: a later append folds the batch's sketch into
+    // the recorded stats in the SAME commit — the scan keeps serving
+    // them with NO re-analyze (the round-15 behavior dropped them here)
+    store.append(Seq(
+      ("users", 9L, ts("2024-01-02 00:00:00"), "{}", Some(0.0)),
+      ("users", 9L, ts("2024-01-02 00:00:01"), "{}", None))
       .toDF("ns", "ukey", "ts", "payload", "val"))
-    assert(attrStats.isEmpty, "stale stats must not be served")
+    val st2 = attrStats
+    assert(st2.nonEmpty, "merged stats must stay served after an append")
+    val byName2 = st2.map { case (a, s) => a.name -> s }
+    assert(byName2("ukey").distinctCount.map(_.toLong) === Some(5L))
+    // extrema WIDEN to the new batch; null counts add
+    assert(byName2("ukey").max === Some(9L))
+    assert(byName2("ukey").min === Some(1L))
+    assert(byName2("val").nullCount.map(_.toLong) === Some(3L))
     assert(spark.read.format("journal").load(path)
-      .queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(6)))
+      .queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(7)))
+    // the recorded property row count moved with the append
+    assert(store.analyzedRowCount === Some(7L))
+    // a DESTRUCTIVE rewrite (erase) cannot be merged — the row-count
+    // gate declines, exactly the legacy exact-or-decline behavior
+    store.deleteWhere(col("ukey") === 9L)
+    assert(attrStats.isEmpty, "post-erase stats must not be served")
     // re-analyze re-arms the report at the new surface
     store.analyze(Seq("ukey"))
     assert(attrStats.map { case (a, s) => a.name -> s }("ukey")
-      .distinctCount.map(_.toLong) === Some(5L))
+      .distinctCount.map(_.toLong) === Some(4L))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("incremental stats stay within HLL tolerance across many " +
+      "appends of disjoint keys") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 10000)
+    store.append((0 until 200).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    assert(math.abs(store.analyzedColumnStats("ukey").ndv - 200L) <= 20)
+    // five more disjoint batches merge register state, never re-scan
+    (1 to 5).foreach { b =>
+      store.append((0 until 100).map(i =>
+        ("n", (b * 1000 + i).toLong, ts("2024-01-01 00:00:02"), "p", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    assert(store.analyzedRowCount === Some(700L))
+    val ndv = store.analyzedColumnStats("ukey").ndv
+    // 512 registers → rsd ≈ 4.6%; 4 sigma around the true 700
+    assert(math.abs(ndv - 700L) <= 130, s"merged ndv=$ndv for 700 distinct")
+    // min/max widened across the appends
+    assert(store.analyzedColumnStats("ukey").min === Some("0"))
+    assert(store.analyzedColumnStats("ukey").max === Some("5099"))
+  }
+
+  test("timestamp histogram: time-range selectivity prices real skew " +
+      "in epoch-micros space") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 10000)
+    // 90% of rows in one second of 2024-01-01, a thin tail across the
+    // following year: uniform range math prices `ts <= 2024-01-01
+    // 00:00:01` at ~0%; the histogram knows better
+    val rows = (0 until 900).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"a$i", 1.0)) ++
+      (0 until 100).map(i =>
+        ("n", (1000 + i).toLong,
+          ts(f"2024-${1 + i % 12}%02d-${1 + i % 28}%02d 10:00:00"), s"b$i", 2.0))
+    store.append(rows.toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ts"))
+    assert(store.manifest.meta.contains("stats.col.ts.hist"))
+    assert(store.manifest.meta.contains("stats.col.ts.minus"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rel = spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s
+        }.get
+      val tsAttr = rel.output.find(_.name == "ts").get
+      val boundMicros = java.time.Instant
+        .parse("2024-01-01T00:00:01Z").getEpochSecond * 1000000L
+      val flt = org.apache.spark.sql.catalyst.plans.logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(tsAttr,
+          org.apache.spark.sql.catalyst.expressions.Literal(boundMicros,
+            org.apache.spark.sql.types.TimestampType)), rel)
+      val est = flt.stats.rowCount
+      assert(est.exists(_ >= BigInt(450)),
+        s"ts-histogram-driven estimate too low: $est")
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 

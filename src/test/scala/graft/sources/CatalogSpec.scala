@@ -1030,12 +1030,15 @@ class CatalogSpec extends AnyFunSuite {
         .map { case (a, s) => a.name -> s }
       assert(attr("ukey").distinctCount.map(_.toLong) === Some(3L))
       assert(attr("val").nullCount.map(_.toLong) === Some(1L))
+      // an INSERT folds its batch sketch into the recorded stats (the
+      // round-16 incremental ANALYZE) — the report survives the write
+      // with merged values, no re-analyze
       spark.sql("INSERT INTO jcat.anl SELECT 'users' AS ns, " +
         "CAST(9 AS BIGINT) AS ukey, TIMESTAMP '2024-01-02 00:00:00' AS ts, " +
         "'p9' AS payload, CAST(9.0 AS DOUBLE) AS val")
-      assert(spark.table("jcat.anl").queryExecution
-        .optimizedPlan.stats.attributeStats.isEmpty,
-        "stale stats must be dropped after a write")
+      assert(attr("ukey").distinctCount.map(_.toLong) === Some(4L))
+      assert(attr("ukey").max === Some(9L))
+      assert(attr("val").nullCount.map(_.toLong) === Some(1L))
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
     // the analyze commit is first-class history
     val ops = spark.sql("CALL jcat.system.history(table => 'anl')")
