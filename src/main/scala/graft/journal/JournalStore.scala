@@ -467,6 +467,29 @@ class JournalStore private (val spark: SparkSession, val path: String,
             case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
           }.isEmpty,
             s"DEFAULT for '$name' must be a constant expression, got: $sqlTxt")
+          // ... and DETERMINISTIC + time-invariant: rand()/uuid() pass
+          // the attribute check but re-evaluate per append, and the
+          // current-time family is foldable WITHIN one query yet
+          // differs across appends — neither is a DEFAULT (Delta
+          // refuses both at DDL time for the same reason)
+          val analyzedDefault = spark.range(1).select(expr(sqlTxt))
+            .queryExecution.analyzed.asInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Project]
+            .projectList.head match {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                a.child
+              case e => e
+            }
+          val timeFamily = Set("CurrentTimestamp", "CurrentDate", "Now",
+            "LocalTimestamp", "CurrentTimeZone", "CurrentUser")
+          val perAppend = analyzedDefault.collectFirst {
+            case e if timeFamily.contains(e.getClass.getSimpleName) => e
+          }
+          require(analyzedDefault.deterministic && perAppend.isEmpty &&
+            analyzedDefault.foldable,
+            s"DEFAULT for '$name' must be a constant expression — " +
+              s"'$sqlTxt' re-evaluates to a different value on later " +
+              "appends (use a literal)")
           // the literal must cast to the column type NOW — a bad default
           // failing at some later append would be a delayed DDL error
           val v = spark.range(1)
@@ -883,6 +906,36 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     }
     (out.result(), drop.result())
+  }
+
+  /** DECLARED-retention sweep — TTL as a TABLE ATTRIBUTE instead of an
+    * operator someone must remember to run (the way production stores
+    * ship it; `CALL system.expire` stays as the ad-hoc verb). Reads the
+    * `retention.olderThan` table property (an SQL interval body, e.g.
+    * "30 DAYS") and physically erases rows whose ts is older than
+    * now − interval, riding deleteWhere's ts-range file pruning: a
+    * sweep over a 100 TB log rewrites only the files whose ts range
+    * can overlap the bound, and a sweep with nothing to erase is
+    * metadata-only. The property is ordinary manifest meta, so it
+    * rides clones and reverts with RESTORE. No property → no-op.
+    * Returns the erased-row count. */
+  def maintain(): Long = {
+    requireWritable()
+    manifest.meta.get(JournalStore.RetentionKey) match {
+      case None => 0L
+      case Some(spec) =>
+        val bound =
+          try spark.range(1)
+            .select(expr(s"current_timestamp() - INTERVAL $spec"))
+            .head.getTimestamp(0)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"table property ${JournalStore.RetentionKey} = '$spec' " +
+                "does not parse as an SQL interval body (e.g. '30 DAYS', " +
+                "'12 HOURS')", e)
+          }
+        deleteWhere(col("ts") < lit(bound))
+    }
   }
 
   /** Exact row count the last [[analyze]] ran at; None if never run. */
@@ -4057,6 +4110,12 @@ object JournalStore {
     * plan when the source really touches much of the key space. */
   val MergeSmallSourceRows = 2048
 
+  /** Table-property key declaring the retention bound [[maintain]]
+    * sweeps to — an SQL interval body ("30 DAYS"): rows with
+    * ts < now − interval are physically erased by the next maintain().
+    * Ordinary manifest meta: rides clones, reverts with RESTORE. */
+  val RetentionKey = "retention.olderThan"
+
   /** Table-property key holding the EXACT row count the last analyze()
     * ran at — the staleness arbiter: the scan re-serves column stats
     * only while the manifest's per-file rows still sum to this. */
@@ -4234,7 +4293,18 @@ object JournalStore {
     * type before the first batch arrives. Path-API stores (no declared
     * schema) keep pinning at first append, as always. */
   def create(spark: SparkSession, path: String, epochSize: Long,
-             declared: Option[org.apache.spark.sql.types.StructType]): JournalStore = {
+             declared: Option[org.apache.spark.sql.types.StructType]): JournalStore =
+    create(spark, path, epochSize, declared, Map.empty)
+
+  /** CREATE with declared schema AND initial table properties in ONE
+    * manifest commit — the catalog's CREATE TABLE path hands its
+    * column-spec properties (default./generated./identity.) in here so
+    * DDL atomicity holds: there is no crash window where the table has
+    * the columns but not their specs, and RESTORE to version 0 keeps
+    * the specs with the columns. */
+  def create(spark: SparkSession, path: String, epochSize: Long,
+             declared: Option[org.apache.spark.sql.types.StructType],
+             initialMeta: Map[String, String]): JournalStore = {
     Files.createDirectories(Paths.get(path))
     // cas = false: create() is an explicit reset — the one operation
     // allowed to replace a manifest regardless of its current version.
@@ -4258,7 +4328,7 @@ object JournalStore {
           org.apache.spark.sql.types.LongType)).toDDL
     }.getOrElse("")
     writeManifest(path, Manifest(epochSize, -1L, Nil, op = "create",
-      schemaDdl = ddl), cas = false)
+      schemaDdl = ddl, meta = initialMeta), cas = false)
     new JournalStore(spark, path, epochSize)
   }
 

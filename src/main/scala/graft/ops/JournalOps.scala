@@ -756,6 +756,44 @@ object JournalOps {
         .withColumn("n_deleted", lit(nDel))
         .orderBy("ns")
     }),
+    "journal_retention_sql" -> ((s, d) => {
+      // DECLARED retention (round 16): TTL as a TABLE ATTRIBUTE — the
+      // `retention.olderThan` property + CALL system.maintain — instead
+      // of a bound someone must remember to pass (journal_expire_sql is
+      // the ad-hoc verb). Ingest the 2024 fixture window (all older
+      // than any recent bound) beside a fresh batch stamped
+      // current_timestamp(); declare '30 DAYS'; ONE maintain sweeps
+      // exactly the fixture rows through the same ts-range-pruned
+      // deleteWhere, a SECOND maintain is the no-op the policy
+      // contract promises. At 100 TB the sweep rewrites only files
+      // whose ts range overlaps the moving bound — fresh segments are
+      // pruned by their manifest ts stats without being opened.
+      val tag = tmpTag(d)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_jret_root_$tag").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val cat = s"jret_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.JournalCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE) USING journal OPTIONS (epochSize '2000')")
+      val st = graft.journal.JournalStore.open(s, s"$root/t")
+      st.append(journal(s, d).where(col("seq") < 6000))
+      st.append(s.range(64).select(lit("fresh").as("ns"),
+        col("id").as("ukey"), current_timestamp().as("ts"),
+        concat(lit("f"), col("id")).as("payload"),
+        col("id").cast("double").as("val")))
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('retention.olderThan' = '30 DAYS')")
+      val nDel = s.sql(s"CALL $cat.system.maintain(table => 't')")
+        .collect()(0).getLong(0)
+      val nDel2 = s.sql(s"CALL $cat.system.maintain(table => 't')")
+        .collect()(0).getLong(0)
+      s.read.format("journal").load(s"$root/t")
+        .agg(count(lit(1)).as("n_kept"))
+        .select(lit(nDel).as("n_deleted"), col("n_kept"),
+          lit(nDel2).as("n_second_sweep"))
+    }),
     "events_spine_recursive" -> ((s, d) => {
       // Recursive CTE (Spark 4 WITH RECURSIVE): the calendar spine as a
       // recursion anchored on the data's own min/max day, gap-filling
@@ -2040,6 +2078,14 @@ object JournalOps {
         "CAST(min(event_id) AS BIGINT) AS min_seq, " +
         "CAST(max(event_id) AS BIGINT) AS max_seq, n_deleted " +
         "FROM kept CROSS JOIN del GROUP BY ns, n_deleted ORDER BY ns"),
+    // declared retention replayed: every 2024 fixture row is older
+    // than now − 30 days (the suite clock is ≥ 2026), the 64 fresh
+    // current_timestamp rows are kept, and the second sweep is 0
+    "journal_retention_sql" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_deleted, " +
+        "CAST(64 AS BIGINT) AS n_kept, " +
+        "CAST(0 AS BIGINT) AS n_second_sweep " +
+        "FROM events WHERE event_id < 6000"),
     // the store's materializations replayed: tier is the constant
     // default, bucket = ukey % 8, rid = 100 + 2·seq (caller seqs are
     // the dense event_ids, so rank == seq)

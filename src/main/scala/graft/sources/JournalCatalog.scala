@@ -148,11 +148,13 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       Option(properties.get("epochSize"))
         .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "epochSize")))
         .map(_.toLong).getOrElse(defaultEpochSize)
-    JournalStore.create(SparkSession.active, p, epochSize, Some(schema))
     // CREATE TABLE (... c T DEFAULT lit ...): Spark has already
     // analysis-checked the default against the declared type; persist
     // it as the store's default.<col> property (the declared schema
-    // itself pins at first append, as always)
+    // itself pins at first append, as always). Specs ride the INITIAL
+    // manifest — CREATE TABLE is ONE atomic commit, so a crash can
+    // never leave the columns without their specs and RESTORE to
+    // version 0 keeps them.
     val defaults = schema.fields.collect {
       case f if f.metadata.contains(
           org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
@@ -173,49 +175,71 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
             org.apache.spark.sql.catalyst.util.GeneratedColumn
               .GENERATION_EXPRESSION_METADATA_KEY)
     }.toMap
-    if ((defaults ++ generated).nonEmpty)
-      JournalStore.open(SparkSession.active, p).setMeta(defaults ++ generated)
+    JournalStore.create(SparkSession.active, p, epochSize, Some(schema),
+      defaults ++ generated ++ identitySideChannel.get())
     loadTable(ident)
   }
 
   /** The v2-Column overload is what Spark actually calls for CREATE
     * TABLE: GENERATED ALWAYS AS expressions ride `Column.
     * generationExpression` FIRST-CLASS and are STRIPPED by the
-    * StructType bridge (defaults survive it as field metadata) — so
-    * they must be captured here, before delegating the directory work
-    * to the StructType path. */
+    * StructType bridge (defaults survive it as field metadata), and
+    * IDENTITY specs ride `Column.identityColumnSpec` — both are
+    * captured here and handed to the base path through field metadata /
+    * the shared identity side-channel so the whole column-spec trio
+    * lands in CREATE's single atomic manifest commit. */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     // hand-rolled Column[] → StructType (CatalogV2Util is private[sql]):
-    // re-encode defaults as CURRENT_DEFAULT metadata for the base path
+    // re-encode defaults as CURRENT_DEFAULT metadata and generation
+    // expressions as GENERATION_EXPRESSION metadata for the base path
     val structFields = columns.map { c =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
       Option(c.defaultValue()).foreach(dv => md.putString(
         org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
           .CURRENT_DEFAULT_COLUMN_METADATA_KEY, dv.getSql))
+      Option(c.generationExpression()).foreach(ge => md.putString(
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .GENERATION_EXPRESSION_METADATA_KEY, ge))
       org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable, md.build())
     }
-    val t = createTable(ident, StructType(structFields), partitions,
-      properties)
-    val generated = columns.flatMap(c => Option(c.generationExpression())
-      .map(ge => (JournalStore.GeneratedPrefix + c.name) -> ge)).toMap
-    // ... as are IDENTITY specs (GENERATED ALWAYS/BY DEFAULT AS
-    // IDENTITY): start/step/allow-explicit plus a consumed-count of 0
+    // IDENTITY specs (GENERATED ALWAYS/BY DEFAULT AS IDENTITY):
+    // start/step/allow-explicit plus a consumed-count of 0 — committed
+    // with the create, not after it
     val identities = columns.flatMap(c => Option(c.identityColumnSpec())
       .map(is => (JournalStore.IdentityPrefix + c.name) ->
         JournalStore.packIdentity(JournalStore.IdentitySpec(
           is.getStart, is.getStep, is.isAllowExplicitInsert, 0L)))).toMap
-    if ((generated ++ identities).nonEmpty) {
-      val p = Option(properties.get(TableCatalog.PROP_LOCATION))
-        .getOrElse(pathFor(ident))
-      JournalStore.open(SparkSession.active, p)
-        .setMeta(generated ++ identities)
-      loadTable(ident)
-    } else t
+    createTable(ident, StructType(structFields), partitions, properties,
+      identities)
   }
+
+  /** StructType create with extra initial properties (the v2-Column
+    * overload's identity specs) — one atomic manifest commit. */
+  private def createTable(ident: Identifier, schema: StructType,
+                          partitions: Array[Transform],
+                          properties: util.Map[String, String],
+                          extraMeta: Map[String, String]): Table =
+    if (extraMeta.isEmpty) createTable(ident, schema, partitions, properties)
+    else {
+      // stash the identity specs where the StructType path's create
+      // call can fold them into the same initial manifest
+      identitySideChannel.set(extraMeta)
+      try createTable(ident, schema, partitions, properties)
+      finally identitySideChannel.remove()
+    }
+
+  /** Thread-local hand-off from the v2-Column overload to the
+    * StructType path (both are public TableCatalog API, so the extra
+    * properties cannot ride a parameter without breaking the base
+    * signature). */
+  private val identitySideChannel =
+    new ThreadLocal[Map[String, String]] {
+      override def initialValue(): Map[String, String] = Map.empty
+    }
 
   /** ALTER TABLE, the subset a manifest-pinned store can honor safely:
     * ADD COLUMNS (nullable, top-level — widens the pinned DDL, zero
@@ -331,6 +355,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "clone" => new CloneProcedure
       case "analyze" => new AnalyzeProcedure
       case "expire" => new ExpireProcedure
+      case "maintain" => new MaintainProcedure
       case "sync_identity" => new SyncIdentityProcedure
       case "detail" => new DetailProcedure
       case other => throw new IllegalArgumentException(
@@ -797,6 +822,36 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
         org.apache.spark.sql.functions.col("ts") <
           org.apache.spark.sql.functions.to_timestamp(
             org.apache.spark.sql.functions.lit(bound)))
+      val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(Seq[Any](n)))
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** The DECLARED-retention sweep as a SQL CALL: TTL as a table
+    * attribute (`retention.olderThan` property, an SQL interval body)
+    * rather than a bound someone must remember to pass —
+    * `CALL system.maintain(table => 't')` erases rows older than
+    * now − interval through the same ts-range-pruned deleteWhere the
+    * expire verb uses, and is a metadata-only no-op when nothing
+    * qualifies (or when no policy is declared). */
+  private class MaintainProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "maintain"
+    override def description(): String =
+      "run the table's declared retention policy (retention.olderThan " +
+        "property): physically delete rows with ts older than " +
+        "now - interval; no-op without a declared policy; returns n_deleted"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build())
+    private val schema = StructType.fromDDL("n_deleted BIGINT")
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val n = storeForName(input.getUTF8String(0).toString).maintain()
       val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] =

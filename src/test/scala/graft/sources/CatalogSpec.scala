@@ -1374,6 +1374,78 @@ class CatalogSpec extends AnyFunSuite {
     assert(got === Seq((1L, "p0b", "fresh"), (2L, "p2", "fresh")))
   }}
 
+  test("declared retention policy: retention.olderThan property + " +
+    "CALL system.maintain sweeps old rows, keeps new, no-ops twice, " +
+    "and the property rides clones") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.ret (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE) USING journal " +
+      "OPTIONS (epochSize '100')")
+    // a maintain with NO declared policy is a no-op, not an error
+    assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
+      .as[Long].head() === 0L)
+    // two ancient rows (2024) and one fresh row (now)
+    spark.sql("INSERT INTO jcat.ret SELECT * FROM VALUES " +
+      "('users', CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:01', 'old1', CAST(1.0 AS DOUBLE)), " +
+      "('users', CAST(2 AS BIGINT), TIMESTAMP '2024-01-02 00:00:02', 'old2', CAST(2.0 AS DOUBLE)) " +
+      "AS t(ns, ukey, ts, payload, val)")
+    spark.sql("INSERT INTO jcat.ret SELECT 'users' AS ns, " +
+      "CAST(3 AS BIGINT) AS ukey, current_timestamp() AS ts, " +
+      "'new' AS payload, CAST(3.0 AS DOUBLE) AS val")
+    spark.sql("ALTER TABLE jcat.ret SET TBLPROPERTIES " +
+      "('retention.olderThan' = '30 DAYS')")
+    // the sweep erases the 2024 rows, keeps the fresh one
+    assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
+      .as[Long].head() === 2L)
+    assert(spark.table("jcat.ret").select("payload")
+      .as[String].collect().toSeq === Seq("new"))
+    // a second sweep is a no-op (nothing older than the bound remains)
+    assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
+      .as[Long].head() === 0L)
+    assert(spark.table("jcat.ret").count() === 1L)
+    // the policy is ordinary table meta: a clone carries it
+    spark.sql("CALL jcat.system.clone(table => 'ret', dest => 'retc')")
+    assert(graft.journal.JournalStore.open(spark, s"$root/retc")
+      .manifest.meta.get("retention.olderThan") === Some("30 DAYS"))
+    // a malformed policy fails loudly at sweep time, not silently
+    spark.sql("ALTER TABLE jcat.ret SET TBLPROPERTIES " +
+      "('retention.olderThan' = 'not an interval')")
+    val e = intercept[Exception](
+      spark.sql("CALL jcat.system.maintain(table => 'ret')").collect())
+    assert(e.getMessage.contains("retention.olderThan"))
+  }}
+
+  test("CREATE TABLE with the column-spec trio is ONE atomic manifest " +
+    "commit; ALTER SET DEFAULT refuses non-deterministic and " +
+    "per-append expressions") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.atomic (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "tag STRING DEFAULT 'x', " +
+      "bucket BIGINT GENERATED ALWAYS AS (ukey % 4), " +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/atomic")
+    // the INITIAL commit carries all three spec families — no window
+    // where the columns exist without their specs, and RESTORE to the
+    // first version keeps them
+    assert(store.manifest.op === "create",
+      s"expected one atomic create commit, last op = ${store.manifest.op}")
+    assert(store.columnDefaults.get("tag") === Some("'x'"))
+    assert(store.generatedColumns.get("bucket") === Some("ukey % 4"))
+    assert(store.identityColumns.contains("rid"))
+    // DDL-time refusal of non-constant defaults: nondeterministic and
+    // per-append (current-time family) expressions are not DEFAULTs
+    Seq("rand()", "uuid()", "current_timestamp()", "now()").foreach { bad =>
+      val e = intercept[IllegalArgumentException](store.alterSchema(
+        Seq(graft.journal.JournalStore.SetDefault("tag", bad))))
+      assert(e.getMessage.toLowerCase.contains("default"), s"$bad: $e")
+    }
+    // a proper literal still lands
+    store.alterSchema(
+      Seq(graft.journal.JournalStore.SetDefault("tag", "'y'")))
+    assert(graft.journal.JournalStore.open(spark, s"$root/atomic")
+      .columnDefaults.get("tag") === Some("'y'"))
+  }}
+
   test("CALL system.clone: zero-copy clone by name; states diverge " +
     "independently after the clone") { withCatalog { root =>
     spark.sql("CREATE TABLE jcat.csrc (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
