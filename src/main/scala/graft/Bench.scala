@@ -122,6 +122,13 @@ object Bench {
       val m = median(xs.map(math.abs))
       name -> (if (xs.exists(_ < 0)) -m else m)
     }.toMap
+    // Per-query MIN across timed passes, beside the median: a
+    // contended pass inflates the median but not the min, so
+    // median >> min flags "environment, not engine" in-file without
+    // cross-referencing the per-pass forensics.
+    val mins: Map[String, Double] = SparkEntry.queries.keys.map { name =>
+      name -> runs.map(r => math.abs(r(name))).min
+    }.toMap
     val totals = runs.map(r => r.values.map(math.abs).sum)
     // Headline = the SUM OF PER-QUERY MEDIANS: one noisy pass can
     // inflate a whole run's total (r11 pass 2 ran +25% with flat GC —
@@ -136,6 +143,9 @@ object Bench {
     // per-run totals, and the storage footprint observed before each run.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullMins = mins.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val minTotal = mins.values.sum
     val totalsJson = totals.map(r3).mkString("[", ",", "]")
     val storageJson = storagePerRun.map(_.toString).mkString("[", ",", "]")
     // Forensics: EVERY pass's per-query times (warm-up first), per-pass
@@ -152,6 +162,7 @@ object Bench {
     val iowaitJson = iowaitPerRun.map(r3).mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s""""queries_min":$fullMins,"min_total":${r3(minTotal)},""" +
         s""""run_total_median":${r3(runTotalMedian)},""" +
         s""""runs":$timedRuns,"run_totals":$totalsJson,"storage_bytes_before_run":$storageJson,""" +
         s""""pass_queries_incl_warmup":$passesJson,"gc_ms_per_pass":$gcJson,""" +
@@ -171,7 +182,8 @@ object Bench {
     val budget = 1600
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-    val tail = s"""},"n":${results.size},"run_total_median":${r3(runTotalMedian)},""" +
+    val tail = s"""},"n":${results.size},"min_total":${r3(minTotal)},""" +
+      s""""run_total_median":${r3(runTotalMedian)},""" +
       s""""runs":$timedRuns,"run_totals":$totalsJson,""" +
       s""""gc_ms_per_pass":$gcJson,"wall_sec_per_pass":$wallJson,""" +
       s""""loadavg_per_pass":$loadJson,"other_busy_cpu_sec_per_pass":$otherJson,""" +

@@ -186,6 +186,14 @@ object Sf1Smoke {
       // corpus sees one partitioned window + a broadcast join
       "journal_analyze", "text_domain_cap", "sim_hybrid_rrf",
       "text_shard_pack",
+      // round 16: the BPE-count shard cutter shares text_shard_pack's
+      // two-level window plus text_pack_bpe's linear count frame — its
+      // 10x axis is the corpus explode, never a global window
+      "text_shard_pack_bpe",
+      // round 16: declared retention = fixed-window ingest + the same
+      // ts-range-pruned sweep journal_expire_sql probes, plus a
+      // metadata-only second sweep
+      "journal_retention_sql",
       // colspec materialization (DEFAULT + GENERATED + IDENTITY) is a
       // pure projection inside the append — its 10x axis is the fixed
       // 3000-row ingest window, so the probe states near-constant cost
@@ -275,6 +283,38 @@ object Sf1Smoke {
       println(f"[sf1] changefeed_delete_tail  $tTail%8.2f s  " +
         f"retractions=$del (window cost rides the deletions, not the " +
         f"$n-row store)")
+    }
+    // Incremental-ANALYZE refresh probe (VERDICT r15 item 1): after
+    // analyze(), every append folds its batch sketch into the recorded
+    // stats inside the same commit. The refresh must cost O(batch),
+    // never O(store): time the SAME fixed 2000-row append on an
+    // analyzed 1x store vs an analyzed 10x store — near-equal wall
+    // time is the delta-sized witness, and the merged stats must still
+    // be served (rows match the post-append surface).
+    locally {
+      def probe(dir: String, tag: String): Double = {
+        val path = s"$out/ia_store_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        val st = graft.journal.JournalStore.create(spark, path,
+          epochSize = 1 << 20)
+        st.append(graft.ops.JournalOps.journal(spark, dir))
+        st.analyze(Seq("ns", "ukey", "ts", "val"))
+        val batch = graft.ops.JournalOps.journal(spark, src)
+          .where(col("seq") < 2000)
+          .select(col("ns"), col("ukey"), col("ts"), col("payload"),
+            col("val"))
+        val t0 = System.nanoTime()
+        st.append(batch)
+        val sec = (System.nanoTime() - t0) / 1e9
+        assert(st.analyzedRowCount.contains(
+          st.manifest.fstats.map(_.rows).sum),
+          s"merged stats must track the live surface at $tag")
+        sec
+      }
+      val t1 = probe(src, "1x"); val t10 = probe(out, "10x")
+      println(f"[sf1] analyze_incr_append     1x=$t1%.2f s 10x=$t10%.2f s " +
+        f"(${t10 / t1}%.2fx — stat refresh rides the 2000-row batch, " +
+        "not the corpus)")
     }
     // writeStream.toTable staged double-write probe (VERDICT r14 item
     // 6): the V2 whole-batch table sink stages parquet per task, then

@@ -1734,6 +1734,54 @@ object LlmExtOps {
         .orderBy("shard_id")
     }),
 
+    "text_shard_pack_bpe" -> ((s, d) => {
+      // SHARD CUTTING ON THE TRAINED TOKENIZER'S COUNTS — the final
+      // pipeline step now composes end to end on ONE token accounting:
+      // encode (text_bpe_encode) → pack (text_pack_bpe) → shard all
+      // consume REAL BPE token counts. Per-doc counts come from the
+      // encode map WITHOUT positions (one corpus explode + a
+      // vocabulary-sized broadcast + a doc-grain sum — no corpus
+      // window), then join the two-level deterministic-shuffle cumsum
+      // of text_shard_pack: 64 intra-bucket partitioned windows plus a
+      // broadcast 64-row bucket-offset frame, so the single-task
+      // global-window trap stays designed away and the md5 walk order
+      // is a pure function of doc_id both engines replay. Docs with no
+      // [a-z] words shard with n_tok = 0.
+      val wtok = bpeWordTokens(s, d)
+      val ntok = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) >= 1)
+        .join(broadcast(wtok), "w")
+        .groupBy("doc_id").agg(sum(size(col("ts"))).as("bpe_tok"))
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"))
+        .join(ntok, Seq("doc_id"), "left")
+        .withColumn("n_tok", coalesce(col("bpe_tok"), lit(0L)))
+        .withColumn("h", expr("CAST(conv(substring(md5(CAST(doc_id AS " +
+          "STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("bucket", col("h") % 64)
+      val wIntra = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("h", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      val wBkt = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      val offsets = t.groupBy("bucket").agg(sum("n_tok").as("btok"))
+        .withColumn("boff", sum("btok").over(wBkt) - col("btok"))
+        .select("bucket", "boff")
+      t.withColumn("cum_in", sum("n_tok").over(wIntra))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("pos", col("boff") + col("cum_in") - col("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("CAST(pos div 2048 AS BIGINT)").as("shard_id"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+             sum("doc_id").as("id_sum"))
+        .orderBy("shard_id")
+    }),
+
     "text_chunk" -> ((s, d) =>
       // Overlapping fixed-width chunking (size 200, stride 150 → 50-char
       // overlap): the retrieval/embedding prep step that turns documents
@@ -3022,6 +3070,23 @@ object LlmExtOps {
         "CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id, " +
         "CAST(cum - n_tok - ((cum - n_tok) // 2048) * 2048 AS INT) " +
         "AS pack_offset FROM packed ORDER BY source, doc_id"),
+    // the BPE-count shard cutter: the pack row's per-doc counts fed
+    // into the shard row's md5-order single-window cumsum
+    "text_shard_pack_bpe" ->
+      (bpeEncodeCtes + ", " +
+        "wcnt AS (SELECT d.doc_id, CAST(sum(len(wt.ts)) AS BIGINT) " +
+        "AS bpe_tok FROM dw d JOIN wtok wt ON d.w = wt.w GROUP BY 1), " +
+        "nt AS (SELECT doc.doc_id, coalesce(w.bpe_tok, 0) AS n_tok, " +
+        "CAST(concat('0x', substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h FROM documents doc " +
+        "LEFT JOIN wcnt w ON doc.doc_id = w.doc_id), " +
+        "o AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY h % 64, " +
+        "h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "- n_tok AS pos FROM nt) " +
+        "SELECT CAST(pos // 2048 AS BIGINT) AS shard_id, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS tokens, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+        "FROM o GROUP BY 1 ORDER BY shard_id"),
     "text_bpe_pairs" ->
       ("SELECT gram, count(*) AS cnt FROM " +
         "(SELECT substring(w, i, 2) AS gram FROM " +
