@@ -194,6 +194,10 @@ object Sf1Smoke {
       // ts-range-pruned sweep journal_expire_sql probes, plus a
       // metadata-only second sweep
       "journal_retention_sql",
+      // round 16: span dedup's wire is (doc_id, pos, md5) shingles —
+      // linear in corpus tokens; anchor counts combine map-side and
+      // the interval merge windows ride doc_id partitioning
+      "dedup_span",
       // colspec materialization (DEFAULT + GENERATED + IDENTITY) is a
       // pure projection inside the append — its 10x axis is the fixed
       // 3000-row ingest window, so the probe states near-constant cost

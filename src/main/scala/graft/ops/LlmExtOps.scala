@@ -1083,6 +1083,55 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "dedup_span" -> ((s, d) => {
+      // SPAN-level dedup (Lee et al. 2022, "Deduplicating Training
+      // Data Makes Language Models Better" — public): every dedup row
+      // so far works at document or paragraph grain; real corpora
+      // duplicate SPANS (boilerplate, quoted text, licenses) inside
+      // otherwise-unique documents. The suffix-array formulation is
+      // replaced by the Spark-shaped equivalent: positioned 8-word
+      // shingles hashed map-side (the frame on the wire is (doc_id,
+      // pos, md5) — never text), any shingle occurring ≥ 2 times in
+      // the corpus (inter- OR intra-document — count(*) partials
+      // combine map-side, no exact-distinct blowup) anchors a
+      // duplicated span, and per-doc anchors merge into MAXIMAL
+      // duplicated intervals by the classic gaps-and-islands window
+      // (equal-length intervals sorted by start: lag suffices). Output
+      // is exact integers per doc: token count, duplicated-token
+      // count, span count — the numbers a span-removal pass consumes.
+      val k = 8
+      val docs = Tables(s, d, "documents")
+      val wt = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val sh = wt.where(size(col("w")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - (k - 1))).as("p"),
+          col("w"))
+        .select(col("doc_id"), col("p"),
+          md5(array_join(slice(col("w"), col("p"), lit(k)), " ")).as("g"))
+      val dupg = sh.groupBy("g").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select("g")
+      val wLag = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val isl = sh.join(dupg, "g")
+        .withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(wLag) <= k, lit(0))
+            .otherwise(lit(1)))
+        .withColumn("island", sum("brk").over(
+          wLag.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg((max("p") - min("p") + k).cast("long").as("dup"))
+        .groupBy("doc_id")
+        .agg(sum("dup").as("dup_tok"), count(lit(1)).as("n_spans"))
+      wt.select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+        .join(isl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+        .orderBy("doc_id")
+    }),
+
     "text_decontaminate" -> ((s, d) => {
       // Benchmark decontamination — the training-data op every serious
       // LLM pipeline runs before training: flag training documents that
@@ -3096,6 +3145,28 @@ object LlmExtOps {
         "GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    // span-level dedup: same positioned-shingle → ≥2-count anchor →
+    // gaps-and-islands interval-merge arithmetic, one window per stage
+    "dedup_span" ->
+      ("WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, p, md5(array_to_string(list_slice(w, p, p + 7), ' ')) AS g " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p " +
+        "FROM wt WHERE len(w) >= 8)), " +
+        "dupg AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2), " +
+        "dp AS (SELECT s.doc_id, s.p FROM sh s JOIN dupg USING (g)), " +
+        "brk AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER " +
+        "(PARTITION BY doc_id ORDER BY p) <= 8 THEN 0 ELSE 1 END AS brk FROM dp), " +
+        "isl AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id " +
+        "ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM brk), " +
+        "spans AS (SELECT doc_id, island, max(p) - min(p) + 8 AS dup " +
+        "FROM isl GROUP BY 1, 2), " +
+        "perdoc AS (SELECT doc_id, CAST(sum(dup) AS BIGINT) AS dup_tok, " +
+        "count(*) AS n_spans FROM spans GROUP BY 1) " +
+        "SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tok, " +
+        "coalesce(p.dup_tok, 0) AS dup_tok, " +
+        "CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans " +
+        "FROM wt w LEFT JOIN perdoc p ON w.doc_id = p.doc_id " +
+        "ORDER BY w.doc_id"),
     "text_decontaminate" ->
       ("WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +

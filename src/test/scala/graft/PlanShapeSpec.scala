@@ -297,6 +297,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning\\(source".r.findFirstIn(p).isDefined, p)
   }
 
+  test("dedup_span merges intervals through doc-partitioned windows " +
+      "(no single-partition window; anchor counts combine map-side)") {
+    val df = SparkEntry.queries("dedup_span")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the gaps-and-islands lag/sum windows ride the doc_id hash
+    // partitioning — a corpus-wide window would read SinglePartition
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined, p)
+    // the ≥2-count anchor detection is a count(*) aggregate (partial_
+    // count map-side), never an exact-distinct expansion
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_domain_cap caps through topk_by (no per-domain rank window)") {
     val lp = SparkEntry.queries("text_domain_cap")(spark, sf)
       .queryExecution.optimizedPlan
