@@ -198,6 +198,11 @@ object Sf1Smoke {
       // linear in corpus tokens; anchor counts combine map-side and
       // the interval merge windows ride doc_id partitioning
       "dedup_span",
+      // round 16: the hash-gated incremental-analyze lineage (analyze
+      // a fixed window + append a fixed batch) — both windows fixed,
+      // so the probe states near-constant cost; the corpus-scale
+      // refresh witness is the analyze_incr_append probe below
+      "journal_analyze_incr",
       // colspec materialization (DEFAULT + GENERATED + IDENTITY) is a
       // pure projection inside the append — its 10x axis is the fixed
       // 3000-row ingest window, so the probe states near-constant cost

@@ -141,6 +141,25 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(store.analyzedColumnStats("ukey").max === Some("5099"))
   }
 
+  test("a batch missing a stats column merges as all-null for it " +
+      "(schema-evolution append keeps stats alive)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    store.append(fixture.withColumn("tag",
+      concat(lit("t"), col("ukey"))))
+    store.analyze(Seq("tag", "ukey"))
+    assert(store.analyzedColumnStats("tag").nulls === 0L)
+    // a later batch does NOT carry tag: its rows read tag as NULL, so
+    // the merged stats grow tag's null count and leave its
+    // registers/extrema untouched, while ukey merges normally
+    store.append(fixture)
+    assert(store.analyzedRowCount === Some(10L))
+    val tag = store.analyzedColumnStats("tag")
+    assert(tag.nulls === 5L)
+    assert(tag.ndv === 4L) // t1 t2 t3 t4 (ukey 1 repeats) — unchanged
+    assert(tag.min === Some("t1") && tag.max === Some("t4"))
+    assert(store.analyzedColumnStats("ukey").nulls === 0L)
+  }
+
   test("timestamp histogram: time-range selectivity prices real skew " +
       "in epoch-micros space") {
     val path = freshPath
