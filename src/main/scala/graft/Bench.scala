@@ -125,9 +125,14 @@ object Bench {
     // Per-query MIN across timed passes, beside the median: a
     // contended pass inflates the median but not the min, so
     // median >> min flags "environment, not engine" in-file without
-    // cross-referencing the per-pass forensics.
+    // cross-referencing the per-pass forensics. The failed-query
+    // sentinel (a negative per-pass time) re-applies here exactly as
+    // it does on the median — a throwing query must not read as the
+    // file's fastest, healthiest signal.
     val mins: Map[String, Double] = SparkEntry.queries.keys.map { name =>
-      name -> runs.map(r => math.abs(r(name))).min
+      val xs = runs.map(_(name))
+      val mn = xs.map(math.abs).min
+      name -> (if (xs.exists(_ < 0)) -mn else mn)
     }.toMap
     val totals = runs.map(r => r.values.map(math.abs).sum)
     // Headline = the SUM OF PER-QUERY MEDIANS: one noisy pass can
@@ -145,7 +150,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullMins = mins.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val minTotal = mins.values.sum
+    val minTotal = mins.values.map(math.abs).sum
     val totalsJson = totals.map(r3).mkString("[", ",", "]")
     val storageJson = storagePerRun.map(_.toString).mkString("[", ",", "]")
     // Forensics: EVERY pass's per-query times (warm-up first), per-pass

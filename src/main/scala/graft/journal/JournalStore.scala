@@ -460,43 +460,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
             throw new IllegalArgumentException(
               s"cannot set DEFAULT on unknown column '$name' " +
                 s"(schema: ${s.fieldNames.mkString(", ")})"))
-          // constants only: a column reference would make every append
-          // re-evaluate against its own batch — not a DEFAULT
-          val parsed = spark.sessionState.sqlParser.parseExpression(sqlTxt)
-          require(parsed.collectFirst {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
-          }.isEmpty,
-            s"DEFAULT for '$name' must be a constant expression, got: $sqlTxt")
-          // ... and DETERMINISTIC + time-invariant: rand()/uuid() pass
-          // the attribute check but re-evaluate per append, and the
-          // current-time family is foldable WITHIN one query yet
-          // differs across appends — neither is a DEFAULT (Delta
-          // refuses both at DDL time for the same reason)
-          val analyzedDefault = spark.range(1).select(expr(sqlTxt))
-            .queryExecution.analyzed.asInstanceOf[
-              org.apache.spark.sql.catalyst.plans.logical.Project]
-            .projectList.head match {
-              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-                a.child
-              case e => e
-            }
-          val timeFamily = Set("CurrentTimestamp", "CurrentDate", "Now",
-            "LocalTimestamp", "CurrentTimeZone", "CurrentUser")
-          val perAppend = analyzedDefault.collectFirst {
-            case e if timeFamily.contains(e.getClass.getSimpleName) => e
-          }
-          require(analyzedDefault.deterministic && perAppend.isEmpty &&
-            analyzedDefault.foldable,
-            s"DEFAULT for '$name' must be a constant expression — " +
-              s"'$sqlTxt' re-evaluates to a different value on later " +
-              "appends (use a literal)")
-          // the literal must cast to the column type NOW — a bad default
-          // failing at some later append would be a delayed DDL error
-          val v = spark.range(1)
-            .select(expr(sqlTxt).cast(field.dataType)).head.get(0)
-          require(v != null || sqlTxt.trim.equalsIgnoreCase("null"),
-            s"DEFAULT $sqlTxt does not cast to ${field.dataType.sql} " +
-              s"(column '$name')")
+          JournalStore.validateColumnDefault(spark, name,
+            field.dataType, sqlTxt)
           meta = meta + (JournalStore.DefaultPrefix + name -> sqlTxt)
         case JournalStore.DropDefault(name) =>
           meta = meta - (JournalStore.DefaultPrefix + name)
@@ -652,18 +617,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // no distinctness; an all-null column has no register rows.
     val regBytes: Map[String, Array[Byte]] =
       if (rows == 0) Map.empty
-      else JournalStore.packRegisters(df
-        .select(explode(array(cols.map(c =>
-          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
-        .select(col("cv.c").as("c"), col("cv.v").as("v"))
-        .where(col("v").isNotNull)
-        .selectExpr("c",
-          "CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h")
-        .selectExpr("c", "h % 512 AS b",
-          "CASE WHEN h div 512 = 0 THEN 52 " +
-            "ELSE 52 - length(bin(h div 512)) END AS rho")
-        .groupBy("c", "b").agg(max("rho").as("m"))
-        .collect())
+      else JournalStore.packRegisters(hllRegisterRows(df, cols))
     val regs: Map[String, (Long, Long)] =
       regBytes.map { case (c, arr) =>
         c -> JournalStore.registerSummary(arr)
@@ -724,6 +678,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     val kvs = scala.collection.immutable.TreeMap.newBuilder[String, String]
     kvs += JournalStore.StatsRowsKey -> rows.toString
+    // histogram capture point: bin BOUNDARIES cannot merge
+    // incrementally (unlike registers/nulls/extrema), so the serving
+    // side keeps a histogram only while the table has not outgrown the
+    // distribution it describes (≤ 2× the captured rows) — after that
+    // it declines the histogram alone and keeps serving the merged
+    // ndv/null/extrema stats; the next analyze() re-captures
+    kvs += JournalStore.StatsHistRowsKey -> rows.toString
     cols.zipWithIndex.foreach { case (c, i) =>
       val p = JournalStore.StatsColPrefix + c + "."
       val nonNull = head.getLong(1 + 3 * i)
@@ -753,6 +714,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     retryOnLostRace {
       val m = manifest
       val stale = m.meta.keys.filter(k => k == JournalStore.StatsRowsKey ||
+        k == JournalStore.StatsHistRowsKey ||
         k.startsWith(JournalStore.StatsColPrefix))
       commitSeam()
       writeManifest(path, m.copy(op = "analyze",
@@ -815,22 +777,28 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val head: Option[org.apache.spark.sql.Row] =
       if (present.isEmpty) None
       else Some(batch.agg(aggs.head, aggs.tail: _*).collect()(0))
-    // pass B: the batch's own HLL registers (same melt as analyze())
+    // pass B: the batch's own HLL registers — the SAME melt as
+    // analyze()'s pass 2 (shared helper: the union-of-sketches ≡
+    // sketch-of-union guarantee requires bit-identical arithmetic)
     val batchRegs: Map[String, Array[Byte]] =
       if (present.isEmpty) Map.empty
-      else JournalStore.packRegisters(batch
-        .select(explode(array(present.map(c =>
-          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
-        .select(col("cv.c").as("c"), col("cv.v").as("v"))
-        .where(col("v").isNotNull)
-        .selectExpr("c",
-          "CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h")
-        .selectExpr("c", "h % 512 AS b",
-          "CASE WHEN h div 512 = 0 THEN 52 " +
-            "ELSE 52 - length(bin(h div 512)) END AS rho")
-        .groupBy("c", "b").agg(max("rho").as("m"))
-        .collect())
-    // order-correct extremum merge per type; None = decline (drop keys)
+      else JournalStore.packRegisters(hllRegisterRows(batch, present))
+    // order-correct extremum merge per type; None = decline (drop keys).
+    // Strings compare in UNSIGNED UTF-8 BYTE order — what Spark's
+    // min()/max() (UTF8String) and DuckDB's binary collation both use;
+    // Java's String.compareTo (UTF-16 code units) disagrees for
+    // supplementary-plane characters and would record a wrong bound.
+    def utf8Cmp(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
     def mergeExtremum(dt: DataType, a: String, b: String,
                       takeMin: Boolean): Option[String] = {
       val cmp: Option[Int] = dt match {
@@ -840,10 +808,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
           Some(a.toDouble.compareTo(b.toDouble))
         case _: DecimalType =>
           Some(BigDecimal(a).compare(BigDecimal(b)))
-        // canonical casts of these compare order-correctly as strings
-        case StringType | DateType | BooleanType |
-             TimestampType | TimestampNTZType =>
-          Some(a.compareTo(b))
+        case StringType | BooleanType => Some(utf8Cmp(a, b))
+        // canonical date/ts strings compare byte-correctly only in the
+        // fixed-width four-digit-year form (the fraction is
+        // trailing-zero-trimmed, which still orders: a shorter
+        // fraction that is a prefix is smaller); a year outside
+        // [1000, 9999] renders with a sign prefix — decline there
+        case DateType | TimestampType | TimestampNTZType =>
+          if (a.matches("\\d{4}-.*") && b.matches("\\d{4}-.*"))
+            Some(utf8Cmp(a, b))
+          else None
         case _ => None
       }
       cmp.map(x => if ((x <= 0) == takeMin) a else b)
@@ -937,6 +911,26 @@ class JournalStore private (val spark: SparkSession, val path: String,
         deleteWhere(col("ts") < lit(bound))
     }
   }
+
+  /** ONE shared register melt (columns → md5 → per-(column, register)
+    * max-rho rows, ≤ cols×512 collected) for analyze()'s pass 2 AND
+    * the append-time incremental fold: the union-of-sketches ≡
+    * sketch-of-union guarantee the journal_analyze_incr hash gate
+    * proves requires both sides to run bit-identical arithmetic —
+    * there must be exactly one copy of these constants. */
+  private def hllRegisterRows(df: DataFrame, cols: Seq[String])
+      : Array[org.apache.spark.sql.Row] = df
+    .select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
+    .select(col("cv.c").as("c"), col("cv.v").as("v"))
+    .where(col("v").isNotNull)
+    .selectExpr("c",
+      "CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h")
+    .selectExpr("c", "h % 512 AS b",
+      "CASE WHEN h div 512 = 0 THEN 52 " +
+        "ELSE 52 - length(bin(h div 512)) END AS rho")
+    .groupBy("c", "b").agg(max("rho").as("m"))
+    .collect()
 
   /** Exact row count the last [[analyze]] ran at; None if never run. */
   def analyzedRowCount: Option[Long] =
@@ -1547,12 +1541,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }
     val m = m0
     // The batch feeds up to three passes (segment write, stats agg, and —
-    // on epoch rollover — the checkpoint union). Persist only when we
-    // computed seqs (shuffle+zipWithIndex lineage is worth keeping); a
-    // caller-seq batch is a cheap projection of its parquet source, and
-    // the MEASURED tradeoff (sf0.1, 600k rows) is ~1.7 s to populate the
-    // columnar cache vs ~0.6 s total for the two extra re-scans — the
-    // extra scans win, and we accept them explicitly here.
+    // on epoch rollover — the checkpoint union), plus TWO more sketch
+    // passes on stores with live mergeable ANALYZE stats. Persist when
+    // we computed seqs (shuffle+zipWithIndex lineage is worth keeping)
+    // OR when the incremental-stats passes will run; a caller-seq
+    // batch on an un-analyzed store stays a cheap projection of its
+    // parquet source, and the MEASURED tradeoff (sf0.1, 600k rows) is
+    // ~1.7 s to populate the columnar cache vs ~0.6 s total for the
+    // two extra re-scans — the extra scans win THERE, and we accept
+    // them explicitly; with the sketch passes the scan count doubles
+    // and the cache wins, so analyzed stores persist.
+    val statsLive = m0.meta.contains(JournalStore.StatsRowsKey)
     val hasSeq = df.columns.contains("seq")
     val withSeq = if (hasSeq) df else assignSeqs(df, m.maxSeq)
     val out0 = withSeq.withColumn("epoch", expr(s"seq div $epochSize"))
@@ -1573,7 +1572,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       else if (idNeedsFill(c)) acc.withColumn(c, coalesce(col(c), v))
       else acc
     }
-    val out = if (hasSeq) out1
+    val persistOut = !hasSeq || statsLive
+    val out = if (!persistOut) out1
       else out1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
     // replay, ns pruning bounds per-namespace history reads (marasa's
@@ -1707,7 +1707,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     catch { case e: java.util.ConcurrentModificationException =>
       // lost the commit race: nothing became visible; release the cached
       // batch before the retry wrapper re-runs the attempt
-      if (!hasSeq) out.unpersist()
+      if (persistOut) out.unpersist()
       throw e
     }
     // Automatic checkpoint policy (marasa checkpoints periodically so
@@ -1738,7 +1738,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       try writeCheckpoint(stateAtOver(src, m.checkpoints, boundary), boundary)
       catch { case _: java.util.ConcurrentModificationException => }
     }
-    if (!hasSeq) out.unpersist()
+    if (persistOut) out.unpersist()
     // Auto-compaction: rewrite only the directories this policy finds
     // over-fragmented (strictly more live files than the threshold),
     // clustered by key so the rewrite is also the read-optimized layout.
@@ -2363,6 +2363,29 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val missing = required.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"journal merge requires source columns $required; missing: $missing")
+    // the merge delta commits through appendOnce with internalRewrite
+    // (the store's own carried values must pass through), which
+    // BYPASSES the append-time ALWAYS-identity refusal and the
+    // generated-value validation — so the user-facing guard has to
+    // live HERE: a source carrying an ALWAYS identity column could
+    // land explicit values verbatim (uniqueness break), and a source
+    // carrying a generated column would be silently recomputed over.
+    // Refuse both loudly, like updateWhere does for assignments.
+    val alwaysInSrc = identityColumns.collect {
+      case (c, spec) if !spec.allowExplicit &&
+        source.columns.exists(_.equalsIgnoreCase(c)) => c
+    }
+    require(alwaysInSrc.isEmpty,
+      "journal merge: the source carries GENERATED ALWAYS AS IDENTITY " +
+        s"column(s) ${alwaysInSrc.toSeq.sorted.mkString(", ")} — omit " +
+        "them (the store assigns inserts and preserves matched rows' " +
+        "identity values)")
+    val genInSrc = generatedColumns.keys.filter(c =>
+      source.columns.exists(_.equalsIgnoreCase(c)))
+    require(genInSrc.isEmpty,
+      "journal merge: the source carries GENERATED column(s) " +
+        s"${genInSrc.toSeq.sorted.mkString(", ")} — omit them (the " +
+        "store recomputes generated columns from the merged row)")
     // MERGE SCHEMA EVOLUTION (Delta's autoMerge): extra source columns
     // ride the delta — the append evolves the store schema, old rows
     // read null, deletes tombstone extras to null. They also join the
@@ -4118,8 +4141,16 @@ object JournalStore {
 
   /** Table-property key holding the EXACT row count the last analyze()
     * ran at — the staleness arbiter: the scan re-serves column stats
-    * only while the manifest's per-file rows still sum to this. */
+    * only while the manifest's per-file rows still sum to this.
+    * Appends keep the match alive by folding their batch sketch in and
+    * advancing this count in the same commit (incrementalStatsMeta). */
   private[graft] val StatsRowsKey = "stats.rows"
+
+  /** Row count at the last HISTOGRAM capture (analyze() stamps it; the
+    * incremental fold deliberately does NOT advance it): bin
+    * boundaries cannot merge, so the scan serves a histogram only
+    * while live rows ≤ 2× this — the histogram-only staleness bound. */
+  private[graft] val StatsHistRowsKey = "stats.histrows"
 
   /** Table-property prefix for analyze()'s per-column stats
     * (`stats.col.<name>.{nulls,regs,whit,ndv,min,max}` — flat keys, so
@@ -4156,6 +4187,45 @@ object JournalStore {
     val est = if (raw <= 2.5 * 512 && zeros > 0) m * math.log(m / zeros)
               else raw
     math.max(1L, math.round(est))
+  }
+
+  /** The DDL-time DEFAULT contract, shared by ALTER COLUMN SET DEFAULT
+    * and the catalog's CREATE TABLE (both DDL doors must enforce the
+    * same rules): constants only (a column reference would re-evaluate
+    * against every batch), DETERMINISTIC (rand()/uuid() refused),
+    * time-invariant (the current-time family is foldable WITHIN one
+    * query yet differs across appends — not a DEFAULT; Delta refuses
+    * both at DDL time for the same reason), and the literal must cast
+    * to the column type NOW — a bad default failing at some later
+    * append would be a delayed DDL error. */
+  private[graft] def validateColumnDefault(spark: SparkSession,
+      name: String, dt: org.apache.spark.sql.types.DataType,
+      sqlTxt: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlTxt)
+    require(parsed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+    }.isEmpty,
+      s"DEFAULT for '$name' must be a constant expression, got: $sqlTxt")
+    val analyzedDefault = spark.range(1).select(expr(sqlTxt))
+      .queryExecution.analyzed.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+    val timeFamily = Set("CurrentTimestamp", "CurrentDate", "Now",
+      "LocalTimestamp", "CurrentTimeZone", "CurrentUser")
+    val perAppend = analyzedDefault.collectFirst {
+      case e if timeFamily.contains(e.getClass.getSimpleName) => e
+    }
+    require(analyzedDefault.deterministic && perAppend.isEmpty &&
+      analyzedDefault.foldable,
+      s"DEFAULT for '$name' must be a constant expression — " +
+        s"'$sqlTxt' re-evaluates to a different value on later " +
+        "appends (use a literal)")
+    val v = spark.range(1).select(expr(sqlTxt).cast(dt)).head.get(0)
+    require(v != null || sqlTxt.trim.equalsIgnoreCase("null"),
+      s"DEFAULT $sqlTxt does not cast to ${dt.sql} (column '$name')")
   }
 
   /** Collected (column, register, rho) rows → one packed 512-byte

@@ -175,6 +175,16 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
             org.apache.spark.sql.catalyst.util.GeneratedColumn
               .GENERATION_EXPRESSION_METADATA_KEY)
     }.toMap
+    // the SAME DDL-time contract ALTER COLUMN SET DEFAULT enforces:
+    // Spark itself accepts e.g. CURRENT_TIMESTAMP as a CREATE-time
+    // default, but a per-append re-evaluating expression is not a
+    // DEFAULT here — refuse at this DDL door too, not at first append
+    defaults.foreach { case (k, sqlTxt) =>
+      val cn = k.stripPrefix(JournalStore.DefaultPrefix)
+      schema.fields.find(_.name == cn).foreach(f =>
+        JournalStore.validateColumnDefault(
+          SparkSession.active, cn, f.dataType, sqlTxt))
+    }
     JournalStore.create(SparkSession.active, p, epochSize, Some(schema),
       defaults ++ generated ++ identitySideChannel.get())
     loadTable(ident)

@@ -154,9 +154,21 @@ private[sources] object JournalV2 {
           // — upper bin edges + per-bin ndv; height = non-null rows /
           // 16): FilterEstimation then prices range predicates on real
           // value distribution instead of the uniform assumption
+          // histogram-only staleness bound: bin boundaries cannot merge
+          // incrementally, so a histogram serves only while the table
+          // has not outgrown the distribution it describes (live rows
+          // ≤ 2× the capture-point count); the merged ndv/null/extrema
+          // stats keep serving past that, and analyze() re-captures
+          // a missing capture-point key means the histogram's age is
+          // unknowable (pre-histrows manifests): DECLINE it — a
+          // StatsRowsKey fallback would be trivially true under the
+          // incremental fold, the exact unbounded-staleness hole the
+          // 2x gate closes
+          val histFresh = meta.get(JournalStore.StatsHistRowsKey)
+            .exists(h => exactRows <= 2L * h.toLong)
           val hist: java.util.Optional[
               org.apache.spark.sql.connector.read.colstats.Histogram] =
-            (if (longTyped || tsTyped) meta.get(p + "hist")
+            (if ((longTyped || tsTyped) && histFresh) meta.get(p + "hist")
              else None).map { packed =>
               val Array(bs, ns2) = packed.split('|')
               val edges = bs.split(',').map(_.toDouble)

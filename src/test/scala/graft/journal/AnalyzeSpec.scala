@@ -241,6 +241,36 @@ class AnalyzeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("histogram-only staleness: a table grown past 2x its capture " +
+      "point declines the histogram but keeps serving merged ndv") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 100000)
+    def batch(lo: Int, n: Int) = (lo until lo + n).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0, 400))
+    store.analyze(Seq("ukey"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def st = spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s.stats.attributeStats
+        }.get.map { case (a, s2) => a.name -> s2 }
+      assert(st("ukey").histogram.isDefined)
+      // within 2x of the capture point the histogram still serves
+      store.append(batch(1000, 300))
+      assert(st("ukey").histogram.isDefined, "within 2x: still served")
+      // past 2x the boundaries no longer describe the table: the
+      // histogram alone declines; merged ndv/nulls keep serving
+      store.append(batch(2000, 300))
+      val s2 = st
+      assert(s2("ukey").histogram.isEmpty, "past 2x: histogram declines")
+      val ndv = s2("ukey").distinctCount.map(_.toLong).get
+      assert(math.abs(ndv - 1000L) <= 150, s"merged ndv=$ndv")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("stats survive compaction (rows unchanged → still served) and " +
       "ride clones") {
     val path = freshPath

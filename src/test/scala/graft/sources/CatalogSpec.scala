@@ -1302,6 +1302,39 @@ class CatalogSpec extends AnyFunSuite {
       Seq((10L, 1L), (11L, 2L)), got.toString)
   }}
 
+  test("merge refuses a source that carries an ALWAYS identity or a " +
+    "generated column (the internal-rewrite bypass must not launder " +
+    "explicit values)") { withCatalog { root =>
+    spark.sql("CREATE TABLE jcat.mref (ns STRING, ukey BIGINT, " +
+      "ts TIMESTAMP, payload STRING, val DOUBLE, " +
+      "bucket BIGINT GENERATED ALWAYS AS (ukey % 8), " +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY) USING journal " +
+      "OPTIONS (epochSize '100')")
+    val store = graft.journal.JournalStore.open(spark, s"$root/mref")
+    store.append(Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-01 00:00:01"), "p0", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val base = Seq(
+      ("users", 1L, graft.TestSpark.ts("2024-01-02 00:00:00"), "p0b", 2.0))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    // explicit rid=999 through merge would bypass the append-time
+    // ALWAYS refusal (the delta commits with internalRewrite) and
+    // could collide with an assigned identity value — refused up front
+    val ei = intercept[IllegalArgumentException](
+      store.merge(base.withColumn("rid", lit(999L))))
+    assert(ei.getMessage.contains("IDENTITY"))
+    // a source-supplied generated value would be silently recomputed
+    // over — refused loudly instead (updateWhere's rule)
+    val eg = intercept[IllegalArgumentException](
+      store.merge(base.withColumn("bucket", lit(7L))))
+    assert(eg.getMessage.contains("GENERATED"))
+    // the clean merge still works and preserves identity
+    store.merge(base)
+    assert(spark.table("jcat.mref")
+      .groupBy("ukey").agg(max_by(col("rid"), col("seq")).as("rid"))
+      .select("rid").as[Long].head() === 1L)
+  }}
+
   test("UPDATE on a table with ALWAYS identity + generated columns: " +
     "identity passes through verbatim, generated recomputes from the " +
     "post-assignment row; direct assignment of either is refused") {
@@ -1444,6 +1477,16 @@ class CatalogSpec extends AnyFunSuite {
       Seq(graft.journal.JournalStore.SetDefault("tag", "'y'")))
     assert(graft.journal.JournalStore.open(spark, s"$root/atomic")
       .columnDefaults.get("tag") === Some("'y'"))
+    // the OTHER DDL door enforces the same contract: Spark itself
+    // accepts CURRENT_TIMESTAMP as a CREATE-time default, but a
+    // per-append re-evaluating expression is refused here too
+    val ec = intercept[Exception](spark.sql(
+      "CREATE TABLE jcat.baddft (ns STRING, ukey BIGINT, ts TIMESTAMP, " +
+        "payload STRING, val DOUBLE, " +
+        "created TIMESTAMP DEFAULT current_timestamp()) USING journal"))
+    assert(ec.getMessage.toUpperCase.contains("DEFAULT"), ec.getMessage)
+    assert(!graft.journal.JournalStore.exists(s"$root/baddft"),
+      "a refused CREATE must leave no store behind")
   }}
 
   test("CALL system.clone: zero-copy clone by name; states diverge " +
