@@ -198,6 +198,48 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("incremental stat fold == fresh analyze over the union (stat " +
+      "keys identical, packed HLL registers byte-equal)") {
+    // THE invariant incremental ANALYZE rests on: analyze(A) folded
+    // with sketch(B) at append time must equal analyze(A ∪ B) exactly —
+    // rows, nulls, extrema, ndv, and the raw packed registers
+    // (union-of-sketches ≡ sketch-of-union). Histograms and the
+    // histogram capture point are deliberately excluded: boundaries
+    // don't merge and the serving side bounds their staleness instead.
+    val batchGen = Gen.listOfN(8, for {
+      ns <- Gen.oneOf("a", "b")
+      k <- Gen.choose(0L, 9L)
+      p <- Gen.alphaStr.map(_.take(4))
+      v <- Gen.option(Gen.choose(-5, 5).map(_.toDouble))
+    } yield (ns, k, p, v))
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(few, Prop.forAll(batchGen, batchGen) { (a, b) =>
+      a.isEmpty || b.isEmpty || {
+        def df(xs: List[(String, Long, String, Option[Double])]) =
+          xs.map { case (ns, k, p, v) =>
+            (ns, k, TestSpark.ts("2024-01-01 00:00:01"), p, v)
+          }.toDF("ns", "ukey", "ts", "payload", "val")
+        val cols = Seq("ns", "ukey", "payload", "val")
+        def stats(build: journal.JournalStore => Unit): Map[String, String] = {
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_pinc_").toString + "/s"
+          val st = journal.JournalStore.create(spark, path, 1000)
+          build(st)
+          st.manifest.meta.filter { case (k2, _) =>
+            (k2 == "stats.rows" || k2.startsWith("stats.col.")) &&
+              !k2.endsWith(".hist")
+          }
+        }
+        val inc = stats { st =>
+          st.append(df(a)); st.analyze(cols); st.append(df(b)) }
+        val full = stats { st =>
+          st.append(df(a)); st.append(df(b)); st.analyze(cols) }
+        inc == full
+      }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("set ops agree with Scala set algebra") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
       (xs, ys) =>

@@ -112,6 +112,32 @@ class LlmExtSpec extends AnyFunSuite {
     assert(out === Seq((100L, 1L), (101L, 2L)))
   }
 
+  test("dedup_span: hand-computed maximal duplicated intervals — " +
+      "cross-doc spans, adjacent intra-doc repeats merge, clean and " +
+      "short docs report zero") {
+    val shared = "a b c d e f g h i j" // 10 shared tokens
+    val rep8 = "m n o p q r s t"       // an 8-token unit repeated below
+    val dir = TestSpark.fixtureDir("documents" -> Seq(
+      // docs 1+2 share the 10-token prefix: dup anchors p=1..3 merge
+      // into ONE island covering exactly the shared span (10 tokens)
+      (1L, s"$shared x y", "en", "s1", 24L),
+      (2L, s"$shared p q", "en", "s1", 24L),
+      // intra-doc repetition: the two copies of rep8 are ADJACENT
+      // anchors (p=1 and p=9, gap exactly k) — they merge into one
+      // 16-token duplicated interval, not two
+      (3L, s"$rep8 $rep8 z", "en", "s1", 35L),
+      // clean doc: no 8-gram occurs twice anywhere
+      (4L, "u v w one two three four five six seven", "en", "s1", 40L),
+      // too short for any 8-gram
+      (5L, "a b c", "en", "s1", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = LlmExtOps.queries("dedup_span")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 12L, 10L, 1L), (2L, 12L, 10L, 1L),
+      (3L, 17L, 16L, 1L), (4L, 10L, 0L, 0L), (5L, 3L, 0L, 0L)))
+  }
+
   test("mm_decode_features: stubbed decoder plumbing produces typed features") {
     val dir = TestSpark.fixtureDir("documents" -> Seq(
       (0L, "ab", "en", "s1", 2L),
