@@ -450,7 +450,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
               s.filterNot(_.name == name)))
             dropped = (dropped :+ name).distinct
           }
-        case JournalStore.SetProp(k, v) => meta = meta + (k -> v)
+        case JournalStore.SetProp(k, v) =>
+          JournalStore.validateProperty(k, v)
+          meta = meta + (k -> v)
         case JournalStore.UnsetProp(k)  => meta = meta - k
         case JournalStore.SetDefault(name, sqlTxt) =>
           require(!Seq("seq", "epoch").contains(name.toLowerCase),
@@ -514,6 +516,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * mismatch. A lost CAS race rebases trivially (re-read, re-apply). */
   def setMeta(kvs: Map[String, String]): Unit = {
     requireWritable()
+    kvs.foreach { case (k, v) => JournalStore.validateProperty(k, v) }
     retryOnLostRace {
       val m = manifest
       commitSeam()
@@ -591,16 +594,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // Timestamp columns additionally record epoch-MICROS extrema: the
     // lossless numeric form the optimizer report and the ts histogram
     // serve (the canonical string form is display-only).
-    val tsCols = cols.filter(c => df.schema.find(_.name == c).exists(f =>
-      f.dataType == org.apache.spark.sql.types.TimestampType ||
-        f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+    val dtOf: Map[String, org.apache.spark.sql.types.DataType] =
+      df.schema.map(f => f.name -> f.dataType).toMap
+    val tsCols = cols.filter(c => dtOf.get(c).exists(t =>
+      t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.TimestampNTZType))
     val aggs = (count(lit(1L)).as("rows_total") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"n_$c"),
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c")))) ++
       tsCols.flatMap(c => Seq(
-        min(unix_micros(col(c).cast("timestamp"))).as(s"mnus_$c"),
-        max(unix_micros(col(c).cast("timestamp"))).as(s"mxus_$c")))
+        min(expr(tsMicrosSql(c, dtOf(c)))).as(s"mnus_$c"),
+        max(expr(tsMicrosSql(c, dtOf(c)))).as(s"mxus_$c")))
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = head.getLong(0)
     val tsBase = 1 + 3 * cols.size
@@ -634,11 +639,11 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // so sketch estimates are the honest scale choice here — nothing
     // downstream hash-gates them.
     val histCols: Seq[(String, String)] = cols.flatMap { c =>
-      df.schema.find(_.name == c).map(_.dataType) match {
+      dtOf.get(c) match {
         case Some(org.apache.spark.sql.types.LongType) => Some(c -> c)
-        case Some(org.apache.spark.sql.types.TimestampType) |
-             Some(org.apache.spark.sql.types.TimestampNTZType) =>
-          Some(c -> s"unix_micros(CAST(`$c` AS TIMESTAMP))")
+        case Some(t @ (org.apache.spark.sql.types.TimestampType |
+                       org.apache.spark.sql.types.TimestampNTZType)) =>
+          Some(c -> tsMicrosSql(c, t))
         case _ => None
       }
     }
@@ -772,8 +777,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c"))) ++
       tsCols.flatMap(c => Seq(
-        min(unix_micros(col(c).cast("timestamp"))).as(s"mnus_$c"),
-        max(unix_micros(col(c).cast("timestamp"))).as(s"mxus_$c")))
+        min(expr(tsMicrosSql(c, bTypes(c)))).as(s"mnus_$c"),
+        max(expr(tsMicrosSql(c, bTypes(c)))).as(s"mxus_$c")))
     val head: Option[org.apache.spark.sql.Row] =
       if (present.isEmpty) None
       else Some(batch.agg(aggs.head, aggs.tail: _*).collect()(0))
@@ -783,45 +788,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val batchRegs: Map[String, Array[Byte]] =
       if (present.isEmpty) Map.empty
       else JournalStore.packRegisters(hllRegisterRows(batch, present))
-    // order-correct extremum merge per type; None = decline (drop keys).
-    // Strings compare in UNSIGNED UTF-8 BYTE order — what Spark's
-    // min()/max() (UTF8String) and DuckDB's binary collation both use;
-    // Java's String.compareTo (UTF-16 code units) disagrees for
-    // supplementary-plane characters and would record a wrong bound.
-    def utf8Cmp(a: String, b: String): Int = {
-      val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
-    }
-    def mergeExtremum(dt: DataType, a: String, b: String,
-                      takeMin: Boolean): Option[String] = {
-      val cmp: Option[Int] = dt match {
-        case LongType | IntegerType | ShortType | ByteType =>
-          Some(a.toLong.compareTo(b.toLong))
-        case DoubleType | FloatType =>
-          Some(a.toDouble.compareTo(b.toDouble))
-        case _: DecimalType =>
-          Some(BigDecimal(a).compare(BigDecimal(b)))
-        case StringType | BooleanType => Some(utf8Cmp(a, b))
-        // canonical date/ts strings compare byte-correctly only in the
-        // fixed-width four-digit-year form (the fraction is
-        // trailing-zero-trimmed, which still orders: a shorter
-        // fraction that is a prefix is smaller); a year outside
-        // [1000, 9999] renders with a sign prefix — decline there
-        case DateType | TimestampType | TimestampNTZType =>
-          if (a.matches("\\d{4}-.*") && b.matches("\\d{4}-.*"))
-            Some(utf8Cmp(a, b))
-          else None
-        case _ => None
-      }
-      cmp.map(x => if ((x <= 0) == takeMin) a else b)
-    }
+    // order-correct extremum merge per type lives in the companion
+    // (JournalStore.mergeExtremum) — the cstats refold after destructive
+    // rewrites must run the exact same arithmetic
+    import JournalStore.mergeExtremum
     val out = Map.newBuilder[String, String]
     val drop = Set.newBuilder[String]
     out += JournalStore.StatsRowsKey ->
@@ -852,19 +822,42 @@ class JournalStore private (val spark: SparkSession, val path: String,
           else Some(h.getString(3 * i + 1))
         val bMax = if (h.isNullAt(3 * i + 2)) None
           else Some(h.getString(3 * i + 2))
+        // Declined extrema are TOMBSTONED (`.xdecl` lists the dead
+        // keys): once a fold declines a bound, every later fold must
+        // keep declining until the next full analyze() re-measures —
+        // without the marker, the next batch would hit the absent-key
+        // case below and re-seed the extremum from ITS rows alone,
+        // recording a bound that does not cover earlier rows.
+        val declined: Set[String] = meta.get(p + JournalStore.XdeclKey)
+          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+        val newDecl = scala.collection.mutable.Set.empty[String] ++ declined
         def fold(key: String, bv: Option[String], takeMin: Boolean): Unit =
-          (meta.get(p + key), bv) match {
-            case (None, None) => ()
-            case (None, Some(v)) => out += (p + key) -> v
-            case (Some(_), None) => () // all-null batch widens nothing
+          if (declined(key)) drop += (p + key)
+          else (meta.get(p + key), bv) match {
+            case (_, None) => () // all-null batch widens nothing
+            case (None, Some(v)) =>
+              // An absent bound is seedable ONLY when every prior row
+              // was null for this column (the key then really means
+              // "no non-null value yet") AND the type merges — seeding
+              // an unmergeable type would just decline next fold. Any
+              // other absence is a pre-tombstone decline: re-seeding
+              // would record a bound that skips the earlier rows.
+              if (oldNulls == oldRows.get.toLong &&
+                  mergeExtremum(bTypes(c), v, v, takeMin).isDefined)
+                out += (p + key) -> v
+              else newDecl += key
             case (Some(o), Some(v)) =>
               mergeExtremum(bTypes(c), o, v, takeMin) match {
                 case Some(m2) => out += (p + key) -> m2
-                case None => drop += (p + key) // decline, never wrong
+                case None => // decline, never wrong — and STAY declined
+                  drop += (p + key); newDecl += key
               }
           }
         fold("min", bMin, takeMin = true)
         fold("max", bMax, takeMin = false)
+        if (newDecl != declined)
+          out += (p + JournalStore.XdeclKey) ->
+            newDecl.toSeq.sorted.mkString(",")
         if (tsCols.contains(c)) {
           val j = tsCols.indexOf(c)
           val base = 3 * present.size
@@ -892,25 +885,74 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * can overlap the bound, and a sweep with nothing to erase is
     * metadata-only. The property is ordinary manifest meta, so it
     * rides clones and reverts with RESTORE. No property → no-op.
-    * Returns the erased-row count. */
+    *
+    * PER-NAMESPACE policies: `retention.olderThan.<ns>` declares a
+    * namespace-specific TTL that OVERRIDES the global one for that ns
+    * (the global bound then sweeps only namespaces without their own
+    * policy). Each ns sweep carries an ns-equality conjunct, so
+    * deleteWhere prunes to that namespace's partition directories
+    * FIRST, then by per-file ts range — a hot 1-day-TTL ns on a 100 TB
+    * store sweeps its own files only. Specs are validated at the
+    * property-set door (setMeta/ALTER ... SET TBLPROPERTIES) and
+    * parsed here with the strict interval parser — never interpolated
+    * into SQL text (a crafted property value must not smuggle an
+    * arbitrary expression past the interval contract). Returns the
+    * erased-row count across all policies. */
   def maintain(): Long = {
     requireWritable()
-    manifest.meta.get(JournalStore.RetentionKey) match {
-      case None => 0L
-      case Some(spec) =>
-        val bound =
-          try spark.range(1)
-            .select(expr(s"current_timestamp() - INTERVAL $spec"))
-            .head.getTimestamp(0)
-          catch { case e: Exception =>
-            throw new IllegalArgumentException(
-              s"table property ${JournalStore.RetentionKey} = '$spec' " +
-                "does not parse as an SQL interval body (e.g. '30 DAYS', " +
-                "'12 HOURS')", e)
-          }
-        deleteWhere(col("ts") < lit(bound))
+    val meta = manifest.meta
+    val nsPre = JournalStore.RetentionKey + "."
+    val nsPolicies = meta.collect {
+      case (k, v) if k.startsWith(nsPre) => k.stripPrefix(nsPre) -> v
+    }.toSeq.sortBy(_._1)
+    val global = meta.get(JournalStore.RetentionKey)
+    if (global.isEmpty && nsPolicies.isEmpty) return 0L
+    // now − interval via CalendarInterval arithmetic in the session
+    // zone (months/days are calendar units there, matching
+    // `current_timestamp() - INTERVAL <spec>` semantics)
+    def boundOf(key: String, spec: String): java.sql.Timestamp = {
+      val iv = JournalStore.parseRetentionInterval(key, spec)
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      java.sql.Timestamp.from(java.time.ZonedDateTime.now(zone)
+        .minusMonths(iv.months.toLong).minusDays(iv.days.toLong)
+        .minus(iv.microseconds, java.time.temporal.ChronoUnit.MICROS)
+        .toInstant)
     }
+    var erased = 0L
+    nsPolicies.foreach { case (ns, spec) =>
+      erased += deleteWhere(col("ns") === lit(ns) &&
+        col("ts") < lit(boundOf(nsPre + ns, spec)))
+    }
+    global.foreach { spec =>
+      val b = lit(boundOf(JournalStore.RetentionKey, spec))
+      val cond =
+        if (nsPolicies.isEmpty) col("ts") < b
+        // ns-scoped policies own their namespaces outright — the
+        // global bound must not sweep them (ns is structural and
+        // never null, so NOT IN is total here)
+        else col("ts") < b && !col("ns").isin(nsPolicies.map(_._1): _*)
+      erased += deleteWhere(cond)
+    }
+    erased
   }
+
+  /** Epoch-micros SQL text for a timestamp-typed column. TIMESTAMP
+    * reads its internal micros directly; TIMESTAMP_NTZ must NOT take
+    * the session-zoned cast alone — that shifts the value by the zone
+    * offset, and FilterEstimation compares NTZ literals in RAW NTZ
+    * micros — so the cast's shift is undone by from_utc_timestamp
+    * against the same session zone. Exact everywhere except inside a
+    * DST transition hour (the two offset lookups run at slightly
+    * different instants); acceptable for planner-advisory bounds and
+    * histograms, which never reach a result. analyze() and the append
+    * fold both go through here — the fold invariant needs one copy. */
+  private def tsMicrosSql(c: String,
+      dt: org.apache.spark.sql.types.DataType): String =
+    if (dt == org.apache.spark.sql.types.TimestampNTZType)
+      s"unix_micros(from_utc_timestamp(CAST(`$c` AS TIMESTAMP), " +
+        s"'${spark.sessionState.conf.sessionLocalTimeZone}'))"
+    else s"unix_micros(CAST(`$c` AS TIMESTAMP))"
 
   /** ONE shared register melt (columns → md5 → per-(column, register)
     * max-rho rows, ≤ cols×512 collected) for analyze()'s pass 2 AND
@@ -4136,8 +4178,39 @@ object JournalStore {
   /** Table-property key declaring the retention bound [[maintain]]
     * sweeps to — an SQL interval body ("30 DAYS"): rows with
     * ts < now − interval are physically erased by the next maintain().
-    * Ordinary manifest meta: rides clones, reverts with RESTORE. */
+    * `retention.olderThan.<ns>` scopes a policy to one namespace
+    * (overriding the global bound there). Ordinary manifest meta:
+    * rides clones, reverts with RESTORE. */
   val RetentionKey = "retention.olderThan"
+
+  /** STRICT parse of a retention spec — the DDL-time contract
+    * validateColumnDefault sets for defaults, applied to retention:
+    * a bad spec fails when the property is SET (setMeta / ALTER TABLE
+    * SET TBLPROPERTIES), not as a delayed error at some later sweep,
+    * and the value never reaches SQL text, so a crafted property
+    * cannot smuggle an expression past the interval contract. Positive
+    * intervals only: a zero/negative retention would declare
+    * "erase everything ever written" — surely a typo, refused. */
+  private[graft] def parseRetentionInterval(key: String, spec: String)
+      : org.apache.spark.unsafe.types.CalendarInterval = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(spec))
+    require(iv != null,
+      s"table property $key = '$spec' is not a valid SQL interval body " +
+        "(e.g. '30 DAYS', '12 HOURS', '1 YEAR 6 MONTHS')")
+    require(iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 &&
+      (iv.months > 0 || iv.days > 0 || iv.microseconds > 0),
+      s"table property $key = '$spec' must be a positive interval " +
+        "(a non-positive retention would erase every row)")
+    iv
+  }
+
+  /** Property-set door validation, shared by setMeta and ALTER TABLE
+    * SET TBLPROPERTIES: keys with declared syntax fail HERE. */
+  private[journal] def validateProperty(key: String, value: String): Unit =
+    if (key == RetentionKey || key.startsWith(RetentionKey + "."))
+      { parseRetentionInterval(key, value); () }
 
   /** Table-property key holding the EXACT row count the last analyze()
     * ran at — the staleness arbiter: the scan re-serves column stats
@@ -4157,6 +4230,61 @@ object JournalStore {
     * arbitrary min/max strings ride the manifest's URL-encoding with no
     * JSON escaping of their own). */
   private[graft] val StatsColPrefix = "stats.col."
+
+  /** Per-column stats-key SUFFIX tombstoning declined extrema
+    * (`stats.col.<c>.xdecl` = comma-joined dead keys, "min"/"max"): a
+    * fold that cannot merge a bound order-correctly drops the key AND
+    * records the tombstone, so later folds keep declining instead of
+    * re-seeding a bound from one batch that does not cover earlier
+    * rows. analyze() clears tombstones with the rest of the stats set. */
+  private[journal] val XdeclKey = "xdecl"
+
+  /** UNSIGNED UTF-8 BYTE order — what Spark's min()/max() (UTF8String)
+    * and DuckDB's binary collation both use; Java's String.compareTo
+    * (UTF-16 code units) disagrees for supplementary-plane characters
+    * and would record a wrong bound. */
+  private[journal] def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Order-correct extremum merge per type; None = decline (never
+    * record a bound that could be wrong). ONE copy of this arithmetic:
+    * the append-time fold (incrementalStatsMeta) and the cstats refold
+    * after destructive rewrites must agree bit-for-bit or the
+    * PropertySpec fold invariant (inc == full) breaks. Canonical
+    * date/ts strings compare byte-correctly only in the fixed-width
+    * four-digit-year form (the fraction is trailing-zero-trimmed,
+    * which still orders: a shorter fraction that is a prefix is
+    * smaller); a year outside [1000, 9999] renders with a sign prefix
+    * — decline there. */
+  private[journal] def mergeExtremum(
+      dt: org.apache.spark.sql.types.DataType, a: String, b: String,
+      takeMin: Boolean): Option[String] = {
+    import org.apache.spark.sql.types._
+    val cmp: Option[Int] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(a.toLong.compareTo(b.toLong))
+      case DoubleType | FloatType =>
+        Some(a.toDouble.compareTo(b.toDouble))
+      case _: DecimalType =>
+        Some(BigDecimal(a).compare(BigDecimal(b)))
+      case StringType | BooleanType => Some(utf8Cmp(a, b))
+      case DateType | TimestampType | TimestampNTZType =>
+        if (a.matches("\\d{4}-.*") && b.matches("\\d{4}-.*"))
+          Some(utf8Cmp(a, b))
+        else None
+      case _ => None
+    }
+    cmp.map(x => if ((x <= 0) == takeMin) a else b)
+  }
 
   /** One column's recorded ANALYZE stats. `regsHit`/`whit` are the raw
     * HLL register summary (exact integers — the sketch state itself, so

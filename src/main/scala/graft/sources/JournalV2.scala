@@ -109,13 +109,19 @@ private[sources] object JournalV2 {
       FileStatusCache.getOrCreate(spark), None, None)
 
   /** ANALYZE-recorded column stats → the DSv2 columnStats report, for
-    * columns that survived pruning. Exact-or-decline at two grains:
+    * columns that survived pruning. Exact-or-decline at three grains:
     * the whole set is dropped unless the recorded row count equals the
     * live exact count (`exactRows` — stats describe THIS surface, not
-    * an ancestor's), and typed min/max are reported only for BIGINT
-    * columns (a lossless Long parse-back; string/timestamp extrema stay
-    * manifest-only, ndv and null counts carry the estimation weight).
-    * The map is driver-built from manifest metadata — O(columns). */
+    * an ancestor's); typed min/max serve for BIGINT columns (a lossless
+    * Long parse-back) and for TIMESTAMP/TIMESTAMP_NTZ columns in epoch
+    * MICROS (the `minus`/`maxus` keys — the catalyst-internal Long
+    * value FilterEstimation compares timestamp literals in; string
+    * extrema stay manifest-only); and the 16-bin equi-height histogram
+    * serves only while live rows ≤ 2× its capture-point count
+    * (`stats.histrows` — bin boundaries cannot merge incrementally, so
+    * a histogram must not outlive the distribution it describes; the
+    * merged ndv/null/extrema keep serving past that). The map is
+    * driver-built from manifest metadata — O(columns). */
   def columnStatsFor(meta: Map[String, String], exactRows: Long,
                      schema: StructType): java.util.Map[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {

@@ -333,6 +333,85 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(JournalStore.open(spark, path).identityColumns("rid").used === 5L)
   }
 
+  test("declined extrema stay declined: a later append must not re-seed " +
+      "a bound that skips earlier rows (xdecl tombstone)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    def batch(tag: String, ks: Range) = ks.map(k =>
+      ("n", k.toLong, ts("2024-01-01 00:00:01"), s"$tag$k", 1.0,
+        Array[Byte](k.toByte)))
+      .toDF("ns", "ukey", "ts", "payload", "val", "blob")
+    store.append(batch("a", 1 to 3))
+    store.analyze()
+    // analyze's GLOBAL typed aggregate records binary extrema (string
+    // casts); the incremental fold cannot merge BinaryType order-
+    // correctly, so the FIRST append declines them...
+    assert(store.analyzedColumnStats("blob").min.isDefined)
+    store.append(batch("b", 10 to 12))
+    val afterDecline = store.analyzedColumnStats("blob")
+    assert(afterDecline.min.isEmpty && afterDecline.max.isEmpty)
+    // ...and the SECOND append must NOT re-seed min/max from its own
+    // rows alone (bytes 20..22 do not bound bytes 1..3) — the xdecl
+    // tombstone keeps the decline sticky until the next full analyze()
+    store.append(batch("c", 20 to 22))
+    val afterReseedWindow = store.analyzedColumnStats("blob")
+    assert(afterReseedWindow.min.isEmpty && afterReseedWindow.max.isEmpty,
+      "re-seeded a declined extremum from one batch")
+    // the rest of the stats stayed alive through both folds
+    assert(store.analyzedRowCount === Some(9L))
+    assert(store.analyzedColumnStats("ukey").min === Some("1"))
+    assert(store.analyzedColumnStats("ukey").max === Some("22"))
+    // a fresh analyze re-measures and clears the tombstone
+    store.analyze()
+    assert(store.analyzedColumnStats("blob").min.isDefined)
+    assert(store.manifest.meta.get(
+      JournalStore.StatsColPrefix + "blob." + JournalStore.XdeclKey).isEmpty)
+  }
+
+  test("a column that was all-null at analyze seeds extrema from the " +
+      "first non-null batch (legitimate seed path still works)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    val nullExtra = Seq(("n", 1L, ts("2024-01-01 00:00:01"), "p", 1.0,
+      Option.empty[Long]))
+      .toDF("ns", "ukey", "ts", "payload", "val", "extra")
+    store.append(nullExtra)
+    store.analyze()
+    assert(store.analyzedColumnStats("extra").min.isEmpty)
+    store.append(Seq(("n", 2L, ts("2024-01-01 00:00:02"), "p", 1.0,
+      Some(7L))).toDF("ns", "ukey", "ts", "payload", "val", "extra"))
+    val cs = store.analyzedColumnStats("extra")
+    assert(cs.min === Some("7") && cs.max === Some("7") && cs.nulls === 1L)
+  }
+
+  test("TIMESTAMP_NTZ bounds serve in RAW NTZ micros, not shifted by " +
+      "the session zone") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+      // fixed-offset winter instant: EST = UTC-5, so a session-zoned
+      // round-trip error would show up as exactly ±5h in micros
+      val wall = "2024-01-15 12:00:00"
+      store.append(
+        Seq(("n", 1L, ts("2024-01-01 00:00:01"), "p", 1.0))
+          .toDF("ns", "ukey", "ts", "payload", "val")
+          .withColumn("tn", expr(s"TIMESTAMP_NTZ'$wall'")))
+      store.analyze(Seq("tn"))
+      val rawMicros = java.time.LocalDateTime.parse(wall.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      val p = JournalStore.StatsColPrefix + "tn."
+      assert(store.manifest.meta(p + "minus").toLong === rawMicros)
+      assert(store.manifest.meta(p + "maxus").toLong === rawMicros)
+      // and the incremental fold agrees (same arithmetic, one copy)
+      store.append(
+        Seq(("n", 2L, ts("2024-01-01 00:00:02"), "p", 1.0))
+          .toDF("ns", "ukey", "ts", "payload", "val")
+          .withColumn("tn", expr("TIMESTAMP_NTZ'2024-01-15 13:30:00'")))
+      assert(store.manifest.meta(p + "minus").toLong === rawMicros)
+      assert(store.manifest.meta(p + "maxus").toLong ===
+        rawMicros + 5400L * 1000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("analyze refuses unknown columns and empty stores") {
     val store = JournalStore.create(spark, freshPath, epochSize = 3)
     val e = intercept[IllegalArgumentException](store.analyze())

@@ -2064,6 +2064,67 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(feed.where(col("_change_type") === "insert").count() === 0L)
   }
 
+  test("retention specs validate at the property-set door, not as a " +
+      "delayed sweep error; crafted values cannot reach SQL text") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100)
+    store.append(sampleDf)
+    // garbage fails at SET time (the delayed-DDL-error class
+    // validateColumnDefault already closes for defaults)
+    val e = intercept[IllegalArgumentException](
+      store.setMeta(Map(JournalStore.RetentionKey -> "banana")))
+    assert(e.getMessage.contains("not a valid SQL interval"))
+    // an expression smuggled into the property is refused as a whole —
+    // the strict interval parser never interpolates into expr()
+    intercept[IllegalArgumentException](store.setMeta(Map(
+      JournalStore.RetentionKey -> "1' DAY) OR (1=1")))
+    intercept[IllegalArgumentException](store.setMeta(Map(
+      JournalStore.RetentionKey ->
+        "30 DAYS' THEN current_timestamp() ELSE '")))
+    // non-positive retention = "erase everything": surely a typo
+    intercept[IllegalArgumentException](store.setMeta(Map(
+      JournalStore.RetentionKey -> "-1 DAYS")))
+    intercept[IllegalArgumentException](store.setMeta(Map(
+      JournalStore.RetentionKey -> "0 SECONDS")))
+    // ns-scoped keys validate through the same door
+    intercept[IllegalArgumentException](store.setMeta(Map(
+      JournalStore.RetentionKey + ".hot" -> "nonsense")))
+    // valid specs (either scope) land
+    store.setMeta(Map(JournalStore.RetentionKey -> "30 DAYS",
+      JournalStore.RetentionKey + ".hot" -> "12 HOURS"))
+    assert(store.manifest.meta(JournalStore.RetentionKey) === "30 DAYS")
+  }
+
+  test("per-namespace retention: one maintain() sweeps each ns to its " +
+      "own TTL; the global policy covers the rest") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    val now = java.time.Instant.now()
+    def at(minusHours: Long) =
+      java.sql.Timestamp.from(now.minus(minusHours,
+        java.time.temporal.ChronoUnit.HOURS))
+    // hot: TTL 1 hour — rows at 2h (doomed) and 0.5h (kept)
+    // cold: TTL 1 day — rows at 2h (kept!) and 48h (doomed)
+    // other: no ns policy — global 6 hours: 2h kept, 12h doomed
+    val rows = Seq(
+      ("hot", 1L, at(2), "doomed-hot", 1.0),
+      ("hot", 2L, at(0), "kept-hot", 1.0),
+      ("cold", 3L, at(2), "kept-cold", 1.0),
+      ("cold", 4L, at(48), "doomed-cold", 1.0),
+      ("other", 5L, at(2), "kept-other", 1.0),
+      ("other", 6L, at(12), "doomed-other", 1.0),
+    ).toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(rows)
+    store.setMeta(Map(
+      JournalStore.RetentionKey -> "6 HOURS",
+      JournalStore.RetentionKey + ".hot" -> "1 HOURS",
+      JournalStore.RetentionKey + ".cold" -> "1 DAYS"))
+    assert(store.maintain() === 3L)
+    val kept = store.scanUnordered().select("payload")
+      .as[String].collect().toSeq.sorted
+    assert(kept === Seq("kept-cold", "kept-hot", "kept-other"))
+    // a second sweep is the no-op the declared policy promises
+    assert(store.maintain() === 0L)
+  }
+
   test("cloneTo retry: a stale same-size file at dest is replaced by " +
       "the source bytes, never adopted") {
     val store = JournalStore.create(spark, freshPath, epochSize = 100)
