@@ -198,6 +198,10 @@ object Sf1Smoke {
       // linear in corpus tokens; anchor counts combine map-side and
       // the interval merge windows ride doc_id partitioning
       "dedup_span",
+      // round 17: the materialized scrub adds one keep-first window
+      // over the same shingle wire plus a map-side excision — text
+      // moves exactly twice (in, out), still linear in corpus tokens
+      "dedup_span_scrub",
       // round 16: the hash-gated incremental-analyze lineage (analyze
       // a fixed window + append a fixed batch) — both windows fixed,
       // so the probe states near-constant cost; the corpus-scale

@@ -51,6 +51,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
     this
   }
 
+  /** Opt-in AUTO-MAINTENANCE cadence for long-running writers (the
+    * streaming sinks' `autoMaintainBatches` option): after every
+    * append whose batch id is a multiple of N (batch-id keyed, so the
+    * cadence survives sink restarts and per-batch handles), run
+    * [[maintain]] — a declared `retention.olderThan` policy then
+    * physically sheds expired rows with NO `CALL system.maintain`.
+    * 0 (the default) disables. A policy-less store pays one manifest
+    * meta lookup per cadence hit and nothing else; a policy sweep with
+    * nothing expired is pruned to a metadata no-op by deleteWhere's
+    * per-file ts ranges. Runtime per-writer policy, like
+    * auto-compaction. */
+  private var autoMaintainBatches: Int = 0
+  def withAutoMaintain(everyNBatches: Int): this.type = {
+    require(everyNBatches >= 0,
+      s"autoMaintainBatches must be >= 0, got $everyNBatches")
+    autoMaintainBatches = everyNBatches
+    this
+  }
+
   /** Parquet codec for THIS writer's segment/checkpoint writes ("" =
     * session default, normally snappy). At 100 TB the codec is a real
     * cost lever — zstd typically shrinks text-heavy payloads ~30% over
@@ -565,18 +584,29 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * extrema widen, packed HLL registers union), so the stamped count
     * moves with the data and a 100 TB table's CBO stats stay alive at
     * delta cost; analyze() is the bootstrap/backfill. Destructive
-    * rewrites (erase/expire) still decline at serve time — you cannot
-    * subtract from an HLL — and the next analyze() re-arms. A no-arg
-    * call analyzes every visible column; a subset call replaces the
-    * whole recorded stats set (stats always describe one coherent
-    * analyze lineage, never a mix). */
+    * rewrites survive too (round 17): analyze() also records the SAME
+    * sketch at per-FILE grain in the cstats sidecar (pass 4 below, and
+    * every later append extends it), so deleteWhere/compact recompute
+    * sketches for exactly the files they rewrite and REFOLD the merged
+    * stats from survivors — you cannot subtract from an HLL, but you
+    * can re-union what remains. Deletion-vector deletes are the one
+    * op that still declines at serve time (a vector subtracts rows no
+    * sketch can see) until a compact materializes the subtraction and
+    * refolds, or the next analyze() re-arms. A no-arg call analyzes
+    * every visible column; a subset call replaces the whole recorded
+    * stats set (stats always describe one coherent analyze lineage,
+    * never a mix). */
   def analyze(columns: Seq[String] = Nil): Unit = {
     requireWritable()
-    require(manifest.files.nonEmpty,
+    val m0 = manifest
+    require(m0.files.nonEmpty,
       "analyze: the store has no committed data files yet (nothing to " +
         "measure; stats on an empty store would pin rows=0 and then be " +
         "dropped as stale by the first append anyway)")
-    val df = scanUnordered()
+    // ONE manifest snapshot for every pass: the merged stats, the
+    // histogram and the per-file sketches must describe the same files
+    val df = canonicalSurface(
+      readSegmentsOver(m0.files, m0.schemaDdl, m0.dvParts))
     val names = df.schema.fieldNames.toSeq
     // the no-arg default analyzes every REAL column; epoch is derived
     // layout (seq div epochSize — its stats restate seq's), analyzable
@@ -638,49 +668,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // too. Planner-advisory (served through DSv2 columnStats.histogram),
     // so sketch estimates are the honest scale choice here — nothing
     // downstream hash-gates them.
-    val histCols: Seq[(String, String)] = cols.flatMap { c =>
-      dtOf.get(c) match {
-        case Some(org.apache.spark.sql.types.LongType) => Some(c -> c)
-        case Some(t @ (org.apache.spark.sql.types.TimestampType |
-                       org.apache.spark.sql.types.TimestampNTZType)) =>
-          Some(c -> tsMicrosSql(c, t))
-        case _ => None
-      }
-    }
     val hists: Map[String, (Seq[Long], Seq[Long])] =
-      if (rows == 0 || histCols.isEmpty) Map.empty
-      else {
-        val qs = (1 to 16).map(i => i / 16.0).mkString(", ")
-        val bAggs = histCols.map { case (c, e) =>
-          expr(s"approx_percentile($e, array($qs), 10000)").as(s"b_$c") }
-        val bRow = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
-        val bounds: Map[String, Seq[Long]] = histCols.zipWithIndex.collect {
-          case ((c, _), i) if !bRow.isNullAt(i) =>
-            c -> bRow.getSeq[Long](i).toSeq
-        }.toMap
-        if (bounds.isEmpty) Map.empty
-        else {
-          val bCols = histCols.filter(ce => bounds.contains(ce._1))
-          val mapArgs = bCols.flatMap { case (c, _) =>
-            Seq(lit(c), array(bounds(c).map(lit(_)): _*)) }
-          val ndvRows = df
-            .select(explode(array(bCols.map { case (c, e) =>
-              struct(lit(c).as("c"), expr(e).as("v")) }: _*)).as("cv"))
-            .select(col("cv.c").as("c"), col("cv.v").as("v"))
-            .where(col("v").isNotNull)
-            .withColumn("ba", element_at(map(mapArgs: _*), col("c")))
-            .withColumn("b",
-              least(lit(15), size(expr("filter(ba, x -> x < v)"))))
-            .groupBy("c", "b")
-            .agg(approx_count_distinct("v").as("ndv"))
-            .collect()
-          val byCol = ndvRows.groupBy(_.getString(0))
-          byCol.map { case (c, rs) =>
-            val perBin = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
-            c -> (bounds(c), (0 until 16).map(i => perBin.getOrElse(i, 0L)))
-          }
-        }
-      }
+      histCapture(df, cols, dtOf, rows)
     val kvs = scala.collection.immutable.TreeMap.newBuilder[String, String]
     kvs += JournalStore.StatsRowsKey -> rows.toString
     // histogram capture point: bin BOUNDARIES cannot merge
@@ -716,6 +705,27 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     }
     val fresh = kvs.result()
+    // pass 4 — cstats BOOTSTRAP: the same sketch at per-FILE grain
+    // (one sidecar row per file × column), the state destructive
+    // rewrites refold the merged stats from; appends keep extending it
+    // at delta cost. Chunked so the driver's melt collect is bounded
+    // at chunk×cols×512 rows no matter how many files the store has —
+    // two jobs per chunk, riding the one operation that is a declared
+    // full scan anyway.
+    val csRows =
+      scala.collection.mutable.ArrayBuffer.empty[ColumnStatsSidecar.CStat]
+    if (rows > 0)
+      m0.files.grouped(JournalStore.BootstrapChunkFiles).foreach { chunk =>
+        val cdf = readSegmentsOver(chunk, m0.schemaDdl, m0.dvParts,
+          keepPos = true)
+        val cTypes = cdf.schema.map(f => f.name -> f.dataType).toMap
+        val sk = groupedColumnSketches(cdf, cols.filter(cTypes.contains),
+          cTypes, col("__file"))
+        sk.foreach { case (f, ds) => csRows ++= cstatRowsOf(f, ds, cols) }
+      }
+    val csParts =
+      if (csRows.isEmpty) Nil
+      else Seq(ColumnStatsSidecar.writePart(path, csRows.toSeq))
     retryOnLostRace {
       val m = manifest
       val stale = m.meta.keys.filter(k => k == JournalStore.StatsRowsKey ||
@@ -723,7 +733,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         k.startsWith(JournalStore.StatsColPrefix))
       commitSeam()
       writeManifest(path, m.copy(op = "analyze",
-        meta = m.meta -- stale ++ fresh))
+        meta = m.meta -- stale ++ fresh, cstatsParts = csParts))
     }
   }
 
@@ -752,22 +762,85 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * stats (older manifests) are not mergeable and are left to the
     * serving gate's row-count decline, the legacy behavior. */
   private def incrementalStatsMeta(meta: Map[String, String],
-      batch: DataFrame, batchRows: Long)
+      batch: DataFrame, batchRows: Long,
+      preSketch: Option[Map[String, JournalStore.ColSketch]] = None)
       : (Map[String, String], Set[String]) = {
     val empty = (Map.empty[String, String], Set.empty[String])
     val oldRows = meta.get(JournalStore.StatsRowsKey)
     if (oldRows.isEmpty || batchRows == 0) return empty
-    val pre = JournalStore.StatsColPrefix
-    val statCols = meta.keys.collect {
-      case k if k.startsWith(pre) && k.endsWith(".ndv") =>
-        k.stripPrefix(pre).stripSuffix(".ndv")
-    }.toSeq.sorted
-    if (statCols.isEmpty ||
-        !statCols.forall(c => meta.contains(pre + c + ".hllregs")))
-      return empty
-    import org.apache.spark.sql.types._
+    val statCols = JournalStore.activeStatCols(meta)
+    if (statCols.isEmpty) return empty
     val bTypes = batch.schema.map(f => f.name -> f.dataType).toMap
-    val present = statCols.filter(bTypes.contains)
+    val sketch = preSketch.getOrElse(
+      flatBatchSketch(batch, statCols.filter(bTypes.contains),
+        bTypes, batchRows))
+    JournalStore.foldStatsMeta(meta, bTypes, statCols, sketch,
+      batchRows, oldRows.get.toLong)
+  }
+
+  /** The 16-bin EQUI-HEIGHT histogram pass (analyze()'s pass 3 and the
+    * FULL-compact re-capture): boundaries from one mergeable
+    * percentile-sketch aggregate, per-bin ndv from one melted
+    * approx-distinct pass whose exchange carries ≤ cols×16 rows.
+    * BIGINT columns bin on their value, TIMESTAMP/TIMESTAMP_NTZ on
+    * epoch micros. Planner-advisory. */
+  private def histCapture(df: DataFrame, cols: Seq[String],
+      dtOf: Map[String, org.apache.spark.sql.types.DataType], rows: Long)
+      : Map[String, (Seq[Long], Seq[Long])] = {
+    val histCols: Seq[(String, String)] = cols.flatMap { c =>
+      dtOf.get(c) match {
+        case Some(org.apache.spark.sql.types.LongType) => Some(c -> c)
+        case Some(t @ (org.apache.spark.sql.types.TimestampType |
+                       org.apache.spark.sql.types.TimestampNTZType)) =>
+          Some(c -> tsMicrosSql(c, t))
+        case _ => None
+      }
+    }
+    if (rows == 0 || histCols.isEmpty) Map.empty
+    else {
+      val qs = (1 to 16).map(i => i / 16.0).mkString(", ")
+      val bAggs = histCols.map { case (c, e) =>
+        expr(s"approx_percentile($e, array($qs), 10000)").as(s"b_$c") }
+      val bRow = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
+      val bounds: Map[String, Seq[Long]] = histCols.zipWithIndex.collect {
+        case ((c, _), i) if !bRow.isNullAt(i) =>
+          c -> bRow.getSeq[Long](i).toSeq
+      }.toMap
+      if (bounds.isEmpty) Map.empty
+      else {
+        val bCols = histCols.filter(ce => bounds.contains(ce._1))
+        val mapArgs = bCols.flatMap { case (c, _) =>
+          Seq(lit(c), array(bounds(c).map(lit(_)): _*)) }
+        val ndvRows = df
+          .select(explode(array(bCols.map { case (c, e) =>
+            struct(lit(c).as("c"), expr(e).as("v")) }: _*)).as("cv"))
+          .select(col("cv.c").as("c"), col("cv.v").as("v"))
+          .where(col("v").isNotNull)
+          .withColumn("ba", element_at(map(mapArgs: _*), col("c")))
+          .withColumn("b",
+            least(lit(15), size(expr("filter(ba, x -> x < v)"))))
+          .groupBy("c", "b")
+          .agg(approx_count_distinct("v").as("ndv"))
+          .collect()
+        val byCol = ndvRows.groupBy(_.getString(0))
+        byCol.map { case (c, rs) =>
+          val perBin = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+          c -> (bounds(c), (0 until 16).map(i => perBin.getOrElse(i, 0L)))
+        }
+      }
+    }
+  }
+
+  /** The batch's per-column sketch as ONE flat aggregate + ONE flat
+    * register melt — the fold input when the per-file grain is not
+    * being captured (batch spans more directories than
+    * [[JournalStore.MaxSketchDirs]], or a non-append caller). Pass A/B
+    * of the pre-cstats incremental fold, verbatim. */
+  private def flatBatchSketch(batch: DataFrame, present: Seq[String],
+      bTypes: Map[String, org.apache.spark.sql.types.DataType],
+      batchRows: Long): Map[String, JournalStore.ColSketch] = {
+    import org.apache.spark.sql.types._
+    if (present.isEmpty) return Map.empty
     val tsCols = present.filter(c => bTypes(c) == TimestampType ||
       bTypes(c) == TimestampNTZType)
     // pass A: per-column nulls + typed extrema over the batch (the
@@ -779,100 +852,218 @@ class JournalStore private (val spark: SparkSession, val path: String,
       tsCols.flatMap(c => Seq(
         min(expr(tsMicrosSql(c, bTypes(c)))).as(s"mnus_$c"),
         max(expr(tsMicrosSql(c, bTypes(c)))).as(s"mxus_$c")))
-    val head: Option[org.apache.spark.sql.Row] =
-      if (present.isEmpty) None
-      else Some(batch.agg(aggs.head, aggs.tail: _*).collect()(0))
+    val h = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
     // pass B: the batch's own HLL registers — the SAME melt as
     // analyze()'s pass 2 (shared helper: the union-of-sketches ≡
     // sketch-of-union guarantee requires bit-identical arithmetic)
-    val batchRegs: Map[String, Array[Byte]] =
-      if (present.isEmpty) Map.empty
-      else JournalStore.packRegisters(hllRegisterRows(batch, present))
-    // order-correct extremum merge per type lives in the companion
-    // (JournalStore.mergeExtremum) — the cstats refold after destructive
-    // rewrites must run the exact same arithmetic
-    import JournalStore.mergeExtremum
-    val out = Map.newBuilder[String, String]
-    val drop = Set.newBuilder[String]
-    out += JournalStore.StatsRowsKey ->
-      (oldRows.get.toLong + batchRows).toString
-    statCols.foreach { c =>
-      val p = pre + c + "."
-      val oldNulls = meta(p + "nulls").toLong
-      if (!present.contains(c)) {
-        // a stats column this batch does not carry: the batch
-        // null-fills it on read — nulls grow, everything else holds
-        out += (p + "nulls") -> (oldNulls + batchRows).toString
-      } else {
-        val i = present.indexOf(c)
-        val h = head.get
-        val nonNull = h.getLong(3 * i)
-        out += (p + "nulls") ->
-          (oldNulls + (batchRows - nonNull)).toString
-        val merged = JournalStore.mergeRegisters(
-          java.util.Base64.getDecoder.decode(meta(p + "hllregs")),
-          batchRegs.getOrElse(c, new Array[Byte](512)))
-        val (rh, wh) = JournalStore.registerSummary(merged)
-        out += (p + "hllregs") ->
-          java.util.Base64.getEncoder.encodeToString(merged)
-        out += (p + "regs") -> rh.toString
-        out += (p + "whit") -> wh.toString
-        out += (p + "ndv") -> JournalStore.hllNdvEstimate(rh, wh).toString
-        val bMin = if (h.isNullAt(3 * i + 1)) None
-          else Some(h.getString(3 * i + 1))
-        val bMax = if (h.isNullAt(3 * i + 2)) None
-          else Some(h.getString(3 * i + 2))
-        // Declined extrema are TOMBSTONED (`.xdecl` lists the dead
-        // keys): once a fold declines a bound, every later fold must
-        // keep declining until the next full analyze() re-measures —
-        // without the marker, the next batch would hit the absent-key
-        // case below and re-seed the extremum from ITS rows alone,
-        // recording a bound that does not cover earlier rows.
-        val declined: Set[String] = meta.get(p + JournalStore.XdeclKey)
-          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
-        val newDecl = scala.collection.mutable.Set.empty[String] ++ declined
-        def fold(key: String, bv: Option[String], takeMin: Boolean): Unit =
-          if (declined(key)) drop += (p + key)
-          else (meta.get(p + key), bv) match {
-            case (_, None) => () // all-null batch widens nothing
-            case (None, Some(v)) =>
-              // An absent bound is seedable ONLY when every prior row
-              // was null for this column (the key then really means
-              // "no non-null value yet") AND the type merges — seeding
-              // an unmergeable type would just decline next fold. Any
-              // other absence is a pre-tombstone decline: re-seeding
-              // would record a bound that skips the earlier rows.
-              if (oldNulls == oldRows.get.toLong &&
-                  mergeExtremum(bTypes(c), v, v, takeMin).isDefined)
-                out += (p + key) -> v
-              else newDecl += key
-            case (Some(o), Some(v)) =>
-              mergeExtremum(bTypes(c), o, v, takeMin) match {
-                case Some(m2) => out += (p + key) -> m2
-                case None => // decline, never wrong — and STAY declined
-                  drop += (p + key); newDecl += key
-              }
-          }
-        fold("min", bMin, takeMin = true)
-        fold("max", bMax, takeMin = false)
-        if (newDecl != declined)
-          out += (p + JournalStore.XdeclKey) ->
-            newDecl.toSeq.sorted.mkString(",")
-        if (tsCols.contains(c)) {
+    val regs = JournalStore.packRegisters(hllRegisterRows(batch, present))
+    present.zipWithIndex.map { case (c, i) =>
+      val nonNull = h.getLong(3 * i)
+      val minv = if (h.isNullAt(3 * i + 1)) None else Some(h.getString(3 * i + 1))
+      val maxv = if (h.isNullAt(3 * i + 2)) None else Some(h.getString(3 * i + 2))
+      val (mnus, mxus) =
+        if (!tsCols.contains(c)) (None, None)
+        else {
           val j = tsCols.indexOf(c)
           val base = 3 * present.size
-          if (!h.isNullAt(base + 2 * j)) {
-            val (bmn, bmx) =
-              (h.getLong(base + 2 * j), h.getLong(base + 2 * j + 1))
-            out += (p + "minus") -> meta.get(p + "minus")
-              .map(o => math.min(o.toLong, bmn)).getOrElse(bmn).toString
-            out += (p + "maxus") -> meta.get(p + "maxus")
-              .map(o => math.max(o.toLong, bmx)).getOrElse(bmx).toString
-          }
+          if (h.isNullAt(base + 2 * j)) (None, None)
+          else (Some(h.getLong(base + 2 * j)),
+            Some(h.getLong(base + 2 * j + 1)))
         }
+      c -> JournalStore.ColSketch(batchRows, batchRows - nonNull,
+        minv, maxv, mnus, mxus,
+        regs.getOrElse(c, Array.emptyByteArray))
+    }.toMap
+  }
+
+  /** Per-DIRECTORY column sketches over one batch/rewrite dataset —
+    * the per-FILE grain of the cstats sidecar (an append/rewrite
+    * writes exactly one file per (epoch, ns) directory, so the
+    * directory aggregate IS that file's sketch). TWO jobs over `df`,
+    * the same count the flat fold pays: one grouped aggregate (nulls +
+    * canonical string extrema + ts micros per column) and one grouped
+    * register melt whose exchange carries ≤ dirs×cols×512 rows.
+    * Extrema are recorded ONLY when [[JournalStore.mergeExtremum]] can
+    * order them (self-merge test) — an absent bound beside non-null
+    * rows reads back as DECLINED, distinguishable from all-null. */
+  private def dirColumnSketches(df: DataFrame, present: Seq[String],
+      bTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[(Long, String), JournalStore.DirSketches] =
+    groupedColumnSketches(df, present, bTypes,
+      concat(col("epoch").cast("string"), lit("\u0000"),
+        col("ns").cast("string")))
+      .map { case (k, v) =>
+        val Array(e, n) = k.split("\u0000", 2)
+        (e.toLong, n) -> v
+      }
+
+  /** The grouped engine behind [[dirColumnSketches]] and analyze()'s
+    * per-file bootstrap: `groupKey` must be a non-null STRING
+    * expression identifying one eventual segment file per group. */
+  private def groupedColumnSketches(df: DataFrame, present: Seq[String],
+      bTypes: Map[String, org.apache.spark.sql.types.DataType],
+      groupKey: org.apache.spark.sql.Column)
+      : Map[String, JournalStore.DirSketches] = {
+    import org.apache.spark.sql.types._
+    if (present.isEmpty) return Map.empty
+    val tsCols = present.filter(c => bTypes(c) == TimestampType ||
+      bTypes(c) == TimestampNTZType)
+    val aggs = (count(lit(1L)).as("__cs_rows") +: present.flatMap(c => Seq(
+      count(col(c)).as(s"__cs_n_$c"),
+      min(col(c)).cast("string").as(s"__cs_mn_$c"),
+      max(col(c)).cast("string").as(s"__cs_mx_$c")))) ++
+      tsCols.flatMap(c => Seq(
+        min(expr(tsMicrosSql(c, bTypes(c)))).as(s"__cs_mnus_$c"),
+        max(expr(tsMicrosSql(c, bTypes(c)))).as(s"__cs_mxus_$c")))
+    val agg = df.groupBy(groupKey.as("__csk"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val regRows = hllRegisterRows(df, present, Seq("__gk" -> groupKey))
+    val regByKey: Map[String, Map[String, Array[Byte]]] =
+      regRows.groupBy(_.getString(0))
+        .map { case (k, rs) => k -> JournalStore.packRegisters(rs, 1) }
+    agg.map { r =>
+      val key = r.getString(0)
+      val rows = r.getLong(1)
+      val cols = present.zipWithIndex.map { case (c, i) =>
+        val nonNull = r.getLong(2 + 3 * i)
+        def str(idx: Int): Option[String] =
+          if (r.isNullAt(idx)) None else Some(r.getString(idx))
+        // extrema recorded only when the merge arithmetic can order
+        // them (self-merge test): an absent bound beside non-null rows
+        // reads back as DECLINED rather than a wrong bound
+        val minv = str(3 + 3 * i).filter(v =>
+          JournalStore.mergeExtremum(bTypes(c), v, v, takeMin = true).isDefined)
+        val maxv = str(4 + 3 * i).filter(v =>
+          JournalStore.mergeExtremum(bTypes(c), v, v, takeMin = false).isDefined)
+        val (mnus, mxus) =
+          if (!tsCols.contains(c)) (None, None)
+          else {
+            val j = tsCols.indexOf(c)
+            val base = 2 + 3 * present.size
+            if (r.isNullAt(base + 2 * j)) (None, None)
+            else (Some(r.getLong(base + 2 * j)),
+              Some(r.getLong(base + 2 * j + 1)))
+          }
+        c -> JournalStore.ColSketch(rows, rows - nonNull, minv, maxv,
+          mnus, mxus,
+          regByKey.getOrElse(key, Map.empty)
+            .getOrElse(c, Array.emptyByteArray))
+      }.toMap
+      key -> JournalStore.DirSketches(rows, cols)
+    }.toMap
+  }
+
+  /** Shared CStat-row assembly: one sidecar row per (file, stat
+    * column) from a captured sketch set; stat columns the dataset did
+    * not carry record as all-null (they null-fill on read). */
+  private def cstatRowsOf(file: String, ds: JournalStore.DirSketches,
+      statCols: Seq[String]): Seq[ColumnStatsSidecar.CStat] =
+    statCols.map { c =>
+      ds.cols.get(c) match {
+        case Some(s) => ColumnStatsSidecar.CStat(file, c, ds.rows,
+          s.nulls, s.minv, s.maxv, s.minus, s.maxus, s.regs)
+        case None => ColumnStatsSidecar.CStat(file, c, ds.rows, ds.rows,
+          None, None, None, None, Array.emptyByteArray)
       }
     }
-    (out.result(), drop.result())
+
+  /** REFOLD the merged analyze() stats from the SURVIVING files'
+    * per-file column sketches after a destructive rewrite — the step
+    * that lets deleteWhere/compact keep CBO stats alive instead of
+    * declining. Exact-or-decline: any surviving file without a
+    * coherent sketch for every recorded column (pre-cstats file,
+    * sketch-dirs cap skip, damaged part, or a row count diverging from
+    * its FileStat — a deletion-vector decrement) drops the WHOLE
+    * recorded set, as does any live deletion vector (sketches cannot
+    * see the subtraction). Histogram keys ride through unchanged (the
+    * 2x freshness gate governs their serving). Returns the full new
+    * meta map. Driver cost: O(survivors × cols × 512B), streamed fold
+    * — paid only by destructive rewrites on analyzed stores. */
+  private def refoldStatsMeta(meta: Map[String, String],
+      files2: Seq[String], fstats2: Seq[FileStat], dvParts2: Seq[String],
+      sketches: Map[(String, String), ColumnStatsSidecar.CStat],
+      schemaDdl: String): Map[String, String] = {
+    val statCols = JournalStore.activeStatCols(meta)
+    if (statCols.isEmpty) return meta // nothing mergeable is recorded
+    def decline = meta -- JournalStore.statsMetaKeys(meta)
+    if (dvParts2.nonEmpty) return decline
+    val fmap = fstats2.map(s => s.file -> s).toMap
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      if (schemaDdl.isEmpty) Map.empty
+      else org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        .map(f => f.name -> f.dataType).toMap
+    val perFile: Seq[Map[String, JournalStore.ColSketch]] = files2.map { f =>
+      fmap.get(f) match {
+        case None => return decline // stats-free file: cannot certify
+        case Some(fs) =>
+          val cs = statCols.map(c => sketches.get((f, c)))
+          if (cs.exists(s => s.isEmpty || s.get.rows != fs.rows))
+            return decline
+          statCols.zip(cs.map { s =>
+            val v = s.get
+            JournalStore.ColSketch(v.rows, v.nulls, v.minv, v.maxv,
+              v.minus, v.maxus, v.regs)
+          }).toMap
+      }
+    }
+    val rows = files2.map(f => fmap(f).rows).sum
+    val kvs = scala.collection.immutable.TreeMap.newBuilder[String, String]
+    kvs += JournalStore.StatsRowsKey -> rows.toString
+    meta.get(JournalStore.StatsHistRowsKey).foreach(v =>
+      kvs += JournalStore.StatsHistRowsKey -> v)
+    statCols.foreach { c =>
+      val p = JournalStore.StatsColPrefix + c + "."
+      val merged = JournalStore.mergeColSketches(types.get(c),
+        perFile.map(_.apply(c)))
+      val packed =
+        if (merged.regs.isEmpty) new Array[Byte](512) else merged.regs
+      val (rh, wh) = JournalStore.registerSummary(packed)
+      kvs += (p + "nulls") -> merged.nulls.toString
+      kvs += (p + "regs") -> rh.toString
+      kvs += (p + "whit") -> wh.toString
+      kvs += (p + "ndv") -> JournalStore.hllNdvEstimate(rh, wh).toString
+      kvs += (p + "hllregs") ->
+        java.util.Base64.getEncoder.encodeToString(packed)
+      merged.minv.foreach(v => kvs += (p + "min") -> v)
+      merged.maxv.foreach(v => kvs += (p + "max") -> v)
+      merged.minus.foreach(v => kvs += (p + "minus") -> v.toString)
+      merged.maxus.foreach(v => kvs += (p + "maxus") -> v.toString)
+      meta.get(p + "hist").foreach(v => kvs += (p + "hist") -> v)
+      val declKeys = Seq("min" -> merged.minv, "max" -> merged.maxv)
+        .collect { case (k, None) if merged.nulls < merged.rows => k }
+      if (declKeys.nonEmpty)
+        kvs += (p + JournalStore.XdeclKey) -> declKeys.mkString(",")
+    }
+    decline ++ kvs.result()
+  }
+
+  /** Sketch capture + sidecar consolidation + refold for a destructive
+    * rewrite: `rewritten` maps each REWRITTEN file to its fresh
+    * sketches (computed from the rows the rewrite already read, through
+    * any deletion vectors); surviving untouched files keep their
+    * recorded rows. Returns (new meta, new cstats part list). When the
+    * store has no mergeable recorded stats the sidecar is dropped —
+    * sketches without merged stats are dead weight; the next analyze()
+    * rebuilds both. */
+  private def rewriteStatsState(m: JournalStore.Manifest,
+      files2: Seq[String], fstats2: Seq[FileStat], dvParts2: Seq[String],
+      rewritten: Seq[(String, JournalStore.DirSketches)])
+      : (Map[String, String], Seq[String]) = {
+    val statCols = JournalStore.activeStatCols(m.meta)
+    if (statCols.isEmpty) return (m.meta, Nil)
+    val live = files2.toSet
+    val newFiles = rewritten.map(_._1).toSet
+    val kept = ColumnStatsSidecar.readAll(path, m.cstatsParts)
+      .filter { case ((f, _), _) => live.contains(f) && !newFiles.contains(f) }
+    val fresh = rewritten.flatMap { case (f, ds) =>
+      cstatRowsOf(f, ds, statCols) }
+    val sketchMap = kept ++ fresh.map(s => (s.file, s.col) -> s)
+    val meta2 = refoldStatsMeta(m.meta, files2, fstats2, dvParts2,
+      sketchMap, m.schemaDdl)
+    val parts2 =
+      if (!meta2.contains(JournalStore.StatsRowsKey) || sketchMap.isEmpty) Nil
+      else Seq(ColumnStatsSidecar.writePart(path, sketchMap.values.toSeq))
+    (meta2, parts2)
   }
 
   /** DECLARED-retention sweep — TTL as a TABLE ATTRIBUTE instead of an
@@ -960,19 +1151,30 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * sketch-of-union guarantee the journal_analyze_incr hash gate
     * proves requires both sides to run bit-identical arithmetic —
     * there must be exactly one copy of these constants. */
-  private def hllRegisterRows(df: DataFrame, cols: Seq[String])
-      : Array[org.apache.spark.sql.Row] = df
-    .select(explode(array(cols.map(c =>
-      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
-    .select(col("cv.c").as("c"), col("cv.v").as("v"))
-    .where(col("v").isNotNull)
-    .selectExpr("c",
-      "CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h")
-    .selectExpr("c", "h % 512 AS b",
-      "CASE WHEN h div 512 = 0 THEN 52 " +
-        "ELSE 52 - length(bin(h div 512)) END AS rho")
-    .groupBy("c", "b").agg(max("rho").as("m"))
-    .collect()
+  private def hllRegisterRows(df: DataFrame, cols: Seq[String],
+      groups: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : Array[org.apache.spark.sql.Row] = {
+    // optional leading GROUP columns (the per-file grain of the cstats
+    // sidecar; Nil = the flat batch melt): grouped max-rho then a
+    // driver-side max across groups is byte-identical to the flat melt
+    // — max is associative — so the fold invariant holds at any grain
+    val gNames = groups.map(_._1)
+    df.select(groups.map { case (n, c) => c.as(n) } :+
+        explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*))
+          .as("cv"): _*)
+      .select(gNames.map(col) ++
+        Seq(col("cv.c").as("c"), col("cv.v").as("v")): _*)
+      .where(col("v").isNotNull)
+      .selectExpr(gNames ++ Seq("c",
+        "CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h"): _*)
+      .selectExpr(gNames ++ Seq("c", "h % 512 AS b",
+        "CASE WHEN h div 512 = 0 THEN 52 " +
+          "ELSE 52 - length(bin(h div 512)) END AS rho"): _*)
+      .groupBy((gNames :+ "c" :+ "b").map(col): _*)
+      .agg(max("rho").as("m"))
+      .collect()
+  }
 
   /** Exact row count the last [[analyze]] ran at; None if never run. */
   def analyzedRowCount: Option[Long] =
@@ -1189,6 +1391,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
     FileStatsSidecar.partsOf(m.fstats).getOrElse(Nil).foreach(p =>
       link(FileStatsSidecar.dir(path).resolve(p),
         FileStatsSidecar.dir(dest).resolve(p)))
+    m.cstatsParts.foreach(p =>
+      link(ColumnStatsSidecar.dir(path).resolve(p),
+        ColumnStatsSidecar.dir(dest).resolve(p)))
     m.dvParts.foreach(p =>
       link(Paths.get(dvDir, p), Paths.get(dest, "dv", p)))
     m.checkpoints.foreach { c =>
@@ -1732,11 +1937,48 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }
     // incremental ANALYZE: fold this batch's column sketch into the
     // recorded stats so they stay served after the append (no-op — and
-    // no extra jobs — on stores that were never analyze()d)
-    val (statsAdd, statsDrop) = incrementalStatsMeta(m.meta, out, rowsAppended)
+    // no extra jobs — on stores that were never analyze()d). When the
+    // fold is active, the batch sketch is captured at (epoch, ns)
+    // DIRECTORY grain — one file per directory per append, so the dir
+    // sketches double as the new files' cstats sidecar rows (what lets
+    // a later deleteWhere/compact REFOLD the merged stats instead of
+    // declining) — at the SAME two-job cost as the flat fold; a batch
+    // spanning more than MaxSketchDirs directories falls back to the
+    // flat fold and skips the per-file rows (bounded driver collect).
+    val foldCols = JournalStore.activeStatCols(m.meta)
+    val presentCols = foldCols.filter(out.columns.contains)
+    val outTypes = out.schema.map(f => f.name -> f.dataType).toMap
+    val dirSk: Map[(Long, String), JournalStore.DirSketches] =
+      if (presentCols.isEmpty || rowsAppended == 0 ||
+          perNs.length > JournalStore.MaxSketchDirs) Map.empty
+      else dirColumnSketches(out, presentCols, outTypes)
+    val preSketch: Option[Map[String, JournalStore.ColSketch]] =
+      if (dirSk.isEmpty) None
+      else Some(presentCols.map(c => c -> JournalStore.mergeColSketches(
+        outTypes.get(c), dirSk.values.toSeq.map(_.cols(c)))).toMap)
+    val (statsAdd, statsDrop) =
+      incrementalStatsMeta(m.meta, out, rowsAppended, preSketch)
+    val csRows: Seq[ColumnStatsSidecar.CStat] =
+      if (dirSk.isEmpty) Nil
+      else newFiles
+        .groupBy(f => (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1))))
+        .toSeq.collect {
+          case ((Some(e), Some(n)), Seq(f))
+              if n.matches("[A-Za-z0-9_.\\-]+") && dirSk.contains((e, n)) =>
+            cstatRowsOf(f, dirSk((e, n)), foldCols)
+        }.flatten
+    val cstatsParts2: Seq[String] =
+      if (csRows.isEmpty) m.cstatsParts
+      else if (m.cstatsParts.sizeIs >= ColumnStatsSidecar.MaxParts) {
+        // consolidate: keep only live files' rows + this batch's
+        val live = files2.toSet
+        val kept = ColumnStatsSidecar.readAll(path, m.cstatsParts)
+          .values.filter(s => live.contains(s.file)).toSeq
+        Seq(ColumnStatsSidecar.writePart(path, kept ++ csRows))
+      } else m.cstatsParts :+ ColumnStatsSidecar.writePart(path, csRows)
     commitSeam()
     try writeManifest(path, m.copy(op = "append", maxSeq = newMax,
-      files = files2,
+      files = files2, cstatsParts = cstatsParts2,
       stats = stats2, kstats = kstats2, fstats = FileStatsSidecar.appended(m.fstats, batchF),
       lastBatchId =
         if (writerId.isEmpty) streamBatchId.getOrElse(m.lastBatchId)
@@ -1800,6 +2042,16 @@ class JournalStore private (val spark: SparkSession, val path: String,
         try compactFiles(victims, SegmentLayout.ByKey)
         catch { case _: java.util.ConcurrentModificationException => }
     }
+    // auto-maintenance cadence (see withAutoMaintain): keyed on the
+    // BATCH id so restarts and per-batch sink handles keep the rhythm;
+    // a batch-less caller sweeps every append. Best-effort like the
+    // auto-compaction above — a lost race skips the cycle, never fails
+    // the durable append. (A malformed retention spec still throws:
+    // that is a configuration error, not a race.)
+    if (autoMaintainBatches > 0 &&
+        streamBatchId.forall(_ % autoMaintainBatches == 0))
+      try maintain()
+      catch { case _: java.util.ConcurrentModificationException => }
     newMax
   }
 
@@ -2085,11 +2337,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val m = manifest
     val old = victimFiles.filter(m.files.contains)
     if (old.isEmpty) return
+    val nsRe = """ns=([^/]+)""".r
+    def dirOf(f: String) = (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1)))
     // Read through the pinned schema (a footer-sampled read of
     // mixed-schema victims could DROP evolved columns from the rewrite)
     // AND through the deletion vectors: the rewrite materializes the
     // subtraction, so compaction doubles as the DV physical purge.
-    val rows = readSegmentsOver(old, m.schemaDdl, m.dvParts)
+    val rows0 = readSegmentsOver(old, m.schemaDdl, m.dvParts)
+    // Stats-maintaining compact re-sketches the rewritten files from
+    // the rows it already reads (so the refold below can keep the
+    // merged analyze() stats alive — including resurrecting them after
+    // a DV delete, since this read materializes the subtraction); the
+    // extra passes reuse one cached read.
+    val foldCols = JournalStore.activeStatCols(m.meta)
+    val doSketch = foldCols.nonEmpty &&
+      old.map(dirOf).distinct.sizeIs <= JournalStore.MaxSketchDirs
+    val rows = if (!doSketch) rows0
+      else rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Staged write + promote, like append(): the rewrite's commit
     // protocol is private (no `_temporary` race with concurrent
     // appenders) and newFiles is exactly THIS compaction's output — no
@@ -2131,8 +2395,6 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // the new file. Only when EVERY victim in the group carried stats —
     // otherwise the group may contain pre-stats rows the merge doesn't
     // cover and the new file records none (conservative, never wrong).
-    val nsRe = """ns=([^/]+)""".r
-    def dirOf(f: String) = (epochOf(f), nsRe.findFirstMatchIn(f).map(_.group(1)))
     val fmap = m.fstats.map(s => s.file -> s).toMap
     val victims = old.groupBy(dirOf)
     val derived = newFiles.flatMap { nf =>
@@ -2153,17 +2415,57 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case _ => None
       }
     }
+    val files2 = (m.files diff old) ++ newFiles
+    val fstats2 = m.fstats.filterNot(s => old.contains(s.file)) ++ derived
+    val dvParts2 = dvPartsWithout(m.dvParts, old)
+    // STATS SURVIVE THE COMPACT: fresh sketches for the rewritten
+    // files, then refold the merged stats over all survivors.
+    val presentCols = foldCols.filter(rows.columns.contains)
+    val dirSk: Map[(Long, String), JournalStore.DirSketches] =
+      if (!doSketch || presentCols.isEmpty) Map.empty
+      else dirColumnSketches(rows, presentCols,
+        rows.schema.map(f => f.name -> f.dataType).toMap)
+    val rewrittenSk = derived.flatMap { s =>
+      dirOf(s.file) match {
+        case (Some(e), Some(n)) => dirSk.get((e, n)).map(s.file -> _)
+        case _ => None
+      }
+    }
+    val (meta2, cstatsParts2) =
+      rewriteStatsState(m, files2, fstats2, dvParts2, rewrittenSk)
+    // HISTOGRAM RE-CAPTURE on a FULL rewrite: this read IS the whole
+    // table, so the 16-bin boundaries re-derive for free relative to
+    // the rewrite — the histogram stops dying at 2x growth as long as
+    // the store compacts on its maintenance cadence. Partial compacts
+    // keep the recorded capture (its freshness gate still governs).
+    val fullRewrite = (m.files diff old).isEmpty
+    val meta3 =
+      if (!fullRewrite || !meta2.contains(JournalStore.StatsRowsKey)) meta2
+      else {
+        val total = meta2(JournalStore.StatsRowsKey).toLong
+        val hists = histCapture(rows, JournalStore.activeStatCols(meta2),
+          rows.schema.map(f => f.name -> f.dataType).toMap, total)
+        meta2.filterNot { case (k, _) =>
+          k == JournalStore.StatsHistRowsKey ||
+            (k.startsWith(JournalStore.StatsColPrefix) &&
+              k.endsWith(".hist")) } ++
+          Map(JournalStore.StatsHistRowsKey -> total.toString) ++
+          hists.map { case (c, (bs, ns2)) =>
+            (JournalStore.StatsColPrefix + c + ".hist") ->
+              (bs.mkString(",") + "|" + ns2.mkString(",")) }
+      }
+    if (doSketch) rows.unpersist()
     commitSeam()
-    writeManifest(path, m.copy(op = "compact", files = (m.files diff old) ++ newFiles,
-      fstats = m.fstats.filterNot(s => old.contains(s.file)) ++ derived,
+    writeManifest(path, m.copy(op = "compact", files = files2,
+      fstats = fstats2, meta = meta3, cstatsParts = cstatsParts2,
       // vectors over the victims are now physically applied — drop them
-      dvParts = dvPartsWithout(m.dvParts, old),
+      dvParts = dvParts2,
       // a FULL rewrite (every live file was a victim) re-planned every
       // row through the narrowed DDL, physically forgetting dropped
       // columns' bytes — the lapsed names re-open for evolution. A
       // partial compact may leave pre-drop files alive, so it keeps
       // the list (conservative; see dropColumn).
-      droppedCols = if ((m.files diff old).isEmpty) Nil else m.droppedCols))
+      droppedCols = if (fullRewrite) Nil else m.droppedCols))
   }
 
   /** Delete segment files referenced by NO retained manifest version.
@@ -2270,6 +2572,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
       } finally st.close()
       parts.filterNot(p => liveParts.contains(p.getFileName.toString))
         .filter(aged).foreach(reap("stats-part", _))
+    }
+    // Column-sketch parts (cstats/): same orphan/rotation sweep as the
+    // per-file stats sidecar — name-list work only.
+    val liveCs = (cur +: retained).flatMap(_.cstatsParts).toSet
+    val csDir = ColumnStatsSidecar.dir(path)
+    if (Files.exists(csDir)) {
+      val st = Files.list(csDir)
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toList
+      } finally st.close()
+      parts.filterNot(p => liveCs.contains(p.getFileName.toString))
+        .filter(aged).foreach(reap("cstats-part", _))
     }
     // Deletion-vector parts referenced by NO retained manifest: orphans
     // from crashed writers plus parts rotated out by consolidation or
@@ -3102,6 +3417,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
              else java.util.Base64.getEncoder.encodeToString(
                r.getAs[Array[Byte]](2)))
         }.toMap
+    // Fresh COLUMN sketches for the rewritten files too (cstats
+    // sidecar), from the still-cached retained rows — what lets the
+    // refold below keep the merged analyze() stats alive through the
+    // erase instead of declining. Same dir-count cap as append.
+    val foldCols = JournalStore.activeStatCols(m.meta)
+    val presentCols = foldCols.filter(retained.columns.contains)
+    val rTypes = retained.schema.map(f => f.name -> f.dataType).toMap
+    val dirSk: Map[(Long, String), JournalStore.DirSketches] =
+      if (presentCols.isEmpty ||
+          perNs.length > JournalStore.MaxSketchDirs) Map.empty
+      else dirColumnSketches(retained, presentCols, rTypes)
     retained.unpersist()
     val nsRe = """ns=([^/]+)""".r
     val statRow = perNs.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
@@ -3173,13 +3499,26 @@ class JournalStore private (val spark: SparkSession, val path: String,
           }
         case _ => None
       }
+    val dvParts2 = dvPartsWithout(m.dvParts, affected)
+    // STATS SURVIVE THE ERASE: rewritten files carry fresh sketches
+    // (computed above from the exact retained rows); the merged
+    // analyze() stats refold from ALL surviving files' sketches —
+    // exact-or-decline per refoldStatsMeta's contract.
+    val rewrittenSk = newF.flatMap { s =>
+      dirOf(s.file) match {
+        case (Some(e), Some(n)) => dirSk.get((e, n)).map(s.file -> _)
+        case _ => None
+      }
+    }
+    val (meta2, cstatsParts2) =
+      rewriteStatsState(m, files2, fstats2, dvParts2, rewrittenSk)
     commitSeam()
     writeManifest(path, m.copy(op = "delete", files = files2, stats = stats2.sortBy(_.epoch),
       kstats = kstats2.sortBy(k => (k.epoch, k.ns)), fstats = fstats2,
-      checkpoints = Nil,
+      checkpoints = Nil, meta = meta2, cstatsParts = cstatsParts2,
       // vectors over the rewritten files are applied by the rewrite
       // itself (the retained read subtracted them) — drop the entries
-      dvParts = dvPartsWithout(m.dvParts, affected)))
+      dvParts = dvParts2))
     deleted
   }
 
@@ -4144,7 +4483,15 @@ object JournalStore {
                       // opaque key→value pairs carried by every commit —
                       // derived artifacts (e.g. the ANN index) record
                       // their source fingerprint here. See setMeta().
-                      meta: Map[String, String] = Map.empty)
+                      meta: Map[String, String] = Map.empty,
+                      // per-file COLUMN sketch parts under cstats/
+                      // (ColumnStatsSidecar): what lets destructive
+                      // rewrites REFOLD the merged analyze() stats from
+                      // surviving files instead of declining. Names
+                      // only — bytes load at rewrite commits, never at
+                      // snapshot reads. Empty = never analyzed (or a
+                      // pre-cstats store).
+                      cstatsParts: Seq[String] = Nil)
 
   /** Physical row layout of compacted segment files. */
   sealed trait SegmentLayout
@@ -4230,6 +4577,20 @@ object JournalStore {
     * arbitrary min/max strings ride the manifest's URL-encoding with no
     * JSON escaping of their own). */
   private[graft] val StatsColPrefix = "stats.col."
+
+  /** Directory cap on the per-file sketch capture: an append spanning
+    * more (epoch, ns) directories than this (a many-epoch backfill)
+    * skips the per-file grain — the grouped melt's driver collect is
+    * dirs×cols×512 rows — and falls back to the flat fold (merged
+    * stats stay alive; the skipped files simply have no sketches, so a
+    * later rewrite refold declines and the next analyze() re-arms).
+    * 64 dirs × 32 cols × 512 ≈ 1M tiny rows, a bounded driver cost. */
+  private[journal] val MaxSketchDirs = 64
+
+  /** analyze()'s cstats bootstrap processes files in chunks of this
+    * many per job pair, bounding the driver's melt collect at
+    * chunk×cols×512 rows no matter how many files the store has. */
+  private[journal] val BootstrapChunkFiles = 64
 
   /** Per-column stats-key SUFFIX tombstoning declined extrema
     * (`stats.col.<c>.xdecl` = comma-joined dead keys, "min"/"max"): a
@@ -4362,12 +4723,13 @@ object JournalStore {
     * mergeable sketch state, so append() can fold a batch's registers
     * in with an elementwise max. */
   private[journal] def packRegisters(
-      rows: Array[org.apache.spark.sql.Row]): Map[String, Array[Byte]] =
-    rows.groupBy(_.getString(0)).map { case (c, rs) =>
+      rows: Array[org.apache.spark.sql.Row],
+      cOff: Int = 0): Map[String, Array[Byte]] =
+    rows.groupBy(_.getString(cOff)).map { case (c, rs) =>
       val arr = new Array[Byte](512)
       rs.foreach { r =>
-        val b = r.get(1).asInstanceOf[Number].intValue
-        val rho = r.get(2).asInstanceOf[Number].intValue
+        val b = r.get(cOff + 1).asInstanceOf[Number].intValue
+        val rho = r.get(cOff + 2).asInstanceOf[Number].intValue
         if (rho > arr(b)) arr(b) = rho.toByte
       }
       c -> arr
@@ -4388,6 +4750,168 @@ object JournalStore {
     var i = 0
     while (i < 512) { out(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
     out
+  }
+
+  /** One column's sketch over one row set (a batch, a directory/file,
+    * or a merge of either): the mergeable fragment of analyze()'s
+    * per-column state. `minv`/`maxv` absent with nulls < rows means
+    * DECLINED (values exist but no order-correct bound — unmergeable
+    * type or out-of-form value); absent with nulls == rows means
+    * all-null. `regs` is empty (not 512 zeros) when nothing melted. */
+  private[journal] case class ColSketch(rows: Long, nulls: Long,
+      minv: Option[String], maxv: Option[String],
+      minus: Option[Long], maxus: Option[Long], regs: Array[Byte])
+
+  /** One (epoch, ns) directory's row count + per-column sketches. */
+  private[journal] case class DirSketches(rows: Long,
+      cols: Map[String, ColSketch])
+
+  /** Union of column sketches — the ONE merge arithmetic behind the
+    * append fold (dirs → batch), the rewrite refold (files → table)
+    * and the analyze bootstrap: nulls add, registers elementwise-max,
+    * extrema merge order-correctly or DECLINE (any contributing
+    * non-null sketch without a bound poisons the merge to declined —
+    * its rows are unbounded), ts micros min/max. */
+  private[journal] def mergeColSketches(
+      dt: Option[org.apache.spark.sql.types.DataType],
+      ss: Seq[ColSketch]): ColSketch = {
+    val rows = ss.map(_.rows).sum
+    val nulls = ss.map(_.nulls).sum
+    val regs = ss.map(_.regs).filter(_.nonEmpty) match {
+      case Seq() => Array.emptyByteArray
+      case one +: Seq() => one
+      case more => more.reduce(mergeRegisters)
+    }
+    val nn = ss.filter(s => s.nulls < s.rows)
+    def bound(get: ColSketch => Option[String],
+              takeMin: Boolean): Option[String] =
+      if (nn.isEmpty || dt.isEmpty || nn.exists(s => get(s).isEmpty)) None
+      else {
+        val vs = nn.map(s => get(s).get)
+        vs.tail.foldLeft(Option(vs.head))((acc, b) =>
+          acc.flatMap(a => mergeExtremum(dt.get, a, b, takeMin)))
+      }
+    val minus =
+      if (nn.nonEmpty && nn.forall(_.minus.isDefined))
+        Some(nn.map(_.minus.get).min)
+      else None
+    val maxus =
+      if (nn.nonEmpty && nn.forall(_.maxus.isDefined))
+        Some(nn.map(_.maxus.get).max)
+      else None
+    ColSketch(rows, nulls, bound(_.minv, takeMin = true),
+      bound(_.maxv, takeMin = false), minus, maxus, regs)
+  }
+
+  /** Columns whose stats the incremental fold maintains: the recorded
+    * set, gated on every column carrying raw mergeable registers
+    * (pre-`hllregs` manifests are not mergeable — legacy serve-gate
+    * decline applies). Nil = fold inactive. */
+  private[journal] def activeStatCols(meta: Map[String, String]): Seq[String] = {
+    if (!meta.contains(StatsRowsKey)) return Nil
+    val pre = StatsColPrefix
+    val cols = meta.keys.collect {
+      case k if k.startsWith(pre) && k.endsWith(".ndv") =>
+        k.stripPrefix(pre).stripSuffix(".ndv")
+    }.toSeq.sorted
+    if (cols.nonEmpty && cols.forall(c => meta.contains(pre + c + ".hllregs")))
+      cols
+    else Nil
+  }
+
+  /** Every recorded-stats meta key (the set analyze() replaces and a
+    * refold decline strips). */
+  private[journal] def statsMetaKeys(meta: Map[String, String]): Set[String] =
+    meta.keys.filter(k => k == StatsRowsKey || k == StatsHistRowsKey ||
+      k.startsWith(StatsColPrefix)).toSet
+
+  /** Fold ONE batch-level column sketch into the recorded stats meta —
+    * the pure arithmetic of the incremental fold (jobs live in the
+    * caller). Returns (refreshed keys, keys to drop). */
+  private[journal] def foldStatsMeta(meta: Map[String, String],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      statCols: Seq[String], sketch: Map[String, ColSketch],
+      batchRows: Long, oldRows: Long)
+      : (Map[String, String], Set[String]) = {
+    val pre = StatsColPrefix
+    val out = Map.newBuilder[String, String]
+    val drop = Set.newBuilder[String]
+    out += StatsRowsKey -> (oldRows + batchRows).toString
+    statCols.foreach { c =>
+      val p = pre + c + "."
+      val oldNulls = meta(p + "nulls").toLong
+      sketch.get(c) match {
+        case None =>
+          // a stats column this batch does not carry: the batch
+          // null-fills it on read — nulls grow, everything else holds
+          out += (p + "nulls") -> (oldNulls + batchRows).toString
+        case Some(s) =>
+          out += (p + "nulls") -> (oldNulls + s.nulls).toString
+          val merged = mergeRegisters(
+            java.util.Base64.getDecoder.decode(meta(p + "hllregs")),
+            if (s.regs.isEmpty) new Array[Byte](512) else s.regs)
+          val (rh, wh) = registerSummary(merged)
+          out += (p + "hllregs") ->
+            java.util.Base64.getEncoder.encodeToString(merged)
+          out += (p + "regs") -> rh.toString
+          out += (p + "whit") -> wh.toString
+          out += (p + "ndv") -> hllNdvEstimate(rh, wh).toString
+          val nonNull = s.rows - s.nulls
+          // Declined extrema are TOMBSTONED (`.xdecl` lists the dead
+          // keys): once a fold declines a bound, every later fold must
+          // keep declining until the next full analyze() re-measures —
+          // without the marker, the next batch would hit the absent-key
+          // case below and re-seed the extremum from ITS rows alone,
+          // recording a bound that does not cover earlier rows.
+          val declined: Set[String] = meta.get(p + XdeclKey)
+            .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+          val newDecl = scala.collection.mutable.Set.empty[String] ++ declined
+          def fold(key: String, bv: Option[String], takeMin: Boolean): Unit =
+            if (declined(key)) drop += (p + key)
+            else if (bv.isEmpty && nonNull > 0) {
+              // the batch HAS values but its own bound is unknown (the
+              // sketch declined it): the old bound cannot absorb them
+              if (meta.contains(p + key)) drop += (p + key)
+              newDecl += key
+            } else bv match {
+              case None => () // all-null batch widens nothing
+              case Some(v) => meta.get(p + key) match {
+                case None =>
+                  // An absent bound is seedable ONLY when every prior
+                  // row was null for this column (the key then really
+                  // means "no non-null value yet") AND the type merges
+                  // — seeding an unmergeable type would just decline
+                  // next fold. Any other absence is a pre-tombstone
+                  // decline: re-seeding would record a bound that
+                  // skips the earlier rows.
+                  if (oldNulls == oldRows && types.get(c).exists(dt =>
+                      mergeExtremum(dt, v, v, takeMin).isDefined))
+                    out += (p + key) -> v
+                  else newDecl += key
+                case Some(o) =>
+                  types.get(c).flatMap(dt =>
+                      mergeExtremum(dt, o, v, takeMin)) match {
+                    case Some(m2) => out += (p + key) -> m2
+                    case None => // decline, never wrong — STAY declined
+                      drop += (p + key); newDecl += key
+                  }
+              }
+            }
+          fold("min", s.minv, takeMin = true)
+          fold("max", s.maxv, takeMin = false)
+          if (newDecl != declined)
+            out += (p + XdeclKey) -> newDecl.toSeq.sorted.mkString(",")
+          s.minus.foreach { bmn =>
+            out += (p + "minus") -> meta.get(p + "minus")
+              .map(o => math.min(o.toLong, bmn)).getOrElse(bmn).toString
+          }
+          s.maxus.foreach { bmx =>
+            out += (p + "maxus") -> meta.get(p + "maxus")
+              .map(o => math.max(o.toLong, bmx)).getOrElse(bmx).toString
+          }
+      }
+    }
+    (out.result(), drop.result())
   }
 
   /** Reserved source-column prefix for N-clause merge CARRIERS — the
@@ -4509,6 +5033,8 @@ object JournalStore {
     // The pre-reset store's stat sidecar goes with its version files.
     org.apache.commons.io.FileUtils.deleteQuietly(
       FileStatsSidecar.dir(path).toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      ColumnStatsSidecar.dir(path).toFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
       RootSidecar.dir(path).toFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
@@ -4646,6 +5172,14 @@ object JournalStore {
     }
     val fst = root.putArray("fstatsParts")
     fstatParts.foreach(fst.add)
+    if (m.cstatsParts.nonEmpty) {
+      // column-sketch parts are written by the OPS (append delta /
+      // rewrite consolidation / analyze bootstrap) before the commit —
+      // the manifest only records their names. Orphans from losing
+      // writers are swept by vacuum, like every other sidecar family.
+      val cst = root.putArray("cstatsParts")
+      m.cstatsParts.foreach(cst.add)
+    }
     if (m.dvParts.nonEmpty) {
       val dvp = root.putArray("dvParts")
       m.dvParts.foreach(dvp.add)
@@ -4816,7 +5350,8 @@ object JournalStore {
         mm.fieldNames().asScala.map(k =>
           java.net.URLDecoder.decode(k, "UTF-8") ->
             java.net.URLDecoder.decode(mm.get(k).asText, "UTF-8")).toMap
-      } else Map.empty))
+      } else Map.empty,
+      arr("cstatsParts").map(_.asText)))
   } catch {
     // the protocol gate's refusal MUST escape: reading a newer-format
     // manifest as "no manifest here" would be exactly the silent

@@ -1132,6 +1132,70 @@ object LlmExtOps {
         .orderBy("doc_id")
     }),
 
+    "dedup_span_scrub" -> ((s, d) => {
+      // MATERIALIZED span dedup (Lee et al. 2022 §4 — the removal pass
+      // dedup_span only measures): excise each document's duplicated
+      // intervals, keeping the FIRST occurrence of every duplicated
+      // shingle CORPUS-WIDE (canonical order (doc_id, position) — the
+      // deterministic tie-break the paper's "keep one copy" needs),
+      // and return the scrubbed text. Same positioned-shingle frame as
+      // dedup_span; the first-occurrence mark is ONE window over the
+      // shingle hash (row_number + count partials — the shuffle
+      // carries (doc_id, pos, md5), never text); non-first anchors
+      // merge into maximal intervals by the same gaps-and-islands
+      // window; the EXCISION is wholly map-side (the per-doc span list
+      // is collect_list-ed — bounded by doc length / k — and each
+      // doc's words filter against it with higher-order functions, no
+      // positional re-join of the corpus). 100 TB shape: two shuffles
+      // (by shingle hash, by doc_id), both at anchor grain; text moves
+      // exactly twice (in, out).
+      val k = 8
+      val docs = Tables(s, d, "documents")
+      val wt = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val sh = wt.where(size(col("w")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - (k - 1))).as("p"),
+          col("w"))
+        .select(col("doc_id"), col("p"),
+          md5(array_join(slice(col("w"), col("p"), lit(k)), " ")).as("g"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("doc_id", "p")
+      val dup = sh
+        .withColumn("rn", row_number().over(wg))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        .where(col("n") >= 2 && col("rn") > 1)
+        .select("doc_id", "p")
+      val wLag = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val spans = dup
+        .withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(wLag) <= k, lit(0))
+            .otherwise(lit(1)))
+        .withColumn("island", sum("brk").over(
+          wLag.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("p").as("st"), (max("p") + lit(k - 1)).as("en"))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
+      wt.join(spans, Seq("doc_id"), "left")
+        // spanless docs keep everything: a (0,0) sentinel span matches
+        // no 1-based position and keeps the lambda null-free
+        .withColumn("spans", coalesce(col("spans"),
+          array(struct(lit(0).as("st"), lit(0).as("en")))))
+        .withColumn("kept", expr(
+          "filter(transform(w, (x, i) -> struct(x AS word, i + 1 AS p)), " +
+            "t -> NOT exists(spans, s -> t.p >= s.st AND t.p <= s.en))"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tok"),
+          size(col("kept")).cast("long").as("kept_tok"),
+          expr("array_join(transform(kept, t -> t.word), ' ')")
+            .as("kept_text"))
+        .orderBy("doc_id")
+    }),
+
     "text_decontaminate" -> ((s, d) => {
       // Benchmark decontamination — the training-data op every serious
       // LLM pipeline runs before training: flag training documents that
@@ -3166,6 +3230,35 @@ object LlmExtOps {
         "coalesce(p.dup_tok, 0) AS dup_tok, " +
         "CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans " +
         "FROM wt w LEFT JOIN perdoc p ON w.doc_id = p.doc_id " +
+        "ORDER BY w.doc_id"),
+    // the scrub twin replays the identical interval arithmetic and
+    // excises by position (keep-first corpus-wide = rn 1 per shingle)
+    "dedup_span_scrub" ->
+      ("WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, p, md5(array_to_string(list_slice(w, p, p + 7), ' ')) AS g " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p " +
+        "FROM wt WHERE len(w) >= 8)), " +
+        "mk AS (SELECT doc_id, p, row_number() OVER " +
+        "(PARTITION BY g ORDER BY doc_id, p) AS rn, " +
+        "count(*) OVER (PARTITION BY g) AS n FROM sh), " +
+        "dp AS (SELECT doc_id, p FROM mk WHERE n >= 2 AND rn > 1), " +
+        "brk AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER " +
+        "(PARTITION BY doc_id ORDER BY p) <= 8 THEN 0 ELSE 1 END AS brk FROM dp), " +
+        "isl AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id " +
+        "ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM brk), " +
+        "spans AS (SELECT doc_id, min(p) AS st, max(p) + 7 AS en " +
+        "FROM isl GROUP BY doc_id, island), " +
+        "pw AS (SELECT doc_id, i, w[i] AS word FROM " +
+        "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM wt)), " +
+        "keep AS (SELECT pw.doc_id, pw.i, pw.word FROM pw WHERE NOT EXISTS " +
+        "(SELECT 1 FROM spans s WHERE s.doc_id = pw.doc_id " +
+        "AND pw.i BETWEEN s.st AND s.en)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok, " +
+        "string_agg(word, ' ' ORDER BY i) AS kept_text FROM keep GROUP BY 1) " +
+        "SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tok, " +
+        "coalesce(a.kept_tok, 0) AS kept_tok, " +
+        "coalesce(a.kept_text, '') AS kept_text " +
+        "FROM wt w LEFT JOIN agg a ON w.doc_id = a.doc_id " +
         "ORDER BY w.doc_id"),
     "text_decontaminate" ->
       ("WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

@@ -113,6 +113,11 @@ class JournalSource extends RelationProvider with CreatableRelationProvider
     // ON for the STREAMING sink only (createSink passes a default) —
     // batch appends are few and large and shouldn't pay rewrites.
     parameters.get("compression").foreach(s.withCompression)
+    // autoMaintainBatches=N: run the declared-retention sweep
+    // (maintain()) after every N-th micro-batch — opt-in, so only
+    // writers that ASK pay the cadence (a policy-less store pays a
+    // meta lookup; an expired-less sweep prunes to metadata).
+    parameters.get("autoMaintainBatches").map(_.toInt).foreach(s.withAutoMaintain)
     parameters.get("autoCompactFiles").map(_.toInt).fold(s)(s.withAutoCompact)
   }
 

@@ -38,7 +38,8 @@ import graft.journal.JournalStore
   * story for `toTable`. */
 private[sources] class JournalStreamingWrite(
     spark: SparkSession, storePath: String, schema: StructType,
-    queryId: String, epochSize: Option[Long], autoCompact: Option[Int])
+    queryId: String, epochSize: Option[Long], autoCompact: Option[Int],
+    autoMaintain: Option[Int] = None)
     extends StreamingWrite {
 
   private val stageDir =
@@ -67,6 +68,9 @@ private[sources] class JournalStreamingWrite(
     // the streaming sink default: a long-running stream must not
     // fragment the segment tree (same threshold as the V1 path sink)
     st.withAutoCompact(autoCompact.getOrElse(16))
+    // opt-in declared-retention cadence (autoMaintainBatches=N): the
+    // commit hook sheds expired rows with no CALL — see withAutoMaintain
+    autoMaintain.foreach(st.withAutoMaintain)
     st.append(batch, Some(epochId), queryId)
     cleanupEpoch(epochId)
   }

@@ -623,6 +623,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
     val epochSz = Option(info.options.get("epochSize")).map(_.toLong)
       .orElse(writeEpochSize)
     val autoCompact = Option(info.options.get("autoCompactFiles")).map(_.toInt)
+    val autoMaintain =
+      Option(info.options.get("autoMaintainBatches")).map(_.toInt)
     val txn = JournalV2.txnOf(k => Option(info.options.get(k)))
     // Update mode treated as append (SupportsStreamingUpdateAsAppend,
     // the Kafka-sink idiom): the journal keys state by (ns, ukey), so
@@ -643,6 +645,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
                 else JournalStore.create(data.sparkSession, storePath,
                   epochSz.getOrElse(1000L))
               autoCompact.foreach(s.withAutoCompact)
+              autoMaintain.foreach(s.withAutoMaintain)
               txn match {
                 case Some((appId, ver)) => s.append(data, Some(ver), appId)
                 case None => s.append(data)
@@ -655,7 +658,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new JournalStreamingWrite(spark, storePath, info.schema(),
-            info.queryId(), epochSz, autoCompact)
+            info.queryId(), epochSz, autoCompact, autoMaintain)
       }
     }
   }

@@ -240,6 +240,54 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("stats refold after deleteWhere == fresh analyze over the " +
+      "survivors (stat keys identical, packed HLL registers byte-equal)") {
+    // THE invariant the cstats sidecar rests on: analyze(A) then
+    // erase(P) — which refolds the merged stats from the surviving
+    // files' per-file sketches — must equal analyzing the survivors
+    // from scratch, exactly: rows, nulls, extrema, ndv, raw registers.
+    // (Histograms and the capture point are excluded as in the append
+    // invariant: the refold deliberately keeps the old capture and the
+    // serving side bounds its staleness.)
+    val batchGen = Gen.listOfN(10, for {
+      ns <- Gen.oneOf("a", "b")
+      k <- Gen.choose(0L, 9L)
+      p <- Gen.alphaStr.map(_.take(4))
+      v <- Gen.option(Gen.choose(-5, 5).map(_.toDouble))
+    } yield (ns, k, p, v))
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(few, Prop.forAll(batchGen, Gen.choose(0L, 9L)) {
+      (a, cutKey) =>
+      // skip the all-erased case (analyze refuses an empty store) —
+      // nothing-erased stays in: the no-op sweep must also agree
+      a.isEmpty || a.forall(_._2 > cutKey) || {
+        def df(xs: List[(String, Long, String, Option[Double])]) =
+          xs.map { case (ns, k, p, v) =>
+            (ns, k, TestSpark.ts("2024-01-01 00:00:01"), p, v)
+          }.toDF("ns", "ukey", "ts", "payload", "val")
+        val cols = Seq("ns", "ukey", "payload", "val")
+        def stats(build: journal.JournalStore => Unit): Map[String, String] = {
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_pref_").toString + "/s"
+          val st = journal.JournalStore.create(spark, path, 4)
+          build(st)
+          st.manifest.meta.filter { case (k2, _) =>
+            (k2 == "stats.rows" || k2.startsWith("stats.col.")) &&
+              !k2.endsWith(".hist")
+          }
+        }
+        val refolded = stats { st =>
+          st.append(df(a)); st.analyze(cols)
+          st.deleteWhere(col("ukey") > cutKey) }
+        val fresh = stats { st =>
+          st.append(df(a)); st.deleteWhere(col("ukey") > cutKey)
+          st.analyze(cols) }
+        refolded == fresh
+      }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("set ops agree with Scala set algebra") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) {
       (xs, ys) =>

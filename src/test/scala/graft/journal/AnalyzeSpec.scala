@@ -107,11 +107,21 @@ class AnalyzeSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(7)))
     // the recorded property row count moved with the append
     assert(store.analyzedRowCount === Some(7L))
-    // a DESTRUCTIVE rewrite (erase) cannot be merged — the row-count
-    // gate declines, exactly the legacy exact-or-decline behavior
+    // a DESTRUCTIVE rewrite (erase) now REFOLDS the merged stats from
+    // the surviving files' cstats sketches — served values shrink back
+    // to the surviving rows with NO re-analyze (round 17; the r16
+    // behavior declined here)
     store.deleteWhere(col("ukey") === 9L)
-    assert(attrStats.isEmpty, "post-erase stats must not be served")
-    // re-analyze re-arms the report at the new surface
+    val st3 = attrStats
+    assert(st3.nonEmpty, "post-erase stats must refold and keep serving")
+    val byName3 = st3.map { case (a, s) => a.name -> s }
+    assert(byName3("ukey").distinctCount.map(_.toLong) === Some(4L))
+    assert(byName3("ukey").max === Some(4L), "the erased key must leave the bound")
+    assert(byName3("ukey").min === Some(1L))
+    assert(byName3("val").nullCount.map(_.toLong) === Some(2L))
+    assert(spark.read.format("journal").load(path)
+      .queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(5)))
+    // re-analyze still replaces the whole set at the new surface
     store.analyze(Seq("ukey"))
     assert(attrStats.map { case (a, s) => a.name -> s }("ukey")
       .distinctCount.map(_.toLong) === Some(4L))
@@ -293,6 +303,186 @@ class AnalyzeSpec extends AnyFunSuite {
         .analyzedColumnStats("ukey").ndv === 4L)
       assert(served(clonePath))
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("cstats lifecycle: ndv/nulls/extrema stay served through " +
+      "append -> deleteWhere -> append -> compact with NO re-analyze") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 4)
+    def batch(lo: Int, n: Int, tag: String) = (lo until lo + n).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"$tag$i",
+        if (i % 5 == 0) None else Some(i.toDouble)))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0, 20, "a"))
+    store.analyze(Seq("ukey", "val"))
+    // append AFTER analyze: the fold keeps merged stats alive AND the
+    // new files get per-file sketches
+    store.append(batch(100, 20, "b"))
+    // erase a slice: the refold re-derives merged stats from survivors
+    assert(store.deleteWhere(col("ukey") >= 100L && col("ukey") < 110L) === 10L)
+    assert(store.analyzedRowCount === Some(30L))
+    val cs1 = store.analyzedColumnStats("ukey")
+    assert(cs1.min === Some("0") && cs1.max === Some("119"))
+    assert(math.abs(cs1.ndv - 30L) <= 6, s"ndv=${cs1.ndv}")
+    // nulls refold exactly: ukeys 0,5,..,115 minus the erased 100,105
+    assert(store.analyzedColumnStats("val").nulls === 6L)
+    // append again: the fold continues from the refolded state
+    store.append(batch(200, 10, "c"))
+    assert(store.analyzedRowCount === Some(40L))
+    assert(store.analyzedColumnStats("ukey").max === Some("209"))
+    // compact everything: stats refold across the rewrite too
+    store.compact(Long.MaxValue)
+    assert(store.analyzedRowCount === Some(40L))
+    val cs2 = store.analyzedColumnStats("ukey")
+    assert(cs2.min === Some("0") && cs2.max === Some("209"))
+    assert(store.analyzedColumnStats("val").nulls === 8L)
+    // and the scan really serves them (the gate, not just the meta)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try assert(spark.read.format("journal").load(path)
+      .queryExecution.optimizedPlan.stats.attributeStats.nonEmpty)
+    finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // erase everything ever appended after analyze; survivors refold
+    assert(store.deleteWhere(col("ukey") >= 100L) === 20L)
+    assert(store.analyzedRowCount === Some(20L))
+    assert(store.analyzedColumnStats("ukey").max === Some("19"))
+  }
+
+  test("DV delete declines stats at serve time; a FULL compact " +
+      "materializes the subtraction and RESURRECTS them by refold") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 100)
+    store.append((0 until 30).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", i.toDouble))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    def served = spark.read.format("journal").load(path)
+      .queryExecution.optimizedPlan.stats.attributeStats
+    try {
+      assert(served.nonEmpty)
+      // vector delete: rows leave reads but no sketch can see it
+      assert(store.deleteWhereDv(col("ukey") >= 20L) === 10L)
+      assert(served.isEmpty, "DV-deleted store must decline its stats")
+      // the full compact reads THROUGH the vectors, re-sketches the
+      // rewritten files, and the refold brings the stats back
+      store.compact(Long.MaxValue)
+      val byName = served.map { case (a, s) => a.name -> s }
+      assert(byName.nonEmpty, "full compact must resurrect stats")
+      val ndv = byName("ukey").distinctCount.map(_.toLong).get
+      assert(math.abs(ndv - 20L) <= 3, s"resurrected ndv=$ndv for 20 live")
+      assert(byName("ukey").max === Some(19L))
+      assert(spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(20)))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("a rewrite over files WITHOUT sketches declines the whole set " +
+      "(never refolds a partial answer); analyze re-arms") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 1)
+    // 70 single-row epochs in one append: past MaxSketchDirs the
+    // append falls back to the flat fold — merged stats stay alive,
+    // but the 70 new files get NO per-file sketches
+    store.append((0 until 70).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    store.append((100 until 170).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    // the flat fold kept the merged stats moving
+    assert(store.analyzedRowCount === Some(140L))
+    assert(store.analyzedColumnStats("ukey").max === Some("169"))
+    // an erase cannot refold (sketchless files) -> the whole recorded
+    // set drops, rather than serving a bound that skips unknown rows
+    assert(store.deleteWhere(col("ukey") === 150L) === 1L)
+    assert(store.analyzedRowCount === None)
+    assert(store.analyzedColumnStats.isEmpty)
+    store.analyze(Seq("ukey"))
+    assert(store.analyzedRowCount === Some(139L))
+  }
+
+  test("FULL compact re-captures the histogram: range selectivity " +
+      "stays distribution-aware after the table triples") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 100000)
+    def skewed(lo: Int, n: Int) = ((0 until (n * 9) / 10).map(i =>
+      ("n", 1L, ts("2024-01-01 00:00:01"), s"a$lo$i", 1.0)) ++
+      (0 until n / 10).map(i =>
+        ("n", (i + 1) * 10L, ts("2024-01-01 00:00:02"), s"b$lo$i", 2.0)))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(skewed(0, 300))
+    store.analyze(Seq("ukey"))
+    // triple the table: past 2x the capture point the histogram alone
+    // would decline...
+    store.append(skewed(1, 300))
+    store.append(skewed(2, 300))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def st = spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s.stats.attributeStats
+        }.get.map { case (a, s2) => a.name -> s2 }
+      assert(st("ukey").histogram.isEmpty, "past 2x: histogram declines")
+      // ...but the maintenance compact re-derives the boundaries from
+      // the full rewrite it already performs
+      store.compact(Long.MaxValue)
+      assert(store.manifest.meta("stats.histrows") === "900")
+      assert(st("ukey").histogram.isDefined,
+        "full compact must re-capture the histogram")
+      // and the re-captured histogram prices the 90% skew at ukey<=1
+      val rel = spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s
+        }.get
+      val ukeyAttr = rel.output.find(_.name == "ukey").get
+      val flt = org.apache.spark.sql.catalyst.plans.logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(ukeyAttr,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L)), rel)
+      val est = flt.stats.rowCount
+      assert(est.exists(_ >= BigInt(400)),
+        s"re-captured histogram estimate too low: $est")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("cstats ride clones and survive vacuum; restore rolls the " +
+      "stats state back with the data") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 10)
+    store.append((0 until 20).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    val analyzedVersion = store.manifest.version
+    // a clone's rewrite can refold from the LINKED sketch parts
+    val clonePath = freshPath
+    val clone = store.cloneTo(clonePath)
+    assert(clone.deleteWhere(col("ukey") >= 15L) === 5L)
+    assert(clone.analyzedRowCount === Some(15L))
+    assert(clone.analyzedColumnStats("ukey").max === Some("14"))
+    // vacuum: an ORPHAN part (a crashed writer's leftover) is swept;
+    // parts referenced by retained manifests survive
+    store.deleteWhere(col("ukey") < 5L)
+    val orphan = graft.journal.ColumnStatsSidecar
+      .writePart(store.path, Nil)
+    store.vacuum(graceMs = 0L)
+    assert(!java.nio.file.Files.exists(graft.journal.ColumnStatsSidecar
+      .dir(store.path).resolve(orphan)), "orphan cstats part must be swept")
+    assert(store.analyzedRowCount === Some(15L))
+    store.append((100 until 105).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(store.analyzedColumnStats("ukey").max === Some("104"))
+    // RESTORE to the analyzed version: stats AND sketches roll back
+    // (the vacuum above kept the retained version's part), and a
+    // post-restore rewrite can still refold
+    store.restore(analyzedVersion)
+    assert(store.analyzedRowCount === Some(20L))
+    assert(store.deleteWhere(col("ukey") >= 10L) === 10L)
+    assert(store.analyzedRowCount === Some(10L))
+    assert(store.analyzedColumnStats("ukey").max === Some("9"))
   }
 
   test("a subset analyze replaces the whole recorded stats set") {

@@ -1439,12 +1439,16 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("CALL jcat.system.clone(table => 'ret', dest => 'retc')")
     assert(graft.journal.JournalStore.open(spark, s"$root/retc")
       .manifest.meta.get("retention.olderThan") === Some("30 DAYS"))
-    // a malformed policy fails loudly at sweep time, not silently
-    spark.sql("ALTER TABLE jcat.ret SET TBLPROPERTIES " +
-      "('retention.olderThan' = 'not an interval')")
+    // a malformed policy fails loudly AT THE SET DOOR (round 17 — the
+    // strict interval parser runs when the property lands, so a typo
+    // is never a delayed error some future sweep trips over)
     val e = intercept[Exception](
-      spark.sql("CALL jcat.system.maintain(table => 'ret')").collect())
+      spark.sql("ALTER TABLE jcat.ret SET TBLPROPERTIES " +
+        "('retention.olderThan' = 'not an interval')"))
     assert(e.getMessage.contains("retention.olderThan"))
+    // the table kept its valid policy; maintain stays a clean no-op
+    assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
+      .as[Long].head() === 0L)
   }}
 
   test("CREATE TABLE with the column-spec trio is ONE atomic manifest " +

@@ -1263,4 +1263,50 @@ class StreamingSpec extends AnyFunSuite {
     // base corpus unchanged
     assert(before.subsetOf(after))
   }
+
+  test("stream_auto_maintain: a checkpointed ingest with " +
+      "autoMaintainBatches physically sheds expired rows — no CALL") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_automaint_").toString
+    val path = s"$dir/store"
+    // declare the policy FIRST (a table attribute, not sink config)
+    val store = graft.journal.JournalStore.create(spark, path, 1000L)
+    store.setMeta(Map(
+      graft.journal.JournalStore.RetentionKey -> "1 HOURS"))
+    def at(minusMin: Long) = java.sql.Timestamp.from(
+      java.time.Instant.now().minus(minusMin,
+        java.time.temporal.ChronoUnit.MINUTES))
+    val ms = MemoryStream[(String, Long, java.sql.Timestamp, String, Double)]
+    val q = ms.toDF.toDF("ns", "ukey", "ts", "payload", "val")
+      .writeStream.format("journal")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("autoMaintainBatches", "1")
+      .start(path)
+    // batch 0: one already-expired row, one fresh
+    ms.addData(("n", 1L, at(180), "stale", 1.0),
+      ("n", 2L, at(1), "fresh-a", 2.0))
+    q.processAllAvailable()
+    // batch 1: fresh only — its commit hook sweeps batch 0's stale row
+    ms.addData(("n", 3L, at(0), "fresh-b", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val kept = graft.journal.JournalStore.open(spark, path).scan()
+      .select("payload").as[String].collect().toSeq.sorted
+    assert(kept === Seq("fresh-a", "fresh-b"),
+      s"expired row must be SHED by the commit hook, got $kept")
+
+    // a POLICY-LESS store with the option on: the cadence is a no-op —
+    // nothing erased, nothing failed
+    val path2 = s"$dir/store2"
+    val ms2 = MemoryStream[(String, Long, java.sql.Timestamp, String, Double)]
+    val q2 = ms2.toDF.toDF("ns", "ukey", "ts", "payload", "val")
+      .writeStream.format("journal")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .option("autoMaintainBatches", "1")
+      .start(path2)
+    ms2.addData(("n", 1L, at(999999), "ancient-but-kept", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(graft.journal.JournalStore.open(spark, path2).scan().count() === 1L)
+  }
 }
