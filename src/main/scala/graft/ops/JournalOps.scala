@@ -662,6 +662,48 @@ object JournalOps {
       recs.toDF("col_name", "n_rows", "n_nulls", "regs_hit", "weight",
         "vmin", "vmax").orderBy("col_name")
     }),
+    "journal_analyze_refold" -> ((s, d) => {
+      // STATS SURVIVE THE ERASE inside the hash gate (round 17): the
+      // incr row proves union-of-sketches ≡ sketch-of-union for
+      // APPENDS; this row proves the cstats REFOLD for DELETES.
+      // Analyze the seq < 6000 window (which bootstraps the per-file
+      // column sketches), then deleteWhere(ukey % 5 = 0) — the rewrite
+      // re-sketches exactly the files it rewrites and refolds the
+      // merged stats from all survivors in ITS OWN commit — and emit
+      // the refolded stats read back from the manifest. The DuckDB
+      // oracle recomputes the register state over the SURVIVING rows
+      // directly, so survivors-refold ≡ analyze-of-survivors is proven
+      // value-exactly (register hits, harmonic weight, null counts,
+      // narrowed extrema, the exact surviving row count the serving
+      // gate keys on). At 100 TB this is a retention sweep that keeps
+      // CBO stats alive instead of costing a two-pass re-scan.
+      val sp = s
+      import sp.implicits._
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jaref_store_" + tmpTag(d)).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      journal(s, d).where(col("seq") < 6000)
+        .write.format("journal").option("epochSize", "2000").save(tmp)
+      val st = graft.journal.JournalStore.open(s, tmp)
+      val recs =
+        if (st.manifest.files.isEmpty)
+          Seq.empty[(String, Long, Long, Long, Long, String, String)]
+        else {
+          st.analyze(Seq("ns", "ukey", "seq", "payload"))
+          // the erase (rows with NULL keys are retained — three-valued
+          // DELETE — and the oracle's survivor window says so too)
+          st.deleteWhere(col("ukey") % 5 === 0)
+          val rows = st.analyzedRowCount.get
+          val cs = st.analyzedColumnStats
+          Seq("ns", "ukey", "seq", "payload").sorted.map { c =>
+            val r = cs(c)
+            (c, rows, r.nulls, r.regsHit, r.weight,
+              r.min.orNull, r.max.orNull)
+          }
+        }
+      recs.toDF("col_name", "n_rows", "n_nulls", "regs_hit", "weight",
+        "vmin", "vmax").orderBy("col_name")
+    }),
     "journal_skew_report" -> ((s, d) => {
       // Hot-key diagnostic: top-3 keys per namespace with their share
       // of the namespace's rows — the report an operator reads BEFORE
@@ -2115,6 +2157,38 @@ object JournalOps {
       ("WITH src AS (SELECT event_type AS ns, user_id AS ukey, " +
         "event_id AS seq, props AS payload FROM events " +
         "WHERE event_id < 7000), " +
+        "mel AS (SELECT 'ns' AS c, ns AS v FROM src UNION ALL " +
+        "SELECT 'payload' AS c, payload AS v FROM src UNION ALL " +
+        "SELECT 'seq' AS c, CAST(seq AS VARCHAR) AS v FROM src UNION ALL " +
+        "SELECT 'ukey' AS c, CAST(ukey AS VARCHAR) AS v FROM src), " +
+        "h AS (SELECT c, CAST(concat('0x', substr(md5(v), 1, 15)) " +
+        "AS BIGINT) AS h FROM mel WHERE v IS NOT NULL), " +
+        "r AS (SELECT c, h % 512 AS b, CASE WHEN h // 512 = 0 THEN 52 " +
+        "ELSE 52 - length(bin(h // 512)) END AS rho FROM h), " +
+        "mm AS (SELECT c, b, max(rho) AS m FROM r GROUP BY 1, 2), " +
+        "e AS (SELECT c, count(*) AS regs_hit, " +
+        "CAST(sum(1::BIGINT << CAST(52 - m AS INT)) AS BIGINT) AS w_hit " +
+        "FROM mm GROUP BY 1), " +
+        "st AS (SELECT 'ns' AS c, count(*) AS n_rows, " +
+        "count(*) - count(ns) AS n_nulls, min(ns) AS vmin, max(ns) AS vmax " +
+        "FROM src UNION ALL " +
+        "SELECT 'payload', count(*), count(*) - count(payload), " +
+        "min(payload), max(payload) FROM src UNION ALL " +
+        "SELECT 'seq', count(*), count(*) - count(seq), " +
+        "CAST(min(seq) AS VARCHAR), CAST(max(seq) AS VARCHAR) FROM src " +
+        "UNION ALL SELECT 'ukey', count(*), count(*) - count(ukey), " +
+        "CAST(min(ukey) AS VARCHAR), CAST(max(ukey) AS VARCHAR) FROM src) " +
+        "SELECT st.c AS col_name, st.n_rows, st.n_nulls, e.regs_hit, " +
+        "e.w_hit + (512 - e.regs_hit) * 4503599627370496 AS weight, " +
+        "st.vmin, st.vmax FROM st JOIN e USING (c) ORDER BY col_name"),
+    // the refold twin: the oracle recomputes the register state over
+    // the SURVIVING rows (NULL keys survive a three-valued DELETE),
+    // proving survivors-refold ≡ analyze-of-survivors value-exactly
+    "journal_analyze_refold" ->
+      ("WITH src AS (SELECT event_type AS ns, user_id AS ukey, " +
+        "event_id AS seq, props AS payload FROM events " +
+        "WHERE event_id < 6000 " +
+        "AND (user_id IS NULL OR user_id % 5 <> 0)), " +
         "mel AS (SELECT 'ns' AS c, ns AS v FROM src UNION ALL " +
         "SELECT 'payload' AS c, payload AS v FROM src UNION ALL " +
         "SELECT 'seq' AS c, CAST(seq AS VARCHAR) AS v FROM src UNION ALL " +
