@@ -165,17 +165,22 @@ object Bench {
     val loadJson = loadPerRun.map(r3).mkString("[", ",", "]")
     val otherJson = otherBusyPerRun.map(r3).mkString("[", ",", "]")
     val iowaitJson = iowaitPerRun.map(r3).mkString("[", ",", "]")
-    // Self-labeling contention flag: any timed pass where OTHER
-    // processes burned more than this much CPU is a polluted capture —
-    // judge medians with suspicion and lifecycles on queries_min
-    // (threshold documented in BASELINE.md; r16's +33% "regression"
-    // was exactly this and cost a judge session to adjudicate).
-    val contendedBound = 10.0
-    val contended = otherBusyPerRun.exists(_ > contendedBound)
+    // Self-labeling contention flag — judge medians with suspicion and
+    // lifecycles on queries_min when set (thresholds documented in
+    // BASELINE.md; r16's +33% "regression" was exactly this class of
+    // pollution and cost a judge session to adjudicate). Calibration:
+    // the bench itself runs this box at loadavg ≈ 1.5 and accumulates
+    // 10–25 s of background (harness/OS) CPU per ~4-minute pass even
+    // when quiet, while the r16 polluted capture showed loadavg 5.06 —
+    // so the primary signal is LOAD (another active workload), with a
+    // severe other-CPU burn as the backstop.
+    val contended = loadPerRun.exists(_ >= 3.0) ||
+      otherBusyPerRun.exists(_ > 60.0)
     if (contended)
-      System.err.println("[bench] WARN: contended box — other-process " +
-        s"busy CPU per pass ${otherBusyPerRun.map(r3).mkString("[", ",", "]")}s " +
-        s"exceeds ${contendedBound}s; medians are polluted, judge on queries_min")
+      System.err.println("[bench] WARN: contended box — loadavg per pass " +
+        s"${loadPerRun.map(r3).mkString("[", ",", "]")}, other-process busy " +
+        s"CPU ${otherBusyPerRun.map(r3).mkString("[", ",", "]")}s; medians " +
+        "are polluted, judge on queries_min")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""contended":$contended,""" +

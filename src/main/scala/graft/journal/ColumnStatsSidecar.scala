@@ -30,9 +30,10 @@ import org.apache.parquet.schema.MessageTypeParser
   * Same part discipline as [[FileStatsSidecar]]: immutable random-UUID
   * parquet parts, names in the manifest, orphans swept by vacuum,
   * append writes a delta part, rewrites consolidate (they read every
-  * part for the refold anyway). Parts are read ONLY by rewrite commits
-  * and the analyze bootstrap — never by scans or snapshot loads. */
-private[journal] object ColumnStatsSidecar {
+  * part for the refold anyway). Parts are read by rewrite commits,
+  * the analyze bootstrap, and the V2 scan's per-file bound pruning
+  * (through the part LRU) — never by snapshot loads. */
+private[graft] object ColumnStatsSidecar {
   /** Part-count cap before an append-side commit consolidates. */
   val MaxParts = 16
 
@@ -87,11 +88,40 @@ private[journal] object ColumnStatsSidecar {
     name
   }
 
-  /** Read one part. An unreadable part yields Nil — the refold then
-    * sees files without sketches and DECLINES the merged stats (the
-    * conservative fallback: a damaged sidecar costs a re-analyze,
-    * never a wrong bound). */
-  def readPart(storePath: String, name: String): Seq[CStat] = try {
+  /** Part-level LRU (the FileStatsSidecar pattern): parts are
+    * IMMUTABLE — random-UUID names, never rewritten — so cached
+    * contents can never go stale. The cache is what keeps the SCAN
+    * pruning path (every filtered read of an analyzed store probes
+    * per-file bounds) a map hit instead of a parquet parse; oversized
+    * consolidated parts bypass it rather than pinning the driver. */
+  private val CachedParts = 32
+  private val CacheEntryCap = 200000
+  private val cache =
+    new java.util.LinkedHashMap[String, Vector[CStat]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Vector[CStat]]): Boolean =
+        size() > CachedParts
+    }
+
+  /** Read one part (through the LRU). An unreadable part yields Nil —
+    * the refold then sees files without sketches and DECLINES the
+    * merged stats, and the scan pruner keeps the file (the
+    * conservative fallback: a damaged sidecar costs a re-analyze or a
+    * wasted read, never a wrong bound / dropped row). */
+  def readPart(storePath: String, name: String): Seq[CStat] = {
+    val key = storePath + "\u0000" + name
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) hit
+    else {
+      val loaded = readPartUncached(storePath, name)
+      if (loaded.sizeIs <= CacheEntryCap)
+        cache.synchronized(cache.put(key, loaded))
+      loaded
+    }
+  }
+
+  private def readPartUncached(storePath: String,
+                               name: String): Vector[CStat] = try {
     val reader = ParquetReader
       .builder(new GroupReadSupport(),
         new org.apache.hadoop.fs.Path(dir(storePath).resolve(name).toString))

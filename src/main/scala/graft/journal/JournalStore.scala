@@ -4604,7 +4604,7 @@ object JournalStore {
     * and DuckDB's binary collation both use; Java's String.compareTo
     * (UTF-16 code units) disagrees for supplementary-plane characters
     * and would record a wrong bound. */
-  private[journal] def utf8Cmp(a: String, b: String): Int = {
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
     val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var i = 0

@@ -104,9 +104,23 @@ private[sources] object JournalV2 {
     * a numeric-looking namespace must not be inferred int). */
   def fileIndex(spark: SparkSession, segDir: String, relFiles: Seq[String],
                 fullSchema: StructType): InMemoryFileIndex =
-    new InMemoryFileIndex(spark, relFiles.map(f => new Path(s"$segDir/$f")),
-      Map("basePath" -> segDir), Some(fullSchema),
-      FileStatusCache.getOrCreate(spark), None, None)
+    if (relFiles.isEmpty) {
+      // a prune that excluded EVERY file (cstats bounds / key bloom
+      // reject all): zero paths leave partition inference with nothing,
+      // so the epoch/ns partition schema is DECLARED with an empty
+      // partition list — the scan plans zero splits instead of failing
+      // schema resolution
+      val partSchema = StructType(fullSchema.fields.filter(f =>
+        f.name == "epoch" || f.name == "ns"))
+      new InMemoryFileIndex(spark, Nil,
+        Map("basePath" -> segDir), Some(fullSchema),
+        FileStatusCache.getOrCreate(spark),
+        Some(org.apache.spark.sql.execution.datasources.PartitionSpec(
+          partSchema, Nil)), None)
+    } else
+      new InMemoryFileIndex(spark, relFiles.map(f => new Path(s"$segDir/$f")),
+        Map("basePath" -> segDir), Some(fullSchema),
+        FileStatusCache.getOrCreate(spark), None, None)
 
   /** ANALYZE-recorded column stats → the DSv2 columnStats report, for
     * columns that survived pruning. Exact-or-decline at three grains:
@@ -604,7 +618,8 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         // serves a V1Scan over the store's DV-aware scan surface instead
         // (correct first; the columnar path returns once compact() purges)
         dvScan = if (m.dvParts.nonEmpty)
-          store.map(s => () => s.scanUnordered()) else None)
+          store.map(s => () => s.scanUnordered()) else None,
+        cstatsParts = m.cstatsParts)
   }
 
   /** V2 write = the V2 commit framework executing the store's own
@@ -679,7 +694,8 @@ private[sources] class JournalScanBuilder(
     startingSeq: Option[String] = None,
     nsGrouped: Boolean = false,
     dvScan: Option[() => DataFrame] = None,
-    statsMeta: Map[String, String] = Map.empty)
+    statsMeta: Map[String, String] = Map.empty,
+    cstatsParts: Seq[String] = Nil)
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
   with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -692,8 +708,58 @@ private[sources] class JournalScanBuilder(
     * pruner, so a fresh attribute is sufficient. Bounds are
     * conservative (integer floor) and the original row filter always
     * remains — IO-only, never load-bearing for correctness. */
+  /** TIMESTAMP comparisons captured at the CATALYST grain for the
+    * cstats file pruning: parquet cannot push INT96 timestamp filters,
+    * so they never reach pushedDataFilters — but the Literal's internal
+    * value IS epoch micros (raw NTZ micros for NTZ), exactly the
+    * domain the sidecar's minus/maxus record. Each entry is
+    * (column, mayMatch(fileLo, fileHi)). */
+  private val tsRangePreds =
+    scala.collection.mutable.ArrayBuffer.empty[(String, (Long, Long) => Boolean)]
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val remaining = super.pushFilters(filters)
+    def tsLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, org.apache.spark.sql.types.TimestampType) => Some(v)
+      case Literal(v: Long, org.apache.spark.sql.types.TimestampNTZType) =>
+        Some(v)
+      case _ => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    filters.foreach {
+      case CGt(a, l) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (_, hi) => hi > v))
+      case CGte(a, l) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (_, hi) => hi >= v))
+      case CLt(a, l) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (lo, _) => lo < v))
+      case CLte(a, l) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (lo, _) => lo <= v))
+      case CEq(a, l) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (lo, hi) => lo <= v && hi >= v))
+      // literal-on-the-left orientations
+      case CGt(l, a) if tsLit(l).isDefined => // v > ts  ⇒  ts < v
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (lo, _) => lo < v))
+      case CGte(l, a) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (lo, _) => lo <= v))
+      case CLt(l, a) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (_, hi) => hi > v))
+      case CLte(l, a) if tsLit(l).isDefined =>
+        for (c <- attrName(a); v <- tsLit(l))
+          tsRangePreds += ((c, (_, hi) => hi >= v))
+      case _ => ()
+    }
     val epochAttr = AttributeReference("epoch", LongType)()
     def lng(l: Literal): Option[Long] = l.value match {
       case i: Int => Some(i.toLong)
@@ -960,7 +1026,7 @@ private[sources] class JournalScanBuilder(
       case sources.EqualTo("ukey", v: java.lang.Long) => v.longValue
       case sources.EqualTo("ukey", v: Int) => v.toLong
     }
-    val (parquet, effFiles) = (limitFiles, keyEq) match {
+    val (parquet0, effFiles0) = (limitFiles, keyEq) match {
       // limit pruning and keyEq pruning are mutually exclusive by
       // construction (pushLimit declines whenever a filter was pushed)
       case (Some(kept), _) =>
@@ -976,9 +1042,158 @@ private[sources] class JournalScanBuilder(
         else (scan, relFiles)
       case (None, None) => (scan, relFiles)
     }
+    // cstats DATA SKIPPING: per-file COLUMN bounds (the analyze
+    // bootstrap / append sidecar) prune files for pushed predicates on
+    // ANY sketched column — the skipping axis partition directories
+    // and the (seq, ts, ukey) manifest stats cannot express. A 100 TB
+    // scan with `WHERE score > 0.9` opens only the files whose sketch
+    // admits the range.
+    val prunedCs = cstatsPrune(effFiles0)
+    val (parquet, effFiles) =
+      if (prunedCs.size < effFiles0.size)
+        (parquet0.copy(fileIndex =
+          JournalV2.fileIndex(spark, segDir, prunedCs, fullSchema)), prunedCs)
+      else (parquet0, effFiles0)
     new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
       effFiles, fstats, segDir, startingSeq, nsGrouped = nsGrouped,
       statsMeta = statsMeta)
+  }
+
+  /** FILE-level data skipping from the cstats sidecar: drop a file
+    * when some pushed predicate PROVABLY matches none of its rows —
+    * its per-file column bounds exclude the literal, or the column is
+    * all-null in that file and the predicate is null-rejecting.
+    * Sound by construction: sketches describe a file's live rows at
+    * sketch time and files are immutable, so recorded bounds are
+    * always an ENVELOPE of the current live rows (deletion vectors
+    * only shrink the set); files without a sketch (or with bounds the
+    * sketch declined) are always kept; pushed data filters are
+    * re-evaluated above the scan anyway, so any keep is merely IO.
+    * Comparisons run in the sketch's own domain — numeric strings via
+    * BigDecimal, strings/booleans/dates in UNSIGNED UTF-8 byte order
+    * (what min/max recorded), timestamps in epoch micros (minus/maxus,
+    * NTZ in raw NTZ micros) — and anything unrecognized keeps the
+    * file. Driver cost: one part-LRU hit + O(files × pushed preds). */
+  private def cstatsPrune(files: Seq[String]): Seq[String] = {
+    if (cstatsParts.isEmpty || files.isEmpty) return files
+    import org.apache.spark.sql.types._
+    val typeOf = fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    type CS = graft.journal.ColumnStatsSidecar.CStat
+    // literal → comparable key in the column's sketch domain
+    def numKey(v: Any): Option[BigDecimal] = v match {
+      case null => None
+      case d: Double if d.isNaN || d.isInfinite => None
+      case f: Float if f.isNaN || f.isInfinite => None
+      case n: Number => scala.util.Try(BigDecimal(n.toString)).toOption
+      case d: java.math.BigDecimal => Some(BigDecimal(d))
+      case _ => None
+    }
+    def strKey(dt: DataType, v: Any): Option[String] = (dt, v) match {
+      case (StringType, s: String) => Some(s)
+      case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+      case (DateType, d: java.sql.Date) =>
+        Some(d.toString).filter(_.matches("\\d{4}-.*"))
+      case (DateType, d: java.time.LocalDate) =>
+        Some(d.toString).filter(_.matches("\\d{4}-.*"))
+      case _ => None
+    }
+    def microsKey(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(t.getTime / 1000 * 1000000 + t.getNanos.toLong / 1000)
+      case (TimestampType, i: java.time.Instant) =>
+        Some(i.getEpochSecond * 1000000 + i.getNano.toLong / 1000)
+      case (TimestampNTZType, l: java.time.LocalDateTime) =>
+        Some(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000 +
+          l.getNano.toLong / 1000)
+      case _ => None
+    }
+    // (column, mayMatch(sketch)) per prunable pushed predicate; a
+    // predicate we can't type-map contributes nothing (keeps files)
+    def boundTest(c: String, cmpLit: Any)(
+        dec: (BigDecimal, BigDecimal) => Boolean,
+        str: (Int, Int) => Boolean,
+        mic: (Long, Long) => Boolean): Option[CS => Boolean] =
+      typeOf.get(c).flatMap {
+        case LongType | IntegerType | ShortType | ByteType | FloatType |
+             DoubleType | _: DecimalType =>
+          numKey(cmpLit).map(k => (s: CS) =>
+            (for {
+              lo <- s.minv.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
+              hi <- s.maxv.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
+            } yield dec(lo - k, hi - k)).getOrElse(true))
+        case dt @ (StringType | BooleanType | DateType) =>
+          strKey(dt, cmpLit).map(k => (s: CS) =>
+            (for (lo <- s.minv; hi <- s.maxv) yield str(
+              graft.journal.JournalStore.utf8Cmp(lo, k),
+              graft.journal.JournalStore.utf8Cmp(hi, k))).getOrElse(true))
+        case dt @ (TimestampType | TimestampNTZType) =>
+          microsKey(dt, cmpLit).map(k => (s: CS) =>
+            (for (lo <- s.minus; hi <- s.maxus)
+              yield mic(lo - k, hi - k)).getOrElse(true))
+        case _ => None
+      }
+    val tests: Seq[(String, CS => Boolean)] =
+      pushedDataFilters.toSeq.flatMap {
+        case sources.EqualTo(c, v) if v != null =>
+          boundTest(c, v)((lo, hi) => lo.signum <= 0 && hi.signum >= 0,
+            (lo, hi) => lo <= 0 && hi >= 0,
+            (lo, hi) => lo <= 0 && hi >= 0)
+            .map(t => (c, t))
+        case sources.EqualNullSafe(c, v) if v != null =>
+          boundTest(c, v)((lo, hi) => lo.signum <= 0 && hi.signum >= 0,
+            (lo, hi) => lo <= 0 && hi >= 0,
+            (lo, hi) => lo <= 0 && hi >= 0)
+            .map(t => (c, t))
+        case sources.GreaterThan(c, v) if v != null =>
+          boundTest(c, v)((_, hi) => hi.signum > 0,
+            (_, hi) => hi > 0, (_, hi) => hi > 0)
+            .map(t => (c, t))
+        case sources.GreaterThanOrEqual(c, v) if v != null =>
+          boundTest(c, v)((_, hi) => hi.signum >= 0,
+            (_, hi) => hi >= 0, (_, hi) => hi >= 0)
+            .map(t => (c, t))
+        case sources.LessThan(c, v) if v != null =>
+          boundTest(c, v)((lo, _) => lo.signum < 0,
+            (lo, _) => lo < 0, (lo, _) => lo < 0)
+            .map(t => (c, t))
+        case sources.LessThanOrEqual(c, v) if v != null =>
+          boundTest(c, v)((lo, _) => lo.signum <= 0,
+            (lo, _) => lo <= 0, (lo, _) => lo <= 0)
+            .map(t => (c, t))
+        case sources.In(c, vs) if vs != null && vs.nonEmpty &&
+            vs.forall(_ != null) =>
+          val perValue = vs.toSeq.map(v =>
+            boundTest(c, v)((lo, hi) => lo.signum <= 0 && hi.signum >= 0,
+              (lo, hi) => lo <= 0 && hi >= 0,
+              (lo, hi) => lo <= 0 && hi >= 0))
+          if (perValue.exists(_.isEmpty)) None
+          else Some((c, (s: CS) => perValue.flatten.exists(t => t(s))))
+        case _ => None
+      }
+    // timestamp ranges captured at the catalyst grain (see
+    // tsRangePreds) — gated on the column really being ts-typed so a
+    // coincidental name can never borrow the micros domain
+    val tsTests: Seq[(String, CS => Boolean)] = tsRangePreds.toSeq.collect {
+      case (c, ok) if typeOf.get(c).exists(t =>
+          t == TimestampType || t == TimestampNTZType) =>
+        (c, (s: CS) => (for (lo <- s.minus; hi <- s.maxus)
+          yield ok(lo, hi)).getOrElse(true))
+    }
+    val allTests = tests ++ tsTests
+    if (allTests.isEmpty) return files
+    val sk = graft.journal.ColumnStatsSidecar.readAll(storePath, cstatsParts)
+    if (sk.isEmpty) return files
+    files.filter { f =>
+      allTests.forall { case (c, keep) =>
+        sk.get((f, c)) match {
+          case None => true // unsketched (file, col): never pruned
+          case Some(s) =>
+            // all-null column in this file: every test above is
+            // null-rejecting, so the file provably holds no match
+            if (s.nulls == s.rows) false else keep(s)
+        }
+      }
+    }
   }
 }
 

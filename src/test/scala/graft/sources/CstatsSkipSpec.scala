@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.journal.JournalStore
+
+/** cstats FILE-level data skipping (round 17): the per-file column
+  * sketches the analyze bootstrap / append path records double as a
+  * Delta-style skipping index — pushed predicates on ANY sketched
+  * column prune whole files by their recorded bounds, the axis the
+  * partition directories and the (seq, ts, ukey) manifest stats cannot
+  * express. These tests pin the pruning (file counts through the built
+  * scan's index), its SOUNDNESS (results equal an identical
+  * never-analyzed store on every boundary), the all-null-file prune,
+  * and the conservative keeps (no sketch / unhandled predicate). */
+class CstatsSkipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** THREE files in one (epoch, ns) directory with disjoint `val`
+    * ranges, distinct payload prefixes, distinct ts days, and an
+    * `extra` column that is ALL NULL in the first file. */
+  private def mkStore(analyze: Boolean): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cskip_").toString + "/store"
+    val store = JournalStore.create(spark, dir, epochSize = 1000)
+    def batch(lo: Double, tag: String, day: Int, extra: Option[Long]) =
+      (0 until 20).map(i => ("n", (lo + i).toLong, ts(f"2024-01-$day%02d 00:00:01"),
+        s"$tag$i", lo + i, extra))
+        .toDF("ns", "ukey", "ts", "payload", "val", "extra")
+    store.append(batch(0.0, "aaa", 1, None))
+    store.append(batch(100.0, "mmm", 10, Some(7L)))
+    store.append(batch(200.0, "zzz", 20, Some(9L)))
+    if (analyze) store.analyze()
+    dir
+  }
+
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }
+      .collectFirst { case s: JournalParquetScan => s.fileIndex.inputFiles.length }
+      .getOrElse(fail("expected a JournalParquetScan"))
+
+  test("pushed range/equality predicates prune files by per-file " +
+      "column bounds (double, string, timestamp)") {
+    val path = mkStore(analyze = true)
+    def rd = spark.read.format("journal").load(path)
+    assert(scannedFiles(rd) === 3, "fixture must hold 3 files")
+    // double range: only the third file can hold val > 150
+    assert(scannedFiles(rd.where(col("val") > 150.0)) === 1)
+    assert(rd.where(col("val") > 150.0).count() === 20L)
+    // double equality inside the second file's range
+    assert(scannedFiles(rd.where(col("val") === 105.0)) === 1)
+    assert(rd.where(col("val") === 105.0).count() === 1L)
+    // equality BETWEEN ranges: provably empty — zero files open
+    assert(scannedFiles(rd.where(col("val") === 50.0)) === 0)
+    assert(rd.where(col("val") === 50.0).count() === 0L)
+    // string bound (unsigned UTF-8 order, the recorded domain)
+    assert(scannedFiles(rd.where(col("payload") >= "z")) === 1)
+    assert(rd.where(col("payload") >= "z").count() === 20L)
+    // timestamp bound serves from epoch-micros extrema
+    assert(scannedFiles(
+      rd.where(col("ts") < lit(ts("2024-01-05 00:00:00")))) === 1)
+    assert(rd.where(col("ts") < lit(ts("2024-01-05 00:00:00")))
+      .count() === 20L)
+    // IN-list touching two ranges keeps exactly those two files
+    assert(scannedFiles(rd.where(col("val").isin(5.0, 205.0))) === 2)
+    assert(rd.where(col("val").isin(5.0, 205.0)).count() === 2L)
+  }
+
+  test("an all-null file prunes for null-rejecting predicates; IS NULL " +
+      "is untouched and still finds its rows") {
+    val path = mkStore(analyze = true)
+    def rd = spark.read.format("journal").load(path)
+    // extra = 7 can only live where extra has values AND the bound fits
+    assert(scannedFiles(rd.where(col("extra") === 7L)) === 1)
+    assert(rd.where(col("extra") === 7L).count() === 20L)
+    // IS NULL is not a pruning predicate — conservative full scan,
+    // and the all-null file's rows come back
+    assert(rd.where(col("extra").isNull).count() === 20L)
+  }
+
+  test("soundness: every boundary probe returns exactly what the " +
+      "never-analyzed twin returns") {
+    val pruned = mkStore(analyze = true)
+    val full = mkStore(analyze = false)
+    def both(f: DataFrame => DataFrame): Unit = {
+      val a = f(spark.read.format("journal").load(pruned))
+        .orderBy("ukey", "seq").collect().map(_.toString).toSeq
+      val b = f(spark.read.format("journal").load(full))
+        .orderBy("ukey", "seq").collect().map(_.toString).toSeq
+      assert(a === b)
+    }
+    // inclusive boundaries on every file edge, both directions
+    Seq(0.0, 19.0, 100.0, 119.0, 200.0, 219.0).foreach { edge =>
+      both(_.where(col("val") >= edge))
+      both(_.where(col("val") <= edge))
+      both(_.where(col("val") === edge))
+      both(_.where(col("val") > edge))
+      both(_.where(col("val") < edge))
+    }
+    both(_.where(col("payload") === "mmm0"))
+    both(_.where(col("ts") >= lit(ts("2024-01-10 00:00:01"))))
+    both(_.where(col("extra") <= 7L))
+    both(_.where(col("extra").isNull))
+  }
+
+  test("a never-analyzed store has no sketches: predicates prune " +
+      "nothing (conservative), results unchanged") {
+    val path = mkStore(analyze = false)
+    def rd = spark.read.format("journal").load(path)
+    assert(scannedFiles(rd.where(col("val") > 150.0)) === 3)
+    assert(rd.where(col("val") > 150.0).count() === 20L)
+  }
+
+  test("pruning survives the lifecycle: post-analyze appends are " +
+      "sketched, deleteWhere re-sketches, and bounds narrow") {
+    val path = mkStore(analyze = true)
+    val store = JournalStore.open(spark, path)
+    // a post-analyze append lands WITH sketches (delta part)
+    store.append((0 until 10).map(i =>
+      ("n", (300 + i).toLong, ts("2024-02-01 00:00:01"), s"qqq$i",
+        300.0 + i, Option.empty[Long]))
+      .toDF("ns", "ukey", "ts", "payload", "val", "extra"))
+    def rd = spark.read.format("journal").load(path)
+    assert(scannedFiles(rd.where(col("val") >= 300.0)) === 1)
+    assert(rd.where(col("val") >= 300.0).count() === 10L)
+    // erase the middle range: the rewrite re-sketches; the file leaves
+    store.deleteWhere(col("val") >= 100.0 && col("val") < 120.0)
+    assert(scannedFiles(rd.where(col("val") === 105.0)) === 0)
+    assert(rd.where(col("val") === 105.0).count() === 0L)
+    assert(rd.count() === 50L)
+  }
+}
