@@ -95,7 +95,11 @@ private[graft] object ColumnStatsSidecar {
     * per-file bounds) a map hit instead of a parquet parse; oversized
     * consolidated parts bypass it rather than pinning the driver. */
   private val CachedParts = 32
-  private val CacheEntryCap = 200000
+  // rows here carry 512-byte register payloads (~6-10x a FileStat), so
+  // the per-part cap stays at the FileStatsSidecar bound rather than
+  // scaling up — worst-case pinned heap ~= 32 x 50k x ~600B ~= 1GB,
+  // typical far less; larger consolidated parts bypass the cache
+  private val CacheEntryCap = 50000
   private val cache =
     new java.util.LinkedHashMap[String, Vector[CStat]](64, 0.75f, true) {
       override def removeEldestEntry(

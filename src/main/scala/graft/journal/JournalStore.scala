@@ -714,6 +714,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // full scan anyway.
     val csRows =
       scala.collection.mutable.ArrayBuffer.empty[ColumnStatsSidecar.CStat]
+    val csPartsB = Seq.newBuilder[String]
+    // rows are FLUSHED to a sidecar part whenever the buffer passes the
+    // bound, so driver memory stays at flush grain even on a store
+    // whose files × cols product dwarfs one chunk (the manifest holds a
+    // part LIST; append-path consolidation re-bounds the count later)
+    val flushRows = 65536
+    def flush(force: Boolean): Unit =
+      if (csRows.nonEmpty && (force || csRows.sizeIs >= flushRows)) {
+        csPartsB += ColumnStatsSidecar.writePart(path, csRows.toSeq)
+        csRows.clear()
+      }
     if (rows > 0)
       m0.files.grouped(JournalStore.BootstrapChunkFiles).foreach { chunk =>
         val cdf = readSegmentsOver(chunk, m0.schemaDdl, m0.dvParts,
@@ -722,10 +733,10 @@ class JournalStore private (val spark: SparkSession, val path: String,
         val sk = groupedColumnSketches(cdf, cols.filter(cTypes.contains),
           cTypes, col("__file"))
         sk.foreach { case (f, ds) => csRows ++= cstatRowsOf(f, ds, cols) }
+        flush(force = false)
       }
-    val csParts =
-      if (csRows.isEmpty) Nil
-      else Seq(ColumnStatsSidecar.writePart(path, csRows.toSeq))
+    flush(force = true)
+    val csParts = csPartsB.result()
     retryOnLostRace {
       val m = manifest
       val stale = m.meta.keys.filter(k => k == JournalStore.StatsRowsKey ||
@@ -1041,16 +1052,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * rewrite: `rewritten` maps each REWRITTEN file to its fresh
     * sketches (computed from the rows the rewrite already read, through
     * any deletion vectors); surviving untouched files keep their
-    * recorded rows. Returns (new meta, new cstats part list). When the
-    * store has no mergeable recorded stats the sidecar is dropped —
-    * sketches without merged stats are dead weight; the next analyze()
-    * rebuilds both. */
+    * recorded rows. Returns (new meta, new cstats part list). The
+    * sidecar is consolidated and KEPT even when the refold declines the
+    * merged stats: each per-file sketch is sound for ITS file
+    * independently (the envelope argument the V2 scan's file skipping
+    * relies on — skipping never consults the merged stats), so a
+    * decline costs the CBO report, never the pruning. When the store
+    * has no mergeable recorded stats there are no fresh sketches to
+    * add; existing parts ride along unchanged until the next analyze()
+    * rewrites the family. */
   private def rewriteStatsState(m: JournalStore.Manifest,
       files2: Seq[String], fstats2: Seq[FileStat], dvParts2: Seq[String],
       rewritten: Seq[(String, JournalStore.DirSketches)])
       : (Map[String, String], Seq[String]) = {
     val statCols = JournalStore.activeStatCols(m.meta)
-    if (statCols.isEmpty) return (m.meta, Nil)
+    if (statCols.isEmpty) return (m.meta, m.cstatsParts)
     val live = files2.toSet
     val newFiles = rewritten.map(_._1).toSet
     val kept = ColumnStatsSidecar.readAll(path, m.cstatsParts)
@@ -1061,7 +1077,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val meta2 = refoldStatsMeta(m.meta, files2, fstats2, dvParts2,
       sketchMap, m.schemaDdl)
     val parts2 =
-      if (!meta2.contains(JournalStore.StatsRowsKey) || sketchMap.isEmpty) Nil
+      if (sketchMap.isEmpty) Nil
       else Seq(ColumnStatsSidecar.writePart(path, sketchMap.values.toSeq))
     (meta2, parts2)
   }
@@ -2425,9 +2441,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
       if (!doSketch || presentCols.isEmpty) Map.empty
       else dirColumnSketches(rows, presentCols,
         rows.schema.map(f => f.name -> f.dataType).toMap)
+    // map dir sketches (keyed by RAW data ns) to new files (whose path
+    // carries the ESCAPED ns) only through the safe charset where the
+    // two coincide — the same guard append/deleteWhere apply; an
+    // escapable ns records no fresh sketch and the refold declines
+    // (conservative, never a cross-namespace sketch collision)
     val rewrittenSk = derived.flatMap { s =>
       dirOf(s.file) match {
-        case (Some(e), Some(n)) => dirSk.get((e, n)).map(s.file -> _)
+        case (Some(e), Some(n)) if n.matches("[A-Za-z0-9_.\\-]+") =>
+          dirSk.get((e, n)).map(s.file -> _)
         case _ => None
       }
     }

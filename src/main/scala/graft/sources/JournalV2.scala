@@ -184,8 +184,13 @@ private[sources] object JournalV2 {
           // StatsRowsKey fallback would be trivially true under the
           // incremental fold, the exact unbounded-staleness hole the
           // 2x gate closes
+          // ...and a SHRINK bound (round 17): the refold carries the
+          // histogram through deletes, so a table erased below HALF its
+          // capture point declines it too — bins describing mostly
+          // erased data are as stale as bins that missed growth
           val histFresh = meta.get(JournalStore.StatsHistRowsKey)
-            .exists(h => exactRows <= 2L * h.toLong)
+            .exists(h => exactRows <= 2L * h.toLong &&
+              2L * exactRows >= h.toLong)
           val hist: java.util.Optional[
               org.apache.spark.sql.connector.read.colstats.Histogram] =
             (if ((longTyped || tsTyped) && histFresh) meta.get(p + "hist")
@@ -711,18 +716,20 @@ private[sources] class JournalScanBuilder(
   /** TIMESTAMP comparisons captured at the CATALYST grain for the
     * cstats file pruning: parquet cannot push INT96 timestamp filters,
     * so they never reach pushedDataFilters — but the Literal's internal
-    * value IS epoch micros (raw NTZ micros for NTZ), exactly the
-    * domain the sidecar's minus/maxus record. Each entry is
+    * value IS epoch micros, exactly the domain the sidecar's
+    * minus/maxus record. TIMESTAMP only (NTZ capture has a DST-gap
+    * wobble — planner-advisory, never load-bearing). Each entry is
     * (column, mayMatch(fileLo, fileHi)). */
   private val tsRangePreds =
     scala.collection.mutable.ArrayBuffer.empty[(String, (Long, Long) => Boolean)]
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val remaining = super.pushFilters(filters)
+    // TIMESTAMP only — NTZ bounds are captured through a session-zoned
+    // cast whose value can shift inside a DST gap (see tsMicrosSql):
+    // fine for planner-advisory estimates, unsound for file skipping
     def tsLit(e: Expression): Option[Long] = e match {
       case Literal(v: Long, org.apache.spark.sql.types.TimestampType) => Some(v)
-      case Literal(v: Long, org.apache.spark.sql.types.TimestampNTZType) =>
-        Some(v)
       case _ => None
     }
     def attrName(e: Expression): Option[String] = e match {
@@ -1071,9 +1078,10 @@ private[sources] class JournalScanBuilder(
     * re-evaluated above the scan anyway, so any keep is merely IO.
     * Comparisons run in the sketch's own domain — numeric strings via
     * BigDecimal, strings/booleans/dates in UNSIGNED UTF-8 byte order
-    * (what min/max recorded), timestamps in epoch micros (minus/maxus,
-    * NTZ in raw NTZ micros) — and anything unrecognized keeps the
-    * file. Driver cost: one part-LRU hit + O(files × pushed preds). */
+    * (what min/max recorded), TIMESTAMP in epoch micros (minus/maxus;
+    * TIMESTAMP_NTZ is excluded — its capture can shift inside a DST
+    * gap, fine for estimates, unsound for skipping) — and anything
+    * unrecognized keeps the file. Driver cost: one part-LRU hit + O(files × pushed preds). */
   private def cstatsPrune(files: Seq[String]): Seq[String] = {
     if (cstatsParts.isEmpty || files.isEmpty) return files
     import org.apache.spark.sql.types._
@@ -1097,14 +1105,20 @@ private[sources] class JournalScanBuilder(
         Some(d.toString).filter(_.matches("\\d{4}-.*"))
       case _ => None
     }
+    // TIMESTAMP only — deliberately NOT TIMESTAMP_NTZ: NTZ bounds are
+    // captured through a session-zoned cast round-trip whose value can
+    // shift for wall-times inside a DST gap (see tsMicrosSql), which
+    // is fine for planner-advisory estimates but NOT for load-bearing
+    // file skipping (a gap-hour literal could wrongly prune its file).
+    // TIMESTAMP capture is an identity cast — exact always.
     def microsKey(dt: DataType, v: Any): Option[Long] = (dt, v) match {
       case (TimestampType, t: java.sql.Timestamp) =>
-        Some(t.getTime / 1000 * 1000000 + t.getNanos.toLong / 1000)
+        // via Instant: floor semantics hold for pre-1970 fractional
+        // seconds (a truncating getTime/1000 would flip the sign side)
+        val i = t.toInstant
+        Some(i.getEpochSecond * 1000000 + i.getNano.toLong / 1000)
       case (TimestampType, i: java.time.Instant) =>
         Some(i.getEpochSecond * 1000000 + i.getNano.toLong / 1000)
-      case (TimestampNTZType, l: java.time.LocalDateTime) =>
-        Some(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000 +
-          l.getNano.toLong / 1000)
       case _ => None
     }
     // (column, mayMatch(sketch)) per prunable pushed predicate; a
@@ -1126,7 +1140,7 @@ private[sources] class JournalScanBuilder(
             (for (lo <- s.minv; hi <- s.maxv) yield str(
               graft.journal.JournalStore.utf8Cmp(lo, k),
               graft.journal.JournalStore.utf8Cmp(hi, k))).getOrElse(true))
-        case dt @ (TimestampType | TimestampNTZType) =>
+        case dt @ TimestampType =>
           microsKey(dt, cmpLit).map(k => (s: CS) =>
             (for (lo <- s.minus; hi <- s.maxus)
               yield mic(lo - k, hi - k)).getOrElse(true))
@@ -1174,8 +1188,7 @@ private[sources] class JournalScanBuilder(
     // tsRangePreds) — gated on the column really being ts-typed so a
     // coincidental name can never borrow the micros domain
     val tsTests: Seq[(String, CS => Boolean)] = tsRangePreds.toSeq.collect {
-      case (c, ok) if typeOf.get(c).exists(t =>
-          t == TimestampType || t == TimestampNTZType) =>
+      case (c, ok) if typeOf.get(c).contains(TimestampType) =>
         (c, (s: CS) => (for (lo <- s.minus; hi <- s.maxus)
           yield ok(lo, hi)).getOrElse(true))
     }

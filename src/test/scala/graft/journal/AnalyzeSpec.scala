@@ -402,6 +402,35 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(store.analyzedRowCount === Some(139L))
   }
 
+  test("histogram SHRINK bound: a table erased below half its capture " +
+      "point declines the histogram but keeps the refolded ndv/extrema") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 50)
+    store.append((0 until 400).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), s"p$i", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze(Seq("ukey"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def st = spark.read.format("journal").load(path)
+        .queryExecution.optimizedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => s.stats.attributeStats
+        }.get.map { case (a, s2) => a.name -> s2 }
+      assert(st("ukey").histogram.isDefined)
+      // erase 3/4 of the table: the refold keeps ndv/extrema serving,
+      // but the histogram describes a distribution that is mostly
+      // gone — the shrink side of the freshness gate declines it
+      assert(store.deleteWhere(col("ukey") >= 100L) === 300L)
+      val after = st
+      assert(after("ukey").histogram.isEmpty,
+        "a mostly-erased histogram must decline")
+      assert(after("ukey").distinctCount.isDefined,
+        "refolded ndv must keep serving")
+      assert(after("ukey").max === Some(99L))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("FULL compact re-captures the histogram: range selectivity " +
       "stays distribution-aware after the table triples") {
     val path = freshPath

@@ -118,6 +118,28 @@ class CstatsSkipSpec extends AnyFunSuite {
     assert(rd.where(col("val") > 150.0).count() === 20L)
   }
 
+  test("a refold DECLINE keeps the sidecar: file skipping survives " +
+      "even when the merged stats drop") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cskipd_").toString + "/store"
+    val store = JournalStore.create(spark, dir, epochSize = 1)
+    def batch(lo: Int) = (lo until lo + 70).map(i =>
+      ("n", i.toLong, ts("2024-01-01 00:00:01"), "p", i.toDouble))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0))       // 70 single-row files
+    store.analyze(Seq("val"))    // bootstrap sketches them all
+    store.append(batch(100))     // 70 MORE files, > MaxSketchDirs: no sketches
+    // the erase cannot refold (sketchless survivors) — merged stats drop
+    assert(store.deleteWhere(col("val") === 150.0) === 1L)
+    assert(store.analyzedRowCount === None)
+    // ...but the surviving per-file sketches still skip: a probe into
+    // the SKETCHED range opens that one file plus the 69 sketchless
+    // (never-pruned) survivors — not all 139
+    def rd = spark.read.format("journal").load(dir)
+    assert(scannedFiles(rd.where(col("val") === 5.0)) === 70)
+    assert(rd.where(col("val") === 5.0).count() === 1L)
+  }
+
   test("pruning survives the lifecycle: post-analyze appends are " +
       "sketched, deleteWhere re-sketches, and bounds narrow") {
     val path = mkStore(analyze = true)
