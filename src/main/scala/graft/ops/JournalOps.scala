@@ -724,6 +724,34 @@ object JournalOps {
           graft.Det.r(col("n") / col("ns_rows"), 4).as("share"))
         .orderBy("ns", "rk")
     }),
+    "journal_skip_scan" -> ((s, d) => {
+      // cstats FILE SKIPPING inside the hash gate (round 17): analyze
+      // bootstraps the per-file column sketches, then a RANGE read on
+      // a sketched DATA column (ukey range — not the partition axes,
+      // not the bloom's equality probe) plans through the V2 scan with
+      // cstatsPrune dropping every file whose bounds exclude the
+      // range. The oracle replays the filter over the source window,
+      // so the row proves end to end — at sf0.01, every round — that
+      // skipping never changes results (soundness is structural: files
+      // without a matching bound are kept, pushed filters re-evaluate
+      // above the scan; CstatsSkipSpec pins that files actually DROP).
+      // 100 TB shape: a selective range read on any analyzed column
+      // opens only the files whose sketch admits it.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jskip_store_" + tmpTag(d)).toString
+      if (!graft.journal.JournalStore.exists(tmp)) {
+        journal(s, d).where(col("seq") < 6000)
+          .write.format("journal").option("epochSize", "1000").save(tmp)
+        val st = graft.journal.JournalStore.open(s, tmp)
+        if (st.manifest.files.nonEmpty)
+          st.analyze(Seq("ukey", "payload"))
+      }
+      s.read.format("journal").load(tmp)
+        .where(col("ukey") >= 10L && col("ukey") < 50L &&
+          col("payload") >= "a")
+        .select(col("ns"), col("ukey"), col("seq"), col("payload"))
+        .orderBy("seq")
+    }),
     "journal_ns_meta" -> ((s, d) => {
       // GROUP BY over the journal's layout axis, still metadata-only:
       // the DSv2 scan answers `GROUP BY ns` from the manifest's
@@ -2181,6 +2209,13 @@ object JournalOps {
         "SELECT st.c AS col_name, st.n_rows, st.n_nulls, e.regs_hit, " +
         "e.w_hit + (512 - e.regs_hit) * 4503599627370496 AS weight, " +
         "st.vmin, st.vmax FROM st JOIN e USING (c) ORDER BY col_name"),
+    // the skipping row's oracle: the same range over the source window
+    // (DuckDB's binary collation = the scan's unsigned-UTF-8 domain)
+    "journal_skip_scan" ->
+      ("SELECT event_type AS ns, user_id AS ukey, event_id AS seq, " +
+        "props AS payload FROM events WHERE event_id < 6000 " +
+        "AND user_id >= 10 AND user_id < 50 AND props >= 'a' " +
+        "ORDER BY seq"),
     // the refold twin: the oracle recomputes the register state over
     // the SURVIVING rows (NULL keys survive a three-valued DELETE),
     // proving survivors-refold ≡ analyze-of-survivors value-exactly
