@@ -329,6 +329,33 @@ object Sf1Smoke {
         f"(${t10 / t1}%.2fx — stat refresh rides the 2000-row batch, " +
         "not the corpus)")
     }
+    // Distributed cstats-BOOTSTRAP witness (VERDICT r17 item 1): the
+    // analyze() sidecar bootstrap is ONE distributed action — per-file
+    // sketches assemble executor-side and the write tasks emit the
+    // parquet parts, so wall time must ride the DATA (≈10x for 10x
+    // rows spread over ~10x as many files), never a per-file driver
+    // loop; the part count stays flush-bounded (64k rows/part). A
+    // small epochSize forces a many-files layout at both scales so
+    // the files axis is actually exercised.
+    locally {
+      def probe(dir: String, tag: String): (Double, Int, Int) = {
+        val path = s"$out/cb_store_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+        val st = graft.journal.JournalStore.create(spark, path,
+          epochSize = 16384)
+        st.append(graft.ops.JournalOps.journal(spark, dir))
+        val t0 = System.nanoTime()
+        st.analyze(Seq("ns", "ukey", "val"))
+        ((System.nanoTime() - t0) / 1e9, st.manifest.files.size,
+          st.manifest.cstatsParts.size)
+      }
+      val (t1, f1, p1) = probe(src, "1x")
+      val (t10, f10, p10) = probe(out, "10x")
+      println(f"[sf1] cstats_bootstrap        1x=$t1%8.2f s " +
+        f"($f1 files, $p1 parts)  10x=$t10%.2f s ($f10 files, $p10 " +
+        f"parts)  (${t10 / t1}%.2fx — one distributed job; driver " +
+        "holds part names only)")
+    }
     // writeStream.toTable staged double-write probe (VERDICT r14 item
     // 6): the V2 whole-batch table sink stages parquet per task, then
     // lands the staged rows as ONE ordinary store append — streamed

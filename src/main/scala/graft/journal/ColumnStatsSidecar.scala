@@ -62,8 +62,96 @@ private[graft] object ColumnStatsSidecar {
   def dir(storePath: String): java.nio.file.Path =
     java.nio.file.Paths.get(storePath, "cstats")
 
+  /** Spark-facing shape of one sidecar row — the schema of the
+    * DISTRIBUTED read/write twins below (the bootstrap/rewrite paths,
+    * whose sidecar volume is files-proportional and must never
+    * materialize on the driver). Field names mirror the parquet-java
+    * message above; parquet reads by name, so the required-vs-optional
+    * repetition difference between the two writers is invisible to
+    * either reader. */
+  val sparkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType), StructField("col", StringType),
+      StructField("rows", LongType), StructField("nulls", LongType),
+      StructField("minv", StringType), StructField("maxv", StringType),
+      StructField("minus", LongType), StructField("maxus", LongType),
+      StructField("regs", BinaryType)))
+  }
+
+  /** Product encoder for executor-side CStat assembly. */
+  val cstatEncoder: org.apache.spark.sql.Encoder[CStat] =
+    org.apache.spark.sql.Encoders.product[CStat]
+
+  /** The given parts as ONE distributed DataFrame — the Spark-side
+    * twin of [[readAll]] for the rewrite/consolidation paths. No
+    * (file, col) precedence pass: within one manifest's part list a
+    * LIVE file's sketch lives in exactly one part (a file is sketched
+    * by the commit that created it; rewrites consolidate), and the
+    * callers either filter to live files (consolidation) or certify
+    * per-column contribution counts (the refold's exact-or-decline
+    * coherence check catches any duplicate by count ≠ survivors).
+    * THROWS on an unreadable part — callers abort the consolidation
+    * and decline, never silently dropping a file's sketches the way
+    * the scan path's lenient [[readPart]] may. */
+  def readFrame(spark: org.apache.spark.sql.SparkSession,
+                storePath: String,
+                parts: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (parts.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        sparkSchema)
+    else spark.read.schema(sparkSchema)
+      .parquet(parts.map(p => dir(storePath).resolve(p).toString): _*)
+
+  /** Write a CStat-shaped frame as a SET of immutable sidecar parts
+    * from the WRITE TASKS — the distributed twin of [[writePart]]: the
+    * frame is repartitioned to `nParts` (callers size this to the
+    * [[JournalStore]] flush bound so each part stays LRU-cacheable),
+    * written to a staging dir by Spark's committer, and each task file
+    * is adopted under a fresh UUID name (same-filesystem move, the
+    * promoteStaged pattern). Returns the manifest-relative names; a
+    * crash mid-adopt strands only unreferenced orphans (the manifest
+    * that would list them never committed), which vacuum sweeps. */
+  def writeParts(storePath: String,
+                 df: org.apache.spark.sql.DataFrame,
+                 nParts: Int): Seq[String] = {
+    val stage = java.nio.file.Paths.get(storePath,
+      s".stage-cstats-${java.util.UUID.randomUUID()}")
+    df.repartition(math.max(1, nParts))
+      .write.mode("overwrite").parquet(stage.toString)
+    val names = Seq.newBuilder[String]
+    val walk = java.nio.file.Files.walk(stage)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .foreach { p =>
+          val name = java.util.UUID.randomUUID().toString + ".parquet"
+          java.nio.file.Files.createDirectories(dir(storePath))
+          java.nio.file.Files.move(p, dir(storePath).resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          names += name
+        }
+    } finally walk.close()
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    names.result()
+  }
+
+  /** Test-visible seam counters: the round-18 contract is that the
+    * analyze bootstrap and the rewrite refold/consolidation never run
+    * files-proportional driver work — specs pin that the DRIVER part
+    * writer and the driver-materializing [[readAll]] are not touched
+    * by those paths (the scan pruner and append-delta writer remain
+    * their only users, both bounded). */
+  private[graft] val driverPartWrites =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val driverReadAlls =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Write one immutable part; returns its manifest-relative name. */
   def writePart(storePath: String, stats: Seq[CStat]): String = {
+    driverPartWrites.incrementAndGet()
     val name = java.util.UUID.randomUUID().toString + ".parquet"
     java.nio.file.Files.createDirectories(dir(storePath))
     val factory = new SimpleGroupFactory(schema)
@@ -111,26 +199,31 @@ private[graft] object ColumnStatsSidecar {
     * the refold then sees files without sketches and DECLINES the
     * merged stats, and the scan pruner keeps the file (the
     * conservative fallback: a damaged sidecar costs a re-analyze or a
-    * wasted read, never a wrong bound / dropped row). */
+    * wasted read, never a wrong bound / dropped row). A FAILED read is
+    * never cached — only a successful (possibly empty) parse is: parts
+    * are immutable, so successes cannot go stale, but a transient IO
+    * error must not pin "empty" into the LRU and permanently disable
+    * skipping for that part (the next probe retries the parse). */
   def readPart(storePath: String, name: String): Seq[CStat] = {
     val key = storePath + "\u0000" + name
     val hit = cache.synchronized(cache.get(key))
     if (hit != null) hit
-    else {
-      val loaded = readPartUncached(storePath, name)
-      if (loaded.sizeIs <= CacheEntryCap)
-        cache.synchronized(cache.put(key, loaded))
-      loaded
+    else readPartUncached(storePath, name) match {
+      case Some(loaded) =>
+        if (loaded.sizeIs <= CacheEntryCap)
+          cache.synchronized(cache.put(key, loaded))
+        loaded
+      case None => Vector.empty
     }
   }
 
   private def readPartUncached(storePath: String,
-                               name: String): Vector[CStat] = try {
+                               name: String): Option[Vector[CStat]] = try {
     val reader = ParquetReader
       .builder(new GroupReadSupport(),
         new org.apache.hadoop.fs.Path(dir(storePath).resolve(name).toString))
       .build()
-    try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+    try Some(Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
       def optStr(f: String): Option[String] =
         if (g.getFieldRepetitionCount(f) > 0) Some(g.getString(f, 0)) else None
       def optLong(f: String): Option[Long] =
@@ -139,9 +232,9 @@ private[graft] object ColumnStatsSidecar {
         g.getLong("rows", 0), g.getLong("nulls", 0),
         optStr("minv"), optStr("maxv"), optLong("minus"), optLong("maxus"),
         g.getBinary("regs", 0).getBytes)
-    }.toVector
+    }.toVector)
     finally reader.close()
-  } catch { case _: Exception => Vector.empty }
+  } catch { case _: Exception => None }
 
   /** All rows of the given parts, keyed (file, col). Later parts win on
     * key collision — a rewrite's consolidated part supersedes any stale
@@ -151,6 +244,7 @@ private[graft] object ColumnStatsSidecar {
     * until consolidation). */
   def readAll(storePath: String,
               parts: Seq[String]): Map[(String, String), CStat] = {
+    driverReadAlls.incrementAndGet()
     val out = scala.collection.mutable.HashMap.empty[(String, String), CStat]
     parts.foreach(p => readPart(storePath, p).foreach(s =>
       out((s.file, s.col)) = s))

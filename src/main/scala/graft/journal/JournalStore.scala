@@ -634,8 +634,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c")))) ++
       tsCols.flatMap(c => Seq(
-        min(expr(tsMicrosSql(c, dtOf(c)))).as(s"mnus_$c"),
-        max(expr(tsMicrosSql(c, dtOf(c)))).as(s"mxus_$c")))
+        min(tsMicrosCol(c, dtOf(c))).as(s"mnus_$c"),
+        max(tsMicrosCol(c, dtOf(c))).as(s"mxus_$c")))
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = head.getLong(0)
     val tsBase = 1 + 3 * cols.size
@@ -708,35 +708,26 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // pass 4 — cstats BOOTSTRAP: the same sketch at per-FILE grain
     // (one sidecar row per file × column), the state destructive
     // rewrites refold the merged stats from; appends keep extending it
-    // at delta cost. Chunked so the driver's melt collect is bounded
-    // at chunk×cols×512 rows no matter how many files the store has —
-    // two jobs per chunk, riding the one operation that is a declared
-    // full scan anyway.
-    val csRows =
-      scala.collection.mutable.ArrayBuffer.empty[ColumnStatsSidecar.CStat]
-    val csPartsB = Seq.newBuilder[String]
-    // rows are FLUSHED to a sidecar part whenever the buffer passes the
-    // bound, so driver memory stays at flush grain even on a store
-    // whose files × cols product dwarfs one chunk (the manifest holds a
-    // part LIST; append-path consolidation re-bounds the count later)
-    val flushRows = 65536
-    def flush(force: Boolean): Unit =
-      if (csRows.nonEmpty && (force || csRows.sizeIs >= flushRows)) {
-        csPartsB += ColumnStatsSidecar.writePart(path, csRows.toSeq)
-        csRows.clear()
-      }
-    if (rows > 0)
-      m0.files.grouped(JournalStore.BootstrapChunkFiles).foreach { chunk =>
-        val cdf = readSegmentsOver(chunk, m0.schemaDdl, m0.dvParts,
+    // at delta cost. ONE DISTRIBUTED ACTION (round 18): the per-file
+    // wide aggregate and the per-file register melt join at (file,
+    // column) grain, sidecar rows assemble executor-side, and the
+    // WRITE TASKS emit the parquet parts — the driver touches only
+    // O(parts) names no matter how many files the store has (this was
+    // the last files-proportional driver seam in the stats lifecycle;
+    // parts are sized to the 64k-row flush bound so each stays
+    // LRU-cacheable for the scan pruner).
+    val csParts: Seq[String] =
+      if (rows == 0) Nil
+      else {
+        val cdf = readSegmentsOver(m0.files, m0.schemaDdl, m0.dvParts,
           keepPos = true)
         val cTypes = cdf.schema.map(f => f.name -> f.dataType).toMap
-        val sk = groupedColumnSketches(cdf, cols.filter(cTypes.contains),
-          cTypes, col("__file"))
-        sk.foreach { case (f, ds) => csRows ++= cstatRowsOf(f, ds, cols) }
-        flush(force = false)
+        val nParts = math.min(4096L, math.max(1L,
+          (m0.files.size.toLong * math.max(1, cols.size) + 65535L) /
+            65536L)).toInt
+        ColumnStatsSidecar.writeParts(path,
+          fileColumnSketchFrame(cdf, cols, cTypes).toDF(), nParts)
       }
-    flush(force = true)
-    val csParts = csPartsB.result()
     retryOnLostRace {
       val m = manifest
       val stale = m.meta.keys.filter(k => k == JournalStore.StatsRowsKey ||
@@ -798,20 +789,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
   private def histCapture(df: DataFrame, cols: Seq[String],
       dtOf: Map[String, org.apache.spark.sql.types.DataType], rows: Long)
       : Map[String, (Seq[Long], Seq[Long])] = {
-    val histCols: Seq[(String, String)] = cols.flatMap { c =>
-      dtOf.get(c) match {
-        case Some(org.apache.spark.sql.types.LongType) => Some(c -> c)
-        case Some(t @ (org.apache.spark.sql.types.TimestampType |
-                       org.apache.spark.sql.types.TimestampNTZType)) =>
-          Some(c -> tsMicrosSql(c, t))
-        case _ => None
+    val histCols: Seq[(String, org.apache.spark.sql.Column)] =
+      cols.flatMap { c =>
+        dtOf.get(c) match {
+          case Some(org.apache.spark.sql.types.LongType) =>
+            Some(c -> col(c))
+          case Some(t @ (org.apache.spark.sql.types.TimestampType |
+                         org.apache.spark.sql.types.TimestampNTZType)) =>
+            Some(c -> tsMicrosCol(c, t))
+          case _ => None
+        }
       }
-    }
     if (rows == 0 || histCols.isEmpty) Map.empty
     else {
-      val qs = (1 to 16).map(i => i / 16.0).mkString(", ")
+      val qs = (1 to 16).map(i => lit(i / 16.0))
       val bAggs = histCols.map { case (c, e) =>
-        expr(s"approx_percentile($e, array($qs), 10000)").as(s"b_$c") }
+        percentile_approx(e, array(qs: _*), lit(10000)).as(s"b_$c") }
       val bRow = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
       val bounds: Map[String, Seq[Long]] = histCols.zipWithIndex.collect {
         case ((c, _), i) if !bRow.isNullAt(i) =>
@@ -824,7 +817,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
           Seq(lit(c), array(bounds(c).map(lit(_)): _*)) }
         val ndvRows = df
           .select(explode(array(bCols.map { case (c, e) =>
-            struct(lit(c).as("c"), expr(e).as("v")) }: _*)).as("cv"))
+            struct(lit(c).as("c"), e.as("v")) }: _*)).as("cv"))
           .select(col("cv.c").as("c"), col("cv.v").as("v"))
           .where(col("v").isNotNull)
           .withColumn("ba", element_at(map(mapArgs: _*), col("c")))
@@ -861,8 +854,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c"))) ++
       tsCols.flatMap(c => Seq(
-        min(expr(tsMicrosSql(c, bTypes(c)))).as(s"mnus_$c"),
-        max(expr(tsMicrosSql(c, bTypes(c)))).as(s"mxus_$c")))
+        min(tsMicrosCol(c, bTypes(c))).as(s"mnus_$c"),
+        max(tsMicrosCol(c, bTypes(c))).as(s"mxus_$c")))
     val h = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
     // pass B: the batch's own HLL registers — the SAME melt as
     // analyze()'s pass 2 (shared helper: the union-of-sketches ≡
@@ -896,13 +889,23 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * register melt whose exchange carries ≤ dirs×cols×512 rows.
     * Extrema are recorded ONLY when [[JournalStore.mergeExtremum]] can
     * order them (self-merge test) — an absent bound beside non-null
-    * rows reads back as DECLINED, distinguishable from all-null. */
+    * rows reads back as DECLINED, distinguishable from all-null.
+    *
+    * NULL ns rows (writable — they land in the default-partition
+    * directory) group under a NUL sentinel instead of poisoning the
+    * concat key to NULL (concat is null-propagating, and a null group
+    * key would NPE the split below): their rows still participate in
+    * the caller's merged-sketch fold — dropping them would undercount
+    * nulls/extrema — while the sentinel, outside the safe-ns charset
+    * by construction, can never match a directory name, so the group
+    * records no per-file sidecar row (conservative, same as an escaped
+    * ns). */
   private def dirColumnSketches(df: DataFrame, present: Seq[String],
       bTypes: Map[String, org.apache.spark.sql.types.DataType])
       : Map[(Long, String), JournalStore.DirSketches] =
     groupedColumnSketches(df, present, bTypes,
       concat(col("epoch").cast("string"), lit("\u0000"),
-        col("ns").cast("string")))
+        coalesce(col("ns").cast("string"), lit("\u0000"))))
       .map { case (k, v) =>
         val Array(e, n) = k.split("\u0000", 2)
         (e.toLong, n) -> v
@@ -924,8 +927,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       min(col(c)).cast("string").as(s"__cs_mn_$c"),
       max(col(c)).cast("string").as(s"__cs_mx_$c")))) ++
       tsCols.flatMap(c => Seq(
-        min(expr(tsMicrosSql(c, bTypes(c)))).as(s"__cs_mnus_$c"),
-        max(expr(tsMicrosSql(c, bTypes(c)))).as(s"__cs_mxus_$c")))
+        min(tsMicrosCol(c, bTypes(c))).as(s"__cs_mnus_$c"),
+        max(tsMicrosCol(c, bTypes(c))).as(s"__cs_mxus_$c")))
     val agg = df.groupBy(groupKey.as("__csk"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val regRows = hllRegisterRows(df, present, Seq("__gk" -> groupKey))
@@ -978,6 +981,92 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     }
 
+  /** DISTRIBUTED per-file column sketches over a `keepPos = true`
+    * segment read — one [[ColumnStatsSidecar.CStat]] row per file ×
+    * stat column, assembled in the EXECUTORS (the analyze bootstrap's
+    * engine; [[groupedColumnSketches]] remains the driver-collected
+    * twin for the bounded append/rewrite grains). Same two aggregates
+    * (wide per-file nulls + canonical typed extrema + ts micros; the
+    * shared register melt grouped by `__file`), joined at (file,
+    * column) grain instead of collected — the shuffles carry sketch
+    * rows, never data rows. Same decline arithmetic: extrema record
+    * only when [[JournalStore.mergeExtremum]] can order them
+    * (self-merge test), and stat columns the dataset does not carry
+    * record as all-null — the fold invariant needs ONE arithmetic and
+    * both paths call the same helpers. */
+  private def fileColumnSketchFrame(df: DataFrame, statCols: Seq[String],
+      bTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.Dataset[ColumnStatsSidecar.CStat] = {
+    import org.apache.spark.sql.types._
+    val present = statCols.filter(bTypes.contains)
+    val tsCols = present.filter(c => bTypes(c) == TimestampType ||
+      bTypes(c) == TimestampNTZType)
+    val aggs = (count(lit(1L)).as("__cs_rows") +: present.flatMap(c => Seq(
+      count(col(c)).as(s"__cs_n_$c"),
+      min(col(c)).cast("string").as(s"__cs_mn_$c"),
+      max(col(c)).cast("string").as(s"__cs_mx_$c")))) ++
+      tsCols.flatMap(c => Seq(
+        min(tsMicrosCol(c, bTypes(c))).as(s"__cs_mnus_$c"),
+        max(tsMicrosCol(c, bTypes(c))).as(s"__cs_mxus_$c")))
+    val wide = df.groupBy(col("__file").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // one homogeneous struct per stat column (extrema already
+    // canonical strings; micros null for non-ts columns; columns the
+    // dataset does not carry record as all-null — they null-fill on
+    // read, exactly [[cstatRowsOf]]'s absent-column rule)
+    val entries = present.map { c =>
+      struct(lit(c).as("c"), col(s"__cs_n_$c").as("nn"),
+        col(s"__cs_mn_$c").as("mn"), col(s"__cs_mx_$c").as("mx"),
+        (if (tsCols.contains(c)) col(s"__cs_mnus_$c")
+         else lit(null).cast("long")).as("mnus"),
+        (if (tsCols.contains(c)) col(s"__cs_mxus_$c")
+         else lit(null).cast("long")).as("mxus"))
+    } ++ statCols.filterNot(present.contains).map { c =>
+      struct(lit(c).as("c"), lit(0L).as("nn"),
+        lit(null).cast("string").as("mn"), lit(null).cast("string").as("mx"),
+        lit(null).cast("long").as("mnus"), lit(null).cast("long").as("mxus"))
+    }
+    val perCol = wide
+      .select(col("file"), col("__cs_rows").as("rows"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("file"), col("rows"), col("e.c").as("col"),
+        (col("rows") - col("e.nn")).as("nulls"),
+        col("e.mn").as("mn"), col("e.mx").as("mx"),
+        col("e.mnus").as("mnus"), col("e.mxus").as("mxus"))
+    val regs = hllRegisterFrame(df, present, Seq("__gk" -> col("__file")))
+      .groupBy(col("__gk").as("file"), col("c").as("col"))
+      .agg(collect_list(struct(col("b"), col("m"))).as("pairs"))
+    val types = bTypes // serializable (String -> DataType) capture
+    perCol.join(regs, Seq("file", "col"), "left").map { r =>
+      val c = r.getAs[String]("col")
+      val dt = types.get(c)
+      def optS(n: String): Option[String] = Option(r.getAs[String](n))
+      val minv = optS("mn").filter(v => dt.exists(t =>
+        JournalStore.mergeExtremum(t, v, v, takeMin = true).isDefined))
+      val maxv = optS("mx").filter(v => dt.exists(t =>
+        JournalStore.mergeExtremum(t, v, v, takeMin = false).isDefined))
+      def optL(n: String): Option[Long] = {
+        val i = r.fieldIndex(n)
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      }
+      val pi = r.fieldIndex("pairs")
+      val regArr =
+        if (r.isNullAt(pi)) Array.emptyByteArray
+        else {
+          val arr = new Array[Byte](512)
+          r.getSeq[org.apache.spark.sql.Row](pi).foreach { p =>
+            val b = p.getLong(0).toInt
+            val rho = p.getInt(1)
+            if (rho > arr(b)) arr(b) = rho.toByte
+          }
+          arr
+        }
+      ColumnStatsSidecar.CStat(r.getAs[String]("file"), c,
+        r.getAs[Long]("rows"), r.getAs[Long]("nulls"),
+        minv, maxv, optL("mnus"), optL("mxus"), regArr)
+    }(ColumnStatsSidecar.cstatEncoder)
+  }
+
   /** REFOLD the merged analyze() stats from the SURVIVING files'
     * per-file column sketches after a destructive rewrite — the step
     * that lets deleteWhere/compact keep CBO stats alive instead of
@@ -988,35 +1077,79 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * recorded set, as does any live deletion vector (sketches cannot
     * see the subtraction). Histogram keys ride through unchanged (the
     * 2x freshness gate governs their serving). Returns the full new
-    * meta map. Driver cost: O(survivors × cols × 512B), streamed fold
-    * — paid only by destructive rewrites on analyzed stores. */
+    * meta map.
+    *
+    * DISTRIBUTED (round 18): the merge runs as ONE typed aggregate
+    * over the CStat-shaped `sketchDf` — pairwise
+    * [[JournalStore.mergeColSketches]] partials combine MAP-SIDE (the
+    * merge is associative: sums, elementwise register max, and an
+    * extremum lattice whose None is absorbing), so the shuffle and the
+    * driver collect carry ≤ stat-column rows however many files
+    * survive — never a files-proportional driver fold. The per-file
+    * coherence checks ride the SAME pass: each column group counts its
+    * contributing survivor files and its FileStat row-count
+    * mismatches, and any column whose count ≠ survivors (a missing —
+    * or duplicated — sketch) or whose mismatch count > 0 declines the
+    * whole set, exactly the old driver fold's per-file checks. */
   private def refoldStatsMeta(meta: Map[String, String],
       files2: Seq[String], fstats2: Seq[FileStat], dvParts2: Seq[String],
-      sketches: Map[(String, String), ColumnStatsSidecar.CStat],
+      sketchDf: DataFrame,
       schemaDdl: String): Map[String, String] = {
     val statCols = JournalStore.activeStatCols(meta)
     if (statCols.isEmpty) return meta // nothing mergeable is recorded
     def decline = meta -- JournalStore.statsMetaKeys(meta)
     if (dvParts2.nonEmpty) return decline
     val fmap = fstats2.map(s => s.file -> s).toMap
+    if (files2.exists(f => !fmap.contains(f)))
+      return decline // stats-free file: cannot certify
     val types: Map[String, org.apache.spark.sql.types.DataType] =
       if (schemaDdl.isEmpty) Map.empty
       else org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
         .map(f => f.name -> f.dataType).toMap
-    val perFile: Seq[Map[String, JournalStore.ColSketch]] = files2.map { f =>
-      fmap.get(f) match {
-        case None => return decline // stats-free file: cannot certify
-        case Some(fs) =>
-          val cs = statCols.map(c => sketches.get((f, c)))
-          if (cs.exists(s => s.isEmpty || s.get.rows != fs.rows))
-            return decline
-          statCols.zip(cs.map { s =>
-            val v = s.get
-            JournalStore.ColSketch(v.rows, v.nulls, v.minv, v.maxv,
-              v.minus, v.maxus, v.regs)
-          }).toMap
+    val expect = files2.size.toLong
+    val mergedByCol: Map[String, JournalStore.SketchAcc] =
+      if (files2.isEmpty) Map.empty
+      else {
+        val surv = spark.createDataFrame(
+          files2.map(f => (f, fmap(f).rows))).toDF("file", "__xrows")
+        val typesB = types
+        sketchDf
+          .where(col("col").isInCollection(statCols))
+          .join(surv, Seq("file"))
+          .select(col("col"), col("rows"), col("nulls"), col("minv"),
+            col("maxv"), col("minus"), col("maxus"), col("regs"),
+            col("__xrows"))
+          .map { r =>
+            def optL(i: Int): Option[Long] =
+              if (r.isNullAt(i)) None else Some(r.getLong(i))
+            val s = JournalStore.ColSketch(r.getLong(1), r.getLong(2),
+              Option(r.getString(3)), Option(r.getString(4)),
+              optL(5), optL(6),
+              Option(r.getAs[Array[Byte]](7))
+                .getOrElse(Array.emptyByteArray))
+            (r.getString(0), JournalStore.SketchAcc(1L,
+              if (r.getLong(1) == r.getLong(8)) 0L else 1L, s))
+          }(org.apache.spark.sql.Encoders.product[
+            (String, JournalStore.SketchAcc)])
+          .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+          .reduceGroups { (a, b) =>
+            (a._1, JournalStore.SketchAcc(a._2.n + b._2.n,
+              a._2.bad + b._2.bad,
+              JournalStore.mergeColSketches(typesB.get(a._1),
+                Seq(a._2.s, b._2.s))))
+          }
+          .collect().map { case (c, (_, acc)) => c -> acc }.toMap
       }
+    // exact-or-decline, certified from the aggregate's own counters
+    statCols.foreach { c =>
+      val ok = mergedByCol.get(c) match {
+        case Some(acc) => acc.n == expect && acc.bad == 0L
+        case None => expect == 0L
+      }
+      if (!ok) return decline
     }
+    val emptySketch = JournalStore.ColSketch(0L, 0L, None, None, None,
+      None, Array.emptyByteArray)
     val rows = files2.map(f => fmap(f).rows).sum
     val kvs = scala.collection.immutable.TreeMap.newBuilder[String, String]
     kvs += JournalStore.StatsRowsKey -> rows.toString
@@ -1024,8 +1157,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       kvs += JournalStore.StatsHistRowsKey -> v)
     statCols.foreach { c =>
       val p = JournalStore.StatsColPrefix + c + "."
-      val merged = JournalStore.mergeColSketches(types.get(c),
-        perFile.map(_.apply(c)))
+      val merged = mergedByCol.get(c).map(_.s).getOrElse(emptySketch)
       val packed =
         if (merged.regs.isEmpty) new Array[Byte](512) else merged.regs
       val (rh, wh) = JournalStore.registerSummary(packed)
@@ -1060,26 +1192,82 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * decline costs the CBO report, never the pruning. When the store
     * has no mergeable recorded stats there are no fresh sketches to
     * add; existing parts ride along unchanged until the next analyze()
-    * rewrites the family. */
+    * rewrites the family.
+    *
+    * DISTRIBUTED (round 18): the surviving sketches are read as ONE
+    * Spark frame over the sidecar parts (never a driver readAll), the
+    * refold aggregates it map-side, and the consolidation writes the
+    * new parts from the write tasks — flush-bounded like the analyze
+    * bootstrap, so neither driver memory nor part size grows with the
+    * store\u0027s files × columns product. ABORT-SAFE (r17 advice): an
+    * unreadable part aborts the consolidation — the old parts are
+    * KEPT (each remains a sound per-file envelope for skipping), the
+    * fresh sketches land as a delta part, and the merged stats decline
+    * (survivors cannot be certified) — a damaged sidecar never
+    * silently drops a file\u0027s sketches. */
   private def rewriteStatsState(m: JournalStore.Manifest,
       files2: Seq[String], fstats2: Seq[FileStat], dvParts2: Seq[String],
       rewritten: Seq[(String, JournalStore.DirSketches)])
       : (Map[String, String], Seq[String]) = {
     val statCols = JournalStore.activeStatCols(m.meta)
     if (statCols.isEmpty) return (m.meta, m.cstatsParts)
-    val live = files2.toSet
-    val newFiles = rewritten.map(_._1).toSet
-    val kept = ColumnStatsSidecar.readAll(path, m.cstatsParts)
-      .filter { case ((f, _), _) => live.contains(f) && !newFiles.contains(f) }
     val fresh = rewritten.flatMap { case (f, ds) =>
       cstatRowsOf(f, ds, statCols) }
-    val sketchMap = kept ++ fresh.map(s => (s.file, s.col) -> s)
-    val meta2 = refoldStatsMeta(m.meta, files2, fstats2, dvParts2,
-      sketchMap, m.schemaDdl)
-    val parts2 =
-      if (sketchMap.isEmpty) Nil
-      else Seq(ColumnStatsSidecar.writePart(path, sketchMap.values.toSeq))
-    (meta2, parts2)
+    try {
+      // kept = live files\u0027 rows from the old parts (rewritten files are
+      // NEW names — a fresh UUID per task file — so they cannot appear
+      // in old parts; the live join alone is exact)
+      val keptDf = ColumnStatsSidecar
+        .readFrame(spark, path, m.cstatsParts)
+        .join(spark.createDataFrame(files2.map(Tuple1(_))).toDF("file"),
+          Seq("file"), "left_semi")
+      val allDf = keptDf.unionByName(
+        spark.createDataset(fresh)(ColumnStatsSidecar.cstatEncoder).toDF())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val total = allDf.count()
+        val meta2 = refoldStatsMeta(m.meta, files2, fstats2, dvParts2,
+          allDf, m.schemaDdl)
+        val parts2 =
+          if (total == 0L) Nil
+          else ColumnStatsSidecar.writeParts(path, allDf,
+            math.min(4096L, (total + 65535L) / 65536L).toInt)
+        (meta2, parts2)
+      } finally allDf.unpersist()
+    } catch { case scala.util.control.NonFatal(_) =>
+      val parts2 =
+        if (fresh.isEmpty) m.cstatsParts
+        else m.cstatsParts :+ ColumnStatsSidecar.writePart(path, fresh)
+      (m.meta -- JournalStore.statsMetaKeys(m.meta), parts2)
+    }
+  }
+
+  /** Consolidate the cstats sidecar to a flush-bounded part set,
+    * DISTRIBUTED: live files' rows from the old parts (one Spark frame
+    * — never a driver readAll) union the commit's fresh rows, written
+    * from the write tasks. The live filter is a semi-join against the
+    * post-commit file list; fresh rows describe NEW file names (UUID
+    * task files), which cannot appear in old parts, so the union is
+    * duplicate-free by construction. Abort-safe: an unreadable part
+    * keeps the old list and appends the fresh rows as a delta part —
+    * a damaged sidecar never silently drops a file's sketches. */
+  private def consolidateCstats(parts: Seq[String], liveFiles: Seq[String],
+      fresh: Seq[ColumnStatsSidecar.CStat]): Seq[String] = try {
+    val keptDf = ColumnStatsSidecar.readFrame(spark, path, parts)
+      .join(spark.createDataFrame(liveFiles.map(Tuple1(_))).toDF("file"),
+        Seq("file"), "left_semi")
+    val allDf = keptDf.unionByName(
+      spark.createDataset(fresh)(ColumnStatsSidecar.cstatEncoder).toDF())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = allDf.count()
+      if (total == 0L) Nil
+      else ColumnStatsSidecar.writeParts(path, allDf,
+        math.min(4096L, (total + 65535L) / 65536L).toInt)
+    } finally allDf.unpersist()
+  } catch { case scala.util.control.NonFatal(_) =>
+    if (fresh.isEmpty) parts
+    else parts :+ ColumnStatsSidecar.writePart(path, fresh)
   }
 
   /** DECLARED-retention sweep — TTL as a TABLE ATTRIBUTE instead of an
@@ -1136,30 +1324,36 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val cond =
         if (nsPolicies.isEmpty) col("ts") < b
         // ns-scoped policies own their namespaces outright — the
-        // global bound must not sweep them (ns is structural and
-        // never null, so NOT IN is total here)
-        else col("ts") < b && !col("ns").isin(nsPolicies.map(_._1): _*)
+        // global bound must not sweep them. NULL-safe: `NOT IN`
+        // evaluates NULL for null-ns rows, which would silently retain
+        // them forever. The append door refuses null ns, so this arm is
+        // defense in depth — the global policy stays total even against
+        // rows no current door could have admitted.
+        else col("ts") < b &&
+          (col("ns").isNull || !col("ns").isin(nsPolicies.map(_._1): _*))
       erased += deleteWhere(cond)
     }
     erased
   }
 
-  /** Epoch-micros SQL text for a timestamp-typed column. TIMESTAMP
-    * reads its internal micros directly; TIMESTAMP_NTZ must NOT take
-    * the session-zoned cast alone — that shifts the value by the zone
-    * offset, and FilterEstimation compares NTZ literals in RAW NTZ
-    * micros — so the cast's shift is undone by from_utc_timestamp
-    * against the same session zone. Exact everywhere except inside a
-    * DST transition hour (the two offset lookups run at slightly
-    * different instants); acceptable for planner-advisory bounds and
-    * histograms, which never reach a result. analyze() and the append
-    * fold both go through here — the fold invariant needs one copy. */
-  private def tsMicrosSql(c: String,
-      dt: org.apache.spark.sql.types.DataType): String =
+  /** Epoch-micros Column for a timestamp-typed column. TIMESTAMP reads
+    * its internal micros directly (identity cast); TIMESTAMP_NTZ reads
+    * its RAW internal micros through [[graft.expr.NtzMicros]] — an
+    * identity reinterpretation of the physical long, EXACT even inside
+    * DST gaps (round 18; the previous session-zone round-trip could
+    * shift gap-hour wall times, which kept NTZ out of the cstats file
+    * skipping). FilterEstimation compares NTZ literals in this same
+    * raw-micros domain. analyze(), the append fold, the per-file
+    * sketches and the histogram capture all go through here — the fold
+    * invariant needs one copy. */
+  private def tsMicrosCol(c: String,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
     if (dt == org.apache.spark.sql.types.TimestampNTZType)
-      s"unix_micros(from_utc_timestamp(CAST(`$c` AS TIMESTAMP), " +
-        s"'${spark.sessionState.conf.sessionLocalTimeZone}'))"
-    else s"unix_micros(CAST(`$c` AS TIMESTAMP))"
+      org.apache.spark.sql.graft.StreamBatchBridge.columnOf(
+        graft.expr.NtzMicros(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(c)))
+    else unix_micros(col(c).cast("timestamp"))
 
   /** ONE shared register melt (columns → md5 → per-(column, register)
     * max-rho rows, ≤ cols×512 collected) for analyze()'s pass 2 AND
@@ -1169,11 +1363,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * there must be exactly one copy of these constants. */
   private def hllRegisterRows(df: DataFrame, cols: Seq[String],
       groups: Seq[(String, org.apache.spark.sql.Column)] = Nil)
-      : Array[org.apache.spark.sql.Row] = {
-    // optional leading GROUP columns (the per-file grain of the cstats
-    // sidecar; Nil = the flat batch melt): grouped max-rho then a
-    // driver-side max across groups is byte-identical to the flat melt
-    // — max is associative — so the fold invariant holds at any grain
+      : Array[org.apache.spark.sql.Row] =
+    hllRegisterFrame(df, cols, groups).collect()
+
+  /** The melt as a FRAME (no collect): what the distributed cstats
+    * bootstrap aggregates further executor-side — grouped max-rho then
+    * any later max across groups is byte-identical to the flat melt
+    * (max is associative), so the fold invariant holds at any grain.
+    * `groups` are optional leading GROUP columns (the per-file grain
+    * of the cstats sidecar; Nil = the flat batch melt). */
+  private def hllRegisterFrame(df: DataFrame, cols: Seq[String],
+      groups: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : DataFrame = {
     val gNames = groups.map(_._1)
     df.select(groups.map { case (n, c) => c.as(n) } :+
         explode(array(cols.map(c =>
@@ -1189,7 +1390,111 @@ class JournalStore private (val spark: SparkSession, val path: String,
           "ELSE 52 - length(bin(h div 512)) END AS rho"): _*)
       .groupBy((gNames :+ "c" :+ "b").map(col): _*)
       .agg(max("rho").as("m"))
-      .collect()
+  }
+
+  /** Metadata-only SKEW/LAYOUT ADVISOR (round 18 — the per-file
+    * sketches' operator-facing readout): summarizes which namespaces
+    * need compaction, which columns' file ranges interleave enough
+    * that a z-order/clustered rewrite would buy skipping, and which
+    * low-cardinality keys would straggle a shuffle without salting.
+    * Everything derives from state the store already holds — manifest
+    * fstats for the file shape, the cstats sidecar for per-file ndv
+    * and bounds — NO data file opens. One row per namespace and one
+    * per sketched column:
+    *
+    *  - ns rows: files/rows/avg-rows-per-file; advice `compact` when a
+    *    namespace fragments past [[JournalStore.AdviseCompactFiles]]
+    *    files (the compactNs candidate list).
+    *  - column rows: `metric` = the densest file's live-rows-per-
+    *    distinct-value (per-file HLL ndv — the salting signal: a
+    *    shuffle keyed on this column lands at least that many rows on
+    *    one task per hot key); `detail` carries the range-overlap
+    *    fraction of the per-file [min, max] intervals (0 = perfectly
+    *    clustered, → 1 = fully interleaved writes). Advice `salt` past
+    *    [[JournalStore.AdviseSaltRowsPerKey]], else `zorder` when
+    *    overlap ≥ [[JournalStore.AdviseZorderOverlap]] across ≥ 4
+    *    files. Heuristic labels; the metrics are the product.
+    *
+    * Driver cost: O(files) manifest arithmetic + one LRU-cached
+    * sidecar read — the same class as the scan pruner (an explicit
+    * operator verb, not a per-commit path). */
+  def advise(): Seq[JournalStore.AdviceRow] = {
+    val m = manifest
+    val nsRe = """ns=([^/]+)""".r
+    val out = Seq.newBuilder[JournalStore.AdviceRow]
+    val fmap = m.fstats.map(s => s.file -> s).toMap
+    m.files.groupBy(f =>
+        nsRe.findFirstMatchIn(f).map(_.group(1)).getOrElse(""))
+      .toSeq.sortBy(_._1).foreach { case (ns, fs) =>
+        val rows = fs.flatMap(fmap.get).map(_.rows)
+        val total = rows.sum
+        val avg = if (fs.isEmpty) 0.0 else total.toDouble / fs.size
+        out += JournalStore.AdviceRow("ns", ns, fs.size.toLong, total, avg,
+          s"max_file_rows=${if (rows.isEmpty) 0L else rows.max}",
+          if (fs.size >= JournalStore.AdviseCompactFiles) "compact" else "")
+      }
+    if (m.cstatsParts.nonEmpty) {
+      val types: Map[String, org.apache.spark.sql.types.DataType] =
+        if (m.schemaDdl.isEmpty) Map.empty
+        else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+          .map(f => f.name -> f.dataType).toMap
+      val live = ColumnStatsSidecar.readAll(path, m.cstatsParts)
+        .values.filter(s => fmap.contains(s.file)).toSeq
+      live.groupBy(_.col).toSeq.sortBy(_._1).foreach { case (c, ss) =>
+        val rows = ss.map(_.rows).sum
+        val densities = ss.flatMap { s =>
+          if (s.regs.isEmpty) None
+          else {
+            val (rh, wh) = JournalStore.registerSummary(s.regs)
+            if (rh == 0) None
+            else Some((s.rows - s.nulls).toDouble /
+              math.max(1L, JournalStore.hllNdvEstimate(rh, wh)))
+          }
+        }
+        val density = if (densities.isEmpty) 0.0 else densities.max
+        def dbl(v: Option[String]): Option[Double] =
+          v.flatMap(x => scala.util.Try(BigDecimal(x).toDouble).toOption)
+        val ranges: Seq[(Double, Double)] = types.get(c) match {
+          case Some(org.apache.spark.sql.types.LongType |
+                    org.apache.spark.sql.types.IntegerType |
+                    org.apache.spark.sql.types.ShortType |
+                    org.apache.spark.sql.types.ByteType |
+                    org.apache.spark.sql.types.FloatType |
+                    org.apache.spark.sql.types.DoubleType |
+                    (_: org.apache.spark.sql.types.DecimalType)) =>
+            ss.flatMap(s => for (lo <- dbl(s.minv); hi <- dbl(s.maxv))
+              yield (lo, hi))
+          case Some(org.apache.spark.sql.types.TimestampType |
+                    org.apache.spark.sql.types.TimestampNTZType) =>
+            ss.flatMap(s => for (lo <- s.minus; hi <- s.maxus)
+              yield (lo.toDouble, hi.toDouble))
+          case _ => Nil
+        }
+        // sweep-line: how many files' ranges intersect an EARLIER
+        // file's (in min order)? Declined (-1) unless every file
+        // carries bounds — a partial overlap count would mislead
+        val overlap =
+          if (ranges.size < 2 || ranges.size != ss.size) -1.0
+          else {
+            val sorted = ranges.sortBy(_._1)
+            var over = 0
+            var hiMax = Double.NegativeInfinity
+            sorted.foreach { case (lo, hi) =>
+              if (lo <= hiMax) over += 1
+              hiMax = math.max(hiMax, hi)
+            }
+            over.toDouble / (ranges.size - 1)
+          }
+        val advice =
+          if (density >= JournalStore.AdviseSaltRowsPerKey) "salt"
+          else if (overlap >= JournalStore.AdviseZorderOverlap &&
+            ss.size >= 4) "zorder"
+          else ""
+        out += JournalStore.AdviceRow("column", c, ss.size.toLong, rows,
+          density, f"overlap=$overlap%.2f", advice)
+      }
+    }
+    out.result()
   }
 
   /** Exact row count the last [[analyze]] ran at; None if never run. */
@@ -1867,6 +2172,24 @@ class JournalStore private (val spark: SparkSession, val path: String,
            max(unix_micros(col("ts").cast("timestamp"))).as("tmx"),
            sum(when(col("ts").cast("timestamp").isNull, 1L).otherwise(0L)).as("tnull"))
       .collect()
+    // ns is the store's STRUCTURAL partition key — a NULL value has no
+    // directory identity (the writer drops it in the escape-prone
+    // default-partition dir, colliding with any literal ns of that
+    // name) and would poison every ns-keyed stats family (the mroot
+    // KeyStat rows require a name). Refused at the door, riding the
+    // stats pass already in hand — zero extra jobs; the staged files
+    // were never promoted, so nothing became visible (vacuum sweeps
+    // the orphaned stage). Downstream null-ns handling (the retention
+    // sweep's isNull arm, the sketch key's NUL sentinel) stays as
+    // defense in depth, not as a supported row shape.
+    if (perNs.exists(_.isNullAt(1))) {
+      if (persistOut) out.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(stage).toFile)
+      throw new IllegalArgumentException(
+        "journal append: ns must be non-null (the namespace is the " +
+          "store's structural partition key); the batch was rejected " +
+          "atomically (nothing became visible)")
+    }
     // Key blooms ride a SEPARATE pass: BloomFilterAggregate is a
     // TypedImperativeAggregate, and one such column forces the whole
     // aggregate onto ObjectHashAggregate — folding it into the stats agg
@@ -1985,13 +2308,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
         }.flatten
     val cstatsParts2: Seq[String] =
       if (csRows.isEmpty) m.cstatsParts
-      else if (m.cstatsParts.sizeIs >= ColumnStatsSidecar.MaxParts) {
-        // consolidate: keep only live files' rows + this batch's
-        val live = files2.toSet
-        val kept = ColumnStatsSidecar.readAll(path, m.cstatsParts)
-          .values.filter(s => live.contains(s.file)).toSeq
-        Seq(ColumnStatsSidecar.writePart(path, kept ++ csRows))
-      } else m.cstatsParts :+ ColumnStatsSidecar.writePart(path, csRows)
+      else if (m.cstatsParts.sizeIs >= ColumnStatsSidecar.MaxParts)
+        // consolidate DISTRIBUTED (round 18): live files' rows from the
+        // old parts as one Spark frame + this batch's fresh rows,
+        // written back flush-bounded from the write tasks — the
+        // consolidated sidecar is files-proportional and must not
+        // round-trip the driver. Abort-safe: an unreadable part keeps
+        // the old list and lands the batch's rows as a delta part.
+        consolidateCstats(m.cstatsParts, files2, csRows)
+      else m.cstatsParts :+ ColumnStatsSidecar.writePart(path, csRows)
     commitSeam()
     try writeManifest(path, m.copy(op = "append", maxSeq = newMax,
       files = files2, cstatsParts = cstatsParts2,
@@ -4609,10 +4934,6 @@ object JournalStore {
     * 64 dirs × 32 cols × 512 ≈ 1M tiny rows, a bounded driver cost. */
   private[journal] val MaxSketchDirs = 64
 
-  /** analyze()'s cstats bootstrap processes files in chunks of this
-    * many per job pair, bounding the driver's melt collect at
-    * chunk×cols×512 rows no matter how many files the store has. */
-  private[journal] val BootstrapChunkFiles = 64
 
   /** Per-column stats-key SUFFIX tombstoning declined extrema
     * (`stats.col.<c>.xdecl` = comma-joined dead keys, "min"/"max"): a
@@ -4759,7 +5080,7 @@ object JournalStore {
 
   /** (registers hit, harmonic whit) of a packed register array — the
     * summary pair [[hllNdvEstimate]] consumes. */
-  private[journal] def registerSummary(arr: Array[Byte]): (Long, Long) = {
+  private[graft] def registerSummary(arr: Array[Byte]): (Long, Long) = {
     var hit = 0L; var whit = 0L
     arr.foreach { b => if (b != 0) { hit += 1L; whit += 1L << (52 - b) } }
     (hit, whit)
@@ -4787,6 +5108,24 @@ object JournalStore {
   /** One (epoch, ns) directory's row count + per-column sketches. */
   private[journal] case class DirSketches(rows: Long,
       cols: Map[String, ColSketch])
+
+  /** Distributed-refold accumulator: contributing-file count,
+    * FileStat row-count-mismatch count (both feed the exact-or-decline
+    * coherence check), and the running merged sketch. */
+  private[journal] case class SketchAcc(n: Long, bad: Long, s: ColSketch)
+
+  /** One [[JournalStore.advise]] readout row. */
+  case class AdviceRow(scope: String, name: String, files: Long,
+      rows: Long, metric: Double, detail: String, advice: String)
+
+  /** advise() thresholds (heuristic labels over exact metrics): a
+    * namespace fragmenting past this many files reads `compact`; a
+    * column whose densest file holds at least this many live rows per
+    * distinct value reads `salt`; per-file ranges overlapping at this
+    * fraction or above (≥ 4 files) read `zorder`. */
+  val AdviseCompactFiles = 8
+  val AdviseSaltRowsPerKey = 64.0
+  val AdviseZorderOverlap = 0.5
 
   /** Union of column sketches — the ONE merge arithmetic behind the
     * append fold (dirs → batch), the rewrite refold (files → table)

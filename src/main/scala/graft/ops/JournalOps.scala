@@ -752,6 +752,67 @@ object JournalOps {
         .select(col("ns"), col("ukey"), col("seq"), col("payload"))
         .orderBy("seq")
     }),
+    "journal_skip_nulls" -> ((s, d) => {
+      // Round-18 skipping axes inside the hash gate: IS NULL /
+      // IS NOT NULL prune whole files from the EXACT per-file null
+      // counts (a column all-null or null-free in a file settles the
+      // predicate outright), and string-prefix predicates prune by the
+      // UTF-8 bounds window [p, successor(p)). The fixture nulls `val`
+      // on an epoch stripe, so entire files are all-null (IS NOT NULL
+      // provably empty there) or null-free (IS NULL empty); the oracle
+      // replays the same projection over the source window — skipping
+      // must never change results. CstatsSkipSpec pins that files
+      // actually DROP; this row proves soundness at sf0.01 every
+      // round. 100 TB shape: the dominant pushed predicates of a
+      // quality-filter pipeline (col IS NOT NULL, url LIKE 'https%')
+      // open only the files whose sketch admits a match.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jskipn_store_" + tmpTag(d)).toString
+      if (!graft.journal.JournalStore.exists(tmp)) {
+        journal(s, d).where(col("seq") < 6000)
+          .withColumn("val", when(col("seq") < 2000,
+            lit(null).cast("double")).otherwise(col("val")))
+          .write.format("journal").option("epochSize", "1000").save(tmp)
+        val st = graft.journal.JournalStore.open(s, tmp)
+        if (st.manifest.files.nonEmpty) st.analyze(Seq("val", "payload"))
+      }
+      val rd = s.read.format("journal").load(tmp)
+      val nulls = rd.where(col("val").isNull)
+        .agg(count(lit(1)).as("n_null"), sum("ukey").as("k_null"))
+      val notnulls = rd.where(col("val").isNotNull)
+        .agg(count(lit(1)).as("n_val"),
+          graft.Det.r(sum("val"), 4).as("v_sum"))
+      val prefix = rd.where(col("payload").startsWith("{\"k\": 9"))
+        .agg(count(lit(1)).as("n_prefix"), sum("seq").as("s_prefix"))
+      nulls.crossJoin(notnulls).crossJoin(prefix)
+    }),
+    "journal_advise" -> ((s, d) => {
+      // CALL system.advise's readout as a declared row (round 18): the
+      // metadata-only skew/layout advisor — per-namespace file counts
+      // and rows from the manifest fstats, per-column sketch coverage
+      // from the cstats sidecar. Projected to the structurally-derived
+      // columns (file/row counts, the fragmentation advice label); the
+      // per-file ndv DENSITY metric is deterministic for a fixed
+      // fixture but ndv-derived, so it stays out of the cross-engine
+      // hash (the libm rule) — CatalogSpec gates the salt/zorder
+      // labels against a constructed skewed store instead. The oracle
+      // recomputes the same readout relationally: files per namespace
+      // = distinct (epoch, ns) directories of the declared layout.
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jadvise_store_" + tmpTag(d)).toString
+      if (!graft.journal.JournalStore.exists(tmp)) {
+        journal(s, d).where(col("seq") < 6000)
+          .write.format("journal").option("epochSize", "1000").save(tmp)
+        val st = graft.journal.JournalStore.open(s, tmp)
+        if (st.manifest.files.nonEmpty) st.analyze()
+      }
+      import s.implicits._
+      graft.journal.JournalStore.open(s, tmp).advise()
+        .map(r => (r.scope, r.name, r.files, r.rows,
+          if (r.scope == "ns") r.advice else null))
+        .toDF("scope", "name", "files", "n_rows", "advice")
+        .orderBy("scope", "name")
+    }),
     "journal_ns_meta" -> ((s, d) => {
       // GROUP BY over the journal's layout axis, still metadata-only:
       // the DSv2 scan answers `GROUP BY ns` from the manifest's
@@ -2216,6 +2277,45 @@ object JournalOps {
         "props AS payload FROM events WHERE event_id < 6000 " +
         "AND user_id >= 10 AND user_id < 50 AND props >= 'a' " +
         "ORDER BY seq"),
+    // the null/prefix skipping row's oracle: the same projection +
+    // filters over the source window (LIKE 'p%' = the prefix window;
+    // DuckDB's binary collation = the scan's unsigned-UTF-8 domain)
+    "journal_skip_nulls" ->
+      ("WITH src AS (SELECT event_id AS seq, user_id AS ukey, " +
+        "props AS payload, CASE WHEN event_id < 2000 THEN NULL " +
+        "ELSE value END AS val FROM events WHERE event_id < 6000) " +
+        "SELECT " +
+        "(SELECT count(*) FROM src WHERE val IS NULL) AS n_null, " +
+        "(SELECT CAST(sum(ukey) AS BIGINT) FROM src WHERE val IS NULL) " +
+        "AS k_null, " +
+        "(SELECT count(*) FROM src WHERE val IS NOT NULL) AS n_val, " +
+        "(SELECT round(sum(val), 4) FROM src WHERE val IS NOT NULL) " +
+        "AS v_sum, " +
+        "(SELECT count(*) FROM src WHERE payload LIKE '{\"k\": 9%') " +
+        "AS n_prefix, " +
+        "(SELECT CAST(sum(seq) AS BIGINT) FROM src " +
+        "WHERE payload LIKE '{\"k\": 9%') AS s_prefix"),
+    // the advisor row's oracle: the readout recomputed relationally —
+    // one file per (epoch, ns) directory of the declared layout, the
+    // fragmentation label at the same threshold, one column row per
+    // analyzed column (sketch coverage = every live file)
+    "journal_advise" ->
+      ("WITH src AS (SELECT event_id AS seq, event_type AS ns " +
+        "FROM events WHERE event_id < 6000), " +
+        "dirs AS (SELECT ns, seq // 1000 AS epoch, count(*) AS n " +
+        "FROM src GROUP BY 1, 2), " +
+        "nsrows AS (SELECT 'ns' AS scope, ns AS name, " +
+        "count(*) AS files, CAST(sum(n) AS BIGINT) AS n_rows, " +
+        "CASE WHEN count(*) >= 8 THEN 'compact' ELSE '' END AS advice " +
+        "FROM dirs GROUP BY ns), " +
+        "tot AS (SELECT count(*) AS files, CAST(sum(n) AS BIGINT) " +
+        "AS n_rows FROM dirs), " +
+        "colrows AS (SELECT 'column' AS scope, c AS name, tot.files, " +
+        "tot.n_rows, CAST(NULL AS VARCHAR) AS advice FROM tot, " +
+        "(VALUES ('ns'), ('payload'), ('seq'), ('ts'), ('ukey'), " +
+        "('val')) t(c) WHERE tot.files > 0) " +
+        "SELECT * FROM (SELECT * FROM nsrows UNION ALL " +
+        "SELECT * FROM colrows) ORDER BY scope, name"),
     // the refold twin: the oracle recomputes the register state over
     // the SURVIVING rows (NULL keys survive a three-valued DELETE),
     // proving survivors-refold ≡ analyze-of-survivors value-exactly

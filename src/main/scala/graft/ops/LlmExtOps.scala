@@ -1139,13 +1139,21 @@ object LlmExtOps {
       // shingle CORPUS-WIDE (canonical order (doc_id, position) — the
       // deterministic tie-break the paper's "keep one copy" needs),
       // and return the scrubbed text. Same positioned-shingle frame as
-      // dedup_span; the first-occurrence mark is ONE window over the
-      // shingle hash (row_number + count partials — the shuffle
-      // carries (doc_id, pos, md5), never text); non-first anchors
-      // merge into maximal intervals by the same gaps-and-islands
-      // window; the EXCISION is wholly map-side (the per-doc span list
-      // is collect_list-ed — bounded by doc length / k — and each
-      // doc's words filter against it with higher-order functions, no
+      // dedup_span; the first-occurrence mark is a MIN-STRUCT
+      // aggregate over the shingle hash (min(struct(doc_id, p)) —
+      // lexicographic struct ordering IS the canonical (doc_id, p)
+      // order) joined back to the occurrences, marking every non-min
+      // anchor by comparison. Deliberately NOT a row_number window
+      // partitioned on the gram: min/count keep MAP-SIDE PARTIALS, so
+      // a corpus-hot boilerplate gram contributes one partial per map
+      // task instead of forcing a single-task sort of every
+      // occurrence — the skew axis that matters at real scale (the
+      // shuffle still carries (doc_id, pos, md5), never text).
+      // Non-first anchors merge into maximal intervals by the
+      // gaps-and-islands window (per-DOC axis — naturally bounded);
+      // the EXCISION is wholly map-side (the per-doc span list is
+      // collect_list-ed — bounded by doc length / k — and each doc's
+      // words filter against it with higher-order functions, no
       // positional re-join of the corpus). 100 TB shape: two shuffles
       // (by shingle hash, by doc_id), both at anchor grain; text moves
       // exactly twice (in, out).
@@ -1158,13 +1166,13 @@ object LlmExtOps {
           col("w"))
         .select(col("doc_id"), col("p"),
           md5(array_join(slice(col("w"), col("p"), lit(k)), " ")).as("g"))
-      val wg = org.apache.spark.sql.expressions.Window
-        .partitionBy("g").orderBy("doc_id", "p")
-      val dup = sh
-        .withColumn("rn", row_number().over(wg))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("g")))
-        .where(col("n") >= 2 && col("rn") > 1)
+      val firsts = sh.groupBy("g")
+        .agg(min(struct(col("doc_id"), col("p"))).as("f"),
+          count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("g"), col("f"))
+      val dup = sh.join(firsts, Seq("g"))
+        .where(col("doc_id") =!= col("f.doc_id") || col("p") =!= col("f.p"))
         .select("doc_id", "p")
       val wLag = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("p")

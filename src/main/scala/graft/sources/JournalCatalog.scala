@@ -339,7 +339,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
   private val ProcedureNames = Seq("compact", "vacuum", "restore",
     "checkpoint", "purge_deletes", "zorder", "add_constraint",
     "drop_constraint", "set_property", "refresh_rollup", "history",
-    "clone", "analyze", "expire", "sync_identity", "detail")
+    "clone", "analyze", "expire", "sync_identity", "detail", "advise")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
@@ -368,6 +368,7 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       case "maintain" => new MaintainProcedure
       case "sync_identity" => new SyncIdentityProcedure
       case "detail" => new DetailProcedure
+      case "advise" => new AdviseProcedure
       case other => throw new IllegalArgumentException(
         s"unknown journal procedure '$other' (available: " +
           ProcedureNames.map("system." + _).mkString(", ") + ")")
@@ -776,6 +777,45 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
       val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = Array(row)
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** Skew/layout advisor as a SQL CALL (round 18): surface the
+    * per-file sketch metrics — namespace fragmentation, per-column
+    * range interleaving, per-key density from the per-file HLL ndv —
+    * with heuristic `compact` / `zorder` / `salt` labels. Metadata
+    * only: manifest fstats + the LRU-cached cstats sidecar; zero data
+    * files open. See [[JournalStore.advise]] for the semantics. */
+  private class AdviseProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "advise"
+    override def description(): String =
+      "skew/layout advisor from manifest + per-file column sketches: " +
+        "per-namespace fragmentation (compact candidates), per-column " +
+        "range interleaving (z-order candidates) and rows-per-key " +
+        "density (salting candidates) — metadata only, no data reads"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under this catalog").build())
+    private val schema = StructType.fromDDL(
+      "scope STRING, name STRING, files BIGINT, rows BIGINT, " +
+        "metric DOUBLE, detail STRING, advice STRING")
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val out = storeForName(input.getUTF8String(0).toString)
+        .advise().map { r =>
+          InternalRow.fromSeq(Seq[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.scope),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.name),
+            r.files, r.rows, r.metric,
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.detail),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.advice)))
+        }.toArray
+      val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = out
       }
       util.Collections.singletonList(scan).iterator()
     }

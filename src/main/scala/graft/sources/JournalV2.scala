@@ -713,23 +713,32 @@ private[sources] class JournalScanBuilder(
     * pruner, so a fresh attribute is sufficient. Bounds are
     * conservative (integer floor) and the original row filter always
     * remains — IO-only, never load-bearing for correctness. */
-  /** TIMESTAMP comparisons captured at the CATALYST grain for the
-    * cstats file pruning: parquet cannot push INT96 timestamp filters,
-    * so they never reach pushedDataFilters — but the Literal's internal
-    * value IS epoch micros, exactly the domain the sidecar's
-    * minus/maxus record. TIMESTAMP only (NTZ capture has a DST-gap
-    * wobble — planner-advisory, never load-bearing). Each entry is
+  /** TIMESTAMP / TIMESTAMP_NTZ comparisons captured at the CATALYST
+    * grain for the cstats file pruning: parquet pushes NEITHER (INT96
+    * timestamps are unpushable; Spark's ParquetFilters has no NTZ
+    * conversion either), so they never reach pushedDataFilters — but
+    * the Literal's internal Long IS the raw micros for both flavors,
+    * exactly the domain the sidecar's minus/maxus record (NTZ capture
+    * is exact since round 18's NtzMicros — identical raw-micros
+    * arithmetic on both sides). Each entry is
     * (column, mayMatch(fileLo, fileHi)). */
   private val tsRangePreds =
     scala.collection.mutable.ArrayBuffer.empty[(String, (Long, Long) => Boolean)]
 
+  /** The same captured ts comparisons in (column, op, literal-micros)
+    * form — the shape the post-filter CARDINALITY estimator can price
+    * (a may-match closure can prune but not fraction). op ∈
+    * {'>', 'G'(>=), '<', 'L'(<=), '='}. */
+  private val tsRangeSels =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Char, Long)]
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val remaining = super.pushFilters(filters)
-    // TIMESTAMP only — NTZ bounds are captured through a session-zoned
-    // cast whose value can shift inside a DST gap (see tsMicrosSql):
-    // fine for planner-advisory estimates, unsound for file skipping
     def tsLit(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, org.apache.spark.sql.types.TimestampType) => Some(v)
+      case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
+        Some(v)
+      case Literal(v: Long, org.apache.spark.sql.types.TimestampNTZType) =>
+        Some(v)
       case _ => None
     }
     def attrName(e: Expression): Option[String] = e match {
@@ -738,33 +747,51 @@ private[sources] class JournalScanBuilder(
     }
     filters.foreach {
       case CGt(a, l) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (_, hi) => hi > v))
+          tsRangeSels += ((c, '>', v))
+        }
       case CGte(a, l) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (_, hi) => hi >= v))
+          tsRangeSels += ((c, 'G', v))
+        }
       case CLt(a, l) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (lo, _) => lo < v))
+          tsRangeSels += ((c, '<', v))
+        }
       case CLte(a, l) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (lo, _) => lo <= v))
+          tsRangeSels += ((c, 'L', v))
+        }
       case CEq(a, l) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (lo, hi) => lo <= v && hi >= v))
+          tsRangeSels += ((c, '=', v))
+        }
       // literal-on-the-left orientations
       case CGt(l, a) if tsLit(l).isDefined => // v > ts  ⇒  ts < v
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (lo, _) => lo < v))
+          tsRangeSels += ((c, '<', v))
+        }
       case CGte(l, a) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (lo, _) => lo <= v))
+          tsRangeSels += ((c, 'L', v))
+        }
       case CLt(l, a) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (_, hi) => hi > v))
+          tsRangeSels += ((c, '>', v))
+        }
       case CLte(l, a) if tsLit(l).isDefined =>
-        for (c <- attrName(a); v <- tsLit(l))
+        for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (_, hi) => hi >= v))
+          tsRangeSels += ((c, 'G', v))
+        }
       case _ => ()
     }
     val epochAttr = AttributeReference("epoch", LongType)()
@@ -1063,13 +1090,146 @@ private[sources] class JournalScanBuilder(
       else (parquet0, effFiles0)
     new JournalParquetScan(parquet, fullSchema, storePath, maxSeqsPerTrigger,
       effFiles, fstats, segDir, startingSeq, nsGrouped = nsGrouped,
-      statsMeta = statsMeta)
+      statsMeta = statsMeta, filteredEstimate = cstatsCardinality(effFiles))
+  }
+
+  /** POST-FILTER cardinality estimate from the per-file sketches —
+    * the first planner consumer of the sidecar's per-file ndv (round
+    * 18): with filters pushed, the scan used to decline to the bytes
+    * estimate; now each kept file prices its own selectivity from its
+    * OWN sketch (ranges by bounded-overlap fraction over the file's
+    * min/max — numeric via BigDecimal, ts/ntz in micros; equality and
+    * IN by 1/ndv or |list|/ndv from the file's HLL registers; IS
+    * [NOT] NULL by the exact per-file null fraction) and the estimate
+    * is Σ rows_f × Π sel_f. Unmodeled predicates and unsketched files
+    * contribute 1 — the estimate degrades toward the post-prune row
+    * SUM, itself already far tighter than bytes. Returns (estimate,
+    * post-prune row sum) or None when files lack manifest stats /
+    * sketches. Driver cost: O(files × preds) over the same part-LRU
+    * data the pruning pass just probed. */
+  private def cstatsCardinality(files: Seq[String]): Option[(Long, Long)] = {
+    import org.apache.spark.sql.types._
+    if (files.isEmpty) return Some((0L, 0L)) // provably empty scan
+    if (cstatsParts.isEmpty) return None
+    if (!files.forall(fstats.contains)) return None
+    type CS = graft.journal.ColumnStatsSidecar.CStat
+    val typeOf = fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    def clamp(x: Double): Double = math.max(0.0, math.min(1.0, x))
+    def nonNull(s: CS): Double =
+      if (s.rows <= 0) 1.0 else (s.rows - s.nulls).toDouble / s.rows
+    def ndvOf(s: CS): Option[Double] =
+      if (s.regs.isEmpty) None
+      else {
+        val (rh, wh) = graft.journal.JournalStore.registerSummary(s.regs)
+        if (rh == 0) None
+        else Some(math.max(1L,
+          graft.journal.JournalStore.hllNdvEstimate(rh, wh)).toDouble)
+      }
+    // the file's value bounds in a double domain comparable to the
+    // literal: numeric strings via BigDecimal, ts/ntz via micros
+    def bounds(dt: DataType, s: CS): Option[(Double, Double)] = dt match {
+      case LongType | IntegerType | ShortType | ByteType | FloatType |
+           DoubleType | _: DecimalType =>
+        for {
+          lo <- s.minv.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
+          hi <- s.maxv.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
+        } yield (lo.toDouble, hi.toDouble)
+      case TimestampType | TimestampNTZType =>
+        for (lo <- s.minus; hi <- s.maxus) yield (lo.toDouble, hi.toDouble)
+      case _ => None
+    }
+    def litD(dt: DataType, v: Any): Option[Double] = dt match {
+      case LongType | IntegerType | ShortType | ByteType | FloatType |
+           DoubleType | _: DecimalType => v match {
+        case null => None
+        case d: java.lang.Double if d.isNaN || d.isInfinite => None
+        case f: java.lang.Float if f.isNaN || f.isInfinite => None
+        case n: Number => Some(n.doubleValue)
+        case d: java.math.BigDecimal => Some(d.doubleValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    // range fraction under the uniform-within-bounds assumption (the
+    // FilterEstimation formula at file grain); point files price 0/1
+    def rangeSel(op: Char, k: Double)(lo: Double, hi: Double): Double =
+      if (hi <= lo) // single-value file: the bound decides outright
+        op match {
+          case '>' => if (lo > k) 1.0 else 0.0
+          case 'G' => if (lo >= k) 1.0 else 0.0
+          case '<' => if (lo < k) 1.0 else 0.0
+          case 'L' => if (lo <= k) 1.0 else 0.0
+          case _ => if (lo == k) 1.0 else 0.0
+        }
+      else op match {
+        case '>' => clamp((hi - k) / (hi - lo))
+        case 'G' => clamp((hi - k) / (hi - lo))
+        case '<' => clamp((k - lo) / (hi - lo))
+        case 'L' => clamp((k - lo) / (hi - lo))
+        case _ => 0.0 // '=' prices via ndv, not here
+      }
+    def eqSel(s: CS, values: Int): Double =
+      ndvOf(s).map(n => clamp(values / n)).getOrElse(1.0)
+    // one selectivity function per modeled predicate; unmodeled → none
+    val sels: Seq[(String, CS => Double)] =
+      pushedDataFilters.toSeq.flatMap {
+        case sources.IsNotNull(c) => Some((c, (s: CS) => nonNull(s)))
+        case sources.IsNull(c) => Some((c, (s: CS) => 1.0 - nonNull(s)))
+        case sources.EqualTo(c, v) if v != null =>
+          Some((c, (s: CS) => eqSel(s, 1)))
+        case sources.EqualNullSafe(c, v) if v != null =>
+          Some((c, (s: CS) => eqSel(s, 1)))
+        case sources.In(c, vs) if vs != null && vs.nonEmpty =>
+          val n = vs.count(_ != null)
+          if (n == 0) None else Some((c, (s: CS) => eqSel(s, n)))
+        case sources.GreaterThan(c, v) =>
+          typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
+            (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
+              rangeSel('>', k)(lo, hi) }.getOrElse(1.0))))
+        case sources.GreaterThanOrEqual(c, v) =>
+          typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
+            (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
+              rangeSel('G', k)(lo, hi) }.getOrElse(1.0))))
+        case sources.LessThan(c, v) =>
+          typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
+            (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
+              rangeSel('<', k)(lo, hi) }.getOrElse(1.0))))
+        case sources.LessThanOrEqual(c, v) =>
+          typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
+            (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
+              rangeSel('L', k)(lo, hi) }.getOrElse(1.0))))
+        case _ => None
+      } ++ tsRangeSels.toSeq.flatMap { case (c, op, v) =>
+        typeOf.get(c) match {
+          case Some(dt @ (TimestampType | TimestampNTZType)) =>
+            if (op == '=')
+              Some((c, (s: CS) => eqSel(s, 1)))
+            else
+              Some((c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
+                rangeSel(op, v.toDouble)(lo, hi) }.getOrElse(1.0)))
+          case _ => None
+        }
+      }
+    val upper = files.map(fstats(_).rows).sum
+    if (sels.isEmpty) return Some((upper, upper))
+    val sk = graft.journal.ColumnStatsSidecar.readAll(storePath, cstatsParts)
+    val est = files.map { f =>
+      val rows = fstats(f).rows
+      val sel = sels.foldLeft(1.0) { case (acc, (c, g)) =>
+        sk.get((f, c)).map(s => acc * clamp(g(s))).getOrElse(acc)
+      }
+      rows * sel
+    }.sum
+    Some((math.max(0L, math.round(est)), upper))
   }
 
   /** FILE-level data skipping from the cstats sidecar: drop a file
     * when some pushed predicate PROVABLY matches none of its rows —
-    * its per-file column bounds exclude the literal, or the column is
-    * all-null in that file and the predicate is null-rejecting.
+    * its per-file column bounds exclude the literal (ranges, equality,
+    * IN, string-prefix via UTF-8 bounds), the column is all-null in
+    * that file and the predicate is null-rejecting, or the per-file
+    * null count settles IS NULL / IS NOT NULL outright (nulls == 0 /
+    * nulls == rows — both exact counts).
     * Sound by construction: sketches describe a file's live rows at
     * sketch time and files are immutable, so recorded bounds are
     * always an ENVELOPE of the current live rows (deletion vectors
@@ -1078,10 +1238,11 @@ private[sources] class JournalScanBuilder(
     * re-evaluated above the scan anyway, so any keep is merely IO.
     * Comparisons run in the sketch's own domain — numeric strings via
     * BigDecimal, strings/booleans/dates in UNSIGNED UTF-8 byte order
-    * (what min/max recorded), TIMESTAMP in epoch micros (minus/maxus;
-    * TIMESTAMP_NTZ is excluded — its capture can shift inside a DST
-    * gap, fine for estimates, unsound for skipping) — and anything
-    * unrecognized keeps the file. Driver cost: one part-LRU hit + O(files × pushed preds). */
+    * (what min/max recorded), TIMESTAMP and TIMESTAMP_NTZ in raw epoch
+    * micros (minus/maxus; NTZ capture is exact since round 18's
+    * NtzMicros — see microsKey below) — and anything unrecognized
+    * keeps the file. Driver cost: one part-LRU hit +
+    * O(files × pushed preds). */
   private def cstatsPrune(files: Seq[String]): Seq[String] = {
     if (cstatsParts.isEmpty || files.isEmpty) return files
     import org.apache.spark.sql.types._
@@ -1105,12 +1266,17 @@ private[sources] class JournalScanBuilder(
         Some(d.toString).filter(_.matches("\\d{4}-.*"))
       case _ => None
     }
-    // TIMESTAMP only — deliberately NOT TIMESTAMP_NTZ: NTZ bounds are
-    // captured through a session-zoned cast round-trip whose value can
-    // shift for wall-times inside a DST gap (see tsMicrosSql), which
-    // is fine for planner-advisory estimates but NOT for load-bearing
-    // file skipping (a gap-hour literal could wrongly prune its file).
     // TIMESTAMP capture is an identity cast — exact always.
+    // TIMESTAMP_NTZ joined in round 18: its bounds are now captured
+    // through graft.expr.NtzMicros — an identity reinterpretation of
+    // the raw internal micros, exact even inside DST gaps (the old
+    // session-zoned round-trip could shift gap-hour wall times, which
+    // is why NTZ used to be excluded here; the wobble never
+    // materialized on disk — the session zone is pinned UTC
+    // project-wide, where the two arithmetics agree bit-for-bit, so
+    // pre-round-18 sidecars prune soundly too). An NTZ literal's
+    // LocalDateTime maps to the same raw-micros domain via the UTC
+    // epoch (the NTZ physical encoding).
     def microsKey(dt: DataType, v: Any): Option[Long] = (dt, v) match {
       case (TimestampType, t: java.sql.Timestamp) =>
         // via Instant: floor semantics hold for pre-1970 fractional
@@ -1119,6 +1285,9 @@ private[sources] class JournalScanBuilder(
         Some(i.getEpochSecond * 1000000 + i.getNano.toLong / 1000)
       case (TimestampType, i: java.time.Instant) =>
         Some(i.getEpochSecond * 1000000 + i.getNano.toLong / 1000)
+      case (TimestampNTZType, d: java.time.LocalDateTime) =>
+        Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000 +
+          d.getNano.toLong / 1000)
       case _ => None
     }
     // (column, mayMatch(sketch)) per prunable pushed predicate; a
@@ -1140,40 +1309,93 @@ private[sources] class JournalScanBuilder(
             (for (lo <- s.minv; hi <- s.maxv) yield str(
               graft.journal.JournalStore.utf8Cmp(lo, k),
               graft.journal.JournalStore.utf8Cmp(hi, k))).getOrElse(true))
-        case dt @ TimestampType =>
+        case dt @ (TimestampType | TimestampNTZType) =>
           microsKey(dt, cmpLit).map(k => (s: CS) =>
             (for (lo <- s.minus; hi <- s.maxus)
               yield mic(lo - k, hi - k)).getOrElse(true))
         case _ => None
       }
+    // a NULL-REJECTING bound test: an all-null column in this file
+    // provably holds no match, so the file prunes outright; otherwise
+    // the recorded bounds decide (missing bounds keep — conservative)
+    def nr(t: CS => Boolean): CS => Boolean =
+      s => s.nulls < s.rows && t(s)
+    // unsigned byte-lexicographic compare (the UTF-8 order minv/maxv
+    // recorded) — byte-level because a prefix's successor needs not be
+    // valid UTF-8
+    def bytesCmp(x: Array[Byte], y: Array[Byte]): Int = {
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    // smallest byte string strictly greater than every string with
+    // prefix `p`: strip trailing 0xff bytes, increment the last byte;
+    // None = all-0xff prefix (no finite successor — DECLINE the upper
+    // prune, keep the lower one)
+    def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
     val tests: Seq[(String, CS => Boolean)] =
       pushedDataFilters.toSeq.flatMap {
+        case sources.IsNotNull(c) if typeOf.contains(c) =>
+          // a file whose column is ALL NULL (nulls == rows) provably
+          // holds no match; any non-null row keeps it
+          Some((c, (s: CS) => s.nulls < s.rows))
+        case sources.IsNull(c) if typeOf.contains(c) =>
+          // a file with ZERO nulls provably holds no match (nulls and
+          // rows are exact per-file counts, not estimates)
+          Some((c, (s: CS) => s.nulls > 0))
+        case sources.StringStartsWith(c, p)
+            if p != null && typeOf.get(c).contains(StringType) =>
+          // values with prefix p live exactly in [p, successor(p)):
+          // prune when max < p or min >= successor (UTF-8 byte order,
+          // the recorded domain); all-0xff prefixes decline the upper
+          // bound; missing bounds keep
+          val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val succ = prefixSuccessor(pb)
+          Some((c, nr((s: CS) => (for (lo <- s.minv; hi <- s.maxv) yield {
+            val lob = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val hib = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            bytesCmp(hib, pb) >= 0 &&
+              succ.forall(sb => bytesCmp(lob, sb) < 0)
+          }).getOrElse(true))))
         case sources.EqualTo(c, v) if v != null =>
           boundTest(c, v)((lo, hi) => lo.signum <= 0 && hi.signum >= 0,
             (lo, hi) => lo <= 0 && hi >= 0,
             (lo, hi) => lo <= 0 && hi >= 0)
-            .map(t => (c, t))
+            .map(t => (c, nr(t)))
         case sources.EqualNullSafe(c, v) if v != null =>
           boundTest(c, v)((lo, hi) => lo.signum <= 0 && hi.signum >= 0,
             (lo, hi) => lo <= 0 && hi >= 0,
             (lo, hi) => lo <= 0 && hi >= 0)
-            .map(t => (c, t))
+            .map(t => (c, nr(t)))
         case sources.GreaterThan(c, v) if v != null =>
           boundTest(c, v)((_, hi) => hi.signum > 0,
             (_, hi) => hi > 0, (_, hi) => hi > 0)
-            .map(t => (c, t))
+            .map(t => (c, nr(t)))
         case sources.GreaterThanOrEqual(c, v) if v != null =>
           boundTest(c, v)((_, hi) => hi.signum >= 0,
             (_, hi) => hi >= 0, (_, hi) => hi >= 0)
-            .map(t => (c, t))
+            .map(t => (c, nr(t)))
         case sources.LessThan(c, v) if v != null =>
           boundTest(c, v)((lo, _) => lo.signum < 0,
             (lo, _) => lo < 0, (lo, _) => lo < 0)
-            .map(t => (c, t))
+            .map(t => (c, nr(t)))
         case sources.LessThanOrEqual(c, v) if v != null =>
           boundTest(c, v)((lo, _) => lo.signum <= 0,
             (lo, _) => lo <= 0, (lo, _) => lo <= 0)
-            .map(t => (c, t))
+            .map(t => (c, nr(t)))
         case sources.In(c, vs) if vs != null && vs.nonEmpty &&
             vs.forall(_ != null) =>
           val perValue = vs.toSeq.map(v =>
@@ -1181,16 +1403,17 @@ private[sources] class JournalScanBuilder(
               (lo, hi) => lo <= 0 && hi >= 0,
               (lo, hi) => lo <= 0 && hi >= 0))
           if (perValue.exists(_.isEmpty)) None
-          else Some((c, (s: CS) => perValue.flatten.exists(t => t(s))))
+          else Some((c, nr((s: CS) => perValue.flatten.exists(t => t(s)))))
         case _ => None
       }
     // timestamp ranges captured at the catalyst grain (see
     // tsRangePreds) — gated on the column really being ts-typed so a
     // coincidental name can never borrow the micros domain
     val tsTests: Seq[(String, CS => Boolean)] = tsRangePreds.toSeq.collect {
-      case (c, ok) if typeOf.get(c).contains(TimestampType) =>
-        (c, (s: CS) => (for (lo <- s.minus; hi <- s.maxus)
-          yield ok(lo, hi)).getOrElse(true))
+      case (c, ok) if typeOf.get(c).exists(t =>
+          t == TimestampType || t == TimestampNTZType) =>
+        (c, nr((s: CS) => (for (lo <- s.minus; hi <- s.maxus)
+          yield ok(lo, hi)).getOrElse(true)))
     }
     val allTests = tests ++ tsTests
     if (allTests.isEmpty) return files
@@ -1200,10 +1423,7 @@ private[sources] class JournalScanBuilder(
       allTests.forall { case (c, keep) =>
         sk.get((f, c)) match {
           case None => true // unsketched (file, col): never pruned
-          case Some(s) =>
-            // all-null column in this file: every test above is
-            // null-rejecting, so the file provably holds no match
-            if (s.nulls == s.rows) false else keep(s)
+          case Some(s) => keep(s)
         }
       }
     }
@@ -1294,7 +1514,8 @@ private[sources] class JournalParquetScan(base: ParquetScan,
                                           segDir: String = "",
                                           startingSeq: Option[String] = None,
                                           private val nsGrouped: Boolean = false,
-                                          statsMeta: Map[String, String] = Map.empty)
+                                          statsMeta: Map[String, String] = Map.empty,
+                                          filteredEstimate: Option[(Long, Long)] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
@@ -1372,8 +1593,8 @@ private[sources] class JournalParquetScan(base: ParquetScan,
     * estimate otherwise. */
   override def estimateStatistics(): Statistics = {
     val base0 = super.estimateStatistics()
-    if (relFiles.nonEmpty && relFiles.forall(fstats.contains) &&
-        pushedFilters.isEmpty && dataFilters.isEmpty) {
+    val filtered = pushedFilters.nonEmpty || dataFilters.nonEmpty
+    if (relFiles.nonEmpty && relFiles.forall(fstats.contains) && !filtered) {
       val rows = relFiles.map(fstats(_).rows).sum
       // ANALYZE-recorded column stats (ndv / null count / long min-max)
       // ride the same report — DataSourceV2Relation.transformV2Stats
@@ -1389,6 +1610,30 @@ private[sources] class JournalParquetScan(base: ParquetScan,
         override def columnStats(): java.util.Map[NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
           colStats
+      }
+    } else if (filtered && filteredEstimate.isDefined) {
+      // PUSHED-FILTER cardinality (round 18): the scan used to decline
+      // to the bytes estimate the moment any filter was pushed —
+      // overstating a selectively-filtered journal side by orders of
+      // magnitude and costing the broadcast that AQE would have
+      // planned. The builder's per-file sketch estimate (bounds
+      // overlap + per-file ndv + exact null fractions over the
+      // POST-PRUNE file set) reports both the row estimate and a
+      // proportionally-scaled byte size; the per-query hash gates
+      // never consume either — planner-advisory only, and the pruned
+      // floor is already sound. Column stats are NOT served here: the
+      // recorded table-level ndv/extrema describe the unfiltered
+      // table.
+      val (est, upper) = filteredEstimate.get
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          if (!base0.sizeInBytes().isPresent || upper <= 0L)
+            base0.sizeInBytes()
+          else java.util.OptionalLong.of(math.max(1L,
+            (BigDecimal(base0.sizeInBytes().getAsLong) * est / upper)
+              .toLong))
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(est)
       }
     } else base0
   }

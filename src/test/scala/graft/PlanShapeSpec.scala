@@ -312,6 +312,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("dedup_span_scrub: first-occurrence is a min-struct aggregate " +
+      "(map-side partials), never a window partitioned on the gram axis") {
+    val df = SparkEntry.queries("dedup_span_scrub")(spark, sf)
+    df.collect()
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the gaps-and-islands windows remain (doc_id axis — bounded by a
+    // document's own length); NONE may partition on the corpus-hot
+    // shingle hash, where one boilerplate 8-gram becomes a straggler
+    assert(wins.nonEmpty, lp.toString)
+    wins.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString).mkString(",")
+      assert(parts.contains("doc_id"), w.toString)
+      assert(!w.partitionSpec.exists(_.toString.startsWith("g#")),
+        w.toString)
+    }
+    // the first-occurrence mark partial-aggregates map-side: a hot
+    // gram contributes one (min, count) partial per map task
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_domain_cap caps through topk_by (no per-domain rank window)") {
     val lp = SparkEntry.queries("text_domain_cap")(spark, sf)
       .queryExecution.optimizedPlan

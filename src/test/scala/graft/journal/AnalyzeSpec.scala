@@ -50,6 +50,66 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(ns.weight === ns.whit + 510L * 4503599627370496L)
   }
 
+  test("bootstrap/refold/consolidation are DISTRIBUTED: no " +
+      "files-proportional driver seam (round-18 pin)") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 2)
+    (0 until 3).foreach { b =>
+      store.append((0 until 4).map(i => ("n", (b * 4 + i).toLong,
+        ts("2024-01-01 00:00:01"), s"p$b$i", b * 4.0 + i))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    val w0 = ColumnStatsSidecar.driverPartWrites.get()
+    val r0 = ColumnStatsSidecar.driverReadAlls.get()
+    store.analyze()
+    assert(ColumnStatsSidecar.driverPartWrites.get() === w0,
+      "the analyze bootstrap must write sidecar parts from write tasks," +
+        " never through the driver part writer")
+    assert(store.manifest.cstatsParts.nonEmpty)
+    // destructive rewrite: the refold aggregates the sidecar as a
+    // Spark frame and the consolidation writes from tasks — neither
+    // may materialize the sidecar on the driver
+    assert(store.deleteWhere(col("ukey") === 1L) === 1L)
+    assert(ColumnStatsSidecar.driverPartWrites.get() === w0)
+    assert(ColumnStatsSidecar.driverReadAlls.get() === r0,
+      "the rewrite refold/consolidation must never driver-readAll " +
+        "the sidecar")
+    // and the refold actually succeeded: stats survive the erase
+    assert(store.analyzedRowCount === Some(11L))
+    assert(store.analyzedColumnStats("ukey").max === Some("11"))
+    assert(store.analyzedColumnStats("ukey").nulls === 0L)
+  }
+
+  test("a NULL-ns batch is refused at the append door ATOMICALLY: " +
+      "analyzed stats, sketches and data are untouched") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    store.append(fixture)
+    store.analyze()
+    val parts0 = store.manifest.cstatsParts
+    // ns is the structural partition key — a null value has no
+    // directory identity and would poison every ns-keyed stats family
+    // (it used to NPE deep inside the mroot KeyStat write instead of
+    // failing at the door)
+    val e = intercept[IllegalArgumentException] {
+      store.append(Seq(
+        (Option.empty[String], 9L, ts("2024-02-01 00:00:01"),
+          """{"z":1}""", Some(9.0)),
+        (Option("users"), 10L, ts("2024-02-01 00:00:02"), """{"z":2}""",
+          None),
+      ).toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    assert(e.getMessage.contains("ns must be non-null"))
+    // nothing became visible: row count, merged stats, sidecar and the
+    // incremental-fold machinery are all at their pre-append state
+    assert(store.scanUnordered().count() === 5L)
+    assert(store.analyzedRowCount === Some(5L))
+    assert(store.manifest.cstatsParts === parts0)
+    // and the store still accepts + folds a VALID follow-up batch
+    store.append(Seq(("users", 10L, ts("2024-02-01 00:00:02"),
+      """{"z":2}""", Some(9.0))).toDF("ns", "ukey", "ts", "payload", "val"))
+    assert(store.analyzedRowCount === Some(6L))
+    assert(store.analyzedColumnStats("val").max === Some("9.0"))
+  }
+
   test("ndv estimate stays within HLL tolerance at mid cardinality") {
     val store = JournalStore.create(spark, freshPath, epochSize = 1000)
     val rows = (0 until 600).map(i =>
@@ -628,6 +688,18 @@ class AnalyzeSpec extends AnyFunSuite {
       assert(store.manifest.meta(p + "minus").toLong === rawMicros)
       assert(store.manifest.meta(p + "maxus").toLong ===
         rawMicros + 5400L * 1000000L)
+      // DST-GAP wall time: 2024-03-10 02:30 does not exist in New York
+      // (spring-forward skips 02:00-03:00). The old session-zone
+      // round-trip capture could shift it by the gap; NtzMicros reads
+      // the raw physical micros — EXACT, which is what flipped NTZ
+      // from planner-advisory to skipping-eligible in round 18
+      store.append(
+        Seq(("n", 3L, ts("2024-01-01 00:00:03"), "p", 1.0))
+          .toDF("ns", "ukey", "ts", "payload", "val")
+          .withColumn("tn", expr("TIMESTAMP_NTZ'2024-03-10 02:30:00'")))
+      val gapMicros = java.time.LocalDateTime.parse("2024-03-10T02:30:00")
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      assert(store.manifest.meta(p + "maxus").toLong === gapMicros)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 

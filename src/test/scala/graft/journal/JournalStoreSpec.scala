@@ -2125,6 +2125,25 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(store.maintain() === 0L)
   }
 
+  test("null-ns batches are refused at the append door; the rejection " +
+      "leaves zero visible state") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 1000)
+    store.append(sampleDf)
+    val v0 = store.versions().max
+    val e = intercept[IllegalArgumentException] {
+      store.append(Seq(
+        (Option.empty[String], 99L,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "p", 1.0))
+        .toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    assert(e.getMessage.contains("ns must be non-null"))
+    // no manifest advanced, no rows visible, and the store still writes
+    assert(store.versions().max === v0)
+    assert(store.scanUnordered().where(col("ns").isNull).count() === 0L)
+    store.append(sampleDf)
+    assert(store.versions().max > v0)
+  }
+
   test("cloneTo retry: a stale same-size file at dest is replaced by " +
       "the source bytes, never adopted") {
     val store = JournalStore.create(spark, freshPath, epochSize = 100)

@@ -162,6 +162,76 @@ class AggPushdownSpec extends AnyFunSuite {
       .where(col("ukey") > 20)).isEmpty)
   }
 
+  test("a pushed range on an ANALYZED store reports post-prune, " +
+      "selectivity-priced cardinality from the per-file sketches, and " +
+      "the static broadcast decision flips on the scaled bytes") {
+    def mk(analyze: Boolean): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_aggpd_cs_").toString + "/store"
+      val store = graft.journal.JournalStore.create(spark, dir,
+        epochSize = 100000)
+      def batch(lo: Long) = (0 until 200).map(i =>
+        ("n", lo + i, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+          s"p${lo + i}", (lo + i).toDouble))
+        .toDF("ns", "ukey", "ts", "payload", "val")
+      store.append(batch(0)); store.append(batch(1000))
+      store.append(batch(2000))
+      if (analyze) store.analyze()
+      dir
+    }
+    def scanStats(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }.head
+    val dir = mk(analyze = true)
+    def rd = spark.read.format("journal").load(dir)
+    // unfiltered: the exact manifest count still serves
+    assert(scanStats(rd).rowCount === Some(BigInt(600)))
+    // a range into the top quarter of ONE file: pruning drops the scan
+    // to that file, and the estimate prices the range FRACTION within
+    // it (used to decline to bytes — no rowCount at all)
+    val est = scanStats(rd.where(col("val") >= 2150.0)).rowCount
+    assert(est.isDefined, "filtered scan must report estimated rows")
+    assert(est.get >= BigInt(25) && est.get <= BigInt(100),
+      s"expected a fraction of one 200-row file, got $est")
+    // equality prices through the per-file HLL ndv — the sidecar's
+    // first planner consumer
+    val estEq = scanStats(rd.where(col("ukey") === 2100L)).rowCount
+    assert(estEq.isDefined && estEq.get >= BigInt(1) &&
+      estEq.get <= BigInt(10), s"ndv-priced equality, got $estEq")
+    // provably-empty prune reports zero rows
+    assert(scanStats(rd.where(col("val") === 500.0)).rowCount ===
+      Some(BigInt(0)))
+    // STATIC broadcast flip: size the threshold between the
+    // selectivity-scaled bytes (analyzed) and the unscaled full-scan
+    // bytes (never-analyzed twin). sparkPlan (pre-AQE) pins the
+    // planner's own decision, not a runtime rescue.
+    val fullBytes = scanStats(spark.read.format("journal").load(
+      mk(analyze = false)).where(col("val") >= 2150.0))
+      .sizeInBytes.toLong
+    val scaledBytes = scanStats(rd.where(col("val") >= 2150.0))
+      .sizeInBytes.toLong
+    assert(scaledBytes < fullBytes / 4,
+      s"scaled=$scaledBytes full=$fullBytes")
+    val threshold = (scaledBytes + fullBytes) / 2
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      threshold.toString)
+    try {
+      val big = spark.read.format("journal").load(mk(analyze = false))
+      val joinedA = big.join(rd.where(col("val") >= 2150.0), Seq("ukey"))
+      assert(joinedA.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"),
+        joinedA.queryExecution.sparkPlan.toString)
+      val twin = spark.read.format("journal").load(mk(analyze = false))
+      val joinedB = big.join(twin.where(col("val") >= 2150.0), Seq("ukey"))
+      assert(!joinedB.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"),
+        joinedB.queryExecution.sparkPlan.toString)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("all-null ukey in every file answers NULL min/max from the sentinel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_n_").toString + "/store"
     Seq((0L, "a", "2024-01-01 00:00:01", "p0", 1.0),

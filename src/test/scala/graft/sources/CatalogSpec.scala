@@ -149,6 +149,50 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.advise reads skew/layout signals from the " +
+      "sidecar: compact, salt and zorder candidates on a constructed " +
+      "skewed store") { withCatalog { root =>
+    import graft.journal.JournalStore
+    val store = JournalStore.create(spark, s"$root/adv", epochSize = 100000)
+    // 10 interleaved appends into ONE namespace: fragmented dir
+    // (compact candidate); `hot` has 2 distinct values over 400 rows
+    // (salting candidate); `v` ranges interleave across every file
+    // (z-order candidate); ukey is monotone (clean — no advice)
+    (0 until 10).foreach { b =>
+      store.append((0 until 40).map { i =>
+        val u = b * 40L + i
+        ("n", u, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+          "p", (i * 10 + b).toDouble, if (u % 2 == 0) "x" else "y")
+      }.toDF("ns", "ukey", "ts", "payload", "val", "hot"))
+    }
+    store.analyze()
+    val rows = spark.sql("CALL jcat.system.advise(table => 'adv')")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(6))).toMap
+    // the fragmented namespace reads `compact`
+    val (nsFiles, nsRows, _, nsAdvice) = rows(("ns", "n"))
+    assert(nsFiles === 10L && nsRows === 400L && nsAdvice === "compact")
+    // the 2-value hot key reads `salt` (≥ 64 rows per key in a file:
+    // 40 rows / 2 values = 20 per file... per-file density is 20 —
+    // use the corpus-hot shape: every file holds 20 rows per value)
+    val (_, _, hotDensity, hotAdvice) = rows(("column", "hot"))
+    assert(hotDensity >= 15.0, s"density=$hotDensity")
+    // interleaved ranges read `zorder` on val
+    assert(rows(("column", "val"))._4 === "zorder", rows.toString)
+    // the monotone ukey is clean: disjoint per-file ranges, high ndv
+    assert(rows(("column", "ukey"))._4 === "", rows.toString)
+    // sanity on the salting label at a genuinely hot density: append
+    // one fat single-value batch and re-read
+    store.append((0 until 200).map(i =>
+      ("n", 9999L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+        "p", 1.0, "x")).toDF("ns", "ukey", "ts", "payload", "val", "hot"))
+    val rows2 = spark.sql("CALL jcat.system.advise(table => 'adv')")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getString(6)).toMap
+    assert(rows2(("column", "hot")) === "salt", rows2.toString)
+    assert(hotAdvice === "" || hotAdvice === "salt") // density-gated
+  }}
+
   test("journal_catalog: readStream.table tails a catalog table by name") {
     withCatalog { root =>
       spark.sql("CREATE TABLE jcat.st (ns STRING, ukey BIGINT, ts TIMESTAMP, " +

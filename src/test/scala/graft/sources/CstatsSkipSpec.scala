@@ -74,15 +74,39 @@ class CstatsSkipSpec extends AnyFunSuite {
   }
 
   test("an all-null file prunes for null-rejecting predicates; IS NULL " +
-      "is untouched and still finds its rows") {
+      "/ IS NOT NULL prune from the exact per-file null counts") {
     val path = mkStore(analyze = true)
     def rd = spark.read.format("journal").load(path)
     // extra = 7 can only live where extra has values AND the bound fits
     assert(scannedFiles(rd.where(col("extra") === 7L)) === 1)
     assert(rd.where(col("extra") === 7L).count() === 20L)
-    // IS NULL is not a pruning predicate — conservative full scan,
-    // and the all-null file's rows come back
+    // IS NULL prunes the two files whose extra has ZERO nulls; the
+    // all-null file's rows still come back
+    assert(scannedFiles(rd.where(col("extra").isNull)) === 1)
     assert(rd.where(col("extra").isNull).count() === 20L)
+    // IS NOT NULL prunes the all-null file (nulls == rows)
+    assert(scannedFiles(rd.where(col("extra").isNotNull)) === 2)
+    assert(rd.where(col("extra").isNotNull).count() === 40L)
+    // a never-nulled column: IS NULL is provably empty — zero files
+    assert(scannedFiles(rd.where(col("payload").isNull)) === 0)
+    assert(rd.where(col("payload").isNull).count() === 0L)
+  }
+
+  test("string-prefix predicates prune by UTF-8 bounds (prefix window " +
+      "[p, successor(p)) against per-file min/max)") {
+    val path = mkStore(analyze = true)
+    def rd = spark.read.format("journal").load(path)
+    // each payload family lives in exactly one file
+    assert(scannedFiles(rd.where(col("payload").startsWith("aaa"))) === 1)
+    assert(rd.where(col("payload").startsWith("aaa")).count() === 20L)
+    assert(scannedFiles(rd.where(col("payload").startsWith("zz"))) === 1)
+    assert(rd.where(col("payload").startsWith("zz")).count() === 20L)
+    // a prefix BETWEEN families is provably empty — zero files open
+    assert(scannedFiles(rd.where(col("payload").startsWith("b"))) === 0)
+    assert(rd.where(col("payload").startsWith("b")).count() === 0L)
+    // a single-occurrence narrow prefix keeps only its file
+    assert(scannedFiles(rd.where(col("payload").startsWith("mmm1"))) === 1)
+    assert(rd.where(col("payload").startsWith("mmm1")).count() === 11L)
   }
 
   test("soundness: every boundary probe returns exactly what the " +
@@ -108,6 +132,73 @@ class CstatsSkipSpec extends AnyFunSuite {
     both(_.where(col("ts") >= lit(ts("2024-01-10 00:00:01"))))
     both(_.where(col("extra") <= 7L))
     both(_.where(col("extra").isNull))
+    both(_.where(col("extra").isNotNull))
+    both(_.where(col("payload").isNull))
+    both(_.where(col("payload").isNotNull))
+    // prefix probes on every file edge, plus the non-ASCII and
+    // empty-prefix corners (empty prefix has no finite successor for
+    // its lower half; multi-byte prefixes exercise the byte-level
+    // compare beyond valid-UTF-8 successors)
+    Seq("aaa0", "aaa9", "aaa19", "aaa", "a", "mmm", "mmm0", "zzz19",
+        "zzz", "z", "b", "", "ÿ", "zzz19x").foreach { pre =>
+      both(_.where(col("payload").startsWith(pre)))
+    }
+  }
+
+  test("TIMESTAMP_NTZ predicates prune by exact raw-micros bounds, " +
+      "including on a DST-gap wall time (NtzMicros capture)") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      def mk(analyze: Boolean): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_cskipntz_").toString + "/store"
+        val store = JournalStore.create(spark, dir, epochSize = 1000)
+        def batch(lo: Long, wall: Seq[String]) =
+          wall.zipWithIndex.map { case (w, i) =>
+            ("n", lo + i, ts("2024-01-01 00:00:01"), "p", 1.0, w) }
+            .toDF("ns", "ukey", "ts", "payload", "val", "w")
+            .withColumn("tn", expr("to_timestamp_ntz(w)")).drop("w")
+        store.append(batch(0, Seq("2024-03-09 10:00:00",
+          "2024-03-09 11:00:00")))
+        // the middle file's range brackets the New York spring-forward
+        // gap (02:00-03:00 on 2024-03-10) — the wall times inside it
+        // exist as NTZ values even though no local instant matches
+        store.append(batch(10, Seq("2024-03-10 01:30:00",
+          "2024-03-10 02:30:00", "2024-03-10 02:45:00")))
+        store.append(batch(20, Seq("2024-03-11 09:00:00")))
+        if (analyze) store.analyze(Seq("tn"))
+        dir
+      }
+      val path = mk(analyze = true)
+      def rd = spark.read.format("journal").load(path)
+      def ntz(s: String) = java.time.LocalDateTime.parse(s)
+      // an equality probe AT the gap wall time opens only its file
+      assert(scannedFiles(
+        rd.where(col("tn") === lit(ntz("2024-03-10T02:30:00")))) === 1)
+      assert(rd.where(col("tn") === lit(ntz("2024-03-10T02:30:00")))
+        .count() === 1L)
+      // a range ending INSIDE the gap hour keeps the bracket file and
+      // drops the later day
+      assert(scannedFiles(
+        rd.where(col("tn") < lit(ntz("2024-03-10T02:40:00")))) === 2)
+      assert(rd.where(col("tn") < lit(ntz("2024-03-10T02:40:00")))
+        .count() === 4L)
+      // soundness at every boundary vs the never-analyzed twin
+      val full = mk(analyze = false)
+      Seq("2024-03-09T10:00:00", "2024-03-10T01:30:00",
+          "2024-03-10T02:30:00", "2024-03-10T02:45:00",
+          "2024-03-10T03:00:00", "2024-03-11T09:00:00").foreach { e =>
+        def probe(p: String) = {
+          val d = spark.read.format("journal").load(p)
+          Seq(d.where(col("tn") >= lit(ntz(e))),
+            d.where(col("tn") <= lit(ntz(e))),
+            d.where(col("tn") === lit(ntz(e))))
+            .map(_.orderBy("ukey").collect().map(_.toString).toSeq)
+        }
+        assert(probe(path) === probe(full), e)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("a never-analyzed store has no sketches: predicates prune " +
