@@ -93,7 +93,13 @@ private[graft] object ColumnStatsSidecar {
     * coherence check catches any duplicate by count ≠ survivors).
     * THROWS on an unreadable part — callers abort the consolidation
     * and decline, never silently dropping a file's sketches the way
-    * the scan path's lenient [[readPart]] may. */
+    * the scan path's lenient [[readPart]] may. The corrupt/missing-
+    * file skip confs are pinned OFF per-read: under a session running
+    * `spark.sql.files.ignoreCorruptFiles=true` (a common lake-shop
+    * default) Spark would silently SKIP a damaged part instead of
+    * throwing, and the consolidation would rotate the old parts out
+    * with those files' sketches gone — exactly the silent drop the
+    * abort contract exists to prevent. */
   def readFrame(spark: org.apache.spark.sql.SparkSession,
                 storePath: String,
                 parts: Seq[String]): org.apache.spark.sql.DataFrame =
@@ -101,6 +107,8 @@ private[graft] object ColumnStatsSidecar {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         sparkSchema)
     else spark.read.schema(sparkSchema)
+      .option("ignoreCorruptFiles", "false")
+      .option("ignoreMissingFiles", "false")
       .parquet(parts.map(p => dir(storePath).resolve(p).toString): _*)
 
   /** Write a CStat-shaped frame as a SET of immutable sidecar parts

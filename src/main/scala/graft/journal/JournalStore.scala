@@ -629,13 +629,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val tsCols = cols.filter(c => dtOf.get(c).exists(t =>
       t == org.apache.spark.sql.types.TimestampType ||
         t == org.apache.spark.sql.types.TimestampNTZType))
-    val aggs = (count(lit(1L)).as("rows_total") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"n_$c"),
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))) ++
-      tsCols.flatMap(c => Seq(
-        min(tsMicrosCol(c, dtOf(c))).as(s"mnus_$c"),
-        max(tsMicrosCol(c, dtOf(c))).as(s"mxus_$c")))
+    val aggs = count(lit(1L)).as("rows_total") +:
+      sketchAggCols(cols, tsCols, dtOf, "")
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = head.getLong(0)
     val tsBase = 1 + 3 * cols.size
@@ -835,6 +830,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
     }
   }
 
+  /** ONE copy of the per-column sketch aggregate columns (non-null
+    * count + canonical typed string extrema + ts epoch-micros extrema)
+    * behind analyze() pass 1, the flat batch fold, the grouped dir
+    * sketches AND the distributed bootstrap — the refold ≡
+    * fresh-analyze bit-identity depends on a single arithmetic, so
+    * there must be exactly one copy of these expressions. Column names
+    * are `<p>n_<c>` / `<p>mn_<c>` / `<p>mx_<c>` plus `<p>mnus_<c>` /
+    * `<p>mxus_<c>` for timestamp-flavored columns. */
+  private def sketchAggCols(present: Seq[String], tsCols: Seq[String],
+      bTypes: Map[String, org.apache.spark.sql.types.DataType],
+      p: String): Seq[org.apache.spark.sql.Column] =
+    present.flatMap(c => Seq(
+      count(col(c)).as(s"${p}n_$c"),
+      min(col(c)).cast("string").as(s"${p}mn_$c"),
+      max(col(c)).cast("string").as(s"${p}mx_$c"))) ++
+      tsCols.flatMap(c => Seq(
+        min(tsMicrosCol(c, bTypes(c))).as(s"${p}mnus_$c"),
+        max(tsMicrosCol(c, bTypes(c))).as(s"${p}mxus_$c")))
+
   /** The batch's per-column sketch as ONE flat aggregate + ONE flat
     * register melt — the fold input when the per-file grain is not
     * being captured (batch spans more directories than
@@ -849,13 +863,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
       bTypes(c) == TimestampNTZType)
     // pass A: per-column nulls + typed extrema over the batch (the
     // caller holds the batch cached for its stats passes already)
-    val aggs = present.flatMap(c => Seq(
-      count(col(c)).as(s"n_$c"),
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c"))) ++
-      tsCols.flatMap(c => Seq(
-        min(tsMicrosCol(c, bTypes(c))).as(s"mnus_$c"),
-        max(tsMicrosCol(c, bTypes(c))).as(s"mxus_$c")))
+    val aggs = sketchAggCols(present, tsCols, bTypes, "")
     val h = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
     // pass B: the batch's own HLL registers — the SAME melt as
     // analyze()'s pass 2 (shared helper: the union-of-sketches ≡
@@ -922,13 +930,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     if (present.isEmpty) return Map.empty
     val tsCols = present.filter(c => bTypes(c) == TimestampType ||
       bTypes(c) == TimestampNTZType)
-    val aggs = (count(lit(1L)).as("__cs_rows") +: present.flatMap(c => Seq(
-      count(col(c)).as(s"__cs_n_$c"),
-      min(col(c)).cast("string").as(s"__cs_mn_$c"),
-      max(col(c)).cast("string").as(s"__cs_mx_$c")))) ++
-      tsCols.flatMap(c => Seq(
-        min(tsMicrosCol(c, bTypes(c))).as(s"__cs_mnus_$c"),
-        max(tsMicrosCol(c, bTypes(c))).as(s"__cs_mxus_$c")))
+    val aggs = count(lit(1L)).as("__cs_rows") +:
+      sketchAggCols(present, tsCols, bTypes, "__cs_")
     val agg = df.groupBy(groupKey.as("__csk"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val regRows = hllRegisterRows(df, present, Seq("__gk" -> groupKey))
@@ -1001,13 +1004,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val present = statCols.filter(bTypes.contains)
     val tsCols = present.filter(c => bTypes(c) == TimestampType ||
       bTypes(c) == TimestampNTZType)
-    val aggs = (count(lit(1L)).as("__cs_rows") +: present.flatMap(c => Seq(
-      count(col(c)).as(s"__cs_n_$c"),
-      min(col(c)).cast("string").as(s"__cs_mn_$c"),
-      max(col(c)).cast("string").as(s"__cs_mx_$c")))) ++
-      tsCols.flatMap(c => Seq(
-        min(tsMicrosCol(c, bTypes(c))).as(s"__cs_mnus_$c"),
-        max(tsMicrosCol(c, bTypes(c))).as(s"__cs_mxus_$c")))
+    val aggs = count(lit(1L)).as("__cs_rows") +:
+      sketchAggCols(present, tsCols, bTypes, "__cs_")
     val wide = df.groupBy(col("__file").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     // one homogeneous struct per stat column (extrema already
@@ -1199,12 +1197,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * refold aggregates it map-side, and the consolidation writes the
     * new parts from the write tasks — flush-bounded like the analyze
     * bootstrap, so neither driver memory nor part size grows with the
-    * store\u0027s files × columns product. ABORT-SAFE (r17 advice): an
+    * store's files × columns product. ABORT-SAFE (r17 advice): an
     * unreadable part aborts the consolidation — the old parts are
     * KEPT (each remains a sound per-file envelope for skipping), the
     * fresh sketches land as a delta part, and the merged stats decline
     * (survivors cannot be certified) — a damaged sidecar never
-    * silently drops a file\u0027s sketches. */
+    * silently drops a file's sketches. */
   private def rewriteStatsState(m: JournalStore.Manifest,
       files2: Seq[String], fstats2: Seq[FileStat], dvParts2: Seq[String],
       rewritten: Seq[(String, JournalStore.DirSketches)])
@@ -1214,31 +1212,74 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val fresh = rewritten.flatMap { case (f, ds) =>
       cstatRowsOf(f, ds, statCols) }
     try {
-      // kept = live files\u0027 rows from the old parts (rewritten files are
-      // NEW names — a fresh UUID per task file — so they cannot appear
-      // in old parts; the live join alone is exact)
-      val keptDf = ColumnStatsSidecar
-        .readFrame(spark, path, m.cstatsParts)
-        .join(spark.createDataFrame(files2.map(Tuple1(_))).toDF("file"),
-          Seq("file"), "left_semi")
-      val allDf = keptDf.unionByName(
-        spark.createDataset(fresh)(ColumnStatsSidecar.cstatEncoder).toDF())
+      val allDf = cstatsUnionFrame(m.cstatsParts, files2, fresh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val total = allDf.count()
         val meta2 = refoldStatsMeta(m.meta, files2, fstats2, dvParts2,
           allDf, m.schemaDdl)
-        val parts2 =
-          if (total == 0L) Nil
-          else ColumnStatsSidecar.writeParts(path, allDf,
-            math.min(4096L, (total + 65535L) / 65536L).toInt)
-        (meta2, parts2)
+        (meta2, writeCstatsParts(allDf, total))
       } finally allDf.unpersist()
-    } catch { case scala.util.control.NonFatal(_) =>
-      val parts2 =
-        if (fresh.isEmpty) m.cstatsParts
-        else m.cstatsParts :+ ColumnStatsSidecar.writePart(path, fresh)
-      (m.meta -- JournalStore.statsMetaKeys(m.meta), parts2)
+    } catch { case scala.util.control.NonFatal(e) =>
+      (m.meta -- JournalStore.statsMetaKeys(m.meta),
+        cstatsAbortParts(m.cstatsParts, files2, fresh, e))
+    }
+  }
+
+  /** (live kept ∪ fresh) sidecar frame for a commit: the old parts as
+    * ONE Spark frame, semi-joined to the post-commit file list, plus
+    * the commit's freshly-sketched rows. Rewritten/new files carry
+    * fresh UUID task names, so they cannot appear in old parts — the
+    * live semi-join alone is exact and the union is duplicate-free.
+    * THROWS on an unreadable part (readFrame pins corrupt-file
+    * skipping OFF) — callers abort rather than silently drop. */
+  private def cstatsUnionFrame(parts: Seq[String], liveFiles: Seq[String],
+      fresh: Seq[ColumnStatsSidecar.CStat]): DataFrame =
+    ColumnStatsSidecar.readFrame(spark, path, parts)
+      .join(spark.createDataFrame(liveFiles.map(Tuple1(_))).toDF("file"),
+        Seq("file"), "left_semi")
+      .unionByName(
+        spark.createDataset(fresh)(ColumnStatsSidecar.cstatEncoder).toDF())
+
+  /** Flush-bounded DISTRIBUTED part write of a consolidated sidecar
+    * frame (≤ 64k rows per part — each stays LRU-cacheable). */
+  private def writeCstatsParts(df: DataFrame, total: Long): Seq[String] =
+    if (total == 0L) Nil
+    else ColumnStatsSidecar.writeParts(path, df,
+      math.min(4096L, (total + 65535L) / 65536L).toInt)
+
+  /** Consolidation ABORT (r17 advice): on an unreadable part, keep the
+    * old parts — each remains a sound per-file skipping envelope — and
+    * land this commit's fresh sketches as a delta part, WARNING loudly
+    * (a swallowed abort would leave the operator blind while every
+    * later commit re-pays a doomed Spark job). A PERSISTENTLY corrupt
+    * part would otherwise grow the part list by one delta per commit
+    * forever; past 4× the consolidation cap the abort falls back to
+    * the LENIENT driver reader instead — readable parts keep their
+    * sketches, the unreadable part's rows are DROPPED with a warning
+    * naming the loss (conservative: those files lose skipping and the
+    * refold declines until a re-analyze; never a wrong bound). The
+    * fallback is the one rare repair path allowed a driver-side
+    * sidecar pass. */
+  private def cstatsAbortParts(parts: Seq[String], liveFiles: Seq[String],
+      fresh: Seq[ColumnStatsSidecar.CStat], e: Throwable): Seq[String] = {
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[JournalStore])
+    if (parts.sizeIs < ColumnStatsSidecar.MaxParts * 4) {
+      log.warn(s"cstats consolidation at $path ABORTED — old parts " +
+        "kept, fresh sketches land as a delta part; run analyze() to " +
+        s"rebuild the sidecar: $e")
+      if (fresh.isEmpty) parts
+      else parts :+ ColumnStatsSidecar.writePart(path, fresh)
+    } else {
+      log.warn(s"cstats consolidation at $path has aborted repeatedly " +
+        s"(${parts.size} parts live); consolidating through the " +
+        "LENIENT driver reader — unreadable parts' sketches are " +
+        "DROPPED (their files lose file skipping and the merged-stats " +
+        s"refold declines until analyze() rebuilds them): $e")
+      val live = liveFiles.toSet
+      val kept = ColumnStatsSidecar.readAll(path, parts)
+        .values.filter(s => live.contains(s.file)).toSeq
+      Seq(ColumnStatsSidecar.writePart(path, kept ++ fresh))
     }
   }
 
@@ -1253,21 +1294,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * a damaged sidecar never silently drops a file's sketches. */
   private def consolidateCstats(parts: Seq[String], liveFiles: Seq[String],
       fresh: Seq[ColumnStatsSidecar.CStat]): Seq[String] = try {
-    val keptDf = ColumnStatsSidecar.readFrame(spark, path, parts)
-      .join(spark.createDataFrame(liveFiles.map(Tuple1(_))).toDF("file"),
-        Seq("file"), "left_semi")
-    val allDf = keptDf.unionByName(
-      spark.createDataset(fresh)(ColumnStatsSidecar.cstatEncoder).toDF())
+    val allDf = cstatsUnionFrame(parts, liveFiles, fresh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val total = allDf.count()
-      if (total == 0L) Nil
-      else ColumnStatsSidecar.writeParts(path, allDf,
-        math.min(4096L, (total + 65535L) / 65536L).toInt)
-    } finally allDf.unpersist()
-  } catch { case scala.util.control.NonFatal(_) =>
-    if (fresh.isEmpty) parts
-    else parts :+ ColumnStatsSidecar.writePart(path, fresh)
+    try writeCstatsParts(allDf, allDf.count())
+    finally allDf.unpersist()
+  } catch { case scala.util.control.NonFatal(e) =>
+    cstatsAbortParts(parts, liveFiles, fresh, e)
   }
 
   /** DECLARED-retention sweep — TTL as a TABLE ATTRIBUTE instead of an
@@ -2182,13 +2214,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // the orphaned stage). Downstream null-ns handling (the retention
     // sweep's isNull arm, the sketch key's NUL sentinel) stays as
     // defense in depth, not as a supported row shape.
-    if (perNs.exists(_.isNullAt(1))) {
+    if (perNs.exists(r => r.isNullAt(1) || r.getString(1).isEmpty)) {
       if (persistOut) out.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(stage).toFile)
       throw new IllegalArgumentException(
-        "journal append: ns must be non-null (the namespace is the " +
-          "store's structural partition key); the batch was rejected " +
-          "atomically (nothing became visible)")
+        "journal append: ns must be non-null and non-empty (the " +
+          "namespace is the store's structural partition key, and the " +
+          "partition writer maps BOTH null and '' to the default-" +
+          "partition directory, which reads back as NULL); the batch " +
+          "was rejected atomically (nothing became visible)")
     }
     // Key blooms ride a SEPARATE pass: BloomFilterAggregate is a
     // TypedImperativeAggregate, and one such column forces the whole

@@ -732,6 +732,15 @@ private[sources] class JournalScanBuilder(
   private val tsRangeSels =
     scala.collection.mutable.ArrayBuffer.empty[(String, Char, Long)]
 
+  /** IS [NOT] NULL on timestamp-flavored columns, captured at the
+    * catalyst grain like the ranges above — parquet pushes NOTHING for
+    * INT96 and nothing for NTZ either, so the sources.IsNull /
+    * IsNotNull arms in cstatsPrune never see them; the per-file null
+    * counts settle both predicates exactly regardless of type. Entries
+    * are (column, isNull). */
+  private val tsNullPreds =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val remaining = super.pushFilters(filters)
     def tsLit(e: Expression): Option[Long] = e match {
@@ -746,6 +755,10 @@ private[sources] class JournalScanBuilder(
       case _ => None
     }
     filters.foreach {
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a) =>
+        attrName(a).foreach(c => tsNullPreds += ((c, true)))
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
+        attrName(a).foreach(c => tsNullPreds += ((c, false)))
       case CGt(a, l) if tsLit(l).isDefined =>
         for (c <- attrName(a); v <- tsLit(l)) {
           tsRangePreds += ((c, (_, hi) => hi > v))
@@ -1144,8 +1157,8 @@ private[sources] class JournalScanBuilder(
         case null => None
         case d: java.lang.Double if d.isNaN || d.isInfinite => None
         case f: java.lang.Float if f.isNaN || f.isInfinite => None
+        // java.math.BigDecimal is a Number too — this arm covers it
         case n: Number => Some(n.doubleValue)
-        case d: java.math.BigDecimal => Some(d.doubleValue)
         case _ => None
       }
       case _ => None
@@ -1170,6 +1183,14 @@ private[sources] class JournalScanBuilder(
       }
     def eqSel(s: CS, values: Int): Double =
       ndvOf(s).map(n => clamp(values / n)).getOrElse(1.0)
+    // inclusive comparisons keep the rows AT the bound: the open-
+    // interval fraction prices a literal sitting exactly on a file's
+    // recorded min/max to 0, understating a file whose bound value is
+    // heavy (the file was KEPT by pruning, so at least the bound rows
+    // can match) — floor by the file's one-value selectivity
+    def inclusiveFloor(s: CS): Double =
+      ndvOf(s).map(n => 1.0 / n)
+        .getOrElse(if (s.rows > 0) 1.0 / s.rows else 0.0)
     // one selectivity function per modeled predicate; unmodeled → none
     val sels: Seq[(String, CS => Double)] =
       pushedDataFilters.toSeq.flatMap {
@@ -1189,7 +1210,8 @@ private[sources] class JournalScanBuilder(
         case sources.GreaterThanOrEqual(c, v) =>
           typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
             (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-              rangeSel('G', k)(lo, hi) }.getOrElse(1.0))))
+              math.max(rangeSel('G', k)(lo, hi), inclusiveFloor(s))
+            }.getOrElse(1.0))))
         case sources.LessThan(c, v) =>
           typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
             (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
@@ -1197,8 +1219,16 @@ private[sources] class JournalScanBuilder(
         case sources.LessThanOrEqual(c, v) =>
           typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
             (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-              rangeSel('L', k)(lo, hi) }.getOrElse(1.0))))
+              math.max(rangeSel('L', k)(lo, hi), inclusiveFloor(s))
+            }.getOrElse(1.0))))
         case _ => None
+      } ++ tsNullPreds.toSeq.flatMap { case (c, isNull) =>
+        typeOf.get(c) match {
+          case Some(TimestampType | TimestampNTZType) =>
+            Some((c, (s: CS) =>
+              if (isNull) 1.0 - nonNull(s) else nonNull(s)))
+          case _ => None
+        }
       } ++ tsRangeSels.toSeq.flatMap { case (c, op, v) =>
         typeOf.get(c) match {
           case Some(dt @ (TimestampType | TimestampNTZType)) =>
@@ -1206,7 +1236,11 @@ private[sources] class JournalScanBuilder(
               Some((c, (s: CS) => eqSel(s, 1)))
             else
               Some((c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-                rangeSel(op, v.toDouble)(lo, hi) }.getOrElse(1.0)))
+                val frac = rangeSel(op, v.toDouble)(lo, hi)
+                if (op == 'G' || op == 'L')
+                  math.max(frac, inclusiveFloor(s))
+                else frac
+              }.getOrElse(1.0)))
           case _ => None
         }
       }
@@ -1253,8 +1287,8 @@ private[sources] class JournalScanBuilder(
       case null => None
       case d: Double if d.isNaN || d.isInfinite => None
       case f: Float if f.isNaN || f.isInfinite => None
+      // java.math.BigDecimal is a Number too — toString parses exactly
       case n: Number => scala.util.Try(BigDecimal(n.toString)).toOption
-      case d: java.math.BigDecimal => Some(BigDecimal(d))
       case _ => None
     }
     def strKey(dt: DataType, v: Any): Option[String] = (dt, v) match {
@@ -1415,7 +1449,18 @@ private[sources] class JournalScanBuilder(
         (c, nr((s: CS) => (for (lo <- s.minus; hi <- s.maxus)
           yield ok(lo, hi)).getOrElse(true)))
     }
-    val allTests = tests ++ tsTests
+    // catalyst-grain IS [NOT] NULL for the timestamp flavors (their
+    // filters never push to parquet); other types ride the
+    // sources.Filter arms above, so gate on the ts types to avoid
+    // double-testing
+    val tsNullTests: Seq[(String, CS => Boolean)] =
+      tsNullPreds.toSeq.collect {
+        case (c, isNull) if typeOf.get(c).exists(t =>
+            t == TimestampType || t == TimestampNTZType) =>
+          if (isNull) (c, (s: CS) => s.nulls > 0)
+          else (c, (s: CS) => s.nulls < s.rows)
+      }
+    val allTests = tests ++ tsTests ++ tsNullTests
     if (allTests.isEmpty) return files
     val sk = graft.journal.ColumnStatsSidecar.readAll(storePath, cstatsParts)
     if (sk.isEmpty) return files

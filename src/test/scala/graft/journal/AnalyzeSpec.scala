@@ -79,6 +79,36 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(store.analyzedColumnStats("ukey").nulls === 0L)
   }
 
+  test("an unreadable sidecar part ABORTS the rewrite consolidation: " +
+      "old parts kept, fresh sketches land as a delta, merged stats " +
+      "decline — never a silent sketch drop") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 3)
+    store.append(fixture)
+    store.append(Seq(("users", 9L, ts("2024-02-01 00:00:01"),
+      """{"z":1}""", Some(9.0))).toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze()
+    val parts0 = store.manifest.cstatsParts
+    assert(parts0.nonEmpty)
+    // damage one part on disk (parts are immutable by contract, so
+    // this models storage corruption, not a writer race)
+    java.nio.file.Files.write(
+      ColumnStatsSidecar.dir(store.path).resolve(parts0.head),
+      Array.fill[Byte](64)(0x5a))
+    // ukey=4 shares its (epoch, ns) file with another row, so the
+    // erase REWRITES that file (fresh sketches exist for the delta)
+    assert(store.deleteWhere(col("ukey") === 4L) === 1L)
+    // the refold cannot certify survivors -> merged stats decline...
+    assert(store.analyzedRowCount === None)
+    // ...but the consolidation ABORTED instead of rotating the damaged
+    // part's sketches away: every old part is still listed, plus one
+    // fresh delta for the rewritten file
+    val parts1 = store.manifest.cstatsParts
+    assert(parts0.forall(parts1.contains), s"$parts0 vs $parts1")
+    assert(parts1.size === parts0.size + 1)
+    // reads stay correct (skipping is conservative on damaged parts)
+    assert(store.scanUnordered().count() === 5L)
+  }
+
   test("a NULL-ns batch is refused at the append door ATOMICALLY: " +
       "analyzed stats, sketches and data are untouched") {
     val store = JournalStore.create(spark, freshPath, epochSize = 1000)

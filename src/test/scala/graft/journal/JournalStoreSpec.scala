@@ -2137,6 +2137,15 @@ class JournalStoreSpec extends AnyFunSuite {
         .toDF("ns", "ukey", "ts", "payload", "val"))
     }
     assert(e.getMessage.contains("ns must be non-null"))
+    // EMPTY string is the same hole through a different door: the
+    // partition writer maps '' to the default-partition directory,
+    // which reads back as NULL — the rejection must cover both
+    val e2 = intercept[IllegalArgumentException] {
+      store.append(Seq(
+        ("", 98L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+          "p", 1.0)).toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    assert(e2.getMessage.contains("non-empty"))
     // no manifest advanced, no rows visible, and the store still writes
     assert(store.versions().max === v0)
     assert(store.scanUnordered().where(col("ns").isNull).count() === 0L)

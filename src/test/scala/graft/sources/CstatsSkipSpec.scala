@@ -90,6 +90,12 @@ class CstatsSkipSpec extends AnyFunSuite {
     // a never-nulled column: IS NULL is provably empty — zero files
     assert(scannedFiles(rd.where(col("payload").isNull)) === 0)
     assert(rd.where(col("payload").isNull).count() === 0L)
+    // timestamp flavors push NOTHING to parquet (INT96/NTZ), so their
+    // IS [NOT] NULL rides the catalyst-grain capture — same pruning
+    assert(scannedFiles(rd.where(col("ts").isNull)) === 0)
+    assert(rd.where(col("ts").isNull).count() === 0L)
+    assert(scannedFiles(rd.where(col("ts").isNotNull)) === 3)
+    assert(rd.where(col("ts").isNotNull).count() === 60L)
   }
 
   test("string-prefix predicates prune by UTF-8 bounds (prefix window " +
