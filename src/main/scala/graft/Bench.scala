@@ -7,6 +7,18 @@ object Bench {
     s.bigDecimal.toPlainString
   }
 
+  /** DISPERSION contention trigger (round 19, from the r18
+    * adjudication): identical code cannot legitimately drift run
+    * totals by 1.5× within one capture — same box, same data, minutes
+    * apart — so the spread itself proves external pollution even when
+    * loadavg and other-process CPU both read quiet (r18's 338/471/239 s
+    * passes: whatever stalled pass 2 was invisible to both samplers).
+    * Negative per-pass totals cannot occur (totals sum |times|), but
+    * guard min > 0 so an all-failed degenerate pass can't divide by
+    * zero. Thresholds documented in BASELINE.md. */
+  private[graft] def runTotalsDispersed(totals: Seq[Double]): Boolean =
+    totals.nonEmpty && totals.min > 0 && totals.max / totals.min >= 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -174,13 +186,16 @@ object Bench {
     // when quiet, while the r16 polluted capture showed loadavg 5.06 —
     // so the primary signal is LOAD (another active workload), with a
     // severe other-CPU burn as the backstop.
+    // Third trigger — DISPERSION (see runTotalsDispersed): r18's
+    // 1.97× pass spread slipped past both samplers and the median
+    // silently read as a +29% regression.
     val contended = loadPerRun.exists(_ >= 3.0) ||
-      otherBusyPerRun.exists(_ > 60.0)
+      otherBusyPerRun.exists(_ > 60.0) || runTotalsDispersed(totals.toSeq)
     if (contended)
       System.err.println("[bench] WARN: contended box — loadavg per pass " +
         s"${loadPerRun.map(r3).mkString("[", ",", "]")}, other-process busy " +
-        s"CPU ${otherBusyPerRun.map(r3).mkString("[", ",", "]")}s; medians " +
-        "are polluted, judge on queries_min")
+        s"CPU ${otherBusyPerRun.map(r3).mkString("[", ",", "]")}s, run " +
+        s"totals ${totalsJson}; medians are polluted, judge on queries_min")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""contended":$contended,""" +

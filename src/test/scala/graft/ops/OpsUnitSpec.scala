@@ -339,4 +339,18 @@ class OpsUnitSpec extends AnyFunSuite {
     assert(MaterializedRollup.refresh(src, dst, Seq("ns"), Seq("val")) > 0)
     assert(state() === Seq(("a", 3L, 4.5), ("c", 1L, 7.0)))
   }
+
+  test("bench dispersion trigger: a 1.5x pass spread self-labels contended") {
+    // the r18 capture's shape: one stalled pass among quiet ones —
+    // invisible to loadavg/other-CPU, caught by the spread alone
+    assert(graft.Bench.runTotalsDispersed(Seq(338.2, 471.3, 239.1)))
+    // same-day drift band (±15%) must NOT trip the label
+    assert(!graft.Bench.runTotalsDispersed(Seq(191.5, 217.0, 201.3)))
+    // exactly at threshold fires; just under does not
+    assert(graft.Bench.runTotalsDispersed(Seq(100.0, 150.0)))
+    assert(!graft.Bench.runTotalsDispersed(Seq(100.0, 149.9)))
+    // degenerate tails stay quiet rather than dividing by zero
+    assert(!graft.Bench.runTotalsDispersed(Nil))
+    assert(!graft.Bench.runTotalsDispersed(Seq(0.0, 100.0)))
+  }
 }
