@@ -356,6 +356,43 @@ object Sf1Smoke {
         f"parts)  (${t10 / t1}%.2fx — one distributed job; driver " +
         "holds part names only)")
     }
+    // Scan-build witness (VERDICT r18 item 1 — the READ side of the
+    // sidecar seam): round 18 left every filtered scan build
+    // materializing the WHOLE sidecar on the driver; round 19's
+    // manifest envelopes let the build open only the parts whose
+    // file-name range admits a candidate. Grow both bootstrap stores'
+    // sidecars to many parts (10 delta appends each), then time the
+    // planning of a selective key probe: wall and part-probe count
+    // must stay ~flat across the 10x files axis.
+    locally {
+      def probe(tag: String): (Double, Long, Int, Int) = {
+        val path = s"$out/cb_store_$tag"
+        val st = graft.journal.JournalStore.open(spark, path)
+        val batch = graft.ops.JournalOps.journal(spark, src)
+          .where(col("seq") < 200)
+          .select(col("ns"), col("ukey"), col("ts"), col("payload"),
+            col("val"))
+        (0 until 10).foreach(_ => st.append(batch))
+        val parts = st.manifest.cstatsParts.size
+        val probes0 = graft.journal.ColumnStatsSidecar.partProbes.get()
+        val t0 = System.nanoTime()
+        val df = spark.read.format("journal").load(path)
+          .where(col("ukey") === 123L)
+        df.queryExecution.executedPlan // forces build(): prune + estimate
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec,
+          graft.journal.ColumnStatsSidecar.partProbes.get() - probes0,
+          parts, st.manifest.files.size)
+      }
+      val (t1, pr1, ps1, f1) = probe("1x")
+      val (t10, pr10, ps10, f10) = probe("10x")
+      println(f"[sf1] cstats_scan_build       1x=$t1%8.2f s " +
+        f"($pr1 probes / $ps1 parts, $f1 files)  10x=$t10%.2f s " +
+        f"($pr10 probes / $ps10 parts, $f10 files)  " +
+        f"(${t10 / math.max(t1, 1e-9)}%.2fx — the envelope consult " +
+        "opens only admitting parts; the driver never materializes " +
+        "the sidecar)")
+    }
     // writeStream.toTable staged double-write probe (VERDICT r14 item
     // 6): the V2 whole-batch table sink stages parquet per task, then
     // lands the staged rows as ONE ordinary store append — streamed

@@ -46,6 +46,116 @@ private[graft] object ColumnStatsSidecar {
                    minus: Option[Long], maxus: Option[Long],
                    regs: Array[Byte])
 
+  /** Per-PART, per-COLUMN envelope (round 19) — the manifest-resident
+    * summary that lets a scan build decide WITHOUT OPENING THE PART
+    * whether opening it could change anything. Two independent axes:
+    *
+    *  - `minFile`/`maxFile`: the part's file-name range. Parts are
+    *    written range-partitioned on (col, file), so a SELECTIVE scan
+    *    (candidate files already pruned by key/partition/limit) probes
+    *    only the parts whose range intersects a candidate — O(1) parts
+    *    for a point probe however many parts the store has.
+    *  - "no-row-prunable" proof quantities per value domain: over the
+    *    part's rows FOR THIS COLUMN that carry both bounds,
+    *    max-of-mins (`*LoMax`) and min-of-maxes (`*HiMin`). Feeding
+    *    the pair (LoMax, HiMin) to the SAME may-match test the pruner
+    *    runs per file answers "could ANY row here fail the test?" —
+    *    e.g. for `c > k` every file keeps iff min(max_f) > k. A part
+    *    that provably cannot prune anything is skipped: skipping only
+    *    ever KEEPS files, so envelope mistakes (rounding in the
+    *    distributed decimal aggregate, a stale codec) cost IO, never
+    *    correctness — the row-level tests and the query's own filters
+    *    still run above.
+    *
+    * `numBad` = some bounded row's minv/maxv failed the decimal parse
+    * (overflow past decimal(38,18) or a non-numeric string): numeric
+    * proofs DECLINE for the part (it opens). Absent numeric/string/
+    * micros quantities mean NO row carries bounds in that domain —
+    * bound tests cannot prune there by construction. `anyFullNull`
+    * keeps the part open under null-rejecting predicates (an all-null
+    * file PRUNES under them); `minNulls == 0` keeps it open under
+    * IS NULL. The envelope is advisory: a part with no recorded
+    * envelope (older manifest) always opens. */
+  case class ColEnv(col: String, n: Long, minFile: String, maxFile: String,
+                    minNulls: Long, anyFullNull: Boolean, numBad: Boolean,
+                    numLoMax: Option[String], numHiMin: Option[String],
+                    strLoMax: Option[String], strHiMin: Option[String],
+                    micLoMax: Option[Long], micHiMin: Option[Long])
+
+  /** Envelope codec: the manifest stores one OPAQUE string per part
+    * (the JSON layer URL-encodes it like any meta value), so all
+    * envelope knowledge stays in this object. Fields are u0001-
+    * joined, columns u0002-joined; strings URL-encoded so the
+    * separators can never collide with data; optional fields are ""
+    * for None and "=<urlenc>" for Some (Some("") encodes as "=").
+    * decode returns None on ANY malformation — the consumer then
+    * simply opens the part (advisory data degrades to round-18
+    * behavior, never to a wrong skip). */
+  def encodeEnv(cols: Seq[ColEnv]): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def opt(o: Option[String]) = o.map("=" + enc(_)).getOrElse("")
+    def optL(o: Option[Long]) = o.map("=" + _.toString).getOrElse("")
+    cols.map(e => Seq(enc(e.col), e.n.toString, enc(e.minFile),
+      enc(e.maxFile), e.minNulls.toString,
+      if (e.anyFullNull) "1" else "0", if (e.numBad) "1" else "0",
+      opt(e.numLoMax), opt(e.numHiMin), opt(e.strLoMax), opt(e.strHiMin),
+      optL(e.micLoMax), optL(e.micHiMin)).mkString("\u0001"))
+      .mkString("\u0002")
+  }
+
+  def decodeEnv(s: String): Option[Seq[ColEnv]] = try {
+    def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+    def opt(v: String): Option[String] =
+      if (v.isEmpty) None
+      else if (v.startsWith("=")) Some(dec(v.substring(1)))
+      else throw new IllegalArgumentException(v)
+    if (s.isEmpty) Some(Nil)
+    else Some(s.split("\u0002", -1).toSeq.map { part =>
+      val f = part.split("\u0001", -1)
+      require(f.length == 13)
+      ColEnv(dec(f(0)), f(1).toLong, dec(f(2)), dec(f(3)), f(4).toLong,
+        f(5) == "1", f(6) == "1", opt(f(7)), opt(f(8)), opt(f(9)),
+        opt(f(10)), opt(f(11)).map(_.toLong), opt(f(12)).map(_.toLong))
+    })
+  } catch { case _: Exception => None }
+
+  /** Driver-side envelope of one part's rows — the twin of the
+    * distributed aggregate inside [[writeParts]], for the bounded
+    * driver [[writePart]] paths (append delta, abort fallback). Same
+    * semantics: quantities over rows carrying BOTH bounds; numeric
+    * domain via exact BigDecimal (a parse failure sets numBad);
+    * string domain in unsigned UTF-8 byte order (what minv/maxv
+    * record — [[JournalStore.utf8Cmp]], identical to Spark's string
+    * min/max); micros over rows with both minus and maxus. */
+  def envelopeOf(stats: Seq[CStat]): Seq[ColEnv] =
+    stats.groupBy(_.col).toSeq.sortBy(_._1).map { case (c, ss) =>
+      val bounded = ss.filter(s => s.minv.isDefined && s.maxv.isDefined)
+      val nums = bounded.map(s => (
+        scala.util.Try(BigDecimal(s.minv.get)).toOption,
+        scala.util.Try(BigDecimal(s.maxv.get)).toOption))
+      val numBad = nums.exists(p => p._1.isEmpty || p._2.isEmpty)
+      val numLo = nums.flatMap(_._1)
+      val numHi = nums.flatMap(_._2)
+      def strMax(vs: Seq[String]): Option[String] =
+        vs.reduceOption((a, b) => if (JournalStore.utf8Cmp(a, b) >= 0) a else b)
+      def strMin(vs: Seq[String]): Option[String] =
+        vs.reduceOption((a, b) => if (JournalStore.utf8Cmp(a, b) <= 0) a else b)
+      val mics = ss.filter(s => s.minus.isDefined && s.maxus.isDefined)
+      ColEnv(c, ss.size.toLong,
+        // file names in UTF-8 byte order — matching the distributed
+        // twin's Spark string min/max (segment paths are ASCII: safe-ns
+        // charset or Hive %-escapes, so every string order agrees; the
+        // consult side compares with utf8Cmp regardless)
+        strMin(ss.map(_.file)).get, strMax(ss.map(_.file)).get,
+        ss.map(_.nulls).min, ss.exists(s => s.nulls >= s.rows),
+        numBad,
+        if (numBad || numLo.isEmpty) None else Some(numLo.max.toString),
+        if (numBad || numHi.isEmpty) None else Some(numHi.min.toString),
+        strMax(bounded.map(_.minv.get)), strMin(bounded.map(_.maxv.get)),
+        if (mics.isEmpty) None else Some(mics.map(_.minus.get).max),
+        if (mics.isEmpty) None else Some(mics.map(_.maxus.get).min))
+    }
+
   private val schema = MessageTypeParser.parseMessageType(
     """message cstat {
       |  required binary file (UTF8);
@@ -113,36 +223,115 @@ private[graft] object ColumnStatsSidecar {
 
   /** Write a CStat-shaped frame as a SET of immutable sidecar parts
     * from the WRITE TASKS — the distributed twin of [[writePart]]: the
-    * frame is repartitioned to `nParts` (callers size this to the
-    * [[JournalStore]] flush bound so each part stays LRU-cacheable),
-    * written to a staging dir by Spark's committer, and each task file
-    * is adopted under a fresh UUID name (same-filesystem move, the
-    * promoteStaged pattern). Returns the manifest-relative names; a
-    * crash mid-adopt strands only unreferenced orphans (the manifest
-    * that would list them never committed), which vacuum sweeps. */
+    * frame is RANGE-partitioned on (col, file) to `nParts` (callers
+    * size this to the [[JournalStore]] flush bound so each part stays
+    * LRU-cacheable; the range layout gives every part a contiguous
+    * column/file-name footprint, which is what makes the per-part
+    * [[ColEnv]] envelopes selective — a hash layout would smear every
+    * column and every file range across every part), written to a
+    * staging dir by Spark's committer, and each task file is adopted
+    * under a fresh UUID name (same-filesystem move, the promoteStaged
+    * pattern). Before adoption, ONE distributed aggregate over the
+    * staged bytes (page-cache-warm, grouped by the staged file name)
+    * derives each part's envelope — the string domain via Spark's
+    * native string min/max (unsigned UTF-8 byte order, identical to
+    * [[JournalStore.utf8Cmp]]), the numeric domain via
+    * try_cast(decimal(38,18)) with a per-part decline flag on any
+    * failed parse (overflow/non-numeric → numeric proofs decline and
+    * the part always opens). Returns (manifest-relative name, encoded
+    * envelope) pairs; a crash mid-adopt strands only unreferenced
+    * orphans (the manifest that would list them never committed),
+    * which vacuum sweeps. */
   def writeParts(storePath: String,
                  df: org.apache.spark.sql.DataFrame,
-                 nParts: Int): Seq[String] = {
+                 nParts: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
     val stage = java.nio.file.Paths.get(storePath,
       s".stage-cstats-${java.util.UUID.randomUUID()}")
-    df.repartition(math.max(1, nParts))
+    df.repartitionByRange(math.max(1, nParts), col("col"), col("file"))
       .write.mode("overwrite").parquet(stage.toString)
-    val names = Seq.newBuilder[String]
-    val walk = java.nio.file.Files.walk(stage)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
-        .foreach { p =>
-          val name = java.util.UUID.randomUUID().toString + ".parquet"
-          java.nio.file.Files.createDirectories(dir(storePath))
-          java.nio.file.Files.move(p, dir(storePath).resolve(name),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          names += name
+    val spark = df.sparkSession
+    val bp = col("minv").isNotNull && col("maxv").isNotNull
+    val decMin = expr("try_cast(minv as decimal(38,18))")
+    val decMax = expr("try_cast(maxv as decimal(38,18))")
+    val mic = col("minus").isNotNull && col("maxus").isNotNull
+    // enumerate the staged part files EXPLICITLY: the staging dir is
+    // dot-prefixed (hidden from every other store-root reader by
+    // design), and Spark's hidden-path filter would silently ignore
+    // the whole dir as a root path — the read-back must name the
+    // normally-named leaf files themselves
+    val stagedFiles: Seq[String] = {
+      val walk = java.nio.file.Files.walk(stage)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(_.toString).toList
+      } finally walk.close()
+    }
+    val envByStaged: Map[String, Seq[ColEnv]] =
+      if (stagedFiles.isEmpty) Map.empty
+      else spark.read.schema(sparkSchema)
+        .option("ignoreCorruptFiles", "false")
+        .option("ignoreMissingFiles", "false")
+        .parquet(stagedFiles: _*)
+        .groupBy(input_file_name().as("__sf"), col("col"))
+        .agg(count(lit(1L)).as("n"),
+          min("file").as("f0"), max("file").as("f1"),
+          min("nulls").as("nn"),
+          max(when(col("nulls") >= col("rows"), 1L).otherwise(0L)).as("fn"),
+          max(when(bp && (decMin.isNull || decMax.isNull), 1L)
+            .otherwise(0L)).as("nbad"),
+          max(when(bp, decMin)).cast("string").as("nl"),
+          min(when(bp, decMax)).cast("string").as("nh"),
+          max(when(bp, col("minv"))).as("sl"),
+          min(when(bp, col("maxv"))).as("sh"),
+          max(when(mic, col("minus"))).as("ml"),
+          min(when(mic, col("maxus"))).as("mh"))
+        .collect()
+        .groupBy(r => r.getString(0).split("/").last)
+        .map { case (staged, rs) =>
+          staged -> rs.toSeq.map { r =>
+            def optS(i: Int) =
+              if (r.isNullAt(i)) None else Some(r.getString(i))
+            def optL(i: Int) =
+              if (r.isNullAt(i)) None else Some(r.getLong(i))
+            val numBad = r.getLong(7) > 0
+            ColEnv(r.getString(1), r.getLong(2), r.getString(3),
+              r.getString(4), r.getLong(5), r.getLong(6) > 0, numBad,
+              if (numBad) None else optS(8), if (numBad) None else optS(9),
+              optS(10), optS(11), optL(12), optL(13))
+          }.sortBy(_.col)
         }
-    } finally walk.close()
-    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    val names = Seq.newBuilder[(String, String)]
+    // stage cleanup rides a finally: a Files.move throwing mid-adopt
+    // must not strand the staging dir (plus any already-adopted orphan
+    // UUID parts) until vacuum's age-gated sweep — the crash contract
+    // tolerates that, but the non-crash exception path can tidy
+    // eagerly (adopted orphans stay for vacuum as designed: the
+    // manifest that would list them never commits)
+    try {
+      val walk = java.nio.file.Files.walk(stage)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
+          .foreach { p =>
+            val name = java.util.UUID.randomUUID().toString + ".parquet"
+            java.nio.file.Files.createDirectories(dir(storePath))
+            java.nio.file.Files.move(p, dir(storePath).resolve(name),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            // a staged file the envelope aggregate somehow missed
+            // adopts with an EMPTY-encoded envelope of zero columns —
+            // decodeEnv yields Nil, whose "no entries" reading keeps
+            // the consumer conservative (the part opens)
+            names += name -> encodeEnv(
+              envByStaged.getOrElse(p.getFileName.toString, Nil))
+          }
+      } finally walk.close()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
     names.result()
   }
 
@@ -155,6 +344,13 @@ private[graft] object ColumnStatsSidecar {
   private[graft] val driverPartWrites =
     new java.util.concurrent.atomic.AtomicLong
   private[graft] val driverReadAlls =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Part-PROBE seam counter (round 19): every [[readPart]] call —
+    * LRU hit or parse — bumps it, so specs can pin that envelope
+    * skipping really avoids touching parts a selective scan does not
+    * need (the read-side twin of the write-side seam counters). */
+  private[graft] val partProbes =
     new java.util.concurrent.atomic.AtomicLong
 
   /** Write one immutable part; returns its manifest-relative name. */
@@ -213,6 +409,7 @@ private[graft] object ColumnStatsSidecar {
     * error must not pin "empty" into the LRU and permanently disable
     * skipping for that part (the next probe retries the parse). */
   def readPart(storePath: String, name: String): Seq[CStat] = {
+    partProbes.incrementAndGet()
     val key = storePath + "\u0000" + name
     val hit = cache.synchronized(cache.get(key))
     if (hit != null) hit

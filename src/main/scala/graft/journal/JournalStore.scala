@@ -711,7 +711,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // the last files-proportional driver seam in the stats lifecycle;
     // parts are sized to the 64k-row flush bound so each stays
     // LRU-cacheable for the scan pruner).
-    val csParts: Seq[String] =
+    val csParts: Seq[(String, String)] =
       if (rows == 0) Nil
       else {
         val cdf = readSegmentsOver(m0.files, m0.schemaDdl, m0.dvParts,
@@ -730,7 +730,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
         k.startsWith(JournalStore.StatsColPrefix))
       commitSeam()
       writeManifest(path, m.copy(op = "analyze",
-        meta = m.meta -- stale ++ fresh, cstatsParts = csParts))
+        // the NTZ-exactness marker certifies that EVERY sidecar row in
+        // this family captured TIMESTAMP_NTZ extrema as raw physical
+        // micros (NtzMicros — session-zone-independent). analyze()
+        // replaces the whole family, so stamping here covers the
+        // lineage: later appends extend it with the same tsMicrosCol
+        // arithmetic. A marker-less store (analyzed by an older build,
+        // possibly under a non-UTC zone whose DST gaps could shift NTZ
+        // wall times) DECLINES NTZ file skipping until re-analyzed.
+        meta = m.meta -- stale ++ fresh +
+          (JournalStore.StatsNtzExactKey -> "1"),
+        cstatsParts = csParts.map(_._1), cstatsEnvs = csParts.toMap))
     }
   }
 
@@ -1111,12 +1121,20 @@ class JournalStore private (val spark: SparkSession, val path: String,
         val surv = spark.createDataFrame(
           files2.map(f => (f, fmap(f).rows))).toDF("file", "__xrows")
         val typesB = types
+        // TWO typed aggregates, both at sketch grain: first collapse
+        // (col, FILE) groups — any multiplicity > 1 is a duplicated
+        // sketch row and sets `dup` (exact distinct-file counting:
+        // each surviving group contributes n = 1 upward, so the
+        // per-column `n` below counts DISTINCT contributing files,
+        // closing the r18-advice hole where a duplicate for file A
+        // could mask a missing sketch for file B at the same total) —
+        // then merge per column with pairwise associative partials.
         sketchDf
           .where(col("col").isInCollection(statCols))
           .join(surv, Seq("file"))
           .select(col("col"), col("rows"), col("nulls"), col("minv"),
             col("maxv"), col("minus"), col("maxus"), col("regs"),
-            col("__xrows"))
+            col("__xrows"), col("file"))
           .map { r =>
             def optL(i: Int): Option[Long] =
               if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -1125,23 +1143,37 @@ class JournalStore private (val spark: SparkSession, val path: String,
               optL(5), optL(6),
               Option(r.getAs[Array[Byte]](7))
                 .getOrElse(Array.emptyByteArray))
-            (r.getString(0), JournalStore.SketchAcc(1L,
-              if (r.getLong(1) == r.getLong(8)) 0L else 1L, s))
+            (r.getString(0), r.getString(9), JournalStore.SketchAcc(1L,
+              if (r.getLong(1) == r.getLong(8)) 0L else 1L, 0L, s))
           }(org.apache.spark.sql.Encoders.product[
-            (String, JournalStore.SketchAcc)])
+            (String, String, JournalStore.SketchAcc)])
+          .groupByKey(t => (t._1, t._2))(
+            org.apache.spark.sql.Encoders.product[(String, String)])
+          .reduceGroups { (a, b) =>
+            // same (col, file) key on both sides: a duplicate
+            (a._1, a._2, JournalStore.SketchAcc(1L,
+              math.max(a._3.bad, b._3.bad), 1L,
+              JournalStore.mergeColSketches(typesB.get(a._1),
+                Seq(a._3.s, b._3.s))))
+          }
+          .map { case (_, (c, _, acc)) => (c, acc) }(
+            org.apache.spark.sql.Encoders.product[
+              (String, JournalStore.SketchAcc)])
           .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
           .reduceGroups { (a, b) =>
             (a._1, JournalStore.SketchAcc(a._2.n + b._2.n,
-              a._2.bad + b._2.bad,
+              a._2.bad + b._2.bad, a._2.dup + b._2.dup,
               JournalStore.mergeColSketches(typesB.get(a._1),
                 Seq(a._2.s, b._2.s))))
           }
           .collect().map { case (c, (_, acc)) => c -> acc }.toMap
       }
-    // exact-or-decline, certified from the aggregate's own counters
+    // exact-or-decline, certified from the aggregate's own counters:
+    // distinct contributing files == survivors, no row-count mismatch,
+    // and no duplicated (col, file) sketch anywhere
     statCols.foreach { c =>
       val ok = mergedByCol.get(c) match {
-        case Some(acc) => acc.n == expect && acc.bad == 0L
+        case Some(acc) => acc.n == expect && acc.bad == 0L && acc.dup == 0L
         case None => expect == 0L
       }
       if (!ok) return decline
@@ -1206,9 +1238,9 @@ class JournalStore private (val spark: SparkSession, val path: String,
   private def rewriteStatsState(m: JournalStore.Manifest,
       files2: Seq[String], fstats2: Seq[FileStat], dvParts2: Seq[String],
       rewritten: Seq[(String, JournalStore.DirSketches)])
-      : (Map[String, String], Seq[String]) = {
+      : (Map[String, String], Seq[String], Map[String, String]) = {
     val statCols = JournalStore.activeStatCols(m.meta)
-    if (statCols.isEmpty) return (m.meta, m.cstatsParts)
+    if (statCols.isEmpty) return (m.meta, m.cstatsParts, m.cstatsEnvs)
     val fresh = rewritten.flatMap { case (f, ds) =>
       cstatRowsOf(f, ds, statCols) }
     try {
@@ -1218,11 +1250,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
         val total = allDf.count()
         val meta2 = refoldStatsMeta(m.meta, files2, fstats2, dvParts2,
           allDf, m.schemaDdl)
-        (meta2, writeCstatsParts(allDf, total))
+        val pairs = writeCstatsParts(allDf, total)
+        (meta2, pairs.map(_._1), pairs.toMap)
       } finally allDf.unpersist()
     } catch { case scala.util.control.NonFatal(e) =>
-      (m.meta -- JournalStore.statsMetaKeys(m.meta),
-        cstatsAbortParts(m.cstatsParts, files2, fresh, e))
+      val (parts2, envs2) = cstatsAbortParts(m.cstatsParts, m.cstatsEnvs,
+        files2, fresh, e)
+      (m.meta -- JournalStore.statsMetaKeys(m.meta), parts2, envs2)
     }
   }
 
@@ -1242,11 +1276,19 @@ class JournalStore private (val spark: SparkSession, val path: String,
         spark.createDataset(fresh)(ColumnStatsSidecar.cstatEncoder).toDF())
 
   /** Flush-bounded DISTRIBUTED part write of a consolidated sidecar
-    * frame (≤ 64k rows per part — each stays LRU-cacheable). */
-  private def writeCstatsParts(df: DataFrame, total: Long): Seq[String] =
+    * frame (≤ 64k rows per part — each stays LRU-cacheable). Returns
+    * (name, encoded envelope) pairs. */
+  private def writeCstatsParts(df: DataFrame,
+      total: Long): Seq[(String, String)] =
     if (total == 0L) Nil
     else ColumnStatsSidecar.writeParts(path, df,
       math.min(4096L, (total + 65535L) / 65536L).toInt)
+
+  /** (name, encoded envelope) for one driver-written delta part. */
+  private def writeCstatsDelta(
+      rows: Seq[ColumnStatsSidecar.CStat]): (String, String) =
+    ColumnStatsSidecar.writePart(path, rows) ->
+      ColumnStatsSidecar.encodeEnv(ColumnStatsSidecar.envelopeOf(rows))
 
   /** Consolidation ABORT (r17 advice): on an unreadable part, keep the
     * old parts — each remains a sound per-file skipping envelope — and
@@ -1261,15 +1303,21 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * refold declines until a re-analyze; never a wrong bound). The
     * fallback is the one rare repair path allowed a driver-side
     * sidecar pass. */
-  private def cstatsAbortParts(parts: Seq[String], liveFiles: Seq[String],
-      fresh: Seq[ColumnStatsSidecar.CStat], e: Throwable): Seq[String] = {
+  private def cstatsAbortParts(parts: Seq[String],
+      envs: Map[String, String], liveFiles: Seq[String],
+      fresh: Seq[ColumnStatsSidecar.CStat], e: Throwable)
+      : (Seq[String], Map[String, String]) = {
     val log = org.slf4j.LoggerFactory.getLogger(classOf[JournalStore])
     if (parts.sizeIs < ColumnStatsSidecar.MaxParts * 4) {
       log.warn(s"cstats consolidation at $path ABORTED — old parts " +
         "kept, fresh sketches land as a delta part; run analyze() to " +
         s"rebuild the sidecar: $e")
-      if (fresh.isEmpty) parts
-      else parts :+ ColumnStatsSidecar.writePart(path, fresh)
+      if (fresh.isEmpty) (parts, envs.view.filterKeys(parts.toSet).toMap)
+      else {
+        val delta = writeCstatsDelta(fresh)
+        (parts :+ delta._1,
+          envs.view.filterKeys(parts.toSet).toMap + delta)
+      }
     } else {
       log.warn(s"cstats consolidation at $path has aborted repeatedly " +
         s"(${parts.size} parts live); consolidating through the " +
@@ -1279,7 +1327,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
       val live = liveFiles.toSet
       val kept = ColumnStatsSidecar.readAll(path, parts)
         .values.filter(s => live.contains(s.file)).toSeq
-      Seq(ColumnStatsSidecar.writePart(path, kept ++ fresh))
+      val sole = writeCstatsDelta(kept ++ fresh)
+      (Seq(sole._1), Map(sole))
     }
   }
 
@@ -1292,14 +1341,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * duplicate-free by construction. Abort-safe: an unreadable part
     * keeps the old list and appends the fresh rows as a delta part —
     * a damaged sidecar never silently drops a file's sketches. */
-  private def consolidateCstats(parts: Seq[String], liveFiles: Seq[String],
-      fresh: Seq[ColumnStatsSidecar.CStat]): Seq[String] = try {
+  private def consolidateCstats(parts: Seq[String],
+      envs: Map[String, String], liveFiles: Seq[String],
+      fresh: Seq[ColumnStatsSidecar.CStat])
+      : (Seq[String], Map[String, String]) = try {
     val allDf = cstatsUnionFrame(parts, liveFiles, fresh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeCstatsParts(allDf, allDf.count())
-    finally allDf.unpersist()
+    try {
+      val pairs = writeCstatsParts(allDf, allDf.count())
+      (pairs.map(_._1), pairs.toMap)
+    } finally allDf.unpersist()
   } catch { case scala.util.control.NonFatal(e) =>
-    cstatsAbortParts(parts, liveFiles, fresh, e)
+    cstatsAbortParts(parts, envs, liveFiles, fresh, e)
   }
 
   /** DECLARED-retention sweep — TTL as a TABLE ATTRIBUTE instead of an
@@ -1366,6 +1419,58 @@ class JournalStore private (val spark: SparkSession, val path: String,
       erased += deleteWhere(cond)
     }
     erased
+  }
+
+  /** LAYOUT maintenance driven by the advisor's own readout (round 19
+    * — before this, nothing acted on [[advise]]: operators had to read
+    * the labels and issue the compaction CALLs by hand). Consumes the
+    * labels:
+    *
+    *  - `zorder`-labeled columns trigger ONE full clustered rewrite
+    *    along the ADVISED columns (up to the 8-column z-curve limit) —
+    *    the sidecar already measured which columns' file ranges
+    *    interleave, so the clustering axis comes from data, not
+    *    operator guesswork; compact's layout choice generalizes past
+    *    the fixed (ukey, seq) axis. The acted set is recorded in meta
+    *    ([[JournalStore.ZorderedByKey]]) and the SAME set never
+    *    re-acts: range interleave ACROSS partition directories is
+    *    structural (every rewrite is bounded by the epoch/ns dirs), so
+    *    a persistent label must not buy a full rewrite per maintenance
+    *    tick. A changed advised set — or clearing the property —
+    *    re-arms. The full rewrite also heals every fragmented
+    *    namespace, so the ns pass below is skipped that cycle.
+    *  - `compact`-labeled namespaces rewrite through [[compactNs]]
+    *    (clustered by key) — small-file debt healed where it actually
+    *    sits instead of sweeping a 100 TB store. Escaped namespace
+    *    names ride filesForKey's conservative directory match; the
+    *    default-partition group ("" — no current append door admits
+    *    it) is left to an explicit full compact.
+    *
+    * `salt` labels are query-time shuffle advice, not layout — never
+    * acted here. Returns the number of advice rows acted on. Runs on
+    * the auto-maintenance cadence ([[withAutoMaintain]]) and inside
+    * `CALL system.maintain` — the self-healing loop the round-18
+    * advisor was missing. */
+  def maintainLayout(): Long = {
+    requireWritable()
+    val readout = advise()
+    val zcols = readout
+      .filter(r => r.scope == "column" && r.advice == "zorder")
+      .map(_.name).sorted.take(8)
+    val frag = readout
+      .filter(r => r.scope == "ns" && r.advice == "compact" &&
+        r.name.nonEmpty)
+      .map(_.name)
+    if (zcols.nonEmpty &&
+        !manifest.meta.get(JournalStore.ZorderedByKey)
+          .contains(zcols.mkString(","))) {
+      compact(Long.MaxValue, zcols)
+      setMeta(Map(JournalStore.ZorderedByKey -> zcols.mkString(",")))
+      (readout.count(_.advice == "zorder") + frag.size).toLong
+    } else {
+      frag.foreach(ns => compactNs(ns, clusterByKey = true))
+      frag.size.toLong
+    }
   }
 
   /** Epoch-micros Column for a timestamp-typed column. TIMESTAMP reads
@@ -1452,11 +1557,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
     * operator verb, not a per-commit path). */
   def advise(): Seq[JournalStore.AdviceRow] = {
     val m = manifest
-    val nsRe = """ns=([^/]+)""".r
     val out = Seq.newBuilder[JournalStore.AdviceRow]
     val fmap = m.fstats.map(s => s.file -> s).toMap
-    m.files.groupBy(f =>
-        nsRe.findFirstMatchIn(f).map(_.group(1)).getOrElse(""))
+    // namespace from the PATH, decoded honestly (round 19): partition
+    // directories Hive-escape special characters and spell a null ns
+    // as the default-partition sentinel, so the raw captured group
+    // would report "a%20b" instead of "a b" and the sentinel literal
+    // instead of the null it reads back as. The manifest holds no
+    // separate ns field — the directory name IS the ns record — so
+    // unescaping the path segment is the manifest-faithful readout.
+    val nsRe = """ns=([^/]+)""".r
+    def nsOf(f: String): String =
+      nsRe.findFirstMatchIn(f).map { mm =>
+        val raw = mm.group(1)
+        if (raw == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) ""
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
+      }.getOrElse("")
+    m.files.groupBy(nsOf)
       .toSeq.sortBy(_._1).foreach { case (ns, fs) =>
         val rows = fs.flatMap(fmap.get).map(_.rows)
         val total = rows.sum
@@ -1470,60 +1589,77 @@ class JournalStore private (val spark: SparkSession, val path: String,
         if (m.schemaDdl.isEmpty) Map.empty
         else org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
           .map(f => f.name -> f.dataType).toMap
-      val live = ColumnStatsSidecar.readAll(path, m.cstatsParts)
-        .values.filter(s => fmap.contains(s.file)).toSeq
-      live.groupBy(_.col).toSeq.sortBy(_._1).foreach { case (c, ss) =>
-        val rows = ss.map(_.rows).sum
-        val densities = ss.flatMap { s =>
-          if (s.regs.isEmpty) None
-          else {
-            val (rh, wh) = JournalStore.registerSummary(s.regs)
-            if (rh == 0) None
-            else Some((s.rows - s.nulls).toDouble /
-              math.max(1L, JournalStore.hllNdvEstimate(rh, wh)))
+      // STREAMED part-by-part (round 19): the old whole-sidecar
+      // readAll pinned files × cols CStat rows (512-byte registers
+      // included) on the driver; the advisory metrics only need per-
+      // column accumulators — file/row counts, a running density max,
+      // and the (lo, hi) range pairs for the sweep-line — so peak
+      // memory is one part (through the LRU) plus O(files × cols)
+      // doubles for the ranges. An explicit operator verb, same cost
+      // class as before, without the register payloads.
+      class ColAcc {
+        var files = 0L
+        var rows = 0L
+        var density = 0.0
+        val ranges = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      }
+      val accs = scala.collection.mutable.HashMap.empty[String, ColAcc]
+      def dbl(v: Option[String]): Option[Double] =
+        v.flatMap(x => scala.util.Try(BigDecimal(x).toDouble).toOption)
+      m.cstatsParts.foreach { p =>
+        ColumnStatsSidecar.readPart(path, p).foreach { s =>
+          if (fmap.contains(s.file)) {
+            val a = accs.getOrElseUpdate(s.col, new ColAcc)
+            a.files += 1
+            a.rows += s.rows
+            if (s.regs.nonEmpty) {
+              val (rh, wh) = JournalStore.registerSummary(s.regs)
+              if (rh != 0)
+                a.density = math.max(a.density, (s.rows - s.nulls).toDouble /
+                  math.max(1L, JournalStore.hllNdvEstimate(rh, wh)))
+            }
+            val range: Option[(Double, Double)] = types.get(s.col) match {
+              case Some(org.apache.spark.sql.types.LongType |
+                        org.apache.spark.sql.types.IntegerType |
+                        org.apache.spark.sql.types.ShortType |
+                        org.apache.spark.sql.types.ByteType |
+                        org.apache.spark.sql.types.FloatType |
+                        org.apache.spark.sql.types.DoubleType |
+                        (_: org.apache.spark.sql.types.DecimalType)) =>
+                for (lo <- dbl(s.minv); hi <- dbl(s.maxv)) yield (lo, hi)
+              case Some(org.apache.spark.sql.types.TimestampType |
+                        org.apache.spark.sql.types.TimestampNTZType) =>
+                for (lo <- s.minus; hi <- s.maxus)
+                  yield (lo.toDouble, hi.toDouble)
+              case _ => None
+            }
+            range.foreach(a.ranges += _)
           }
         }
-        val density = if (densities.isEmpty) 0.0 else densities.max
-        def dbl(v: Option[String]): Option[Double] =
-          v.flatMap(x => scala.util.Try(BigDecimal(x).toDouble).toOption)
-        val ranges: Seq[(Double, Double)] = types.get(c) match {
-          case Some(org.apache.spark.sql.types.LongType |
-                    org.apache.spark.sql.types.IntegerType |
-                    org.apache.spark.sql.types.ShortType |
-                    org.apache.spark.sql.types.ByteType |
-                    org.apache.spark.sql.types.FloatType |
-                    org.apache.spark.sql.types.DoubleType |
-                    (_: org.apache.spark.sql.types.DecimalType)) =>
-            ss.flatMap(s => for (lo <- dbl(s.minv); hi <- dbl(s.maxv))
-              yield (lo, hi))
-          case Some(org.apache.spark.sql.types.TimestampType |
-                    org.apache.spark.sql.types.TimestampNTZType) =>
-            ss.flatMap(s => for (lo <- s.minus; hi <- s.maxus)
-              yield (lo.toDouble, hi.toDouble))
-          case _ => Nil
-        }
+      }
+      accs.toSeq.sortBy(_._1).foreach { case (c, a) =>
         // sweep-line: how many files' ranges intersect an EARLIER
         // file's (in min order)? Declined (-1) unless every file
         // carries bounds — a partial overlap count would mislead
         val overlap =
-          if (ranges.size < 2 || ranges.size != ss.size) -1.0
+          if (a.ranges.size < 2 || a.ranges.size.toLong != a.files) -1.0
           else {
-            val sorted = ranges.sortBy(_._1)
+            val sorted = a.ranges.sortBy(_._1)
             var over = 0
             var hiMax = Double.NegativeInfinity
             sorted.foreach { case (lo, hi) =>
               if (lo <= hiMax) over += 1
               hiMax = math.max(hiMax, hi)
             }
-            over.toDouble / (ranges.size - 1)
+            over.toDouble / (a.ranges.size - 1)
           }
         val advice =
-          if (density >= JournalStore.AdviseSaltRowsPerKey) "salt"
+          if (a.density >= JournalStore.AdviseSaltRowsPerKey) "salt"
           else if (overlap >= JournalStore.AdviseZorderOverlap &&
-            ss.size >= 4) "zorder"
+            a.files >= 4) "zorder"
           else ""
-        out += JournalStore.AdviceRow("column", c, ss.size.toLong, rows,
-          density, f"overlap=$overlap%.2f", advice)
+        out += JournalStore.AdviceRow("column", c, a.files, a.rows,
+          a.density, f"overlap=$overlap%.2f", advice)
       }
     }
     out.result()
@@ -2340,8 +2476,8 @@ class JournalStore private (val spark: SparkSession, val path: String,
               if n.matches("[A-Za-z0-9_.\\-]+") && dirSk.contains((e, n)) =>
             cstatRowsOf(f, dirSk((e, n)), foldCols)
         }.flatten
-    val cstatsParts2: Seq[String] =
-      if (csRows.isEmpty) m.cstatsParts
+    val (cstatsParts2, cstatsEnvs2): (Seq[String], Map[String, String]) =
+      if (csRows.isEmpty) (m.cstatsParts, m.cstatsEnvs)
       else if (m.cstatsParts.sizeIs >= ColumnStatsSidecar.MaxParts)
         // consolidate DISTRIBUTED (round 18): live files' rows from the
         // old parts as one Spark frame + this batch's fresh rows,
@@ -2349,11 +2485,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
         // consolidated sidecar is files-proportional and must not
         // round-trip the driver. Abort-safe: an unreadable part keeps
         // the old list and lands the batch's rows as a delta part.
-        consolidateCstats(m.cstatsParts, files2, csRows)
-      else m.cstatsParts :+ ColumnStatsSidecar.writePart(path, csRows)
+        consolidateCstats(m.cstatsParts, m.cstatsEnvs, files2, csRows)
+      else {
+        val delta = writeCstatsDelta(csRows)
+        (m.cstatsParts :+ delta._1, m.cstatsEnvs + delta)
+      }
     commitSeam()
     try writeManifest(path, m.copy(op = "append", maxSeq = newMax,
-      files = files2, cstatsParts = cstatsParts2,
+      files = files2, cstatsParts = cstatsParts2, cstatsEnvs = cstatsEnvs2,
       stats = stats2, kstats = kstats2, fstats = FileStatsSidecar.appended(m.fstats, batchF),
       lastBatchId =
         if (writerId.isEmpty) streamBatchId.getOrElse(m.lastBatchId)
@@ -2422,10 +2561,14 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // a batch-less caller sweeps every append. Best-effort like the
     // auto-compaction above — a lost race skips the cycle, never fails
     // the durable append. (A malformed retention spec still throws:
-    // that is a configuration error, not a race.)
+    // that is a configuration error, not a race.) Round 19: the cycle
+    // also runs the advisor-driven LAYOUT pass — fragmented namespaces
+    // compact and advised z-order columns cluster with no explicit
+    // CALL (the zorder latch makes re-advice on an already-acted set a
+    // no-op, so steady state is metadata-only).
     if (autoMaintainBatches > 0 &&
         streamBatchId.forall(_ % autoMaintainBatches == 0))
-      try maintain()
+      try { maintain(); maintainLayout() }
       catch { case _: java.util.ConcurrentModificationException => }
     newMax
   }
@@ -2812,7 +2955,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case _ => None
       }
     }
-    val (meta2, cstatsParts2) =
+    val (meta2, cstatsParts2, cstatsEnvs2) =
       rewriteStatsState(m, files2, fstats2, dvParts2, rewrittenSk)
     // HISTOGRAM RE-CAPTURE on a FULL rewrite: this read IS the whole
     // table, so the 16-bin boundaries re-derive for free relative to
@@ -2839,6 +2982,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     commitSeam()
     writeManifest(path, m.copy(op = "compact", files = files2,
       fstats = fstats2, meta = meta3, cstatsParts = cstatsParts2,
+      cstatsEnvs = cstatsEnvs2,
       // vectors over the victims are now physically applied — drop them
       dvParts = dvParts2,
       // a FULL rewrite (every live file was a victim) re-planned every
@@ -3891,12 +4035,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
         case _ => None
       }
     }
-    val (meta2, cstatsParts2) =
+    val (meta2, cstatsParts2, cstatsEnvs2) =
       rewriteStatsState(m, files2, fstats2, dvParts2, rewrittenSk)
     commitSeam()
     writeManifest(path, m.copy(op = "delete", files = files2, stats = stats2.sortBy(_.epoch),
       kstats = kstats2.sortBy(k => (k.epoch, k.ns)), fstats = fstats2,
       checkpoints = Nil, meta = meta2, cstatsParts = cstatsParts2,
+      cstatsEnvs = cstatsEnvs2,
       // vectors over the rewritten files are applied by the rewrite
       // itself (the retained read subtracted them) — drop the entries
       dvParts = dvParts2))
@@ -4872,7 +5017,20 @@ object JournalStore {
                       // only — bytes load at rewrite commits, never at
                       // snapshot reads. Empty = never analyzed (or a
                       // pre-cstats store).
-                      cstatsParts: Seq[String] = Nil)
+                      cstatsParts: Seq[String] = Nil,
+                      // per-part envelope beside each cstats part name
+                      // (round 19): part → ColumnStatsSidecar-encoded
+                      // per-column summary (file-name range + no-row-
+                      // prunable proof bounds) that lets scan builds
+                      // probe only the parts that could matter instead
+                      // of materializing the whole sidecar. PURELY
+                      // ADVISORY: an absent/undecodable entry means the
+                      // part always opens (pre-round-19 manifests read
+                      // with this empty and behave exactly as before —
+                      // which is also why the field needs no
+                      // formatVersion bump: ignoring it is safe by
+                      // construction).
+                      cstatsEnvs: Map[String, String] = Map.empty)
 
   /** Physical row layout of compacted segment files. */
   sealed trait SegmentLayout
@@ -4952,6 +5110,27 @@ object JournalStore {
     * boundaries cannot merge, so the scan serves a histogram only
     * while live rows ≤ 2× this — the histogram-only staleness bound. */
   private[graft] val StatsHistRowsKey = "stats.histrows"
+
+  /** Marker certifying the cstats sidecar family's TIMESTAMP_NTZ
+    * extrema were captured as raw physical micros (graft.expr.
+    * NtzMicros — exact in DST gaps, independent of the analyzing
+    * session's zone). Stamped by analyze() (which replaces the whole
+    * sidecar family) and deliberately OUTSIDE [[statsMetaKeys]]: a
+    * refold/deleteWhere decline drops the merged stats, not the
+    * sidecar rows the marker describes. The V2 scan admits NTZ
+    * predicates to file skipping/estimation only under this marker —
+    * a family analyzed by a pre-marker build under a non-UTC session
+    * zone could hold DST-gap-shifted NTZ extrema, and a wrong bound
+    * there would prune wrongly (ADVICE r18). */
+  private[graft] val StatsNtzExactKey = "stats.ntzexact"
+
+  /** Meta key recording the advised column set the last
+    * [[JournalStore.maintainLayout]] z-order rewrite acted on — the
+    * idempotence latch that keeps a structurally-persistent `zorder`
+    * label (cross-directory interleave no per-directory rewrite can
+    * remove) from buying a full rewrite on every maintenance tick.
+    * Clear the property to re-arm. */
+  private[graft] val ZorderedByKey = "maintain.zorderedBy"
 
   /** Table-property prefix for analyze()'s per-column stats
     * (`stats.col.<name>.{nulls,regs,whit,ndv,min,max}` — flat keys, so
@@ -5146,7 +5325,15 @@ object JournalStore {
   /** Distributed-refold accumulator: contributing-file count,
     * FileStat row-count-mismatch count (both feed the exact-or-decline
     * coherence check), and the running merged sketch. */
-  private[journal] case class SketchAcc(n: Long, bad: Long, s: ColSketch)
+  /** Refold partial: `n` distinct contributing (file) groups, `bad`
+    * FileStat row-count mismatches, `dup` (col, file) keys seen more
+    * than once — a duplicate is incoherent sidecar state (a live
+    * file's sketch must live in exactly one part), and counting it
+    * distinctly closes the compensating-fault hole where file A's
+    * duplicated sketch masked file B's missing one at the same total
+    * (ADVICE r18). */
+  private[journal] case class SketchAcc(n: Long, bad: Long, dup: Long,
+                                        s: ColSketch)
 
   /** One [[JournalStore.advise]] readout row. */
   case class AdviceRow(scope: String, name: String, files: Long,
@@ -5575,6 +5762,17 @@ object JournalStore {
       val cst = root.putArray("cstatsParts")
       m.cstatsParts.foreach(cst.add)
     }
+    if (m.cstatsEnvs.nonEmpty) {
+      // advisory per-part envelopes (see Manifest.cstatsEnvs); values
+      // are opaque ColumnStatsSidecar-encoded strings, URL-encoded
+      // here like any meta value. Only parts still in the list carry
+      // entries — callers prune the map alongside the part list.
+      val ce = root.putObject("cstatsEnvs")
+      m.cstatsEnvs.toSeq.sortBy(_._1).foreach { case (p, v) =>
+        ce.put(java.net.URLEncoder.encode(p, "UTF-8"),
+          java.net.URLEncoder.encode(v, "UTF-8"))
+      }
+    }
     if (m.dvParts.nonEmpty) {
       val dvp = root.putArray("dvParts")
       m.dvParts.foreach(dvp.add)
@@ -5746,7 +5944,13 @@ object JournalStore {
           java.net.URLDecoder.decode(k, "UTF-8") ->
             java.net.URLDecoder.decode(mm.get(k).asText, "UTF-8")).toMap
       } else Map.empty,
-      arr("cstatsParts").map(_.asText)))
+      arr("cstatsParts").map(_.asText),
+      if (n.hasNonNull("cstatsEnvs")) {
+        val ce = n.get("cstatsEnvs")
+        ce.fieldNames().asScala.map(k =>
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(ce.get(k).asText, "UTF-8")).toMap
+      } else Map.empty))
   } catch {
     // the protocol gate's refusal MUST escape: reading a newer-format
     // manifest as "no manifest here" would be exactly the silent

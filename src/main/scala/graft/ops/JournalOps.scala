@@ -765,16 +765,24 @@ object JournalOps {
       // actually DROP; this row proves soundness at sf0.01 every
       // round. 100 TB shape: the dominant pushed predicates of a
       // quality-filter pipeline (col IS NOT NULL, url LIKE 'https%')
-      // open only the files whose sketch admits a match.
+      // open only the files whose sketch admits a match. Round 19
+      // adds the TIMESTAMP_NTZ axis to the same gate: an epoch-striped
+      // NTZ minute ladder analyzed through NtzMicros (raw physical
+      // micros, certified by the stats.ntzexact marker) with a range
+      // probe whose boundary lands INSIDE one file — the round gate
+      // now exercises the round-18 expression end to end at sf0.01.
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jskipn_store_" + tmpTag(d)).toString
+        "graft_jskipn2_store_" + tmpTag(d)).toString
       if (!graft.journal.JournalStore.exists(tmp)) {
         journal(s, d).where(col("seq") < 6000)
           .withColumn("val", when(col("seq") < 2000,
             lit(null).cast("double")).otherwise(col("val")))
+          .withColumn("tn", expr("timestampadd(MINUTE, " +
+            "CAST(seq AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
           .write.format("journal").option("epochSize", "1000").save(tmp)
         val st = graft.journal.JournalStore.open(s, tmp)
-        if (st.manifest.files.nonEmpty) st.analyze(Seq("val", "payload"))
+        if (st.manifest.files.nonEmpty)
+          st.analyze(Seq("val", "payload", "tn"))
       }
       val rd = s.read.format("journal").load(tmp)
       val nulls = rd.where(col("val").isNull)
@@ -784,7 +792,10 @@ object JournalOps {
           graft.Det.r(sum("val"), 4).as("v_sum"))
       val prefix = rd.where(col("payload").startsWith("{\"k\": 9"))
         .agg(count(lit(1)).as("n_prefix"), sum("seq").as("s_prefix"))
-      nulls.crossJoin(notnulls).crossJoin(prefix)
+      val ntz = rd.where(col("tn") <
+          expr("TIMESTAMP_NTZ'2024-01-03 00:00:00'"))
+        .agg(count(lit(1)).as("n_ntz"), sum("seq").as("s_ntz"))
+      nulls.crossJoin(notnulls).crossJoin(prefix).crossJoin(ntz)
     }),
     "journal_advise" -> ((s, d) => {
       // CALL system.advise's readout as a declared row (round 18): the
@@ -2283,7 +2294,9 @@ object JournalOps {
     "journal_skip_nulls" ->
       ("WITH src AS (SELECT event_id AS seq, user_id AS ukey, " +
         "props AS payload, CASE WHEN event_id < 2000 THEN NULL " +
-        "ELSE value END AS val FROM events WHERE event_id < 6000) " +
+        "ELSE value END AS val, " +
+        "TIMESTAMP '2024-01-01 00:00:00' + event_id * INTERVAL 1 MINUTE " +
+        "AS tn FROM events WHERE event_id < 6000) " +
         "SELECT " +
         "(SELECT count(*) FROM src WHERE val IS NULL) AS n_null, " +
         "(SELECT CAST(sum(ukey) AS BIGINT) FROM src WHERE val IS NULL) " +
@@ -2294,7 +2307,11 @@ object JournalOps {
         "(SELECT count(*) FROM src WHERE payload LIKE '{\"k\": 9%') " +
         "AS n_prefix, " +
         "(SELECT CAST(sum(seq) AS BIGINT) FROM src " +
-        "WHERE payload LIKE '{\"k\": 9%') AS s_prefix"),
+        "WHERE payload LIKE '{\"k\": 9%') AS s_prefix, " +
+        "(SELECT count(*) FROM src " +
+        "WHERE tn < TIMESTAMP '2024-01-03 00:00:00') AS n_ntz, " +
+        "(SELECT CAST(sum(seq) AS BIGINT) FROM src " +
+        "WHERE tn < TIMESTAMP '2024-01-03 00:00:00') AS s_ntz"),
     // the advisor row's oracle: the readout recomputed relationally —
     // one file per (epoch, ns) directory of the declared layout, the
     // fragmentation label at the same threshold, one column row per

@@ -893,19 +893,27 @@ class JournalCatalog extends TableCatalog with ProcedureCatalog {
     override def description(): String =
       "run the table's declared retention policy (retention.olderThan " +
         "property): physically delete rows with ts older than " +
-        "now - interval; no-op without a declared policy; returns n_deleted"
+        "now - interval; no-op without a declared policy; then act on " +
+        "the advisor's layout labels (compact fragmented namespaces, " +
+        "z-order cluster advised columns); returns (n_deleted, " +
+        "n_layout_actions)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("table name under this catalog").build())
-    private val schema = StructType.fromDDL("n_deleted BIGINT")
+    private val schema =
+      StructType.fromDDL("n_deleted BIGINT, n_layout_actions BIGINT")
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val n = storeForName(input.getUTF8String(0).toString).maintain()
+      val store = storeForName(input.getUTF8String(0).toString)
+      val n = store.maintain()
+      // round 19: the maintenance verb also CONSUMES the advisor —
+      // the readout stops being a dashboard an operator must act on
+      val acted = store.maintainLayout()
       val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] =
-          Array(InternalRow.fromSeq(Seq[Any](n)))
+          Array(InternalRow.fromSeq(Seq[Any](n, acted)))
       }
       util.Collections.singletonList(scan).iterator()
     }

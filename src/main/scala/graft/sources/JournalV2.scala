@@ -238,6 +238,17 @@ private[sources] object JournalV2 {
     out
   }
 
+  /** The streamed sidecar pass's report to the scan (round 19): the
+    * selectivity-priced row estimate, the post-prune row sum it never
+    * exceeds, and — new — FILTERED per-column statistics for the
+    * predicate columns (filtered-ndv bound from the union of kept
+    * files' HLL registers, extrema clipped by the predicate, exact
+    * zero null count under null-rejecting predicates). All
+    * planner-advisory; every hash gate is independent of them. */
+  private[sources] case class FilteredScanStats(est: Long, upper: Long,
+      colStats: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics])
+
   /** V2 table unless a state-mode/ns option forces the V1 relation
     * (None → caller returns a capability-less stub and Spark falls back).
     * The store may not exist yet: the table still carries the streaming
@@ -624,7 +635,7 @@ private[sources] class JournalTable(spark: SparkSession, storePath: String,
         // (correct first; the columnar path returns once compact() purges)
         dvScan = if (m.dvParts.nonEmpty)
           store.map(s => () => s.scanUnordered()) else None,
-        cstatsParts = m.cstatsParts)
+        cstatsParts = m.cstatsParts, cstatsEnvs = m.cstatsEnvs)
   }
 
   /** V2 write = the V2 commit framework executing the store's own
@@ -700,7 +711,8 @@ private[sources] class JournalScanBuilder(
     nsGrouped: Boolean = false,
     dvScan: Option[() => DataFrame] = None,
     statsMeta: Map[String, String] = Map.empty,
-    cstatsParts: Seq[String] = Nil)
+    cstatsParts: Seq[String] = Nil,
+    cstatsEnvs: Map[String, String] = Map.empty)
   extends ParquetScanBuilder(spark, fileIndex, fullSchema, dataSchema, options)
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
   with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
@@ -1106,6 +1118,78 @@ private[sources] class JournalScanBuilder(
       statsMeta = statsMeta, filteredEstimate = cstatsCardinality(effFiles))
   }
 
+  /** Whether the sidecar family certifies raw-micros TIMESTAMP_NTZ
+    * capture (stamped by analyze() since round 19 — see
+    * [[graft.journal.JournalStore.StatsNtzExactKey]]). Without it, NTZ
+    * predicates are EXCLUDED from file skipping and estimation: a
+    * family analyzed by a pre-marker build under a non-UTC session
+    * zone could hold DST-gap-shifted NTZ extrema, and skipping is the
+    * one sidecar consumer where a wrong bound means wrong results.
+    * Plain TIMESTAMP capture was always an identity micros cast and
+    * needs no marker. */
+  private lazy val ntzExact: Boolean =
+    statsMeta.get(graft.journal.JournalStore.StatsNtzExactKey).contains("1")
+
+  private type CS = graft.journal.ColumnStatsSidecar.CStat
+  private type CE = graft.journal.ColumnStatsSidecar.ColEnv
+
+  /** Stream candidate-relevant sidecar rows PART-BY-PART (round 19 —
+    * the read-side twin of round 18's distributed write lifecycle):
+    * the old whole-sidecar readAll materialized files × cols CStat
+    * rows (512-byte registers included) in a driver map at PLAN time,
+    * ~2 GB resident for a 1M-file × 4-col store. Now each part is
+    * consulted through its manifest ENVELOPE first and opened only
+    * when it could matter:
+    *
+    *  - its file-name range (per column entry) intersects the
+    *    candidate set — parts are range-partitioned on (col, file),
+    *    so a SELECTIVE scan touches O(candidate) parts;
+    *  - the entry's column is one a pushed predicate targets;
+    *  - `entryNeeded` admits the entry (the pruning pass passes its
+    *    no-row-prunable proof; estimation passes `true` — skipping on
+    *    value proofs would silently degrade its selectivities).
+    *
+    * Parts without a decodable envelope — or with the zero-entry
+    * unknown sentinel — ALWAYS open: the envelope is advisory, and
+    * every failure mode degrades to round-18 behavior (open and
+    * test row-by-row), never to a wrong skip. Peak driver memory is
+    * one part (through the immutable-part LRU) plus the caller's
+    * accumulators. */
+  private def foreachCandidateRow(files: Seq[String], want: Set[String],
+      entryNeeded: CE => Boolean)(sink: CS => Unit): Unit = {
+    import graft.journal.{ColumnStatsSidecar, JournalStore}
+    val candSet = files.toSet
+    // candidates in unsigned UTF-8 byte order — the order the
+    // envelope's distributed string min/max recorded
+    val sorted = files.toArray
+    java.util.Arrays.sort(sorted, new java.util.Comparator[String] {
+      override def compare(a: String, b: String): Int =
+        JournalStore.utf8Cmp(a, b)
+    })
+    def anyCandidateIn(lo: String, hi: String): Boolean = {
+      var a = 0
+      var b = sorted.length
+      while (a < b) {
+        val mid = (a + b) >>> 1
+        if (JournalStore.utf8Cmp(sorted(mid), lo) < 0) a = mid + 1
+        else b = mid
+      }
+      a < sorted.length && JournalStore.utf8Cmp(sorted(a), hi) <= 0
+    }
+    cstatsParts.foreach { p =>
+      val open = cstatsEnvs.get(p).flatMap(ColumnStatsSidecar.decodeEnv) match {
+        case None => true // no/undecodable envelope: advisory → open
+        case Some(entries) if entries.isEmpty => true // unknown sentinel
+        case Some(entries) => entries.exists(e => want.contains(e.col) &&
+          entryNeeded(e) && anyCandidateIn(e.minFile, e.maxFile))
+      }
+      if (open)
+        ColumnStatsSidecar.readPart(storePath, p).foreach { s =>
+          if (candSet.contains(s.file) && want.contains(s.col)) sink(s)
+        }
+    }
+  }
+
   /** POST-FILTER cardinality estimate from the per-file sketches —
     * the first planner consumer of the sidecar's per-file ndv (round
     * 18): with filters pushed, the scan used to decline to the bytes
@@ -1118,14 +1202,17 @@ private[sources] class JournalScanBuilder(
     * contribute 1 — the estimate degrades toward the post-prune row
     * SUM, itself already far tighter than bytes. Returns (estimate,
     * post-prune row sum) or None when files lack manifest stats /
-    * sketches. Driver cost: O(files × preds) over the same part-LRU
-    * data the pruning pass just probed. */
-  private def cstatsCardinality(files: Seq[String]): Option[(Long, Long)] = {
+    * sketches. Driver cost: streamed part-by-part through the
+    * envelope consult (see [[foreachCandidateRow]]) +
+    * O(files × preds) arithmetic. */
+  private def cstatsCardinality(files: Seq[String])
+      : Option[JournalV2.FilteredScanStats] = {
     import org.apache.spark.sql.types._
-    if (files.isEmpty) return Some((0L, 0L)) // provably empty scan
+    def plain(est: Long, upper: Long) = Some(JournalV2.FilteredScanStats(
+      est, upper, java.util.Collections.emptyMap()))
+    if (files.isEmpty) return plain(0L, 0L) // provably empty scan
     if (cstatsParts.isEmpty) return None
     if (!files.forall(fstats.contains)) return None
-    type CS = graft.journal.ColumnStatsSidecar.CStat
     val typeOf = fullSchema.fields.map(f => f.name -> f.dataType).toMap
     def clamp(x: Double): Double = math.max(0.0, math.min(1.0, x))
     def nonNull(s: CS): Double =
@@ -1147,7 +1234,13 @@ private[sources] class JournalScanBuilder(
           lo <- s.minv.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
           hi <- s.maxv.flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
         } yield (lo.toDouble, hi.toDouble)
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
+        for (lo <- s.minus; hi <- s.maxus) yield (lo.toDouble, hi.toDouble)
+      // NTZ bounds only under the raw-micros certification marker
+      // (estimates never change results, but an uncertified DST-gap
+      // bound would price nonsense — decline to 1 like any unmodeled
+      // predicate)
+      case TimestampNTZType if ntzExact =>
         for (lo <- s.minus; hi <- s.maxus) yield (lo.toDouble, hi.toDouble)
       case _ => None
     }
@@ -1181,6 +1274,84 @@ private[sources] class JournalScanBuilder(
         case 'L' => clamp((k - lo) / (hi - lo))
         case _ => 0.0 // '=' prices via ndv, not here
       }
+    // TABLE-HISTOGRAM refinement (round 19): the uniform fraction
+    // above is the FilterEstimation formula at file grain — worst
+    // exactly where data is skewed. analyze() already records a
+    // 16-bin equi-height histogram for BIGINT and timestamp columns;
+    // pricing a file's range by the histogram's MASS ratio
+    // (mass(pred ∩ [lo,hi]) / mass([lo,hi]), linear within a bin)
+    // sees the skew the uniform assumption cannot. Freshness is the
+    // SAME two-sided histrows gate the DSv2 serve path applies (live
+    // rows within [½×, 2×] of the capture point); a histogram outside
+    // it — or a file range the table histogram assigns ~zero mass —
+    // falls back to uniform. Pure arithmetic on stats already
+    // recorded; estimates only, never results.
+    lazy val histFresh: Boolean = {
+      val ss = relFiles.flatMap(fstats.get)
+      ss.size == relFiles.size &&
+        statsMeta.get(graft.journal.JournalStore.StatsHistRowsKey)
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .exists { h =>
+            val r = ss.map(_.rows).sum
+            r <= 2L * h && 2L * r >= h
+          }
+    }
+    val histCache =
+      scala.collection.mutable.HashMap.empty[String, Option[Array[Double]]]
+    // 17 ascending edges: recorded column min + the 16 equi-height
+    // upper bin boundaries (1/16 of non-null mass per bin)
+    def histEdges(c: String): Option[Array[Double]] =
+      histCache.getOrElseUpdate(c, {
+        val pre = graft.journal.JournalStore.StatsColPrefix + c
+        val loKey = typeOf.get(c) match {
+          case Some(LongType) => Some(pre + ".min")
+          case Some(TimestampType) => Some(pre + ".minus")
+          case Some(TimestampNTZType) if ntzExact => Some(pre + ".minus")
+          case _ => None
+        }
+        if (!histFresh) None
+        else (for {
+          lk <- loKey
+          lo0 <- statsMeta.get(lk)
+            .flatMap(v => scala.util.Try(v.toDouble).toOption)
+          packed <- statsMeta.get(pre + ".hist")
+          edges <- scala.util.Try(
+            lo0 +: packed.split('|')(0).split(',').map(_.toDouble)).toOption
+        } yield edges).filter(e => e.length == 17 && !e.exists(_.isNaN) &&
+          e.zip(e.tail).forall { case (a, b) => a <= b })
+      })
+    def massBelow(edges: Array[Double], x: Double): Double = {
+      if (x <= edges(0)) return 0.0
+      if (x >= edges(16)) return 1.0
+      var i = 0
+      while (i < 15 && x > edges(i + 1)) i += 1
+      val (a, b) = (edges(i), edges(i + 1))
+      (i + (if (b > a) clamp((x - a) / (b - a)) else 1.0)) / 16.0
+    }
+    // the file's fraction through the table histogram's mass; None =
+    // decline to uniform (no fresh histogram, or the file's range
+    // carries no resolvable table mass)
+    def histRangeSel(c: String, op: Char, k: Double)(
+        lo: Double, hi: Double): Option[Double] =
+      histEdges(c).flatMap { e =>
+        val den = massBelow(e, hi) - massBelow(e, lo)
+        if (den <= 0.0) None
+        else {
+          val kc = math.max(lo, math.min(hi, k))
+          val num = op match {
+            case '>' | 'G' => massBelow(e, hi) - massBelow(e, kc)
+            case '<' | 'L' => massBelow(e, kc) - massBelow(e, lo)
+            case _ => return None // '=' prices via ndv
+          }
+          Some(clamp(num / den))
+        }
+      }
+    // per-file range fraction: histogram-refined when available,
+    // uniform otherwise; single-value files settle exactly either way
+    def fileRangeSel(c: String, op: Char, k: Double)(
+        lo: Double, hi: Double): Double =
+      if (hi <= lo) rangeSel(op, k)(lo, hi)
+      else histRangeSel(c, op, k)(lo, hi).getOrElse(rangeSel(op, k)(lo, hi))
     def eqSel(s: CS, values: Int): Double =
       ndvOf(s).map(n => clamp(values / n)).getOrElse(1.0)
     // inclusive comparisons keep the rows AT the bound: the open-
@@ -1191,35 +1362,46 @@ private[sources] class JournalScanBuilder(
     def inclusiveFloor(s: CS): Double =
       ndvOf(s).map(n => 1.0 / n)
         .getOrElse(if (s.rows > 0) 1.0 / s.rows else 0.0)
+    // timestamp-flavored columns price ONLY through the catalyst-grain
+    // tsRangeSels/tsNullPreds capture (parquet pushes neither INT96 nor
+    // NTZ filters today, so their sources.Filters never arrive — but if
+    // a Spark upgrade ever starts pushing them, an un-gated equality
+    // arm here would price the SAME predicate twice, squaring the
+    // 1/ndv selectivity; the type gate mirrors the pruning path's
+    // division of labor)
+    def notTs(c: String): Boolean = !typeOf.get(c).exists(t =>
+      t == TimestampType || t == TimestampNTZType)
     // one selectivity function per modeled predicate; unmodeled → none
     val sels: Seq[(String, CS => Double)] =
       pushedDataFilters.toSeq.flatMap {
-        case sources.IsNotNull(c) => Some((c, (s: CS) => nonNull(s)))
-        case sources.IsNull(c) => Some((c, (s: CS) => 1.0 - nonNull(s)))
-        case sources.EqualTo(c, v) if v != null =>
+        case sources.IsNotNull(c) if notTs(c) =>
+          Some((c, (s: CS) => nonNull(s)))
+        case sources.IsNull(c) if notTs(c) =>
+          Some((c, (s: CS) => 1.0 - nonNull(s)))
+        case sources.EqualTo(c, v) if v != null && notTs(c) =>
           Some((c, (s: CS) => eqSel(s, 1)))
-        case sources.EqualNullSafe(c, v) if v != null =>
+        case sources.EqualNullSafe(c, v) if v != null && notTs(c) =>
           Some((c, (s: CS) => eqSel(s, 1)))
-        case sources.In(c, vs) if vs != null && vs.nonEmpty =>
+        case sources.In(c, vs) if vs != null && vs.nonEmpty && notTs(c) =>
           val n = vs.count(_ != null)
           if (n == 0) None else Some((c, (s: CS) => eqSel(s, n)))
         case sources.GreaterThan(c, v) =>
           typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
             (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-              rangeSel('>', k)(lo, hi) }.getOrElse(1.0))))
+              fileRangeSel(c, '>', k)(lo, hi) }.getOrElse(1.0))))
         case sources.GreaterThanOrEqual(c, v) =>
           typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
             (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-              math.max(rangeSel('G', k)(lo, hi), inclusiveFloor(s))
+              math.max(fileRangeSel(c, 'G', k)(lo, hi), inclusiveFloor(s))
             }.getOrElse(1.0))))
         case sources.LessThan(c, v) =>
           typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
             (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-              rangeSel('<', k)(lo, hi) }.getOrElse(1.0))))
+              fileRangeSel(c, '<', k)(lo, hi) }.getOrElse(1.0))))
         case sources.LessThanOrEqual(c, v) =>
           typeOf.get(c).flatMap(dt => litD(dt, v).map(k =>
             (c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-              math.max(rangeSel('L', k)(lo, hi), inclusiveFloor(s))
+              math.max(fileRangeSel(c, 'L', k)(lo, hi), inclusiveFloor(s))
             }.getOrElse(1.0))))
         case _ => None
       } ++ tsNullPreds.toSeq.flatMap { case (c, isNull) =>
@@ -1236,7 +1418,7 @@ private[sources] class JournalScanBuilder(
               Some((c, (s: CS) => eqSel(s, 1)))
             else
               Some((c, (s: CS) => bounds(dt, s).map { case (lo, hi) =>
-                val frac = rangeSel(op, v.toDouble)(lo, hi)
+                val frac = fileRangeSel(c, op, v.toDouble)(lo, hi)
                 if (op == 'G' || op == 'L')
                   math.max(frac, inclusiveFloor(s))
                 else frac
@@ -1245,16 +1427,207 @@ private[sources] class JournalScanBuilder(
         }
       }
     val upper = files.map(fstats(_).rows).sum
-    if (sels.isEmpty) return Some((upper, upper))
-    val sk = graft.journal.ColumnStatsSidecar.readAll(storePath, cstatsParts)
+    if (sels.isEmpty) return plain(upper, upper)
+    // Π sel with a CORRELATION floor, accumulated STREAMING (round
+    // 19): rows arrive part-by-part through the envelope consult, so
+    // the driver holds one part plus three doubles per candidate file
+    // — never the whole sidecar. Multiplying per-predicate
+    // selectivities assumes independence, which over-prunes exactly
+    // the correlated-predicate case (the journal's own (ns, ukey)
+    // shape). Perfect correlation would make the conjunction as
+    // selective as its most selective conjunct alone; the floor
+    // charges one extra 1/ndv step below that (the conjunct's
+    // equality grain on its own column) — never above any single
+    // conjunct, never below the independence product by more than
+    // that one step. Estimates only, never results.
+    val selsByCol: Map[String, Seq[CS => Double]] =
+      sels.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    class FAcc {
+      var prod = 1.0
+      var minSel = 1.0
+      var minAux = 1.0 // 1/ndv of the most selective conjunct's column
+    }
+    val accs = scala.collection.mutable.HashMap.empty[String, FAcc]
+    // FILTERED per-column stats ride the SAME streamed pass (round
+    // 19 — "column stats are served unfiltered only" was the r18
+    // gap): per predicate column, union the kept files' HLL registers
+    // (mergeable by elementwise max — union-of-sketches ≡ sketch-of-
+    // union) to BOUND the filtered ndv, merge the kept files'
+    // serve-domain extrema and CLIP them by the predicate itself,
+    // and settle the null count from null-rejection. Exact-or-decline:
+    // a column serves only when EVERY kept file contributed a sketch
+    // row (seen == files), and bounds only when every non-all-null
+    // file carried them in the serve domain (BIGINT values; ts micros
+    // — NTZ under the certification marker).
+    class CAcc {
+      var seen = 0L
+      var nulls = 0L
+      var regs: Array[Byte] = null
+      var loL = Long.MaxValue
+      var hiL = Long.MinValue
+      var haveBounds = false
+      var boundsDeclined = false
+    }
+    val colAccs = scala.collection.mutable.HashMap.empty[String, CAcc]
+    def accumulateCol(s: CS): Unit = {
+      val a = colAccs.getOrElseUpdate(s.col, new CAcc)
+      a.seen += 1
+      a.nulls += s.nulls
+      if (s.regs.nonEmpty) {
+        if (a.regs == null) a.regs = new Array[Byte](512)
+        var i = 0
+        while (i < 512 && i < s.regs.length) {
+          if (s.regs(i) > a.regs(i)) a.regs(i) = s.regs(i)
+          i += 1
+        }
+      }
+      if (s.nulls < s.rows) { // all-null files contribute no bounds
+        val lohi: Option[(Long, Long)] = typeOf.get(s.col) match {
+          case Some(LongType) =>
+            for {
+              lo <- s.minv.flatMap(v => scala.util.Try(v.toLong).toOption)
+              hi <- s.maxv.flatMap(v => scala.util.Try(v.toLong).toOption)
+            } yield (lo, hi)
+          case Some(TimestampType) =>
+            for (lo <- s.minus; hi <- s.maxus) yield (lo, hi)
+          case Some(TimestampNTZType) if ntzExact =>
+            for (lo <- s.minus; hi <- s.maxus) yield (lo, hi)
+          case _ => None
+        }
+        lohi match {
+          case Some((lo, hi)) =>
+            a.loL = math.min(a.loL, lo)
+            a.hiL = math.max(a.hiL, hi)
+            a.haveBounds = true
+          case None => a.boundsDeclined = true
+        }
+      }
+    }
+    // entryNeeded = true: estimation must not skip on value proofs —
+    // a "nothing prunable here" part still carries the selectivities
+    foreachCandidateRow(files, selsByCol.keySet, _ => true) { s =>
+      accumulateCol(s)
+      val a = accs.getOrElseUpdate(s.file, new FAcc)
+      selsByCol(s.col).foreach { g =>
+        val sel = clamp(g(s))
+        a.prod *= sel
+        if (sel < a.minSel) {
+          a.minSel = sel
+          a.minAux = ndvOf(s).map(n => 1.0 / n).getOrElse(
+            if (s.rows > 0) 1.0 / s.rows else 1.0)
+        }
+      }
+    }
     val est = files.map { f =>
       val rows = fstats(f).rows
-      val sel = sels.foldLeft(1.0) { case (acc, (c, g)) =>
-        sk.get((f, c)).map(s => acc * clamp(g(s))).getOrElse(acc)
+      accs.get(f) match {
+        case Some(a) => rows * math.max(a.prod, a.minSel * a.minAux)
+        case None => rows.toDouble // unsketched file: contributes 1
       }
-      rows * sel
     }.sum
-    Some((math.max(0L, math.round(est)), upper))
+    // predicate classification per column: every modeled predicate
+    // except IS NULL is null-rejecting (the scan's output then holds
+    // no nulls of that column — an EXACT zero); an IS-NULL-only
+    // column declines (its matching rows' ndv/extrema are not what
+    // the sketches describe)
+    val isNulled: Set[String] = (pushedDataFilters.toSeq.collect {
+      case sources.IsNull(c) => c
+    } ++ tsNullPreds.toSeq.collect { case (c, true) => c }).toSet
+    // serve-domain clips from the predicates themselves (BIGINT
+    // literals; ts literals already in micros via tsRangeSels)
+    def litL(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n.longValue)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
+      case _ => None
+    }
+    val clipLo = scala.collection.mutable.HashMap.empty[String, Long]
+    val clipHi = scala.collection.mutable.HashMap.empty[String, Long]
+    def tightenLo(c: String, k: Long): Unit =
+      clipLo.update(c, math.max(clipLo.getOrElse(c, Long.MinValue), k))
+    def tightenHi(c: String, k: Long): Unit =
+      clipHi.update(c, math.min(clipHi.getOrElse(c, Long.MaxValue), k))
+    def applyClip(c: String, op: Char, k: Long): Unit = op match {
+      case '>' => if (k < Long.MaxValue) tightenLo(c, k + 1)
+      case 'G' => tightenLo(c, k)
+      case '<' => if (k > Long.MinValue) tightenHi(c, k - 1)
+      case 'L' => tightenHi(c, k)
+      case '=' => tightenLo(c, k); tightenHi(c, k)
+      case _ => ()
+    }
+    pushedDataFilters.foreach {
+      case sources.GreaterThan(c, v) if typeOf.get(c).contains(LongType) =>
+        litL(v).foreach(applyClip(c, '>', _))
+      case sources.GreaterThanOrEqual(c, v)
+          if typeOf.get(c).contains(LongType) =>
+        litL(v).foreach(applyClip(c, 'G', _))
+      case sources.LessThan(c, v) if typeOf.get(c).contains(LongType) =>
+        litL(v).foreach(applyClip(c, '<', _))
+      case sources.LessThanOrEqual(c, v)
+          if typeOf.get(c).contains(LongType) =>
+        litL(v).foreach(applyClip(c, 'L', _))
+      case sources.EqualTo(c, v) if typeOf.get(c).contains(LongType) =>
+        litL(v).foreach(applyClip(c, '=', _))
+      case _ => ()
+    }
+    tsRangeSels.foreach { case (c, op, v) =>
+      typeOf.get(c) match {
+        case Some(TimestampType) => applyClip(c, op, v)
+        case Some(TimestampNTZType) if ntzExact => applyClip(c, op, v)
+        case _ => ()
+      }
+    }
+    val served = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    colAccs.foreach { case (c, a) =>
+      if (a.seen == files.size.toLong && !isNulled.contains(c)) {
+        val unionNdv: Long =
+          if (a.regs == null) 0L
+          else {
+            val (rh, wh) =
+              graft.journal.JournalStore.registerSummary(a.regs)
+            if (rh == 0) 0L
+            else graft.journal.JournalStore.hllNdvEstimate(rh, wh)
+          }
+        // the union over KEPT files bounds the filtered ndv from
+        // above; the recorded table ndv bounds it too — serve the min
+        val ndv = statsMeta
+          .get(graft.journal.JournalStore.StatsColPrefix + c + ".ndv")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .fold(unionNdv)(t => math.min(unionNdv, t))
+        val (mnOpt, mxOpt): (Option[Long], Option[Long]) =
+          if (a.boundsDeclined || !a.haveBounds) (None, None)
+          else {
+            val lo = math.max(a.loL, clipLo.getOrElse(c, Long.MinValue))
+            val hi = math.min(a.hiL, clipHi.getOrElse(c, Long.MaxValue))
+            if (lo > hi) (None, None) else (Some(lo), Some(hi))
+          }
+        def jOpt(o: Option[Long]): java.util.Optional[Object] = o match {
+          case Some(v) => java.util.Optional.of(
+            java.lang.Long.valueOf(v).asInstanceOf[Object])
+          case None => java.util.Optional.empty()
+        }
+        val (mn, mx) = (jOpt(mnOpt), jOpt(mxOpt))
+        val nullsServed = 0L // every serving predicate is null-rejecting
+        served.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(ndv)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nullsServed)
+            override def min(): java.util.Optional[Object] = mn
+            override def max(): java.util.Optional[Object] = mx
+          })
+      }
+    }
+    // a tiny selectivity product can round a NON-EMPTY post-prune file
+    // set to 0 — but numRows = 0 reads as "provably empty" strength
+    // (reserved for the files.isEmpty case above) and can push the
+    // planner into degenerate join choices; floor the estimate at 1
+    Some(JournalV2.FilteredScanStats(
+      math.max(1L, math.round(est)), upper, served))
   }
 
   /** FILE-level data skipping from the cstats sidecar: drop a file
@@ -1281,7 +1654,6 @@ private[sources] class JournalScanBuilder(
     if (cstatsParts.isEmpty || files.isEmpty) return files
     import org.apache.spark.sql.types._
     val typeOf = fullSchema.fields.map(f => f.name -> f.dataType).toMap
-    type CS = graft.journal.ColumnStatsSidecar.CStat
     // literal → comparable key in the column's sketch domain
     def numKey(v: Any): Option[BigDecimal] = v match {
       case null => None
@@ -1301,16 +1673,17 @@ private[sources] class JournalScanBuilder(
       case _ => None
     }
     // TIMESTAMP capture is an identity cast — exact always.
-    // TIMESTAMP_NTZ joined in round 18: its bounds are now captured
+    // TIMESTAMP_NTZ joined in round 18: its bounds are captured
     // through graft.expr.NtzMicros — an identity reinterpretation of
-    // the raw internal micros, exact even inside DST gaps (the old
-    // session-zoned round-trip could shift gap-hour wall times, which
-    // is why NTZ used to be excluded here; the wobble never
-    // materialized on disk — the session zone is pinned UTC
-    // project-wide, where the two arithmetics agree bit-for-bit, so
-    // pre-round-18 sidecars prune soundly too). An NTZ literal's
-    // LocalDateTime maps to the same raw-micros domain via the UTC
-    // epoch (the NTZ physical encoding).
+    // the raw internal micros, exact even inside DST gaps. Since
+    // round 19 NTZ admits here ONLY under the sidecar family's
+    // raw-micros certification marker (`ntzExact`, stamped by
+    // analyze()): the library never enforced a session zone, so a
+    // family analyzed by a pre-marker build under a non-UTC zone
+    // could hold gap-shifted extrema — and skipping is the one
+    // consumer where a wrong bound means wrong results. An NTZ
+    // literal's LocalDateTime maps to the same raw-micros domain via
+    // the UTC epoch (the NTZ physical encoding).
     def microsKey(dt: DataType, v: Any): Option[Long] = (dt, v) match {
       case (TimestampType, t: java.sql.Timestamp) =>
         // via Instant: floor semantics hold for pre-1970 fractional
@@ -1319,7 +1692,7 @@ private[sources] class JournalScanBuilder(
         Some(i.getEpochSecond * 1000000 + i.getNano.toLong / 1000)
       case (TimestampType, i: java.time.Instant) =>
         Some(i.getEpochSecond * 1000000 + i.getNano.toLong / 1000)
-      case (TimestampNTZType, d: java.time.LocalDateTime) =>
+      case (TimestampNTZType, d: java.time.LocalDateTime) if ntzExact =>
         Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000 +
           d.getNano.toLong / 1000)
       case _ => None
@@ -1380,16 +1753,58 @@ private[sources] class JournalScanBuilder(
         Some(out)
       }
     }
-    val tests: Seq[(String, CS => Boolean)] =
+    // ENVELOPE consult per test (round 19): could ANY row of a part's
+    // entry for this column fail the keep test? Bound tests answer by
+    // feeding the entry's (max-of-mins, min-of-maxes) pair to the
+    // SAME keep closure — every row keeps iff that synthetic
+    // "tightest row" keeps (the pair is exactly the worst case of
+    // each one-sided comparison, and containment for the two-sided
+    // ones) — plus the full-null escape: an all-null file PRUNES
+    // under any nr-wrapped test, so a part holding one must open. A
+    // failed decimal parse (numBad) or an unmapped type opens the
+    // part; absent domain quantities mean NO row carries bounds there
+    // — nothing bound-prunable, by construction.
+    def synthFor(c: String, e: CE): Option[CS] = typeOf.get(c) match {
+      case Some(LongType | IntegerType | ShortType | ByteType |
+                FloatType | DoubleType | _: DecimalType) =>
+        if (e.numBad) None
+        else Some(graft.journal.ColumnStatsSidecar.CStat("", c, 1L, 0L,
+          e.numLoMax, e.numHiMin, None, None, Array.emptyByteArray))
+      case Some(StringType | BooleanType | DateType) =>
+        Some(graft.journal.ColumnStatsSidecar.CStat("", c, 1L, 0L,
+          e.strLoMax, e.strHiMin, None, None, Array.emptyByteArray))
+      case Some(TimestampType | TimestampNTZType) =>
+        Some(graft.journal.ColumnStatsSidecar.CStat("", c, 1L, 0L,
+          None, None, e.micLoMax, e.micHiMin, Array.emptyByteArray))
+      case _ => None
+    }
+    def mayBound(c: String, keep: CS => Boolean): CE => Boolean =
+      e => e.anyFullNull || (synthFor(c, e) match {
+        case Some(s) => !keep(s)
+        case None => true // undecidable envelope: open the part
+      })
+    // (column, keep(sketch), mayPrune(envelope entry)) per prunable
+    // pushed predicate; a predicate we can't type-map contributes
+    // nothing (keeps files)
+    def bound(c: String, t: CS => Boolean): (String, CS => Boolean,
+        CE => Boolean) = {
+      val k = nr(t)
+      (c, k, mayBound(c, k))
+    }
+    val tests: Seq[(String, CS => Boolean, CE => Boolean)] =
       pushedDataFilters.toSeq.flatMap {
         case sources.IsNotNull(c) if typeOf.contains(c) =>
           // a file whose column is ALL NULL (nulls == rows) provably
-          // holds no match; any non-null row keeps it
-          Some((c, (s: CS) => s.nulls < s.rows))
+          // holds no match; any non-null row keeps it — a part whose
+          // envelope records no full-null file cannot prune
+          Some((c, (s: CS) => s.nulls < s.rows,
+            (e: CE) => e.anyFullNull))
         case sources.IsNull(c) if typeOf.contains(c) =>
           // a file with ZERO nulls provably holds no match (nulls and
-          // rows are exact per-file counts, not estimates)
-          Some((c, (s: CS) => s.nulls > 0))
+          // rows are exact per-file counts, not estimates) — a part
+          // whose every file holds a null cannot prune
+          Some((c, (s: CS) => s.nulls > 0,
+            (e: CE) => e.minNulls == 0L))
         case sources.StringStartsWith(c, p)
             if p != null && typeOf.get(c).contains(StringType) =>
           // values with prefix p live exactly in [p, successor(p)):
@@ -1398,38 +1813,38 @@ private[sources] class JournalScanBuilder(
           // bound; missing bounds keep
           val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val succ = prefixSuccessor(pb)
-          Some((c, nr((s: CS) => (for (lo <- s.minv; hi <- s.maxv) yield {
+          Some(bound(c, (s: CS) => (for (lo <- s.minv; hi <- s.maxv) yield {
             val lob = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             val hib = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             bytesCmp(hib, pb) >= 0 &&
               succ.forall(sb => bytesCmp(lob, sb) < 0)
-          }).getOrElse(true))))
+          }).getOrElse(true)))
         case sources.EqualTo(c, v) if v != null =>
           boundTest(c, v)((lo, hi) => lo.signum <= 0 && hi.signum >= 0,
             (lo, hi) => lo <= 0 && hi >= 0,
             (lo, hi) => lo <= 0 && hi >= 0)
-            .map(t => (c, nr(t)))
+            .map(t => bound(c, t))
         case sources.EqualNullSafe(c, v) if v != null =>
           boundTest(c, v)((lo, hi) => lo.signum <= 0 && hi.signum >= 0,
             (lo, hi) => lo <= 0 && hi >= 0,
             (lo, hi) => lo <= 0 && hi >= 0)
-            .map(t => (c, nr(t)))
+            .map(t => bound(c, t))
         case sources.GreaterThan(c, v) if v != null =>
           boundTest(c, v)((_, hi) => hi.signum > 0,
             (_, hi) => hi > 0, (_, hi) => hi > 0)
-            .map(t => (c, nr(t)))
+            .map(t => bound(c, t))
         case sources.GreaterThanOrEqual(c, v) if v != null =>
           boundTest(c, v)((_, hi) => hi.signum >= 0,
             (_, hi) => hi >= 0, (_, hi) => hi >= 0)
-            .map(t => (c, nr(t)))
+            .map(t => bound(c, t))
         case sources.LessThan(c, v) if v != null =>
           boundTest(c, v)((lo, _) => lo.signum < 0,
             (lo, _) => lo < 0, (lo, _) => lo < 0)
-            .map(t => (c, nr(t)))
+            .map(t => bound(c, t))
         case sources.LessThanOrEqual(c, v) if v != null =>
           boundTest(c, v)((lo, _) => lo.signum <= 0,
             (lo, _) => lo <= 0, (lo, _) => lo <= 0)
-            .map(t => (c, nr(t)))
+            .map(t => bound(c, t))
         case sources.In(c, vs) if vs != null && vs.nonEmpty &&
             vs.forall(_ != null) =>
           val perValue = vs.toSeq.map(v =>
@@ -1437,41 +1852,56 @@ private[sources] class JournalScanBuilder(
               (lo, hi) => lo <= 0 && hi >= 0,
               (lo, hi) => lo <= 0 && hi >= 0))
           if (perValue.exists(_.isEmpty)) None
-          else Some((c, nr((s: CS) => perValue.flatten.exists(t => t(s)))))
+          // envelope note: keep(synth) asks "does SOME list value fall
+          // inside [max-of-mins, min-of-maxes]?" — such a value is
+          // admitted by every row, so none is prunable (conservative:
+          // rows could also all keep via different values)
+          else Some(bound(c, (s: CS) => perValue.flatten.exists(t => t(s))))
         case _ => None
       }
     // timestamp ranges captured at the catalyst grain (see
     // tsRangePreds) — gated on the column really being ts-typed so a
-    // coincidental name can never borrow the micros domain
-    val tsTests: Seq[(String, CS => Boolean)] = tsRangePreds.toSeq.collect {
-      case (c, ok) if typeOf.get(c).exists(t =>
-          t == TimestampType || t == TimestampNTZType) =>
-        (c, nr((s: CS) => (for (lo <- s.minus; hi <- s.maxus)
-          yield ok(lo, hi)).getOrElse(true)))
-    }
+    // coincidental name can never borrow the micros domain, and NTZ
+    // additionally on the family's raw-micros certification
+    val tsTests: Seq[(String, CS => Boolean, CE => Boolean)] =
+      tsRangePreds.toSeq.collect {
+        case (c, ok) if typeOf.get(c).exists(t => t == TimestampType ||
+            (t == TimestampNTZType && ntzExact)) =>
+          bound(c, (s: CS) => (for (lo <- s.minus; hi <- s.maxus)
+            yield ok(lo, hi)).getOrElse(true))
+      }
     // catalyst-grain IS [NOT] NULL for the timestamp flavors (their
     // filters never push to parquet); other types ride the
     // sources.Filter arms above, so gate on the ts types to avoid
-    // double-testing
-    val tsNullTests: Seq[(String, CS => Boolean)] =
+    // double-testing. Null counts are exact whatever the capture
+    // zone was, so no ntzExact gate here.
+    val tsNullTests: Seq[(String, CS => Boolean, CE => Boolean)] =
       tsNullPreds.toSeq.collect {
         case (c, isNull) if typeOf.get(c).exists(t =>
             t == TimestampType || t == TimestampNTZType) =>
-          if (isNull) (c, (s: CS) => s.nulls > 0)
-          else (c, (s: CS) => s.nulls < s.rows)
+          if (isNull) (c, (s: CS) => s.nulls > 0,
+            (e: CE) => e.minNulls == 0L)
+          else (c, (s: CS) => s.nulls < s.rows,
+            (e: CE) => e.anyFullNull)
       }
     val allTests = tests ++ tsTests ++ tsNullTests
     if (allTests.isEmpty) return files
-    val sk = graft.journal.ColumnStatsSidecar.readAll(storePath, cstatsParts)
-    if (sk.isEmpty) return files
-    files.filter { f =>
-      allTests.forall { case (c, keep) =>
-        sk.get((f, c)) match {
-          case None => true // unsketched (file, col): never pruned
-          case Some(s) => keep(s)
-        }
-      }
+    // STREAM part-by-part through the envelope consult: a part opens
+    // only when some entry's column has a test that could prune AND
+    // its file range holds a candidate. Skipping a part only ever
+    // KEEPS its files — missed rows cannot prune — so every envelope
+    // decision is sound by construction. A file prunes the moment any
+    // seen row fails any test on its column (the forall over present
+    // sketches, evaluated row-locally).
+    val pruned = scala.collection.mutable.HashSet.empty[String]
+    val testCols = allTests.map(_._1).toSet
+    foreachCandidateRow(files, testCols,
+      e => allTests.exists(t => t._1 == e.col && t._3(e))) { s =>
+      if (!pruned.contains(s.file) &&
+          allTests.exists(t => t._1 == s.col && !t._2(s)))
+        pruned += s.file
     }
+    if (pruned.isEmpty) files else files.filterNot(pruned)
   }
 }
 
@@ -1560,7 +1990,7 @@ private[sources] class JournalParquetScan(base: ParquetScan,
                                           startingSeq: Option[String] = None,
                                           private val nsGrouped: Boolean = false,
                                           statsMeta: Map[String, String] = Map.empty,
-                                          filteredEstimate: Option[(Long, Long)] = None)
+                                          filteredEstimate: Option[JournalV2.FilteredScanStats] = None)
     extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
       base.dataSchema, base.readDataSchema, base.readPartitionSchema,
       base.pushedFilters, base.options, base.pushedAggregate,
@@ -1666,10 +2096,15 @@ private[sources] class JournalParquetScan(base: ParquetScan,
       // POST-PRUNE file set) reports both the row estimate and a
       // proportionally-scaled byte size; the per-query hash gates
       // never consume either — planner-advisory only, and the pruned
-      // floor is already sound. Column stats are NOT served here: the
-      // recorded table-level ndv/extrema describe the unfiltered
-      // table.
-      val (est, upper) = filteredEstimate.get
+      // floor is already sound. Round 19: FILTERED column stats ride
+      // the same report — the predicate columns' ndv bounded by the
+      // union of kept files' HLL registers, extrema clipped by the
+      // predicate, null count settled by null-rejection — so CBO's
+      // join estimation above a filtered journal scan runs on stats
+      // that describe the FILTERED surface instead of declining
+      // (exact-or-decline per column: absent from the map = decline).
+      val fs = filteredEstimate.get
+      val (est, upper) = (fs.est, fs.upper)
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           if (!base0.sizeInBytes().isPresent || upper <= 0L)
@@ -1679,6 +2114,9 @@ private[sources] class JournalParquetScan(base: ParquetScan,
               .toLong))
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.of(est)
+        override def columnStats(): java.util.Map[NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          fs.colStats
       }
     } else base0
   }

@@ -741,4 +741,94 @@ class AnalyzeSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](store.analyze(Seq("nope")))
     assert(e2.getMessage.contains("unknown column"))
   }
+
+  test("refold coherence counts DISTINCT contributing files (ADVICE " +
+      "r18): a duplicated sketch for one file masking a missing sketch " +
+      "for another at the same TOTAL declines the merged stats") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 1000)
+    def batch(lo: Long) = (0 until 5).map(i => ("n", lo + i,
+      ts("2024-01-01 00:00:01"), s"p${lo + i}", (lo + i).toDouble))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0))
+    store.append(batch(100))
+    store.append(batch(200))
+    store.analyze()
+    val m = store.manifest
+    val all = ColumnStatsSidecar.readAll(path, m.cstatsParts).values.toSeq
+    // files holding ukey 0.. / 100.. — both SURVIVE the delete below
+    val fa = all.find(s => s.col == "ukey" && s.minv.contains("0")).get.file
+    val fb = all.find(s => s.col == "ukey" && s.minv.contains("100")).get.file
+    // the compensating fault: drop B's `val` sketch, duplicate A's —
+    // the ROW TOTAL for `val` stays at survivor count, which is
+    // exactly what the old row-counting check certified on
+    val crafted = all.flatMap {
+      case s if s.file == fb && s.col == "val" => Nil
+      case s if s.file == fa && s.col == "val" => Seq(s, s)
+      case s => Seq(s)
+    }
+    val part = ColumnStatsSidecar.writePart(path, crafted)
+    JournalStore.writeManifest(path, m.copy(cstatsParts = Seq(part),
+      cstatsEnvs = Map.empty))
+    val store2 = JournalStore.open(spark, path)
+    assert(store2.analyzedRowCount.isDefined)
+    // erase the third file outright: A and B survive; `val`'s distinct
+    // contributors (1: A, twice) != survivors (2) — DECLINE
+    store2.deleteWhere(col("ukey") >= 200L)
+    assert(store2.analyzedRowCount.isEmpty,
+      "compensating dup+missing sketches must decline the refold")
+    // the NTZ certification marker describes the sidecar rows, not the
+    // merged stats — a decline must not strip it
+    assert(store2.manifest.meta.get(JournalStore.StatsNtzExactKey)
+      === Some("1"))
+  }
+
+  test("filtered column stats (round 19): a range-filtered analyzed " +
+      "store serves bounded ndv, predicate-clipped extrema and an " +
+      "exact zero null count; a kept file without a sketch declines") {
+    val path = freshPath
+    val store = JournalStore.create(spark, path, epochSize = 100000)
+    def batch(lo: Long) = (0 until 100).map(i => ("n", lo + i,
+      ts("2024-01-01 00:00:01"), s"p${lo + i}", (lo + i).toDouble))
+      .toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0))
+    store.append(batch(1000))
+    store.append(batch(2000))
+    store.analyze()
+    def attrStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.stats.attributeStats
+      }.head
+    def rd = spark.read.format("journal").load(path)
+    // ukey >= 1050 prunes file 1, keeps files 2 and 3 (top half of 2,
+    // all of 3): the served stats must describe the FILTERED surface
+    val st = attrStats(rd.where(col("ukey") >= 1050L))
+    val ukeySt = st.find(_._1.name == "ukey").map(_._2)
+      .getOrElse(fail("filtered scan must serve ukey column stats"))
+    // extrema: kept-file bounds [1000, 2099] clipped by the predicate
+    assert(ukeySt.min === Some(1050L), s"min=${ukeySt.min}")
+    assert(ukeySt.max === Some(2099L), s"max=${ukeySt.max}")
+    // null count is EXACT under a null-rejecting predicate
+    assert(ukeySt.nullCount === Some(BigInt(0)))
+    // ndv bounded by the union of the KEPT files' sketches (≈200) —
+    // visibly below the whole table's ≈300
+    val ndv = ukeySt.distinctCount.map(_.toLong)
+      .getOrElse(fail("filtered ndv must serve"))
+    assert(ndv >= 120L && ndv <= 260L, s"ndv=$ndv")
+    // decline: strip file 3's sketch rows from the sidecar — a kept
+    // file without a sketch must decline the column, not guess
+    val m = store.manifest
+    val all = ColumnStatsSidecar.readAll(path, m.cstatsParts).values.toSeq
+    val f3 = all.find(s => s.col == "ukey" && s.minv.contains("2000"))
+      .get.file
+    val part = ColumnStatsSidecar.writePart(path,
+      all.filterNot(_.file == f3))
+    JournalStore.writeManifest(path, m.copy(cstatsParts = Seq(part),
+      cstatsEnvs = Map.empty))
+    val st2 = attrStats(spark.read.format("journal").load(path)
+      .where(col("ukey") >= 1050L))
+    assert(!st2.exists(_._1.name == "ukey"),
+      "a kept file without a sketch must decline the filtered stats")
+  }
 }

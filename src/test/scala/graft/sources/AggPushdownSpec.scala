@@ -246,4 +246,47 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(row.getLong(0) === 2L && row.isNullAt(1) && row.isNullAt(2))
     assert(scans(agg) === Seq("ManifestAggScan"))
   }
+
+  test("histogram-refined selectivity (round 19): a skewed BIGINT " +
+      "range prices through the table histogram where the uniform " +
+      "assumption is an order of magnitude off; a stale histogram " +
+      "declines back to uniform") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_aggpd_h_").toString + "/store"
+    val store = graft.journal.JournalStore.create(spark, dir,
+      epochSize = 100000)
+    // 1024 rows in ONE file: 960 dense in [0, 960) and a 64-row tail
+    // uniformly spread over [37_500, 2_400_000] — exactly one
+    // equi-height bin. The file's bounds are [0, 2.4M], so the
+    // uniform fraction for `ukey > 1.2M` reads ~0.5 (≈512 rows) while
+    // the truth is 32 — 16× off; the table histogram's last bin is
+    // the tail itself, linear within the bin, so the refined estimate
+    // lands on ~32.
+    val rows = (0 until 960).map(i => ("n", i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), s"p$i", 1.0)) ++
+      (1 to 64).map(i => ("n", 37500L * i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), s"t$i", 2.0))
+    store.append(rows.toDF("ns", "ukey", "ts", "payload", "val"))
+    store.analyze()
+    def scanStats(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.stats
+    }.head
+    def rd = spark.read.format("journal").load(dir)
+    val est = scanStats(rd.where(col("ukey") > 1200000L)).rowCount
+    assert(est.isDefined, "filtered scan must report estimated rows")
+    assert(est.get >= BigInt(16) && est.get <= BigInt(64),
+      s"histogram-refined estimate should land near the true 32, " +
+        s"got $est (uniform would say ~512)")
+    // stale histogram: grow the table past 2× the capture point — the
+    // two-sided freshness gate declines the refinement and the same
+    // probe prices uniform again (the dense second file prunes, so
+    // the surviving file's uniform fraction is back to ~0.5)
+    store.append((0 until 1600).map(i => ("n", (10000 + i).toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), s"d$i", 3.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val est2 = scanStats(rd.where(col("ukey") > 1200000L)).rowCount
+    assert(est2.isDefined && est2.get >= BigInt(256),
+      s"a stale histogram must decline to the uniform fraction, got $est2")
+  }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
@@ -191,6 +192,87 @@ class CatalogSpec extends AnyFunSuite {
         r.getString(6)).toMap
     assert(rows2(("column", "hot")) === "salt", rows2.toString)
     assert(hotAdvice === "" || hotAdvice === "salt") // density-gated
+  }}
+
+  test("maintenance consumes the advisor (round 19): a fragmented, " +
+      "interleaved store self-heals through the auto-maintain cadence " +
+      "with no explicit CALL — the probe plans fewer files, the labels " +
+      "clear, and the z-order latch stops repeat rewrites") {
+    withCatalog { root =>
+    import graft.journal.JournalStore
+    val store = JournalStore.create(spark, s"$root/heal", epochSize = 100000)
+    // the advise fixture's shape: 10 interleaved appends into ONE
+    // (epoch, ns) dir — `n` fragments (compact label) and every
+    // file's `val` range overlaps every other (zorder label). The
+    // cadence arms AFTER the buildup: armed during it, maintenance
+    // would (correctly) heal the fragmentation as it forms and there
+    // would be no 10-file fixture left to witness.
+    // every non-val column is per-row distinct (ts a second ladder,
+    // payload row-unique): a healed single file must not read as
+    // salt-dense on a deliberately-constant column, or the labels
+    // could never clear
+    def fix(b: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(b * 40L + i))
+    (0 until 10).foreach { b =>
+      store.append((0 until 40).map { i =>
+        ("n", b * 40L + i, fix(b, i), s"p${b}_$i", (i * 10 + b).toDouble)
+      }.toDF("ns", "ukey", "ts", "payload", "val"))
+    }
+    store.analyze()
+    store.withAutoMaintain(1)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case s: JournalParquetScan =>
+          s.fileIndex.inputFiles.length }
+        .getOrElse(fail("expected a JournalParquetScan"))
+    def rd = spark.read.format("journal").load(s"$root/heal")
+    // pre-heal: the interleave defeats file skipping — all 10 open
+    assert(scanned(rd.where(col("val") >= 380.0)) === 10)
+    assert(store.advise().exists(r => r.advice === "zorder"))
+    assert(store.advise().exists(r => r.advice === "compact"))
+    // the NEXT append's maintenance cadence consumes the labels: the
+    // advised z-order compact rewrites the store clustered by the
+    // measured columns — no CALL, no operator in the loop
+    store.append(Seq(("n", 9999L, fix(10, 0), "p_trigger", 395.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val m = store.manifest
+    assert(m.meta.contains(JournalStore.ZorderedByKey),
+      "the cadence must record the acted z-order column set")
+    // healed: one file per directory — the probe plans strictly fewer
+    val post = scanned(rd.where(col("val") >= 380.0))
+    assert(post < 10, s"post-heal probe planned $post files")
+    // the LAYOUT labels clear afterward — nothing left for the next
+    // cycle to rewrite (the constant-ns column legitimately keeps its
+    // `salt` density readout: that is query-time shuffle advice,
+    // deliberately never acted by layout maintenance)
+    assert(store.advise().forall(r =>
+      r.advice != "compact" && r.advice != "zorder"),
+      store.advise().toString)
+    // the latch: re-running layout maintenance acts on nothing and
+    // commits nothing
+    val v = store.manifest.version
+    assert(store.maintainLayout() === 0L)
+    assert(store.manifest.version === v)
+    // content preserved through the self-heal
+    assert(rd.count() === 401L)
+    assert(rd.where(col("val") >= 380.0).count() === 21L)
+  }}
+
+  test("advise reports namespaces manifest-honestly (round 19): " +
+      "escaped directory names decode to the real ns value") {
+    withCatalog { root =>
+    import graft.journal.JournalStore
+    val store = JournalStore.create(spark, s"$root/esc", epochSize = 1000)
+    // an ns OUTSIDE the safe charset: the partition dir spells it
+    // escaped (ns=a%20b); the advisor must report the VALUE, not the
+    // escaping
+    store.append(Seq(("a b", 1L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "p", 1.0))
+      .toDF("ns", "ukey", "ts", "payload", "val"))
+    val names = store.advise().filter(_.scope == "ns").map(_.name)
+    assert(names === Seq("a b"), names.toString)
   }}
 
   test("journal_catalog: readStream.table tails a catalog table by name") {
@@ -1459,7 +1541,7 @@ class CatalogSpec extends AnyFunSuite {
       "OPTIONS (epochSize '100')")
     // a maintain with NO declared policy is a no-op, not an error
     assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
-      .as[Long].head() === 0L)
+      .select("n_deleted").as[Long].head() === 0L)
     // two ancient rows (2024) and one fresh row (now)
     spark.sql("INSERT INTO jcat.ret SELECT * FROM VALUES " +
       "('users', CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:01', 'old1', CAST(1.0 AS DOUBLE)), " +
@@ -1472,12 +1554,12 @@ class CatalogSpec extends AnyFunSuite {
       "('retention.olderThan' = '30 DAYS')")
     // the sweep erases the 2024 rows, keeps the fresh one
     assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
-      .as[Long].head() === 2L)
+      .select("n_deleted").as[Long].head() === 2L)
     assert(spark.table("jcat.ret").select("payload")
       .as[String].collect().toSeq === Seq("new"))
     // a second sweep is a no-op (nothing older than the bound remains)
     assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
-      .as[Long].head() === 0L)
+      .select("n_deleted").as[Long].head() === 0L)
     assert(spark.table("jcat.ret").count() === 1L)
     // the policy is ordinary table meta: a clone carries it
     spark.sql("CALL jcat.system.clone(table => 'ret', dest => 'retc')")
@@ -1492,7 +1574,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retention.olderThan"))
     // the table kept its valid policy; maintain stays a clean no-op
     assert(spark.sql("CALL jcat.system.maintain(table => 'ret')")
-      .as[Long].head() === 0L)
+      .select("n_deleted").as[Long].head() === 0L)
   }}
 
   test("per-namespace retention by SQL: two namespaces with different " +
@@ -1518,7 +1600,7 @@ class CatalogSpec extends AnyFunSuite {
       "'retention.olderThan.hot' = '1 HOURS', " +
       "'retention.olderThan.cold' = '1 DAYS')")
     assert(spark.sql("CALL jcat.system.maintain(table => 'nsret')")
-      .as[Long].head() === 3L)
+      .select("n_deleted").as[Long].head() === 3L)
     assert(spark.table("jcat.nsret").select("payload")
       .as[String].collect().toSeq.sorted ===
       Seq("kept-cold", "kept-hot", "kept-other"))

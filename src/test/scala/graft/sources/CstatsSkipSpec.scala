@@ -255,4 +255,93 @@ class CstatsSkipSpec extends AnyFunSuite {
     assert(rd.where(col("val") === 105.0).count() === 0L)
     assert(rd.count() === 50L)
   }
+
+  test("envelope consult (round 19): every sidecar part carries a " +
+      "decodable manifest envelope, a selective scan probes a strict " +
+      "subset of parts, and skipped parts only ever KEEP files") {
+    import graft.journal.ColumnStatsSidecar
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cenv_").toString + "/store"
+    val store = JournalStore.create(spark, dir, epochSize = 100)
+    // six batches with DISJOINT ukey and val ranges, one per epoch —
+    // each post-analyze append lands its own delta part, so the part
+    // set is many and each part's file-name range covers one batch
+    def batch(i: Int) = (0 until 100).map { j =>
+      ("n", (i * 100 + j).toLong, ts("2024-01-01 00:00:01"),
+        s"p$i$j", (i * 1000 + j).toDouble)
+    }.toDF("ns", "ukey", "ts", "payload", "val")
+    store.append(batch(0))
+    store.analyze()
+    (1 to 5).foreach(i => store.append(batch(i)))
+    val m = store.manifest
+    assert(m.cstatsParts.size >= 6, s"parts=${m.cstatsParts.size}")
+    // every part — the distributed bootstrap's AND the driver deltas' —
+    // carries a decodable, non-empty envelope beside its name
+    m.cstatsParts.foreach { p =>
+      val env = m.cstatsEnvs.get(p).flatMap(ColumnStatsSidecar.decodeEnv)
+      assert(env.exists(_.nonEmpty), s"part $p lacks an envelope")
+    }
+    def rd = spark.read.format("journal").load(dir)
+    def probesOf(f: => Unit): Long = {
+      val before = ColumnStatsSidecar.partProbes.get()
+      f
+      ColumnStatsSidecar.partProbes.get() - before
+    }
+    val total = m.cstatsParts.size.toLong
+    // SELECTIVE scan: the key probe narrows candidates to one batch's
+    // file; the envelopes' file-name ranges admit only that batch's
+    // part, and its value proof shows nothing prunable — the prune
+    // pass opens NOTHING, the estimator opens only the matching part
+    val pSel = probesOf {
+      assert(scannedFiles(rd.where(col("ukey") === 250L)) === 1)
+    }
+    assert(pSel <= 2L && pSel < total,
+      s"selective scan probed $pSel of $total parts")
+    // UNSELECTIVE range matching only the last batch: the five
+    // excluded batches' parts must open (each CAN prune its files),
+    // the matching batch's part proves nothing-prunable and is
+    // skipped by the prune pass — strictly fewer touches than the
+    // open-everything-twice round-18 behavior
+    val pRange = probesOf {
+      assert(scannedFiles(rd.where(col("val") >= 5000.0)) === 1)
+    }
+    assert(pRange < 2L * total,
+      s"range scan probed $pRange of $total parts twice over")
+    // soundness of every skip: the pruned plans return exactly the
+    // expected rows
+    assert(rd.where(col("ukey") === 250L).count() === 1L)
+    assert(rd.where(col("val") >= 5000.0).count() === 100L)
+  }
+
+  test("NTZ skipping is gated on the raw-micros certification marker " +
+      "(ADVICE r18): analyze stamps it, a marker-less family keeps " +
+      "every file under NTZ predicates, re-analyze re-arms") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cntzm_").toString + "/store"
+    val store = JournalStore.create(spark, dir, epochSize = 1000)
+    def batch(lo: Long, wall: String) =
+      Seq(("n", lo, ts("2024-01-01 00:00:01"), "p", 1.0, wall))
+        .toDF("ns", "ukey", "ts", "payload", "val", "w")
+        .withColumn("tn", expr("to_timestamp_ntz(w)")).drop("w")
+    store.append(batch(0, "2024-03-09 10:00:00"))
+    store.append(batch(1, "2024-06-01 10:00:00"))
+    store.analyze(Seq("tn"))
+    assert(store.manifest.meta.get(JournalStore.StatsNtzExactKey)
+      === Some("1"), "analyze must stamp the NTZ certification marker")
+    def rd = spark.read.format("journal").load(dir)
+    def ntz(s: String) = java.time.LocalDateTime.parse(s)
+    val pred = col("tn") < lit(ntz("2024-04-01T00:00:00"))
+    assert(scannedFiles(rd.where(pred)) === 1)
+    // strip the marker — the model of a family analyzed by a
+    // pre-marker build whose capture zone is unknowable: NTZ declines
+    // from skipping (conservative keep), results unchanged
+    store.unsetMeta(Seq(JournalStore.StatsNtzExactKey))
+    assert(scannedFiles(rd.where(pred)) === 2,
+      "a marker-less family must not prune on NTZ bounds")
+    assert(rd.where(pred).count() === 1L)
+    // a fresh analyze() re-stamps and re-arms
+    store.analyze(Seq("tn"))
+    assert(scannedFiles(rd.where(pred)) === 1)
+    assert(rd.where(pred).count() === 1L)
+  }
 }
