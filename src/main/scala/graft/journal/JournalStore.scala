@@ -2324,15 +2324,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // known exactly — no full segment-tree walk per append (O(files)
     // driver work at the 10⁶-file scale) and no chance of sweeping in a
     // compacted-but-unvacuumed stranger's file.
-    val stage = newStageDir()
-    writerOpts(out.repartition(col("epoch"), col("ns"))
-      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
-    // One stats pass over the cached batch, at (epoch, ns) grain, yields
-    // BOTH manifest stat families (the Delta-style metadata that lets
-    // segmentStats() / seq-range pruning / key-targeted reads skip the
-    // segment tree entirely) AND the new high-water mark; no separate
-    // max(seq) job. Epoch stats are the driver-side rollup of the same
-    // rows.
+    // One stats pass over the batch FIRST, at (epoch, ns) grain: it
+    // yields BOTH manifest stat families (the Delta-style metadata that
+    // lets segmentStats() / seq-range pruning / key-targeted reads skip
+    // the segment tree entirely) AND the new high-water mark — no
+    // separate max(seq) job — and, since round 19, it runs BEFORE the
+    // segment write so the write shuffle below is sized to the batch's
+    // REAL directory count instead of the session shuffle-partition
+    // constant (partitioning derived from the data, not the core
+    // count). Epoch stats are the driver-side rollup of the same rows.
     val perNs = out.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
       .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"),
            min("ukey").as("kmn"), max("ukey").as("kmx"),
@@ -2345,14 +2345,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // default-partition dir, colliding with any literal ns of that
     // name) and would poison every ns-keyed stats family (the mroot
     // KeyStat rows require a name). Refused at the door, riding the
-    // stats pass already in hand — zero extra jobs; the staged files
-    // were never promoted, so nothing became visible (vacuum sweeps
-    // the orphaned stage). Downstream null-ns handling (the retention
-    // sweep's isNull arm, the sketch key's NUL sentinel) stays as
-    // defense in depth, not as a supported row shape.
+    // stats pass already in hand — zero extra jobs, and (round 19) now
+    // BEFORE the segment write, so a rejected batch never even stages
+    // bytes. Downstream null-ns handling (the retention sweep's isNull
+    // arm, the sketch key's NUL sentinel) stays as defense in depth,
+    // not as a supported row shape.
     if (perNs.exists(r => r.isNullAt(1) || r.getString(1).isEmpty)) {
       if (persistOut) out.unpersist()
-      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(stage).toFile)
       throw new IllegalArgumentException(
         "journal append: ns must be non-null and non-empty (the " +
           "namespace is the store's structural partition key, and the " +
@@ -2360,6 +2359,27 @@ class JournalStore private (val spark: SparkSession, val path: String,
           "partition directory, which reads back as NULL); the batch " +
           "was rejected atomically (nothing became visible)")
     }
+    // Layout: segments/epoch=K/ns=X/ — epoch pruning bounds time-travel
+    // replay, ns pruning bounds per-namespace history reads (marasa's
+    // per-namespace segment files, as partition directories). Repartition
+    // on (epoch, ns) INTO exactly as many partitions as the batch spans
+    // directories (from the stats pass above): each output directory is
+    // written by exactly one task — one file per (epoch, ns) instead of
+    // (#tasks × #dirs) small files — writer tasks spread across the
+    // cluster, and the shuffle never launches partitions that hold no
+    // directory (a toy batch writes in 2 tasks, a 10⁴-directory ingest
+    // in 10⁴ — the parallelism scales with the data either way).
+    // The job writes into a PRIVATE staging dir and the files are then
+    // moved into the live tree: (a) concurrent appends never share a
+    // Hadoop commit `_temporary` dir (the FileOutputCommitter race two
+    // optimistic writers would otherwise hit); (b) the new-file set is
+    // known exactly — no full segment-tree walk per append (O(files)
+    // driver work at the 10⁶-file scale) and no chance of sweeping in a
+    // compacted-but-unvacuumed stranger's file.
+    val stage = newStageDir()
+    writerOpts(out.repartition(math.max(1, perNs.length),
+        col("epoch"), col("ns"))
+      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
     // Key blooms ride a SEPARATE pass: BloomFilterAggregate is a
     // TypedImperativeAggregate, and one such column forces the whole
     // aggregate onto ObjectHashAggregate — folding it into the stats agg
@@ -2877,7 +2897,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // appenders) and newFiles is exactly THIS compaction's output — no
     // tree diff that could sweep in files a PREVIOUS compact() dropped
     // from the manifest but vacuum() hasn't deleted yet.
-    val partitioned = rows.repartition(col("epoch"), col("ns"))
+    // Shuffle sized to the victim directory count (known driver-side —
+    // a rewrite preserves each row's (epoch, ns) directory), not the
+    // session shuffle-partition constant: partitioning derives from the
+    // data at every scale (round 19, same rule as append/deleteWhere).
+    val partitioned = rows.repartition(
+      math.max(1, old.map(dirOf).distinct.size), col("epoch"), col("ns"))
     val laidOut = layout match {
       case SegmentLayout.Unordered => partitioned
       case SegmentLayout.ByKey =>
@@ -3914,18 +3939,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val keep = !coalesce(cond, lit(false))
     val retained = readSegmentsOver(affected, m.schemaDdl, m.dvParts).where(keep)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // staged write + promote, like append()/compactFiles(): private
-    // commit protocol, exact new-file set
-    val stage = newStageDir()
-    writerOpts(retained.repartition(col("epoch"), col("ns"))
-      .sortWithinPartitions(col("epoch"), col("ns"), col("ukey"), col("seq"))
-      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
-    val newFiles = promoteStaged(stage)
-    // Fresh stats for the rewritten files — same two lean passes as
-    // append() (numeric aggregate stays codegen'd; the bloom's
+    // Fresh stats for the rewritten files FIRST — same two lean passes
+    // as append() (numeric aggregate stays codegen'd; the bloom's
     // TypedImperativeAggregate rides its own pass), over the cached
-    // retained rows. One file per (epoch, ns) directory by the same
-    // repartition argument, so the (epoch, ns)-grain rows ARE per-file.
+    // retained rows. Running the stats pass before the write (round 19,
+    // like append) sizes the write shuffle to the surviving directory
+    // count. One file per (epoch, ns) directory by the same repartition
+    // argument, so the (epoch, ns)-grain rows ARE per-file.
     val perNs = retained.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
       .agg(count(lit(1)).as("rows"), min("seq").as("mn"), max("seq").as("mx"),
            min("ukey").as("kmn"), max("ukey").as("kmx"),
@@ -3933,6 +3953,15 @@ class JournalStore private (val spark: SparkSession, val path: String,
            max(unix_micros(col("ts").cast("timestamp"))).as("tmx"),
            sum(when(col("ts").cast("timestamp").isNull, 1L).otherwise(0L)).as("tnull"))
       .collect()
+    // staged write + promote, like append()/compactFiles(): private
+    // commit protocol, exact new-file set; shuffle sized to the real
+    // directory count (partitioning derived from the data)
+    val stage = newStageDir()
+    writerOpts(retained.repartition(math.max(1, perNs.length),
+        col("epoch"), col("ns"))
+      .sortWithinPartitions(col("epoch"), col("ns"), col("ukey"), col("seq"))
+      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
+    val newFiles = promoteStaged(stage)
     val perNsBloom: Map[(Long, String), String] =
       retained.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
         .agg(keyBloomAgg.as("kbloom"))
@@ -5829,10 +5858,61 @@ object JournalStore {
       .foreach { case (_, p) => Files.deleteIfExists(p) }
   }
 
+  /** Parsed-manifest memo (round 19). Every store operation re-reads
+    * `manifest` many times (op entry, helpers, the CAS re-read, history
+    * walks), and each read was a full file read + jackson parse + sidecar
+    * part-name rebind — pure driver time repeated tens of times per
+    * lifecycle. The memo keys on the manifest FILE's identity stamp
+    * (inode fileKey, mtime, size): the commit protocol only ever
+    * replaces manifest.json via atomic rename (new inode, new mtime), so
+    * any committed change — from this process or another — misses the
+    * memo by construction, and CAS semantics are unchanged (the stamp
+    * read races the swap no worse than the byte read it replaces: both
+    * see either the old or the new committed file). Manifest is
+    * immutable (case class; lazy sidecar lists read through their own
+    * immutable-part LRUs), so sharing one instance across operations is
+    * safe. Version files are immutable once written, so they memo on the
+    * same stamp. Bounded LRU — a long-lived session over many stores
+    * stays O(MemoMax) manifests. */
+  private val ManifestMemoMax = 256
+  private val manifestMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Any, Manifest)](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Any, Manifest)]): Boolean =
+          size > ManifestMemoMax
+      })
+  private def fileStamp(p: java.nio.file.Path): Option[Any] = try {
+    val a = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    Some((Option(a.fileKey).map(_.toString).getOrElse(""),
+      a.lastModifiedTime, a.size))
+  } catch { case _: java.io.IOException => None }
+  private def memoized(memoKey: String, p: java.nio.file.Path)
+      (parse: String => Option[Manifest]): Option[Manifest] = {
+    val s0 = fileStamp(p)
+    s0.flatMap(s => Option(manifestMemo.get(memoKey)).collect {
+      case (st, m) if st == s => m
+    }) match {
+      case hit @ Some(_) => hit
+      case None =>
+        val bytes = try Some(new String(Files.readAllBytes(p),
+            StandardCharsets.UTF_8))
+          catch { case _: java.io.IOException => None } // vanished mid-read
+        bytes.flatMap(parse).map { m =>
+          // cache only when the file identity is unchanged across the
+          // read — a concurrent swap mid-read parses correctly but
+          // must not be memoized under the pre-swap stamp
+          if (s0.isDefined && fileStamp(p) == s0)
+            manifestMemo.put(memoKey, (s0.get, m))
+          m
+        }
+    }
+  }
+
   private[journal] def readManifestVersion(path: String, v: Long): Option[Manifest] = {
     val p = versionPath(path, v)
-    if (Files.exists(p)) parseManifest(path,
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    if (Files.exists(p)) memoized(s"$path#v$v", p)(parseManifest(path, _))
     else None
   }
 
@@ -5856,14 +5936,12 @@ object JournalStore {
   private[journal] def readManifest(path: String): Option[Manifest] = {
     val p = manifestPath(path)
     if (!Files.exists(p)) None
-    else {
-      val bytes = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      Some(parseManifest(path, bytes).getOrElse(throw new IllegalStateException(
+    else Some(memoized(path, p)(parseManifest(path, _))
+      .getOrElse(throw new IllegalStateException(
         s"journal store at $path: manifest.json exists but is unparseable " +
           "(corrupted outside the atomic-rename protocol); refusing to " +
           "treat it as an empty store — restore a retained " +
           "manifest.json.vN or recreate the store explicitly")))
-    }
   }
 
   private def parseManifest(path: String, s: String): Option[Manifest] = try {
