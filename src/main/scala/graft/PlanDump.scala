@@ -14,6 +14,12 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(args(0))(spark, dir)
     df.collect()
+    // formatted explain (the plans/rNN deliverable shape) + the executed
+    // plan with final AQE decisions
+    println("== EXPLAIN FORMATTED ==")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    println("== EXECUTED (final adaptive) ==")
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }

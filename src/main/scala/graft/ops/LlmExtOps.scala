@@ -407,9 +407,13 @@ object LlmExtOps {
   private[ops] val semTargetCluster = 32
   private[ops] def kmeansProj(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    Tables(s, d, "embeddings").select(col("vec_id"), expr(
+    // spread: the packed-float embeddings table is tiny in BYTES (one
+    // scan split) but every Lloyd assignment pass does n·k·d integer
+    // FLOPs over it — without widening, the whole k-means serializes
+    // on the scan's 1–2 tasks (round 19; no-op at real scale)
+    spread(Tables(s, d, "embeddings").select(col("vec_id"), expr(
       "transform(embedding, x -> " +
-        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q")))
   private[ops] def kmeansTrain(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     kmeansTrainOn(kmeansProj(s, d))
@@ -901,9 +905,11 @@ object LlmExtOps {
       // aggregate (8 min-columns, map-side partials) and the band-bucket
       // self-join — never all-pairs.
       graft.expr.GraftFunctions.register(s)
-      val docs = Tables(s, d, "documents")
+      // spread: signature computation is md5-per-shingle over a frame
+      // that packs into 1–2 scan splits (round 19; no-op at real scale)
+      val docs = spread(Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
+        .where(size(col("w")) >= 3))
       // whole signature MAP-SIDE via the native codegen'd kernel
       // (expr/MinhashSig.scala — one md5 + 8 compare-swaps per shingle;
       // same Broder h1 + i·h2 values the oracle recomputes): no
@@ -981,12 +987,19 @@ object LlmExtOps {
       // they stay in the frame for the final anti-join output while
       // contributing no signatures (explode drops empty arrays) —
       // identical semantics to the previous size-filter.
-      val shArr = Tables(s, d, "documents")
+      // spread BEFORE the checkpoint: the corpus packs into 1–2 scan
+      // splits at small SFs while everything downstream of this frame
+      // is CPU-dense (minhash_sig's md5-per-shingle kernel, the exact
+      // array_intersect verification) — the checkpoint pins whatever
+      // partitioning it gets, so an unspread frame serializes the whole
+      // pipeline on 2 tasks (measured: the 2.6 s verification stage ran
+      // 2-way on 32 cores). No-op at real scale (round 19).
+      val shArr = spread(Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           when(size(col("w")) >= 3, LlmOps.shingles(3))
-            .otherwise(array().cast("array<string>")).as("gs"))
+            .otherwise(array().cast("array<string>")).as("gs")))
         .localCheckpoint()
       graft.expr.GraftFunctions.register(s)
       // whole signature MAP-SIDE off the checkpointed shingle arrays via
