@@ -407,13 +407,9 @@ object LlmExtOps {
   private[ops] val semTargetCluster = 32
   private[ops] def kmeansProj(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    // spread: the packed-float embeddings table is tiny in BYTES (one
-    // scan split) but every Lloyd assignment pass does n·k·d integer
-    // FLOPs over it — without widening, the whole k-means serializes
-    // on the scan's 1–2 tasks (round 19; no-op at real scale)
-    spread(Tables(s, d, "embeddings").select(col("vec_id"), expr(
+    Tables(s, d, "embeddings").select(col("vec_id"), expr(
       "transform(embedding, x -> " +
-        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q")))
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
   private[ops] def kmeansTrain(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     kmeansTrainOn(kmeansProj(s, d))
