@@ -27,22 +27,31 @@ object ProfileOne {
                  var end: Long = 0L, var tasks: Int = 0,
                  var shufRead: Long = 0L, var shufWrite: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, J]
+    // stage → job mapping from SparkListenerJobStart.stageIds, so tasks
+    // (and their shuffle bytes) attribute to the job that OWNS the
+    // stage, not "the newest unfinished job" — concurrent jobs
+    // (broadcast builds, AQE stage materialization) misattributed under
+    // the old heuristic. The job label is the first stage's callsite
+    // (stageInfos carry it even when the job-level property is unset).
+    val stageJob = mutable.HashMap.empty[Int, Int]
     val active = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         if (active.get) {
           val d = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+            .getOrElse("?")
           jobs.synchronized {
             jobs(e.jobId) = J(e.jobId, d, e.time)
+            e.stageIds.foreach(sid => stageJob(sid) = e.jobId)
           }
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         jobs.synchronized {
-          // attribute tasks to the newest unfinished job (approximate)
-          jobs.values.toSeq.filter(_.end == 0L).lastOption.foreach { j =>
+          stageJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
             j.tasks += 1
             Option(e.taskMetrics).foreach { m =>
               j.shufRead += m.shuffleReadMetrics.totalBytesRead
@@ -53,30 +62,39 @@ object ProfileOne {
     })
     // warm-up pass (JIT, codegen cache, parquet footers)
     SparkEntry.queries(name)(spark, dir).count()
-    // Sample the MAIN driver thread's stack during the timed pass: the
-    // inter-job gaps are driver work (planning / manifest IO / commit
-    // protocol) and this attributes them without a UI.
-    val mainThread = Thread.currentThread()
+    // Sample EVERY runnable driver-side thread during the timed pass
+    // (the main thread parks while actions run on Spark's SQL execution
+    // pool — sampling only main attributed all the planning / manifest
+    // IO / commit work to "park"). Executor task threads are excluded
+    // so the profile stays the DRIVER's: planning, commit protocol,
+    // sidecar IO, filesystem forks.
     val samples = mutable.HashMap.empty[String, Int].withDefaultValue(0)
     val sampling = new java.util.concurrent.atomic.AtomicBoolean(true)
     val sampler = new Thread(() => {
       while (sampling.get) {
-        val st = mainThread.getStackTrace
-        if (st.nonEmpty) {
-          val tag =
-            if (st.exists(_.getClassName.contains("DAGScheduler"))) "wait-on-job"
-            else {
-              // top 3 meaningful frames
-              st.filterNot(f => f.getClassName.startsWith("java.lang.Thread"))
-                .take(4).map(f =>
-                  f.getClassName.split('.').takeRight(2).mkString(".") +
-                    "." + f.getMethodName).mkString(" < ")
-            }
-          samples.synchronized { samples(tag) += 1 }
+        val all = Thread.getAllStackTraces
+        all.forEach { (t, st) =>
+          val n = t.getName
+          val busy = t.getState == Thread.State.RUNNABLE &&
+            !n.startsWith("Executor task launch") &&
+            !n.contains("netty") && !n.contains("dispatcher") &&
+            !n.contains("shuffle") && n != "profile-sampler" &&
+            st.nonEmpty &&
+            !st.head.getClassName.startsWith("sun.nio.ch") &&
+            !st.head.getMethodName.contains("park") &&
+            !st.head.getMethodName.contains("epoll")
+          if (busy) {
+            val tag = st.iterator
+              .filterNot(f => f.getClassName.startsWith("java.lang.Thread"))
+              .take(4).map(f =>
+                f.getClassName.split('.').takeRight(2).mkString(".") +
+                  "." + f.getMethodName).mkString(" < ")
+            samples.synchronized { samples(tag) += 1 }
+          }
         }
         Thread.sleep(10)
       }
-    })
+    }, "profile-sampler")
     sampler.setDaemon(true)
     active.set(true)
     sampler.start()

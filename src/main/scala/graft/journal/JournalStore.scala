@@ -86,6 +86,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
       : org.apache.spark.sql.DataFrameWriter[A] =
     if (segmentCodec.isEmpty) w else w.option("compression", segmentCodec)
 
+  /** Overlap INDEPENDENT Spark actions (guide §2.6): store ops run
+    * several single-pass jobs over the same pinned batch — the stats
+    * aggregate, the key-bloom aggregate, the column-sketch pass, the
+    * staged segment write. Each job's tail leaves the cluster idle
+    * while the driver plans the next one; submitting the side passes
+    * from a helper thread lets their tasks back-fill those gaps (FIFO
+    * scheduling gives the first job priority, exactly the back-fill
+    * shape). `b` runs on the caller's thread so exceptions and
+    * thread-local job state behave as before; `a`'s failure propagates
+    * after `b` completes (both sides are pure aggregates or idempotent
+    * staged writes, so duplicated/abandoned work is safe on retry). */
+  private def overlap[A, B](a: => A)(b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)(scala.concurrent.ExecutionContext.global)
+    val rb = b
+    (Await.result(fa, Duration.Inf), rb)
+  }
+
   /** Read the segment tree. ns is a partition directory — force it back
     * to string (partition type inference would make a numeric-looking
     * namespace an int). A store with no appends yet reads as an empty
@@ -631,7 +650,12 @@ class JournalStore private (val spark: SparkSession, val path: String,
         t == org.apache.spark.sql.types.TimestampNTZType))
     val aggs = count(lit(1L)).as("rows_total") +:
       sketchAggCols(cols, tsCols, dtOf, "")
-    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // passes 1 and 2 are independent full scans ending in metadata-sized
+    // results — overlap them (guide §2.6). Pass 2's old rows==0 guard
+    // moves to the USE site (packRegisters of zero melted rows is the
+    // same empty map), so the overlap never changes the recorded stats.
+    val (regRows, head) = overlap(hllRegisterRows(df, cols))(
+      df.agg(aggs.head, aggs.tail: _*).collect()(0))
     val rows = head.getLong(0)
     val tsBase = 1 + 3 * cols.size
     val tsMicros: Map[String, (Long, Long)] = tsCols.zipWithIndex.collect {
@@ -647,7 +671,7 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // no distinctness; an all-null column has no register rows.
     val regBytes: Map[String, Array[Byte]] =
       if (rows == 0) Map.empty
-      else JournalStore.packRegisters(hllRegisterRows(df, cols))
+      else JournalStore.packRegisters(regRows)
     val regs: Map[String, (Long, Long)] =
       regBytes.map { case (c, arr) =>
         c -> JournalStore.registerSummary(arr)
@@ -663,8 +687,25 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // too. Planner-advisory (served through DSv2 columnStats.histogram),
     // so sketch estimates are the honest scale choice here — nothing
     // downstream hash-gates them.
-    val hists: Map[String, (Seq[Long], Seq[Long])] =
+    // pass 4 (declared early, body unchanged — see its comment below) is
+    // independent of pass 3: overlap the cstats bootstrap + sidecar
+    // write with the histogram capture (guide §2.6)
+    val (csParts, hists) = overlap[Seq[(String, String)],
+        Map[String, (Seq[Long], Seq[Long])]] {
+      if (rows == 0) Nil
+      else {
+        val cdf = readSegmentsOver(m0.files, m0.schemaDdl, m0.dvParts,
+          keepPos = true)
+        val cTypes = cdf.schema.map(f => f.name -> f.dataType).toMap
+        val nParts = math.min(4096L, math.max(1L,
+          (m0.files.size.toLong * math.max(1, cols.size) + 65535L) /
+            65536L)).toInt
+        ColumnStatsSidecar.writeParts(path,
+          fileColumnSketchFrame(cdf, cols, cTypes).toDF(), nParts)
+      }
+    } {
       histCapture(df, cols, dtOf, rows)
+    }
     val kvs = scala.collection.immutable.TreeMap.newBuilder[String, String]
     kvs += JournalStore.StatsRowsKey -> rows.toString
     // histogram capture point: bin BOUNDARIES cannot merge
@@ -700,29 +741,17 @@ class JournalStore private (val spark: SparkSession, val path: String,
       }
     }
     val fresh = kvs.result()
-    // pass 4 — cstats BOOTSTRAP: the same sketch at per-FILE grain
-    // (one sidecar row per file × column), the state destructive
-    // rewrites refold the merged stats from; appends keep extending it
-    // at delta cost. ONE DISTRIBUTED ACTION (round 18): the per-file
-    // wide aggregate and the per-file register melt join at (file,
-    // column) grain, sidecar rows assemble executor-side, and the
-    // WRITE TASKS emit the parquet parts — the driver touches only
-    // O(parts) names no matter how many files the store has (this was
-    // the last files-proportional driver seam in the stats lifecycle;
-    // parts are sized to the 64k-row flush bound so each stays
-    // LRU-cacheable for the scan pruner).
-    val csParts: Seq[(String, String)] =
-      if (rows == 0) Nil
-      else {
-        val cdf = readSegmentsOver(m0.files, m0.schemaDdl, m0.dvParts,
-          keepPos = true)
-        val cTypes = cdf.schema.map(f => f.name -> f.dataType).toMap
-        val nParts = math.min(4096L, math.max(1L,
-          (m0.files.size.toLong * math.max(1, cols.size) + 65535L) /
-            65536L)).toInt
-        ColumnStatsSidecar.writeParts(path,
-          fileColumnSketchFrame(cdf, cols, cTypes).toDF(), nParts)
-      }
+    // pass 4 — cstats BOOTSTRAP (computed above, overlapped with pass
+    // 3): the same sketch at per-FILE grain (one sidecar row per file ×
+    // column), the state destructive rewrites refold the merged stats
+    // from; appends keep extending it at delta cost. ONE DISTRIBUTED
+    // ACTION (round 18): the per-file wide aggregate and the per-file
+    // register melt join at (file, column) grain, sidecar rows assemble
+    // executor-side, and the WRITE TASKS emit the parquet parts — the
+    // driver touches only O(parts) names no matter how many files the
+    // store has (this was the last files-proportional driver seam in
+    // the stats lifecycle; parts are sized to the 64k-row flush bound
+    // so each stays LRU-cacheable for the scan pruner).
     retryOnLostRace {
       val m = manifest
       val stale = m.meta.keys.filter(k => k == JournalStore.StatsRowsKey ||
@@ -2377,25 +2406,39 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // driver work at the 10⁶-file scale) and no chance of sweeping in a
     // compacted-but-unvacuumed stranger's file.
     val stage = newStageDir()
-    writerOpts(out.repartition(math.max(1, perNs.length),
-        col("epoch"), col("ns"))
-      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
     // Key blooms ride a SEPARATE pass: BloomFilterAggregate is a
     // TypedImperativeAggregate, and one such column forces the whole
     // aggregate onto ObjectHashAggregate — folding it into the stats agg
     // above demoted eight codegen'd numeric min/max/counts to the
     // object path (measured +0.3 s per store build at sf0.1). Two lean
     // passes beat one slow one; same persist-vs-rescan tradeoff the
-    // batch comment documents.
-    val perNsBloom: Map[(Long, String), String] =
-      out.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
-        .agg(keyBloomAgg.as("kbloom"))
-        .collect().map { r =>
-          (r.getLong(0), r.getString(1)) ->
-            (if (r.isNullAt(2)) ""
-             else java.util.Base64.getEncoder.encodeToString(
-               r.getAs[Array[Byte]](2)))
-        }.toMap
+    // batch comment documents. The bloom pass and the incremental
+    // column-sketch pass (below) are INDEPENDENT of the segment write,
+    // so they overlap it (guide §2.6) — both read the pinned batch.
+    val foldColsPre = JournalStore.activeStatCols(m0.meta)
+    val presentColsPre = foldColsPre.filter(out.columns.contains)
+    val outTypesPre = out.schema.map(f => f.name -> f.dataType).toMap
+    val rowsInBatch = perNs.map(_.getLong(2)).sum
+    val ((perNsBloom, dirSk), _) = overlap {
+      val bloom: Map[(Long, String), String] =
+        out.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
+          .agg(keyBloomAgg.as("kbloom"))
+          .collect().map { r =>
+            (r.getLong(0), r.getString(1)) ->
+              (if (r.isNullAt(2)) ""
+               else java.util.Base64.getEncoder.encodeToString(
+                 r.getAs[Array[Byte]](2)))
+          }.toMap
+      val sk: Map[(Long, String), JournalStore.DirSketches] =
+        if (presentColsPre.isEmpty || rowsInBatch == 0 ||
+            perNs.length > JournalStore.MaxSketchDirs) Map.empty
+        else dirColumnSketches(out, presentColsPre, outTypesPre)
+      (bloom, sk)
+    } {
+      writerOpts(out.repartition(math.max(1, perNs.length),
+          col("epoch"), col("ns"))
+        .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
+    }
     val batchStats = perNs.groupBy(_.getLong(0)).map { case (e, rs) =>
       EpochStat(e, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).min,
         rs.map(_.getLong(4)).max)
@@ -2474,17 +2517,13 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // declining) — at the SAME two-job cost as the flat fold; a batch
     // spanning more than MaxSketchDirs directories falls back to the
     // flat fold and skips the per-file rows (bounded driver collect).
-    val foldCols = JournalStore.activeStatCols(m.meta)
-    val presentCols = foldCols.filter(out.columns.contains)
-    val outTypes = out.schema.map(f => f.name -> f.dataType).toMap
-    val dirSk: Map[(Long, String), JournalStore.DirSketches] =
-      if (presentCols.isEmpty || rowsAppended == 0 ||
-          perNs.length > JournalStore.MaxSketchDirs) Map.empty
-      else dirColumnSketches(out, presentCols, outTypes)
+    // dirSk was computed overlapped with the segment write above
+    // (rowsInBatch == rowsAppended: both sum the same perNs rows)
+    val foldCols = foldColsPre
     val preSketch: Option[Map[String, JournalStore.ColSketch]] =
       if (dirSk.isEmpty) None
-      else Some(presentCols.map(c => c -> JournalStore.mergeColSketches(
-        outTypes.get(c), dirSk.values.toSeq.map(_.cols(c)))).toMap)
+      else Some(presentColsPre.map(c => c -> JournalStore.mergeColSketches(
+        outTypesPre.get(c), dirSk.values.toSeq.map(_.cols(c)))).toMap)
     val (statsAdd, statsDrop) =
       incrementalStatsMeta(m.meta, out, rowsAppended, preSketch)
     val csRows: Seq[ColumnStatsSidecar.CStat] =
@@ -3309,10 +3348,18 @@ class JournalStore private (val spark: SparkSession, val path: String,
     val carriers = source.columns
       .filter(_.startsWith(JournalStore.MergeCarrierPrefix)).toSeq
     val src0 = source.select((required ++ extras ++ carriers).map(col): _*)
-    // the probe runs ONCE, outside the conflict-retry loop: a
-    // non-deterministic source stays pinned to one snapshot across
-    // CAS-loss re-derivations
-    val probe = src0.take(JournalStore.MergeSmallSourceRows + 1)
+    // PIN FIRST, PROBE FROM THE PIN (round 20): the source is
+    // localCheckpoint'd once and the small/large dispatch probe reads
+    // the pinned blocks. The former take-then-maybe-pin order evaluated
+    // the source plan TWICE on the large path (take's full upstream
+    // pass, then the checkpoint's own) and let a non-deterministic
+    // source hand the probe a DIFFERENT snapshot than the one the merge
+    // later joined — pin-first removes both: one evaluation, one
+    // snapshot, for every path. Small sources pay the same single
+    // evaluation they paid under take (its upstream ran fully through
+    // any aggregation/dedup anyway) plus a trivial read of pinned
+    // blocks; the probe still runs ONCE, outside the conflict-retry
+    // loop, so CAS-loss re-derivations keep seeing the same rows.
     // CONFLICT RULE (the deleteWhere precedent, not append's blind
     // rebase): a merge that loses the manifest CAS re-derives the WHOLE
     // state join against the fresh manifest — matched/not-matched
@@ -3325,21 +3372,22 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // CAS itself detects the race — there is no unvalidated fast path.
     // merge‖merge serializes the same way: the loser re-derives against
     // the winner's state, so both intents land deterministically.
-    // a large source is pinned ONCE with localCheckpoint, for the same
+    // the source is pinned ONCE with localCheckpoint, for the same
     // reason the probe runs once: the profile pass, the state join, and
     // every CAS-loss re-derivation must see the SAME source rows — a
     // non-deterministic source re-evaluated between the profile and the
     // join could defeat the file pruning (a key the profile never saw
-    // would silently join against pruned-away state). One extra
-    // materialization pass, executor-local (MEMORY_AND_DISK), paid only
-    // on the large path.
-    lazy val srcPinned = src0.localCheckpoint()
+    // would silently join against pruned-away state). The
+    // materialization is executor-local (MEMORY_AND_DISK) and IS the
+    // probe's evaluation (see the pin-first comment above).
+    val srcPinned = src0.localCheckpoint()
+    val probe = srcPinned.take(JournalStore.MergeSmallSourceRows + 1)
     retryOnLostRace {
       // WHEN NOT MATCHED BY SOURCE must SEE every state key (its whole
       // point is the complement), so it always takes the full-join path
       // with state pruning disabled — a full reconciliation is a full
-      // read of current state by definition. Small sources still skip
-      // the localCheckpoint pin (the collected probe IS the source).
+      // read of current state by definition. Small sources still route
+      // through the collected probe (the probe IS the source there).
       if (whenNotMatchedBySourceDelete.isDefined ||
           whenNotMatchedBySourceSet.nonEmpty)
         mergeFull(
@@ -3957,31 +4005,36 @@ class JournalStore private (val spark: SparkSession, val path: String,
     // commit protocol, exact new-file set; shuffle sized to the real
     // directory count (partitioning derived from the data)
     val stage = newStageDir()
-    writerOpts(retained.repartition(math.max(1, perNs.length),
-        col("epoch"), col("ns"))
-      .sortWithinPartitions(col("epoch"), col("ns"), col("ukey"), col("seq"))
-      .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
-    val newFiles = promoteStaged(stage)
-    val perNsBloom: Map[(Long, String), String] =
-      retained.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
-        .agg(keyBloomAgg.as("kbloom"))
-        .collect().map { r =>
-          (r.getLong(0), r.getString(1)) ->
-            (if (r.isNullAt(2)) ""
-             else java.util.Base64.getEncoder.encodeToString(
-               r.getAs[Array[Byte]](2)))
-        }.toMap
-    // Fresh COLUMN sketches for the rewritten files too (cstats
-    // sidecar), from the still-cached retained rows — what lets the
-    // refold below keep the merged analyze() stats alive through the
-    // erase instead of declining. Same dir-count cap as append.
+    // The key-bloom pass and the fresh COLUMN sketches (cstats sidecar
+    // rows — what lets the refold below keep the merged analyze() stats
+    // alive through the erase instead of declining) are independent of
+    // the staged write: overlap them with it (guide §2.6), all three
+    // reading the cached retained rows. Same dir-count cap as append.
     val foldCols = JournalStore.activeStatCols(m.meta)
     val presentCols = foldCols.filter(retained.columns.contains)
     val rTypes = retained.schema.map(f => f.name -> f.dataType).toMap
-    val dirSk: Map[(Long, String), JournalStore.DirSketches] =
-      if (presentCols.isEmpty ||
-          perNs.length > JournalStore.MaxSketchDirs) Map.empty
-      else dirColumnSketches(retained, presentCols, rTypes)
+    val ((perNsBloom, dirSk), newFiles) = overlap {
+      val bloom: Map[(Long, String), String] =
+        retained.groupBy(col("epoch"), col("ns").cast("string").as("ns"))
+          .agg(keyBloomAgg.as("kbloom"))
+          .collect().map { r =>
+            (r.getLong(0), r.getString(1)) ->
+              (if (r.isNullAt(2)) ""
+               else java.util.Base64.getEncoder.encodeToString(
+                 r.getAs[Array[Byte]](2)))
+          }.toMap
+      val sk: Map[(Long, String), JournalStore.DirSketches] =
+        if (presentCols.isEmpty ||
+            perNs.length > JournalStore.MaxSketchDirs) Map.empty
+        else dirColumnSketches(retained, presentCols, rTypes)
+      (bloom, sk)
+    } {
+      writerOpts(retained.repartition(math.max(1, perNs.length),
+          col("epoch"), col("ns"))
+        .sortWithinPartitions(col("epoch"), col("ns"), col("ukey"), col("seq"))
+        .write.partitionBy("epoch", "ns").mode("append")).parquet(stage)
+      promoteStaged(stage)
+    }
     retained.unpersist()
     val nsRe = """ns=([^/]+)""".r
     val statRow = perNs.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
