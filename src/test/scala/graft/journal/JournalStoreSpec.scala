@@ -2173,4 +2173,45 @@ class JournalStoreSpec extends AnyFunSuite {
     assert(clone.scan().collect().map(_.toString).sorted.toSeq ===
       store.scan().collect().map(_.toString).sorted.toSeq)
   }
+
+  test("hot-directory append splits the writer across tasks (>1 file), " +
+      "bounded fan-out, reads unchanged, cold dirs keep per-file stats") {
+    val store = JournalStore.create(spark, freshPath, epochSize = 100000)
+      .withMaxFileRows(100)
+    // 1000 rows, ALL in one (epoch, ns) directory — the §2.5 hot-ns
+    // ingest shape — plus a handful of cold-ns rows in the same batch
+    val hot = spark.range(1000).selectExpr("'hot' AS ns", "id AS ukey",
+      "timestamp'2024-01-01 00:00:01' AS ts",
+      "concat('p', id) AS payload", "CAST(id AS DOUBLE) AS val")
+    val cold = spark.range(3).selectExpr("'cold' AS ns", "id AS ukey",
+      "timestamp'2024-01-01 00:00:02' AS ts",
+      "concat('c', id) AS payload", "CAST(id AS DOUBLE) AS val")
+    store.append(hot.unionByName(cold))
+    val hotFiles = store.manifest.files.filter(_.contains("ns=hot"))
+    val coldFiles = store.manifest.files.filter(_.contains("ns=cold"))
+    // the hot directory fanned out: ceil(1000/100) = 10 target tasks
+    // (hash collisions may co-locate salts, so >= 2 and <= 10 files)
+    assert(hotFiles.size >= 2 && hotFiles.size <= 10,
+      s"hot dir files: ${hotFiles.size}")
+    assert(coldFiles.size === 1, s"cold dir files: ${coldFiles.size}")
+    // bounded task-time spread by construction: no file holds more
+    // than ~3x the target rows (hash spread over 10 salts)
+    val rowsPerFile = hotFiles.map { f =>
+      spark.read.parquet(s"${store.path}/segments/$f").count()
+    }
+    assert(rowsPerFile.sum === 1000L)
+    assert(rowsPerFile.max <= 300L,
+      s"rows per hot file: ${rowsPerFile.sorted.mkString(", ")}")
+    // reads see every row exactly once, same as an unsplit append
+    assert(store.scanUnordered().count() === 1003L)
+    assert(store.scanUnordered().where(col("ns") === "hot")
+      .agg(sum("ukey")).head.getLong(0) === (0L until 1000L).sum)
+    // per-file stats: cold dir keeps them; hot files are stats-less
+    // (unpruned, never wrong — the documented multi-file tolerance)
+    assert(store.manifest.fstats.exists(s => coldFiles.contains(s.file)))
+    assert(!store.manifest.fstats.exists(s => hotFiles.contains(s.file)))
+    // a later key-targeted read is still correct through the stats-less
+    // files (pruning declines, results don't change)
+    assert(store.scanUnordered().where(col("ukey") === 777L).count() === 1L)
+  }
 }
